@@ -1,0 +1,189 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.text.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational operators the reference embeds in its orchestration code
+  * (SURVEY §2.6: equi-join, anti-join, group-by agg, explode, union,
+  * sort/top-k, distinct, row numbering, isin filters), expressed as
+  * Catalyst-optimized DataFrame plans over the driver testdata.
+  *
+  * Float discipline: every aggregated money/quantity value is computed in
+  * exact DECIMAL arithmetic (order-independent, engine-independent) and
+  * cast to DOUBLE only at the end, so the DuckDB oracle hash-matches
+  * bit-for-bit. Ratios divide two exact values in double and round.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(8, 4))
+
+  /** Pricing summary (TPC-H Q1 flavor) — groupBy/agg with map-side
+    * partial aggregation; one shuffle on the two low-cardinality keys.
+    */
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Shipping-priority join (TPC-H Q3 flavor): two shuffled equi-joins at
+    * lake scale (orders/lineitem both large → sort-merge join; AQE picks
+    * broadcast when one side is small), then top-10.
+    */
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Anti-join: customers with no orders (reference pattern: unindexed-file
+    * diff, reference: python/rottnest/backends/delta.py:31-32).
+    */
+  private val antiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Top-K with deterministic tie-break (reference pattern: score sort +
+    * take-k, reference: src/lava/bm25/bm25.rs:557-565).
+    */
+  private val topkSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  private val distinctSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Row-numbering window (reference pattern: with_row_count,
+    * reference: python/rottnest/backends/utils.py:119,172): top-2 orders
+    * per customer.
+    */
+  private val windowSql =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn <= 2""".stripMargin
+
+  /** Explode/unnest (reference: iceberg.py:126) — token frequency top-20
+    * over documents; the tokenize→explode→groupBy shape is the skeleton of
+    * every text index build.
+    */
+  private val explodeSql =
+    """SELECT tok, count(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+      |  FROM documents) u
+      |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
+
+  /** Tumbling-window aggregation over the events stream table (hourly).
+    * Batch plan here; graft.streaming mirrors it with readStream +
+    * watermark for the true streaming path.
+    */
+  private val hourlySql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Union + distinct (reference pattern: polars.concat + unique,
+    * reference: backends/utils.py:105-108,153): nations appearing as
+    * customer or supplier home.
+    */
+  private val unionSql =
+    """SELECT DISTINCT n_nationkey, n_name FROM nation
+      |WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+      |   OR n_nationkey IN (SELECT s_nationkey FROM supplier)
+      |ORDER BY n_nationkey""".stripMargin
+
+  def entries: Map[String, Q] = Map(
+    "q1_agg" -> Q((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(8, 4)) - dec4(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        round(sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+    }, q1Sql),
+
+    "q3_join_topk" -> Q((s, dir) => {
+      val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(8, 4)) - dec4(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }, q3Sql),
+
+    "q_anti_join" -> Q((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, antiSql),
+
+    "q_topk" -> Q((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10), topkSql),
+
+    "q_distinct_agg" -> Q((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")), distinctSql),
+
+    "q_window_rownum" -> Q((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }, windowSql),
+
+    "q_token_explode" -> Q((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(20), explodeSql),
+
+    "q_events_hourly" -> Q((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value")), hourlySql),
+
+    "q_union_distinct" -> Q((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+      val c = Tables.load(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = Tables.load(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      n.join(c.union(sup).distinct(), col("n_nationkey") === col("k"), "left_semi")
+        .select(col("n_nationkey"), col("n_name")).distinct()
+        .orderBy(col("n_nationkey"))
+    }, unionSql)
+  )
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.text.Text
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID, document fingerprinting.
+  * All are narrow (no shuffle) single-pass column pipelines — at 100 TB
+  * they run as map-only stages over the parquet scan with full
+  * whole-stage codegen (no UDFs anywhere).
+  */
+object TextAnalysis {
+
+  private def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_tokens,
+      |  length(text) AS n_chars,
+      |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
+      |FROM documents""".stripMargin
+
+  private val qualitySql =
+    """SELECT doc_id, n_tokens,
+      |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+      |  round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token,
+      |  CASE WHEN n_tokens >= 40 AND n_stop > 0 THEN 'good'
+      |       WHEN n_tokens >= 10 THEN 'fair' ELSE 'poor' END AS quality
+      |FROM (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    len(toks) AS n_tokens,
+      |    len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS n_stop
+      |  FROM (SELECT doc_id, text,
+      |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      |        FROM documents) x) y
+      |WHERE n_tokens > 0""".stripMargin
+
+  private val langIdSql = {
+    def score(l: String, words: Seq[String]) =
+      s"len(list_filter(toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t))) AS s_$l"
+    val scores = Text.langProfiles.map { case (l, ws) => score(l, ws) }.mkString(",\n    ")
+    s"""SELECT doc_id,
+       |  CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+       |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+       |        FROM documents) x) y""".stripMargin
+  }
+
+  private val fingerprintSql =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
+  def entries: Map[String, Q] = Map(
+    "text_token_count" -> Q((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        Text.punctCount(col("text")).as("n_punct")), tokenCountSql),
+
+    "text_quality" -> Q((s, dir) => {
+      val base = Tables.load(s, dir, "documents").select(
+        col("doc_id"), length(col("text")).as("n_chars"),
+        Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("n_chars"), size(col("toks")).as("n_tokens"),
+          stopwordCount(col("toks"), Text.enStopwords).as("n_stop"))
+        .filter(col("n_tokens") > 0)
+      base.select(
+        col("doc_id"), col("n_tokens"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4).as("chars_per_token"),
+        when(col("n_tokens") >= 40 && col("n_stop") > 0, "good")
+          .when(col("n_tokens") >= 10, "fair").otherwise("poor").as("quality"))
+    }, qualitySql),
+
+    "text_lang_id" -> Q((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val scored = toks.select(col("doc_id") +:
+        Text.langProfiles.map { case (l, ws) =>
+          stopwordCount(col("toks"), ws).as(s"s_$l")
+        }: _*)
+      scored.select(col("doc_id"),
+        when(col("s_en") === 0 && col("s_es") === 0 && col("s_fr") === 0 && col("s_de") === 0, "und")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de").as("lang_pred"))
+    }, langIdSql),
+
+    "doc_fingerprint" -> Q((s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fp")), fingerprintSql)
+  )
+}

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the substring/BM25 indexes, the
+  * dedup suite and the text-analysis operators.
+  *
+  * Tokenization mirrors the reference's lowercase-then-split scheme
+  * (reference: src/lava/bm25/tokenizer_utils.rs:14-34 uses a trained
+  * tokenizer; src/lava/substring/build.rs:420-437 lowercases and drops a
+  * punctuation SKIP set — reference: src/lava/substring/constants.rs:2).
+  * We use a deterministic regex tokenizer (`[^a-z0-9]+` delimiters) so the
+  * exact same semantics are expressible in ANSI SQL for the DuckDB oracle.
+  *
+  * Everything here is `org.apache.spark.sql.functions` composition — no
+  * UDFs — so it stays inside whole-stage codegen.
+  */
+object Text {
+  val TokenDelim = "[^a-z0-9]+"
+
+  /** Lowercased word tokens, empty strings removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), TokenDelim), t => t =!= lit(""))
+
+  /** Token count (whitespace/punctuation-delimited). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Character n-grams of the lowercased string (positions 0..len-n). */
+  def charNgrams(c: Column, n: Int): Column = {
+    val lc = lower(c)
+    // transform over a 0..len-n index sequence keeps this codegen-friendly
+    array_distinct(
+      transform(sequence(lit(0), greatest(length(lc) - n, lit(0)) - 1),
+        i => substring(lc, i + 1, lit(n))))
+  }
+
+  /** Word k-shingles (k consecutive tokens joined by a single space). */
+  def wordShingles(c: Column, k: Int): Column = {
+    val ts = tokens(c)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(ts) - k, lit(0)) - 1),
+        i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+  }
+
+  /** Count of non-alphanumeric, non-whitespace chars (punctuation). */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[a-zA-Z0-9\\s]", ""))
+
+  /** Normalized text: lowercased, runs of whitespace collapsed, trimmed. */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Deterministic document fingerprint over normalized text. */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Small per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Deliberately tiny and deterministic so the
+    * DuckDB oracle can replicate scoring exactly.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit"))
+
+  /** English stopwords for quality scoring. */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+}
