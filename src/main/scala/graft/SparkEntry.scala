@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def registry: Map[String, Q] =
     graft.ops.Relational.entries ++
-      graft.ops.TextAnalysis.entries
+      graft.ops.TextAnalysis.entries ++
+      graft.ops.IndexQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

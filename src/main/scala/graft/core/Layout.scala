@@ -1,0 +1,116 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Physical-layout scan of the lake's parquet files.
+  *
+  * The reference walks thrift page headers to index at *data-page*
+  * granularity (reference: src/formats/parquet.rs:243-419) and maps index
+  * hits back to exact page byte ranges. Spark's reader prunes at
+  * file/row-group granularity, so our unit of retrieval is
+  * **uid = global row-group ordinal** across the indexed file group
+  * (SURVEY §7.1) — the same selective-fetch capability, one level up.
+  * The meta sidecar mirrors the reference's `.meta` parquet
+  * (reference: python/rottnest/backends/utils.py:63-108).
+  */
+object Layout {
+
+  /** Row-group descriptor; `row_start` is the first row ordinal of the
+    * group within its file, `uid` the 1-based global ordinal across the
+    * file group (reference: backends/utils.py:73-74 assigns page uids the
+    * same way).
+    */
+  case class RowGroup(file_path: String, row_group: Int, num_rows: Long,
+      byte_size: Long, row_start: Long)
+
+  /** Canonical file path (strip URI scheme) so footer-scan paths and
+    * `_metadata.file_path` values join cleanly.
+    */
+  def canonPath(c: Column): Column = regexp_replace(c, "^file:/+", "/")
+
+  def canonPath(s: String): String = s.replaceFirst("^file:/+", "/")
+
+  /** Footer scan → one row per row group. Runs as a Spark job over the
+    * file list (at 100 TB the lake has ~10^6 files; footers are read in
+    * parallel on executors, never the data pages).
+    */
+  def scan(spark: SparkSession, files: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val par = math.max(1, math.min(files.size, 64))
+    val rgs = spark.sparkContext.parallelize(files.map(canonPath), par)
+      .flatMap { f =>
+        val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
+        val reader = ParquetFileReader.open(in)
+        try {
+          var start = 0L
+          reader.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
+            case (b, i) =>
+              val rg = RowGroup(f, i, b.getRowCount, b.getTotalByteSize, start)
+              start += b.getRowCount
+              rg
+          }
+        } finally reader.close()
+      }
+    rgs.toDF()
+  }
+
+  /** Meta sidecar: layout + global uid. The window over the (metadata-
+    * sized) layout rows runs on a single partition by design — its row
+    * count is #row-groups, not #rows.
+    */
+  def buildMeta(spark: SparkSession, files: Seq[String]): DataFrame = {
+    val w = Window.orderBy(col("file_path"), col("row_group"))
+    scan(spark, files).withColumn("uid", row_number().over(w).cast("long"))
+  }
+
+  /** Read the file group with each row tagged by its row-group uid:
+    * `_metadata.row_index` gives the in-file row ordinal, a broadcast
+    * range-join against the meta sidecar resolves the row group. Scales:
+    * meta is metadata-sized, the join is a broadcast hash join on
+    * file_path plus a range filter.
+    */
+  def withUid(spark: SparkSession, files: Seq[String], meta: DataFrame): DataFrame = {
+    val data = spark.read.parquet(files: _*)
+      .withColumn("__file", canonPath(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val m = meta.select(col("file_path").as("__file"), col("uid"),
+      col("row_start"), (col("row_start") + col("num_rows")).as("row_end"))
+    data.join(broadcast(m), Seq("__file"))
+      .filter(col("__pos") >= col("row_start") && col("__pos") < col("row_end"))
+      .drop("__file", "__pos", "row_start", "row_end")
+  }
+
+  /** Selective materialization: given index hits (a `uid` column), read
+    * ONLY the parquet files containing hit row groups and keep only rows
+    * inside hit groups (reference: read_indexed_pages,
+    * src/formats/parquet.rs:430-648, fetches exactly the hit pages).
+    * The hit set is bounded by the brute-force threshold, so collecting
+    * the distinct file list on the driver is metadata-sized.
+    */
+  def readHits(spark: SparkSession, meta: DataFrame, hits: DataFrame): DataFrame = {
+    val hitMeta = meta.join(hits.select("uid").distinct(), Seq("uid")).cache()
+    val hitFiles = hitMeta.select("file_path").distinct()
+      .collect().map(_.getString(0)).sorted
+    if (hitFiles.isEmpty) {
+      // empty hit set: preserve the lake schema (+uid) with zero rows
+      val any = meta.select("file_path").limit(1).collect().map(_.getString(0))
+      return spark.read.parquet(any: _*).limit(0).withColumn("uid", lit(0L))
+    }
+    val data = spark.read.parquet(hitFiles: _*)
+      .withColumn("__file", canonPath(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val m = hitMeta.select(col("file_path").as("__file"), col("uid"),
+      col("row_start"), (col("row_start") + col("num_rows")).as("row_end"))
+    data.join(broadcast(m), Seq("__file"))
+      .filter(col("__pos") >= col("row_start") && col("__pos") < col("row_end"))
+      .drop("__file", "__pos", "row_start", "row_end")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.index
+
+import graft.core.{IndexStore, Layout}
+import graft.text.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Substring index: character n-gram posting lists at row-group
+  * granularity.
+  *
+  * Capability-equivalent Spark re-expression of the reference's
+  * FM-index/BWT substring index (reference: src/lava/substring/build.rs:
+  * 127-547, search.rs:95-204): any row whose value contains the query
+  * must sit in a row group whose gram set contains *every* n-gram of the
+  * query, so gram-intersection gives a candidate superset and the
+  * mandatory brute-force refine removes false positives — the reference
+  * has the same FP discipline (never truncate to K before refine,
+  * reference: src/lava/substring/search.rs:78-85).
+  *
+  * Physical layout: `postings/` parquet of (gram, uid) rows partitioned
+  * by a gram hash bucket — a query's grams prune to ≤|grams| buckets via
+  * partition pruning; posting "lists" stay as rows, never driver-sized
+  * arrays, so a 100 TB build is one explode→distinct shuffle.
+  */
+object NgramIndex {
+
+  val N = 3
+  val Buckets = 16
+
+  private def bucketOf(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(Buckets))
+
+  /** Driver-side twin of `bucketOf` (xxhash64 seed 42, same as the
+    * `xxhash64` SQL function) so query grams map to partition values
+    * without a Spark job.
+    */
+  def bucketOfString(g: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.unsafe.types.UTF8String
+    Math.floorMod(
+      XxHash64Function.hash(UTF8String.fromString(g),
+        org.apache.spark.sql.types.StringType, 42L), Buckets.toLong).toInt
+  }
+
+  /** Build over a file group; writes postings + meta sidecar under
+    * `path` and returns (files covered, rows indexed).
+    */
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = {
+    val meta = Layout.buildMeta(spark, files).cache()
+    val data = Layout.withUid(spark, files, meta)
+    val postings = data
+      .select(col("uid"), explode(Text.charNgrams(col(column), N)).as("gram"))
+      .distinct() // (uid, gram) pairs; array_distinct already dedups per row
+      .withColumn("bucket", bucketOf(col("gram")))
+    postings.write.mode("overwrite")
+      .partitionBy("bucket")
+      .option("compression", "zstd")
+      .parquet(s"$path/postings")
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    meta.unpersist()
+  }
+
+  /** Search one index: gram-intersect → candidate row groups → selective
+    * read → refine. Returns the matching lake rows (all columns + uid).
+    * No K-truncation here: FP-prone candidates are refined first
+    * (reference: search.rs:78-85).
+    */
+  def search(spark: SparkSession, path: String, column: String,
+      query: String): DataFrame = {
+    val q = query.toLowerCase
+    val meta = spark.read.parquet(s"$path/meta")
+    if (q.length < N) {
+      // query shorter than the gram width: index can't prune — scan the
+      // covered files (reference's brute-force flag,
+      // backends/utils.py:221-225)
+      val files = meta.select("file_path").distinct()
+        .collect().map(_.getString(0)).toSeq
+      return spark.read.parquet(files: _*)
+        .filter(lower(col(column)).contains(q))
+        .withColumn("uid", lit(-1L))
+    }
+    val qgrams = q.sliding(N).toSeq.distinct
+    val qbuckets = qgrams.map(bucketOfString).distinct
+    val post = spark.read.parquet(s"$path/postings")
+      // bucket predicate prunes partitions; gram predicate prunes row
+      // groups inside them via parquet min/max stats
+      .filter(col("bucket").isin(qbuckets: _*) && col("gram").isin(qgrams: _*))
+    val cands = post.groupBy("uid")
+      .agg(countDistinct(col("gram")).as("ng"))
+      .filter(col("ng") === qgrams.size)
+      .select("uid")
+    Layout.readHits(spark, meta, cands)
+      .filter(lower(col(column)).contains(q))
+  }
+
+  /** Merge two indexes into one (compaction): second index's uids are
+    * re-based past the first's (reference: merge re-bases uid offsets,
+    * src/lava/merge.rs:17-205; metadata merge backends/utils.py:195-213).
+    * Parquet-table indexes make this a union + uid shift, not a
+    * streaming BWT interleave.
+    */
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    val metaA = spark.read.parquet(s"$a/meta")
+    val metaB = spark.read.parquet(s"$b/meta")
+    val offset = metaA.agg(max("uid")).collect()(0).getLong(0)
+    val meta = metaA.unionByName(
+      metaB.withColumn("uid", col("uid") + offset))
+    val post = spark.read.parquet(s"$a/postings").unionByName(
+      spark.read.parquet(s"$b/postings").withColumn("uid", col("uid") + offset))
+    post.write.mode("overwrite").partitionBy("bucket")
+      .option("compression", "zstd").parquet(s"$out/postings")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+  }
+}

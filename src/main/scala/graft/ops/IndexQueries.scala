@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.Q
+import graft.core.{IndexStore, Lake, Layout}
+import graft.index.NgramIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end substring-index query lifecycle over a multi-file
+  * documents lake (SURVEY §3.2): plan → index probe → selective
+  * materialize → refine → fill from unindexed files.
+  *
+  * Correctness follows the reference's implicit-oracle pattern (SURVEY
+  * §5): the brute-force predicate IS the oracle — the index path must
+  * return exactly the rows a full scan returns.
+  */
+object IndexQueries {
+
+  val Table = "documents"
+  val Column = "text"
+  val Parts = 4
+
+  private def lakeFiles(s: SparkSession, dir: String): Seq[String] =
+    Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+
+  /** Build one ngram index over `files`, commit lake metadata. */
+  private def buildIdx(s: SparkSession, dir: String, name: String,
+      files: Seq[String]): String = {
+    val p = IndexStore.indexPath(dir, name)
+    IndexStore.ensure(p) {
+      NgramIndex.build(s, files, Column, p)
+      val meta = s.read.parquet(s"$p/meta")
+      val counts = meta.groupBy("file_path")
+        .agg(sum("num_rows").as("n")).orderBy("file_path")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      IndexStore.commitMetadata(s, dir,
+        IndexStore.metadataRows(s, Table, Column,
+          counts.map(_._1).toSeq, counts.map(_._2).toSeq,
+          p, "ngram", counts.map(_._2).sum))
+    }
+    p
+  }
+
+  private def fullIdx(s: SparkSession, dir: String): String =
+    buildIdx(s, dir, "ngram_documents_text", lakeFiles(s, dir))
+
+  /** Index over only the first half of the lake (partial coverage). */
+  private def halfIdx(s: SparkSession, dir: String): String =
+    buildIdx(s, dir, "ngram_documents_text_01", lakeFiles(s, dir).take(2))
+
+  private def quarterIdx(s: SparkSession, dir: String, which: Int): String = {
+    val files = lakeFiles(s, dir)
+    buildIdx(s, dir, s"ngram_documents_text_q$which",
+      files.slice(2 * which, 2 * which + 2))
+  }
+
+  /** Merged index of the two half-lake indexes — search(merged) must
+    * equal search over the union of the parts.
+    */
+  private def mergedIdx(s: SparkSession, dir: String): String = {
+    val a = quarterIdx(s, dir, 0)
+    val b = quarterIdx(s, dir, 1)
+    val p = IndexStore.indexPath(dir, "ngram_documents_text_merged")
+    IndexStore.ensure(p) { NgramIndex.merge(s, a, b, p) }
+    p
+  }
+
+  private def bruteSql(q: String) =
+    s"SELECT doc_id FROM documents WHERE contains(lower(text), '$q') ORDER BY doc_id"
+
+  val QueryStr = "merge merge"
+  val ShortQueryStr = "qu"
+
+  def entries: Map[String, Q] = Map(
+    // full lifecycle: build (cached) → gram-intersect → selective read →
+    // refine → project
+    "substring_search" -> Q((s, dir) => {
+      val p = fullIdx(s, dir)
+      NgramIndex.search(s, p, Column, QueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, bruteSql(QueryStr)),
+
+    // top-K truncation strictly after refine (reference: search.rs:78-85)
+    "substring_search_topk" -> Q((s, dir) => {
+      val p = fullIdx(s, dir)
+      NgramIndex.search(s, p, Column, QueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id")).limit(5)
+    }, bruteSql(QueryStr) + " LIMIT 5"),
+
+    // query below gram width → index signals brute-force (reference:
+    // backends/utils.py:221-225)
+    "substring_search_short" -> Q((s, dir) => {
+      val p = fullIdx(s, dir)
+      NgramIndex.search(s, p, Column, ShortQueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, bruteSql(ShortQueryStr)),
+
+    // partial index coverage + in-situ probing of unindexed files
+    // (reference: backends/utils.py:235-282)
+    "substring_search_insitu" -> Q((s, dir) => {
+      val files = lakeFiles(s, dir)
+      val p = halfIdx(s, dir)
+      val indexed = NgramIndex.search(s, p, Column, QueryStr)
+        .select(col("doc_id"))
+      val probed = Lake.scanUnindexed(s, files.drop(2),
+        _.filter(lower(col(Column)).contains(QueryStr)))
+        .select(col("doc_id"))
+      indexed.unionByName(probed).orderBy(col("doc_id"))
+    }, bruteSql(QueryStr)),
+
+    // compaction merge: search(merge(a,b)) ≡ brute force over a∪b
+    "substring_search_merged" -> Q((s, dir) => {
+      val p = mergedIdx(s, dir)
+      NgramIndex.search(s, p, Column, QueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, bruteSql(QueryStr)),
+
+    // lake-level index metadata table (reference:
+    // backends/parquet.py:162-172)
+    "index_metadata" -> Q((s, dir) => {
+      val p = fullIdx(s, dir)
+      IndexStore.readMetadata(s, dir).get
+        .filter(col("index_file") === p)
+        .select(col("table_name"), col("column_name"),
+          size(col("file_path")).as("n_files"), col("rows_indexed"))
+    }, "SELECT 'documents' AS table_name, 'text' AS column_name, " +
+       "4 AS n_files, count(*) AS rows_indexed FROM documents")
+  )
+}
