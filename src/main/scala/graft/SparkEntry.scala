@@ -13,7 +13,12 @@ object SparkEntry {
   private def registry: Map[String, Q] =
     graft.ops.Relational.entries ++
       graft.ops.TextAnalysis.entries ++
-      graft.ops.IndexQueries.entries
+      graft.ops.IndexQueries.entries ++
+      graft.ops.SearchQueries.entries ++
+      graft.ops.Dedup.entries ++
+      graft.ops.Similarity.entries ++
+      graft.index.VectorIndex.entries ++
+      graft.index.LogCloudIndex.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,122 @@
+package graft.index
+
+import graft.core.Layout
+import graft.text.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text index.
+  *
+  * Spark re-expression of the reference's BM25 index (reference:
+  * src/lava/bm25/bm25.rs:31-174 build, 410-580 search): per-token
+  * posting lists with TF, corpus stats head (token_counts/num_docs/
+  * avg_len), weighted-IDF scoring at search with k1=1.2, b=0.75
+  * (reference: src/lava_py/lava.rs:135) and quantized contributions
+  * (reference quantizes the TF factor ×100, bm25.rs:139 — we quantize
+  * the per-token score ×1e6 so the distributed sum is an exact integer
+  * sum, order-independent and bit-reproducible).
+  *
+  * Layout: `postings/` (token, doc_id, uid, tf) partitioned by token
+  * hash bucket — a query's tokens prune to ≤|tokens| partitions, the
+  * Spark analogue of the reference's per-token plist binary search
+  * (bm25.rs:460-471). `docstats/` (doc_id, dl). `head/` one corpus row.
+  */
+object Bm25Index {
+
+  val K1 = 1.2
+  val B = 0.75
+  val Buckets = 16
+  val Quant = 1000000L
+
+  private def bucketOf(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(Buckets))
+
+  def bucketOfString(t: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.unsafe.types.UTF8String
+    Math.floorMod(XxHash64Function.hash(UTF8String.fromString(t),
+      org.apache.spark.sql.types.StringType, 42L), Buckets.toLong).toInt
+  }
+
+  /** Build over a file group. `idCol` is the per-row document id column
+    * (the reference scores page uids then rescores rows,
+    * bm25_index.py:104-135; we score rows directly — same result,
+    * one fewer pass).
+    */
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      idCol: String, path: String): Unit = {
+    val meta = Layout.buildMeta(spark, files).cache()
+    val data = Layout.withUid(spark, files, meta)
+    val toks = data.select(col(idCol).as("doc_id"), col("uid"),
+      explode(Text.tokens(col(column))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("uid")).as("uid"))
+      .withColumn("bucket", bucketOf(col("token")))
+    tf.write.mode("overwrite").partitionBy("bucket")
+      .option("compression", "zstd").parquet(s"$path/postings")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/docstats")
+    // corpus head: one row — the broadcastable "cacheable metadata page"
+    // (reference: bm25.rs:171-173)
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    meta.unpersist()
+  }
+
+  /** Top-k search. IDF is computed over the whole index at query time
+    * (reference combines token counts across ALL index files before
+    * computing IDF, bm25.rs:477-489).
+    */
+  def search(spark: SparkSession, path: String, query: String, k: Int): DataFrame = {
+    val qtoks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    val qbuckets = qtoks.map(bucketOfString).distinct
+    val head = spark.read.parquet(s"$path/head").collect()(0)
+    val nDocs = head.getAs[Long]("n_docs")
+    val avgdl = head.getAs[Double]("avgdl")
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
+    val df = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$path/docstats")
+    // idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), quantized ×1e6 so
+    // the per-doc sum is an exact integer sum
+    val contrib = post.join(df, "token").join(dl, "doc_id")
+      .withColumn("idf",
+        log((lit(nDocs).cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("tf") * lit(K1 + 1) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
+      .withColumn("cq", round(col("idf") * col("w") * Quant).cast("long"))
+    contrib.groupBy(col("doc_id"))
+      .agg((sum(col("cq")).cast("double") / Quant).as("raw"))
+      .select(col("doc_id"), round(col("raw"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Oracle SQL generator: the same scoring pipeline in ANSI SQL. */
+  def oracleSql(table: String, column: String, idCol: String,
+      query: String, k: Int): String = {
+    val qtoks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+    val inList = qtoks.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id,
+       |    unnest(list_filter(string_split_regex(lower($column), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |  FROM $table),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       |       WHERE token IN ($inList) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |      (tf.tf * ${K1 + 1} / (tf.tf + $K1 * (${1 - B} + $B * dl.dl / c.avgdl)))
+       |      * $Quant) AS BIGINT) AS cq
+       |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus c)
+       |SELECT doc_id, round(CAST(sum(cq) AS DOUBLE) / $Quant, 4) AS score
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+}

@@ -1,0 +1,59 @@
+package graft.index
+
+import graft.core.Layout
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact/prefix key index ("uuid index" in the reference).
+  *
+  * The reference builds an LCP-compressed binary trie over pre-sorted
+  * keys (reference: src/lava/uuid/uuid.rs:16-61, trie.rs:42-128) and
+  * walks it at search (uuid.rs:106-162). The trie is an encoding choice;
+  * the capability is "point/prefix lookup over sorted keys". The
+  * idiomatic Spark equivalent (SURVEY §2.3 #20) is a **range-partitioned,
+  * sorted (key, uid) parquet table**: parquet row-group min/max stats on
+  * the sorted key column ARE the zone map, so an equality/prefix
+  * predicate prunes to the few row groups that can contain the key —
+  * same O(log) page-touch profile, native to every parquet reader.
+  *
+  * Like the trie (which admits false positives refined later,
+  * trie.rs:550-556), hits are refined against the lake rows.
+  */
+object KeyIndex {
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String, parts: Int = 8): Unit = {
+    val meta = Layout.buildMeta(spark, files).cache()
+    val data = Layout.withUid(spark, files, meta)
+    data.select(col(column).as("key"), col("uid"))
+      .repartitionByRange(parts, col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/keys")
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    meta.unpersist()
+  }
+
+  /** Exact-match lookup → matching lake rows (all columns + uid). */
+  def searchExact(spark: SparkSession, path: String, column: String,
+      key: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+    val hits = spark.read.parquet(s"$path/keys")
+      .filter(col("key") === key) // pushed filter → row-group pruning
+      .select("uid").distinct()
+    Layout.readHits(spark, meta, hits)
+      .filter(col(column) === key) // refine (FP discipline)
+  }
+
+  /** Prefix lookup: range predicate [prefix, prefix+maxChar). */
+  def searchPrefix(spark: SparkSession, path: String, column: String,
+      prefix: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+    val hi = prefix + "￿"
+    val hits = spark.read.parquet(s"$path/keys")
+      .filter(col("key") >= prefix && col("key") < hi)
+      .select("uid").distinct()
+    Layout.readHits(spark, meta, hits)
+      .filter(col(column).startsWith(prefix))
+  }
+}

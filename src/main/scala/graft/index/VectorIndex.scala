@@ -1,0 +1,96 @@
+package graft.index
+
+import graft.core.IndexStore
+import graft.ops.Similarity
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF vector index.
+  *
+  * Spark re-expression of the reference's IVF-PQ index (reference:
+  * python/rottnest/indices/vector_index.py:29-144 build with faiss
+  * KMeans, src/lava/vector/vector.rs:22-239 3-stage search): MLlib
+  * KMeans learns centroids (reference: n/10_000 centroids ×30 iters);
+  * vectors are stored partitioned by nearest centroid so a search reads
+  * only the probed partitions (the reference's per-centroid posting
+  * lists, with parquet partition pruning standing in for the plist
+  * offsets). Search: centroid head (small, driver-side) → top-nprobe
+  * cells → pruned scan → exact cosine re-rank, mirroring the
+  * probe-then-refine flow (reference: nprobes=50, refine=50,
+  * vector_index.py:146).
+  *
+  * PQ codes are an encoding-level compression of the cell payload; the
+  * capability (coarse quantization + cell-pruned exact re-rank) is
+  * complete without them. A PQ `Aggregator` is the listed stretch
+  * (SURVEY §7.3).
+  */
+object VectorIndex {
+
+  val NumCentroids = 16
+  val MaxIter = 20
+  val Seed = 42L
+
+  /** `emb` must have (vec_id: long, v: array<double>). */
+  def build(spark: SparkSession, emb: DataFrame, path: String): Unit = {
+    val feat = emb.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(NumCentroids).setSeed(Seed)
+      .setMaxIter(MaxIter).fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("v"), col("prediction").as("centroid"))
+    assigned.write.mode("overwrite").partitionBy("centroid")
+      .option("compression", "zstd").parquet(s"$path/cells")
+    val centers = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.toSeq)
+    }
+    import spark.implicits._
+    centers.toSeq.toDF("centroid", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k cosine search probing `nprobe` cells. `nprobe >=
+    * NumCentroids` scans every cell ⇒ exact (equals brute force).
+    */
+  def search(spark: SparkSession, path: String, q: Seq[Double], k: Int,
+      nprobe: Int): DataFrame = {
+    val centers = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probes = centers.sortBy { case (id, c) => (l2(c, q), id) }
+      .take(nprobe).map(_._1).toSeq
+    val qc = typedLit(q)
+    spark.read.parquet(s"$path/cells")
+      .filter(col("centroid").isin(probes: _*)) // partition pruning
+      .select(col("vec_id"), round(Similarity.cosine(col("v"), qc), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ensureBuilt(s: SparkSession, dir: String): String = {
+    val p = IndexStore.indexPath(dir, "ivf_embeddings")
+    IndexStore.ensure(p) { build(s, Similarity.embeddings(s, dir), p) }
+    p
+  }
+
+  def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    Similarity.embeddings(s, dir)
+      .filter(col("vec_id") === Similarity.QueryVecId)
+      .select(col("v")).collect()(0).getSeq[Double](0)
+
+  def entries: Map[String, graft.Q] = Map(
+    // probe-all = exact: must equal the brute-force oracle while going
+    // through the full IVF machinery (head → cells → re-rank)
+    "similarity_ivf_all" -> graft.Q((s, dir) => {
+      val p = ensureBuilt(s, dir)
+      search(s, p, queryVec(s, dir), Similarity.K, NumCentroids)
+    }, Similarity.knnSql),
+    // the production path: nprobe=4 of 16 cells; approximate by design
+    // ⇒ rows-only check (no SQL oracle can fix its recall)
+    "similarity_ivf_probe" -> graft.Q((s, dir) => {
+      val p = ensureBuilt(s, dir)
+      search(s, p, queryVec(s, dir), Similarity.K, 4)
+    }, None)
+  )
+}

@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.text.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * - exact: content-hash groupBy — one shuffle, the 100 TB workhorse.
+  * - ngram-jaccard: exact pairwise Jaccard over word shingles via a
+  *   shared-shingle inverted index (correctness oracle; quadratic in
+  *   near-dup cluster size, so at scale it runs AFTER LSH blocking).
+  * - minhash: MinHash signatures + LSH banding → candidate pairs →
+  *   exact-Jaccard verification. The scale path: cost is
+  *   O(docs × hashes) + candidate verification, never all-pairs.
+  *
+  * Hash discipline: MinHash permutation h_i(s) = first 16 hex chars of
+  * md5(i ":" s), compared lexicographically (fixed-width lowercase hex
+  * ⇒ lexicographic = numeric). md5 is engine-independent, so signatures
+  * are reproducible anywhere.
+  */
+object Dedup {
+
+  val ShingleK = 5
+  val NumHashes = 64
+  val Bands = 16 // × 4 rows; P[miss | J=0.8] = (1-0.8⁴)¹⁶ ≈ 2e-4
+  val Tau = 0.8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** (doc_id, s) distinct shingle rows. */
+  private def shingleRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), Text.wordShingles(col("text"), ShingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** Exact Jaccard for a pair set (i, j) against the shingle rows. */
+  private def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("i"), col("s")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
+      .join(sz.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
+      .withColumn("jac",
+        round(col("inter").cast("double") / (col("ni") + col("nj") - col("inter")), 4))
+      .filter(col("jac") >= Tau)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
+  /** All near-dup pairs by exact Jaccard (pair generation via the
+    * shared-shingle inverted index: only pairs sharing ≥1 shingle can
+    * have J > 0).
+    */
+  def ngramJaccardPairs(d: DataFrame): DataFrame = {
+    val sh = shingleRows(d)
+    val pairs = sh.select(col("doc_id").as("i"), col("s"))
+      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    verifyJaccard(sh, pairs)
+  }
+
+  /** MinHash + LSH banding → verified near-dup pairs. */
+  def minhashPairs(d: DataFrame): DataFrame = {
+    val sh = shingleRows(d)
+    val sigCols = (0 until NumHashes).map(i =>
+      min(substring(md5(concat(lit(s"$i:"), col("s"))), 1, 16)).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val rows = NumHashes / Bands
+    val bandKeys = (0 until Bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val cand = banded.select(col("doc_id").as("i"), col("band"), col("bkey"))
+      .join(banded.select(col("doc_id").as("j"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    verifyJaccard(sh, cand)
+  }
+
+  /** SimHash near-dup pairs, exact: 60-bit simhash (token-hash bit
+    * majority vote, md5-derived so engine-independent), then all pairs
+    * with hamming distance ≤ 3. Candidate generation uses 4-band
+    * pigeonhole blocking (hamming ≤ 3 over 4 disjoint 15-bit bands ⇒ at
+    * least one band identical) — recall is exactly 1, so the banded join
+    * equals the all-pairs oracle while scaling as a hash join.
+    */
+  val HammingMax = 3
+
+  def simhashPairs(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    // 60-bit token hash from the first 15 hex chars of md5 (Horner)
+    val hv = toks.withColumn("h15", substring(md5(col("token")), 1, 15))
+      .withColumn("hv", expr(
+        "aggregate(sequence(1,15), CAST(0 AS BIGINT), " +
+          "(acc, j) -> acc * 16 + CAST(locate(substring(h15, j, 1), '0123456789abcdef') AS BIGINT) - 1)"))
+    val bits = hv
+      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("c", when(expr("(hv >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("c")).as("sb"))
+    val sims = bits
+      .withColumn("bitval", expr("shiftleft(CAST(CASE WHEN sb >= 0 THEN 1 ELSE 0 END AS BIGINT), b)"))
+      .groupBy(col("doc_id")).agg(sum(col("bitval")).as("sim"))
+    val banded = sims.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(k => expr(s"(sim >> ${15 * k}) & 32767")): _*))
+        .as(Seq("k", "band")))
+    val a = banded.select(col("doc_id").as("i"), col("sim").as("simi"), col("k"), col("band"))
+    val b = banded.select(col("doc_id").as("j"), col("sim").as("simj"), col("k"), col("band"))
+    a.join(b, Seq("k", "band")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        expr("bit_count(simi ^ simj)").as("h"))
+      .distinct()
+      .filter(col("h") <= HammingMax)
+  }
+
+  private def simhashSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+       |  FROM documents),
+       |hv AS (SELECT doc_id, CAST(list_sum([(strpos('0123456789abcdef', substr(md5(token),j,1)) - 1)::BIGINT << (4*(15-j)) for j in generate_series(1,15)]) AS BIGINT) AS hv FROM toks),
+       |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+       |         FROM hv, generate_series(0,59) g(b) GROUP BY doc_id, b),
+       |sims AS (SELECT doc_id, CAST(sum(((CASE WHEN sb >= 0 THEN 1 ELSE 0 END)::BIGINT << b)) AS BIGINT) AS sim FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS i, b.doc_id AS j, bit_count(xor(a.sim, b.sim)) AS h
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingMax""".stripMargin
+
+  private def jaccardSql: String = {
+    val km1 = ShingleK - 1
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+$km1], ' ') for i in generate_series(1, len(toks)-$km1)])) AS s
+       |  FROM t WHERE len(toks) >= $ShingleK),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+       |      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT i, j, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) AS jac
+       |FROM p JOIN sz x ON x.doc_id = p.i JOIN sz y ON y.doc_id = p.j
+       |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= $Tau""".stripMargin
+  }
+
+  def entries: Map[String, Q] = Map(
+    // exact dedup over a corpus with injected duplicates (documents ∪
+    // re-keyed documents): every text forms a 2-group, keeper = min id
+    "dedup_exact" -> Q((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val dup = d.withColumn("doc_id", col("doc_id") + 100000)
+      d.unionByName(dup)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+    },
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 100000, text FROM documents) u
+        |GROUP BY md5(text)""".stripMargin),
+
+    "dedup_ngram_jaccard" -> Q(
+      (s, dir) => ngramJaccardPairs(docs(s, dir)), jaccardSql),
+
+    // same oracle: LSH banding must recall every pair above τ here
+    "dedup_minhash" -> Q(
+      (s, dir) => minhashPairs(docs(s, dir)), jaccardSql),
+
+    "dedup_simhash" -> Q(
+      (s, dir) => simhashPairs(docs(s, dir)), simhashSql)
+  )
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.Q
+import graft.core.{IndexStore, Lake}
+import graft.index.{Bm25Index, KeyIndex}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text search and exact/prefix key search query entries. */
+object SearchQueries {
+
+  val Bm25Query = "vector stream dup"
+  val Bm25K = 10
+
+  private def bm25Idx(s: SparkSession, dir: String): String = {
+    val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+    val p = IndexStore.indexPath(dir, "bm25_documents_text")
+    IndexStore.ensure(p) {
+      Bm25Index.build(s, files, "text", "doc_id", p)
+      IndexStore.commitMetadata(s, dir,
+        IndexStore.metadataRows(s, "documents", "text", files,
+          files.map(_ => -1L), p, "bm25",
+          s.read.parquet(s"$p/docstats").count()))
+    }
+    p
+  }
+
+  private def keyIdx(s: SparkSession, dir: String): String = {
+    val files = Lake.ensureSplit(s, dir, "customer", "c_custkey", 4)
+    val p = IndexStore.indexPath(dir, "key_customer_name")
+    IndexStore.ensure(p) { KeyIndex.build(s, files, "c_name", p) }
+    p
+  }
+
+  def entries: Map[String, Q] = Map(
+    "bm25_search" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      Bm25Index.search(s, p, Bm25Query, Bm25K)
+    }, Bm25Index.oracleSql("documents", "text", "doc_id", Bm25Query, Bm25K)),
+
+    "key_search" -> Q((s, dir) => {
+      val p = keyIdx(s, dir)
+      KeyIndex.searchExact(s, p, "c_name", "Customer#000000042")
+        .select(col("c_custkey"), col("c_name"))
+    }, "SELECT c_custkey, c_name FROM customer WHERE c_name = 'Customer#000000042'"),
+
+    "key_prefix_search" -> Q((s, dir) => {
+      val p = keyIdx(s, dir)
+      KeyIndex.searchPrefix(s, p, "c_name", "Customer#00000001")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey")
+  )
+}

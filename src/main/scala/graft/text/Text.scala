@@ -26,21 +26,28 @@ object Text {
   /** Token count (whitespace/punctuation-delimited). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** Character n-grams of the lowercased string (positions 0..len-n). */
+  /** Character n-grams of the lowercased string (starts 0..len-n
+    * inclusive, so the final gram is included; empty array when the
+    * string is shorter than n — `sequence` with a negative upper bound
+    * would count DOWN, so the short case must be guarded).
+    */
   def charNgrams(c: Column, n: Int): Column = {
     val lc = lower(c)
-    // transform over a 0..len-n index sequence keeps this codegen-friendly
-    array_distinct(
-      transform(sequence(lit(0), greatest(length(lc) - n, lit(0)) - 1),
-        i => substring(lc, i + 1, lit(n))))
+    when(length(lc) >= n,
+      array_distinct(transform(sequence(lit(0), length(lc) - n),
+        i => substring(lc, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** Word k-shingles (k consecutive tokens joined by a single space). */
+  /** Distinct word k-shingles (k consecutive tokens joined by one
+    * space); empty array when fewer than k tokens.
+    */
   def wordShingles(c: Column, k: Int): Column = {
     val ts = tokens(c)
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(ts) - k, lit(0)) - 1),
-        i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+    when(size(ts) >= k,
+      array_distinct(transform(sequence(lit(0), size(ts) - k),
+        i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Count of non-alphanumeric, non-whitespace chars (punctuation). */
