@@ -18,7 +18,10 @@ object SparkEntry {
       graft.ops.Dedup.entries ++
       graft.ops.Similarity.entries ++
       graft.index.VectorIndex.entries ++
-      graft.index.LogCloudIndex.entries
+      graft.index.LogCloudIndex.entries ++
+      graft.ops.Maintenance.entries ++
+      graft.ops.Multimodal.entries ++
+      graft.streaming.EventStream.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

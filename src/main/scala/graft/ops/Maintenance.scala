@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.Q
+import graft.core.{IndexStore, Lake}
+import graft.index.NgramIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Index maintenance: bin-packing, compaction, vacuum (SURVEY §2.5).
+  *
+  * The lifecycle mirrors the reference's compaction driver (reference:
+  * python/rottnest/backends/parquet.py:283-383): pick mergeable indexes
+  * (covered rows below the bin-pack threshold), group them greedily,
+  * merge each group, commit new metadata rows **then** delete the old
+  * ones (crash-tolerant ordering, reference: backends/iceberg.py:469-479),
+  * and let vacuum physically remove unreferenced index files
+  * (reference: backends/parquet.py:225-281).
+  *
+  * Maintenance state lives in its own metadata namespace (`dir#maint`)
+  * so the lifecycle is idempotent and isolated from the query indexes.
+  */
+object Maintenance {
+
+  /** Greedy bin-packing of files into index groups by accumulated row
+    * count (reference: backends/parquet.py:85-103). Driver-side: the
+    * input is a metadata-sized file list.
+    */
+  def binpack(files: Seq[(String, Long)], threshold: Long): Seq[Seq[String]] = {
+    val groups = Seq.newBuilder[Seq[String]]
+    var cur = Seq.newBuilder[String]
+    var acc = 0L
+    var n = 0
+    files.foreach { case (f, rows) =>
+      if (n > 0 && acc + rows > threshold) {
+        groups += cur.result(); cur = Seq.newBuilder[String]; acc = 0L; n = 0
+      }
+      cur += f; acc += rows; n += 1
+    }
+    if (n > 0) groups += cur.result()
+    groups.result()
+  }
+
+  /** Vacuum: delete index directories not referenced by the metadata
+    * table. Returns the surviving index paths.
+    */
+  def vacuum(spark: SparkSession, ns: String): Seq[String] = {
+    val referenced = IndexStore.readMetadata(spark, ns)
+      .map(_.select("index_file").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val rootDir = java.nio.file.Paths.get(s"${IndexStore.root}/${IndexStore.lakeId(ns)}")
+    if (java.nio.file.Files.exists(rootDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(rootDir).iterator().asScala.toSeq
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .filterNot(_.getFileName.toString.startsWith("_metadata"))
+        .filterNot(p => referenced.contains(p.toString))
+        .foreach(IndexStore.deleteRec)
+    }
+    referenced.toSeq.sorted
+  }
+
+  def maintNs(dir: String): String = dir + "#maint"
+
+  /** Full lifecycle, executed once per lake: build two half-coverage
+    * indexes → commit → compact (binpack, merge, append-then-delete) →
+    * vacuum. Returns the live compacted index path.
+    */
+  def ensureCompacted(s: SparkSession, dir: String): String = {
+    val ns = maintNs(dir)
+    val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+    val merged = IndexStore.indexPath(ns, "ngram_compacted")
+    IndexStore.ensure(merged) {
+      val parts = Seq(files.take(2), files.drop(2)).zipWithIndex.map {
+        case (fs, i) =>
+          val p = IndexStore.indexPath(ns, s"ngram_part$i")
+          NgramIndex.build(s, fs, "text", p)
+          val meta = s.read.parquet(s"$p/meta")
+          val counts = meta.groupBy("file_path").agg(sum("num_rows").as("n"))
+            .orderBy("file_path").collect().map(r => (r.getString(0), r.getLong(1)))
+          IndexStore.commitMetadata(s, ns,
+            IndexStore.metadataRows(s, "documents", "text",
+              counts.map(_._1).toSeq, counts.map(_._2).toSeq, p, "ngram",
+              counts.map(_._2).sum))
+          (p, counts)
+      }
+      // compaction plan: both part-indexes fall below the threshold →
+      // binpack groups them together for one merge
+      val mergeable = parts.map { case (p, counts) => (p, counts.map(_._2).sum) }
+      val groups = binpack(mergeable, threshold = Long.MaxValue)
+      require(groups.head.size == 2, s"expected one merge group, got $groups")
+      NgramIndex.merge(s, groups.head(0), groups.head(1), merged)
+      val allCounts = parts.flatMap(_._2)
+      // commit new rows, then delete old (crash-tolerant order)
+      IndexStore.commitMetadata(s, ns,
+        IndexStore.metadataRows(s, "documents", "text",
+          allCounts.map(_._1), allCounts.map(_._2), merged, "ngram",
+          allCounts.map(_._2).sum))
+      IndexStore.deleteMetadata(s, ns, parts.map(_._1))
+      vacuum(s, ns)
+    }
+    merged
+  }
+
+  def entries: Map[String, Q] = Map(
+    // search through the compacted index: must equal the full scan
+    "compaction_search" -> Q((s, dir) => {
+      val p = ensureCompacted(s, dir)
+      NgramIndex.search(s, p, "text", IndexQueries.QueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, s"SELECT doc_id FROM documents WHERE contains(lower(text), '${IndexQueries.QueryStr}') ORDER BY doc_id"),
+
+    // post-vacuum metadata: exactly one live index covering all 4 files
+    "maintenance_metadata" -> Q((s, dir) => {
+      ensureCompacted(s, dir)
+      IndexStore.readMetadata(s, maintNs(dir)).get
+        .select(col("index_type"), size(col("file_path")).as("n_files"),
+          col("rows_indexed"))
+    }, "SELECT 'ngram' AS index_type, 4 AS n_files, count(*) AS rows_indexed FROM documents")
+  )
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference is batch-only (SURVEY §2.6 marks streaming absent),
+  * but a training-data lake ingests continuously, so the engine ships
+  * the streaming twin of the hourly windowed aggregation: readStream →
+  * event-time watermark → tumbling window → sink. The query entry runs
+  * it as a real micro-batch stream over the parquet directory (memory
+  * sink, complete mode) and must produce exactly the batch result.
+  */
+object EventStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def hourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = "graft_events_hourly_" + math.abs(dir.hashCode)
+    val query = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    spark.table(name)
+  }
+
+  def entries: Map[String, Q] = Map(
+    "streaming_events_hourly" -> Q((s, dir) => hourlyStream(s, dir),
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
+  )
+}

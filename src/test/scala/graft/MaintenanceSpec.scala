@@ -1,0 +1,32 @@
+package graft
+
+import graft.ops.Maintenance
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaintenanceSpec extends AnyFunSuite {
+
+  test("binpack groups until the row threshold") {
+    val files = Seq("a" -> 100L, "b" -> 100L, "c" -> 100L, "d" -> 50L)
+    assert(Maintenance.binpack(files, 200) ==
+      Seq(Seq("a", "b"), Seq("c", "d")))
+  }
+
+  test("binpack keeps oversized files as singleton groups") {
+    val files = Seq("a" -> 500L, "b" -> 10L)
+    assert(Maintenance.binpack(files, 100) == Seq(Seq("a"), Seq("b")))
+  }
+
+  test("binpack partitions the input in order, within threshold") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val rows = Seq.fill(rnd.nextInt(20))(1L + rnd.nextInt(300))
+      val files = rows.zipWithIndex.map { case (r, i) => (s"f$i", r) }
+      val groups = Maintenance.binpack(files, 400)
+      assert(groups.flatten == files.map(_._1)) // order-preserving cover
+      groups.foreach { g =>
+        val sum = g.map(f => files(f.drop(1).toInt)._2).sum
+        assert(g.size == 1 || sum <= 400)
+      }
+    }
+  }
+}

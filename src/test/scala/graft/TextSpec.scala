@@ -1,0 +1,48 @@
+package graft
+
+import graft.text.Text
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def grams(s: String, n: Int): Seq[String] =
+    Seq(s).toDF("t").select(Text.charNgrams(col("t"), n).as("g"))
+      .collect()(0).getSeq[String](0)
+
+  test("charNgrams includes the final gram") {
+    assert(grams("abcd", 3) == Seq("abc", "bcd"))
+  }
+
+  test("charNgrams of an exact-length string is the string itself") {
+    assert(grams("abc", 3) == Seq("abc"))
+  }
+
+  test("charNgrams of a too-short string is empty") {
+    assert(grams("ab", 3).isEmpty)
+  }
+
+  test("charNgrams matches a reference implementation") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 30) {
+      val s = rnd.alphanumeric.take(rnd.nextInt(12)).mkString + " .!" + rnd.nextString(3)
+      val expect = s.toLowerCase.sliding(3).filter(_.length == 3).toSeq.distinct
+      assert(grams(s, 3) == expect, s"input '$s'")
+    }
+  }
+
+  test("wordShingles covers every start position") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(Text.wordShingles(col("t"), 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
+  test("tokens drop empties and lowercase") {
+    val t = Seq("  Foo,BAR  baz9 ").toDF("t")
+      .select(Text.tokens(col("t")).as("x")).collect()(0).getSeq[String](0)
+    assert(t == Seq("foo", "bar", "baz9"))
+  }
+}

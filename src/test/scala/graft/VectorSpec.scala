@@ -1,0 +1,57 @@
+package graft
+
+import graft.index.VectorIndex
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs: Seq[(Long, Seq[Double])] = (0L until 40L).map { i =>
+    i -> Seq.tabulate(8)(d => math.sin(i * 1.7 + d).abs + 0.1)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = vecs.toDF("vec_id", "v")
+    val c = df.select(round(Similarity.cosine(col("v"), col("v")), 9))
+      .collect().map(_.getDouble(0))
+    assert(c.forall(_ == 1.0))
+  }
+
+  test("IVF probe-all equals brute-force top-k") {
+    val df = vecs.toDF("vec_id", "v")
+    val idx = TestSpark.tmpDir("ivf")
+    VectorIndex.build(spark, df, idx)
+    val q = vecs(7)._2
+    val got = VectorIndex.search(spark, idx, q, 5, VectorIndex.NumCentroids)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val qc = typedLit(q)
+    val want = df.select(col("vec_id"), round(Similarity.cosine(col("v"), qc), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (0 until 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 until 160).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash pairs identical docs at hamming 0, not unrelated ones") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs)
+      .select("i", "j", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
+}
