@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.CosineSim
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL use. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`, or call
+  * `GraftExtensions.register(spark)` on an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSim(children(0), children(1))))
+  }
+}
+
+object GraftExtensions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      children => CosineSim(children(0), children(1)),
+      "built-in")
+
+  /** Column-API handle for the native expression. */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.expr
+    // route through the registry so we never touch private Column
+    // constructors; the planner substitutes the expression directly
+    org.apache.spark.sql.functions.call_udf("cosine_sim", a, b)
+  }
+}

@@ -21,11 +21,16 @@ object SparkEntry {
       graft.index.LogCloudIndex.entries ++
       graft.ops.Maintenance.entries ++
       graft.ops.Multimodal.entries ++
+      graft.ops.LayoutQueries.entries ++
       graft.streaming.EventStream.entries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The substring index search is the engine's signature
+    * lifecycle: lake split → footer layout → index build → pruned
+    * probe → selective read → refine.
+    */
   def entry(spark: SparkSession): DataFrame =
-    registry("q3_join_topk").fn(spark, "/root/testdata/sf0.001")
+    registry("substring_search").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

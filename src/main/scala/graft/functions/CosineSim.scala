@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: cosine similarity of two array<double>
+  * columns in a single fused pass (dot + both norms), with whole-stage
+  * codegen.
+  *
+  * The interpreted and generated paths accumulate each sum sequentially
+  * left-to-right — the exact float semantics of the
+  * `aggregate(zip_with(...))` fold it replaces, so results are
+  * bit-identical to the declarative form (and to the DuckDB oracle)
+  * while reading both arrays once instead of five times.
+  *
+  * (The reference computes exact L2 via BLAS GEMM at the analogous
+  * rerank step, reference: python/rottnest/indices/vector_index.py:15-27.)
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<double> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |double graft_dot = 0.0, graft_na = 0.0, graft_nb = 0.0;
+         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+         |  double graft_x = $a.getDouble(graft_i);
+         |  double graft_y = $b.getDouble(graft_i);
+         |  graft_dot += graft_x * graft_y;
+         |  graft_na += graft_x * graft_x;
+         |  graft_nb += graft_y * graft_y;
+         |}
+         |${ev.value} = graft_dot /
+         |  (java.lang.Math.sqrt(graft_na) * java.lang.Math.sqrt(graft_nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}

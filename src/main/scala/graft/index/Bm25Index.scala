@@ -94,6 +94,29 @@ object Bm25Index {
       .limit(k)
   }
 
+  /** Merge two BM25 indexes (compaction). The reference streams
+    * posting-list chunks with uid offsets (reference: src/lava/bm25/
+    * bm25.rs:176-244 k-way merge, token_counts summed); with parquet
+    * postings it is a union + re-partition — doc stats and postings are
+    * disjoint by doc, the corpus head is re-aggregated.
+    */
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    val offset = spark.read.parquet(s"$a/meta")
+      .agg(max("uid")).collect()(0).getLong(0)
+    val post = spark.read.parquet(s"$a/postings").unionByName(
+      spark.read.parquet(s"$b/postings").withColumn("uid", col("uid") + offset))
+    post.write.mode("overwrite").partitionBy("bucket")
+      .option("compression", "zstd").parquet(s"$out/postings")
+    val dl = spark.read.parquet(s"$a/docstats")
+      .unionByName(spark.read.parquet(s"$b/docstats"))
+    dl.write.mode("overwrite").parquet(s"$out/docstats")
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/head")
+    spark.read.parquet(s"$a/meta").unionByName(
+      spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+  }
+
   /** Oracle SQL generator: the same scoring pipeline in ANSI SQL. */
   def oracleSql(table: String, column: String, idCol: String,
       query: String, k: Int): String = {

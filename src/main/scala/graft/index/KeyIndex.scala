@@ -45,6 +45,26 @@ object KeyIndex {
       .filter(col(column) === key) // refine (FP discipline)
   }
 
+  /** Merge two key indexes: union + global re-sort (the reference
+    * merges tries recursively with uid offsets, reference:
+    * src/lava/uuid/trie.rs:213-354; a sorted table makes it a
+    * range-repartitioned sort).
+    */
+  def merge(spark: SparkSession, a: String, b: String, out: String,
+      parts: Int = 8): Unit = {
+    val offset = spark.read.parquet(s"$a/meta")
+      .agg(max("uid")).collect()(0).getLong(0)
+    spark.read.parquet(s"$a/keys").unionByName(
+      spark.read.parquet(s"$b/keys").withColumn("uid", col("uid") + offset))
+      .repartitionByRange(parts, col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$out/keys")
+    spark.read.parquet(s"$a/meta").unionByName(
+      spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+  }
+
   /** Prefix lookup: range predicate [prefix, prefix+maxChar). */
   def searchPrefix(spark: SparkSession, path: String, column: String,
       prefix: String): DataFrame = {

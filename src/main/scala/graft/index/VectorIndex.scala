@@ -63,7 +63,8 @@ object VectorIndex {
     val qc = typedLit(q)
     spark.read.parquet(s"$path/cells")
       .filter(col("centroid").isin(probes: _*)) // partition pruning
-      .select(col("vec_id"), round(Similarity.cosine(col("v"), qc), 6).as("cos"))
+      .select(col("vec_id"),
+        round(graft.GraftExtensions.cosineSim(spark, col("v"), qc), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }

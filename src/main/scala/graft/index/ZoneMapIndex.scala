@@ -1,0 +1,46 @@
+package graft.index
+
+import graft.core.Layout
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Virtual-mode zone-map index.
+  *
+  * The reference's "virtual" index mode keeps no payload index at all:
+  * it stores min/max of a sort-key column per fixed-stride row block
+  * (stride=500, reference: python/rottnest/backends/utils.py:110-126)
+  * and prunes blocks by range overlap at query time. Here the block IS
+  * the row group (uid), so the zone map is one groupBy over the
+  * uid-tagged scan; a range query prunes to overlapping row groups and
+  * refines — exactly Parquet's own min/max stats machinery, but held in
+  * an index table the engine can consult without touching the lake
+  * files.
+  */
+object ZoneMapIndex {
+
+  /** Zone map: per row group, min/max of the (orderable) key column. */
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = {
+    val meta = Layout.buildMeta(spark, files).cache()
+    val data = Layout.withUid(spark, files, meta)
+    data.groupBy(col("uid"))
+      .agg(min(col(column)).as("lo"), max(col(column)).as("hi"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/zones")
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    meta.unpersist()
+  }
+
+  /** Range query [lo, hi]: prune to overlapping zones, selective read,
+    * refine.
+    */
+  def searchRange(spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+    val hits = spark.read.parquet(s"$path/zones")
+      .filter(col("hi") >= lo && col("lo") <= hi) // overlap test
+      .select("uid")
+    Layout.readHits(spark, meta, hits)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.core.{IndexStore, Lake, Layout}
+import graft.index.ZoneMapIndex
+import org.apache.spark.sql.functions._
+
+/** Physical-layout scan and virtual-mode zone-map queries. */
+object LayoutQueries {
+
+  def entries: Map[String, Q] = Map(
+    // footer-only layout scan (reference: get_parquet_layout,
+    // src/formats/parquet.rs:243-419): totals must agree with the data
+    "parquet_layout" -> Q((s, dir) => {
+      val layout = Layout.scan(s,
+        Seq(Tables.path(dir, "documents"), Tables.path(dir, "lineitem")))
+      layout
+        .withColumn("table_name",
+          regexp_extract(col("file_path"), "([a-z]+)\\.parquet$", 1))
+        .groupBy(col("table_name"))
+        .agg(sum(col("num_rows")).as("n_rows"))
+    },
+      """SELECT 'documents' AS table_name, count(*) AS n_rows FROM documents
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem""".stripMargin),
+
+    // virtual-mode zone map (reference: backends/utils.py:110-126):
+    // range query pruned by per-row-group min/max, then refined
+    "zonemap_range_search" -> Q((s, dir) => {
+      val files = Lake.ensureSplit(s, dir, "orders", "o_orderkey", 4)
+      val p = IndexStore.indexPath(dir, "zonemap_orders_orderkey")
+      IndexStore.ensure(p) { ZoneMapIndex.build(s, files, "o_orderkey", p) }
+      ZoneMapIndex.searchRange(s, p, "o_orderkey", 1000L, 1200L)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    },
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 1200 ORDER BY o_orderkey""".stripMargin)
+  )
+}

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Q
 import graft.core.{IndexStore, Lake}
 import graft.index.{Bm25Index, KeyIndex}
+// merged-index entries build part indexes then compact them
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -47,6 +48,37 @@ object SearchQueries {
     "key_prefix_search" -> Q((s, dir) => {
       val p = keyIdx(s, dir)
       KeyIndex.searchPrefix(s, p, "c_name", "Customer#00000001")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey"),
+
+    // BM25 compaction: search(merge(a,b)) with query-time IDF over the
+    // merged corpus ≡ one index over everything
+    "bm25_search_merged" -> Q((s, dir) => {
+      val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val a = IndexStore.indexPath(dir, "bm25_part0")
+      val b = IndexStore.indexPath(dir, "bm25_part1")
+      val m = IndexStore.indexPath(dir, "bm25_merged")
+      IndexStore.ensure(m) {
+        Bm25Index.build(s, files.take(2), "text", "doc_id", a)
+        Bm25Index.build(s, files.drop(2), "text", "doc_id", b)
+        Bm25Index.merge(s, a, b, m)
+      }
+      Bm25Index.search(s, m, Bm25Query, Bm25K)
+    }, Bm25Index.oracleSql("documents", "text", "doc_id", Bm25Query, Bm25K)),
+
+    // key-index compaction: merged sorted tables answer the same prefix
+    "key_search_merged" -> Q((s, dir) => {
+      val files = Lake.ensureSplit(s, dir, "customer", "c_custkey", 4)
+      val a = IndexStore.indexPath(dir, "key_part0")
+      val b = IndexStore.indexPath(dir, "key_part1")
+      val m = IndexStore.indexPath(dir, "key_merged")
+      IndexStore.ensure(m) {
+        KeyIndex.build(s, files.take(2), "c_name", a)
+        KeyIndex.build(s, files.drop(2), "c_name", b)
+        KeyIndex.merge(s, a, b, m)
+      }
+      KeyIndex.searchPrefix(s, m, "c_name", "Customer#00000001")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     }, "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey")

@@ -35,13 +35,16 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
-  /** Exact cosine top-k against the embedding of `QueryVecId`. */
+  /** Exact cosine top-k against the embedding of `QueryVecId`, using
+    * the native codegen'd expression (bit-identical to the fold).
+    */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
     val q = e.filter(col("vec_id") === QueryVecId)
       .select(col("v")).collect()(0).getSeq[Double](0)
     val qc = typedLit(q)
-    e.select(col("vec_id"), round(cosine(col("v"), qc), 6).as("cos"))
+    e.select(col("vec_id"),
+      round(graft.GraftExtensions.cosineSim(s, col("v"), qc), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(K)
   }
@@ -65,7 +68,8 @@ object Similarity {
     val a = e.select(col("label"), col("vec_id").as("i"), col("v").as("va"))
     val b = e.select(col("label"), col("vec_id").as("j"), col("v").as("vb"))
     a.join(b, Seq("label")).filter(col("i") < col("j"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos",
+        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 4))
       .filter(col("cos") >= DedupTau)
       .select(col("i"), col("j"), col("cos"))
   }
