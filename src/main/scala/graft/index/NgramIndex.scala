@@ -80,7 +80,10 @@ object NgramIndex {
         .filter(lower(col(column)).contains(q))
         .withColumn("uid", lit(-1L))
     }
-    val qgrams = q.sliding(N).toSeq.distinct
+    // cap probe width on long queries (candidate superset stays valid;
+    // refine restores exactness) — reference: token_viable_limit,
+    // src/lava/substring/search.rs:512-524
+    val qgrams = graft.text.QueryShaping.viableGrams(q.sliding(N).toSeq.distinct)
     val qbuckets = qgrams.map(bucketOfString).distinct
     val post = spark.read.parquet(s"$path/postings")
       // bucket predicate prunes partitions; gram predicate prunes row
