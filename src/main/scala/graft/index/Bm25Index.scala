@@ -70,23 +70,38 @@ object Bm25Index {
     */
   def search(spark: SparkSession, path: String, query: String, k: Int): DataFrame = {
     val qtoks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    searchWeighted(spark, path, qtoks.map(_ -> 1.0), k)
+  }
+
+  /** Weighted multi-term search — the scoring half of the reference's
+    * query expansion (expansion tokens carry cosine weights applied to
+    * their IDF term, reference: bm25.rs:477-489 "weighted idf";
+    * expansion itself uses an external embedding model,
+    * bm25_index.py:140-156, out of engine core — weights arrive here).
+    */
+  def searchWeighted(spark: SparkSession, path: String,
+      terms: Seq[(String, Double)], k: Int): DataFrame = {
+    import spark.implicits._
+    val qtoks = terms.map(_._1)
     val qbuckets = qtoks.map(bucketOfString).distinct
     val head = spark.read.parquet(s"$path/head").collect()(0)
     val nDocs = head.getAs[Long]("n_docs")
     val avgdl = head.getAs[Double]("avgdl")
+    val weights = terms.toDF("token", "qw")
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
     val df = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val dl = spark.read.parquet(s"$path/docstats")
-    // idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), quantized ×1e6 so
-    // the per-doc sum is an exact integer sum
-    val contrib = post.join(df, "token").join(dl, "doc_id")
+    // qw * idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), quantized
+    // ×1e6 so the per-doc sum is an exact integer sum
+    val contrib = post.join(df, "token").join(broadcast(weights), "token")
+      .join(dl, "doc_id")
       .withColumn("idf",
         log((lit(nDocs).cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
       .withColumn("w",
         col("tf") * lit(K1 + 1) /
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
-      .withColumn("cq", round(col("idf") * col("w") * Quant).cast("long"))
+      .withColumn("cq", round(col("qw") * col("idf") * col("w") * Quant).cast("long"))
     contrib.groupBy(col("doc_id"))
       .agg((sum(col("cq")).cast("double") / Quant).as("raw"))
       .select(col("doc_id"), round(col("raw"), 4).as("score"))
@@ -120,8 +135,16 @@ object Bm25Index {
   /** Oracle SQL generator: the same scoring pipeline in ANSI SQL. */
   def oracleSql(table: String, column: String, idCol: String,
       query: String, k: Int): String = {
-    val qtoks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
-    val inList = qtoks.map(t => s"'$t'").mkString(", ")
+    val qtoks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    oracleSqlWeighted(table, column, idCol, qtoks.map(_ -> 1.0), k)
+  }
+
+  def oracleSqlWeighted(table: String, column: String, idCol: String,
+      terms: Seq[(String, Double)], k: Int): String = {
+    val inList = terms.map { case (t, _) => s"'$t'" }.mkString(", ")
+    val qwCase = "CASE " + terms.map { case (t, w) =>
+      s"WHEN token = '$t' THEN $w"
+    }.mkString(" ") + " END"
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id,
        |    unnest(list_filter(string_split_regex(lower($column), '[^a-z0-9]+'), t -> t <> '')) AS token
@@ -134,6 +157,7 @@ object Bm25Index {
        |contrib AS (
        |  SELECT tf.doc_id,
        |    CAST(round(
+       |      ($qwCase) *
        |      ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0) *
        |      (tf.tf * ${K1 + 1} / (tf.tf + $K1 * (${1 - B} + $B * dl.dl / c.avgdl)))
        |      * $Quant) AS BIGINT) AS cq

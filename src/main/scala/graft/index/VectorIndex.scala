@@ -31,22 +31,52 @@ object VectorIndex {
   val NumCentroids = 16
   val MaxIter = 20
   val Seed = 42L
+  val PqM = 8      // subspaces (reference: m=32 on 128-d,
+                   // vector_index.py:52-56; 8 on 64-d keeps sub-dim 8)
+  val PqCodes = 16 // codebook size per subspace
 
-  /** `emb` must have (vec_id: long, v: array<double>). */
+  /** `emb` must have (vec_id: long, v: array<double>). Writes IVF cells
+    * (with PQ codes per vector) + coarse-centroid and PQ-codebook heads.
+    */
   def build(spark: SparkSession, emb: DataFrame, path: String): Unit = {
-    val feat = emb.withColumn("features", array_to_vector(col("v")))
+    import spark.implicits._
+    val feat = emb.withColumn("features", array_to_vector(col("v"))).cache()
     val model = new KMeans().setK(NumCentroids).setSeed(Seed)
       .setMaxIter(MaxIter).fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("v"), col("prediction").as("centroid"))
-    assigned.write.mode("overwrite").partitionBy("centroid")
+    // PQ codebooks: per-subspace KMeans over the vector slices
+    // (reference trains a ProductQuantizer over raw vectors,
+    // vector_index.py:52-56)
+    val dim = emb.select(size(col("v"))).head().getInt(0)
+    val sub = dim / PqM
+    val books: Seq[(Int, Seq[Seq[Double]])] = (0 until PqM).map { m =>
+      val sliced = feat.select(
+        array_to_vector(slice(col("v"), m * sub + 1, sub)).as("features"))
+      val km = new KMeans().setK(PqCodes).setSeed(Seed + m)
+        .setMaxIter(10).fit(sliced)
+      m -> km.clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+    val bookLit = typedLit(books.map(_._2))
+    // code = argmin over the codebook of sub-slice L2 (ties → lower code)
+    val codesCol = transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val sl = slice(col("v"), m * sub + 1, lit(sub))
+      val dists = transform(element_at(bookLit, m + 1), c =>
+        aggregate(zip_with(sl, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      array_position(dists, array_min(dists)).cast("int") - 1
+    })
+    assigned.withColumn("codes", codesCol)
+      .write.mode("overwrite").partitionBy("centroid")
       .option("compression", "zstd").parquet(s"$path/cells")
     val centers = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray.toSeq)
     }
-    import spark.implicits._
     centers.toSeq.toDF("centroid", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    books.map { case (m, cs) => (m, cs) }.toDF("sub", "codebook")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    feat.unpersist()
   }
 
   /** Top-k cosine search probing `nprobe` cells. `nprobe >=
@@ -65,6 +95,49 @@ object VectorIndex {
       .filter(col("centroid").isin(probes: _*)) // partition pruning
       .select(col("vec_id"),
         round(graft.GraftExtensions.cosineSim(spark, col("v"), qc), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** PQ search: ADC pre-rank over probed cells, exact cosine re-rank of
+    * the top `refine` (the reference's 3-stage flow: centroid probe →
+    * PQ-decode scoring → fp rerank to `refine=50`,
+    * reference: src/lava/vector/vector.rs:22-239 +
+    * vector_index.py:146-196). With nprobe=all and refine ≥ corpus the
+    * result is exactly brute force — the correctness configuration.
+    */
+  def searchPq(spark: SparkSession, path: String, q: Seq[Double], k: Int,
+      nprobe: Int, refine: Int): DataFrame = {
+    val centers = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probes = centers.sortBy { case (id, c) => (l2(c, q), id) }
+      .take(nprobe).map(_._1).toSeq
+    val books = spark.read.parquet(s"$path/pq").collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](1)
+          .map(_.toSeq).toSeq))
+      .sortBy(_._1)
+    val sub = q.size / PqM
+    // asymmetric distance table: (subspace)(code) → L2 to query slice
+    val dtab: Seq[Seq[Double]] = books.map { case (m, cs) =>
+      val qs = q.slice(m * sub, (m + 1) * sub)
+      cs.map(c => l2(qs, c)).toSeq
+    }.toSeq
+    val dtabLit = typedLit(dtab)
+    val qc = typedLit(q)
+    val pre = spark.read.parquet(s"$path/cells")
+      .filter(col("centroid").isin(probes: _*))
+      .withColumn("adc", aggregate(
+        transform(sequence(lit(0), lit(PqM - 1)), m =>
+          element_at(element_at(dtabLit, m + 1),
+            element_at(col("codes"), m + 1) + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(refine)
+    pre.select(col("vec_id"),
+      round(graft.GraftExtensions.cosineSim(spark, col("v"), qc), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -92,6 +165,19 @@ object VectorIndex {
     "similarity_ivf_probe" -> graft.Q((s, dir) => {
       val p = ensureBuilt(s, dir)
       search(s, p, queryVec(s, dir), Similarity.K, 4)
+    }, None),
+    // PQ path in its correctness configuration (probe-all, refine ≥
+    // corpus ⇒ exact): full ADC machinery, brute-force oracle
+    "similarity_ivf_pq" -> graft.Q((s, dir) => {
+      val p = ensureBuilt(s, dir)
+      val n = Similarity.embeddings(s, dir).count().toInt
+      searchPq(s, p, queryVec(s, dir), Similarity.K, NumCentroids, n)
+    }, Similarity.knnSql),
+    // PQ production shape: nprobe=4, refine=50 (reference defaults
+    // nprobes=50, refine=50) — approximate ⇒ rows-only
+    "similarity_ivf_pq_probe" -> graft.Q((s, dir) => {
+      val p = ensureBuilt(s, dir)
+      searchPq(s, p, queryVec(s, dir), Similarity.K, 4, 50)
     }, None)
   )
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.core.{IndexStore, Lake}
-import graft.index.{Bm25Index, KeyIndex}
+import graft.index.{Bm25Index, KeyIndex, TokenIndex}
 // merged-index entries build part indexes then compact them
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -12,6 +12,9 @@ object SearchQueries {
 
   val Bm25Query = "vector stream dup"
   val Bm25K = 10
+  val ExpandedTerms: Seq[(String, Double)] =
+    Seq("vector" -> 1.0, "stream" -> 1.0, "dup" -> 1.0,
+      "batch" -> 0.25, "spark" -> 0.25)
 
   private def bm25Idx(s: SparkSession, dir: String): String = {
     val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
@@ -38,6 +41,26 @@ object SearchQueries {
       val p = bm25Idx(s, dir)
       Bm25Index.search(s, p, Bm25Query, Bm25K)
     }, Bm25Index.oracleSql("documents", "text", "doc_id", Bm25Query, Bm25K)),
+
+    // weighted expansion terms (the scoring half of reference query
+    // expansion; weights stand in for the external model's cosines)
+    "bm25_search_expanded" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      Bm25Index.searchWeighted(s, p, ExpandedTerms, Bm25K)
+    }, Bm25Index.oracleSqlWeighted("documents", "text", "doc_id", ExpandedTerms, Bm25K)),
+
+    // token-mode substring search: token-sequence containment semantics
+    "substring_token_search" -> Q((s, dir) => {
+      val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val p = IndexStore.indexPath(dir, "token_documents_text")
+      IndexStore.ensure(p) { TokenIndex.build(s, files, "text", p) }
+      TokenIndex.search(s, p, "text", "merge merge")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ' ' || array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS nf
+        |  FROM documents) t
+        |WHERE contains(nf, ' merge merge ') ORDER BY doc_id""".stripMargin),
 
     "key_search" -> Q((s, dir) => {
       val p = keyIdx(s, dir)

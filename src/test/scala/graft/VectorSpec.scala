@@ -34,6 +34,26 @@ class VectorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("PQ probe-all with full refine equals brute-force top-k") {
+    val df = vecs.toDF("vec_id", "v")
+    val idx = TestSpark.tmpDir("ivfpq")
+    VectorIndex.build(spark, df, idx)
+    val q = vecs(3)._2
+    val got = VectorIndex.searchPq(spark, idx, q, 5,
+      VectorIndex.NumCentroids, vecs.size)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val qc = typedLit(q)
+    val want = df.select(col("vec_id"), round(Similarity.cosine(col("v"), qc), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    // production shape still returns k results and includes the query
+    // vector itself (cosine 1 with itself dominates)
+    val approx = VectorIndex.searchPq(spark, idx, q, 5, 4, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(approx.size == 5 && approx.contains(3L))
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = (0 until 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (0 until 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
