@@ -92,7 +92,17 @@ object NgramIndex {
     val cands = post.groupBy("uid")
       .agg(countDistinct(col("gram")).as("ng"))
       .filter(col("ng") === qgrams.size)
-      .select("uid")
+      .select("uid").cache()
+    // cost switch: past the hit threshold a full scan beats selective
+    // row-group fetches (reference: brute_force_threshold=1000,
+    // backends/utils.py:221-225)
+    if (cands.count() > graft.core.Lake.BruteForceThreshold) {
+      val files = meta.select("file_path").distinct()
+        .collect().map(_.getString(0)).toSeq
+      return spark.read.parquet(files: _*)
+        .filter(lower(col(column)).contains(q))
+        .withColumn("uid", lit(-1L))
+    }
     Layout.readHits(spark, meta, cands)
       .filter(lower(col(column)).contains(q))
   }

@@ -59,6 +59,29 @@ object Maintenance {
     referenced.toSeq.sorted
   }
 
+  /** Greedy max-coverage index selection (reference: the Delta path
+    * repeatedly picks the index file covering the most not-yet-covered
+    * live parquet files, backends/delta.py:77-93). Driver-side:
+    * metadata-sized input. Returns chosen index ids in pick order.
+    */
+  def selectIndexes(live: Set[String],
+      indexes: Seq[(String, Set[String])]): Seq[String] = {
+    val picks = Seq.newBuilder[String]
+    var uncovered = live
+    var remaining = indexes
+    while (uncovered.nonEmpty && remaining.exists(_._2.exists(uncovered))) {
+      // maxBy keeps the FIRST maximum, so sorting by id first makes the
+      // tie-break deterministic (lowest id wins)
+      val (best, cover) = remaining.sortBy(_._1).maxBy { case (_, fs) =>
+        (fs & uncovered).size
+      }
+      picks += best
+      uncovered = uncovered -- cover
+      remaining = remaining.filterNot(_._1 == best)
+    }
+    picks.result()
+  }
+
   def maintNs(dir: String): String = dir + "#maint"
 
   /** Full lifecycle, executed once per lake: build two half-coverage

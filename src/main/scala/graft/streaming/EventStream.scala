@@ -47,7 +47,55 @@ object EventStream {
     spark.table(name)
   }
 
+  case class UserEvent(event_id: Long, ts: Long, user_id: Long,
+      event_type: String)
+  case class UserState(n: Long, lastTs: Long, lastType: String)
+
+  /** Custom per-key streaming state via mapGroupsWithState: running
+    * event count + latest event type per user. (ts stays raw nanos so
+    * ordering matches the source exactly; (user_id, ts) is unique in
+    * the data, making the fold deterministic.)
+    */
+  def userStateStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[UserEvent]
+    val out = stream
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, (Long, Long, String)](
+        GroupStateTimeout.NoTimeout) { (uid, events, state) =>
+        var st = state.getOption.getOrElse(UserState(0L, Long.MinValue, ""))
+        events.foreach { e =>
+          val last =
+            if (e.ts > st.lastTs) (e.ts, e.event_type)
+            else (st.lastTs, st.lastType)
+          st = UserState(st.n + 1, last._1, last._2)
+        }
+        state.update(st)
+        (uid, st.n, st.lastType)
+      }
+      .toDF("user_id", "n", "last_type")
+    val name = "graft_user_state_" + math.abs(dir.hashCode)
+    val query = out.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    spark.table(name)
+  }
+
   def entries: Map[String, Q] = Map(
+    "streaming_user_state" -> Q((s, dir) => userStateStream(s, dir),
+      """SELECT user_id, count(*) AS n, arg_max(event_type, ts) AS last_type
+        |FROM events GROUP BY user_id""".stripMargin),
+
     "streaming_events_hourly" -> Q((s, dir) => hourlyStream(s, dir),
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         |  event_type, count(*) AS n,

@@ -16,6 +16,19 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.binpack(files, 100) == Seq(Seq("a"), Seq("b")))
   }
 
+  test("greedy max-coverage index selection") {
+    // reference: backends/delta.py:77-93
+    val live = Set("f1", "f2", "f3", "f4", "f5")
+    val idx = Seq(
+      "a" -> Set("f1", "f2"),
+      "b" -> Set("f2", "f3", "f4"),
+      "c" -> Set("f5"),
+      "d" -> Set("f9")) // covers nothing live
+    val picks = Maintenance.selectIndexes(live, idx)
+    assert(picks == Seq("b", "a", "c")) // by marginal coverage
+    assert(Maintenance.selectIndexes(Set.empty, idx) == Seq.empty)
+  }
+
   test("binpack partitions the input in order, within threshold") {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 50) {
