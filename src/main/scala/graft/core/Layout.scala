@@ -5,7 +5,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -62,13 +61,28 @@ object Layout {
     rgs.toDF()
   }
 
-  /** Meta sidecar: layout + global uid. The window over the (metadata-
-    * sized) layout rows runs on a single partition by design — its row
-    * count is #row-groups, not #rows.
+  /** Meta sidecar: layout + global uid (1-based ordinal over files
+    * sorted by path, row groups in order). uid assignment joins a
+    * driver-computed per-file offset map instead of a global window —
+    * per-file row-group counts are metadata-sized (the reference holds
+    * the same list on its driver, backends/utils.py:63-108), and the
+    * layout rows never funnel through a single partition.
     */
   def buildMeta(spark: SparkSession, files: Seq[String]): DataFrame = {
-    val w = Window.orderBy(col("file_path"), col("row_group"))
-    scan(spark, files).withColumn("uid", row_number().over(w).cast("long"))
+    import spark.implicits._
+    val layout = scan(spark, files).cache()
+    val counts = layout.groupBy(col("file_path"))
+      .agg(count(lit(1)).as("n_rgs"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    var off = 0L
+    val offsets = counts.map { case (f, n) =>
+      val o = off; off += n; (f, o)
+    }.toSeq
+    val offDf = broadcast(offsets.toDF("file_path", "uid_offset"))
+    layout.join(offDf, Seq("file_path"))
+      .withColumn("uid", col("uid_offset") + col("row_group") + 1L)
+      .drop("uid_offset")
   }
 
   /** Read the file group with each row tagged by its row-group uid:
