@@ -99,6 +99,39 @@ object TextAnalysis {
 
     "doc_fingerprint" -> Q((s, dir) =>
       Tables.load(s, dir, "documents").select(
-        col("doc_id"), Text.fingerprint(col("text")).as("fp")), fingerprintSql)
+        col("doc_id"), Text.fingerprint(col("text")).as("fp")), fingerprintSql),
+
+    // winnowing fingerprints: rolling k-gram hashes, min per window of
+    // w positions, distinct — the standard local document fingerprint
+    // (hash = first 15 hex chars of md5 as a 60-bit int, engine-exact)
+    "text_winnow_fingerprint" -> Q((s, dir) => {
+      val k = 8; val w = 4
+      val d = Tables.load(s, dir, "documents")
+      val lc = lower(col("text"))
+      val grams = d
+        .filter(length(lc) >= k)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), length(lc) - k),
+            i => substring(lc, i + 1, lit(k)))).as(Seq("pos", "g")))
+      val hashed = grams.withColumn("h",
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, w - 1)
+      hashed.withColumn("fp", min(col("h")).over(win))
+        .select(col("doc_id"), col("fp")).distinct()
+    },
+      """WITH grams AS (
+        |  SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS g
+        |  FROM (SELECT doc_id, [substr(lower(text), i + 1, 8) for i in generate_series(0, length(text) - 8)] AS gs
+        |        FROM documents WHERE length(text) >= 8) t),
+        |hashes AS (
+        |  SELECT doc_id, pos,
+        |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1)::BIGINT << (4*(15-j)) for j in generate_series(1,15)]) AS BIGINT) AS h
+        |  FROM grams)
+        |SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM hashes) mins""".stripMargin)
   )
 }
