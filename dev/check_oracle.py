@@ -36,6 +36,9 @@ def main(sf_dir: str, out_dir: str):
         if list(w.columns) != list(g.columns):
             print(f"FAIL {name}: columns want={list(w.columns)} got={list(g.columns)}")
             continue
+        for c in w.columns:
+            if str(w[c].dtype) != str(g[c].dtype):
+                print(f"  DTYPE {name}.{c}: duckdb={w[c].dtype} spark={g[c].dtype}")
         if len(w) != len(g):
             print(f"FAIL {name}: rows want={len(w)} got={len(g)}")
             continue

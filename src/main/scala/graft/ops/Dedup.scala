@@ -157,7 +157,7 @@ object Dedup {
        |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
        |         FROM hv, generate_series(0,59) g(b) GROUP BY doc_id, b),
        |sims AS (SELECT doc_id, CAST(sum(((CASE WHEN sb >= 0 THEN 1 ELSE 0 END)::BIGINT << b)) AS BIGINT) AS sim FROM bits GROUP BY doc_id)
-       |SELECT a.doc_id AS i, b.doc_id AS j, bit_count(xor(a.sim, b.sim)) AS h
+       |SELECT a.doc_id AS i, b.doc_id AS j, CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS h
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingMax""".stripMargin
 

@@ -20,11 +20,11 @@ object Multimodal {
     * from the byte length — deterministic and engine-reproducible.
     */
   private def fakeDims = Seq(
-    (octet_length(col("payload")) % 64 + 1).as("width"),
+    (octet_length(col("payload")) % 64 + 1).cast("long").as("width"),
     // `div` = truncating integer division (DuckDB's `//`); a plain
     // double-divide + CAST differs across engines (DuckDB rounds casts,
     // Spark truncates)
-    (expr("octet_length(payload) div 64") % 64 + 1).as("height"))
+    (expr("octet_length(payload) div 64") % 64 + 1).cast("long").as("height"))
 
   def entries: Map[String, Q] = Map(
     // metadata extraction over a binary payload column
@@ -32,7 +32,7 @@ object Multimodal {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .select(Seq(col("doc_id"),
-          octet_length(col("payload")).as("n_bytes")) ++ fakeDims: _*),
+          octet_length(col("payload")).cast("long").as("n_bytes")) ++ fakeDims: _*),
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  octet_length(encode(text)) % 64 + 1 AS width,
         |  (octet_length(encode(text)) // 64) % 64 + 1 AS height
@@ -49,7 +49,8 @@ object Multimodal {
           transform(sequence(lit(1), lit(8)),
             j => round(conv(substring(col("h"), j, lit(1)), 16, 10)
               .cast("double") / 15.0, 4)))
-          .as(Seq("feat_idx", "value"))),
+          .as(Seq("feat_idx", "value")))
+        .withColumn("feat_idx", col("feat_idx").cast("long")),
       """SELECT doc_id, j - 1 AS feat_idx,
         |  round((strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1) / 15.0, 4) AS value
         |FROM documents, generate_series(1, 8) g(j)""".stripMargin)

@@ -63,9 +63,9 @@ object TextAnalysis {
     "text_token_count" -> Q((s, dir) =>
       Tables.load(s, dir, "documents").select(
         col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).as("n_chars"),
-        Text.punctCount(col("text")).as("n_punct")), tokenCountSql),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        Text.punctCount(col("text")).cast("long").as("n_punct")), tokenCountSql),
 
     "text_quality" -> Q((s, dir) => {
       val base = Tables.load(s, dir, "documents").select(
@@ -75,7 +75,7 @@ object TextAnalysis {
           stopwordCount(col("toks"), Text.enStopwords).as("n_stop"))
         .filter(col("n_tokens") > 0)
       base.select(
-        col("doc_id"), col("n_tokens"),
+        col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
         round(col("n_chars").cast("double") / col("n_tokens"), 4).as("chars_per_token"),
         when(col("n_tokens") >= 40 && col("n_stop") > 0, "good")
