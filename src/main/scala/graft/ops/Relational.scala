@@ -48,13 +48,15 @@ object Relational {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
-  /** Anti-join: customers with no orders (reference pattern: unindexed-file
-    * diff, reference: python/rottnest/backends/delta.py:31-32).
+  /** Anti-join: orders with no lineitems (reference pattern:
+    * unindexed-file diff, reference: python/rottnest/backends/
+    * delta.py:31-32). Non-empty at every scale factor, so the check is
+    * never vacuous.
     */
   private val antiSql =
-    """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      |ORDER BY c_custkey""".stripMargin
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Top-K with deterministic tie-break (reference pattern: score sort +
     * take-k, reference: src/lava/bm25/bm25.rs:557-565).
@@ -135,11 +137,11 @@ object Relational {
     }, q3Sql),
 
     "q_anti_join" -> Q((s, dir) => {
-      val c = Tables.load(s, dir, "customer")
       val o = Tables.load(s, dir, "orders")
-      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
+      val li = Tables.load(s, dir, "lineitem")
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }, antiSql),
 
     "q_topk" -> Q((s, dir) =>
