@@ -179,6 +179,27 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("value"))).cast("double").as("sum_value")), hourlySql),
 
+    // sessionization: 30-min-gap sessions per user (lag + gap flag +
+    // per-key running sum — the batch twin of stateful streaming)
+    "q_sessionize" -> Q((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_s")).as("n_sessions"))
+    },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000 THEN 1
+        |       ELSE 0 END AS new_s FROM e)
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id""".stripMargin),
+
     "q_union_distinct" -> Q((s, dir) => {
       val n = Tables.load(s, dir, "nation")
       val c = Tables.load(s, dir, "customer").select(col("c_nationkey").as("k"))

@@ -101,6 +101,19 @@ object TextAnalysis {
       Tables.load(s, dir, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp")), fingerprintSql),
 
+    // BPE-ish token counting: GPT-2-style run segmentation (letter runs,
+    // digit runs, punctuation runs, each optionally absorbing a leading
+    // space) — a tokenizer-free estimate of subword token counts
+    "text_bpe_token_count" -> Q((s, dir) => {
+      val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+          .cast("long").as("n_bpe"))
+    },
+      """SELECT doc_id, len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS n_bpe
+        |FROM documents""".stripMargin),
+
     // winnowing fingerprints: rolling k-gram hashes, min per window of
     // w positions, distinct — the standard local document fingerprint
     // (hash = first 15 hex chars of md5 as a 60-bit int, engine-exact)
