@@ -125,18 +125,20 @@ object Dedup {
 
   def simhashPairs(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-    // 60-bit token hash from the first 15 hex chars of md5 (Horner)
-    val hv = toks.withColumn("h15", substring(md5(col("token")), 1, 15))
-      .withColumn("hv", expr(
-        "aggregate(sequence(1,15), CAST(0 AS BIGINT), " +
-          "(acc, j) -> acc * 16 + CAST(locate(substring(h15, j, 1), '0123456789abcdef') AS BIGINT) - 1)"))
-    val bits = hv
-      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("c", when(expr("(hv >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("c")).as("sb"))
-    val sims = bits
-      .withColumn("bitval", expr("shiftleft(CAST(CASE WHEN sb >= 0 THEN 1 ELSE 0 END AS BIGINT), b)"))
-      .groupBy(col("doc_id")).agg(sum(col("bitval")).as("sim"))
+    // 60-bit token hash: value of the first 15 hex chars of md5 (conv
+    // does the base conversion in one call)
+    val hv = toks.withColumn("hv",
+      conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
+    // 60 per-bit vote sums as aggregate columns (no 60× row explosion:
+    // one shuffle over the token rows, fully codegen'd)
+    val voteCols = (0 until 60).map(b =>
+      sum(when(expr(s"(hv >> $b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+        .as(s"sb_$b"))
+    val simCol = (0 until 60).map(b =>
+      when(col(s"sb_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sims = hv.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), simCol.as("sim"))
     val banded = sims.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(k => expr(s"(sim >> ${15 * k}) & 32767")): _*))
         .as(Seq("k", "band")))

@@ -121,11 +121,14 @@ object TextAnalysis {
       val k = 8; val w = 4
       val d = Tables.load(s, dir, "documents")
       val lc = lower(col("text"))
+      // explode an int sequence and substring per row — building the
+      // array of gram strings per row costs far more allocation
       val grams = d
         .filter(length(lc) >= k)
-        .select(col("doc_id"), posexplode(
-          transform(sequence(lit(0), length(lc) - k),
-            i => substring(lc, i + 1, lit(k)))).as(Seq("pos", "g")))
+        .select(col("doc_id"), lc.as("t"),
+          explode(sequence(lit(0), length(lc) - k)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          substring(col("t"), col("pos") + 1, lit(k)).as("g"))
       val hashed = grams.withColumn("h",
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
       val win = org.apache.spark.sql.expressions.Window
