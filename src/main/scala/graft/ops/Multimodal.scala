@@ -53,6 +53,28 @@ object Multimodal {
         .withColumn("feat_idx", col("feat_idx").cast("long")),
       """SELECT doc_id, j - 1 AS feat_idx,
         |  round((strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1) / 15.0, 4) AS value
-        |FROM documents, generate_series(1, 8) g(j)""".stripMargin)
+        |FROM documents, generate_series(1, 8) g(j)""".stripMargin),
+
+    // STUB frame sampling: 3 evenly-spaced fixed-width "frames" from
+    // each payload (where video decode would yield real frames) —
+    // payload slicing + per-frame fingerprint is the real plumbing
+    "multimodal_frame_sample" -> Q((s, dir) => {
+      val frameLen = 256
+      val d = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) >= frameLen)
+        .select(col("doc_id"), col("text"),
+          (length(col("text")) - frameLen).as("span"))
+      d.select(col("doc_id"),
+        explode(sequence(lit(0), lit(2))).as("frame_idx"), col("text"), col("span"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          (col("frame_idx") * expr("span div 2")).cast("long").as("off"),
+          md5(substring(col("text"),
+            (col("frame_idx") * expr("span div 2")) + 1, lit(frameLen))).as("frame_fp"))
+    },
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(f * ((length(text) - 256) // 2) AS BIGINT) AS off,
+        |  md5(substr(text, f * ((length(text) - 256) // 2) + 1, 256)) AS frame_fp
+        |FROM documents, generate_series(0, 2) g(f)
+        |WHERE length(text) >= 256""".stripMargin)
   )
 }
