@@ -109,6 +109,26 @@ object Bm25Index {
       .limit(k)
   }
 
+  /** Top-k search followed by selective row materialization: hits map
+    * back to row-group uids, only those row groups are fetched, and the
+    * scored rows are returned with their lake columns (the reference's
+    * search → read_indexed_pages → rescore flow,
+    * reference: backends/utils.py:147-172).
+    */
+  def searchMaterialized(spark: SparkSession, path: String, query: String,
+      k: Int, idCol: String): DataFrame = {
+    val top = search(spark, path, query, k)
+    val qtoks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    val qbuckets = qtoks.map(bucketOfString).distinct
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
+      .select(col("doc_id"), col("uid"))
+    val hits = top.join(post, Seq("doc_id")).select("doc_id", "uid", "score")
+    val meta = spark.read.parquet(s"$path/meta")
+    graft.core.Layout.readHits(spark, meta, hits.select("uid"))
+      .join(hits.select("doc_id", "score").distinct(), Seq("doc_id")) // refine to scored rows
+  }
+
   /** Merge two BM25 indexes (compaction). The reference streams
     * posting-list chunks with uid offsets (reference: src/lava/bm25/
     * bm25.rs:176-244 k-way merge, token_counts summed); with parquet

@@ -42,6 +42,23 @@ object SearchQueries {
       Bm25Index.search(s, p, Bm25Query, Bm25K)
     }, Bm25Index.oracleSql("documents", "text", "doc_id", Bm25Query, Bm25K)),
 
+    // search → selective row-group fetch → scored lake rows (the
+    // reference's materialization flow)
+    "bm25_search_materialized" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      Bm25Index.searchMaterialized(s, p, Bm25Query, Bm25K, "doc_id")
+        .select(col("doc_id"), col("n_chars"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }, {
+      val inner = Bm25Index.oracleSql("documents", "text", "doc_id", Bm25Query, Bm25K)
+      s"""WITH topk AS (
+         |$inner
+         |)
+         |SELECT d.doc_id, d.n_chars, t.score
+         |FROM topk t JOIN documents d USING (doc_id)
+         |ORDER BY t.score DESC, d.doc_id""".stripMargin
+    }),
+
     // weighted expansion terms (the scoring half of reference query
     // expansion; weights stand in for the external model's cosines)
     "bm25_search_expanded" -> Q((s, dir) => {
