@@ -89,9 +89,19 @@ object LogCloudIndex {
     vars.join(dictVals, Seq("value"), "left_semi")
       .write.mode("overwrite")
       .option("compression", "zstd").parquet(s"$path/dict")
-    vars.join(dictVals, Seq("value"), "left_anti")
+    val coldVars = vars.join(dictVals, Seq("value"), "left_anti")
+    coldVars
       .write.mode("overwrite").partitionBy("type")
       .option("compression", "zstd").parquet(s"$path/vars")
+    // "hawaii" tier (reference: char FM-index over variable blocks for
+    // types past the brute threshold, logcloud.rs:670-674,870-885):
+    // char-trigram postings over DISTINCT variable values, so a long
+    // query prunes which values get the contains scan
+    val valueGrams = coldVars.select(col("value")).distinct()
+      .select(col("value"),
+        explode(graft.text.Text.charNgrams(col("value"), 3)).as("gram"))
+    valueGrams.write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$path/hawaii")
   }
 
   /** True when the query can only live inside a variable token —
@@ -114,7 +124,24 @@ object LogCloudIndex {
     def prune(df: DataFrame) =
       df.filter((col("type").bitwiseAND(qt) === qt) && col("value").contains(q))
     val dictHits = prune(spark.read.parquet(s"$path/dict"))
-    val varHits = prune(spark.read.parquet(s"$path/vars"))
+    val coldVars = spark.read.parquet(s"$path/vars")
+    // hawaii tier: for gram-width queries, intersect trigram postings
+    // over distinct values first — a candidate SUPERSET of matching
+    // values (refined by the contains filter in prune)
+    val varSource =
+      if (q.length >= 3) {
+        val qgrams = q.toLowerCase.sliding(3).toSeq.distinct
+        // values are matched case-sensitively by contains; grams are
+        // lowercased at build, so lower the value grams too
+        val candVals = spark.read.parquet(s"$path/hawaii")
+          .filter(col("gram").isin(qgrams: _*))
+          .groupBy(col("value"))
+          .agg(countDistinct(col("gram")).as("ng"))
+          .filter(col("ng") === qgrams.size)
+          .select("value")
+        coldVars.join(candVals, Seq("value"), "left_semi")
+      } else coldVars
+    val varHits = prune(varSource)
     val ids = dictHits.select("line_id").union(varHits.select("line_id")).distinct()
     // fetch + mandatory refine (variable match ⇒ line contains q, but
     // keep the FP discipline uniform)

@@ -115,6 +115,17 @@ object IndexQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, bruteSql(QueryStr)),
 
+    // the public facade end-to-end (index_parquet_lake /
+    // search_parquet_lake equivalent): incremental index + K-fill search
+    "lake_api_search" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/$Table"
+      val lake = graft.api.GraftLake(s, prefix)
+      lake.index(Column)
+      lake.search(Column, QueryStr, 100000, Seq("doc_id"))
+        .select(col("doc_id"))
+    }, bruteSql(QueryStr)),
+
     // lake-level index metadata table (reference:
     // backends/parquet.py:162-172)
     "index_metadata" -> Q((s, dir) => {
