@@ -106,13 +106,18 @@ object Layout {
     * ONLY the parquet files containing hit row groups and keep only rows
     * inside hit groups (reference: read_indexed_pages,
     * src/formats/parquet.rs:430-648, fetches exactly the hit pages).
-    * The hit set is bounded by the brute-force threshold, so collecting
-    * the distinct file list on the driver is metadata-sized.
+    * The hit row-group set is bounded by the brute-force threshold, so
+    * it is collected once (metadata-sized) and re-broadcast as a local
+    * DataFrame — no session cache entry to leak across queries.
     */
   def readHits(spark: SparkSession, meta: DataFrame, hits: DataFrame): DataFrame = {
-    val hitMeta = meta.join(hits.select("uid").distinct(), Seq("uid")).cache()
-    val hitFiles = hitMeta.select("file_path").distinct()
-      .collect().map(_.getString(0)).sorted
+    import spark.implicits._
+    val hitMeta = meta.join(hits.select("uid").distinct(), Seq("uid"))
+      .select(col("file_path"), col("uid"), col("row_start"), col("num_rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val hitFiles = hitMeta.map(_._1).distinct.sorted
     if (hitFiles.isEmpty) {
       // empty hit set: preserve the lake schema (+uid) with zero rows
       val any = meta.select("file_path").limit(1).collect().map(_.getString(0))
@@ -121,8 +126,9 @@ object Layout {
     val data = spark.read.parquet(hitFiles: _*)
       .withColumn("__file", canonPath(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
-    val m = hitMeta.select(col("file_path").as("__file"), col("uid"),
-      col("row_start"), (col("row_start") + col("num_rows")).as("row_end"))
+    val m = hitMeta.toDF("__file", "uid", "row_start", "num_rows")
+      .select(col("__file"), col("uid"), col("row_start"),
+        (col("row_start") + col("num_rows")).as("row_end"))
     data.join(broadcast(m), Seq("__file"))
       .filter(col("__pos") >= col("row_start") && col("__pos") < col("row_end"))
       .drop("__file", "__pos", "row_start", "row_end")

@@ -51,18 +51,25 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names per expression instance: two cosine_sim calls can
+      // land in one codegen scope (non-nullable children skip the brace
+      // scope), where fixed locals would collide and fail Janino
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |double graft_dot = 0.0, graft_na = 0.0, graft_nb = 0.0;
-         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  double graft_x = $a.getDouble(graft_i);
-         |  double graft_y = $b.getDouble(graft_i);
-         |  graft_dot += graft_x * graft_y;
-         |  graft_na += graft_x * graft_x;
-         |  graft_nb += graft_y * graft_y;
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
          |}
-         |${ev.value} = graft_dot /
-         |  (java.lang.Math.sqrt(graft_na) * java.lang.Math.sqrt(graft_nb));
+         |${ev.value} = $dot /
+         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

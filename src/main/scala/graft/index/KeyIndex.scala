@@ -65,14 +65,31 @@ object KeyIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
   }
 
-  /** Prefix lookup: range predicate [prefix, prefix+maxChar). */
+  /** Tight exclusive upper bound for a prefix range: increment the last
+    * code point (UTF-8 byte order follows code-point order, so
+    * `init + (c+1)` exceeds every `init + c + suffix`). `prefix+"￿"`
+    * would miss keys whose continuation starts with a supplementary
+    * character (first UTF-8 byte 0xF0 > 0xEF). None when no valid bound
+    * exists (next code point would be a surrogate / overflow).
+    */
+  private[index] def prefixUpperBound(prefix: String): Option[String] = {
+    val c = prefix.last
+    if (c < '퟿') Some(prefix.init + (c + 1).toChar) else None
+  }
+
+  /** Prefix lookup: range predicate [prefix, nextPrefix) — both bounds
+    * are pushed to parquet and prune row groups of the sorted key table.
+    */
   def searchPrefix(spark: SparkSession, path: String, column: String,
       prefix: String): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta")
-    val hi = prefix + "￿"
-    val hits = spark.read.parquet(s"$path/keys")
-      .filter(col("key") >= prefix && col("key") < hi)
-      .select("uid").distinct()
+    val ranged = spark.read.parquet(s"$path/keys")
+      .filter(col("key") >= prefix)
+    val bounded = prefixUpperBound(prefix) match {
+      case Some(hi) => ranged.filter(col("key") < hi)
+      case None     => ranged // mandatory refine still restores exactness
+    }
+    val hits = bounded.select("uid").distinct()
     Layout.readHits(spark, meta, hits)
       .filter(col(column).startsWith(prefix))
   }

@@ -152,8 +152,12 @@ object LogCloudIndex {
 
   def eventLines(s: SparkSession, dir: String): DataFrame =
     graft.Tables.load(s, dir, "events")
+      // coalesce, not concat_ws's null-skip: the oracle's `||` would
+      // drop NULL-props rows while concat_ws kept them — both sides
+      // must treat NULL props as ''
       .select(col("event_id").as("line_id"),
-        concat_ws(" ", col("event_type"), col("props")).as("line"))
+        concat(col("event_type"), lit(" "),
+          coalesce(col("props"), lit(""))).as("line"))
 
   def ensureBuilt(s: SparkSession, dir: String): String = {
     val p = IndexStore.indexPath(dir, "logcloud_events")
@@ -163,7 +167,7 @@ object LogCloudIndex {
 
   private def oracle(q: String) =
     s"""SELECT event_id AS line_id FROM events
-       |WHERE contains(event_type || ' ' || props, '$q')
+       |WHERE contains(event_type || ' ' || coalesce(props, ''), '$q')
        |ORDER BY line_id""".stripMargin
 
   def entries: Map[String, graft.Q] = Map(

@@ -89,21 +89,25 @@ object NgramIndex {
       // bucket predicate prunes partitions; gram predicate prunes row
       // groups inside them via parquet min/max stats
       .filter(col("bucket").isin(qbuckets: _*) && col("gram").isin(qgrams: _*))
+    import spark.implicits._
+    // candidate uids are row-group ordinals — metadata-sized by
+    // definition — so one collect both feeds the cost switch and
+    // replaces a session-cache entry that would otherwise leak
     val cands = post.groupBy("uid")
       .agg(countDistinct(col("gram")).as("ng"))
       .filter(col("ng") === qgrams.size)
-      .select("uid").cache()
+      .select("uid").collect().map(_.getLong(0)).toSeq
     // cost switch: past the hit threshold a full scan beats selective
     // row-group fetches (reference: brute_force_threshold=1000,
     // backends/utils.py:221-225)
-    if (cands.count() > graft.core.Lake.BruteForceThreshold) {
+    if (cands.size > graft.core.Lake.BruteForceThreshold) {
       val files = meta.select("file_path").distinct()
         .collect().map(_.getString(0)).toSeq
       return spark.read.parquet(files: _*)
         .filter(lower(col(column)).contains(q))
         .withColumn("uid", lit(-1L))
     }
-    Layout.readHits(spark, meta, cands)
+    Layout.readHits(spark, meta, cands.toDF("uid"))
       .filter(lower(col(column)).contains(q))
   }
 

@@ -125,8 +125,12 @@ object Relational {
       val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // selective broadcast filter FIRST: the BUILDING segment keeps
+      // ~1/5 of customers, so reducing orders before the big
+      // lineitem⋈orders shuffle shrinks its probe side ~5× (Catalyst
+      // won't reorder this without CBO stats)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(8, 4)) - dec4(col("l_discount"))))
           .cast("double").as("revenue"))
