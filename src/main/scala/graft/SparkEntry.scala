@@ -20,6 +20,7 @@ object SparkEntry {
       graft.index.VectorIndex.entries ++
       graft.index.LogCloudIndex.entries ++
       graft.ops.Maintenance.entries ++
+      graft.ops.ApiQueries.entries ++
       graft.ops.Multimodal.entries ++
       graft.ops.LayoutQueries.entries ++
       graft.streaming.EventStream.entries

@@ -1,7 +1,6 @@
 package graft.api
 
 import graft.core.{IndexStore, Lake, Layout}
-import graft.index.NgramIndex
 import graft.ops.Maintenance
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,31 +8,37 @@ import org.apache.spark.sql.functions._
 /** User-facing facade over one plain-parquet lake prefix — the
   * equivalent of the reference's top-level API
   * (reference: python/rottnest/backends/parquet.py —
-  * index_parquet_lake / search_parquet_lake / compact / vacuum):
+  * index_parquet_lake / search_parquet_lake / compact / vacuum). Every
+  * operation takes the [[IndexKind]] as a parameter, mirroring the
+  * reference API's `index` argument (backends/parquet.py
+  * `index_parquet_lake(..., index)`), so ngram/bm25/key/... all run the
+  * same incremental index → search → compact → vacuum lifecycle.
   *
-  * - `index(column)`: incremental — bin-packs only files not yet
+  * - `index(kind, column)`: incremental — bin-packs only files not yet
   *   covered by an index of this (kind, column) into groups
   *   (reference: binpack_row_threshold, backends/parquet.py:85-103),
   *   builds one index per group, commits metadata.
-  * - `search(column, query, k)`: probes every covering index, in-situ
-  *   scans uncovered files (backends/utils.py:235-282), unions, refines
-  *   and truncates to K only at the end.
-  * - `compact(column)`: merges small indexes (append-then-delete
+  * - `search(kind, column, query, k)`: probes every covering index and
+  *   in-situ-scans uncovered files in ONE plan
+  *   (backends/utils.py:235-282), refines and truncates to K only at
+  *   the end.
+  * - `compact(kind, column)`: merges small indexes (append-then-delete
   *   commit), then vacuums unreferenced index files.
   */
 case class GraftLake(spark: SparkSession, prefix: String) {
 
-  private def kindName(column: String) = s"ngram_$column"
+  private def kindName(kind: IndexKind, column: String) =
+    s"${kind.name}_$column"
 
   def files: Seq[String] = Lake.listFiles(prefix).map(Layout.canonPath)
 
   private def metadata: Option[DataFrame] =
     IndexStore.readMetadata(spark, prefix)
 
-  /** (index_file, covered files) for this column's indexes. */
-  private def coverage(column: String): Seq[(String, Seq[String])] =
+  /** (index_file, covered files) for this (kind, column)'s indexes. */
+  private def coverage(kind: IndexKind, column: String): Seq[(String, Seq[String])] =
     metadata.toSeq.flatMap { m =>
-      m.filter(col("column_name") === column && col("index_type") === "ngram")
+      m.filter(col("column_name") === column && col("index_type") === kind.name)
         .select(col("index_file"), col("file_path"))
         .collect()
         .map(r => (r.getString(0),
@@ -41,62 +46,55 @@ case class GraftLake(spark: SparkSession, prefix: String) {
     }
 
   /** Index all not-yet-covered files; returns new index paths. */
-  def index(column: String, binpackRows: Long = 10000): Seq[String] = {
-    val covered = coverage(column).flatMap(_._2).toSet
+  def index(kind: IndexKind, column: String,
+      binpackRows: Long = 10000): Seq[String] = {
+    val covered = coverage(kind, column).flatMap(_._2).toSet
     val todo = files.filterNot(covered)
     if (todo.isEmpty) return Seq.empty
     val counts = Layout.scan(spark, todo)
       .groupBy(col("file_path")).agg(sum(col("num_rows")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    Maintenance.binpack(counts.toSeq, binpackRows).zipWithIndex.map {
-      case (group, _) =>
-        val id = java.util.UUID.nameUUIDFromBytes(
-          group.mkString("|").getBytes("UTF-8")).toString.take(8)
-        val p = IndexStore.indexPath(prefix, s"${kindName(column)}_$id")
-        IndexStore.ensure(p) {
-          NgramIndex.build(spark, group, column, p)
-          val groupCounts = counts.filter(c => group.contains(c._1))
-          IndexStore.commitMetadata(spark, prefix,
-            IndexStore.metadataRows(spark, prefix, column,
-              groupCounts.map(_._1).toSeq, groupCounts.map(_._2).toSeq,
-              p, "ngram", groupCounts.map(_._2).sum))
-        }
-        p
+    Maintenance.binpack(counts.toSeq, binpackRows).map { group =>
+      val id = java.util.UUID.nameUUIDFromBytes(
+        group.mkString("|").getBytes("UTF-8")).toString.take(8)
+      val p = IndexStore.indexPath(prefix, s"${kindName(kind, column)}_$id")
+      IndexStore.ensure(p) {
+        kind.build(spark, group, column, p)
+        val groupCounts = counts.filter(c => group.contains(c._1))
+        IndexStore.commitMetadata(spark, prefix,
+          IndexStore.metadataRows(spark, prefix, column,
+            groupCounts.map(_._1).toSeq, groupCounts.map(_._2).toSeq,
+            p, kind.name, groupCounts.map(_._2).sum))
+      }
+      p
     }
   }
 
   /** Search across covering indexes + in-situ scan of uncovered files;
     * refine-then-truncate (reference: truncation only after refine).
-    * `order` columns make the K-truncation deterministic.
+    * `order` columns make the K-truncation deterministic for filter
+    * kinds; ranking kinds order by their own score.
     */
-  def search(column: String, query: String, k: Int,
-      order: Seq[String]): DataFrame = {
-    val cov = coverage(column)
-    val q = query.toLowerCase
-    val indexed = cov.map { case (p, _) =>
-      NgramIndex.search(spark, p, column, query).drop("uid")
-    }
+  def search(kind: IndexKind, column: String, query: String, k: Int,
+      order: Seq[String] = Seq.empty): DataFrame = {
+    val cov = coverage(kind, column)
     val covered = cov.flatMap(_._2).toSet
-    val uncoveredFiles = files.filterNot(covered)
-    val insitu =
-      if (uncoveredFiles.isEmpty) Seq.empty
-      else Seq(Lake.scanUnindexed(spark, uncoveredFiles,
-        _.filter(lower(col(column)).contains(q))))
-    val all = (indexed ++ insitu)
-    if (all.isEmpty) return spark.emptyDataFrame
-    all.reduce(_ unionByName _)
-      .orderBy(order.map(col): _*)
-      .limit(k)
+    val uncovered = files.filterNot(covered)
+    if (cov.isEmpty && uncovered.isEmpty) return spark.emptyDataFrame
+    val res = kind.searchLake(spark, cov.map(_._1), uncovered, column, query, k)
+    if (kind.ranked) res
+    else res.orderBy(order.map(col): _*).limit(k)
   }
 
-  /** Merge this column's indexes whose covered rows fall below the
-    * threshold, commit (append-then-delete), vacuum. Returns the merged
-    * index path if a merge happened.
+  /** Merge this (kind, column)'s indexes whose covered rows fall below
+    * the threshold, commit (append-then-delete), vacuum. Returns the
+    * merged index path if a merge happened.
     */
-  def compact(column: String, threshold: Long = 10000): Option[String] = {
+  def compact(kind: IndexKind, column: String,
+      threshold: Long = 10000): Option[String] = {
     val m = metadata.getOrElse(return None)
     val small = m
-      .filter(col("column_name") === column && col("index_type") === "ngram")
+      .filter(col("column_name") === column && col("index_type") === kind.name)
       .withColumn("rows", col("rows_indexed"))
       .filter(col("rows") < threshold)
       .select(col("index_file"), col("file_path"), col("record_counts"))
@@ -106,21 +104,22 @@ case class GraftLake(spark: SparkSession, prefix: String) {
     val mergedId = java.util.UUID.nameUUIDFromBytes(
       sorted.map(_.getString(0)).mkString("|").getBytes("UTF-8"))
       .toString.take(8)
-    val out = IndexStore.indexPath(prefix, s"${kindName(column)}_m$mergedId")
+    val out = IndexStore.indexPath(prefix, s"${kindName(kind, column)}_m$mergedId")
     // fold pairwise merges (the reference's binary merge tree,
     // src/lava/merge.rs:17-205, collapses to a fold over parquet tables)
     var acc = sorted.head.getString(0)
     sorted.tail.zipWithIndex.foreach { case (r, i) =>
       val dst = if (i == sorted.length - 2) out
-        else IndexStore.indexPath(prefix, s"${kindName(column)}_tmp${mergedId}_$i")
-      NgramIndex.merge(spark, acc, r.getString(0), dst)
+        else IndexStore.indexPath(prefix,
+          s"${kindName(kind, column)}_tmp${mergedId}_$i")
+      kind.merge(spark, acc, r.getString(0), dst)
       acc = dst
     }
     val allFiles = sorted.flatMap(_.getSeq[String](1)).toSeq
     val allCounts = sorted.flatMap(_.getSeq[Long](2)).toSeq
     IndexStore.commitMetadata(spark, prefix,
       IndexStore.metadataRows(spark, prefix, column, allFiles, allCounts,
-        out, "ngram", allCounts.sum))
+        out, kind.name, allCounts.sum))
     IndexStore.deleteMetadata(spark, prefix, sorted.map(_.getString(0)).toSeq)
     Maintenance.vacuum(spark, prefix)
     Some(out)

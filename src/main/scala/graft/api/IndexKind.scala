@@ -1,0 +1,193 @@
+package graft.api
+
+import graft.core.{Lake, Layout}
+import graft.index.{Bm25Index, KeyIndex, NgramIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One pluggable index type for the [[GraftLake]] facade — the Spark
+  * analogue of the reference's index interface, where the top-level lake
+  * API takes the index object as a parameter for every type
+  * (reference: python/rottnest/index_interface.py; backends/parquet.py
+  * `index_parquet_lake(..., index)`).
+  *
+  * `searchLake` probes ALL covering index files plus the uncovered
+  * (in-situ) lake files in ONE logical plan — a lake compacted into
+  * hundreds of index groups must not pay hundreds of sequential Spark
+  * jobs, so candidate postings are unioned tagged-by-index and the whole
+  * search runs a constant number of jobs regardless of index-file count.
+  */
+trait IndexKind {
+
+  /** Metadata `index_type` discriminator (e.g. "ngram", "bm25", "key"). */
+  def name: String
+
+  /** Build one index over a lake-file group at `path`. */
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit
+
+  /** Search every covering index (`paths`) plus in-situ files in one
+    * plan. Returns lake rows for filter kinds (refined, no uid) or
+    * ranked rows for ranking kinds (`ranked == true`).
+    */
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int): DataFrame
+
+  /** Ranking kinds order + truncate inside `searchLake`; filter kinds
+    * leave ordering/truncation to the facade.
+    */
+  def ranked: Boolean = false
+
+  /** Merge two indexes of this kind (compaction). */
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit
+
+  /** Union all per-index meta sidecars tagged with their index ordinal. */
+  protected def taggedMetas(spark: SparkSession, paths: Seq[String]): DataFrame =
+    paths.zipWithIndex.map { case (p, i) =>
+      spark.read.parquet(s"$p/meta").withColumn("idx", lit(i))
+    }.reduce(_ unionByName _)
+
+  /** All lake files covered by `paths` (metadata-sized collect). */
+  protected def coveredFiles(spark: SparkSession, paths: Seq[String]): Seq[String] =
+    if (paths.isEmpty) Seq.empty
+    else taggedMetas(spark, paths).select("file_path").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Collect the row-group hit list for tagged `(idx, uid)` candidates:
+    * one join against the tagged metas, one metadata-sized collect.
+    * uids are per-index ordinals, so the join key includes the tag.
+    */
+  protected def collectHits(spark: SparkSession, paths: Seq[String],
+      cands: DataFrame): Seq[(String, Long, Long, Long)] =
+    taggedMetas(spark, paths)
+      .join(cands.select("idx", "uid").distinct(), Seq("idx", "uid"))
+      .select(col("file_path"), col("uid"), col("row_start"), col("num_rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+}
+
+/** Character-ngram substring index kind (contains semantics). */
+object NgramKind extends IndexKind {
+
+  val name = "ngram"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = NgramIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    NgramIndex.merge(spark, a, b, out)
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int): DataFrame = {
+    val q = query.toLowerCase
+    def brute(files: Seq[String]): DataFrame =
+      spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
+    lazy val covered = coveredFiles(spark, paths)
+
+    def viaIndex(): Option[DataFrame] = {
+      if (paths.isEmpty) return Some(brute(insituFiles))
+      if (q.length < NgramIndex.N) return None // gram width underflow
+      val qgrams = graft.text.QueryShaping.viableGrams(
+        q.sliding(NgramIndex.N).toSeq.distinct)
+      val qbuckets = qgrams.map(NgramIndex.bucketOfString).distinct
+      // every covering index probed in ONE union plan (no per-index jobs)
+      val post = paths.zipWithIndex.map { case (p, i) =>
+        spark.read.parquet(s"$p/postings")
+          .filter(col("bucket").isin(qbuckets: _*) && col("gram").isin(qgrams: _*))
+          .select(lit(i).as("idx"), col("gram"), col("uid"))
+      }.reduce(_ unionByName _)
+      val cands = post.groupBy(col("idx"), col("uid"))
+        .agg(countDistinct(col("gram")).as("ng"))
+        .filter(col("ng") === qgrams.size)
+      val hits = collectHits(spark, paths, cands)
+      // ONE global cost switch over the whole lake's hit count
+      // (reference: brute_force_threshold, backends/utils.py:221-225)
+      if (hits.size > Lake.BruteForceThreshold) None
+      else Some(
+        Layout.readGroups(spark, hits, covered).drop("uid")
+          .filter(lower(col(column)).contains(q)))
+    }
+
+    val indexed = viaIndex().getOrElse(brute(covered))
+    if (insituFiles.isEmpty) indexed
+    else indexed.unionByName(brute(insituFiles))
+  }
+}
+
+/** BM25 ranked full-text kind. `idCol` is the per-row document id.
+  * Ranking needs corpus statistics, so searching demands full coverage —
+  * the facade indexes before it searches.
+  */
+case class Bm25Kind(idCol: String) extends IndexKind {
+
+  val name = "bm25"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit =
+    Bm25Index.build(spark, files, column, idCol, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    Bm25Index.merge(spark, a, b, out)
+
+  override def ranked: Boolean = true
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int): DataFrame = {
+    require(insituFiles.isEmpty,
+      s"bm25 ranking needs corpus stats for every file; ${insituFiles.size} uncovered — run index() first")
+    val terms = query.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).distinct.toSeq.map(_ -> 1.0)
+    Bm25Index.searchWeightedMany(spark, paths, terms, k)
+  }
+}
+
+/** Exact/prefix key kind over sorted key tables. A trailing `%` in the
+  * query selects prefix mode (reference type "uuid" is exact;
+  * prefix walk: src/lava/uuid/uuid.rs:106-162).
+  */
+object KeyKind extends IndexKind {
+
+  val name = "key"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = KeyIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    KeyIndex.merge(spark, a, b, out)
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int): DataFrame = {
+    val prefixMode = query.endsWith("%")
+    val key = if (prefixMode) query.dropRight(1) else query
+    def refine(d: DataFrame): DataFrame =
+      if (prefixMode) d.filter(col(column).startsWith(key))
+      else d.filter(col(column) === key)
+    lazy val covered = coveredFiles(spark, paths)
+
+    def viaIndex(): Option[DataFrame] = {
+      if (paths.isEmpty) return Some(refine(spark.read.parquet(insituFiles: _*)))
+      val keys = paths.zipWithIndex.map { case (p, i) =>
+        spark.read.parquet(s"$p/keys").select(lit(i).as("idx"), col("key"), col("uid"))
+      }.reduce(_ unionByName _)
+      val ranged =
+        if (!prefixMode) keys.filter(col("key") === key)
+        else KeyIndex.prefixUpperBound(key) match {
+          case Some(hi) => keys.filter(col("key") >= key && col("key") < hi)
+          case None     => keys.filter(col("key") >= key)
+        }
+      val hits = collectHits(spark, paths, ranged)
+      if (hits.size > Lake.BruteForceThreshold) None
+      else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
+    }
+
+    val indexed = viaIndex().getOrElse(
+      refine(spark.read.parquet(covered: _*)))
+    if (insituFiles.isEmpty) indexed
+    else indexed.unionByName(refine(spark.read.parquet(insituFiles: _*)))
+  }
+}

@@ -111,17 +111,29 @@ object Layout {
     * DataFrame — no session cache entry to leak across queries.
     */
   def readHits(spark: SparkSession, meta: DataFrame, hits: DataFrame): DataFrame = {
-    import spark.implicits._
     val hitMeta = meta.join(hits.select("uid").distinct(), Seq("uid"))
       .select(col("file_path"), col("uid"), col("row_start"), col("num_rows"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
+    readGroups(spark, hitMeta,
+      meta.select("file_path").limit(1).collect().map(_.getString(0)).toSeq)
+  }
+
+  /** Physical fetch of an explicit row-group hit list
+    * `(file_path, uid, row_start, num_rows)` — the shared tail of every
+    * index search: read only the files containing hits, keep only rows
+    * inside hit groups. `schemaFiles` supplies the lake schema when the
+    * hit set is empty.
+    */
+  def readGroups(spark: SparkSession, hitMeta: Seq[(String, Long, Long, Long)],
+      schemaFiles: => Seq[String]): DataFrame = {
+    import spark.implicits._
     val hitFiles = hitMeta.map(_._1).distinct.sorted
     if (hitFiles.isEmpty) {
       // empty hit set: preserve the lake schema (+uid) with zero rows
-      val any = meta.select("file_path").limit(1).collect().map(_.getString(0))
-      return spark.read.parquet(any: _*).limit(0).withColumn("uid", lit(0L))
+      return spark.read.parquet(schemaFiles: _*).limit(0)
+        .withColumn("uid", lit(0L))
     }
     val data = spark.read.parquet(hitFiles: _*)
       .withColumn("__file", canonPath(col("_metadata.file_path")))

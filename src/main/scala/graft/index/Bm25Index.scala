@@ -80,18 +80,33 @@ object Bm25Index {
     * bm25_index.py:140-156, out of engine core — weights arrive here).
     */
   def searchWeighted(spark: SparkSession, path: String,
+      terms: Seq[(String, Double)], k: Int): DataFrame =
+    searchWeightedMany(spark, Seq(path), terms, k)
+
+  /** Weighted search across SEVERAL covering index files with GLOBAL
+    * corpus statistics: the reference combines token counts across all
+    * index files before computing IDF (reference: src/lava/bm25/
+    * bm25.rs:477-489) — per-index scoring then merging would rank
+    * wrongly. Postings/docstats are disjoint by doc (each lake file is
+    * covered by one index), so the union IS the global corpus; corpus
+    * stats are exact (integer dl sums stay exact in double < 2^53), so
+    * scores are independent of how the lake was split into indexes.
+    */
+  def searchWeightedMany(spark: SparkSession, paths: Seq[String],
       terms: Seq[(String, Double)], k: Int): DataFrame = {
     import spark.implicits._
     val qtoks = terms.map(_._1)
     val qbuckets = qtoks.map(bucketOfString).distinct
-    val head = spark.read.parquet(s"$path/head").collect()(0)
-    val nDocs = head.getAs[Long]("n_docs")
-    val avgdl = head.getAs[Double]("avgdl")
+    val dl = paths.map(p => spark.read.parquet(s"$p/docstats"))
+      .reduce(_ unionByName _)
+    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("len")).collect()(0)
+    val nDocs = corpus.getLong(0)
+    val avgdl = corpus.getLong(1).toDouble / nDocs
     val weights = terms.toDF("token", "qw")
-    val post = spark.read.parquet(s"$path/postings")
+    val post = paths.map(p => spark.read.parquet(s"$p/postings"))
+      .reduce(_ unionByName _)
       .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
     val df = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$path/docstats")
     // qw * idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), quantized
     // ×1e6 so the per-doc sum is an exact integer sum
     val contrib = post.join(df, "token").join(broadcast(weights), "token")

@@ -72,7 +72,7 @@ object KeyIndex {
     * character (first UTF-8 byte 0xF0 > 0xEF). None when no valid bound
     * exists (next code point would be a surrogate / overflow).
     */
-  private[index] def prefixUpperBound(prefix: String): Option[String] = {
+  private[graft] def prefixUpperBound(prefix: String): Option[String] = {
     val c = prefix.last
     if (c < '퟿') Some(prefix.init + (c + 1).toChar) else None
   }

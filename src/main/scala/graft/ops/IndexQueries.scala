@@ -121,8 +121,8 @@ object IndexQueries {
       Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
       val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/$Table"
       val lake = graft.api.GraftLake(s, prefix)
-      lake.index(Column)
-      lake.search(Column, QueryStr, 100000, Seq("doc_id"))
+      lake.index(graft.api.NgramKind, Column)
+      lake.search(graft.api.NgramKind, Column, QueryStr, 100000, Seq("doc_id"))
         .select(col("doc_id"))
     }, bruteSql(QueryStr)),
 

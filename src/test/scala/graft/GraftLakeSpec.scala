@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.GraftLake
+import graft.api.{Bm25Kind, GraftLake, KeyKind, NgramKind}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -36,12 +36,12 @@ class GraftLakeSpec extends AnyFunSuite {
     val lake = GraftLake(spark, lakeDir)
 
     // incremental indexing with a tiny bin-pack threshold → 2 groups
-    val built = lake.index("text", binpackRows = 2)
+    val built = lake.index(NgramKind, "text", binpackRows = 2)
     assert(built.size == 2)
-    assert(lake.index("text").isEmpty) // nothing new → no-op
+    assert(lake.index(NgramKind, "text").isEmpty) // nothing new → no-op
 
     def searchIds(q: String) =
-      lake.search("text", q, 100, Seq("doc_id"))
+      lake.search(NgramKind, "text", q, 100, Seq("doc_id"))
         .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(searchIds("search") == brute("search"))
 
@@ -50,15 +50,53 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(searchIds("search") == brute("search"))
 
     // incremental index picks up only the new file
-    assert(lake.index("text").size == 1)
+    assert(lake.index(NgramKind, "text").size == 1)
 
     // compaction merges everything into one index, then vacuums
-    val merged = lake.compact("text", threshold = 1000000)
+    val merged = lake.compact(NgramKind, "text", threshold = 1000000)
     assert(merged.isDefined)
     val kept = lake.vacuum()
     assert(kept == Seq(merged.get))
     assert(searchIds("search") == brute("search"))
     assert(searchIds("zone") == Seq(6L))
     assert(searchIds("nothing-here").isEmpty)
+  }
+
+  test("bm25 and key kinds run the same facade lifecycle") {
+    val dir = TestSpark.tmpDir("apilake2")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage2-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "apple pie recipe", 2L -> "banana bread recipe"))
+    write("b", Seq(3L -> "cherry apple jam", 4L -> "plain toast"))
+    val lake = GraftLake(spark, dir)
+    val bm25 = Bm25Kind("doc_id")
+
+    // one bm25 index per file: facade ranking must equal a single
+    // whole-corpus index (global IDF across covering indexes)
+    assert(lake.index(bm25, "text", binpackRows = 2).size == 2)
+    val whole = graft.core.IndexStore.indexPath(dir, "bm25_whole_ref")
+    graft.index.Bm25Index.build(spark,
+      graft.core.Lake.listFiles(dir), "text", "doc_id", whole)
+    def ranked(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ranked(lake.search(bm25, "text", "apple recipe", 4)) ==
+      ranked(graft.index.Bm25Index.search(spark, whole, "apple recipe", 4)))
+
+    // key kind: exact + prefix through the facade, then compaction
+    assert(lake.index(KeyKind, "text", binpackRows = 2).size == 2)
+    def keyIds(q: String) =
+      lake.search(KeyKind, "text", q, 100, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(keyIds("plain toast") == Seq(4L))
+    assert(keyIds("cherry%") == Seq(3L))
+    assert(lake.compact(KeyKind, "text", threshold = 1000000).isDefined)
+    assert(keyIds("plain toast") == Seq(4L))
+    assert(keyIds("cherry%") == Seq(3L))
   }
 }
