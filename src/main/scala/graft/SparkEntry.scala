@@ -21,6 +21,7 @@ object SparkEntry {
       graft.index.LogCloudIndex.entries ++
       graft.ops.Maintenance.entries ++
       graft.ops.ApiQueries.entries ++
+      graft.ops.DeltaQueries.entries ++
       graft.ops.Multimodal.entries ++
       graft.ops.LayoutQueries.entries ++
       graft.streaming.EventStream.entries

@@ -5,14 +5,15 @@ import graft.ops.Maintenance
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** User-facing facade over one plain-parquet lake prefix — the
-  * equivalent of the reference's top-level API
-  * (reference: python/rottnest/backends/parquet.py —
-  * index_parquet_lake / search_parquet_lake / compact / vacuum). Every
-  * operation takes the [[IndexKind]] as a parameter, mirroring the
-  * reference API's `index` argument (backends/parquet.py
-  * `index_parquet_lake(..., index)`), so ngram/bm25/key/... all run the
-  * same incremental index → search → compact → vacuum lifecycle.
+/** User-facing facade over one lake — the equivalent of the
+  * reference's top-level API (reference: python/rottnest/backends/
+  * {parquet,delta}.py — index_parquet_lake / search_parquet_lake /
+  * index_delta / search_delta / compact / vacuum). Every operation
+  * takes the [[IndexKind]] as a parameter, mirroring the reference
+  * API's `index` argument, so ngram/bm25/key/... all run the same
+  * incremental index → search → compact → vacuum lifecycle; the
+  * [[LakeBackend]] decides where live data files come from
+  * (plain prefix or Delta-protocol table, with snapshots).
   *
   * - `index(kind, column)`: incremental — bin-packs only files not yet
   *   covered by an index of this (kind, column) into groups
@@ -25,12 +26,14 @@ import org.apache.spark.sql.functions._
   * - `compact(kind, column)`: merges small indexes (append-then-delete
   *   commit), then vacuums unreferenced index files.
   */
-case class GraftLake(spark: SparkSession, prefix: String) {
+case class GraftLake(spark: SparkSession, backend: LakeBackend) {
+
+  private val prefix = backend.id
 
   private def kindName(kind: IndexKind, column: String) =
     s"${kind.name}_$column"
 
-  def files: Seq[String] = Lake.listFiles(prefix).map(Layout.canonPath)
+  def files: Seq[String] = backend.files
 
   private def metadata: Option[DataFrame] =
     IndexStore.readMetadata(spark, prefix)
@@ -73,15 +76,24 @@ case class GraftLake(spark: SparkSession, prefix: String) {
   /** Search across covering indexes + in-situ scan of uncovered files;
     * refine-then-truncate (reference: truncation only after refine).
     * `order` columns make the K-truncation deterministic for filter
-    * kinds; ranking kinds order by their own score.
+    * kinds; ranking kinds order by their own score. `snapshot` time
+    * travels on versioned backends (reference: search_delta(snapshot),
+    * backends/delta.py:63-72): hits are restricted to files live at
+    * that version.
     */
   def search(kind: IndexKind, column: String, query: String, k: Int,
-      order: Seq[String] = Seq.empty): DataFrame = {
+      order: Seq[String] = Seq.empty,
+      snapshot: Option[Long] = None): DataFrame = {
+    val live = backend.filesAt(snapshot).toSet
     val cov = coverage(kind, column)
     val covered = cov.flatMap(_._2).toSet
-    val uncovered = files.filterNot(covered)
+    val uncovered = (live -- covered).toSeq.sorted
     if (cov.isEmpty && uncovered.isEmpty) return spark.emptyDataFrame
-    val res = kind.searchLake(spark, cov.map(_._1), uncovered, column, query, k)
+    // hit filtering only matters when coverage can exceed the live set
+    val restrict =
+      if (backend.canRemove || snapshot.nonEmpty) Some(live) else None
+    val res = kind.searchLake(spark, cov.map(_._1), uncovered, column,
+      query, k, restrict)
     if (kind.ranked) res
     else res.orderBy(order.map(col): _*).limit(k)
   }
@@ -126,4 +138,10 @@ case class GraftLake(spark: SparkSession, prefix: String) {
   }
 
   def vacuum(): Seq[String] = Maintenance.vacuum(spark, prefix)
+}
+
+object GraftLake {
+  /** Plain-parquet prefix lake (the reference's parquet backend). */
+  def apply(spark: SparkSession, prefix: String): GraftLake =
+    GraftLake(spark, PrefixBackend(prefix))
 }

@@ -29,10 +29,16 @@ trait IndexKind {
   /** Search every covering index (`paths`) plus in-situ files in one
     * plan. Returns lake rows for filter kinds (refined, no uid) or
     * ranked rows for ranking kinds (`ranked == true`).
+    *
+    * `live` restricts hits to files alive in the queried snapshot:
+    * table-format backends can REMOVE files, and an index built before
+    * the removal still holds their rows — hit row groups from dead
+    * files must be dropped (the reference's Delta path searches
+    * per-snapshot file sets, backends/delta.py:63-77).
     */
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
-      k: Int): DataFrame
+      k: Int, live: Option[Set[String]] = None): DataFrame
 
   /** Ranking kinds order + truncate inside `searchLake`; filter kinds
     * leave ordering/truncation to the facade.
@@ -48,23 +54,28 @@ trait IndexKind {
       spark.read.parquet(s"$p/meta").withColumn("idx", lit(i))
     }.reduce(_ unionByName _)
 
-  /** All lake files covered by `paths` (metadata-sized collect). */
-  protected def coveredFiles(spark: SparkSession, paths: Seq[String]): Seq[String] =
+  /** Lake files covered by `paths` and alive in `live` (metadata-sized
+    * collect).
+    */
+  protected def coveredFiles(spark: SparkSession, paths: Seq[String],
+      live: Option[Set[String]]): Seq[String] =
     if (paths.isEmpty) Seq.empty
     else taggedMetas(spark, paths).select("file_path").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect().map(_.getString(0))
+      .filter(f => live.forall(_.contains(f))).toSeq.sorted
 
   /** Collect the row-group hit list for tagged `(idx, uid)` candidates:
     * one join against the tagged metas, one metadata-sized collect.
     * uids are per-index ordinals, so the join key includes the tag.
     */
   protected def collectHits(spark: SparkSession, paths: Seq[String],
-      cands: DataFrame): Seq[(String, Long, Long, Long)] =
+      cands: DataFrame, live: Option[Set[String]]): Seq[(String, Long, Long, Long)] =
     taggedMetas(spark, paths)
       .join(cands.select("idx", "uid").distinct(), Seq("idx", "uid"))
       .select(col("file_path"), col("uid"), col("row_start"), col("num_rows"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(h => live.forall(_.contains(h._1)))
       .toSeq
 }
 
@@ -81,11 +92,11 @@ object NgramKind extends IndexKind {
 
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
-      k: Int): DataFrame = {
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
     val q = query.toLowerCase
     def brute(files: Seq[String]): DataFrame =
       spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
-    lazy val covered = coveredFiles(spark, paths)
+    lazy val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
       if (paths.isEmpty) return Some(brute(insituFiles))
@@ -102,7 +113,7 @@ object NgramKind extends IndexKind {
       val cands = post.groupBy(col("idx"), col("uid"))
         .agg(countDistinct(col("gram")).as("ng"))
         .filter(col("ng") === qgrams.size)
-      val hits = collectHits(spark, paths, cands)
+      val hits = collectHits(spark, paths, cands, live)
       // ONE global cost switch over the whole lake's hit count
       // (reference: brute_force_threshold, backends/utils.py:221-225)
       if (hits.size > Lake.BruteForceThreshold) None
@@ -136,9 +147,16 @@ case class Bm25Kind(idCol: String) extends IndexKind {
 
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
-      k: Int): DataFrame = {
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
     require(insituFiles.isEmpty,
       s"bm25 ranking needs corpus stats for every file; ${insituFiles.size} uncovered — run index() first")
+    // corpus stats are whole-index aggregates: stale coverage (a file
+    // removed after indexing) would silently skew IDF, so reject it
+    live.foreach { l =>
+      val stale = coveredFiles(spark, paths, None).filterNot(l)
+      require(stale.isEmpty,
+        s"bm25 index covers ${stale.size} file(s) not in the queried snapshot; re-index first")
+    }
     val terms = query.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).distinct.toSeq.map(_ -> 1.0)
     Bm25Index.searchWeightedMany(spark, paths, terms, k)
@@ -161,13 +179,13 @@ object KeyKind extends IndexKind {
 
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
-      k: Int): DataFrame = {
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
     val prefixMode = query.endsWith("%")
     val key = if (prefixMode) query.dropRight(1) else query
     def refine(d: DataFrame): DataFrame =
       if (prefixMode) d.filter(col(column).startsWith(key))
       else d.filter(col(column) === key)
-    lazy val covered = coveredFiles(spark, paths)
+    lazy val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
       if (paths.isEmpty) return Some(refine(spark.read.parquet(insituFiles: _*)))
@@ -180,7 +198,7 @@ object KeyKind extends IndexKind {
           case Some(hi) => keys.filter(col("key") >= key && col("key") < hi)
           case None     => keys.filter(col("key") >= key)
         }
-      val hits = collectHits(spark, paths, ranged)
+      val hits = collectHits(spark, paths, ranged, live)
       if (hits.size > Lake.BruteForceThreshold) None
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }

@@ -1,0 +1,58 @@
+package graft.api
+
+import graft.core.{DeltaLog, Lake, Layout}
+import org.apache.spark.sql.SparkSession
+
+/** Where a lake's data files come from. The reference ships plain
+  * parquet-prefix, Delta, and Iceberg backends behind one API surface
+  * (reference: python/rottnest/backends/{parquet,delta,iceberg}.py);
+  * the facade is parameterized the same way. A backend answers one
+  * question — the live data files, optionally at a historical
+  * snapshot — and everything else (coverage anti-diff, bin-packing,
+  * commit, compaction, vacuum) is shared.
+  */
+trait LakeBackend {
+
+  /** Stable identifier keying this lake's index-store namespace. */
+  def id: String
+
+  /** Live data files (canonical absolute paths) at the current version. */
+  def files: Seq[String]
+
+  /** Live data files at `snapshot` (None = current). Backends without
+    * versions reject time travel.
+    */
+  def filesAt(snapshot: Option[Long]): Seq[String]
+
+  /** Whether old files can disappear from the live set (table formats
+    * with remove actions). Append-only backends skip hit-set filtering.
+    */
+  def canRemove: Boolean
+}
+
+/** Append-only directory of immutable parquet files
+  * (reference: backends/parquet.py:57-63).
+  */
+case class PrefixBackend(prefix: String) extends LakeBackend {
+  def id: String = prefix
+  def files: Seq[String] = Lake.listFiles(prefix).map(Layout.canonPath)
+  def filesAt(snapshot: Option[Long]): Seq[String] = {
+    require(snapshot.isEmpty, "plain-parquet lakes have no snapshots")
+    files
+  }
+  def canRemove: Boolean = false
+}
+
+/** Delta-protocol table: live files come from transaction-log replay
+  * (checkpoint + JSON tail), snapshots from replay-to-version — the
+  * `DeltaTable.file_uris()` / `load_as_version` calls of the
+  * reference's Delta backend (reference: backends/delta.py:25-38,
+  * 63-72) re-expressed over [[graft.core.DeltaLog]].
+  */
+case class DeltaBackend(spark: SparkSession, table: String) extends LakeBackend {
+  def id: String = Layout.canonPath(table)
+  def files: Seq[String] = DeltaLog.liveFiles(spark, table, None)
+  def filesAt(snapshot: Option[Long]): Seq[String] =
+    DeltaLog.liveFiles(spark, table, snapshot)
+  def canRemove: Boolean = true
+}

@@ -1,0 +1,176 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Native reader/writer of the Delta Lake transaction-log protocol —
+  * the table format is an open spec (delta-io PROTOCOL.md): a table is
+  * a directory of parquet data files plus `_delta_log/` holding one
+  * JSON file per version (`%020d.json`, newline-delimited action
+  * objects `add` / `remove` / `metaData` / `protocol` / `commitInfo`)
+  * and periodic parquet checkpoints (`%020d.checkpoint.parquet` +
+  * `_last_checkpoint`). The reference ships a Delta backend on the same
+  * protocol via the `deltalake` package (reference:
+  * python/rottnest/backends/delta.py:25-93, `DeltaTable.file_uris()` /
+  * `load_as_version`); no Delta jars are available here, so the replay
+  * is implemented directly.
+  *
+  * Scale: JSON deltas are parsed driver-side (they are metadata, one
+  * small file per commit), but snapshot state at a checkpoint is read
+  * as PARQUET THROUGH SPARK — at 100 TB a table has ~10^6 live files
+  * and the checkpoint is the only state that big; replay then applies
+  * only the post-checkpoint JSON tail, exactly how production Delta
+  * readers bound log-replay cost.
+  */
+object DeltaLog {
+
+  private val mapper = new ObjectMapper()
+
+  private def logDir(table: String) = s"$table/_delta_log"
+
+  private def commitFile(table: String, v: Long) =
+    f"${logDir(table)}/$v%020d.json"
+
+  private def checkpointFile(table: String, v: Long) =
+    f"${logDir(table)}/$v%020d.checkpoint.parquet"
+
+  /** Sorted JSON commit versions present in the log. */
+  def versions(table: String): Seq[Long] = {
+    val dir = Paths.get(logDir(table))
+    if (!Files.exists(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.length == 25)
+      .map(_.take(20).toLong).toSeq.sorted
+  }
+
+  def currentVersion(table: String): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"not a Delta table (no _delta_log commits): $table")
+    vs.max
+  }
+
+  private def checkpointVersions(table: String): Seq[Long] = {
+    val dir = Paths.get(logDir(table))
+    if (!Files.exists(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".checkpoint.parquet"))
+      .map(_.take(20).toLong).toSeq.sorted
+  }
+
+  /** Live data files (absolute paths, sorted) at `asOf` (None = latest):
+    * state from the newest checkpoint ≤ asOf, then JSON-delta replay of
+    * the tail — adds insert, removes delete (spec: last action per path
+    * wins within the replay order).
+    */
+  def liveFiles(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Seq[String] = {
+    val target = asOf.getOrElse(currentVersion(table))
+    require(versions(table).contains(target) || checkpointVersions(table).contains(target),
+      s"unknown Delta version $target of $table (have ${versions(table)})")
+    val cp = checkpointVersions(table).filter(_ <= target).maxOption
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    cp.foreach { v =>
+      spark.read.parquet(checkpointFile(table, v))
+        .filter(col("add").isNotNull)
+        .select(col("add.path")).collect()
+        .foreach(r => live += r.getString(0))
+    }
+    versions(table)
+      .filter(v => v > cp.getOrElse(-1L) && v <= target)
+      .foreach { v =>
+        Files.readAllLines(Paths.get(commitFile(table, v))).asScala
+          .filter(_.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.has("add")) live += node.get("add").get("path").asText()
+            if (node.has("remove")) live -= node.get("remove").get("path").asText()
+          }
+      }
+    live.toSeq.map(p => Layout.canonPath(s"$table/$p")).sorted
+  }
+
+  // ---- writer --------------------------------------------------------
+
+  /** One file addition: `path` is relative to the table root. */
+  case class Add(path: String, size: Long)
+
+  /** Atomically commit `version`: write the NDJSON actions to a temp
+    * file and put-if-absent move it into the log (the spec's optimistic
+    * concurrency — a lost race throws instead of clobbering).
+    */
+  def commit(table: String, version: Long, adds: Seq[Add] = Seq.empty,
+      removes: Seq[String] = Seq.empty, schemaJson: Option[String] = None): Unit = {
+    Files.createDirectories(Paths.get(logDir(table)))
+    val sb = new StringBuilder
+    def obj(kind: String)(fill: ObjectNode => Unit): Unit = {
+      val root = mapper.createObjectNode()
+      fill(root.putObject(kind))
+      sb.append(mapper.writeValueAsString(root)).append('\n')
+    }
+    if (version == 0L) {
+      obj("protocol") { p =>
+        p.put("minReaderVersion", 1); p.put("minWriterVersion", 2)
+      }
+      obj("metaData") { m =>
+        m.put("id", java.util.UUID.nameUUIDFromBytes(
+          table.getBytes("UTF-8")).toString)
+        m.putObject("format").put("provider", "parquet")
+        m.put("schemaString", schemaJson.getOrElse("{}"))
+        m.putArray("partitionColumns")
+        m.putObject("configuration")
+      }
+    }
+    adds.foreach { a =>
+      obj("add") { n =>
+        n.put("path", a.path)
+        n.putObject("partitionValues")
+        n.put("size", a.size)
+        n.put("modificationTime", 0L)
+        n.put("dataChange", true)
+      }
+    }
+    removes.foreach { p =>
+      obj("remove") { n =>
+        n.put("path", p); n.put("deletionTimestamp", 0L)
+        n.put("dataChange", true)
+      }
+    }
+    val tmp = Files.createTempFile(Paths.get(logDir(table)), s"_commit$version", ".tmp")
+    Files.writeString(tmp, sb.toString)
+    val target = Paths.get(commitFile(table, version))
+    if (Files.exists(target)) {
+      Files.delete(tmp)
+      throw new IllegalStateException(
+        s"concurrent Delta commit: version $version of $table already exists")
+    }
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Materialize snapshot state at `version` as a parquet checkpoint +
+    * `_last_checkpoint` pointer; replay afterwards starts here instead
+    * of at version 0.
+    */
+  def checkpoint(spark: SparkSession, table: String, version: Long): Unit = {
+    import spark.implicits._
+    val files = liveFiles(spark, table, Some(version))
+    val tableCanon = Layout.canonPath(table)
+    val rel = files.map(_.stripPrefix(tableCanon + "/"))
+    val rows = rel.map(p => (Option((p, 0L, 0L, true)), Option.empty[(String, Long)]))
+    val out = checkpointFile(table, version)
+    rows.toDF("add", "remove")
+      .select(
+        col("add").cast("struct<path:string,size:bigint,modificationTime:bigint,dataChange:boolean>").as("add"),
+        col("remove").cast("struct<path:string,deletionTimestamp:bigint>").as("remove"))
+      .coalesce(1).write.mode("overwrite").parquet(out + "_tmp")
+    // checkpoint must be ONE parquet object at the spec'd name
+    val part = Lake.listFiles(out + "_tmp").head
+    Files.move(Paths.get(part), Paths.get(out), StandardCopyOption.REPLACE_EXISTING)
+    IndexStore.deleteRec(Paths.get(out + "_tmp"))
+    Files.writeString(Paths.get(s"${logDir(table)}/_last_checkpoint"),
+      s"""{"version":$version,"size":${rel.size}}""")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.api.{DeltaBackend, GraftLake, NgramKind}
+import graft.core.{DeltaLog, Lake}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Delta transaction-log protocol: replay, removes, checkpoints,
+  * time travel, optimistic-concurrency commit, and the facade lifecycle
+  * over a DeltaBackend.
+  */
+class DeltaLogSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkTable(name: String): String = TestSpark.tmpDir(name)
+
+  private def addFile(table: String, fname: String,
+      rows: Seq[(Long, String)]): DeltaLog.Add = {
+    val stage = TestSpark.tmpDir(s"stage-$fname")
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    Files.move(Paths.get(Lake.listFiles(stage).head),
+      Paths.get(s"$table/$fname"))
+    DeltaLog.Add(fname, Files.size(Paths.get(s"$table/$fname")))
+  }
+
+  test("replay applies adds and removes in version order") {
+    val t = mkTable("delta1")
+    val a = addFile(t, "a.parquet", Seq(1L -> "one"))
+    val b = addFile(t, "b.parquet", Seq(2L -> "two"))
+    val c = addFile(t, "c.parquet", Seq(3L -> "three"))
+    DeltaLog.commit(t, 0, Seq(a, b))
+    DeltaLog.commit(t, 1, Seq(c), removes = Seq("a.parquet"))
+
+    assert(DeltaLog.currentVersion(t) == 1)
+    assert(DeltaLog.liveFiles(spark, t).map(_.split('/').last) ==
+      Seq("b.parquet", "c.parquet"))
+    // time travel to v0
+    assert(DeltaLog.liveFiles(spark, t, Some(0L)).map(_.split('/').last) ==
+      Seq("a.parquet", "b.parquet"))
+  }
+
+  test("checkpoint replaces json replay and the tail still applies") {
+    val t = mkTable("delta2")
+    val a = addFile(t, "a.parquet", Seq(1L -> "one"))
+    val b = addFile(t, "b.parquet", Seq(2L -> "two"))
+    val c = addFile(t, "c.parquet", Seq(3L -> "three"))
+    DeltaLog.commit(t, 0, Seq(a))
+    DeltaLog.commit(t, 1, Seq(b), removes = Seq("a.parquet"))
+    DeltaLog.checkpoint(spark, t, 1L)
+    DeltaLog.commit(t, 2, Seq(c))
+
+    assert(DeltaLog.liveFiles(spark, t).map(_.split('/').last) ==
+      Seq("b.parquet", "c.parquet"))
+    assert(DeltaLog.liveFiles(spark, t, Some(1L)).map(_.split('/').last) ==
+      Seq("b.parquet"))
+  }
+
+  test("a lost commit race throws instead of clobbering") {
+    val t = mkTable("delta3")
+    val a = addFile(t, "a.parquet", Seq(1L -> "one"))
+    DeltaLog.commit(t, 0, Seq(a))
+    intercept[IllegalStateException] { DeltaLog.commit(t, 0, Seq(a)) }
+  }
+
+  test("facade over a DeltaBackend: removed files drop out of search") {
+    val t = mkTable("delta4")
+    val a = addFile(t, "a.parquet",
+      Seq(1L -> "alpha search engine", 2L -> "beta rig"))
+    val junk = addFile(t, "junk.parquet", Seq(-1L -> "junk search row"))
+    val b = addFile(t, "b.parquet", Seq(3L -> "gamma search index"))
+    DeltaLog.commit(t, 0, Seq(a, junk))
+    DeltaLog.commit(t, 1, Seq(b), removes = Seq("junk.parquet"))
+
+    val lake = GraftLake(spark, DeltaBackend(spark, t))
+    lake.index(NgramKind, "text")
+    def ids(snapshot: Option[Long]) =
+      lake.search(NgramKind, "text", "search", 100, Seq("doc_id"),
+        snapshot = snapshot).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    // latest: junk removed even though its row matches
+    assert(ids(None) == Seq(1L, 3L))
+    // snapshot 0: junk live (in-situ probe), b not yet added (hit filter)
+    assert(ids(Some(0L)) == Seq(-1L, 1L))
+  }
+}
