@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   *   exact-Jaccard verification. The scale path: cost is
   *   O(docs × hashes) + candidate verification, never all-pairs.
   *
-  * Hash discipline: MinHash permutation h_i(s) = md5(i ":" s), compared
-  * lexicographically (fixed-width lowercase hex ⇒ lexicographic =
-  * numeric). md5 is engine-independent, so signatures — and therefore
-  * the banded candidate set — are bit-reproducible in any engine.
+  * Hash discipline: universal hashing. ONE md5 per shingle yields two
+  * 32-bit ints (h1 = hex[1..8], h2 = hex[9..16]); permutation i is
+  * h_i = (h1 + i·h2) mod p with p = 2^31−1. md5 is engine-independent
+  * and the derivation is integer arithmetic, so signatures — and
+  * therefore the banded candidate set — are bit-reproducible in any
+  * engine, at 1/64th the hashing cost of md5-per-permutation and with
+  * numeric (long) min-aggregation instead of 32-char hex strings.
   */
 object Dedup {
 
@@ -26,6 +29,9 @@ object Dedup {
   val NumHashes = 64
   val Bands = 16 // × 4 rows; P[miss | J=0.8] = (1-0.8⁴)¹⁶ ≈ 2e-4
   val Tau = 0.8
+  // Mersenne prime 2^31−1: h1 + 63·h2 < 2^38 — no 64-bit overflow in
+  // either engine, and band keys concat 4 such values (124 bits)
+  val HashP = 2147483647L
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -103,17 +109,20 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
-  /** MinHash + LSH banding → verified near-dup pairs. The permutation
-    * h_i(s) = md5(i ":" s) compared lexicographically (fixed-width
-    * lowercase hex) and the band key = comma-join of the band's hashes
-    * are both engine-independent, so the DuckDB oracle reproduces the
+  /** MinHash + LSH banding → verified near-dup pairs. Permutations are
+    * universal-hash derived (h_i = (h1 + i·h2) mod p from one md5 per
+    * shingle) and the band key = comma-join of the band's hash values;
+    * both are engine-independent, so the DuckDB oracle reproduces the
     * EXACT candidate set — banding recall (< 1 against τ-boundary
     * pairs) can never desynchronize the two sides.
     */
   def minhashPairs(d: DataFrame): DataFrame = {
     val sh = shingleRows(d)
+      .withColumn("_md5", md5(col("s")))
+      .withColumn("h1", conv(substring(col("_md5"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("_md5"), 9, 8), 16, 10).cast("long"))
     val sigCols = (0 until NumHashes).map(i =>
-      min(md5(concat_ws(":", lit(i), col("s")))).as(s"h$i"))
+      min((col("h1") + lit(i.toLong) * col("h2")) % HashP).as(s"h$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val rows = NumHashes / Bands
     val bandKeys = (0 until Bands).map { b =>
@@ -182,8 +191,9 @@ object Dedup {
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingMax""".stripMargin
 
-  /** The minhash pipeline itself in DuckDB: same shingles, same md5
-    * permutations, same comma-joined band keys, same exact-Jaccard
+  /** The minhash pipeline itself in DuckDB: same shingles, same
+    * universal-hash permutations (one md5 → h1/h2 → h_i = (h1+i·h2)
+    * mod p), same comma-joined band keys, same exact-Jaccard
     * verification of the banded candidates.
     */
   private def minhashSql: String = {
@@ -195,12 +205,17 @@ object Dedup {
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+$km1], ' ') for i in generate_series(1, len(toks)-$km1)])) AS s
        |  FROM t WHERE len(toks) >= $ShingleK),
+       |shh AS (
+       |  SELECT doc_id, s,
+       |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(s),j,1)) - 1)::BIGINT << (4*(8-j)) for j in generate_series(1,8)]) AS BIGINT) AS h1,
+       |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(s),j,1)) - 1)::BIGINT << (4*(16-j)) for j in generate_series(9,16)]) AS BIGINT) AS h2
+       |  FROM sh),
        |sigs AS (
-       |  SELECT doc_id, g.i, min(md5(g.i::VARCHAR || ':' || s)) AS h
-       |  FROM sh CROSS JOIN generate_series(0, ${NumHashes - 1}) g(i)
+       |  SELECT doc_id, g.i, min((h1 + g.i * h2) % $HashP) AS h
+       |  FROM shh CROSS JOIN generate_series(0, ${NumHashes - 1}) g(i)
        |  GROUP BY doc_id, g.i),
        |bands AS (
-       |  SELECT doc_id, i // $rows AS band, string_agg(h, ',' ORDER BY i) AS bkey
+       |  SELECT doc_id, i // $rows AS band, string_agg(h::VARCHAR, ',' ORDER BY i) AS bkey
        |  FROM sigs GROUP BY doc_id, i // $rows),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
