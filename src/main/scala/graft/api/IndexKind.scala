@@ -96,10 +96,10 @@ object NgramKind extends IndexKind {
     val q = query.toLowerCase
     def brute(files: Seq[String]): DataFrame =
       spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
-    lazy val covered = coveredFiles(spark, paths, live)
+    // metadata-sized; empty without a job when paths is empty
+    val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
-      if (paths.isEmpty) return Some(brute(insituFiles))
       if (q.length < NgramIndex.N) return None // gram width underflow
       val qgrams = graft.text.QueryShaping.viableGrams(
         q.sliding(NgramIndex.N).toSeq.distinct)
@@ -122,9 +122,15 @@ object NgramKind extends IndexKind {
           .filter(lower(col(column)).contains(q)))
     }
 
-    val indexed = viaIndex().getOrElse(brute(covered))
-    if (insituFiles.isEmpty) indexed
-    else indexed.unionByName(brute(insituFiles))
+    // an empty live-restricted covered set (every indexed file removed,
+    // or a snapshot predating all indexed files) must skip the indexed
+    // branch — brute([]) / readGroups' empty-schema path would throw
+    val parts =
+      (if (covered.isEmpty) Seq.empty
+       else Seq(viaIndex().getOrElse(brute(covered)))) ++
+      (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
+    require(parts.nonEmpty, "no live files to search")
+    parts.reduce(_ unionByName _)
   }
 }
 
@@ -185,10 +191,9 @@ object KeyKind extends IndexKind {
     def refine(d: DataFrame): DataFrame =
       if (prefixMode) d.filter(col(column).startsWith(key))
       else d.filter(col(column) === key)
-    lazy val covered = coveredFiles(spark, paths, live)
+    val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
-      if (paths.isEmpty) return Some(refine(spark.read.parquet(insituFiles: _*)))
       val keys = paths.zipWithIndex.map { case (p, i) =>
         spark.read.parquet(s"$p/keys").select(lit(i).as("idx"), col("key"), col("uid"))
       }.reduce(_ unionByName _)
@@ -203,9 +208,14 @@ object KeyKind extends IndexKind {
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }
 
-    val indexed = viaIndex().getOrElse(
-      refine(spark.read.parquet(covered: _*)))
-    if (insituFiles.isEmpty) indexed
-    else indexed.unionByName(refine(spark.read.parquet(insituFiles: _*)))
+    // same empty-covered guard as NgramKind (ADVICE r2)
+    val parts =
+      (if (covered.isEmpty) Seq.empty
+       else Seq(viaIndex().getOrElse(
+         refine(spark.read.parquet(covered: _*))))) ++
+      (if (insituFiles.isEmpty) Seq.empty
+       else Seq(refine(spark.read.parquet(insituFiles: _*))))
+    require(parts.nonEmpty, "no live files to search")
+    parts.reduce(_ unionByName _)
   }
 }

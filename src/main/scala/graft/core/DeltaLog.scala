@@ -43,9 +43,11 @@ object DeltaLog {
   def versions(table: String): Seq[Long] = {
     val dir = Paths.get(logDir(table))
     if (!Files.exists(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.endsWith(".json") && n.length == 25)
-      .map(_.take(20).toLong).toSeq.sorted
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && n.length == 25)
+        .map(_.take(20).toLong).toList
+    }.sorted
   }
 
   def currentVersion(table: String): Long = {
@@ -57,9 +59,11 @@ object DeltaLog {
   private def checkpointVersions(table: String): Seq[Long] = {
     val dir = Paths.get(logDir(table))
     if (!Files.exists(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala.map(_.getFileName.toString)
-      .filter(_.endsWith(".checkpoint.parquet"))
-      .map(_.take(20).toLong).toSeq.sorted
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".checkpoint.parquet"))
+        .map(_.take(20).toLong).toList
+    }.sorted
   }
 
   /** Live data files (absolute paths, sorted) at `asOf` (None = latest):
@@ -142,29 +146,65 @@ object DeltaLog {
     val tmp = Files.createTempFile(Paths.get(logDir(table)), s"_commit$version", ".tmp")
     Files.writeString(tmp, sb.toString)
     val target = Paths.get(commitFile(table, version))
-    if (Files.exists(target)) {
-      Files.delete(tmp)
-      throw new IllegalStateException(
-        s"concurrent Delta commit: version $version of $table already exists")
+    // true put-if-absent: hard-linking the fully-written temp file is
+    // atomic AND fails with FileAlreadyExistsException if the version
+    // exists — POSIX rename would silently clobber a racing commit
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.delete(tmp)
+        throw new IllegalStateException(
+          s"concurrent Delta commit: version $version of $table already exists")
     }
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    Files.delete(tmp)
   }
 
   /** Materialize snapshot state at `version` as a parquet checkpoint +
     * `_last_checkpoint` pointer; replay afterwards starts here instead
-    * of at version 0.
+    * of at version 0. Per the spec a checkpoint carries the table's
+    * `protocol` and `metaData` actions (replayed from the log tail ≤
+    * version — external Delta readers bootstrap ALL state from the
+    * checkpoint) and `partitionValues` inside each add.
     */
   def checkpoint(spark: SparkSession, table: String, version: Long): Unit = {
     import spark.implicits._
     val files = liveFiles(spark, table, Some(version))
     val tableCanon = Layout.canonPath(table)
     val rel = files.map(_.stripPrefix(tableCanon + "/"))
-    val rows = rel.map(p => (Option((p, 0L, 0L, true)), Option.empty[(String, Long)]))
+    // latest metaData/protocol at `version` (last one wins on replay)
+    var metaN: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var protoN: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    versions(table).filter(_ <= version).foreach { v =>
+      Files.readAllLines(Paths.get(commitFile(table, v))).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("metaData")) metaN = Some(node.get("metaData"))
+          if (node.has("protocol")) protoN = Some(node.get("protocol"))
+        }
+    }
+    require(metaN.nonEmpty && protoN.nonEmpty,
+      s"log of $table has no metaData/protocol action ≤ $version")
+    val addT = "struct<path:string,partitionValues:map<string,string>,size:bigint,modificationTime:bigint,dataChange:boolean>"
+    val remT = "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+    val metaT = "struct<id:string,format:struct<provider:string,options:map<string,string>>,schemaString:string,partitionColumns:array<string>,configuration:map<string,string>,createdTime:bigint>"
+    val protoT = "struct<minReaderVersion:int,minWriterVersion:int>"
+    val addRows = rel.toDF("p").selectExpr(
+      "named_struct('path', p, 'partitionValues', cast(map() as map<string,string>), 'size', 0L, 'modificationTime', 0L, 'dataChange', true) as add",
+      s"cast(null as $remT) as remove",
+      s"cast(null as $metaT) as metaData",
+      s"cast(null as $protoT) as protocol")
+    val headRow = Seq((
+      metaN.get.get("id").asText,
+      metaN.get.get("schemaString").asText,
+      protoN.get.get("minReaderVersion").asInt,
+      protoN.get.get("minWriterVersion").asInt
+    )).toDF("id", "ss", "r", "w").selectExpr(
+      s"cast(null as $addT) as add",
+      s"cast(null as $remT) as remove",
+      "named_struct('id', id, 'format', named_struct('provider', 'parquet', 'options', cast(map() as map<string,string>)), 'schemaString', ss, 'partitionColumns', cast(array() as array<string>), 'configuration', cast(map() as map<string,string>), 'createdTime', 0L) as metaData",
+      "named_struct('minReaderVersion', r, 'minWriterVersion', w) as protocol")
     val out = checkpointFile(table, version)
-    rows.toDF("add", "remove")
-      .select(
-        col("add").cast("struct<path:string,size:bigint,modificationTime:bigint,dataChange:boolean>").as("add"),
-        col("remove").cast("struct<path:string,deletionTimestamp:bigint>").as("remove"))
+    headRow.unionByName(addRows)
       .coalesce(1).write.mode("overwrite").parquet(out + "_tmp")
     // checkpoint must be ONE parquet object at the spec'd name
     val part = Lake.listFiles(out + "_tmp").head

@@ -73,6 +73,7 @@ object KeyIndex {
     * exists (next code point would be a surrogate / overflow).
     */
   private[graft] def prefixUpperBound(prefix: String): Option[String] = {
+    if (prefix.isEmpty) return None // "%": unbounded range, refine restores exactness
     val c = prefix.last
     if (c < '퟿') Some(prefix.init + (c + 1).toChar) else None
   }
