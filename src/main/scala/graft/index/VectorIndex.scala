@@ -28,9 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  val NumCentroids = 16
+  val MinCentroids = 16
   val MaxIter = 20
   val Seed = 42L
+
+  /** Data-proportional cell count (reference: centroids = n/10_000,
+    * python/rottnest/indices/vector_index.py:50) with a floor so tiny
+    * corpora still get real cell pruning. Keeps expected cell size
+    * ~10k vectors at ANY scale — a fixed count would mean unbounded
+    * cells at 100 TB.
+    */
+  def numCentroids(n: Long): Int =
+    math.max(MinCentroids, (n / 10000L).toInt)
+
+  /** Cell count of a built index (the centroid head is tiny). */
+  def numCells(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/centroids").count().toInt
   val PqM = 8      // subspaces (reference: m=32 on 128-d,
                    // vector_index.py:52-56; 8 on 64-d keeps sub-dim 8)
   val PqCodes = 16 // codebook size per subspace
@@ -41,7 +54,7 @@ object VectorIndex {
   def build(spark: SparkSession, emb: DataFrame, path: String): Unit = {
     import spark.implicits._
     val feat = emb.withColumn("features", array_to_vector(col("v"))).cache()
-    val model = new KMeans().setK(NumCentroids).setSeed(Seed)
+    val model = new KMeans().setK(numCentroids(feat.count())).setSeed(Seed)
       .setMaxIter(MaxIter).fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("v"), col("prediction").as("centroid"))
@@ -79,8 +92,8 @@ object VectorIndex {
     feat.unpersist()
   }
 
-  /** Top-k cosine search probing `nprobe` cells. `nprobe >=
-    * NumCentroids` scans every cell ⇒ exact (equals brute force).
+  /** Top-k cosine search probing `nprobe` cells. `nprobe >= numCells`
+    * scans every cell ⇒ exact (equals brute force).
     */
   def search(spark: SparkSession, path: String, q: Seq[Double], k: Int,
       nprobe: Int): DataFrame = {
@@ -153,25 +166,50 @@ object VectorIndex {
       .filter(col("vec_id") === Similarity.QueryVecId)
       .select(col("v")).collect()(0).getSeq[Double](0)
 
+  /** recall@k of the probe configuration against the exact search —
+    * the reference's own evaluation harness shape (reference:
+    * msmarco.py:47-56, ground-truth recall of the ANN path). Driver-side
+    * set compare of two k-row results.
+    */
+  def recallAtK(s: SparkSession, path: String, q: Seq[Double], k: Int,
+      nprobe: Int): Double = {
+    val exact = search(s, path, q, k, numCells(s, path))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = search(s, path, q, k, nprobe)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    exact.intersect(approx).size.toDouble / k
+  }
+
+  val RecallFloor = 0.9
+
   def entries: Map[String, graft.Q] = Map(
     // probe-all = exact: must equal the brute-force oracle while going
     // through the full IVF machinery (head → cells → re-rank)
     "similarity_ivf_all" -> graft.Q((s, dir) => {
       val p = ensureBuilt(s, dir)
-      search(s, p, queryVec(s, dir), Similarity.K, NumCentroids)
+      search(s, p, queryVec(s, dir), Similarity.K, numCells(s, p))
     }, Similarity.knnSql),
-    // the production path: nprobe=4 of 16 cells; approximate by design
-    // ⇒ rows-only check (no SQL oracle can fix its recall)
+    // the production path: nprobe=4 cells; approximate by design
+    // ⇒ rows-only check, quantified by similarity_ivf_recall below
     "similarity_ivf_probe" -> graft.Q((s, dir) => {
       val p = ensureBuilt(s, dir)
       search(s, p, queryVec(s, dir), Similarity.K, 4)
     }, None),
+    // quantitative gate for the probe path: recall@10 vs the exact
+    // searcher must clear 0.9 — if cell pruning ever degrades, the
+    // boolean flips and the hash check fails
+    "similarity_ivf_recall" -> graft.Q((s, dir) => {
+      import s.implicits._
+      val p = ensureBuilt(s, dir)
+      val r = recallAtK(s, p, queryVec(s, dir), Similarity.K, 4)
+      Seq(r >= RecallFloor).toDF("recall_ok")
+    }, "SELECT true AS recall_ok"),
     // PQ path in its correctness configuration (probe-all, refine ≥
     // corpus ⇒ exact): full ADC machinery, brute-force oracle
     "similarity_ivf_pq" -> graft.Q((s, dir) => {
       val p = ensureBuilt(s, dir)
       val n = Similarity.embeddings(s, dir).count().toInt
-      searchPq(s, p, queryVec(s, dir), Similarity.K, NumCentroids, n)
+      searchPq(s, p, queryVec(s, dir), Similarity.K, numCells(s, p), n)
     }, Similarity.knnSql),
     // PQ production shape: nprobe=4, refine=50 (reference defaults
     // nprobes=50, refine=50) — approximate ⇒ rows-only

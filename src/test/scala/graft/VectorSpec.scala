@@ -25,7 +25,7 @@ class VectorSpec extends AnyFunSuite {
     val idx = TestSpark.tmpDir("ivf")
     VectorIndex.build(spark, df, idx)
     val q = vecs(7)._2
-    val got = VectorIndex.search(spark, idx, q, 5, VectorIndex.NumCentroids)
+    val got = VectorIndex.search(spark, idx, q, 5, VectorIndex.numCells(spark, idx))
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     val qc = typedLit(q)
     val want = df.select(col("vec_id"), round(Similarity.cosine(col("v"), qc), 6).as("cos"))
@@ -40,7 +40,7 @@ class VectorSpec extends AnyFunSuite {
     VectorIndex.build(spark, df, idx)
     val q = vecs(3)._2
     val got = VectorIndex.searchPq(spark, idx, q, 5,
-      VectorIndex.NumCentroids, vecs.size)
+      VectorIndex.numCells(spark, idx), vecs.size)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     val qc = typedLit(q)
     val want = df.select(col("vec_id"), round(Similarity.cosine(col("v"), qc), 6).as("cos"))
