@@ -1,38 +1,61 @@
 package graft.index
 
 import graft.core.IndexStore
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LogCloud-style log index: template mining + typed variable tables +
-  * tiered search.
+  * tiered search + per-line reconstruction stream.
   *
   * The reference compresses logs into learned templates + variable
   * streams via opaque C++ trainer/compressor blobs (reference:
-  * src/lava/logcloud/logcloud_rex.rs:240-566), groups variables by a
+  * src/lava/logcloud/logcloud_rex.rs:240-566), emits a per-chunk
+  * template-id (`.eid`) stream for reconstruction, groups variables by a
   * character-class type bitmask, dedups them into sorted per-type files
-  * (logcloud_rex.rs:390-533), then serves tiered searches: hot
-  * dictionary/template file ("kauai"), per-type variable blocks
+  * (logcloud_rex.rs:390-533) — type groups with ≤ OUTLIER_THRESHOLD
+  * distinct values go to a hot outlier list instead of their own typed
+  * file (logcloud_rex.rs:503-533) — then serves tiered searches: hot
+  * dictionary/template/outlier file ("kauai"), per-type variable blocks
   * ("oahu"), FM-index over blocks ("hawaii"), with a brute-force signal
   * when the query matches template text (logcloud.rs:396-512,702-868).
+  * Log lines optionally carry a leading timestamp parsed with a fixed
+  * byte width + format, invalid values backfilled from the previous
+  * valid line (logcloud_rex.rs:303-341).
   *
   * Spark re-expression (public Drain-style mining, SURVEY §7.5):
   * - a token is a *variable* iff it contains a digit; the template is
-  *   the line with variables replaced by `<V>` — one groupBy.
-  * - variables land in a parquet table (value, type, line_id)
-  *   partitioned by type bitmask → a query's type prunes partitions
-  *   (the reference's per-type block pruning).
-  * - high-frequency values are split into a small dictionary table (the
-  *   reference's DICT_THRESHOLD=1000 promotion, logcloud.rs:54) that is
-  *   searched first.
+  *   the line with variables replaced by `<V>` — a MAP-ONLY
+  *   `regexp_replace`, zero shuffles to template a line.
+  * - `encoded/` is the reconstruction stream: one row per line
+  *   `(line_id, template_id, vars)` — the `.eid` stream + variable
+  *   stream in one table; `reconstruct` re-interleaves template parts
+  *   with variables and round-trips the original lines.
+  * - variables land in `dict/` (values in > DictThreshold lines — the
+  *   reference's dictionary promotion, logcloud.rs:54), `outliers/`
+  *   (hot: all values of types with ≤ OutlierThreshold distinct
+  *   values), or `vars/` partitioned by type bitmask → a query's type
+  *   prunes partitions (the reference's per-type block pruning).
+  * - `hawaii/` holds char-trigram postings over the distinct typed
+  *   values, partitioned by gram hash bucket, so long variable queries
+  *   prune which values get the contains scan.
   * - search: variable-shaped queries (contain a digit, no whitespace)
-  *   take dictionary → typed-variable contains-scan → line fetch →
+  *   take dictionary → outliers → typed-variable scan → line fetch →
   *   refine; anything else signals brute force (flag 0), exactly like a
   *   template/dictionary hit does in the reference (logcloud.rs:450-486).
   */
 object LogCloudIndex {
 
   val DictThreshold = 1000L
+  /** Reference: OUTLIER_THRESHOLD=1000 (logcloud_rex.rs:21,503) —
+    * type groups with no more distinct values than this stay hot.
+    */
+  val OutlierThreshold = 1000L
+  val HawaiiBuckets = 16
+  // reference timestamp validity window (logcloud_rex.rs:233-238):
+  // [2000-01-01, 2050-01-01) UTC
+  val MinValidTs = 946684800L
+  val MaxValidTs = 2524608000L
+  private val VarToken = "[^ ]*[0-9][^ ]*"
 
   /** Character-class bitmask, ported semantics (reference:
     * src/lava/logcloud/logcloud_common.rs:9-24): digit=1, a-f=2, A-F=4,
@@ -51,8 +74,7 @@ object LogCloudIndex {
 
   private val typeBitsCol = {
     // same classification as a codegen-friendly column expression
-    val lc = "abcdef"
-    (c: org.apache.spark.sql.Column) =>
+    (c: Column) =>
       aggregate(split(c, ""), lit(0), (m, ch) =>
         m.bitwiseOR(
           when(ch.rlike("[0-9]"), 1)
@@ -63,45 +85,169 @@ object LogCloudIndex {
             .otherwise(32)))
   }
 
+  private def bucketOf(c: Column) = pmod(xxhash64(c), lit(HawaiiBuckets))
+
+  def bucketOfString(g: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.unsafe.types.UTF8String
+    Math.floorMod(
+      XxHash64Function.hash(UTF8String.fromString(g),
+        org.apache.spark.sql.types.StringType, 42L), HawaiiBuckets.toLong).toInt
+  }
+
   /** Build over (line_id, line). */
   def build(spark: SparkSession, lines: DataFrame, path: String): Unit = {
-    val toks = lines.select(col("line_id"),
-      posexplode(split(col("line"), " ")).as(Seq("pos", "tok")))
-    val isVar = col("tok").rlike("[0-9]")
-    // templates: variables masked, then one groupBy — the Drain-lite
-    // equivalent of the reference's trained template set
-    val templ = toks
-      .withColumn("t", when(isVar, lit("<V>")).otherwise(col("tok")))
-      .groupBy(col("line_id")).agg(
-        // order-correct template assembly: sort by pos then join
-        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("t")))),
-          x => x.getField("t"))).as("template"))
-      .groupBy(col("template")).agg(count(lit(1)).as("n_lines"))
-    templ.coalesce(1).write.mode("overwrite").parquet(s"$path/templates")
-    val vars = toks.filter(isVar)
-      .select(col("tok").as("value"), col("line_id"))
+    // MAP-ONLY templating: each digit-bearing token (maximal non-space
+    // run) becomes <V>; the in-order variable list is the same tokens.
+    // No explode/window/collect_list — zero shuffles per line.
+    val templated = lines.select(
+      col("line_id"),
+      regexp_replace(col("line"), VarToken, "<V>").as("template"),
+      filter(split(col("line"), " "), t => t.rlike("[0-9]")).as("vars"))
+    templated
+      .select(col("line_id"), md5(col("template")).as("template_id"),
+        col("vars"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/encoded")
+    templated.groupBy(col("template"))
+      .agg(count(lit(1)).as("n_lines"))
+      .withColumn("template_id", md5(col("template")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/templates")
+    val vars = templated
+      .select(explode(col("vars")).as("value"), col("line_id"))
       .distinct()
       .withColumn("type", typeBitsCol(col("value")))
-    val df = vars.groupBy(col("value")).agg(count(lit(1)).as("n"))
-    val dictVals = df.filter(col("n") > DictThreshold).select("value")
-    // dict is the small hot table (reference's kauai file) — written
+    writeVarTables(spark, vars, path)
+  }
+
+  /** Split deduped (value, line_id, type) variable rows into the
+    * dict / outlier / typed-partition / hawaii tables.
+    */
+  private def writeVarTables(spark: SparkSession, varsIn: DataFrame,
+      path: String): Unit = {
+    val vars = varsIn.cache()
+    val byValue = vars.groupBy(col("value")).agg(count(lit(1)).as("n"))
+    val dictVals = byValue.filter(col("n") > DictThreshold).select("value")
+    // dict is the small hot table (reference's kauai dictionary) —
     // unpartitioned so an empty dict still round-trips with its schema
     vars.join(dictVals, Seq("value"), "left_semi")
       .write.mode("overwrite")
       .option("compression", "zstd").parquet(s"$path/dict")
-    val coldVars = vars.join(dictVals, Seq("value"), "left_anti")
-    coldVars
-      .write.mode("overwrite").partitionBy("type")
-      .option("compression", "zstd").parquet(s"$path/vars")
+    val cold = vars.join(dictVals, Seq("value"), "left_anti")
+    // type-level outlier split (reference: types with ≤ 1000 distinct
+    // values are folded into the hot outlier list instead of getting a
+    // compacted_type_T file, logcloud_rex.rs:503-533)
+    val outlierTypes = cold.groupBy(col("type"))
+      .agg(countDistinct(col("value")).as("nv"))
+      .filter(col("nv") <= OutlierThreshold).select("type")
+    cold.join(outlierTypes, Seq("type"), "left_semi")
+      .select("value", "line_id", "type")
+      .write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$path/outliers")
+    val typed = cold.join(outlierTypes, Seq("type"), "left_anti")
+      .select("value", "line_id", "type").cache()
+    // partitioned write only when non-empty: a partitionBy over zero
+    // rows writes no directories and the table loses its schema
+    if (typed.isEmpty)
+      typed.write.mode("overwrite")
+        .option("compression", "zstd").parquet(s"$path/vars")
+    else
+      typed.write.mode("overwrite").partitionBy("type")
+        .option("compression", "zstd").parquet(s"$path/vars")
     // "hawaii" tier (reference: char FM-index over variable blocks for
     // types past the brute threshold, logcloud.rs:670-674,870-885):
-    // char-trigram postings over DISTINCT variable values, so a long
-    // query prunes which values get the contains scan
-    val valueGrams = coldVars.select(col("value")).distinct()
+    // char-trigram postings over DISTINCT typed values, partitioned by
+    // gram hash bucket so a query's grams prune partitions
+    val valueGrams = typed.select(col("value")).distinct()
       .select(col("value"),
         explode(graft.text.Text.charNgrams(col("value"), 3)).as("gram"))
-    valueGrams.write.mode("overwrite")
-      .option("compression", "zstd").parquet(s"$path/hawaii")
+      .withColumn("bucket", bucketOf(col("gram")))
+    if (valueGrams.isEmpty)
+      valueGrams.write.mode("overwrite")
+        .option("compression", "zstd").parquet(s"$path/hawaii")
+    else
+      valueGrams.write.mode("overwrite").partitionBy("bucket")
+        .option("compression", "zstd").parquet(s"$path/hawaii")
+    typed.unpersist()
+    vars.unpersist()
+  }
+
+  /** Merge two logcloud indexes: `b`'s line_ids shifted by `offset`;
+    * templates re-aggregated; variable splits (dict/outlier/typed)
+    * recomputed over the union so the thresholds hold for the merged
+    * corpus — an index-table rebuild, never a lake re-scan.
+    */
+  def merge(spark: SparkSession, a: String, b: String, out: String,
+      offset: Long): Unit = {
+    def shifted(sub: String): DataFrame =
+      spark.read.parquet(s"$a/$sub").unionByName(
+        spark.read.parquet(s"$b/$sub")
+          .withColumn("line_id", col("line_id") + offset))
+    shifted("encoded").write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$out/encoded")
+    spark.read.parquet(s"$a/templates")
+      .unionByName(spark.read.parquet(s"$b/templates"))
+      .groupBy(col("template"), col("template_id"))
+      .agg(sum(col("n_lines")).as("n_lines"))
+      .select(col("template"), col("n_lines"), col("template_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/templates")
+    val vars = Seq("dict", "outliers", "vars").map(shifted)
+      .reduce(_ unionByName _)
+      .select("value", "line_id", "type").distinct()
+    writeVarTables(spark, vars, out)
+  }
+
+  /** Rebuild every line from the reconstruction stream: template parts
+    * re-interleaved with the in-order variables (the reference decodes
+    * `.eid` + variable streams the same way). Exact round-trip for any
+    * line whose literal text does not contain `<V>`.
+    */
+  def reconstruct(spark: SparkSession, path: String): DataFrame = {
+    val enc = spark.read.parquet(s"$path/encoded")
+    val tmpl = spark.read.parquet(s"$path/templates")
+      .select(col("template_id"), col("template"))
+    enc.join(broadcast(tmpl), Seq("template_id"))
+      .withColumn("parts", split(col("template"), "<V>", -1))
+      .select(col("line_id"),
+        concat(
+          aggregate(
+            zip_with(slice(col("parts"), lit(1), size(col("vars"))), col("vars"),
+              (p, v) => concat(p, v)),
+            lit(""), (acc, x) => concat(acc, x)),
+          element_at(col("parts"), -1)).as("line"))
+  }
+
+  /** Leading-timestamp extraction (reference: logcloud_rex.rs:303-341):
+    * parse the first `tsBytes` chars with `fmt`; values outside
+    * [2000, 2050) or unparseable are backfilled with the last valid
+    * timestamp (0 when none yet). The backfill is a SEGMENTED forward
+    * fill — per-segment window + a tiny per-segment carry table — so no
+    * global single-partition window at 100 TB.
+    */
+  def extractTimestamps(spark: SparkSession, lines: DataFrame,
+      tsBytes: Int, fmt: String, segRows: Long = 8192L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parsed = lines.withColumn("_p",
+      expr(s"unix_timestamp(try_to_timestamp(substring(line, 1, $tsBytes), '$fmt'))"))
+    val valid = parsed.withColumn("_v",
+      when(col("_p").isNotNull &&
+        col("_p") >= MinValidTs && col("_p") < MaxValidTs, col("_p")))
+    val seg = valid.withColumn("_seg", floor(col("line_id") / segRows))
+    val w1 = Window.partitionBy(col("_seg")).orderBy(col("line_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ff = seg.withColumn("_ff", last(col("_v"), ignoreNulls = true).over(w1))
+    // per-segment carry: last valid value of every PRECEDING segment
+    // (one row per segment — metadata-sized window, then broadcast back)
+    val segLast = ff.groupBy(col("_seg"))
+      .agg(max_by(col("_ff"), col("line_id")).as("_segLast"))
+    val w2 = Window.orderBy(col("_seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = segLast.withColumn("_prev",
+      last(col("_segLast"), ignoreNulls = true).over(w2))
+      .select(col("_seg"), col("_prev"))
+    ff.join(broadcast(carry), Seq("_seg"))
+      .select(col("line_id"),
+        coalesce(col("_ff"), col("_prev"), lit(0L)).as("epoch_ts"))
   }
 
   /** True when the query can only live inside a variable token —
@@ -111,6 +257,41 @@ object LogCloudIndex {
   def isVariableQuery(q: String): Boolean =
     q.nonEmpty && !q.exists(_.isWhitespace) && q.exists(_.isDigit)
 
+  /** Candidate line_ids for a variable-shaped query from one index:
+    * dict → outliers → (hawaii-pruned) typed vars, all type-masked.
+    */
+  private[graft] def varCandidates(spark: SparkSession, path: String,
+      q: String): DataFrame = {
+    val qt = typeBits(q)
+    // type pruning: a variable can contain q only if its type bits
+    // cover q's (reference: logcloud.rs:737-747)
+    def prune(df: DataFrame) =
+      df.filter((col("type").bitwiseAND(qt) === qt) && col("value").contains(q))
+    val dictHits = prune(spark.read.parquet(s"$path/dict"))
+    val outlierHits = prune(spark.read.parquet(s"$path/outliers"))
+    val typedVars = spark.read.parquet(s"$path/vars")
+    // hawaii tier: for gram-width queries, intersect trigram postings
+    // over distinct values first — a candidate SUPERSET of matching
+    // values (refined by the contains filter in prune)
+    val varSource =
+      if (q.length >= 3) {
+        val qgrams = q.toLowerCase.sliding(3).toSeq.distinct
+        val qbuckets = qgrams.map(bucketOfString).distinct
+        val candVals = spark.read.parquet(s"$path/hawaii")
+          .filter(col("bucket").isin(qbuckets: _*) &&
+            col("gram").isin(qgrams: _*))
+          .groupBy(col("value"))
+          .agg(countDistinct(col("gram")).as("ng"))
+          .filter(col("ng") === qgrams.size)
+          .select("value")
+        typedVars.join(candVals, Seq("value"), "left_semi")
+      } else typedVars
+    dictHits.select("line_id")
+      .union(outlierHits.select("line_id"))
+      .union(prune(varSource).select("line_id"))
+      .distinct()
+  }
+
   /** Search → matching line_ids (deduped). `lines` is the lake view
     * (line_id, line) used for the brute path and final refine.
     */
@@ -118,31 +299,7 @@ object LogCloudIndex {
       q: String): DataFrame = {
     if (!isVariableQuery(q))
       return lines.filter(col("line").contains(q)).select("line_id")
-    val qt = typeBits(q)
-    // type pruning: a variable can contain q only if its type bits
-    // cover q's (reference: logcloud.rs:737-747)
-    def prune(df: DataFrame) =
-      df.filter((col("type").bitwiseAND(qt) === qt) && col("value").contains(q))
-    val dictHits = prune(spark.read.parquet(s"$path/dict"))
-    val coldVars = spark.read.parquet(s"$path/vars")
-    // hawaii tier: for gram-width queries, intersect trigram postings
-    // over distinct values first — a candidate SUPERSET of matching
-    // values (refined by the contains filter in prune)
-    val varSource =
-      if (q.length >= 3) {
-        val qgrams = q.toLowerCase.sliding(3).toSeq.distinct
-        // values are matched case-sensitively by contains; grams are
-        // lowercased at build, so lower the value grams too
-        val candVals = spark.read.parquet(s"$path/hawaii")
-          .filter(col("gram").isin(qgrams: _*))
-          .groupBy(col("value"))
-          .agg(countDistinct(col("gram")).as("ng"))
-          .filter(col("ng") === qgrams.size)
-          .select("value")
-        coldVars.join(candVals, Seq("value"), "left_semi")
-      } else coldVars
-    val varHits = prune(varSource)
-    val ids = dictHits.select("line_id").union(varHits.select("line_id")).distinct()
+    val ids = varCandidates(spark, path, q)
     // fetch + mandatory refine (variable match ⇒ line contains q, but
     // keep the FP discipline uniform)
     lines.join(ids, Seq("line_id"), "left_semi")
@@ -159,8 +316,21 @@ object LogCloudIndex {
         concat(col("event_type"), lit(" "),
           coalesce(col("props"), lit(""))).as("line"))
 
+  /** Event lines prefixed with a wall-clock timestamp; every 97th line
+    * gets an unparseable prefix to exercise the backfill path.
+    */
+  def timestampedLines(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "events")
+      .select(col("event_id").as("line_id"),
+        concat(
+          when(col("event_id") % 97 === 0, lit("????-??-?? ??:??:??"))
+            .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")),
+          lit(" "), col("event_type")).as("line"))
+
   def ensureBuilt(s: SparkSession, dir: String): String = {
-    val p = IndexStore.indexPath(dir, "logcloud_events")
+    // v2: layout gained encoded/outliers tables + bucketed hawaii — a
+    // fresh name keeps any stale cached v1 dir from being read
+    val p = IndexStore.indexPath(dir, "logcloud_events_v2")
     IndexStore.ensure(p) { build(s, eventLines(s, dir), p) }
     p
   }
@@ -180,6 +350,32 @@ object LogCloudIndex {
     "logcloud_search_template" -> graft.Q((s, dir) => {
       val p = ensureBuilt(s, dir)
       search(s, p, eventLines(s, dir), "error").orderBy(col("line_id"))
-    }, oracle("error"))
+    }, oracle("error")),
+    // the reconstruction stream round-trips EVERY line: template ⋈
+    // in-order vars == original (the reference's .eid + variable
+    // stream decode, logcloud_rex.rs:173-232)
+    "logcloud_reconstruct" -> graft.Q((s, dir) => {
+      val p = ensureBuilt(s, dir)
+      reconstruct(s, p).orderBy(col("line_id"))
+    }, """SELECT event_id AS line_id,
+         |       event_type || ' ' || coalesce(props, '') AS line
+         |FROM events ORDER BY line_id""".stripMargin),
+    // leading-timestamp extraction with invalid-line backfill
+    // (reference: logcloud_rex.rs:303-341)
+    "logcloud_timestamps" -> graft.Q((s, dir) => {
+      extractTimestamps(s, timestampedLines(s, dir), 19,
+        "yyyy-MM-dd HH:mm:ss").orderBy(col("line_id"))
+    }, """WITH l AS (
+         |  SELECT event_id AS line_id,
+         |         CASE WHEN event_id % 97 = 0 THEN NULL
+         |              ELSE CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+         |         END AS p
+         |  FROM events)
+         |SELECT line_id,
+         |       coalesce(last_value(p IGNORE NULLS) OVER (
+         |         ORDER BY line_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |         AS epoch_ts
+         |FROM l ORDER BY line_id""".stripMargin)
   )
 }
