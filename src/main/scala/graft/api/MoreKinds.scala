@@ -1,0 +1,207 @@
+package graft.api
+
+import graft.core.{Lake, Layout}
+import graft.index.{LogCloudIndex, VectorIndex, ZoneMapIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The remaining [[IndexKind]]s — vector, logcloud, zonemap — so EVERY
+  * index type runs the one facade lifecycle (incremental index →
+  * one-plan multi-index search → compact → vacuum), exactly how the
+  * reference drives every index through one interface
+  * (reference: python/rottnest/indices/index_interface.py:9-37,
+  * backends/parquet.py `index_parquet_lake(..., index)`).
+  */
+
+/** Log-search kind. Variable-shaped queries go dict → outliers →
+  * (hawaii-pruned) typed variables per covering index in one union
+  * plan; template-text queries signal brute force (reference flag 0,
+  * src/lava/logcloud/logcloud.rs:450-486). Postings are at uid
+  * (row-group) granularity, like every other kind.
+  */
+object LogCloudKind extends IndexKind {
+
+  val name = "logcloud"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = {
+    val meta = Layout.buildMeta(spark, files).cache()
+    val lines = Layout.withUid(spark, files, meta)
+      .select(col("uid").as("line_id"), col(column).as("line"))
+    LogCloudIndex.build(spark, lines, path)
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    meta.unpersist()
+  }
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    val offset = spark.read.parquet(s"$a/meta")
+      .agg(max("uid")).collect()(0).getLong(0)
+    LogCloudIndex.merge(spark, a, b, out, offset)
+    spark.read.parquet(s"$a/meta").unionByName(
+      spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+  }
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    def brute(files: Seq[String]): DataFrame =
+      spark.read.parquet(files: _*).filter(col(column).contains(query))
+    val covered = coveredFiles(spark, paths, live)
+
+    def viaIndex(): Option[DataFrame] = {
+      // template/dictionary-text queries → brute-force signal (flag 0)
+      if (!LogCloudIndex.isVariableQuery(query)) return None
+      val cands = paths.zipWithIndex.map { case (p, i) =>
+        LogCloudIndex.varCandidates(spark, p, query)
+          .select(lit(i).as("idx"), col("line_id").as("uid"))
+      }.reduce(_ unionByName _)
+      val hits = collectHits(spark, paths, cands, live)
+      if (hits.size > Lake.BruteForceThreshold) None
+      else Some(
+        Layout.readGroups(spark, hits, covered).drop("uid")
+          .filter(col(column).contains(query)))
+    }
+
+    val parts =
+      (if (covered.isEmpty) Seq.empty
+       else Seq(viaIndex().getOrElse(brute(covered)))) ++
+      (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
+    require(parts.nonEmpty, "no live files to search")
+    parts.reduce(_ unionByName _)
+  }
+}
+
+/** Zone-map (virtual-mode) kind: range queries `"lo..hi"` prune to
+  * overlapping row-group zones (reference virtual mode,
+  * backends/utils.py:110-126).
+  */
+object ZoneMapKind extends IndexKind {
+
+  val name = "zonemap"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = ZoneMapIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    ZoneMapIndex.merge(spark, a, b, out)
+
+  private def parseRange(query: String): (Long, Long) = {
+    val parts = query.split("\\.\\.")
+    require(parts.length == 2, s"zonemap query must be 'lo..hi', got: $query")
+    (parts(0).trim.toLong, parts(1).trim.toLong)
+  }
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    val (lo, hi) = parseRange(query)
+    def refine(d: DataFrame): DataFrame =
+      d.filter(col(column) >= lo && col(column) <= hi)
+    val covered = coveredFiles(spark, paths, live)
+
+    def viaIndex(): Option[DataFrame] = {
+      val cands = paths.zipWithIndex.map { case (p, i) =>
+        spark.read.parquet(s"$p/zones")
+          .select(lit(i).as("idx"), col("uid"), col("lo"), col("hi"))
+      }.reduce(_ unionByName _)
+        .filter(col("hi") >= lo && col("lo") <= hi) // overlap test
+      val hits = collectHits(spark, paths, cands, live)
+      if (hits.size > Lake.BruteForceThreshold) None
+      else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
+    }
+
+    val parts =
+      (if (covered.isEmpty) Seq.empty
+       else Seq(viaIndex().getOrElse(
+         refine(spark.read.parquet(covered: _*))))) ++
+      (if (insituFiles.isEmpty) Seq.empty
+       else Seq(refine(spark.read.parquet(insituFiles: _*))))
+    require(parts.nonEmpty, "no live files to search")
+    parts.reduce(_ unionByName _)
+  }
+}
+
+/** ANN kind over an embedding column. The query is the vector itself
+  * (comma-separated doubles); each covering index is probed through its
+  * centroid head (`nprobe` cells, pre-ranked to `refine` candidates),
+  * hit row groups are fetched, and the final exact cosine re-rank runs
+  * over fetched + in-situ rows — the reference's 3-stage probe →
+  * pre-rank → rerank flow (src/lava/vector/vector.rs:22-239). With the
+  * default probe-everything configuration the result is exactly brute
+  * force. Merge retrains on the union of the stored vectors (the cells
+  * keep full-precision vectors, so no lake re-scan).
+  */
+case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
+    refine: Int = Int.MaxValue) extends IndexKind {
+
+  val name = "vector"
+
+  override def ranked: Boolean = true
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = {
+    val meta = Layout.buildMeta(spark, files).cache()
+    val emb = Layout.withUid(spark, files, meta)
+      .select(col("uid").as("vec_id"),
+        col(column).cast("array<double>").as("v"))
+    VectorIndex.build(spark, emb, path)
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    meta.unpersist()
+  }
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    val offset = spark.read.parquet(s"$a/meta")
+      .agg(max("uid")).collect()(0).getLong(0)
+    val emb = spark.read.parquet(s"$a/cells").select(col("vec_id"), col("v"))
+      .unionByName(spark.read.parquet(s"$b/cells")
+        .select((col("vec_id") + offset).as("vec_id"), col("v")))
+    VectorIndex.build(spark, emb, out)
+    spark.read.parquet(s"$a/meta").unionByName(
+      spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+  }
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    val q = query.split(",").map(_.trim.toDouble).toSeq
+    val qc = typedLit(q)
+    val covered = coveredFiles(spark, paths, live)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+    val indexed: Option[DataFrame] =
+      if (covered.isEmpty) None
+      else {
+        val cands = paths.zipWithIndex.map { case (p, i) =>
+          // centroid head is tiny: driver-side probe selection
+          val centers = spark.read.parquet(s"$p/centroids").collect()
+            .map(r => (r.getInt(0), r.getSeq[Double](1)))
+          val probes = centers.sortBy { case (id, c) => (l2(c, q), id) }
+            .take(math.min(nprobe, centers.length)).map(_._1).toSeq
+          val cells = spark.read.parquet(s"$p/cells")
+            .filter(col("centroid").isin(probes: _*)) // partition pruning
+          val pre =
+            if (refine == Int.MaxValue) cells // probe-everything: no pre-rank sort
+            else cells
+              .withColumn("cos",
+                graft.GraftExtensions.cosineSim(spark, col("v"), qc))
+              .orderBy(col("cos").desc, col("vec_id")).limit(refine)
+          pre.select(lit(i).as("idx"), col("vec_id").as("uid"))
+        }.reduce(_ unionByName _)
+        val hits = collectHits(spark, paths, cands, live)
+        Some(Layout.readGroups(spark, hits, covered).drop("uid"))
+      }
+
+    val parts = indexed.toSeq ++
+      (if (insituFiles.isEmpty) Seq.empty
+       else Seq(spark.read.parquet(insituFiles: _*)))
+    require(parts.nonEmpty, "no live files to search")
+    parts.reduce(_ unionByName _)
+      .withColumn("cos", round(graft.GraftExtensions.cosineSim(spark,
+        col(column).cast("array<double>"), qc), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -37,8 +37,10 @@ object Lake {
 
   def listFiles(path: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(path)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    scala.util.Using.resource(Files.list(Paths.get(path))) { s =>
+      s.iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toList
+    }.sorted
   }
 
   /** Reference behavior: if the index returns more than this many hits

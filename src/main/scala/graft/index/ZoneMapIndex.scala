@@ -31,6 +31,20 @@ object ZoneMapIndex {
     meta.unpersist()
   }
 
+  /** Merge two zone-map indexes: union with `b`'s uids re-based past
+    * `a`'s (same uid-offset protocol as every other kind).
+    */
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    val offset = spark.read.parquet(s"$a/meta")
+      .agg(max("uid")).collect()(0).getLong(0)
+    spark.read.parquet(s"$a/zones").unionByName(
+      spark.read.parquet(s"$b/zones").withColumn("uid", col("uid") + offset))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/zones")
+    spark.read.parquet(s"$a/meta").unionByName(
+      spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+  }
+
   /** Range query [lo, hi]: prune to overlapping zones, selective read,
     * refine.
     */

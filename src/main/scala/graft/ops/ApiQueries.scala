@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Q
-import graft.api.{Bm25Kind, GraftLake, KeyKind}
+import graft.api.{Bm25Kind, GraftLake, KeyKind, LogCloudKind, VectorKind, ZoneMapKind}
 import graft.core.{IndexStore, Lake}
 import graft.index.Bm25Index
 import org.apache.spark.sql.SparkSession
@@ -10,22 +10,25 @@ import org.apache.spark.sql.functions._
 /** Public-facade lifecycle entries for the non-ngram index kinds: the
   * reference drives every index type through the same lake API
   * (reference: backends/parquet.py `index_parquet_lake(..., index)` /
-  * `search_parquet_lake`), so these entries prove bm25 and key indexes
-  * run incremental index → multi-index search end-to-end through
-  * [[GraftLake]] — including GLOBAL corpus stats across several covering
-  * bm25 index files (reference: src/lava/bm25/bm25.rs:477-489).
+  * `search_parquet_lake`), so these entries prove bm25, key, vector,
+  * logcloud and zonemap indexes run incremental index → multi-index
+  * search → compact end-to-end through [[GraftLake]] — including GLOBAL
+  * corpus stats across several covering bm25 index files
+  * (reference: src/lava/bm25/bm25.rs:477-489).
   */
 object ApiQueries {
 
-  private def docLake(s: SparkSession, dir: String): GraftLake = {
-    Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
-    GraftLake(s, s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/documents")
+  private def tableLake(s: SparkSession, dir: String, table: String,
+      key: String): GraftLake = {
+    Lake.ensureSplit(s, dir, table, key, 4)
+    GraftLake(s, s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/$table")
   }
 
-  private def custLake(s: SparkSession, dir: String): GraftLake = {
-    Lake.ensureSplit(s, dir, "customer", "c_custkey", 4)
-    GraftLake(s, s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/customer")
-  }
+  private def docLake(s: SparkSession, dir: String): GraftLake =
+    tableLake(s, dir, "documents", "doc_id")
+
+  private def custLake(s: SparkSession, dir: String): GraftLake =
+    tableLake(s, dir, "customer", "c_custkey")
 
   def entries: Map[String, Q] = Map(
     // bm25 through the facade, binpacked into ONE INDEX PER FILE:
@@ -46,6 +49,43 @@ object ApiQueries {
           Seq("c_custkey"))
         .select(col("c_custkey"), col("c_name"))
     }, "SELECT c_custkey, c_name FROM customer " +
-       "WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey")
+       "WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey"),
+
+    // ANN through the facade: per-file IVF indexes are built, COMPACTED
+    // into one (retrain over the stored vectors), and searched in the
+    // exact configuration — must equal the brute-force cosine oracle
+    "lake_api_vector" -> Q((s, dir) => {
+      val lake = tableLake(s, dir, "embeddings", "vec_id")
+      val kind = VectorKind("vec_id")
+      lake.index(kind, "embedding", binpackRows = 1)
+      lake.compact(kind, "embedding", threshold = 1000000L)
+      val q = Similarity.embeddings(s, dir)
+        .filter(col("vec_id") === Similarity.QueryVecId)
+        .select(col("v")).collect()(0).getSeq[Double](0)
+      lake.search(kind, "embedding", q.mkString(","), Similarity.K)
+        .select(col("vec_id"), col("cos"))
+    }, Similarity.knnSql),
+
+    // log search through the facade: per-file logcloud indexes →
+    // compact → typed-variable search with row-group materialization
+    "lake_api_logcloud" -> Q((s, dir) => {
+      val lake = tableLake(s, dir, "events", "event_id")
+      lake.index(LogCloudKind, "props", binpackRows = 1)
+      lake.compact(LogCloudKind, "props", threshold = 1000000L)
+      lake.search(LogCloudKind, "props", "87", 1000000, Seq("event_id"))
+        .select(col("event_id"))
+    }, "SELECT event_id FROM events WHERE contains(props, '87') " +
+       "ORDER BY event_id"),
+
+    // zone-map range search through the facade (virtual-mode index)
+    "lake_api_zonemap" -> Q((s, dir) => {
+      val lake = tableLake(s, dir, "orders", "o_orderkey")
+      lake.index(ZoneMapKind, "o_orderkey", binpackRows = 1)
+      lake.compact(ZoneMapKind, "o_orderkey", threshold = 1000000L)
+      lake.search(ZoneMapKind, "o_orderkey", "1000..1200", 1000000,
+          Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"))
+    }, """SELECT o_orderkey, o_custkey FROM orders
+         |WHERE o_orderkey BETWEEN 1000 AND 1200 ORDER BY o_orderkey""".stripMargin)
   )
 }
