@@ -100,9 +100,12 @@ object NgramKind extends IndexKind {
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
-      if (q.length < NgramIndex.N) return None // gram width underflow
-      val qgrams = graft.text.QueryShaping.viableGrams(
-        q.sliding(NgramIndex.N).toSeq.distinct)
+      if (q.isEmpty) return None // contains("") = every row: brute
+      // short queries probe their exact 1/2-gram (no scan cliff)
+      val qgrams =
+        if (q.length >= NgramIndex.N) graft.text.QueryShaping.viableGrams(
+          q.sliding(NgramIndex.N).toSeq.distinct)
+        else Seq(q)
       val qbuckets = qgrams.map(NgramIndex.bucketOfString).distinct
       // every covering index probed in ONE union plan (no per-index jobs)
       val post = paths.zipWithIndex.map { case (p, i) =>

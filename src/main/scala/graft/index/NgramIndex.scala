@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * by a gram hash bucket — a query's grams prune to ≤|grams| buckets via
   * partition pruning; posting "lists" stay as rows, never driver-sized
   * arrays, so a 100 TB build is one explode→distinct shuffle.
+  *
+  * Besides the 3-grams the postings also hold 1- and 2-grams, so
+  * queries SHORTER than the gram width still prune via an exact gram
+  * lookup instead of falling off a full-lake-scan cliff (the
+  * reference's FM backward search handles any query length,
+  * reference: src/lava/substring/search.rs:120-149). Distinct
+  * (uid, gram) pairs bound the cost: ≤ |alphabet| + |alphabet|² extra
+  * rows per row group.
   */
 object NgramIndex {
 
@@ -49,8 +57,14 @@ object NgramIndex {
       path: String): Unit = {
     val meta = Layout.buildMeta(spark, files).cache()
     val data = Layout.withUid(spark, files, meta)
+    // 3-grams for normal queries + 1/2-grams for the short-query path
+    // (different lengths never collide, so one flat gram column)
+    val grams = concat(
+      Text.charNgrams(col(column), N),
+      Text.charNgrams(col(column), 2),
+      Text.charNgrams(col(column), 1))
     val postings = data
-      .select(col("uid"), explode(Text.charNgrams(col(column), N)).as("gram"))
+      .select(col("uid"), explode(grams).as("gram"))
       .distinct() // (uid, gram) pairs; array_distinct already dedups per row
       .withColumn("bucket", bucketOf(col("gram")))
     postings.write.mode("overwrite")
@@ -70,20 +84,21 @@ object NgramIndex {
       query: String): DataFrame = {
     val q = query.toLowerCase
     val meta = spark.read.parquet(s"$path/meta")
-    if (q.length < N) {
-      // query shorter than the gram width: index can't prune — scan the
-      // covered files (reference's brute-force flag,
-      // backends/utils.py:221-225)
+    if (q.isEmpty) {
+      // contains("") is every row: no gram to probe, scan covered files
       val files = meta.select("file_path").distinct()
         .collect().map(_.getString(0)).toSeq
       return spark.read.parquet(files: _*)
-        .filter(lower(col(column)).contains(q))
         .withColumn("uid", lit(-1L))
     }
     // cap probe width on long queries (candidate superset stays valid;
     // refine restores exactness) — reference: token_viable_limit,
-    // src/lava/substring/search.rs:512-524
-    val qgrams = graft.text.QueryShaping.viableGrams(q.sliding(N).toSeq.distinct)
+    // src/lava/substring/search.rs:512-524. Queries shorter than the
+    // gram width probe their exact short gram instead of scanning.
+    val qgrams =
+      if (q.length >= N)
+        graft.text.QueryShaping.viableGrams(q.sliding(N).toSeq.distinct)
+      else Seq(q)
     val qbuckets = qgrams.map(bucketOfString).distinct
     val post = spark.read.parquet(s"$path/postings")
       // bucket predicate prunes partitions; gram predicate prunes row

@@ -57,6 +57,21 @@ class NgramIndexSpec extends AnyFunSuite {
     assert(got == Set(2L, 3L, 5L))
   }
 
+  test("short queries prune through the index, not a covered-files scan") {
+    val files = mkLake(corpus, 3)
+    val idx = TestSpark.tmpDir("idx_short")
+    NgramIndex.build(spark, files, "text", idx)
+    for (q <- Seq("qu", "z", "x w", "ve g")) {
+      val res = NgramIndex.search(spark, idx, "text", q)
+        .select("doc_id", "uid").collect()
+      val want = corpus.filter(_._2.toLowerCase.contains(q)).map(_._1).toSet
+      assert(res.map(_.getLong(0)).toSet == want, s"query '$q'")
+      // the brute-scan fallback tags uid = -1; the index path keeps
+      // real row-group uids — short queries must take the index path
+      assert(res.forall(_.getLong(1) >= 0L), s"query '$q' fell to brute scan")
+    }
+  }
+
   test("empty hit set keeps the lake schema") {
     val files = mkLake(corpus, 2)
     val idx = TestSpark.tmpDir("idx2")
