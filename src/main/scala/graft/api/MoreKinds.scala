@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.core.{Lake, Layout}
-import graft.index.{LogCloudIndex, VectorIndex, ZoneMapIndex}
+import graft.index.{LogCloudIndex, TokenIndex, VectorIndex, ZoneMapIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,57 @@ object LogCloudKind extends IndexKind {
       (if (covered.isEmpty) Seq.empty
        else Seq(viaIndex().getOrElse(brute(covered)))) ++
       (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
+    require(parts.nonEmpty, "no live files to search")
+    parts.reduce(_ unionByName _)
+  }
+}
+
+/** Token-mode substring kind (token-sequence containment semantics,
+  * reference token FM index). Same union-plan + cost-switch discipline
+  * as NgramKind, with queries tokenized exactly like the corpus.
+  */
+object TokenKind extends IndexKind {
+
+  val name = "token"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = TokenIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    TokenIndex.merge(spark, a, b, out)
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    val qtoks = TokenIndex.tokensOf(query)
+    val qnorm = " " + qtoks.mkString(" ") + " "
+    def refine(d: DataFrame): DataFrame =
+      d.filter(TokenIndex.normalForm(col(column)).contains(qnorm))
+    val covered = coveredFiles(spark, paths, live)
+
+    def viaIndex(): Option[DataFrame] = {
+      if (qtoks.isEmpty) return None
+      val qg = TokenIndex.queryGrams(qtoks)
+      val qbuckets = qg.map(TokenIndex.bucketOfString).distinct
+      val post = paths.zipWithIndex.map { case (p, i) =>
+        spark.read.parquet(s"$p/postings")
+          .filter(col("bucket").isin(qbuckets: _*) && col("gram").isin(qg: _*))
+          .select(lit(i).as("idx"), col("gram"), col("uid"))
+      }.reduce(_ unionByName _)
+      val cands = post.groupBy(col("idx"), col("uid"))
+        .agg(countDistinct(col("gram")).as("ng"))
+        .filter(col("ng") === qg.size)
+      val hits = collectHits(spark, paths, cands, live)
+      if (hits.size > Lake.BruteForceThreshold) None
+      else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
+    }
+
+    val parts =
+      (if (covered.isEmpty) Seq.empty
+       else Seq(viaIndex().getOrElse(refine(
+         spark.read.parquet(covered: _*))))) ++
+      (if (insituFiles.isEmpty) Seq.empty
+       else Seq(refine(spark.read.parquet(insituFiles: _*))))
     require(parts.nonEmpty, "no live files to search")
     parts.reduce(_ unionByName _)
   }

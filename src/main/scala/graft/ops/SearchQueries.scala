@@ -29,6 +29,13 @@ object SearchQueries {
     p
   }
 
+  /** Token-sequence containment oracle (the normalized-form contains). */
+  private def tokenOracle(q: String): String =
+    s"""SELECT doc_id FROM (
+       |  SELECT doc_id, ' ' || array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS nf
+       |  FROM documents) t
+       |WHERE contains(nf, ' $q ') ORDER BY doc_id""".stripMargin
+
   private def keyIdx(s: SparkSession, dir: String): String = {
     val files = Lake.ensureSplit(s, dir, "customer", "c_custkey", 4)
     val p = IndexStore.indexPath(dir, "key_customer_name")
@@ -73,11 +80,33 @@ object SearchQueries {
       IndexStore.ensure(p) { TokenIndex.build(s, files, "text", p) }
       TokenIndex.search(s, p, "text", "merge merge")
         .select(col("doc_id")).orderBy(col("doc_id"))
-    },
-      """SELECT doc_id FROM (
-        |  SELECT doc_id, ' ' || array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS nf
-        |  FROM documents) t
-        |WHERE contains(nf, ' merge merge ') ORDER BY doc_id""".stripMargin),
+    }, tokenOracle("merge merge")),
+
+    // token-index compaction (reference merge mode 1): two half-lake
+    // indexes merged must answer exactly like one full index
+    "substring_token_search_merged" -> Q((s, dir) => {
+      val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val a = IndexStore.indexPath(dir, "token_part0")
+      val b = IndexStore.indexPath(dir, "token_part1")
+      val m = IndexStore.indexPath(dir, "token_merged")
+      IndexStore.ensure(m) {
+        TokenIndex.build(s, files.take(2), "text", a)
+        TokenIndex.build(s, files.drop(2), "text", b)
+        TokenIndex.merge(s, a, b, m)
+      }
+      TokenIndex.search(s, m, "text", "merge merge")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, tokenOracle("merge merge")),
+
+    // single-token query prunes via the unigram postings (short-query
+    // discipline, no covered-files scan)
+    "substring_token_search_single" -> Q((s, dir) => {
+      val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val p = IndexStore.indexPath(dir, "token_documents_text")
+      IndexStore.ensure(p) { TokenIndex.build(s, files, "text", p) }
+      TokenIndex.search(s, p, "text", "vector")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, tokenOracle("vector")),
 
     "key_search" -> Q((s, dir) => {
       val p = keyIdx(s, dir)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.{Bm25Kind, GraftLake, KeyKind, NgramKind}
+import graft.api.{Bm25Kind, GraftLake, KeyKind, NgramKind, TokenKind}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -98,5 +98,31 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(lake.compact(KeyKind, "text", threshold = 1000000).isDefined)
     assert(keyIds("plain toast") == Seq(4L))
     assert(keyIds("cherry%") == Seq(3L))
+  }
+
+  test("token kind runs the facade lifecycle with sequence semantics") {
+    val dir = TestSpark.tmpDir("apilake3")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage3-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "quick brown fox", 2L -> "brown quick step"))
+    write("b", Seq(3L -> "the quick, brown dog", 4L -> "lazy dog"))
+    val lake = GraftLake(spark, dir)
+    assert(lake.index(TokenKind, "text", binpackRows = 2).size == 2)
+    def ids(q: String) =
+      lake.search(TokenKind, "text", q, 100, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // token-sequence containment: punctuation-normalized, order matters
+    assert(ids("quick brown") == Seq(1L, 3L))
+    assert(ids("brown quick") == Seq(2L))
+    assert(ids("dog") == Seq(3L, 4L)) // unigram path
+    assert(lake.compact(TokenKind, "text", threshold = 1000000).isDefined)
+    assert(ids("quick brown") == Seq(1L, 3L))
+    assert(ids("dog") == Seq(3L, 4L))
   }
 }
