@@ -137,7 +137,8 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     Some(out)
   }
 
-  def vacuum(): Seq[String] = Maintenance.vacuum(spark, prefix)
+  def vacuum(retentionMs: Long = Maintenance.DefaultRetentionMs): Seq[String] =
+    Maintenance.vacuum(spark, prefix, retentionMs)
 }
 
 object GraftLake {

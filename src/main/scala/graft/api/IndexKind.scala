@@ -138,8 +138,11 @@ object NgramKind extends IndexKind {
 }
 
 /** BM25 ranked full-text kind. `idCol` is the per-row document id.
-  * Ranking needs corpus statistics, so searching demands full coverage —
-  * the facade indexes before it searches.
+  * Uncovered files are scored IN-SITU at query time (postings + doc
+  * stats computed on the fly for the query tokens, reference fills from
+  * unindexed files the same way, backends/utils.py:249-275) and unioned
+  * with the index tables BEFORE scoring, so corpus statistics — and
+  * therefore the ranking — stay global and exact at any coverage.
   */
 case class Bm25Kind(idCol: String) extends IndexKind {
 
@@ -157,8 +160,6 @@ case class Bm25Kind(idCol: String) extends IndexKind {
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
-    require(insituFiles.isEmpty,
-      s"bm25 ranking needs corpus stats for every file; ${insituFiles.size} uncovered — run index() first")
     // corpus stats are whole-index aggregates: stale coverage (a file
     // removed after indexing) would silently skew IDF, so reject it
     live.foreach { l =>
@@ -168,7 +169,22 @@ case class Bm25Kind(idCol: String) extends IndexKind {
     }
     val terms = query.toLowerCase.split("[^a-z0-9]+")
       .filter(_.nonEmpty).distinct.toSeq.map(_ -> 1.0)
-    Bm25Index.searchWeightedMany(spark, paths, terms, k)
+    val qtoks = terms.map(_._1)
+    val idxParts = paths.map { p =>
+      val qbuckets = qtoks.map(Bm25Index.bucketOfString).distinct
+      (spark.read.parquet(s"$p/postings")
+        .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
+        .select(col("token"), col("doc_id"), col("tf")),
+        spark.read.parquet(s"$p/docstats"))
+    }
+    val insituParts =
+      if (insituFiles.isEmpty) Seq.empty
+      else Seq(Bm25Index.insituStats(spark, insituFiles, column, idCol, qtoks))
+    val all = idxParts ++ insituParts
+    require(all.nonEmpty, "no live files to search")
+    Bm25Index.scoreWeighted(spark,
+      all.map(_._1).reduce(_ unionByName _),
+      all.map(_._2).reduce(_ unionByName _), terms, k)
   }
 }
 

@@ -31,10 +31,13 @@ trait LakeBackend {
 }
 
 /** Append-only directory of immutable parquet files
-  * (reference: backends/parquet.py:57-63).
+  * (reference: backends/parquet.py:57-63). `ns` optionally overrides
+  * the index-store namespace so several logical lakes (with separate
+  * index coverage) can point at the same physical files.
   */
-case class PrefixBackend(prefix: String) extends LakeBackend {
-  def id: String = prefix
+case class PrefixBackend(prefix: String, ns: Option[String] = None)
+    extends LakeBackend {
+  def id: String = ns.getOrElse(prefix)
   def files: Seq[String] = Lake.listFiles(prefix).map(Layout.canonPath)
   def filesAt(snapshot: Option[Long]): Seq[String] = {
     require(snapshot.isEmpty, "plain-parquet lakes have no snapshots")

@@ -94,18 +94,30 @@ object Bm25Index {
     */
   def searchWeightedMany(spark: SparkSession, paths: Seq[String],
       terms: Seq[(String, Double)], k: Int): DataFrame = {
-    import spark.implicits._
     val qtoks = terms.map(_._1)
     val qbuckets = qtoks.map(bucketOfString).distinct
     val dl = paths.map(p => spark.read.parquet(s"$p/docstats"))
       .reduce(_ unionByName _)
+    val post = paths.map(p => spark.read.parquet(s"$p/postings"))
+      .reduce(_ unionByName _)
+      .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
+      .select(col("token"), col("doc_id"), col("tf"))
+    scoreWeighted(spark, post, dl, terms, k)
+  }
+
+  /** Score pre-filtered query-token postings `(token, doc_id, tf)`
+    * against doc stats `(doc_id, dl)`. Factored out so callers can
+    * union index-table postings with postings computed on the fly from
+    * UNINDEXED files (the reference fills results from in-situ files,
+    * backends/utils.py:249-275) — corpus stats stay global and exact.
+    */
+  def scoreWeighted(spark: SparkSession, post: DataFrame, dl: DataFrame,
+      terms: Seq[(String, Double)], k: Int): DataFrame = {
+    import spark.implicits._
     val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("len")).collect()(0)
     val nDocs = corpus.getLong(0)
     val avgdl = corpus.getLong(1).toDouble / nDocs
     val weights = terms.toDF("token", "qw")
-    val post = paths.map(p => spark.read.parquet(s"$p/postings"))
-      .reduce(_ unionByName _)
-      .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
     val df = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // qw * idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), quantized
     // ×1e6 so the per-doc sum is an exact integer sum
@@ -122,6 +134,21 @@ object Bm25Index {
       .select(col("doc_id"), round(col("raw"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Query-token postings + doc stats computed on the fly from raw lake
+    * files (the in-situ analogue of `build`'s tables, query tokens only).
+    */
+  def insituStats(spark: SparkSession, files: Seq[String], column: String,
+      idCol: String, qtoks: Seq[String]): (DataFrame, DataFrame) = {
+    val toks = spark.read.parquet(files: _*)
+      .select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(column))).as("token"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val post = toks.filter(col("token").isin(qtoks: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .select(col("token"), col("doc_id"), col("tf"))
+    (post, dl)
   }
 
   /** Top-k search followed by selective row materialization: hits map

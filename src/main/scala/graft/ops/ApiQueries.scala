@@ -51,6 +51,20 @@ object ApiQueries {
     }, "SELECT c_custkey, c_name FROM customer " +
        "WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey"),
 
+    // bm25 with ZERO coverage: searching before any index() must fill
+    // from in-situ files with exact global stats (reference:
+    // backends/utils.py:249-275) — same oracle as the indexed entry
+    "lake_api_bm25_insitu" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/documents"
+      // fresh namespace that never gets indexed
+      val lake = GraftLake(s,
+        graft.api.PrefixBackend(prefix, Some(s"$prefix#noindex")))
+      lake.search(Bm25Kind("doc_id"), "text", SearchQueries.Bm25Query,
+        SearchQueries.Bm25K)
+    }, Bm25Index.oracleSql("documents", "text", "doc_id",
+      SearchQueries.Bm25Query, SearchQueries.Bm25K)),
+
     // ANN through the facade: per-file IVF indexes are built, COMPACTED
     // into one (retrain over the stored vectors), and searched in the
     // exact configuration — must equal the brute-force cosine oracle

@@ -40,20 +40,36 @@ object Maintenance {
     groups.result()
   }
 
-  /** Vacuum: delete index directories not referenced by the metadata
-    * table. Returns the surviving index paths.
+  /** Retention window before an unreferenced index file may be
+    * physically deleted (reference: vacuum keeps index files within the
+    * `history` window and only deletes unreferenced files past a
+    * timeout, backends/parquet.py:225-281). Load-bearing here too:
+    * in-flight readers and Delta time-travel searches may still hold a
+    * superseded index's path after a compact commit.
     */
-  def vacuum(spark: SparkSession, ns: String): Seq[String] = {
+  val DefaultRetentionMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Vacuum: delete index directories not referenced by the metadata
+    * table AND unmodified for at least `retentionMs`. Returns the
+    * surviving referenced index paths.
+    */
+  def vacuum(spark: SparkSession, ns: String,
+      retentionMs: Long = DefaultRetentionMs): Seq[String] = {
     val referenced = IndexStore.readMetadata(spark, ns)
       .map(_.select("index_file").collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
     val rootDir = java.nio.file.Paths.get(s"${IndexStore.root}/${IndexStore.lakeId(ns)}")
+    val now = System.currentTimeMillis()
     if (java.nio.file.Files.exists(rootDir)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(rootDir).iterator().asScala.toSeq
+      scala.util.Using.resource(java.nio.file.Files.list(rootDir)) { s =>
+        s.iterator().asScala.toList
+      }
         .filter(p => java.nio.file.Files.isDirectory(p))
         .filterNot(_.getFileName.toString.startsWith("_metadata"))
         .filterNot(p => referenced.contains(p.toString))
+        .filter(p => now -
+          java.nio.file.Files.getLastModifiedTime(p).toMillis >= retentionMs)
         .foreach(IndexStore.deleteRec)
     }
     referenced.toSeq.sorted

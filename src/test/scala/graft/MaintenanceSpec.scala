@@ -16,6 +16,21 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.binpack(files, 100) == Seq(Seq("a"), Seq("b")))
   }
 
+  test("vacuum retention: young unreferenced index survives, then dies") {
+    val spark = TestSpark.spark
+    val ns = TestSpark.tmpDir("vacns")
+    val idxDir = graft.core.IndexStore.indexPath(ns, "orphan")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idxDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idxDir, "part.parquet"), "x")
+    // within the retention window: unreferenced but too young → kept
+    Maintenance.vacuum(spark, ns)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir)))
+    // past expiry (retention 0): same orphan is deleted
+    Maintenance.vacuum(spark, ns, retentionMs = 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir)))
+  }
+
   test("greedy max-coverage index selection") {
     // reference: backends/delta.py:77-93
     val live = Set("f1", "f2", "f3", "f4", "f5")
