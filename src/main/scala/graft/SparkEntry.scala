@@ -22,6 +22,7 @@ object SparkEntry {
       graft.ops.Maintenance.entries ++
       graft.ops.ApiQueries.entries ++
       graft.ops.DeltaQueries.entries ++
+      graft.ops.IcebergQueries.entries ++
       graft.ops.Multimodal.entries ++
       graft.ops.LayoutQueries.entries ++
       graft.streaming.EventStream.entries

@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.core.{DeltaLog, Lake, Layout}
+import graft.core.{DeltaLog, IcebergLog, Lake, Layout}
 import org.apache.spark.sql.SparkSession
 
 /** Where a lake's data files come from. The reference ships plain
@@ -57,5 +57,18 @@ case class DeltaBackend(spark: SparkSession, table: String) extends LakeBackend 
   def files: Seq[String] = DeltaLog.liveFiles(spark, table, None)
   def filesAt(snapshot: Option[Long]): Seq[String] =
     DeltaLog.liveFiles(spark, table, snapshot)
+  def canRemove: Boolean = true
+}
+
+/** Iceberg table: live files from the snapshot's manifest tree, time
+  * travel by snapshot id, delete-file tables rejected — the reference's
+  * Iceberg-first backend (reference: backends/iceberg.py:109-137,
+  * 278-305) re-expressed over [[graft.core.IcebergLog]].
+  */
+case class IcebergBackend(table: String) extends LakeBackend {
+  def id: String = Layout.canonPath(table)
+  def files: Seq[String] = IcebergLog.liveFiles(table, None)
+  def filesAt(snapshot: Option[Long]): Seq[String] =
+    IcebergLog.liveFiles(table, snapshot)
   def canRemove: Boolean = true
 }

@@ -1,0 +1,203 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+import scala.jdk.CollectionConverters._
+
+/** Native reader/writer of the Apache Iceberg table-metadata protocol —
+  * the subset the reference exercises (reference:
+  * python/rottnest/backends/iceberg.py:109-137 lists the current
+  * snapshot's data files via the manifest tree, `:278-281` rejects
+  * tables with delete files, `:278-305` time-travels by snapshot id).
+  * Layout per the open spec: `metadata/vN.metadata.json` (+
+  * `version-hint.text`), per-snapshot Avro manifest lists
+  * (`snap-<id>.avro`) pointing at Avro manifest files whose entries
+  * carry `data_file` records. No Iceberg jars exist here, so the
+  * metadata JSON is parsed with Jackson and the manifests with the
+  * plain Avro core library — all driver-side (the manifest tree is
+  * metadata, bounded by file count, the same reason production Iceberg
+  * clients read it on the coordinator).
+  *
+  * Writer simplifications (documented, spec-shaped): each snapshot
+  * writes ONE manifest holding the snapshot's full file state
+  * (added files status=1/ADDED, carried files status=0/EXISTING —
+  * manifest compaction is legal in the spec), partition data and
+  * column-level stats are omitted, and snapshot ids are sequential.
+  */
+object IcebergLog {
+
+  private val mapper = new ObjectMapper()
+
+  case class DataFile(path: String, records: Long, bytes: Long)
+
+  private def metaDir(table: String) = s"$table/metadata"
+
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"added_snapshot_id","type":"long","field-id":503}
+      |]}""".stripMargin)
+
+  private val manifestSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin)
+
+  // ---- avro helpers ---------------------------------------------------
+
+  private def writeAvro(path: String, schema: Schema,
+      rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(path))
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val r = DataFileReader.openReader(new java.io.File(path),
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toList finally r.close()
+  }
+
+  // ---- metadata json --------------------------------------------------
+
+  private def currentVersion(table: String): Int = {
+    val hint = Paths.get(metaDir(table), "version-hint.text")
+    require(Files.exists(hint), s"not an Iceberg table (no version hint): $table")
+    Files.readString(hint).trim.toInt
+  }
+
+  private def metadataJson(table: String) =
+    mapper.readTree(Files.readString(
+      Paths.get(metaDir(table), s"v${currentVersion(table)}.metadata.json")))
+
+  def snapshots(table: String): Seq[Long] =
+    metadataJson(table).get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toList.sorted
+
+  def currentSnapshot(table: String): Long =
+    metadataJson(table).get("current-snapshot-id").asLong()
+
+  /** Live data files (sorted canonical paths) at `snapshot`
+    * (None = current). Tables carrying delete manifests or non-data
+    * content files are rejected, like the reference
+    * (backends/iceberg.py:278-281 `content==0` filter + error).
+    */
+  def liveFiles(table: String, snapshot: Option[Long] = None): Seq[String] = {
+    val meta = metadataJson(table)
+    val target = snapshot.getOrElse(meta.get("current-snapshot-id").asLong())
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == target)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown Iceberg snapshot $target of $table (have ${snapshots(table)})"))
+    val manifests = readAvro(snap.get("manifest-list").asText())
+    val files = manifests.flatMap { m =>
+      require(m.get("content").asInstanceOf[Int] == 0,
+        s"Iceberg table $table has delete manifests — unsupported (reference rejects them too)")
+      readAvro(m.get("manifest_path").toString).flatMap { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        require(df.get("content").asInstanceOf[Int] == 0,
+          s"Iceberg table $table has non-data files — unsupported")
+        if (status != 2) Some(df.get("file_path").toString) else None
+      }
+    }
+    files.map(Layout.canonPath).sorted
+  }
+
+  // ---- writer ---------------------------------------------------------
+
+  /** Commit a new snapshot: previous live files carry forward (minus
+    * `removes`), `adds` join as ADDED entries. Returns the snapshot id.
+    */
+  def commit(table: String, adds: Seq[DataFile],
+      removes: Seq[String] = Seq.empty): Long = {
+    Files.createDirectories(Paths.get(metaDir(table)))
+    val hint = Paths.get(metaDir(table), "version-hint.text")
+    val (version, prevLive, prevSnaps) =
+      if (Files.exists(hint)) {
+        val v = currentVersion(table)
+        val meta = metadataJson(table)
+        (v + 1, liveFilesWithCounts(table),
+          meta.get("snapshots").elements().asScala.toList)
+      } else (1, Seq.empty[DataFile], List.empty[com.fasterxml.jackson.databind.JsonNode])
+    val snapId = version.toLong
+    val removed = removes.map(Layout.canonPath).toSet
+    val carried = prevLive.filterNot(f => removed.contains(Layout.canonPath(f.path)))
+
+    def entry(f: DataFile, status: Int): GenericRecord = {
+      val df = new GenericData.Record(manifestSchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", f.path)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", f.records)
+      df.put("file_size_in_bytes", f.bytes)
+      val e = new GenericData.Record(manifestSchema)
+      e.put("status", status)
+      e.put("snapshot_id", snapId)
+      e.put("data_file", df)
+      e
+    }
+    val manifestPath = s"${metaDir(table)}/m-$snapId.avro"
+    writeAvro(manifestPath, manifestSchema,
+      carried.map(entry(_, 0)) ++ adds.map(entry(_, 1)))
+    val ml = new GenericData.Record(manifestListSchema)
+    ml.put("manifest_path", manifestPath)
+    ml.put("manifest_length", Files.size(Paths.get(manifestPath)))
+    ml.put("content", 0)
+    ml.put("added_snapshot_id", snapId)
+    val listPath = s"${metaDir(table)}/snap-$snapId.avro"
+    writeAvro(listPath, manifestListSchema, Seq(ml))
+
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid",
+      java.util.UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString)
+    root.put("location", table)
+    root.put("current-snapshot-id", snapId)
+    val snapArr = root.putArray("snapshots")
+    prevSnaps.foreach(s => snapArr.add(s))
+    val sn = snapArr.addObject()
+    sn.put("snapshot-id", snapId)
+    sn.put("timestamp-ms", 0L)
+    sn.put("manifest-list", listPath)
+    sn.putObject("summary").put("operation",
+      if (removes.nonEmpty) "overwrite" else "append")
+    Files.writeString(
+      Paths.get(metaDir(table), s"v$version.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    Files.writeString(hint, version.toString)
+    snapId
+  }
+
+  /** Current live files WITH their manifest stats (for carry-forward). */
+  private def liveFilesWithCounts(table: String): Seq[DataFile] = {
+    val meta = metadataJson(table)
+    val target = meta.get("current-snapshot-id").asLong()
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == target).get
+    readAvro(snap.get("manifest-list").asText()).flatMap { m =>
+      readAvro(m.get("manifest_path").toString).flatMap { e =>
+        if (e.get("status").asInstanceOf[Int] != 2) {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          Some(DataFile(df.get("file_path").toString,
+            df.get("record_count").asInstanceOf[Long],
+            df.get("file_size_in_bytes").asInstanceOf[Long]))
+        } else None
+      }
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import graft.Q
+import graft.api.{GraftLake, IcebergBackend, NgramKind}
+import graft.core.{IcebergLog, IndexStore, Lake}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg lake-backend lifecycle entries — the reference is
+  * Iceberg-first (reference: backends/iceberg.py:109-239 build,
+  * 278-305 search, test/iceberg_test.py:14-64), so the facade must run
+  * the same index → search → time-travel flow over a hand-rolled
+  * Iceberg table. History mirrors the Delta entries so snapshot
+  * replay is exercised symmetrically:
+  *
+  *  - snapshot 1 appends the doc_id%4∈{0,1} partitions PLUS a junk
+  *    file whose rows MATCH the query (negative doc_ids);
+  *  - snapshot 2 removes the junk file and appends the %4∈{2,3}
+  *    partitions — if manifest carry-forward or DELETED-status replay
+  *    broke, junk rows would surface at the current snapshot.
+  */
+object IcebergQueries {
+
+  private val Query = IndexQueries.QueryStr // "merge merge"
+
+  def ensureIcebergDocs(s: SparkSession, dir: String): String = {
+    val table = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/iceberg_documents"
+    IndexStore.synchronized {
+      if (!Files.exists(Paths.get(table, "metadata"))) {
+        Files.createDirectories(Paths.get(table, "data"))
+        val docs = graft.Tables.load(s, dir, "documents")
+        def part(name: String, df: DataFrame): IcebergLog.DataFile = {
+          val stage = s"$table/_stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          Files.move(Paths.get(Lake.listFiles(stage).head),
+            Paths.get(s"$table/data/$name"))
+          IndexStore.deleteRec(Paths.get(stage))
+          IcebergLog.DataFile(s"$table/data/$name", df.count(),
+            Files.size(Paths.get(s"$table/data/$name")))
+        }
+        val adds1 = (0 to 1).map(m =>
+          part(s"part-m$m.parquet", docs.filter(col("doc_id") % 4 === m)))
+        val junk = part("junk.parquet",
+          docs.orderBy(col("doc_id")).limit(5)
+            .withColumn("doc_id", -col("doc_id") - 1)
+            .withColumn("text", lit(s"xx $Query yy")))
+        IcebergLog.commit(table, adds1 :+ junk)
+        val adds2 = (2 to 3).map(m =>
+          part(s"part-m$m.parquet", docs.filter(col("doc_id") % 4 === m)))
+        IcebergLog.commit(table, adds2,
+          removes = Seq(s"$table/data/junk.parquet"))
+      }
+    }
+    table
+  }
+
+  private def lake(s: SparkSession, dir: String): GraftLake =
+    GraftLake(s, IcebergBackend(ensureIcebergDocs(s, dir)))
+
+  def entries: Map[String, Q] = Map(
+    // current snapshot: manifest-tree listing; the removed junk file
+    // must be gone even though its rows match the query
+    "iceberg_lake_search" -> Q((s, dir) => {
+      val l = lake(s, dir)
+      l.index(NgramKind, "text")
+      l.search(NgramKind, "text", Query, 100000, Seq("doc_id"))
+        .select(col("doc_id"))
+    }, s"SELECT doc_id FROM documents WHERE contains(lower(text), '$Query') ORDER BY doc_id"),
+
+    // snapshot 1: only the %4∈{0,1} partitions and the junk file were
+    // live — index hits from later files are filtered out, the
+    // then-live junk file is probed in-situ
+    "iceberg_time_travel" -> Q((s, dir) => {
+      val l = lake(s, dir)
+      l.index(NgramKind, "text")
+      l.search(NgramKind, "text", Query, 100000, Seq("doc_id"),
+          snapshot = Some(1L))
+        .select(col("doc_id"))
+    }, s"""SELECT doc_id FROM (
+          |  SELECT doc_id FROM documents
+          |  WHERE doc_id % 4 IN (0, 1) AND contains(lower(text), '$Query')
+          |  UNION ALL
+          |  SELECT -doc_id - 1 FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+          |) ORDER BY doc_id""".stripMargin)
+  )
+}

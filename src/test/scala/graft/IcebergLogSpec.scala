@@ -1,0 +1,32 @@
+package graft
+
+import graft.core.IcebergLog
+import org.scalatest.funsuite.AnyFunSuite
+
+class IcebergLogSpec extends AnyFunSuite {
+
+  private def df(table: String, name: String): IcebergLog.DataFile = {
+    val p = java.nio.file.Paths.get(table, "data", name)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, name)
+    IcebergLog.DataFile(p.toString, 10L, java.nio.file.Files.size(p))
+  }
+
+  test("snapshot commits carry files forward and honor removes") {
+    val t = TestSpark.tmpDir("icelog")
+    val (a, b) = (df(t, "a.parquet"), df(t, "b.parquet"))
+    val s1 = IcebergLog.commit(t, Seq(a, b))
+    val c = df(t, "c.parquet")
+    val s2 = IcebergLog.commit(t, Seq(c), removes = Seq(b.path))
+    assert(IcebergLog.snapshots(t) == Seq(s1, s2))
+    assert(IcebergLog.currentSnapshot(t) == s2)
+    def names(snap: Option[Long]) =
+      IcebergLog.liveFiles(t, snap).map(_.split('/').last)
+    assert(names(Some(s1)) == Seq("a.parquet", "b.parquet"))
+    assert(names(None) == Seq("a.parquet", "c.parquet"))
+    val err = intercept[IllegalArgumentException] {
+      IcebergLog.liveFiles(t, Some(99L))
+    }
+    assert(err.getMessage.contains("unknown Iceberg snapshot"))
+  }
+}
