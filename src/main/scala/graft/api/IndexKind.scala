@@ -64,6 +64,16 @@ trait IndexKind {
       .collect().map(_.getString(0))
       .filter(f => live.forall(_.contains(f))).toSeq.sorted
 
+  /** Uniform cost switch (reference: brute_force_threshold,
+    * backends/utils.py:221-225): too many hits, or EVERY covered row
+    * group hit (zero pruning value), → the brute scan beats a
+    * selective fetch.
+    */
+  protected def bruteBeatsIndex(spark: SparkSession, paths: Seq[String],
+      hits: Seq[(String, Long, Long, Long)]): Boolean =
+    hits.size > Lake.BruteForceThreshold ||
+      hits.size >= taggedMetas(spark, paths).count()
+
   /** Collect the row-group hit list for tagged `(idx, uid)` candidates:
     * one join against the tagged metas, one metadata-sized collect.
     * uids are per-index ordinals, so the join key includes the tag.
@@ -118,8 +128,7 @@ object NgramKind extends IndexKind {
         .filter(col("ng") === qgrams.size)
       val hits = collectHits(spark, paths, cands, live)
       // ONE global cost switch over the whole lake's hit count
-      // (reference: brute_force_threshold, backends/utils.py:221-225)
-      if (hits.size > Lake.BruteForceThreshold) None
+      if (bruteBeatsIndex(spark, paths, hits)) None
       else Some(
         Layout.readGroups(spark, hits, covered).drop("uid")
           .filter(lower(col(column)).contains(q)))
@@ -223,7 +232,7 @@ object KeyKind extends IndexKind {
           case None     => keys.filter(col("key") >= key)
         }
       val hits = collectHits(spark, paths, ranged, live)
-      if (hits.size > Lake.BruteForceThreshold) None
+      if (bruteBeatsIndex(spark, paths, hits)) None
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }
 

@@ -57,7 +57,7 @@ object LogCloudKind extends IndexKind {
           .select(lit(i).as("idx"), col("line_id").as("uid"))
       }.reduce(_ unionByName _)
       val hits = collectHits(spark, paths, cands, live)
-      if (hits.size > Lake.BruteForceThreshold) None
+      if (bruteBeatsIndex(spark, paths, hits)) None
       else Some(
         Layout.readGroups(spark, hits, covered).drop("uid")
           .filter(col(column).contains(query)))
@@ -108,7 +108,7 @@ object TokenKind extends IndexKind {
         .agg(countDistinct(col("gram")).as("ng"))
         .filter(col("ng") === qg.size)
       val hits = collectHits(spark, paths, cands, live)
-      if (hits.size > Lake.BruteForceThreshold) None
+      if (bruteBeatsIndex(spark, paths, hits)) None
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }
 
@@ -158,7 +158,7 @@ object ZoneMapKind extends IndexKind {
       }.reduce(_ unionByName _)
         .filter(col("hi") >= lo && col("lo") <= hi) // overlap test
       val hits = collectHits(spark, paths, cands, live)
-      if (hits.size > Lake.BruteForceThreshold) None
+      if (bruteBeatsIndex(spark, paths, hits)) None
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }
 

@@ -112,10 +112,12 @@ object NgramIndex {
       .agg(countDistinct(col("gram")).as("ng"))
       .filter(col("ng") === qgrams.size)
       .select("uid").collect().map(_.getLong(0)).toSeq
-    // cost switch: past the hit threshold a full scan beats selective
-    // row-group fetches (reference: brute_force_threshold=1000,
+    // cost switch: past the hit threshold — or when EVERY row group is
+    // hit (zero pruning value) — a full scan beats selective row-group
+    // fetches (reference: brute_force_threshold=1000,
     // backends/utils.py:221-225)
-    if (cands.size > graft.core.Lake.BruteForceThreshold) {
+    if (cands.size > graft.core.Lake.BruteForceThreshold ||
+        cands.size >= meta.count()) {
       val files = meta.select("file_path").distinct()
         .collect().map(_.getString(0)).toSeq
       return spark.read.parquet(files: _*)

@@ -97,8 +97,10 @@ object TokenIndex {
       .filter(col("nb") === qg.size)
       .select("uid").collect().map(_.getLong(0)).toSeq
     // same global cost switch as every other kind (reference:
-    // brute_force_threshold, backends/utils.py:221-225)
-    if (cands.size > Lake.BruteForceThreshold) return brute()
+    // brute_force_threshold, backends/utils.py:221-225); all-groups-hit
+    // means zero pruning value → plain scan wins
+    if (cands.size > Lake.BruteForceThreshold ||
+        cands.size >= meta.count()) return brute()
     import spark.implicits._
     refine(Layout.readHits(spark, meta, cands.toDF("uid")))
   }

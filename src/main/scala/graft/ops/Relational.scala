@@ -143,7 +143,12 @@ object Relational {
     "q_anti_join" -> Q((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
-      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      // the probe side (lineitem) is the BIG side: left-anti can only
+      // build on the right, and Spark would broadcast all of it —
+      // shuffle-hash keeps the build partitioned (and is 2x faster
+      // here); at 100 TB a big-side broadcast is a driver OOM
+      o.join(li.hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }, antiSql),

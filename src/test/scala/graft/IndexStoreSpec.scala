@@ -34,7 +34,7 @@ class IndexStoreSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(live))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(orphan))
     IndexStore.commitMetadata(spark, ns, rows(live, Seq("f1")))
-    val kept = Maintenance.vacuum(spark, ns)
+    val kept = Maintenance.vacuum(spark, ns, retentionMs = 0L)
     assert(kept == Seq(live))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(live)))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphan)))
