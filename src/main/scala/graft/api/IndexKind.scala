@@ -153,13 +153,15 @@ object NgramKind extends IndexKind {
   * with the index tables BEFORE scoring, so corpus statistics — and
   * therefore the ranking — stay global and exact at any coverage.
   */
-case class Bm25Kind(idCol: String) extends IndexKind {
+case class Bm25Kind(idCol: String,
+    tokenizer: graft.text.Text.Tokenizer = graft.text.Text.RegexTokenizer)
+    extends IndexKind {
 
   val name = "bm25"
 
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit =
-    Bm25Index.build(spark, files, column, idCol, path)
+    Bm25Index.build(spark, files, column, idCol, path, tokenizer)
 
   def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
     Bm25Index.merge(spark, a, b, out)
@@ -176,8 +178,7 @@ case class Bm25Kind(idCol: String) extends IndexKind {
       require(stale.isEmpty,
         s"bm25 index covers ${stale.size} file(s) not in the queried snapshot; re-index first")
     }
-    val terms = query.toLowerCase.split("[^a-z0-9]+")
-      .filter(_.nonEmpty).distinct.toSeq.map(_ -> 1.0)
+    val terms = tokenizer.tokenizeQuery(query).distinct.map(_ -> 1.0)
     val qtoks = terms.map(_._1)
     val idxParts = paths.map { p =>
       val qbuckets = qtoks.map(Bm25Index.bucketOfString).distinct
@@ -188,7 +189,8 @@ case class Bm25Kind(idCol: String) extends IndexKind {
     }
     val insituParts =
       if (insituFiles.isEmpty) Seq.empty
-      else Seq(Bm25Index.insituStats(spark, insituFiles, column, idCol, qtoks))
+      else Seq(Bm25Index.insituStats(spark, insituFiles, column, idCol,
+        qtoks, tokenizer))
     val all = idxParts ++ insituParts
     require(all.nonEmpty, "no live files to search")
     Bm25Index.scoreWeighted(spark,

@@ -44,11 +44,12 @@ object Bm25Index {
     * one fewer pass).
     */
   def build(spark: SparkSession, files: Seq[String], column: String,
-      idCol: String, path: String): Unit = {
+      idCol: String, path: String,
+      tokenizer: Text.Tokenizer = Text.RegexTokenizer): Unit = {
     val meta = Layout.buildMeta(spark, files).cache()
     val data = Layout.withUid(spark, files, meta)
     val toks = data.select(col(idCol).as("doc_id"), col("uid"),
-      explode(Text.tokens(col(column))).as("token"))
+      explode(tokenizer.tokenize(col(column))).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), first(col("uid")).as("uid"))
       .withColumn("bucket", bucketOf(col("token")))
@@ -68,8 +69,9 @@ object Bm25Index {
     * (reference combines token counts across ALL index files before
     * computing IDF, bm25.rs:477-489).
     */
-  def search(spark: SparkSession, path: String, query: String, k: Int): DataFrame = {
-    val qtoks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+  def search(spark: SparkSession, path: String, query: String, k: Int,
+      tokenizer: Text.Tokenizer = Text.RegexTokenizer): DataFrame = {
+    val qtoks = tokenizer.tokenizeQuery(query).distinct
     searchWeighted(spark, path, qtoks.map(_ -> 1.0), k)
   }
 
@@ -140,10 +142,11 @@ object Bm25Index {
     * files (the in-situ analogue of `build`'s tables, query tokens only).
     */
   def insituStats(spark: SparkSession, files: Seq[String], column: String,
-      idCol: String, qtoks: Seq[String]): (DataFrame, DataFrame) = {
+      idCol: String, qtoks: Seq[String],
+      tokenizer: Text.Tokenizer = Text.RegexTokenizer): (DataFrame, DataFrame) = {
     val toks = spark.read.parquet(files: _*)
       .select(col(idCol).as("doc_id"),
-        explode(Text.tokens(col(column))).as("token"))
+        explode(tokenizer.tokenize(col(column))).as("token"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val post = toks.filter(col("token").isin(qtoks: _*))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -158,9 +161,10 @@ object Bm25Index {
     * reference: backends/utils.py:147-172).
     */
   def searchMaterialized(spark: SparkSession, path: String, query: String,
-      k: Int, idCol: String): DataFrame = {
-    val top = search(spark, path, query, k)
-    val qtoks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+      k: Int, idCol: String,
+      tokenizer: Text.Tokenizer = Text.RegexTokenizer): DataFrame = {
+    val top = search(spark, path, query, k, tokenizer)
+    val qtoks = tokenizer.tokenizeQuery(query).distinct
     val qbuckets = qtoks.map(bucketOfString).distinct
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))

@@ -23,6 +23,27 @@ object Text {
   def tokens(c: Column): Column =
     filter(split(lower(c), TokenDelim), t => t =!= lit(""))
 
+  /** Pluggable tokenizer seam: the reference parameterizes BM25 with a
+    * trained HF tokenizer (reference: src/lava/tokenizer_utils.rs:14-34,
+    * default bert-base-uncased). An implementation must keep both sides
+    * — the column form used at build and the driver form used on query
+    * strings — semantically identical, or index and query vocabularies
+    * diverge. The default is the deterministic regex scheme, chosen so
+    * the DuckDB oracle can express the exact same tokenization.
+    */
+  trait Tokenizer extends Serializable {
+    /** Token array column (build side). */
+    def tokenize(c: Column): Column
+    /** Tokens of a query string (driver side, same semantics). */
+    def tokenizeQuery(q: String): Seq[String]
+  }
+
+  object RegexTokenizer extends Tokenizer {
+    def tokenize(c: Column): Column = tokens(c)
+    def tokenizeQuery(q: String): Seq[String] =
+      q.toLowerCase.split(TokenDelim).filter(_.nonEmpty).toSeq
+  }
+
   /** Token count (whitespace/punctuation-delimited). */
   def tokenCount(c: Column): Column = size(tokens(c))
 

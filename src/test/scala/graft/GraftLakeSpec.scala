@@ -100,6 +100,28 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(keyIds("cherry%") == Seq(3L))
   }
 
+  test("bm25 tokenizer seam: a custom tokenizer changes the vocabulary") {
+    val dir = TestSpark.tmpDir("apilake4")
+    val staging = TestSpark.tmpDir("stage4")
+    Seq(1L -> "Apple pie", 2L -> "apple pie").toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$dir/a.parquet"))
+    // case-PRESERVING whitespace tokenizer (the regex default lowers)
+    object Ws extends graft.text.Text.Tokenizer {
+      def tokenize(c: org.apache.spark.sql.Column) =
+        filter(split(c, " "), t => t =!= lit(""))
+      def tokenizeQuery(q: String) = q.split(" ").filter(_.nonEmpty).toSeq
+    }
+    val lake = GraftLake(spark, dir)
+    val kind = Bm25Kind("doc_id", Ws)
+    lake.index(kind, "text")
+    val ids = lake.search(kind, "text", "Apple", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L)) // the default tokenizer would match both docs
+  }
+
   test("token kind runs the facade lifecycle with sequence semantics") {
     val dir = TestSpark.tmpDir("apilake3")
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
