@@ -85,8 +85,102 @@ object Similarity {
        |        (sqrt(list_sum([a.v[i] * a.v[i] for i in generate_series(1, len(a.v))])) *
        |         sqrt(list_sum([b.v[i] * b.v[i] for i in generate_series(1, len(b.v))]))), 4) >= $DedupTau""".stripMargin
 
+  // ---- LSH-blocked embedding dedup (the 100 TB path) -----------------
+
+  val LshBits = 16
+  val LshBandBits = 4 // 4 bands × 4 bits
+  val VecDim = 64
+  val VecQuant = 1000000L
+
+  /** ±1 sign-random-projection hyperplanes derived from md5(b ":" j) —
+    * the DuckDB oracle performs the SAME derivation in SQL, so the
+    * signatures (and therefore the banded candidate set) are
+    * bit-reproducible in any engine. Vectors are quantized to integers
+    * before the dot product so the sign is exact integer arithmetic,
+    * immune to float summation-order differences between engines.
+    */
+  lazy val lshCoefs: Seq[Seq[Long]] = (0 until LshBits).map { b =>
+    (0 until VecDim).map { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+  }
+
+  /** Embedding near-dup pairs via LSH sign-signature banding — the
+    * scale path: candidate generation is a hash join on (band, key),
+    * never all-pairs, and the blocking key needs no labels. Verified
+    * pairs are exact cosine ≥ τ, so banding recall only bounds which
+    * pairs are FOUND (the oracle runs the same pipeline).
+    */
+  def embeddingDedupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val coefLit = typedLit(lshCoefs)
+    val vq = transform(col("v"), x => round(x * VecQuant).cast("long"))
+    val sigCol = (0 until LshBits).map { b =>
+      val dot = aggregate(
+        zip_with(col("vq"), element_at(coefLit, b + 1), (x, c) => x * c),
+        lit(0L), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = e.withColumn("vq", vq).withColumn("sig", sigCol)
+      .select("vec_id", "sig")
+    val nBands = LshBits / LshBandBits
+    val banded = sigs.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(k =>
+        expr(s"(sig >> ${LshBandBits * k}) & ${(1 << LshBandBits) - 1}")): _*))
+        .as(Seq("k", "band")))
+    val cand = banded.select(col("vec_id").as("i"), col("k"), col("band"))
+      .join(banded.select(col("vec_id").as("j"), col("k"), col("band")),
+        Seq("k", "band"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
+    cand.join(a, Seq("i")).join(b, Seq("j"))
+      .withColumn("cos",
+        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 4))
+      .filter(col("cos") >= DedupTau)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
+  def embeddingDedupLshSql: String = {
+    val nBands = LshBits / LshBandBits
+    val mask = (1 << LshBandBits) - 1
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eq AS (SELECT vec_id, [CAST(round(x * $VecQuant) AS BIGINT) for x in v] AS vq FROM e),
+       |h AS (SELECT b, j,
+       |        CASE WHEN strpos('01234567', substr(md5(b::VARCHAR || ':' || j::VARCHAR), 1, 1)) > 0
+       |             THEN 1 ELSE -1 END AS c
+       |      FROM generate_series(0, ${LshBits - 1}) t(b),
+       |           generate_series(0, ${VecDim - 1}) s(j)),
+       |dots AS (SELECT eq.vec_id, h.b, sum(h.c * eq.vq[h.j + 1]) AS d
+       |         FROM eq CROSS JOIN h GROUP BY eq.vec_id, h.b),
+       |sigs AS (SELECT vec_id,
+       |           CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+       |         FROM dots GROUP BY vec_id),
+       |bands AS (SELECT vec_id, k, (sig >> ($LshBandBits * k)) & $mask AS band
+       |          FROM sigs, generate_series(0, ${nBands - 1}) g(k)),
+       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |         FROM bands a JOIN bands b USING (k, band)
+       |         WHERE a.vec_id < b.vec_id)
+       |SELECT c.i, c.j,
+       |  round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) AS cos
+       |FROM cand c JOIN e a ON a.vec_id = c.i JOIN e b ON b.vec_id = c.j
+       |WHERE round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) >= $DedupTau""".stripMargin
+  }
+
   def entries: Map[String, Q] = Map(
     "similarity_knn_brute" -> Q((s, dir) => knnBrute(s, dir), knnSql),
-    "dedup_embedding" -> Q((s, dir) => embeddingDedup(s, dir), embeddingDedupSql)
+    "dedup_embedding" -> Q((s, dir) => embeddingDedup(s, dir), embeddingDedupSql),
+    // LSH-blocked variant: the blocking key the label stands in for at
+    // small scale, made real (SCALE.md: at 100 TB the block is an
+    // LSH/IVF cell, not a label)
+    "dedup_embedding_lsh" -> Q(
+      (s, dir) => embeddingDedupLsh(s, dir), embeddingDedupLshSql)
   )
 }
