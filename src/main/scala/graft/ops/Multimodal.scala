@@ -1,63 +1,101 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stand-in (md5-derived pseudo-features);
-  * everything around it — binary schema, batched columnar pipeline,
-  * per-row metadata extraction, exploded feature rows — is the real
-  * plumbing a decode UDF would plug into. At 100 TB these are map-only
-  * stages over the payload column with full column pruning (the scan
-  * reads only the bytes + id).
+  * The decode step sits behind the [[MediaDecoder]] seam: the engine
+  * pipeline (binary schema, column-pruned scans, per-row metadata,
+  * exploded feature rows, frame slicing) is decoder-agnostic, and a
+  * real codec plugs in by implementing the trait — as a codegen'd
+  * column expression if the codec is expressible, or a UDF /
+  * mapPartitions batch over the payload bytes if not. This container
+  * ships no image/audio codecs, so the default implementation is the
+  * clearly-marked deterministic md5 stand-in; every query below runs
+  * through the seam, not the stub directly. At 100 TB these are
+  * map-only stages over the payload column with full column pruning
+  * (the scan reads only the bytes + id).
   */
 object Multimodal {
 
-  /** STUB: stands in for a real image decode. Derives fake dimensions
-    * from the byte length — deterministic and engine-reproducible.
+  /** Pluggable decode seam. All methods are column-level so a stub or
+    * a real codec UDF slot into the same (codegen-friendly) pipeline.
     */
-  private def fakeDims = Seq(
-    (octet_length(col("payload")) % 64 + 1).cast("long").as("width"),
-    // `div` = truncating integer division (DuckDB's `//`); a plain
-    // double-divide + CAST differs across engines (DuckDB rounds casts,
-    // Spark truncates)
-    (expr("octet_length(payload) div 64") % 64 + 1).cast("long").as("height"))
+  trait MediaDecoder extends Serializable {
+    /** (width, height) metadata derived from a binary payload. */
+    def dims(payload: Column): (Column, Column)
+    /** `n` pseudo/real features of the payload, as ordered columns of
+      * (index, value) after explosion — returns the array column.
+      */
+    def features(payload: Column, n: Int): Column
+    /** Fingerprint of one fixed-width frame slice starting at `off`
+      * (1-based) — video decode stand-in.
+      */
+    def frameFingerprint(payload: Column, off: Column, len: Int): Column
+  }
+
+  /** STUB decoder: deterministic, engine-reproducible stand-ins (the
+    * sandbox has no codecs). Dimensions from byte length, features
+    * from the md5 of the bytes, frame fingerprints from md5 of the
+    * slice. A real implementation replaces exactly this object.
+    */
+  object Md5StubDecoder extends MediaDecoder {
+    def dims(payload: Column): (Column, Column) = (
+      (octet_length(payload) % 64 + 1).cast("long"),
+      // `div` = truncating integer division (DuckDB's `//`); a plain
+      // double-divide + CAST differs across engines (DuckDB rounds
+      // casts, Spark truncates)
+      (expr(s"octet_length(payload) div 64") % 64 + 1).cast("long"))
+
+    def features(payload: Column, n: Int): Column = {
+      val h = md5(payload)
+      transform(sequence(lit(1), lit(n)),
+        j => round(conv(substring(h, j, lit(1)), 16, 10)
+          .cast("double") / 15.0, 4))
+    }
+
+    def frameFingerprint(payload: Column, off: Column, len: Int): Column =
+      md5(substring(payload, off, lit(len)))
+  }
+
+  /** The decoder every entry runs through (swap point for real codecs). */
+  val decoder: MediaDecoder = Md5StubDecoder
 
   def entries: Map[String, Q] = Map(
     // metadata extraction over a binary payload column
-    "multimodal_meta" -> Q((s, dir) =>
+    "multimodal_meta" -> Q((s, dir) => {
+      val (w, h) = (decoder.dims(col("payload"))._1.as("width"),
+        decoder.dims(col("payload"))._2.as("height"))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .select(Seq(col("doc_id"),
-          octet_length(col("payload")).cast("long").as("n_bytes")) ++ fakeDims: _*),
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"), w, h)
+    },
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  octet_length(encode(text)) % 64 + 1 AS width,
         |  (octet_length(encode(text)) // 64) % 64 + 1 AS height
         |FROM documents""".stripMargin),
 
-    // STUB feature extraction: 8 pseudo-features per payload from the
-    // md5 of the bytes (where a real pipeline would run the decoder),
-    // exploded to (doc_id, feat_idx, value) rows — the shape an
-    // embedding table ingests
+    // feature extraction through the decoder seam, exploded to
+    // (doc_id, feat_idx, value) rows — the shape an embedding table
+    // ingests
     "multimodal_features" -> Q((s, dir) =>
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-        .select(col("doc_id"), posexplode(
-          transform(sequence(lit(1), lit(8)),
-            j => round(conv(substring(col("h"), j, lit(1)), 16, 10)
-              .cast("double") / 15.0, 4)))
-          .as(Seq("feat_idx", "value")))
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          posexplode(decoder.features(col("payload"), 8))
+            .as(Seq("feat_idx", "value")))
         .withColumn("feat_idx", col("feat_idx").cast("long")),
       """SELECT doc_id, j - 1 AS feat_idx,
         |  round((strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1) / 15.0, 4) AS value
         |FROM documents, generate_series(1, 8) g(j)""".stripMargin),
 
-    // STUB frame sampling: 3 evenly-spaced fixed-width "frames" from
-    // each payload (where video decode would yield real frames) —
-    // payload slicing + per-frame fingerprint is the real plumbing
+    // frame sampling through the decoder seam: 3 evenly-spaced
+    // fixed-width "frames" per payload — payload slicing + per-frame
+    // fingerprint is the real plumbing video decode plugs into
     "multimodal_frame_sample" -> Q((s, dir) => {
       val frameLen = 256
       val d = Tables.load(s, dir, "documents")
@@ -68,8 +106,8 @@ object Multimodal {
         explode(sequence(lit(0), lit(2))).as("frame_idx"), col("text"), col("span"))
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           (col("frame_idx") * expr("span div 2")).cast("long").as("off"),
-          md5(substring(col("text"),
-            (col("frame_idx") * expr("span div 2")) + 1, lit(frameLen))).as("frame_fp"))
+          decoder.frameFingerprint(col("text"),
+            (col("frame_idx") * expr("span div 2")) + 1, frameLen).as("frame_fp"))
     },
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
         |  CAST(f * ((length(text) - 256) // 2) AS BIGINT) AS off,
