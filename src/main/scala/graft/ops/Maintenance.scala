@@ -140,7 +140,37 @@ object Maintenance {
     merged
   }
 
+  /** Overlapping index set for the greedy-selection entry: A covers
+    * files 0-1, B covers file 2 only, C covers files 2-3 — the greedy
+    * pick is [A, C] (B is redundant), exactly the reference's Delta
+    * max-coverage walk (backends/delta.py:77-93).
+    */
+  def ensureSelectable(s: SparkSession, dir: String): Seq[String] = {
+    val ns = dir + "#select"
+    val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+    val specs = Seq(
+      ("sel_a", files.take(2)), ("sel_b", files.slice(2, 3)),
+      ("sel_c", files.drop(2)))
+    val built = specs.map { case (name, fs) =>
+      val p = IndexStore.indexPath(ns, name)
+      IndexStore.ensure(p) { NgramIndex.build(s, fs, "text", p) }
+      (p, fs.toSet)
+    }
+    val picks = selectIndexes(files.toSet, built)
+    require(picks.size == 2, s"greedy cover should pick 2 indexes, got $picks")
+    picks
+  }
+
   def entries: Map[String, Q] = Map(
+    // greedy max-coverage index selection feeding a real search: the
+    // chosen cover (A ∪ C, B redundant) must answer like a full scan
+    "index_selection_search" -> Q((s, dir) => {
+      val picks = ensureSelectable(s, dir)
+      graft.api.NgramKind.searchLake(s, picks, Seq.empty, "text",
+          IndexQueries.QueryStr, 100000)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, s"SELECT doc_id FROM documents WHERE contains(lower(text), '${IndexQueries.QueryStr}') ORDER BY doc_id"),
+
     // search through the compacted index: must equal the full scan
     "compaction_search" -> Q((s, dir) => {
       val p = ensureCompacted(s, dir)
