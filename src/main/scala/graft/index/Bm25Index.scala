@@ -163,16 +163,22 @@ object Bm25Index {
   def searchMaterialized(spark: SparkSession, path: String, query: String,
       k: Int, idCol: String,
       tokenizer: Text.Tokenizer = Text.RegexTokenizer): DataFrame = {
+    import spark.implicits._
+    // the top-k is k rows by construction — collect it ONCE and push
+    // the winning doc ids down as literals, instead of re-evaluating
+    // the whole scoring subtree in every downstream action
     val top = search(spark, path, query, k, tokenizer)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val topIds = top.map(_._1)
     val qtoks = tokenizer.tokenizeQuery(query).distinct
     val qbuckets = qtoks.map(bucketOfString).distinct
-    val post = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
-      .select(col("doc_id"), col("uid"))
-    val hits = top.join(post, Seq("doc_id")).select("doc_id", "uid", "score")
+    val hitUids = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*)
+        && col("doc_id").isin(topIds: _*))
+      .select(col("uid"))
     val meta = spark.read.parquet(s"$path/meta")
-    graft.core.Layout.readHits(spark, meta, hits.select("uid"))
-      .join(hits.select("doc_id", "score").distinct(), Seq("doc_id")) // refine to scored rows
+    graft.core.Layout.readHits(spark, meta, hitUids)
+      .join(broadcast(top.toDF("doc_id", "score")), Seq("doc_id"))
   }
 
   /** Merge two BM25 indexes (compaction). The reference streams
