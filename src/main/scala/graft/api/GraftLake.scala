@@ -38,15 +38,14 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
   private def metadata: Option[DataFrame] =
     IndexStore.readMetadata(spark, prefix)
 
-  /** (index_file, covered files) for this (kind, column)'s indexes. */
+  /** (index_file, covered files) for this (kind, column)'s indexes —
+    * served from the driver-side metadata row cache (one job per
+    * metadata version, not per call).
+    */
   private def coverage(kind: IndexKind, column: String): Seq[(String, Seq[String])] =
-    metadata.toSeq.flatMap { m =>
-      m.filter(col("column_name") === column && col("index_type") === kind.name)
-        .select(col("index_file"), col("file_path"))
-        .collect()
-        .map(r => (r.getString(0),
-          r.getSeq[String](1).map(Layout.canonPath).toSeq))
-    }
+    IndexStore.metadataRowsCached(spark, prefix)
+      .filter(r => r.column == column && r.indexType == kind.name)
+      .map(r => (r.indexFile, r.files.map(Layout.canonPath)))
 
   /** Index all not-yet-covered files; returns new index paths. */
   def index(kind: IndexKind, column: String,

@@ -48,21 +48,22 @@ trait IndexKind {
   /** Merge two indexes of this kind (compaction). */
   def merge(spark: SparkSession, a: String, b: String, out: String): Unit
 
-  /** Union all per-index meta sidecars tagged with their index ordinal. */
-  protected def taggedMetas(spark: SparkSession, paths: Seq[String]): DataFrame =
-    paths.zipWithIndex.map { case (p, i) =>
-      spark.read.parquet(s"$p/meta").withColumn("idx", lit(i))
-    }.reduce(_ unionByName _)
-
-  /** Lake files covered by `paths` and alive in `live` (metadata-sized
-    * collect).
+  /** Driver-cached meta sidecar rows `(uid, file_path, row_start,
+    * num_rows)` per index path. Index dirs are immutable once built
+    * (merge writes a NEW dir), so caching on the meta mtime is sound;
+    * metas are metadata-sized (one row per covered row group). This is
+    * the "cacheable metadata page on the driver" pattern — searches pay
+    * zero Spark jobs for coverage/hit resolution.
     */
+  protected def metaRows(spark: SparkSession,
+      path: String): Seq[(Long, String, Long, Long)] =
+    IndexKind.metaRows(spark, path)
+
+  /** Lake files covered by `paths` and alive in `live`. */
   protected def coveredFiles(spark: SparkSession, paths: Seq[String],
       live: Option[Set[String]]): Seq[String] =
-    if (paths.isEmpty) Seq.empty
-    else taggedMetas(spark, paths).select("file_path").distinct()
-      .collect().map(_.getString(0))
-      .filter(f => live.forall(_.contains(f))).toSeq.sorted
+    paths.flatMap(p => metaRows(spark, p).map(_._2)).distinct
+      .filter(f => live.forall(_.contains(f))).sorted
 
   /** Uniform cost switch (reference: brute_force_threshold,
     * backends/utils.py:221-225): too many hits, or EVERY covered row
@@ -72,21 +73,46 @@ trait IndexKind {
   protected def bruteBeatsIndex(spark: SparkSession, paths: Seq[String],
       hits: Seq[(String, Long, Long, Long)]): Boolean =
     hits.size > Lake.BruteForceThreshold ||
-      hits.size >= taggedMetas(spark, paths).count()
+      hits.size >= paths.map(metaRows(spark, _).size).sum
 
-  /** Collect the row-group hit list for tagged `(idx, uid)` candidates:
-    * one join against the tagged metas, one metadata-sized collect.
-    * uids are per-index ordinals, so the join key includes the tag.
+  /** Resolve tagged `(idx, uid)` candidates to their row-group hit
+    * list: ONE job evaluates the candidate plan (its size is bounded by
+    * the row-group count), resolution itself is a driver map lookup
+    * against the cached metas.
     */
   protected def collectHits(spark: SparkSession, paths: Seq[String],
-      cands: DataFrame, live: Option[Set[String]]): Seq[(String, Long, Long, Long)] =
-    taggedMetas(spark, paths)
-      .join(cands.select("idx", "uid").distinct(), Seq("idx", "uid"))
-      .select(col("file_path"), col("uid"), col("row_start"), col("num_rows"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      cands: DataFrame, live: Option[Set[String]]): Seq[(String, Long, Long, Long)] = {
+    val byIdx: Map[Int, Map[Long, (String, Long, Long)]] =
+      paths.zipWithIndex.map { case (p, i) =>
+        i -> metaRows(spark, p)
+          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      }.toMap
+    cands.select("idx", "uid").distinct().collect()
+      .flatMap { r =>
+        byIdx(r.getInt(0)).get(r.getLong(1)).map {
+          case (f, rs, n) => (f, r.getLong(1), rs, n)
+        }
+      }
       .filter(h => live.forall(_.contains(h._1)))
       .toSeq
+  }
+}
+
+object IndexKind {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Seq[(Long, String, Long, Long)]]
+
+  private[api] def metaRows(spark: SparkSession,
+      path: String): Seq[(Long, String, Long, Long)] = {
+    val p = java.nio.file.Paths.get(path, "meta")
+    val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    cache.getOrElseUpdate((path, mtime),
+      spark.read.parquet(s"$path/meta")
+        .select("uid", "file_path", "row_start", "num_rows")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq)
+  }
 }
 
 /** Character-ngram substring index kind (contains semantics). */

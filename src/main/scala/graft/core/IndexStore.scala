@@ -57,6 +57,34 @@ object IndexStore {
     if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
   }
 
+  /** One collected metadata row (the table is metadata-sized: one row
+    * per index file — the reference keeps the same table driver-side).
+    */
+  case class MetaRow(table: String, column: String, files: Seq[String],
+      indexFile: String, indexType: String)
+
+  private val metaRowCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[MetaRow]]
+
+  /** Collected metadata rows, cached by the table's mtime so repeated
+    * facade calls (index → compact → search in one entry) pay ONE job.
+    * Staleness on mtime aliasing is correctness-safe: a missed commit
+    * only demotes covered files to the in-situ path.
+    */
+  def metadataRowsCached(spark: SparkSession, dir: String): Seq[MetaRow] = {
+    val p = Paths.get(metadataPath(dir))
+    if (!Files.exists(p)) return Seq.empty
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    metaRowCache.getOrElseUpdate((metadataPath(dir), mtime),
+      readMetadata(spark, dir).get
+        .select("table_name", "column_name", "file_path", "index_file",
+          "index_type")
+        .collect()
+        .map(r => MetaRow(r.getString(0), r.getString(1),
+          r.getSeq[String](2).toSeq, r.getString(3), r.getString(4)))
+        .toSeq)
+  }
+
   /** Append rows to the metadata table (overwrite-commit of the single
     * metadata object, as in the reference's plain-parquet backend).
     */
