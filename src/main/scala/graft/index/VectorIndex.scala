@@ -180,6 +180,18 @@ object VectorIndex {
     exact.intersect(approx).size.toDouble / k
   }
 
+  /** recall@k of the PQ production configuration (ADC pre-rank +
+    * bounded refine) against the exact searcher.
+    */
+  def recallPqAtK(s: SparkSession, path: String, q: Seq[Double], k: Int,
+      nprobe: Int, refine: Int): Double = {
+    val exact = search(s, path, q, k, numCells(s, path))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = searchPq(s, path, q, k, nprobe, refine)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    exact.intersect(approx).size.toDouble / k
+  }
+
   val RecallFloor = 0.9
 
   def entries: Map[String, graft.Q] = Map(
@@ -204,6 +216,15 @@ object VectorIndex {
       val r = recallAtK(s, p, queryVec(s, dir), Similarity.K, 4)
       Seq(r >= RecallFloor).toDF("recall_ok")
     }, "SELECT true AS recall_ok"),
+    // quantitative gate for the PQ production path: ADC pre-rank +
+    // refine=50 must keep recall@10 ≥ 0.9 vs the exact searcher
+    "similarity_ivf_pq_recall" -> graft.Q((s, dir) => {
+      import s.implicits._
+      val p = ensureBuilt(s, dir)
+      val r = recallPqAtK(s, p, queryVec(s, dir), Similarity.K, 4, 50)
+      Seq(r >= RecallFloor).toDF("recall_ok")
+    }, "SELECT true AS recall_ok"),
+
     // PQ path in its correctness configuration (probe-all, refine ≥
     // corpus ⇒ exact): full ADC machinery, brute-force oracle
     "similarity_ivf_pq" -> graft.Q((s, dir) => {

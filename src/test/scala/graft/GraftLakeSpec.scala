@@ -100,6 +100,31 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(keyIds("cherry%") == Seq(3L))
   }
 
+  test("empty live-restricted coverage falls back to in-situ (no crash)") {
+    val dir = TestSpark.tmpDir("apilake5")
+    def write(name: String, rows: Seq[(Long, String)]): String = {
+      val staging = TestSpark.tmpDir(s"stage5-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val dst = s"$dir/$name.parquet"
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(dst))
+      graft.core.Layout.canonPath(dst)
+    }
+    val fa = write("a", Seq(1L -> "indexed target row", 2L -> "noise"))
+    val fb = write("b", Seq(3L -> "insitu target row", 4L -> "other"))
+    val idx = graft.core.IndexStore.indexPath(dir, "live_ngram")
+    graft.index.NgramIndex.build(spark, Seq(fa), "text", idx)
+    // live set excludes every indexed file (a snapshot predating the
+    // index): searchLake must return only the in-situ results instead
+    // of calling spark.read.parquet with zero paths
+    val got = NgramKind.searchLake(spark, Seq(idx), Seq(fb), "text",
+        "target", 10, live = Some(Set(fb)))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L))
+  }
+
   test("bm25 tokenizer seam: a custom tokenizer changes the vocabulary") {
     val dir = TestSpark.tmpDir("apilake4")
     val staging = TestSpark.tmpDir("stage4")
