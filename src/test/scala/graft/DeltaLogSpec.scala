@@ -55,6 +55,19 @@ class DeltaLogSpec extends AnyFunSuite {
       Seq("b.parquet", "c.parquet"))
     assert(DeltaLog.liveFiles(spark, t, Some(1L)).map(_.split('/').last) ==
       Seq("b.parquet"))
+
+    // spec interop: a checkpoint must carry protocol + metaData actions
+    // and partitionValues inside add, so external Delta readers can
+    // bootstrap table state from it (PROTOCOL.md)
+    val cp = spark.read.parquet(f"$t/_delta_log/${1L}%020d.checkpoint.parquet")
+    assert(Seq("add", "remove", "metaData", "protocol")
+      .forall(cp.columns.contains))
+    assert(cp.filter(org.apache.spark.sql.functions.col("protocol").isNotNull).count() == 1)
+    val md = cp.select("metaData.schemaString", "metaData.format.provider")
+      .filter(org.apache.spark.sql.functions.col("schemaString").isNotNull).collect()
+    assert(md.length == 1 && md(0).getString(1) == "parquet")
+    assert(cp.select("add.partitionValues")
+      .filter(org.apache.spark.sql.functions.col("partitionValues").isNotNull).count() == 1)
   }
 
   test("a lost commit race throws instead of clobbering") {
