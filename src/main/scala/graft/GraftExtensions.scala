@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(children(0), children(1))))
+    // transparent ngram-index file pruning for contains-filters over
+    // indexed lakes (SURVEY §7.4 stretch)
+    ext.injectOptimizerRule(spark => new graft.plans.IndexPruneRule(spark))
   }
 }
 

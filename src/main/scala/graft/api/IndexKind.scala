@@ -102,7 +102,7 @@ object IndexKind {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(String, Long), Seq[(Long, String, Long, Long)]]
 
-  private[api] def metaRows(spark: SparkSession,
+  private[graft] def metaRows(spark: SparkSession,
       path: String): Seq[(Long, String, Long, Long)] = {
     val p = java.nio.file.Paths.get(path, "meta")
     val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis

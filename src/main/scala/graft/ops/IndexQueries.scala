@@ -126,6 +126,20 @@ object IndexQueries {
         .select(col("doc_id"))
     }, bruteSql(QueryStr)),
 
+    // SURVEY §7.4 stretch, oracle-gated: a PLAIN spark.read.parquet +
+    // contains filter — no graft API in the query — transparently
+    // file-pruned by the Catalyst IndexPruneRule via the committed
+    // ngram index; the refine filter stays so semantics are exact
+    "catalyst_index_prune" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/$Table"
+      graft.api.GraftLake(s, prefix).index(graft.api.NgramKind, Column)
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix)
+        .filter(lower(col(Column)).contains(QueryStr))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, bruteSql(QueryStr)),
+
     // lake-level index metadata table (reference:
     // backends/parquet.py:162-172)
     "index_metadata" -> Q((s, dir) => {

@@ -1,0 +1,80 @@
+package graft
+
+import graft.plans.IndexPruneRule
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Catalyst stretch (SURVEY §7.4): plain
+  * `spark.read.parquet(lake).filter(contains)` is rewritten to scan
+  * only the files the ngram index cannot rule out.
+  */
+class IndexPruneRuleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location.inputFiles.length
+    }.sum
+
+  test("contains-filters over an indexed lake scan only hit files") {
+    val dir = TestSpark.tmpDir("prunelake")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-pr-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "needle in this one", 2L -> "plain row"))
+    write("b", Seq(3L -> "nothing here", 4L -> "still nothing"))
+    write("c", Seq(5L -> "another needle row", 6L -> "filler"))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.NgramKind, "text", binpackRows = 1) // one index per file
+
+    IndexPruneRule.enable(spark)
+    val q = spark.read.parquet(dir)
+      .filter(lower(col("text")).contains("needle"))
+      .select("doc_id")
+    // correctness: identical to the unpruned scan
+    assert(q.collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    // pruning: file b (no candidate row groups) is NOT scanned
+    assert(scannedFiles(q) == 2, "expected the no-hit file to be pruned")
+    // a query with no matches prunes every covered file
+    val none = spark.read.parquet(dir)
+      .filter(lower(col("text")).contains("zzzqqq"))
+    assert(none.count() == 0 && scannedFiles(none) == 0)
+    // an unindexed sibling lake is untouched (no index -> no rewrite)
+    val dir2 = TestSpark.tmpDir("prunelake2")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir2))
+    Seq(7L -> "needle too").toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir2)
+    val plain = spark.read.parquet(dir2)
+      .filter(lower(col("text")).contains("needle"))
+    assert(plain.count() == 1)
+  }
+
+  test("case-sensitive contains prunes soundly (superset candidates)") {
+    val dir = TestSpark.tmpDir("prunelake3")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-pr3-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "NeEdLe mixed", 2L -> "needle lower"))
+    write("b", Seq(3L -> "no match at all"))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.NgramKind, "text", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+    // bare (case-sensitive) contains: index candidates are the
+    // case-insensitive superset, refine keeps exact semantics
+    val q = spark.read.parquet(dir).filter(col("text").contains("needle"))
+    assert(q.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(scannedFiles(q) == 1)
+  }
+}
