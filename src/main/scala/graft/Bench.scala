@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // count() over limit() plans executes as CollectLimit, whose
+      // default 1-partition first pass re-runs selective index probes
+      // several times before finding enough rows — start at full width
+      .config("spark.sql.limit.initialNumPartitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, WinnowFp}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.winnowFromExprs(children)))
     // transparent ngram-index file pruning for contains-filters over
     // indexed lakes (SURVEY §7.4 stretch)
     ext.injectOptimizerRule(spark => new graft.plans.IndexPruneRule(spark))
@@ -25,11 +30,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  def register(spark: SparkSession): Unit =
+
+  /** winnow_fp(text, k, w) — k and w must be integer literals. */
+  private[graft] def winnowFromExprs(
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): WinnowFp = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val Seq(Literal(k: Int, _), Literal(w: Int, _)) = children.slice(1, 3)
+    WinnowFp(children.head, k, w)
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       children => CosineSim(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fp", winnowFromExprs, "built-in")
+  }
 
   /** Column-API handle for the native expression. */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
@@ -38,5 +55,12 @@ object GraftExtensions {
     // route through the registry so we never touch private Column
     // constructors; the planner substitutes the expression directly
     org.apache.spark.sql.functions.call_udf("cosine_sim", a, b)
+  }
+
+  /** Column-API handle for the winnowing-fingerprint expression. */
+  def winnowFp(spark: SparkSession, text: Column, k: Int, w: Int): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.lit
+    org.apache.spark.sql.functions.call_udf("winnow_fp", text, lit(k), lit(w))
   }
 }

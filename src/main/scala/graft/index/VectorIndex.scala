@@ -116,8 +116,9 @@ object VectorIndex {
     * the top `refine` (the reference's 3-stage flow: centroid probe →
     * PQ-decode scoring → fp rerank to `refine=50`,
     * reference: src/lava/vector/vector.rs:22-239 +
-    * vector_index.py:146-196). With nprobe=all and refine ≥ corpus the
-    * result is exactly brute force — the correctness configuration.
+    * vector_index.py:146-196). With nprobe=all and refine =
+    * Int.MaxValue (unbounded) the result is exactly brute force — the
+    * correctness configuration.
     */
   def searchPq(spark: SparkSession, path: String, q: Seq[Double], k: Int,
       nprobe: Int, refine: Int): DataFrame = {
@@ -140,15 +141,22 @@ object VectorIndex {
     }.toSeq
     val dtabLit = typedLit(dtab)
     val qc = typedLit(q)
-    val pre = spark.read.parquet(s"$path/cells")
+    val scored = spark.read.parquet(s"$path/cells")
       .filter(col("centroid").isin(probes: _*))
       .withColumn("adc", aggregate(
         transform(sequence(lit(0), lit(PqM - 1)), m =>
           element_at(element_at(dtabLit, m + 1),
             element_at(col("codes"), m + 1) + 1)),
         lit(0.0), (acc, x) => acc + x))
-      .orderBy(col("adc").asc, col("vec_id"))
-      .limit(refine)
+    // refine ≥ corpus (the exact correctness configuration) keeps every
+    // row, so the top-`refine` truncation is a no-op — skipping it
+    // avoids funnelling the whole corpus through a single-partition
+    // TakeOrdered merge; the adc ≥ 0 filter (always true for an L2 sum)
+    // keeps the ADC decode in the executed plan instead of letting
+    // column pruning drop the machinery being verified
+    val pre =
+      if (refine == Int.MaxValue) scored.filter(col("adc") >= 0.0)
+      else scored.orderBy(col("adc").asc, col("vec_id")).limit(refine)
     pre.select(col("vec_id"),
       round(graft.GraftExtensions.cosineSim(spark, col("v"), qc), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -225,12 +233,12 @@ object VectorIndex {
       Seq(r >= RecallFloor).toDF("recall_ok")
     }, "SELECT true AS recall_ok"),
 
-    // PQ path in its correctness configuration (probe-all, refine ≥
-    // corpus ⇒ exact): full ADC machinery, brute-force oracle
+    // PQ path in its correctness configuration (probe-all, unbounded
+    // refine ⇒ exact): full ADC machinery, brute-force oracle
     "similarity_ivf_pq" -> graft.Q((s, dir) => {
       val p = ensureBuilt(s, dir)
-      val n = Similarity.embeddings(s, dir).count().toInt
-      searchPq(s, p, queryVec(s, dir), Similarity.K, numCells(s, p), n)
+      searchPq(s, p, queryVec(s, dir), Similarity.K, numCells(s, p),
+        Int.MaxValue)
     }, Similarity.knnSql),
     // PQ production shape: nprobe=4, refine=50 (reference defaults
     // nprobes=50, refine=50) — approximate ⇒ rows-only

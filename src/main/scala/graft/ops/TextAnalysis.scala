@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // winnowing parameters: k-gram width, window width; the hash constants
+  // live with the native expression (single source of truth)
+  val WinnowK = 8
+  val WinnowW = 4
+  val WinnowP: Long = graft.functions.WinnowFp.P
+  val winnowCoefs: Seq[Long] =
+    graft.functions.WinnowFp.coefs(WinnowK).toSeq
+
   private def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
@@ -114,40 +122,32 @@ object TextAnalysis {
       """SELECT doc_id, len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS n_bpe
         |FROM documents""".stripMargin),
 
-    // winnowing fingerprints: rolling k-gram hashes, min per window of
-    // w positions, distinct — the standard local document fingerprint
-    // (hash = first 15 hex chars of md5 as a 60-bit int, engine-exact)
+    // winnowing fingerprints: polynomial rolling k-gram hashes, min per
+    // window of w positions, distinct — the standard local document
+    // fingerprint, computed by the native WinnowFp expression in one
+    // fused per-document loop. The whole operator is a map-only stage
+    // with zero shuffles (the earlier explode→window→distinct form
+    // shuffled every char position twice; a nested transform/aggregate
+    // form runs interpreted per element — both measured slower).
     "text_winnow_fingerprint" -> Q((s, dir) => {
-      val k = 8; val w = 4
       val d = Tables.load(s, dir, "documents")
-      val lc = lower(col("text"))
-      // explode an int sequence and substring per row — building the
-      // array of gram strings per row costs far more allocation
-      val grams = d
-        .filter(length(lc) >= k)
-        .select(col("doc_id"), lc.as("t"),
-          explode(sequence(lit(0), length(lc) - k)).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          substring(col("t"), col("pos") + 1, lit(k)).as("g"))
-      val hashed = grams.withColumn("h",
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(0, w - 1)
-      hashed.withColumn("fp", min(col("h")).over(win))
-        .select(col("doc_id"), col("fp")).distinct()
-    },
-      """WITH grams AS (
-        |  SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos, unnest(gs) AS g
-        |  FROM (SELECT doc_id, [substr(lower(text), i + 1, 8) for i in generate_series(0, length(text) - 8)] AS gs
-        |        FROM documents WHERE length(text) >= 8) t),
-        |hashes AS (
-        |  SELECT doc_id, pos,
-        |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1)::BIGINT << (4*(15-j)) for j in generate_series(1,15)]) AS BIGINT) AS h
-        |  FROM grams)
-        |SELECT DISTINCT doc_id, fp FROM (
+      d.filter(length(col("text")) >= WinnowK)
+        .select(col("doc_id"),
+          explode(graft.GraftExtensions.winnowFp(s, lower(col("text")),
+            WinnowK, WinnowW)).as("fp"))
+    }, {
+      val coefSql = winnowCoefs.mkString("[", ", ", "]")
+      s"""WITH codes AS (
+        |  SELECT doc_id, [ord(substr(lower(text), i + 1, 1))::BIGINT for i in generate_series(0, length(text) - 1)] AS cs
+        |  FROM documents WHERE length(text) >= $WinnowK),
+        |hs AS (
         |  SELECT doc_id,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM hashes) mins""".stripMargin)
+        |    [CAST(list_sum([cs[p + j + 1] * ($coefSql)[j + 1] for j in generate_series(0, ${WinnowK - 1})]) % $WinnowP AS BIGINT)
+        |     for p in generate_series(0, len(cs) - $WinnowK)] AS hs
+        |  FROM codes)
+        |SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id, unnest([list_min(hs[i + 1:i + $WinnowW]) for i in generate_series(0, len(hs) - 1)]) AS fp
+        |  FROM hs) t""".stripMargin
+    })
   )
 }
