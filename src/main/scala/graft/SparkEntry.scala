@@ -23,6 +23,7 @@ object SparkEntry {
       graft.ops.ApiQueries.entries ++
       graft.ops.DeltaQueries.entries ++
       graft.ops.IcebergQueries.entries ++
+      graft.ops.Pipeline.entries ++
       graft.ops.Multimodal.entries ++
       graft.ops.LayoutQueries.entries ++
       graft.streaming.EventStream.entries

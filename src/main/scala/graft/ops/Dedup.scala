@@ -196,7 +196,7 @@ object Dedup {
     * mod p), same comma-joined band keys, same exact-Jaccard
     * verification of the banded candidates.
     */
-  private def minhashSql: String = {
+  private[ops] def minhashSql: String = {
     val km1 = ShingleK - 1
     val rows = NumHashes / Bands
     s"""WITH t AS (

@@ -1,0 +1,277 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.text.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's surface:
+  * duplicate-cluster resolution (connected components over near-dup
+  * pairs), repetition-based quality filters, deterministic stratified
+  * sampling for dataset mixing, token-budget sequence packing, and
+  * n-gram decontamination against a benchmark set.
+  *
+  * Everything is deterministic (hash-derived randomness only) so every
+  * entry carries an exact DuckDB oracle.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---- connected components over near-dup pairs ----------------------
+
+  val MaxCcIters = 30
+
+  /** Connected components of an undirected edge list (i, j) →
+    * (id, cluster) with cluster = min node id in the component — the
+    * step every fuzzy-dedup pipeline needs after pair generation to
+    * pick one keeper per duplicate cluster.
+    *
+    * Neighbor-min label propagation: each round every node takes the
+    * min of its own and its neighbors' labels (one shuffle join + one
+    * shuffle agg per round), converging in O(graph diameter) rounds.
+    * Near-dup graphs are clique-ish (diameter 2-3 in practice), so the
+    * round count stays tiny at any corpus size; for adversarial
+    * long-path graphs the alternating large-star/small-star variant
+    * bounds rounds at O(log² n) with the same per-round shuffle shape.
+    * localCheckpoint truncates the growing lineage each round so plan
+    * size stays constant.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(edges.select(col("j").as("a"), col("i").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var lab = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var done = false
+    var iter = 0
+    while (!done && iter < MaxCcIters) {
+      val prop = sym
+        .join(lab.select(col("id").as("b"), col("cluster")), Seq("b"))
+        .select(col("a").as("id"), col("cluster"))
+      val merged = prop.unionByName(lab)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      // labels only ever decrease, so "any row changed" is the exact
+      // fixpoint test (metadata-sized probe, not a full collect)
+      val changed = merged
+        .join(lab.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old"))
+        .head(1).nonEmpty
+      lab = merged
+      done = !changed
+      iter += 1
+    }
+    lab
+  }
+
+  /** Edge set for the dedup_cc entry: MinHash near-dup pairs plus
+    * deterministic 3-chains (doc, doc+100k, doc+200k for doc_id % 50 =
+    * 0) — the chains force multi-hop label propagation, which 2-cliques
+    * alone would never exercise.
+    */
+  def ccEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashPairs(d).select(col("i"), col("j"))
+    val seeds = d.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("i"))
+    val chains = seeds.select(col("i"), (col("i") + 100000).as("j"))
+      .unionByName(
+        seeds.select((col("i") + 100000).as("i"), (col("i") + 200000).as("j")))
+    pairs.unionByName(chains)
+  }
+
+  private def ccSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (
+       |${Dedup.minhashSql}
+       |),
+       |chains AS (
+       |  SELECT doc_id AS i, doc_id + 100000 AS j FROM documents WHERE doc_id % 50 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 100000, doc_id + 200000 FROM documents WHERE doc_id % 50 = 0),
+       |edges AS (SELECT i, j FROM pairs UNION ALL SELECT i, j FROM chains),
+       |sym AS (SELECT i AS a, j AS b FROM edges UNION SELECT j, i FROM edges),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id)
+       |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
+
+  // ---- repetition-based quality filters ------------------------------
+
+  /** Per-document repetition metrics (the Gopher-style repetition
+    * filters, adapted to single-line docs): duplicate-token fraction,
+    * most-frequent-token fraction, and most-frequent-bigram token
+    * fraction. One explode of unigrams+bigrams → two aggs; unigrams and
+    * bigrams share a column (a bigram always contains a space, a token
+    * never does), so one shuffle covers both statistics.
+    */
+  def repetition(d: DataFrame): DataFrame = {
+    val base = d
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+    // zip_with pads the shorter side with null, which would turn the
+    // last token into a phantom unigram — slice the result to n−1
+    val bigrams = slice(
+      zip_with(col("toks"),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)),
+      lit(1), greatest(size(col("toks")) - 1, lit(0)))
+    val counts = base
+      .select(col("doc_id"), explode(concat(col("toks"), bigrams)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+    val tops = counts.groupBy("doc_id").agg(
+      max(when(col("g").contains(" "), col("n"))).as("top_bg"),
+      max(when(!col("g").contains(" "), col("n"))).as("top_tok"))
+    base.join(tops, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tok"), 4)
+          .as("dup_token_frac"),
+        round(col("top_tok").cast("double") / col("n_tok"), 4)
+          .as("top_token_frac"),
+        round(coalesce(col("top_bg"), lit(0L)).cast("double") * 2 / col("n_tok"), 4)
+          .as("top_bigram_frac"))
+  }
+
+  private val repetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks, len(toks) AS n_tok,
+      |    toks || [toks[i] || ' ' || toks[i + 1] for i in generate_series(1, len(toks) - 1)] AS grams
+      |  FROM t WHERE len(toks) > 0),
+      |c AS (SELECT doc_id, g, count(*) AS n
+      |      FROM (SELECT doc_id, unnest(grams) AS g FROM b) x GROUP BY doc_id, g),
+      |m AS (SELECT doc_id,
+      |        max(CASE WHEN contains(g, ' ') THEN n END) AS top_bg,
+      |        max(CASE WHEN NOT contains(g, ' ') THEN n END) AS top_tok
+      |      FROM c GROUP BY doc_id)
+      |SELECT b.doc_id,
+      |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok, 4) AS dup_token_frac,
+      |  round(CAST(top_tok AS DOUBLE) / n_tok, 4) AS top_token_frac,
+      |  round(CAST(coalesce(top_bg, 0) * 2 AS DOUBLE) / n_tok, 4) AS top_bigram_frac
+      |FROM b JOIN m USING (doc_id)""".stripMargin
+
+  // ---- deterministic stratified sampling (dataset mixing) ------------
+
+  /** Per-language keep-percentages — the mixing weights a pipeline
+    * applies when composing a training set from a multilingual corpus.
+    */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 60, "es" -> 40, "fr" -> 40, "de" -> 40, "zh" -> 20)
+
+  /** Hash-based stratified sampling: bucket = md5(doc_id) % 100, keep
+    * rows whose bucket falls under their language's rate. Deterministic
+    * (same sample on every run and every engine — unlike sample()/rand()
+    * there is no seed-and-partitioning dependence), map-only, and
+    * trivially parallel at any scale.
+    */
+  def sampleStratified(d: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    d.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") <
+        element_at(typedLit(SampleRates.toMap), col("lang")))
+  }
+
+  private def sampleSql: String = {
+    val cases = SampleRates.map { case (l, p) => s"WHEN '$l' THEN $p" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, b AS bucket FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)::BIGINT << (4 * (8 - j)) for j in generate_series(1, 8)]) AS BIGINT) % 100 AS b
+       |  FROM documents) t
+       |WHERE b < CASE lang $cases ELSE 0 END""".stripMargin
+  }
+
+  // ---- token-budget sequence packing ---------------------------------
+
+  val PackBudget = 512
+
+  /** Greedy sequence packing: within each source shard, documents (in
+    * doc_id order) are packed into bins of `PackBudget` tokens — a doc
+    * opens a new bin when the tokens before it cross the budget
+    * boundary. The cumulative sum is a window per source shard, so the
+    * operator parallelizes across shards (never a global single
+    * partition) — at 100 TB the shard key is whatever unit batches are
+    * drawn from.
+    */
+  def packSequences(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    d.select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"cum div $PackBudget").as("bin"))
+  }
+
+  private val packSql =
+    s"""SELECT doc_id, source, n_tok, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS bin
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok,
+       |    sum(CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT))
+       |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
+       |  FROM documents) t""".stripMargin
+
+  // ---- n-gram decontamination ----------------------------------------
+
+  val DecontamN = 5
+  val BenchMod = 10 // benchmark set stand-in: doc_id % 10 = 0
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `DecontamN`-gram with the benchmark set. The benchmark's distinct
+    * gram set is tiny relative to the corpus, so the join is an
+    * explicit broadcast — at 100 TB the corpus side streams map-only
+    * against the broadcast gram set, no shuffle of corpus grams.
+    */
+  def decontaminate(d: DataFrame): DataFrame = {
+    val grams = d.select(col("doc_id"),
+      explode(Text.wordShingles(col("text"), DecontamN)).as("g"))
+    val bench = grams.filter(col("doc_id") % BenchMod === 0)
+      .select("g").distinct()
+    grams.filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(count_distinct(col("g")).as("n_shared"))
+  }
+
+  private val decontamSql = {
+    val km1 = DecontamN - 1
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i + $km1], ' ') for i in generate_series(1, len(toks) - $km1)])) AS g
+       |  FROM t WHERE len(toks) >= $DecontamN),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % $BenchMod = 0)
+       |SELECT doc_id, count(DISTINCT g) AS n_shared
+       |FROM sh JOIN bench USING (g)
+       |WHERE doc_id % $BenchMod <> 0
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  def entries: Map[String, Q] = Map(
+    // near-dup pairs → duplicate clusters (keeper = min doc_id); the
+    // oracle replays the same minhash pipeline then resolves components
+    // with a recursive min-label CTE
+    "dedup_cc" -> Q((s, dir) => connectedComponents(ccEdges(s, dir)), ccSql),
+
+    "text_repetition" -> Q((s, dir) => repetition(docs(s, dir)), repetitionSql),
+
+    "q_sample_stratified" -> Q(
+      (s, dir) => sampleStratified(docs(s, dir)), sampleSql),
+
+    "q_pack_sequences" -> Q((s, dir) => packSequences(docs(s, dir)), packSql),
+
+    "text_decontaminate" -> Q(
+      (s, dir) => decontaminate(docs(s, dir)), decontamSql)
+  )
+}

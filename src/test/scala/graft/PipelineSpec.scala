@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.Pipeline
+import graft.functions.WinnowFp
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents resolves chains, cliques, and pairs") {
+    // chain 1-2-3-4 (multi-hop), triangle 10-11-12, pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("i", "j")
+    val got = Pipeline.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents propagates across a long path") {
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = Pipeline.connectedComponents(edges).collect()
+    assert(got.forall(_.getLong(1) == 1L) && got.length == 12)
+  }
+
+  private def winnow(s: String): Seq[Long] = {
+    val a = WinnowFp.compute(UTF8String.fromString(s), 8, 4)
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  test("WinnowFp matches a brute-force reimplementation") {
+    val s = "the quick brown fox jumps over the lazy dog"
+    val cf = WinnowFp.coefs(8)
+    val hs = s.sliding(8).map(g =>
+      g.zipWithIndex.map { case (c, j) => c.toLong * cf(j) }.sum % WinnowFp.P).toSeq
+    val mins = hs.indices.map(i => hs.slice(i, math.min(i + 4, hs.size)).min)
+    assert(winnow(s) == mins.distinct.sorted)
+  }
+
+  test("WinnowFp of a short string is empty; repeats share fingerprints") {
+    assert(winnow("short").isEmpty)
+    // identical halves yield identical gram hashes → same fingerprint set
+    // as one half except at the seam
+    val one = winnow("abcdefghij")
+    val two = winnow("abcdefghijabcdefghij")
+    assert(one.toSet.subsetOf(two.toSet))
+  }
+
+  test("packSequences opens a new bin exactly at the budget boundary") {
+    val words = (1 to 200).map(i => s"w$i").mkString(" ") // 200 tokens/doc
+    val d = (0L until 6L).map(i => (i, "s0", words)).toDF("doc_id", "source", "text")
+    val bins = Pipeline.packSequences(d)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // cumulative starts 0,200,400,600,800,1000 with budget 512
+    assert(bins == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("sampleStratified is deterministic and respects zero-rate langs") {
+    val d = (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "xx", "t"))
+      .toDF("doc_id", "lang", "text")
+    val a = Pipeline.sampleStratified(d).collect().map(_.getLong(0)).sorted
+    val b = Pipeline.sampleStratified(d).collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.forall(_ % 2 == 0)) // 'xx' has no rate → dropped
+  }
+
+  test("repetition flags a degenerate doc and clears a diverse one") {
+    val d = Seq((1L, "spam spam spam spam"), (2L, "all words differ here"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.repetition(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((0.75, 1.0, 1.5))) // 3 identical bigrams × 2 / 4 tokens
+    assert(got(2L) == ((0.0, 0.25, 0.5)))
+  }
+
+  test("decontaminate flags only docs sharing a 5-gram with the benchmark") {
+    val shared = "one two three four five"
+    val d = Seq(
+      (0L, s"benchmark doc with $shared inside"), // doc_id % 10 == 0 → bench
+      (1L, s"corpus doc containing $shared too"),
+      (2L, "completely unrelated words in this corpus document"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.decontaminate(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(1L) && got(1L) >= 1L)
+  }
+}
