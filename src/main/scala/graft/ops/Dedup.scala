@@ -47,7 +47,7 @@ object Dedup {
   // entry instead of accumulating across the session
   private var cachedSh: Option[DataFrame] = None
 
-  private def shingleRows(d: DataFrame): DataFrame = synchronized {
+  private[ops] def shingleRows(d: DataFrame): DataFrame = synchronized {
     import org.apache.spark.sql.expressions.Window
     val toks = d.select(col("doc_id"),
       posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))

@@ -43,29 +43,40 @@ object Pipeline {
     val sym = edges.select(col("i").as("a"), col("j").as("b"))
       .unionByName(edges.select(col("j").as("a"), col("i").as("b")))
       .distinct()
-      .localCheckpoint()
+      .cache()
     var lab = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // labels only ever decrease, so a falling Σlabels is the exact
+    // "anything changed" fixpoint test — one lightweight agg per round
+    // instead of a join-and-compare probe. DECIMAL(38,0) so the sum
+    // cannot wrap (and spuriously repeat) at any node-count × id range.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(lab)
     var done = false
     var iter = 0
     while (!done && iter < MaxCcIters) {
       val prop = sym
         .join(lab.select(col("id").as("b"), col("cluster")), Seq("b"))
         .select(col("a").as("id"), col("cluster"))
+      // LAZY localCheckpoint: the labelSum probe below materializes it
+      // (one job per round) and truncates the logical plan — the loop
+      // references lab twice per round, so anything short of plan
+      // truncation (cache included) nests the plan 2^rounds deep.
+      // Local checkpoints trade executor-loss recovery for speed; a
+      // lost block fails the job rather than silently recomputing.
       val merged = prop.unionByName(lab)
         .groupBy("id").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
-      // labels only ever decrease, so "any row changed" is the exact
-      // fixpoint test (metadata-sized probe, not a full collect)
-      val changed = merged
-        .join(lab.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old"))
-        .head(1).nonEmpty
+        .localCheckpoint(false)
+      val curSum = labelSum(merged)
+      lab.unpersist() // old round's blocks; merged is self-contained now
       lab = merged
-      done = !changed
+      done = curSum == prevSum
+      prevSum = curSum
       iter += 1
     }
+    sym.unpersist()
     lab
   }
 
@@ -74,7 +85,12 @@ object Pipeline {
     * 0) — the chains force multi-hop label propagation, which 2-cliques
     * alone would never exercise.
     */
-  def ccEdges(s: SparkSession, dir: String): DataFrame = {
+  // at most ONE live edge cache (same discipline as Dedup.cachedSh):
+  // the CC loop re-reads the edge set every round, and regenerating the
+  // minhash candidate pipeline per round would dominate the operator
+  private var cachedEdges: Option[DataFrame] = None
+
+  def ccEdges(s: SparkSession, dir: String): DataFrame = synchronized {
     val d = docs(s, dir)
     val pairs = Dedup.minhashPairs(d).select(col("i"), col("j"))
     val seeds = d.filter(col("doc_id") % 50 === 0)
@@ -82,7 +98,16 @@ object Pipeline {
     val chains = seeds.select(col("i"), (col("i") + 100000).as("j"))
       .unionByName(
         seeds.select((col("i") + 100000).as("i"), (col("i") + 200000).as("j")))
-    pairs.unionByName(chains)
+    val edges = pairs.unionByName(chains)
+    cachedEdges match {
+      case Some(prev) if prev.queryExecution.analyzed
+          .sameResult(edges.queryExecution.analyzed) => prev
+      case prev =>
+        prev.foreach(_.unpersist())
+        edges.cache()
+        cachedEdges = Some(edges)
+        edges
+    }
   }
 
   private def ccSql: String =
@@ -224,7 +249,7 @@ object Pipeline {
 
   // ---- n-gram decontamination ----------------------------------------
 
-  val DecontamN = 5
+  val DecontamN: Int = Dedup.ShingleK // shares the cached shingle rows
   val BenchMod = 10 // benchmark set stand-in: doc_id % 10 = 0
 
   /** Benchmark decontamination: flag corpus documents sharing any word
@@ -232,10 +257,13 @@ object Pipeline {
     * gram set is tiny relative to the corpus, so the join is an
     * explicit broadcast — at 100 TB the corpus side streams map-only
     * against the broadcast gram set, no shuffle of corpus grams.
+    * Shingles come from Dedup's relational (posexplode + window lead)
+    * construction — the nested-array form costs ~3 ms/doc of object
+    * churn (measured; see Dedup.shingleRows) — and share its cache
+    * with the minhash/jaccard/cc entries (DecontamN = Dedup.ShingleK).
     */
   def decontaminate(d: DataFrame): DataFrame = {
-    val grams = d.select(col("doc_id"),
-      explode(Text.wordShingles(col("text"), DecontamN)).as("g"))
+    val grams = Dedup.shingleRows(d).withColumnRenamed("s", "g")
     val bench = grams.filter(col("doc_id") % BenchMod === 0)
       .select("g").distinct()
     grams.filter(col("doc_id") % BenchMod =!= 0)

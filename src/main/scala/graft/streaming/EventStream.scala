@@ -91,7 +91,35 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming deduplication: distinct (user_id, event_type) pairs via
+    * dropDuplicates state. Exact regardless of micro-batch boundaries
+    * (state is unbounded here so the result equals batch DISTINCT; a
+    * production stream bounds state with dropDuplicatesWithinWatermark,
+    * trading exactness outside the watermark horizon for O(window)
+    * state).
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val name = "graft_stream_dedup_" + math.abs(dir.hashCode)
+    val query = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    spark.table(name)
+  }
+
   def entries: Map[String, Q] = Map(
+    "streaming_dedup" -> Q((s, dir) => dedupStream(s, dir),
+      "SELECT DISTINCT user_id, event_type FROM events"),
+
     "streaming_user_state" -> Q((s, dir) => userStateStream(s, dir),
       """SELECT user_id, count(*) AS n, arg_max(event_type, ts) AS last_type
         |FROM events GROUP BY user_id""".stripMargin),

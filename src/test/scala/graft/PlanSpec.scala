@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Pipeline
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan discipline checks: the scale claims in SCALE.md are
+  * assertions about plan SHAPE (what shuffles, what broadcasts, what
+  * stays map-only) — these specs pin them so a regression shows up as a
+  * test failure, not as a silent 100 TB cliff.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("winnow fingerprinting is a map-only stage (no exchange)") {
+    val p = plan(SparkEntry.queries("text_winnow_fingerprint")(spark, sf))
+    assert(!p.contains("Exchange"), s"winnow plan shuffles:\n$p")
+    // "*(n)" operator prefixes are the whole-stage-codegen markers
+    assert(p.contains("*(1)"), s"winnow plan left codegen:\n$p")
+  }
+
+  test("text analysis entries are map-only stages") {
+    for (name <- Seq("text_token_count", "text_quality", "text_lang_id",
+        "doc_fingerprint", "text_bpe_token_count")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("Exchange"), s"$name plan shuffles:\n$p")
+    }
+  }
+
+  test("decontamination joins the benchmark side as a broadcast") {
+    val p = plan(Pipeline.decontaminate(
+      Tables.load(spark, sf, "documents")))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams got sort-merged:\n$p")
+  }
+
+  test("stratified sampling and packing avoid global single partitions") {
+    val sample = plan(Pipeline.sampleStratified(
+      Tables.load(spark, sf, "documents")))
+    assert(!sample.contains("Exchange"), s"sampling shuffles:\n$sample")
+    val pack = plan(Pipeline.packSequences(
+      Tables.load(spark, sf, "documents")))
+    // window partitions by source shard — hash exchange, never a global
+    // SinglePartition sort
+    assert(pack.contains("hashpartitioning"), s"pack lost shard window:\n$pack")
+    assert(!pack.contains("SinglePartition"), s"pack went single-partition:\n$pack")
+  }
+
+  test("knn brute force is one map-side top-k (no wide exchange)") {
+    val p = plan(SparkEntry.queries("similarity_knn_brute")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"knn lost top-k form:\n$p")
+  }
+}
