@@ -247,6 +247,41 @@ object Pipeline {
        |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
        |  FROM documents) t""".stripMargin
 
+  // ---- token-window chunking -----------------------------------------
+
+  val ChunkW = 32 // tokens per chunk
+  val ChunkS = 16 // stride (50% overlap)
+
+  /** Sliding token-window chunking — the unit-of-embedding prep step: a
+    * chunk of `ChunkW` tokens starts every `ChunkS` tokens (trailing
+    * chunks shorter). Built with a codegen'd generator (explode of the
+    * start sequence) + slice/concat_ws per row — no higher-order
+    * functions, no shuffle: a pure map stage at any corpus size.
+    */
+  def chunkWindows(d: DataFrame): DataFrame = {
+    d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkS)")).as("k"))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("k") * ChunkS + 1, lit(ChunkW))).as("chunk"),
+        least(size(col("toks")) - col("k") * ChunkS, lit(ChunkW))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  private val chunkSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |ks AS (
+       |  SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // $ChunkS)) AS k
+       |  FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, k AS chunk_id,
+       |  array_to_string(toks[k * $ChunkS + 1 : k * $ChunkS + $ChunkW], ' ') AS chunk,
+       |  least(len(toks) - k * $ChunkS, $ChunkW)::BIGINT AS n_chunk_tokens
+       |FROM ks""".stripMargin
+
   // ---- n-gram decontamination ----------------------------------------
 
   val DecontamN: Int = Dedup.ShingleK // shares the cached shingle rows
@@ -298,6 +333,8 @@ object Pipeline {
       (s, dir) => sampleStratified(docs(s, dir)), sampleSql),
 
     "q_pack_sequences" -> Q((s, dir) => packSequences(docs(s, dir)), packSql),
+
+    "q_chunk_windows" -> Q((s, dir) => chunkWindows(docs(s, dir)), chunkSql),
 
     "text_decontaminate" -> Q(
       (s, dir) => decontaminate(docs(s, dir)), decontamSql)

@@ -77,6 +77,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) == ((0.0, 0.25, 0.5)))
   }
 
+  test("chunkWindows tiles tokens with stride overlap and short tails") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ") // 40 tokens
+    val d = Seq((7L, words)).toDF("doc_id", "text")
+    val got = Pipeline.chunkWindows(d).collect()
+      .map(r => (r.getLong(1), r.getString(2).split(" ").length, r.getLong(3)))
+      .sortBy(_._1)
+    // starts 0,16,32 → sizes 32, 24, 8
+    assert(got.toSeq == Seq((0L, 32, 32L), (1L, 24, 24L), (2L, 8, 8L)))
+    val first = Pipeline.chunkWindows(d).orderBy("chunk_id").collect()
+    assert(first(0).getString(2).startsWith("w1 w2 ") &&
+      first(1).getString(2).startsWith("w17 w18 "))
+  }
+
   test("decontaminate flags only docs sharing a 5-gram with the benchmark") {
     val shared = "one two three four five"
     val d = Seq(
