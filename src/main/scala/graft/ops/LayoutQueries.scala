@@ -34,6 +34,23 @@ object LayoutQueries {
         .orderBy(col("o_orderkey"))
     },
       """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 1200 ORDER BY o_orderkey""".stripMargin),
+
+    // SURVEY §7.4 stretch, range flavor: a PLAIN spark.read.parquet +
+    // range filter — no graft API in the query — transparently
+    // file-pruned by the Catalyst IndexPruneRule via the committed
+    // zone-map index; the refine filter stays so semantics are exact
+    "catalyst_zonemap_prune" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "orders", "o_orderkey", 4)
+      val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/orders"
+      graft.api.GraftLake(s, prefix).index(graft.api.ZoneMapKind, "o_orderkey")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix)
+        .filter(col("o_orderkey") >= 1000 && col("o_orderkey") <= 1200)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    },
+      """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 1200 ORDER BY o_orderkey""".stripMargin)
   )
 }

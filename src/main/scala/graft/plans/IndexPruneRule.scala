@@ -4,7 +4,7 @@ import graft.core.{IndexStore, Layout}
 import graft.index.NgramIndex
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, Literal, Lower, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Lower, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -14,14 +14,16 @@ import org.apache.spark.sql.types.StringType
 
 /** Transparent index acceleration for PLAIN Spark reads — the SURVEY
   * §7.4 stretch: an optimizer rule that rewrites
-  * `spark.read.parquet(lake).filter(col.contains(q))` into the same
-  * filter over ONLY the files the ngram index cannot rule out, without
-  * the caller ever touching the graft API (the app-level routing the
+  * `spark.read.parquet(lake).filter(col.contains(q))` (ngram index) and
+  * `...filter(col >= lo && col <= hi)` (zone-map index) into the same
+  * filter over ONLY the files the index cannot rule out, without the
+  * caller ever touching the graft API (the app-level routing the
   * reference does in `search_parquet_lake`, lifted into Catalyst).
   *
-  * Soundness: the gram-intersection candidate set is a SUPERSET of the
-  * matching rows per covered file (lowercased grams ⊇ case-sensitive
-  * matches), uncovered files are always kept, and the original Filter
+  * Soundness: the candidate sets are SUPERSETS of the matching rows per
+  * covered file (gram intersection ⊇ case-sensitive contains; zone
+  * min/max overlap ⊇ range matches, with strict bounds saturated
+  * outward), uncovered files are always kept, and the original Filter
   * stays on top as the refine — the rewrite can only remove files that
   * provably contain no match. A no-prune outcome leaves the plan
   * untouched.
@@ -53,24 +55,22 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (roots.size != 1) return None
     val prefix = Layout.canonPath(roots.head.toString)
     if (prefix.startsWith(IndexStore.root)) return None // index tables
-    // first contains-predicate over a plain column (bare or lower())
-    val contains = splitConjunctivePredicates(f.condition).collectFirst {
-      case Contains(a: AttributeReference, Literal(q, StringType))
-          if q != null => (a.name, q.toString)
-      case Contains(Lower(a: AttributeReference), Literal(q, StringType))
-          if q != null => (a.name, q.toString)
-    }
-    contains.flatMap { case (colName, query) =>
-      if (query.isEmpty) return None
+    val preds = splitConjunctivePredicates(f.condition)
+    val allFiles = fsRel.location.inputFiles.map(Layout.canonPath).toSet
+
+    // shared tail: resolve covering indexes of `kind`, probe, shrink the
+    // file listing (schema and attribute ids unchanged; the original
+    // filter stays on top as the refine)
+    def pruneWith(colName: String, kind: String,
+        probeFn: Seq[String] => Set[String]): Option[Filter] = {
       val idx = IndexStore.metadataRowsCached(spark, prefix)
-        .filter(r => r.column == colName && r.indexType == "ngram")
+        .filter(r => r.column == colName && r.indexType == kind)
       if (idx.isEmpty) return None
-      val allFiles = fsRel.location.inputFiles.map(Layout.canonPath).toSet
       val covered = idx.flatMap(_.files).map(Layout.canonPath).toSet & allFiles
       if (covered.isEmpty) return None
       probing.set(true)
       val hits =
-        try probe(idx.map(_.indexFile), query)
+        try probeFn(idx.map(_.indexFile))
         finally probing.set(false)
       val keep = (allFiles -- covered) ++ (hits & allFiles)
       if (keep.size >= allFiles.size) return None // nothing pruned
@@ -78,11 +78,94 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         keep.toSeq.sorted.map(new Path(_)), Map.empty,
         Some(fsRel.dataSchema))
       val newRel = fsRel.copy(location = pruned)(spark)
-      // output attribute ids are reused — schema is unchanged, only the
-      // file listing shrank; the full original filter stays as the refine
       Some(f.copy(child = l.copy(relation = newRel)))
     }
+
+    // first contains-predicate over a plain column (bare or lower())
+    val contains = preds.collectFirst {
+      case Contains(a: AttributeReference, Literal(q, StringType))
+          if q != null && q.toString.nonEmpty => (a.name, q.toString)
+      case Contains(Lower(a: AttributeReference), Literal(q, StringType))
+          if q != null && q.toString.nonEmpty => (a.name, q.toString)
+    }
+    contains.flatMap { case (colName, query) =>
+      pruneWith(colName, "ngram", probe(_, query))
+    }.orElse(integralBounds(preds).flatMap { case (colName, lo, hi) =>
+      pruneWith(colName, "zonemap", zoneProbe(_, lo, hi))
+    })
   }
+
+  private object IntLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** Tightest [lo, hi] implied by the conjuncts for the first attribute
+    * carrying any integral bound. Strict bounds saturate outward at the
+    * Long domain edge (a > MAX keeps [MAX, ∞) — a superset, still
+    * sound).
+    */
+  private def integralBounds(
+      preds: Seq[Expression]): Option[(String, Long, Long)] = {
+    val lows = scala.collection.mutable.Map.empty[String, Long]
+    val highs = scala.collection.mutable.Map.empty[String, Long]
+    def lo(a: String, v: Long): Unit =
+      lows(a) = math.max(lows.getOrElse(a, Long.MinValue), v)
+    def hi(a: String, v: Long): Unit =
+      highs(a) = math.min(highs.getOrElse(a, Long.MaxValue), v)
+    val order = Seq.newBuilder[String]
+    preds.foreach { p =>
+      p match {
+        case GreaterThanOrEqual(a: AttributeReference, IntLit(v)) => lo(a.name, v)
+        case GreaterThan(a: AttributeReference, IntLit(v)) =>
+          lo(a.name, if (v == Long.MaxValue) v else v + 1)
+        case LessThanOrEqual(a: AttributeReference, IntLit(v)) => hi(a.name, v)
+        case LessThan(a: AttributeReference, IntLit(v)) =>
+          hi(a.name, if (v == Long.MinValue) v else v - 1)
+        case EqualTo(a: AttributeReference, IntLit(v)) => lo(a.name, v); hi(a.name, v)
+        case GreaterThanOrEqual(IntLit(v), a: AttributeReference) => hi(a.name, v)
+        case GreaterThan(IntLit(v), a: AttributeReference) =>
+          hi(a.name, if (v == Long.MinValue) v else v - 1)
+        case LessThanOrEqual(IntLit(v), a: AttributeReference) => lo(a.name, v)
+        case LessThan(IntLit(v), a: AttributeReference) =>
+          lo(a.name, if (v == Long.MaxValue) v else v + 1)
+        case EqualTo(IntLit(v), a: AttributeReference) => lo(a.name, v); hi(a.name, v)
+        case _ => ()
+      }
+      p.references.foreach(r => order += r.name)
+    }
+    order.result().distinct
+      .find(a => lows.contains(a) || highs.contains(a))
+      .map(a => (a, lows.getOrElse(a, Long.MinValue),
+        highs.getOrElse(a, Long.MaxValue)))
+  }
+
+  /** Files whose zone-map row groups overlap [lo, hi]. Non-integral
+    * zone tables (string keys) return every covered file — "nothing
+    * pruned", plan untouched.
+    */
+  private def zoneProbe(paths: Seq[String], lo: Long, hi: Long): Set[String] =
+    paths.flatMap { p =>
+      val zones = spark.read.parquet(s"$p/zones")
+      val integral = zones.schema("lo").dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      val rows = graft.api.IndexKind.metaRows(spark, p)
+      if (!integral) rows.map(r => Layout.canonPath(r._2))
+      else {
+        val cands = zones
+          .filter(col("hi") >= lo && col("lo") <= hi) // overlap test
+          .select("uid").collect().map(_.getLong(0)).toSet
+        rows.filter(r => cands.contains(r._1)).map(r => Layout.canonPath(r._2))
+      }
+    }.toSet
 
   /** Files of the covering indexes whose gram postings intersect every
     * query gram (driver-side candidate resolution via the cached metas;

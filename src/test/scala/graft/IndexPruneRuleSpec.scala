@@ -56,6 +56,33 @@ class IndexPruneRuleSpec extends AnyFunSuite {
     assert(plain.count() == 1)
   }
 
+  test("range filters over a zone-mapped lake scan only overlapping files") {
+    val dir = TestSpark.tmpDir("prunezm")
+    def write(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-zm-$name")
+      rows.toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> 10L, 5L -> 11L))
+    write("b", Seq(100L -> 12L, 150L -> 13L))
+    write("c", Seq(900L -> 14L, 990L -> 15L))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.ZoneMapKind, "k", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+    val q = spark.read.parquet(dir).filter(col("k") >= 90 && col("k") < 200)
+    assert(q.select("k").collect().map(_.getLong(0)).toSet == Set(100L, 150L))
+    assert(scannedFiles(q) == 1, "expected non-overlapping files pruned")
+    // strict bounds and equality forms prune too
+    val eq = spark.read.parquet(dir).filter(col("k") === 990)
+    assert(eq.count() == 1 && scannedFiles(eq) == 1)
+    // an empty range prunes every covered file
+    val none = spark.read.parquet(dir).filter(col("k") > 2000)
+    assert(none.count() == 0 && scannedFiles(none) == 0)
+  }
+
   test("case-sensitive contains prunes soundly (superset candidates)") {
     val dir = TestSpark.tmpDir("prunelake3")
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
