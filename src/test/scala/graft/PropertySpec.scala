@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.WinnowFp
+import graft.index.KeyIndex
+import graft.ops.{Maintenance, Pipeline}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based checks of the pure driver-side algorithms plus the
+  * iterative CC operator against independent reimplementations.
+  */
+object PropertySpec extends Properties("graft") {
+
+  // ---- winnowing fingerprints vs a direct reimplementation -----------
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 1 -> Gen.numChar))
+        .map(_.mkString))
+
+  private def bruteWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    if (s.length < k) return Seq.empty
+    val cf = WinnowFp.coefs(k)
+    val hs = s.sliding(k).map(g =>
+      g.zipWithIndex.map { case (c, j) => c.toLong * cf(j) }.sum % WinnowFp.P).toVector
+    hs.indices.map(i => hs.slice(i, math.min(i + w, hs.size)).min)
+      .distinct.sorted
+  }
+
+  property("WinnowFp.compute == brute force") = Prop.forAll(asciiText) { s =>
+    val a = WinnowFp.compute(UTF8String.fromString(s), 8, 4)
+    (0 until a.numElements()).map(a.getLong) == bruteWinnow(s, 8, 4)
+  }
+
+  // ---- bin packing ----------------------------------------------------
+
+  private val fileSets: Gen[List[(String, Long)]] =
+    Gen.listOf(Gen.chooseNum(1L, 500L)).map(_.zipWithIndex.map {
+      case (rows, i) => (s"f$i", rows)
+    })
+
+  property("binpack preserves order and respects the threshold") =
+    Prop.forAll(fileSets, Gen.chooseNum(100L, 1000L)) { (files, threshold) =>
+      val groups = Maintenance.binpack(files, threshold)
+      val order = groups.flatten == files.map(_._1)
+      val byName = files.toMap
+      val bounded = groups.forall { g =>
+        g.map(byName).sum <= threshold || g.size == 1
+      }
+      val nonEmpty = groups.forall(_.nonEmpty)
+      order && bounded && nonEmpty
+    }
+
+  // ---- key prefix upper bound -----------------------------------------
+
+  private val prefixGen: Gen[String] =
+    Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('#', 'é', '中')))
+      .map(_.mkString))
+
+  property("prefixUpperBound brackets exactly the prefixed strings") =
+    Prop.forAll(prefixGen, prefixGen) { (prefix, suffix) =>
+      KeyIndex.prefixUpperBound(prefix) match {
+        case None => prefix.isEmpty || prefix.last >= '퟿'
+        case Some(hi) =>
+          val inside = prefix + suffix
+          // every prefixed string falls in [prefix, hi)
+          prefix <= inside && inside < hi
+      }
+    }
+
+  // ---- connected components vs union-find ------------------------------
+
+  private final class UnionFind(n: Int) {
+    private val p = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (p(x) != x) p(x) = find(p(x)); p(x) }
+    def union(a: Int, b: Int): Unit = { val (x, y) = (find(a), find(b)); if (x != y) p(math.max(x, y)) = math.min(x, y) }
+  }
+
+  private val graphs: Gen[List[(Int, Int)]] = for {
+    n <- Gen.chooseNum(2, 14)
+    m <- Gen.chooseNum(1, 16)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+    } yield (a, b))
+  } yield es.filter { case (a, b) => a != b }
+
+  // each CC sample runs an iterative Spark job set — 30 samples keep
+  // the suite fast while still covering multi-component + multi-hop
+  // shapes (the pure properties lose nothing that matters at 30)
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(30)
+
+  property("connectedComponents == union-find") =
+    Prop.forAllNoShrink(graphs) { edges =>
+      edges.isEmpty || {
+        val spark = TestSpark.spark
+        import spark.implicits._
+        val got = Pipeline.connectedComponents(
+          edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("i", "j"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val n = edges.flatMap { case (a, b) => Seq(a, b) }.max + 1
+        val uf = new UnionFind(n)
+        edges.foreach { case (a, b) => uf.union(a, b) }
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        // representative = min node of the component on both sides
+        val byRoot = nodes.groupBy(uf.find).map { case (_, ns) => (ns.toSet, ns.min) }
+        nodes.forall { v =>
+          val rep = byRoot.collectFirst { case (s, m) if s(v) => m }.get
+          got.get(v.toLong).contains(rep.toLong)
+        }
+      }
+    }
+}
