@@ -33,10 +33,34 @@ object Bench {
       }
       name -> ts.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full-precision per-query map for inspection (the stdout line below
+    // must stay parseable from a bounded log tail, so it carries only the
+    // slowest entries; this file always carries everything).
+    val fullJson = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString(s"""{"total":${fmt(total)},"sf":"$sfDir","queries":{""", ",", "}}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    // ONE machine-readable line. The harness that records this keeps only
+    // a bounded tail of the build log, so the line must stay comfortably
+    // under ~1.9 KB: include per-query timings greedily from slowest to
+    // fastest until the budget is hit, and say how many were omitted.
+    val sfName = new java.io.File(sfDir).getName
+    val sorted = results.toSeq.sortBy(-_._2)
+    val budget = 1600 // chars for the queries map body
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    sorted.foreach { case (k, v) =>
+      val e = s"\"" + k + "\":" + fmt(v)
+      if (used + e.length + 1 <= budget) { picked += e; used += e.length + 1 }
+    }
+    val omitted = results.size - picked.size
+    val qs = picked.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"omitted_fastest":$omitted,"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }
