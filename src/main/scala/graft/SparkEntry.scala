@@ -17,6 +17,7 @@ object SparkEntry {
       graft.ops.SearchQueries.entries ++
       graft.ops.Dedup.entries ++
       graft.ops.Similarity.entries ++
+      graft.ops.Clustering.entries ++
       graft.index.VectorIndex.entries ++
       graft.index.LogCloudIndex.entries ++
       graft.ops.Maintenance.entries ++

@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-corpus operators a training-data pipeline runs between
+  * dedup and similarity search: k-means clustering (data curation /
+  * domain mixing over embedding space), batch KNN join (retrieval for
+  * every query of a set, not one query — the shape deduplication and
+  * decontamination-by-similarity actually use), and int8 vector
+  * quantization (4× storage/bandwidth reduction before indexes are
+  * built).
+  *
+  * Everything is engine-exact: k-means runs on integer-quantized
+  * vectors with integer centroid means (no float summation order
+  * anywhere), the KNN join reuses the sequential-fold cosine contract
+  * of `Similarity`, and quantization only performs per-element IEEE
+  * ops with identical association in both engines — so every entry
+  * carries an exact DuckDB oracle.
+  */
+object Clustering {
+
+  // ---- deterministic k-means over integer-quantized embeddings -------
+
+  val K = 8
+  /** Quantization step for k-means arithmetic (same as Similarity's LSH
+    * quantizer): round(x * 1e6) per dimension.
+    */
+  val Quant: Long = Similarity.VecQuant
+  /** Offset making the mean's dividend positive, so DuckDB's floor
+    * division and Spark's truncating `div` agree (they only differ on
+    * negative operands). |q| ≤ Quant · max|x| ≈ 6e5 ≪ Off.
+    */
+  val Off = 10000000L
+
+  /** Integer-quantized embeddings: (vec_id, q array<long>). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("v"), x => round(x * Quant).cast("long")).as("q"))
+
+  /** Nearest centroid per vector; ties broken toward the lowest
+    * cluster id (array_position returns the FIRST minimum; the oracle's
+    * row_number orders by (dist, k)). Centroids ride along as an array
+    * literal — the Spark analogue of a broadcast join against a
+    * k-row dimension, keeping assignment a pure map stage.
+    */
+  private def assign(e: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val ordered = cents.sortBy(_._1)
+    val centLit = typedLit(ordered.map(_._2))
+    val kLit = typedLit(ordered.map(_._1))
+    val dists = transform(centLit, c =>
+      aggregate(zip_with(col("q"), c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x))
+    e.withColumn("dists", dists)
+      .withColumn("cluster",
+        element_at(kLit,
+          array_position(col("dists"), array_min(col("dists"))).cast("int")))
+      .drop("dists")
+  }
+
+  /** New centroids = per-(cluster, dim) integer mean of member vectors:
+    * floor((Σq + n·Off) / n) − Off, exact in any engine. One
+    * posexplode + one groupBy shuffle; the collect is K×dim rows
+    * (metadata-sized at any corpus size). Clusters that lose all
+    * members simply drop out (the oracle's GROUP BY does the same).
+    */
+  private def recompute(assigned: DataFrame): Seq[(Long, Seq[Long])] = {
+    val rows = assigned
+      .select(col("cluster"), posexplode(col("q")).as(Seq("i", "qd")))
+      .groupBy("cluster", "i")
+      .agg(sum("qd").as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr(s"((s + n * $Off) div n) - $Off"))
+      .select("cluster", "i", "m")
+      .collect()
+    rows.groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    }.toSeq
+  }
+
+  /** Lloyd's iterations, fully deterministic: init = the vectors with
+    * vec_id < K, two assignment rounds with one centroid update
+    * between. At 100 TB each round is one map stage (assignment
+    * against broadcast centroids) plus one groupBy((cluster, dim))
+    * shuffle of K·dim partial sums — the standard distributed-KMeans
+    * shape (what MLlib runs), made engine-exact by integer arithmetic.
+    */
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val init = e.filter(col("vec_id") < K).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val a1 = assign(e, init)
+    val a2 = assign(e, recompute(a1))
+    a2.select(col("vec_id"), col("cluster"))
+  }
+
+  private def kmeansSql: String = {
+    val dim = Similarity.VecDim
+    s"""WITH e AS (SELECT vec_id, [CAST(round(x * $Quant) AS BIGINT) for x in embedding::DOUBLE[]] AS q FROM embeddings),
+       |c0 AS (SELECT vec_id AS k, q FROM e WHERE vec_id < $K),
+       |d1 AS (SELECT e.vec_id, c0.k,
+       |         list_sum([(e.q[i] - c0.q[i]) * (e.q[i] - c0.q[i]) for i in generate_series(1, $dim)]) AS dist
+       |       FROM e CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, k AS cluster FROM (
+       |         SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d1) t
+       |       WHERE rn = 1),
+       |p1 AS (SELECT a1.cluster, g.i, e.q[g.i] AS qd
+       |       FROM a1 JOIN e USING (vec_id) CROSS JOIN generate_series(1, $dim) g(i)),
+       |m1 AS (SELECT cluster, i, (sum(qd) + count(*) * $Off) // count(*) - $Off AS m
+       |       FROM p1 GROUP BY cluster, i),
+       |c1 AS (SELECT cluster AS k, list(m ORDER BY i) AS q FROM m1 GROUP BY cluster),
+       |d2 AS (SELECT e.vec_id, c1.k,
+       |         list_sum([(e.q[i] - c1.q[i]) * (e.q[i] - c1.q[i]) for i in generate_series(1, $dim)]) AS dist
+       |       FROM e CROSS JOIN c1)
+       |SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, k AS cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d2) t
+       |WHERE rn = 1""".stripMargin
+  }
+
+  // ---- batch KNN join ------------------------------------------------
+
+  val QueryMod = 100 // query set = vec_id % QueryMod == 0
+  val JoinK = 3
+
+  /** Top-`JoinK` cosine neighbors for EVERY query vector of a set in
+    * one plan: the query side is broadcast (it is the small side by
+    * construction), scoring is a map stage over the corpus with the
+    * codegen'd CosineSim expression, and the only shuffle is the
+    * per-query top-k window partitioned by qid. At 100 TB the corpus
+    * never shuffles; candidate pruning would come from the IVF index
+    * (VectorIndex.searchCells) feeding the same final window.
+    */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embeddings(s, dir)
+    val qs = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.GraftExtensions.cosineSim(s, col("v"), col("qv")), 6)
+          .as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= JoinK)
+  }
+
+  private def knnJoinSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % $QueryMod = 0),
+       |s AS (SELECT q.qid, e.vec_id,
+       |        round(list_sum([e.v[i] * q.qv[i] for i in generate_series(1, len(e.v))]) /
+       |              (sqrt(list_sum([e.v[i] * e.v[i] for i in generate_series(1, len(e.v))])) *
+       |               sqrt(list_sum([q.qv[i] * q.qv[i] for i in generate_series(1, len(q.qv))]))), 6) AS cos
+       |      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid)
+       |SELECT qid, vec_id, cos, rnk FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM s) t
+       |WHERE rnk <= $JoinK""".stripMargin
+
+  // ---- int8 symmetric quantization -----------------------------------
+
+  /** Per-vector symmetric int8 quantization: scale = max|x|, code_i =
+    * round(x_i / scale · 127) ∈ [−127, 127]. Output is the flattened
+    * (vec_id, dim, code, scale) stream — a pure map stage (posexplode
+    * is a generator inside whole-stage codegen, no shuffle). Every
+    * arithmetic step is a single IEEE op with identical association in
+    * both engines, and round-half-away-from-zero matches Spark's
+    * HALF_UP on doubles, so codes are bit-reproducible.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embeddings(s, dir)
+    e.withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), (col("i") + 1).cast("long").as("i"),
+        round(col("x") / col("scale") * 127, 0).cast("long").as("code"),
+        round(col("scale"), 6).as("scale"))
+  }
+
+  private def quantizeSql: String = {
+    val dim = Similarity.VecDim
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS scale FROM e WHERE list_max([abs(x) for x in v]) > 0)
+       |SELECT vec_id, i::BIGINT AS i,
+       |  CAST(round(v[i] / scale * 127) AS BIGINT) AS code,
+       |  round(scale, 6) AS scale
+       |FROM s CROSS JOIN generate_series(1, $dim) g(i)""".stripMargin
+  }
+
+  def entries: Map[String, Q] = Map(
+    "embed_kmeans" -> Q((s, dir) => kmeans(s, dir), kmeansSql),
+    "similarity_knn_join" -> Q((s, dir) => knnJoin(s, dir), knnJoinSql),
+    "embed_quantize_int8" -> Q((s, dir) => quantizeInt8(s, dir), quantizeSql)
+  )
+}

