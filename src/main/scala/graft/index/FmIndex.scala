@@ -1,0 +1,244 @@
+package graft.index
+
+import graft.core.Layout
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Substring index with real FM-index semantics: bounded-window suffix
+  * array → BWT → chunked rank structure → backward search (reference:
+  * src/lava/substring/build.rs:127-305 builds the char-mode SA/BWT,
+  * search.rs:381-444 runs backward search; fm_chunk.rs:56-64 stores
+  * cumulative counts per chunk exactly like `cum` here).
+  *
+  * Spark-first construction: the suffix array is a *fixed-length-key
+  * sort* — the reference bounds suffix comparisons to 10-token windows
+  * (build.rs:439-451), here to `W` characters — so the whole build is
+  * one `repartitionByRange(key, uid, pos) + sortWithinPartitions`
+  * (Spark's strongest primitive) plus `zipWithIndex` for the global SA
+  * rank. Everything physical is parquet: `fm/` holds per-chunk BWT
+  * text, cumulative char counts, and the SA-ordered uid array (the
+  * reference's FM chunks + posting chunks); `head/` holds the C array.
+  *
+  * Exactness: with ties in the W-bounded sort broken by (rid, pos) —
+  * rid a per-ROW unique id — backward search is EXACT for patterns of
+  * ≤ W−1 chars: a suffix outside the current SA range can only tie
+  * with one inside on the first W−1 chars if it also starts with the
+  * (≤ W−2 char) pattern, a contradiction; and the (rid, pos)
+  * tie-break is preserved by the LF step (prepending a char maps it
+  * to (rid, pos−1), the same order).
+  * Queries longer than W−1 walk their LAST W−1 chars
+  * (the reference keeps the last `token_viable_limit` tokens,
+  * search.rs:512-524) and the mandatory brute-force refine restores
+  * exactness — the reference's own FP discipline (search.rs:78-85).
+  *
+  * Search is driver-orchestrated point lookups: ≤ |walk| steps, each
+  * reading ≤ 2 boundary chunks by `chunk_id` (parquet min/max pruned),
+  * memoized in a driver LRU — the role the reference's Redis range
+  * cache plays for hot index ranges (src/formats/cache/cache.rs:11-35).
+  */
+object FmIndex {
+
+  val W = 16 // suffix window; exact backward search for |q| ≤ 15
+  val ChunkSize = 4096 // SA positions per chunk (reference: FM_CHUNK_TOKS)
+  val Sentinel = "\u0001"
+
+  /** Build over a file group: suffix rows → bounded sort → SA rank →
+    * chunked BWT/rank/uid tables + C-array head + meta sidecar.
+    */
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = {
+    import spark.implicits._
+    val meta = Layout.buildMeta(spark, files).cache()
+    // rid = per-ROW unique id: the suffix-sort tie-break must be unique
+    // per position, and uid is row-GROUP granularity (docs sharing a
+    // row group would collide, making the BWT order of tied windows
+    // arbitrary across docs and corrupting LF ranks). (rid, i) is
+    // LF-consistent: prepending a char maps it to (rid, i−1), the same
+    // order. uid stays as the posting payload.
+    val data = Layout.withUid(spark, files, meta)
+      .select(col("uid"), lower(col(column)).as("txt"))
+      .filter(col("txt").isNotNull && length(col("txt")) > 0)
+      .withColumn("rid", monotonically_increasing_id())
+    // one row per character position 0..len INCLUSIVE: the terminator
+    // suffix at i = len puts the row's LAST char into the BWT (without
+    // it, matches ending at a row boundary are unreachable by the LF
+    // step — the BWT must be a permutation of the row's chars plus one
+    // sentinel). Each row: W-char suffix window key, the char BEFORE
+    // the position (BWT), and the first char (C array).
+    val padded = concat(col("txt"), lit(Sentinel * W))
+    val suf = data
+      .select(col("uid"), col("rid"), col("txt"), explode(
+        expr("sequence(0, length(txt))")).as("i"))
+      .select(col("uid"), col("rid"), col("i"),
+        substring(padded, col("i") + 1, lit(W)).as("key"),
+        when(col("i") === 0, lit(Sentinel))
+          .otherwise(substring(col("txt"), col("i"), lit(1))).as("bwtc"),
+        substring(padded, col("i") + 1, lit(1)).as("fc"))
+    // bounded suffix sort; (rid, i) tie-break makes the order total and
+    // LF-consistent (see scaladoc). zipWithIndex assigns the global SA
+    // rank without funneling data through one partition.
+    val sorted = suf
+      .repartitionByRange(col("key"), col("rid"), col("i"))
+      .sortWithinPartitions("key", "rid", "i")
+    val ranked = sorted.select("uid", "bwtc", "fc").rdd.zipWithIndex
+      .map { case (r, rank) =>
+        (rank, r.getLong(0), r.getString(1), r.getString(2))
+      }.toDF("rank", "uid", "bwtc", "fc")
+      .withColumn("chunk", expr(s"rank div $ChunkSize"))
+      .withColumn("off", col("rank") % ChunkSize)
+      .cache()
+    // per-chunk BWT text and SA-ordered uids (array_sort on structs
+    // orders by the leading `off` field)
+    val perChunk = ranked.groupBy("chunk").agg(
+      array_join(transform(array_sort(collect_list(struct(col("off"),
+        col("bwtc")))), x => x.getField("bwtc")), "").as("bwt"),
+      transform(array_sort(collect_list(struct(col("off"), col("uid")))),
+        x => x.getField("uid")).as("uids"))
+    // dense cumulative char counts before each chunk (chars absent from
+    // a chunk still need their running total, hence the cross join)
+    val counts = ranked.groupBy("chunk", "bwtc").agg(count(lit(1)).as("n"))
+    val dense = perChunk.select("chunk")
+      .crossJoin(counts.select("bwtc").distinct())
+      .join(counts, Seq("chunk", "bwtc"), "left")
+      .na.fill(0L, Seq("n"))
+    val cums = dense.withColumn("cum",
+      coalesce(sum(col("n")).over(Window.partitionBy("bwtc")
+        .orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val cumMap = cums.groupBy("chunk")
+      .agg(map_from_entries(collect_list(struct(col("bwtc"), col("cum"))))
+        .as("cum"))
+    perChunk.join(cumMap, Seq("chunk"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/fm")
+    // head: per char, suffixes starting below it (C array), suffixes
+    // starting with it, and its total BWT occurrences (rank at pos = N)
+    val firstCounts = ranked.groupBy("fc").agg(count(lit(1)).as("nf"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val bwtTotals = counts.groupBy("bwtc").agg(sum("n").as("nb"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    var before = 0L
+    val headRows = firstCounts.map { case (ch, nf) =>
+      val r = (ch, before, nf, bwtTotals.getOrElse(ch, 0L)); before += nf; r
+    }
+    val bwtOnly = (bwtTotals.keySet -- firstCounts.map(_._1).toSet).toSeq
+      .sorted.map(ch => (ch, -1L, 0L, bwtTotals(ch)))
+    (headRows ++ bwtOnly).toSeq
+      .toDF("ch", "c_before", "n_first", "n_bwt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
+    ranked.unpersist()
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    meta.unpersist()
+  }
+
+  // ---- driver-side lookup state (the hot "metadata page") -------------
+
+  private case class Head(cBefore: Map[String, Long], nBwt: Map[String, Long],
+      n: Long)
+  private case class Chunk(bwt: String, cum: Map[String, Long], uids: Seq[Long])
+
+  private val headCache =
+    scala.collection.mutable.Map.empty[String, Head]
+  private val chunkCache =
+    new java.util.LinkedHashMap[(String, Long), Chunk](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Chunk]): Boolean =
+        size() > 1024
+    }
+
+  private def head(spark: SparkSession, path: String): Head = synchronized {
+    headCache.getOrElseUpdate(path, {
+      val rows = spark.read.parquet(s"$path/head").collect()
+      Head(
+        rows.filter(_.getLong(1) >= 0)
+          .map(r => r.getString(0) -> r.getLong(1)).toMap,
+        rows.map(r => r.getString(0) -> r.getLong(3)).toMap,
+        rows.map(_.getLong(2)).sum)
+    })
+  }
+
+  private def chunks(spark: SparkSession, path: String,
+      ids: Seq[Long]): Map[Long, Chunk] = synchronized {
+    val missing = ids.distinct.filterNot(id => chunkCache.containsKey((path, id)))
+    if (missing.nonEmpty) {
+      spark.read.parquet(s"$path/fm")
+        .filter(col("chunk").isin(missing: _*))
+        .collect().foreach { r =>
+          chunkCache.put((path, r.getLong(0)),
+            Chunk(r.getString(1), r.getMap[String, Long](3).toMap,
+              r.getSeq[Long](2).toIndexedSeq))
+        }
+    }
+    ids.distinct.map(id => id -> chunkCache.get((path, id))).toMap
+  }
+
+  /** occurrences of `c` in BWT[0, pos) */
+  private def rank(spark: SparkSession, path: String, h: Head,
+      c: String, pos: Long): Long = {
+    if (pos <= 0) return 0L
+    if (pos >= h.n) return h.nBwt.getOrElse(c, 0L)
+    val id = pos / ChunkSize
+    val ch = chunks(spark, path, Seq(id))(id)
+    val inChunk = ch.bwt.substring(0, (pos % ChunkSize).toInt)
+      .count(_.toString == c)
+    ch.cum.getOrElse(c, 0L) + inChunk
+  }
+
+  /** Backward search: SA range of the walk pattern (last W−1 chars of
+    * the query). Returns [lo, hi).
+    */
+  def saRange(spark: SparkSession, path: String, query: String): (Long, Long) = {
+    val h = head(spark, path)
+    val walk = query.takeRight(W - 1)
+    var lo = 0L
+    var hi = h.n
+    walk.reverseIterator.foreach { ch =>
+      if (lo < hi) {
+        val c = ch.toString
+        h.cBefore.get(c) match {
+          case None => lo = 0L; hi = 0L // char never starts a suffix
+          case Some(cb) =>
+            val nlo = cb + rank(spark, path, h, c, lo)
+            val nhi = cb + rank(spark, path, h, c, hi)
+            lo = nlo; hi = nhi
+        }
+      }
+    }
+    (lo, hi)
+  }
+
+  /** Search one index: backward search → SA-range uid posting slice →
+    * selective read → refine with the FULL query (exactness past W−1
+    * and the reference's no-truncate-before-refine discipline).
+    */
+  def search(spark: SparkSession, path: String, column: String,
+      query: String): DataFrame = {
+    import spark.implicits._
+    val q = query.toLowerCase
+    val meta = spark.read.parquet(s"$path/meta")
+    def covered: Seq[String] = meta.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (q.isEmpty)
+      return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
+    val (lo, hi) = saRange(spark, path, q)
+    // cost switch: a huge SA range means the gram is unselective — the
+    // covered-files scan wins (reference: brute_force_threshold,
+    // backends/utils.py:221-225)
+    if (hi - lo > graft.core.Lake.BruteForceThreshold * ChunkSize) {
+      return spark.read.parquet(covered: _*)
+        .filter(lower(col(column)).contains(q))
+        .withColumn("uid", lit(-1L))
+    }
+    val ids = (lo / ChunkSize) to (if (hi > lo) (hi - 1) / ChunkSize else lo / ChunkSize)
+    val fetched = if (hi > lo) chunks(spark, path, ids) else Map.empty[Long, Chunk]
+    val uids = fetched.toSeq.flatMap { case (id, ch) =>
+      val base = id * ChunkSize
+      val from = math.max(lo - base, 0L).toInt
+      val until = math.min(hi - base, ch.uids.size.toLong).toInt
+      if (until > from) ch.uids.slice(from, until) else Nil
+    }.distinct
+    Layout.readHits(spark, meta, uids.toDF("uid"))
+      .filter(lower(col(column)).contains(q))
+  }
+}

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.core.{IndexStore, Lake, Layout}
-import graft.index.NgramIndex
+import graft.index.{FmIndex, NgramIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,14 @@ object IndexQueries {
 
   val QueryStr = "merge merge"
   val ShortQueryStr = "qu"
+  // 19 chars > FmIndex.W − 1: exercises the walk-cap + refine path
+  val LongQueryStr = "stream vector spark"
+
+  private def fmIdx(s: SparkSession, dir: String): String = {
+    val p = IndexStore.indexPath(dir, "fm_documents_text")
+    IndexStore.ensure(p) { FmIndex.build(s, lakeFiles(s, dir), Column, p) }
+    p
+  }
 
   def entries: Map[String, Q] = Map(
     // full lifecycle: build (cached) → gram-intersect → selective read →
@@ -86,6 +94,24 @@ object IndexQueries {
       NgramIndex.search(s, p, Column, QueryStr)
         .select(col("doc_id")).orderBy(col("doc_id")).limit(5)
     }, bruteSql(QueryStr) + " LIMIT 5"),
+
+    // true FM-index semantics: bounded-window BWT backward search →
+    // SA-range posting slice → selective read → refine (reference:
+    // src/lava/substring/search.rs:381-444)
+    "substring_search_fm" -> Q((s, dir) => {
+      val p = fmIdx(s, dir)
+      FmIndex.search(s, p, Column, QueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, bruteSql(QueryStr)),
+
+    // query past the exact window: backward search walks the LAST W−1
+    // chars (reference: token_viable_limit, search.rs:512-524), refine
+    // restores exactness
+    "substring_search_fm_long" -> Q((s, dir) => {
+      val p = fmIdx(s, dir)
+      FmIndex.search(s, p, Column, LongQueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, bruteSql(LongQueryStr)),
 
     // query below gram width → index signals brute-force (reference:
     // backends/utils.py:221-225)

@@ -1,0 +1,85 @@
+package graft
+
+import graft.index.FmIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FmIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic pseudo-random corpus over a tiny alphabet (so grams
+    * repeat heavily — the adversarial case for rank bookkeeping).
+    */
+  private def corpus(n: Int, len: Int, seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val alpha = "abc "
+    (0L until n.toLong).map { id =>
+      id -> (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+  }
+
+  private def buildOver(rows: Seq[(Long, String)], name: String): (String, String) = {
+    val dir = TestSpark.tmpDir(name)
+    rows.toDF("doc_id", "text").repartition(2).write.mode("overwrite")
+      .parquet(s"$dir/data")
+    val files = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq.sorted
+    val idx = s"$dir/idx"
+    FmIndex.build(spark, files, "text", idx)
+    (idx, s"$dir/data")
+  }
+
+  private def bruteIds(data: String, q: String): Set[Long] =
+    spark.read.parquet(data).filter(lower(col("text")).contains(q.toLowerCase))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private def fmIds(idx: String, q: String): Set[Long] =
+    FmIndex.search(spark, idx, "text", q)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("FM search equals brute force for many random patterns") {
+    val rows = corpus(60, 120, seed = 7)
+    val (idx, data) = buildOver(rows, "fm-rand")
+    val rnd = new scala.util.Random(11)
+    val alpha = "abc "
+    // patterns of every length from 1 to beyond the exact window
+    (1 to 40).foreach { trial =>
+      val len = 1 + rnd.nextInt(FmIndex.W + 4)
+      val q = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      assert(fmIds(idx, q) == bruteIds(data, q), s"pattern '$q' (len $len)")
+    }
+    // patterns drawn from real documents (guaranteed hits)
+    (1 to 20).foreach { _ =>
+      val d = rows(rnd.nextInt(rows.size))._2
+      val start = rnd.nextInt(d.length - 1)
+      val q = d.substring(start, math.min(d.length, start + 1 + rnd.nextInt(12)))
+      assert(fmIds(idx, q) == bruteIds(data, q), s"planted pattern '$q'")
+    }
+  }
+
+  test("FM search handles empty, absent-char, and over-window queries") {
+    val rows = corpus(10, 50, seed = 3)
+    val (idx, data) = buildOver(rows, "fm-edge")
+    assert(fmIds(idx, "zq") == Set.empty) // chars absent from corpus
+    val all = FmIndex.search(spark, idx, "text", "")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == rows.map(_._1).toSet) // contains("") is every row
+    val d = rows.head._2
+    val longQ = d.substring(0, FmIndex.W + 3) // walks only last W-1 chars
+    assert(fmIds(idx, longQ) == bruteIds(data, longQ))
+  }
+
+  test("FM search on the sf0.001 documents lake matches brute force") {
+    val files = graft.core.Lake.ensureSplit(spark, "/root/testdata/sf0.001",
+      "documents", "doc_id", 4)
+    val dir = TestSpark.tmpDir("fm-docs")
+    FmIndex.build(spark, files, "text", s"$dir/idx")
+    val got = FmIndex.search(spark, s"$dir/idx", "text", "merge merge")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = spark.read.parquet(files: _*)
+      .filter(lower(col("text")).contains("merge merge"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+}
