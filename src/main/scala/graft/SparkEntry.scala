@@ -27,7 +27,8 @@ object SparkEntry {
       graft.ops.Pipeline.entries ++
       graft.ops.Multimodal.entries ++
       graft.ops.LayoutQueries.entries ++
-      graft.streaming.EventStream.entries
+      graft.streaming.EventStream.entries ++
+      graft.streaming.StreamingIndex.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The substring index search is the engine's signature
