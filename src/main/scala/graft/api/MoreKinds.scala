@@ -256,3 +256,58 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
       .limit(k)
   }
 }
+
+/** FM-index substring kind (contains semantics, real BWT backward
+  * search). The lock-step multi-index walk keeps the job count at one
+  * batched boundary-chunk fetch per LF step regardless of how many
+  * indexes cover the lake, plus one posting fetch and one materialize —
+  * the same constant-jobs discipline as the union-plan kinds.
+  */
+object FmKind extends IndexKind {
+
+  val name = "fm"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = graft.index.FmIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    graft.index.FmIndex.merge(spark, a, b, out)
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    import graft.index.FmIndex
+    val q = query.toLowerCase
+    def brute(files: Seq[String]): DataFrame =
+      spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
+    val covered = coveredFiles(spark, paths, live)
+
+    def viaIndex(): Option[DataFrame] = {
+      if (q.isEmpty) return None // contains("") = every row: brute
+      val ranges = FmIndex.saRangeMulti(spark, paths, q)
+      // cost switch on total SA-range width (positions, so scaled by
+      // chunk size relative to the row-group hit threshold)
+      val width = ranges.values.map { case (lo, hi) => math.max(hi - lo, 0L) }.sum
+      if (width > Lake.BruteForceThreshold * FmIndex.ChunkSize) return None
+      FmIndex.fetchPostings(spark, ranges) // one batched job
+      val byPath = paths.map(p => p -> metaRows(spark, p)
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap).toMap
+      val hits = paths.flatMap { p =>
+        val (lo, hi) = ranges(p)
+        FmIndex.postingSlice(spark, p, lo, hi).flatMap(uid =>
+          byPath(p).get(uid).map { case (f, rs, n) => (f, uid, rs, n) })
+      }.distinct.filter(h => live.forall(_.contains(h._1)))
+      if (bruteBeatsIndex(spark, paths, hits)) None
+      else Some(
+        Layout.readGroups(spark, hits, covered).drop("uid")
+          .filter(lower(col(column)).contains(q)))
+    }
+
+    val parts =
+      (if (covered.isEmpty) Seq.empty
+       else Seq(viaIndex().getOrElse(brute(covered)))) ++
+      (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
+    require(parts.nonEmpty, "no live files to search")
+    parts.reduce(_ unionByName _)
+  }
+}

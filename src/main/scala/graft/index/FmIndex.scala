@@ -128,8 +128,25 @@ object FmIndex {
       .toDF("ch", "c_before", "n_first", "n_bwt")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
     ranked.unpersist()
+    // indexed column, needed by rebuild-on-merge (the merge signature is
+    // column-agnostic, like every kind's)
+    Seq(column).toDF("column").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/info")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()
+  }
+
+  /** Merge = rebuild over the union of both indexes' covered files
+    * (SURVEY §7.5: rebuild-on-merge is the sanctioned v1 for BWT
+    * indexes — the reference's streaming interleave, merge.rs:185-407,
+    * is an encoding-level optimization with identical search results).
+    */
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    val column = spark.read.parquet(s"$a/info").collect()(0).getString(0)
+    val files = (spark.read.parquet(s"$a/meta").select("file_path")
+      .unionByName(spark.read.parquet(s"$b/meta").select("file_path")))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    build(spark, files, column, out)
   }
 
   // ---- driver-side lookup state (the hot "metadata page") -------------
@@ -158,19 +175,40 @@ object FmIndex {
     })
   }
 
-  private def chunks(spark: SparkSession, path: String,
-      ids: Seq[Long]): Map[Long, Chunk] = synchronized {
-    val missing = ids.distinct.filterNot(id => chunkCache.containsKey((path, id)))
-    if (missing.nonEmpty) {
-      spark.read.parquet(s"$path/fm")
-        .filter(col("chunk").isin(missing: _*))
-        .collect().foreach { r =>
-          chunkCache.put((path, r.getLong(0)),
+  /** Batched fetch: ONE job loads every missing (path, chunk) pair
+    * across all indexes — the per-step boundary read of backward search
+    * stays one job no matter how many indexes cover the lake (the
+    * facade's constant-jobs discipline). Rows are attributed to their
+    * index by file path.
+    */
+  private def fetchChunks(spark: SparkSession,
+      needs: Map[String, Seq[Long]]): Unit = synchronized {
+    val missing = needs.toSeq.flatMap { case (p, ids) =>
+      ids.distinct.filterNot(id => chunkCache.containsKey((p, id))).map(p -> _)
+    }
+    if (missing.isEmpty) return
+    val paths = missing.map(_._1).distinct
+    val ids = missing.map(_._2).distinct
+    spark.read.parquet(paths.map(_ + "/fm"): _*)
+      .filter(col("chunk").isin(ids: _*))
+      .select(col("chunk"), col("bwt"), col("uids"), col("cum"),
+        input_file_name().as("__f"))
+      .collect().foreach { r =>
+        val f = Layout.canonPath(r.getString(4))
+        paths.find(p => f.startsWith(Layout.canonPath(p) + "/")).foreach { p =>
+          chunkCache.put((p, r.getLong(0)),
             Chunk(r.getString(1), r.getMap[String, Long](3).toMap,
               r.getSeq[Long](2).toIndexedSeq))
         }
+      }
+  }
+
+  private def chunks(spark: SparkSession, path: String,
+      ids: Seq[Long]): Map[Long, Chunk] = {
+    fetchChunks(spark, Map(path -> ids))
+    synchronized {
+      ids.distinct.map(id => id -> chunkCache.get((path, id))).toMap
     }
-    ids.distinct.map(id => id -> chunkCache.get((path, id))).toMap
   }
 
   /** occurrences of `c` in BWT[0, pos) */
@@ -185,28 +223,64 @@ object FmIndex {
     ch.cum.getOrElse(c, 0L) + inChunk
   }
 
-  /** Backward search: SA range of the walk pattern (last W−1 chars of
-    * the query). Returns [lo, hi).
+  /** Lock-step backward search over several indexes at once: all walks
+    * advance together and each step's boundary chunks are fetched in
+    * ONE batched job across every index. Returns each index's SA range
+    * [lo, hi) for the walk pattern (last W−1 chars of the query).
     */
-  def saRange(spark: SparkSession, path: String, query: String): (Long, Long) = {
-    val h = head(spark, path)
+  def saRangeMulti(spark: SparkSession, paths: Seq[String],
+      query: String): Map[String, (Long, Long)] = {
+    val hs = paths.map(p => p -> head(spark, p)).toMap
     val walk = query.takeRight(W - 1)
-    var lo = 0L
-    var hi = h.n
+    var state = paths.map(p => p -> (0L, hs(p).n)).toMap
     walk.reverseIterator.foreach { ch =>
-      if (lo < hi) {
-        val c = ch.toString
-        h.cBefore.get(c) match {
-          case None => lo = 0L; hi = 0L // char never starts a suffix
+      val c = ch.toString
+      val needs = state.collect { case (p, (lo, hi)) if lo < hi =>
+        val h = hs(p)
+        p -> Seq(lo, hi).filter(pos => pos > 0 && pos < h.n).map(_ / ChunkSize)
+      }.filter(_._2.nonEmpty)
+      fetchChunks(spark, needs)
+      state = state.map { case (p, (lo, hi)) =>
+        if (lo >= hi) p -> (lo, hi)
+        else hs(p).cBefore.get(c) match {
+          case None => p -> (0L, 0L) // char never starts a suffix here
           case Some(cb) =>
-            val nlo = cb + rank(spark, path, h, c, lo)
-            val nhi = cb + rank(spark, path, h, c, hi)
-            lo = nlo; hi = nhi
+            p -> (cb + rank(spark, path = p, hs(p), c, lo),
+              cb + rank(spark, path = p, hs(p), c, hi))
         }
       }
     }
-    (lo, hi)
+    state
   }
+
+  def saRange(spark: SparkSession, path: String, query: String): (Long, Long) =
+    saRangeMulti(spark, Seq(path), query)(path)
+
+  /** SA-ordered uid posting slice [lo, hi); assumes the covering chunks
+    * are already cached (call fetchPostings/chunks first).
+    */
+  def postingSlice(spark: SparkSession, path: String,
+      lo: Long, hi: Long): Seq[Long] = {
+    if (hi <= lo) return Nil
+    val ids = (lo / ChunkSize) to ((hi - 1) / ChunkSize)
+    val fetched = chunks(spark, path, ids)
+    ids.flatMap { id =>
+      val ch = fetched(id)
+      val base = id * ChunkSize
+      val from = math.max(lo - base, 0L).toInt
+      val until = math.min(hi - base, ch.uids.size.toLong).toInt
+      if (until > from) ch.uids.slice(from, until) else Nil
+    }.distinct
+  }
+
+  /** Batch-fetch the posting chunks covering every index's range in one
+    * job, so subsequent postingSlice calls are cache hits.
+    */
+  def fetchPostings(spark: SparkSession,
+      ranges: Map[String, (Long, Long)]): Unit =
+    fetchChunks(spark, ranges.collect { case (p, (lo, hi)) if hi > lo =>
+      p -> ((lo / ChunkSize) to ((hi - 1) / ChunkSize)).toSeq
+    })
 
   /** Search one index: backward search → SA-range uid posting slice →
     * selective read → refine with the FULL query (exactness past W−1
@@ -230,14 +304,7 @@ object FmIndex {
         .filter(lower(col(column)).contains(q))
         .withColumn("uid", lit(-1L))
     }
-    val ids = (lo / ChunkSize) to (if (hi > lo) (hi - 1) / ChunkSize else lo / ChunkSize)
-    val fetched = if (hi > lo) chunks(spark, path, ids) else Map.empty[Long, Chunk]
-    val uids = fetched.toSeq.flatMap { case (id, ch) =>
-      val base = id * ChunkSize
-      val from = math.max(lo - base, 0L).toInt
-      val until = math.min(hi - base, ch.uids.size.toLong).toInt
-      if (until > from) ch.uids.slice(from, until) else Nil
-    }.distinct
+    val uids = postingSlice(spark, path, lo, hi)
     Layout.readHits(spark, meta, uids.toDF("uid"))
       .filter(lower(col(column)).contains(q))
   }

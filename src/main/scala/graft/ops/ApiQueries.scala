@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Q
-import graft.api.{Bm25Kind, GraftLake, KeyKind, LogCloudKind, VectorKind, ZoneMapKind}
+import graft.api.{Bm25Kind, FmKind, GraftLake, KeyKind, LogCloudKind, VectorKind, ZoneMapKind}
 import graft.core.{IndexStore, Lake}
 import graft.index.Bm25Index
 import org.apache.spark.sql.SparkSession
@@ -90,6 +90,18 @@ object ApiQueries {
         .select(col("event_id"))
     }, "SELECT event_id FROM events WHERE contains(props, '87') " +
        "ORDER BY event_id"),
+
+    // FM substring search through the facade: per-file BWT indexes →
+    // compact (rebuild-on-merge) → lock-step multi-index backward search
+    "lake_api_fm" -> Q((s, dir) => {
+      val lake = docLake(s, dir)
+      lake.index(FmKind, "text", binpackRows = 1)
+      lake.compact(FmKind, "text", threshold = 1000000L)
+      lake.search(FmKind, "text", IndexQueries.QueryStr, 1000000,
+          Seq("doc_id"))
+        .select(col("doc_id"))
+    }, s"SELECT doc_id FROM documents WHERE contains(lower(text), " +
+       s"'${IndexQueries.QueryStr}') ORDER BY doc_id"),
 
     // zone-map range search through the facade (virtual-mode index)
     "lake_api_zonemap" -> Q((s, dir) => {
