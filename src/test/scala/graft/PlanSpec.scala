@@ -55,4 +55,23 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(SparkEntry.queries("similarity_knn_brute")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"knn lost top-k form:\n$p")
   }
+
+  test("knn join broadcasts the query side; corpus never shuffles pre-window") {
+    val p = plan(graft.ops.Clustering.knnJoin(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+    // the only hash exchange allowed is the per-query top-k window
+    assert(!p.contains("SortMergeJoin"), s"corpus got sort-merged:\n$p")
+  }
+
+  test("int8 quantization is a map-only stage") {
+    val p = plan(graft.ops.Clustering.quantizeInt8(spark, sf))
+    assert(!p.contains("Exchange"), s"quantize plan shuffles:\n$p")
+  }
+
+  test("tfidf keywords: df side joins as broadcast, window is per-doc hash") {
+    val p = plan(SparkEntry.queries("text_keywords_tfidf")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
+    assert(!p.contains("SinglePartition"), s"keyword window went global:\n$p")
+  }
 }
