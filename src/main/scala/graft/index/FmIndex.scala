@@ -155,17 +155,24 @@ object FmIndex {
       n: Long)
   private case class Chunk(bwt: String, cum: Map[String, Long], uids: Seq[Long])
 
+  // caches are keyed by (path, head-dir mtime): index dirs are immutable
+  // once built (the facade's discipline — merge writes a NEW dir), but a
+  // same-path rebuild must never serve stale chunks
+  private def version(path: String): Long =
+    java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(path, "head")).toMillis
+
   private val headCache =
-    scala.collection.mutable.Map.empty[String, Head]
+    scala.collection.mutable.Map.empty[(String, Long), Head]
   private val chunkCache =
-    new java.util.LinkedHashMap[(String, Long), Chunk](256, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, Long), Chunk](256, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Chunk]): Boolean =
+          e: java.util.Map.Entry[(String, Long, Long), Chunk]): Boolean =
         size() > 1024
     }
 
   private def head(spark: SparkSession, path: String): Head = synchronized {
-    headCache.getOrElseUpdate(path, {
+    headCache.getOrElseUpdate((path, version(path)), {
       val rows = spark.read.parquet(s"$path/head").collect()
       Head(
         rows.filter(_.getLong(1) >= 0)
@@ -183,8 +190,10 @@ object FmIndex {
     */
   private def fetchChunks(spark: SparkSession,
       needs: Map[String, Seq[Long]]): Unit = synchronized {
+    val vers = needs.keys.map(p => p -> version(p)).toMap
     val missing = needs.toSeq.flatMap { case (p, ids) =>
-      ids.distinct.filterNot(id => chunkCache.containsKey((p, id))).map(p -> _)
+      ids.distinct.filterNot(id =>
+        chunkCache.containsKey((p, vers(p), id))).map(p -> _)
     }
     if (missing.isEmpty) return
     val paths = missing.map(_._1).distinct
@@ -196,7 +205,7 @@ object FmIndex {
       .collect().foreach { r =>
         val f = Layout.canonPath(r.getString(4))
         paths.find(p => f.startsWith(Layout.canonPath(p) + "/")).foreach { p =>
-          chunkCache.put((p, r.getLong(0)),
+          chunkCache.put((p, vers(p), r.getLong(0)),
             Chunk(r.getString(1), r.getMap[String, Long](3).toMap,
               r.getSeq[Long](2).toIndexedSeq))
         }
@@ -207,7 +216,8 @@ object FmIndex {
       ids: Seq[Long]): Map[Long, Chunk] = {
     fetchChunks(spark, Map(path -> ids))
     synchronized {
-      ids.distinct.map(id => id -> chunkCache.get((path, id))).toMap
+      val v = version(path)
+      ids.distinct.map(id => id -> chunkCache.get((path, v, id))).toMap
     }
   }
 
