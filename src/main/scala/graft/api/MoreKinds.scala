@@ -311,3 +311,56 @@ object FmKind extends IndexKind {
     parts.reduce(_ unionByName _)
   }
 }
+
+/** Wavelet-encoded substring kind: same lifecycle and lock-step
+  * multi-index backward search as [[FmKind]], with the wavelet-matrix
+  * rank encoding (reference's wavelet-tree variant,
+  * src/lava/substring/build.rs:20-125 + wavelet_tree.rs).
+  */
+object WaveletKind extends IndexKind {
+
+  val name = "wavelet"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit =
+    graft.index.WaveletIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    graft.index.WaveletIndex.merge(spark, a, b, out)
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    import graft.index.WaveletIndex
+    val q = query.toLowerCase
+    def brute(files: Seq[String]): DataFrame =
+      spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
+    val covered = coveredFiles(spark, paths, live)
+
+    def viaIndex(): Option[DataFrame] = {
+      if (q.isEmpty) return None // contains("") = every row: brute
+      val ranges = WaveletIndex.saRangeMulti(spark, paths, q)
+      val width = ranges.values.map { case (lo, hi) => math.max(hi - lo, 0L) }.sum
+      if (width > Lake.BruteForceThreshold * WaveletIndex.ChunkSize) return None
+      WaveletIndex.fetchPostings(spark, ranges) // one batched job
+      val byPath = paths.map(p => p -> metaRows(spark, p)
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap).toMap
+      val hits = paths.flatMap { p =>
+        val (lo, hi) = ranges(p)
+        WaveletIndex.postingSlice(spark, p, lo, hi).flatMap(uid =>
+          byPath(p).get(uid).map { case (f, rs, n) => (f, uid, rs, n) })
+      }.distinct.filter(h => live.forall(_.contains(h._1)))
+      if (bruteBeatsIndex(spark, paths, hits)) None
+      else Some(
+        Layout.readGroups(spark, hits, covered).drop("uid")
+          .filter(lower(col(column)).contains(q)))
+    }
+
+    val parts =
+      (if (covered.isEmpty) Seq.empty
+       else Seq(viaIndex().getOrElse(brute(covered)))) ++
+      (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
+    require(parts.nonEmpty, "no live files to search")
+    parts.reduce(_ unionByName _)
+  }
+}

@@ -43,11 +43,13 @@ object FmIndex {
   val ChunkSize = 4096 // SA positions per chunk (reference: FM_CHUNK_TOKS)
   val Sentinel = "\u0001"
 
-  /** Build over a file group: suffix rows → bounded sort → SA rank →
-    * chunked BWT/rank/uid tables + C-array head + meta sidecar.
+  /** Shared SA/BWT pipeline: suffix rows → bounded sort → global SA
+    * rank. Returns (ranked, meta), both cached — `ranked` has columns
+    * (rank, uid, bwtc, fc, chunk, off). [[WaveletIndex]] builds from
+    * the same pipeline with a different physical rank encoding.
     */
-  def build(spark: SparkSession, files: Seq[String], column: String,
-      path: String): Unit = {
+  private[index] def rankedBwt(spark: SparkSession, files: Seq[String],
+      column: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val meta = Layout.buildMeta(spark, files).cache()
     // rid = per-ROW unique id: the suffix-sort tie-break must be unique
@@ -88,17 +90,26 @@ object FmIndex {
       .withColumn("chunk", expr(s"rank div $ChunkSize"))
       .withColumn("off", col("rank") % ChunkSize)
       .cache()
-    // per-chunk BWT text and SA-ordered uids (array_sort on structs
-    // orders by the leading `off` field)
-    val perChunk = ranked.groupBy("chunk").agg(
-      array_join(transform(array_sort(collect_list(struct(col("off"),
-        col("bwtc")))), x => x.getField("bwtc")), "").as("bwt"),
+    (ranked, meta)
+  }
+
+  /** Per-chunk SA-order char and uid arrays (array_sort on structs
+    * orders by the leading `off` field).
+    */
+  private[index] def perChunkArrays(ranked: DataFrame): DataFrame =
+    ranked.groupBy("chunk").agg(
+      transform(array_sort(collect_list(struct(col("off"), col("bwtc")))),
+        x => x.getField("bwtc")).as("chars"),
       transform(array_sort(collect_list(struct(col("off"), col("uid")))),
         x => x.getField("uid")).as("uids"))
-    // dense cumulative char counts before each chunk (chars absent from
-    // a chunk still need their running total, hence the cross join)
+
+  /** Dense cumulative char counts before each chunk, as a per-chunk
+    * map column (chars absent from a chunk still need their running
+    * total, hence the cross join).
+    */
+  private[index] def chunkCums(ranked: DataFrame): DataFrame = {
     val counts = ranked.groupBy("chunk", "bwtc").agg(count(lit(1)).as("n"))
-    val dense = perChunk.select("chunk")
+    val dense = ranked.select("chunk").distinct()
       .crossJoin(counts.select("bwtc").distinct())
       .join(counts, Seq("chunk", "bwtc"), "left")
       .na.fill(0L, Seq("n"))
@@ -106,17 +117,24 @@ object FmIndex {
       coalesce(sum(col("n")).over(Window.partitionBy("bwtc")
         .orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    val cumMap = cums.groupBy("chunk")
+    cums.groupBy("chunk")
       .agg(map_from_entries(collect_list(struct(col("bwtc"), col("cum"))))
         .as("cum"))
-    perChunk.join(cumMap, Seq("chunk"))
-      .write.mode("overwrite").option("compression", "zstd")
-      .parquet(s"$path/fm")
+  }
+
+  /** Writes the artifacts shared by both BWT encodings: `head/` (C
+    * array + totals), `info/` (indexed column), `meta/` sidecar.
+    * Unpersists both cached inputs.
+    */
+  private[index] def writeCommon(spark: SparkSession, ranked: DataFrame,
+      meta: DataFrame, column: String, path: String): Unit = {
+    import spark.implicits._
+    val counts = ranked.groupBy("bwtc").agg(count(lit(1)).as("nb"))
     // head: per char, suffixes starting below it (C array), suffixes
     // starting with it, and its total BWT occurrences (rank at pos = N)
     val firstCounts = ranked.groupBy("fc").agg(count(lit(1)).as("nf"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    val bwtTotals = counts.groupBy("bwtc").agg(sum("n").as("nb"))
+    val bwtTotals = counts
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     var before = 0L
     val headRows = firstCounts.map { case (ch, nf) =>
@@ -134,6 +152,21 @@ object FmIndex {
       .write.mode("overwrite").parquet(s"$path/info")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()
+  }
+
+  /** Build over a file group: suffix rows → bounded sort → SA rank →
+    * chunked BWT/rank/uid tables + C-array head + meta sidecar.
+    */
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = {
+    val (ranked, meta) = rankedBwt(spark, files, column)
+    val perChunk = perChunkArrays(ranked)
+      .select(col("chunk"), array_join(col("chars"), "").as("bwt"),
+        col("uids"))
+    perChunk.join(chunkCums(ranked), Seq("chunk"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/fm")
+    writeCommon(spark, ranked, meta, column, path)
   }
 
   /** Merge = rebuild over the union of both indexes' covered files

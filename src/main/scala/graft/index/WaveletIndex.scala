@@ -1,0 +1,360 @@
+package graft.index
+
+import graft.core.Layout
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wavelet-encoded variant of the BWT substring index — the reference's
+  * alternate physical encoding of the same logical index (reference:
+  * src/lava/substring/build.rs:20-125 builds a balanced byte wavelet
+  * tree over the BWT; wavelet_tree.rs:46-89 serializes it in rank-block
+  * chunks carrying running rank0/rank1 headers; wavelet_tree.rs:116-159
+  * answers rank from those blocks; search.rs:209-312 runs backward
+  * search against it).
+  *
+  * Same logical content as [[FmIndex]] — identical suffix-array build
+  * (shared via [[FmIndex.rankedBwt]]), identical `head/`, `meta/` and
+  * posting layout, identical backward search — but each chunk's rank
+  * structure is a levelwise wavelet matrix (Claude & Navarro's
+  * pointerless wavelet-tree layout, the standard public formulation)
+  * instead of raw BWT text:
+  *
+  *  - the global alphabet is coded into `depth = ceil(log2 σ)` bits
+  *    (`alpha/` table; the reference fixes σ=256 / 8 levels for bytes,
+  *    wavelet_tree.rs:199-214 — ours is text so σ is the observed set);
+  *  - level `l` stores one bitvector of the chunk's codes' l-th bit
+  *    (MSB first), with all 0-bit symbols stably moved to the front of
+  *    the next level;
+  *  - bitvectors are packed into 64-bit words with a cumulative-rank1
+  *    header every 8 words — the same rank-block design as the
+  *    reference's 32768-bit chunks with rank prefix headers.
+  *
+  * rank(c, pos) inside a chunk walks the `depth` levels with two
+  * block-rank lookups per level — O(log σ) word reads instead of the
+  * FM chunk's O(ChunkSize) scan — and cross-chunk totals come from the
+  * same per-chunk cumulative map as the FM encoding. Search results are
+  * bit-identical to [[FmIndex]] by construction.
+  */
+object WaveletIndex {
+
+  val ChunkSize: Int = FmIndex.ChunkSize
+  private val WordsPerBlock = 8
+
+  // ---- wavelet-matrix encode / rank (pure Scala, per chunk) ----------
+
+  /** One encoded chunk: per level packed bit-words, zero-counts and
+    * per-block cumulative rank1 headers, plus the FM-identical
+    * cross-chunk cum map and SA-order posting uids.
+    */
+  private[graft] case class WChunk(chunk: Long, m: Int,
+      words: Seq[Seq[Long]], zeros: Seq[Long], blocks: Seq[Seq[Long]],
+      cum: Map[String, Long], uids: Seq[Long])
+
+  /** Input row of the chunk encoder (named for encoder resolution). */
+  private[graft] case class ChunkIn(chunk: Long, chars: Seq[String],
+      uids: Seq[Long], cum: Map[String, Long])
+
+  /** Encode one chunk's code sequence into wavelet-matrix levels. */
+  private[graft] def encode(codes: Array[Int], depth: Int)
+      : (Seq[Seq[Long]], Seq[Long], Seq[Seq[Long]]) = {
+    val m = codes.length
+    var cur = codes
+    val words = Vector.newBuilder[Seq[Long]]
+    val zeros = Vector.newBuilder[Long]
+    val blocks = Vector.newBuilder[Seq[Long]]
+    for (l <- 0 until depth) {
+      val bit = depth - 1 - l
+      val w = new Array[Long](math.max((m + 63) / 64, 1))
+      var ones = 0
+      var i = 0
+      while (i < m) {
+        if (((cur(i) >> bit) & 1) == 1) {
+          w(i / 64) |= 1L << (i % 64); ones += 1
+        }
+        i += 1
+      }
+      // cumulative rank1 before each 8-word block (reference: running
+      // rank headers per rank-block chunk, wavelet_tree.rs:46-89)
+      val nBlocks = (w.length + WordsPerBlock - 1) / WordsPerBlock
+      val hdr = new Array[Long](nBlocks)
+      var acc = 0L
+      var b = 0
+      while (b < nBlocks) {
+        hdr(b) = acc
+        var j = b * WordsPerBlock
+        val end = math.min(j + WordsPerBlock, w.length)
+        while (j < end) { acc += java.lang.Long.bitCount(w(j)); j += 1 }
+        b += 1
+      }
+      words += w.toSeq
+      zeros += (m - ones).toLong
+      blocks += hdr.toSeq
+      // stable partition: 0-bit symbols first — the next level's order
+      val next = new Array[Int](m)
+      var k = 0
+      i = 0
+      while (i < m) { if (((cur(i) >> bit) & 1) == 0) { next(k) = cur(i); k += 1 }; i += 1 }
+      i = 0
+      while (i < m) { if (((cur(i) >> bit) & 1) == 1) { next(k) = cur(i); k += 1 }; i += 1 }
+      cur = next
+    }
+    (words.result(), zeros.result(), blocks.result())
+  }
+
+  /** rank1 of one level's bitvector at position `p` (∈ [0, m]): block
+    * header + ≤7 word popcounts + one partial-word popcount.
+    */
+  private def rank1(words: Seq[Long], blocks: Seq[Long], p: Int): Long = {
+    if (p <= 0) return 0L
+    val w = p / 64
+    if (w >= words.length) { // p == m with m a multiple of 64: total ones
+      var s = blocks.last
+      var j = (blocks.length - 1) * WordsPerBlock
+      while (j < words.length) { s += java.lang.Long.bitCount(words(j)); j += 1 }
+      return s
+    }
+    var s = blocks(w / WordsPerBlock)
+    var j = (w / WordsPerBlock) * WordsPerBlock
+    while (j < w) { s += java.lang.Long.bitCount(words(j)); j += 1 }
+    val rem = p % 64
+    if (rem > 0)
+      s += java.lang.Long.bitCount(words(w) & ((1L << rem) - 1))
+    s
+  }
+
+  /** Occurrences of `code` in the chunk's first `pos` symbols: the
+    * standard wavelet-matrix rank walk (reference's per-level rank
+    * descent, wavelet_tree.rs:161-197, matrix formulation).
+    */
+  private[graft] def rankInChunk(ch: WChunk, code: Int, depth: Int,
+      pos: Int): Long = {
+    var p = math.min(pos, ch.m).toLong
+    var s = 0L
+    var l = 0
+    while (l < depth) {
+      val bit = (code >> (depth - 1 - l)) & 1
+      val w = ch.words(l); val bl = ch.blocks(l)
+      val r1p = rank1(w, bl, p.toInt)
+      val r1s = rank1(w, bl, s.toInt)
+      if (bit == 0) { p -= r1p; s -= r1s }
+      else { p = ch.zeros(l) + r1p; s = ch.zeros(l) + r1s }
+      l += 1
+    }
+    p - s
+  }
+
+  // ---- build ---------------------------------------------------------
+
+  /** Build over a file group: shared SA/BWT pipeline → wavelet-matrix
+    * chunk tables (`wt/` + `alpha/`) + the FM-identical common
+    * artifacts (`head/`, `info/`, `meta/`).
+    */
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = {
+    import spark.implicits._
+    val (ranked, meta) = FmIndex.rankedBwt(spark, files, column)
+    val alpha = ranked.select("bwtc").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val code = alpha.zipWithIndex.toMap
+    val depth = depthFor(alpha.size)
+    val codeB = spark.sparkContext.broadcast(code)
+    val enc = FmIndex.perChunkArrays(ranked)
+      .join(FmIndex.chunkCums(ranked), Seq("chunk"))
+      .as[ChunkIn]
+      .map { in =>
+        val codes = in.chars.map(codeB.value).toArray
+        val (w, z, b) = encode(codes, depth)
+        WChunk(in.chunk, codes.length, w, z, b, in.cum, in.uids)
+      }
+    enc.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/wt")
+    alpha.zipWithIndex.toDF("ch", "code").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/alpha")
+    FmIndex.writeCommon(spark, ranked, meta, column, path)
+  }
+
+  private def depthFor(sigma: Int): Int =
+    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(sigma - 1, 1)))
+
+  /** Merge = rebuild over the union of covered files (SURVEY §7.5's
+    * sanctioned BWT merge; same contract as [[FmIndex.merge]]).
+    */
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    val column = spark.read.parquet(s"$a/info").collect()(0).getString(0)
+    val files = (spark.read.parquet(s"$a/meta").select("file_path")
+      .unionByName(spark.read.parquet(s"$b/meta").select("file_path")))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    build(spark, files, column, out)
+  }
+
+  // ---- driver-side lookup state (same discipline as FmIndex) ---------
+
+  private case class Head(cBefore: Map[String, Long], nBwt: Map[String, Long],
+      n: Long, code: Map[String, Int], depth: Int)
+
+  private def version(path: String): Long =
+    java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(path, "head")).toMillis
+
+  private val headCache =
+    scala.collection.mutable.Map.empty[(String, Long), Head]
+  private val chunkCache =
+    new java.util.LinkedHashMap[(String, Long, Long), WChunk](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), WChunk]): Boolean =
+        size() > 1024
+    }
+
+  private def head(spark: SparkSession, path: String): Head = synchronized {
+    headCache.getOrElseUpdate((path, version(path)), {
+      val rows = spark.read.parquet(s"$path/head").collect()
+      val alpha = spark.read.parquet(s"$path/alpha").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      Head(
+        rows.filter(_.getLong(1) >= 0)
+          .map(r => r.getString(0) -> r.getLong(1)).toMap,
+        rows.map(r => r.getString(0) -> r.getLong(3)).toMap,
+        rows.map(_.getLong(2)).sum,
+        alpha, depthFor(alpha.size))
+    })
+  }
+
+  /** Batched fetch of missing (path, chunk) pairs in ONE job across all
+    * indexes (the facade's constant-jobs discipline, as in
+    * [[FmIndex.fetchChunks]]).
+    */
+  private def fetchChunks(spark: SparkSession,
+      needs: Map[String, Seq[Long]]): Unit = synchronized {
+    val vers = needs.keys.map(p => p -> version(p)).toMap
+    val missing = needs.toSeq.flatMap { case (p, ids) =>
+      ids.distinct.filterNot(id =>
+        chunkCache.containsKey((p, vers(p), id))).map(p -> _)
+    }
+    if (missing.isEmpty) return
+    val paths = missing.map(_._1).distinct
+    val ids = missing.map(_._2).distinct
+    spark.read.parquet(paths.map(_ + "/wt"): _*)
+      .filter(col("chunk").isin(ids: _*))
+      .select(col("chunk"), col("m"), col("words"), col("zeros"),
+        col("blocks"), col("cum"), col("uids"),
+        input_file_name().as("__f"))
+      .collect().foreach { r =>
+        val f = Layout.canonPath(r.getString(7))
+        paths.find(p => f.startsWith(Layout.canonPath(p) + "/")).foreach { p =>
+          // inner arrays surface as mutable ArraySeq — type them loosely
+          // and copy to immutable
+          chunkCache.put((p, vers(p), r.getLong(0)),
+            WChunk(r.getLong(0), r.getInt(1),
+              r.getSeq[scala.collection.Seq[Long]](2)
+                .map(_.toIndexedSeq).toIndexedSeq,
+              r.getSeq[Long](3).toIndexedSeq,
+              r.getSeq[scala.collection.Seq[Long]](4)
+                .map(_.toIndexedSeq).toIndexedSeq,
+              r.getMap[String, Long](5).toMap,
+              r.getSeq[Long](6).toIndexedSeq))
+        }
+      }
+  }
+
+  private def chunks(spark: SparkSession, path: String,
+      ids: Seq[Long]): Map[Long, WChunk] = {
+    fetchChunks(spark, Map(path -> ids))
+    synchronized {
+      val v = version(path)
+      ids.distinct.map(id => id -> chunkCache.get((path, v, id))).toMap
+    }
+  }
+
+  /** occurrences of `c` in BWT[0, pos) — wavelet rank walk instead of
+    * the FM chunk's linear count.
+    */
+  private def rank(spark: SparkSession, path: String, h: Head,
+      c: String, pos: Long): Long = {
+    if (pos <= 0) return 0L
+    if (pos >= h.n) return h.nBwt.getOrElse(c, 0L)
+    h.code.get(c) match {
+      case None => 0L
+      case Some(cd) =>
+        val id = pos / ChunkSize
+        val ch = chunks(spark, path, Seq(id))(id)
+        ch.cum.getOrElse(c, 0L) +
+          rankInChunk(ch, cd, h.depth, (pos % ChunkSize).toInt)
+    }
+  }
+
+  /** Lock-step backward search over several indexes (same contract as
+    * [[FmIndex.saRangeMulti]]).
+    */
+  def saRangeMulti(spark: SparkSession, paths: Seq[String],
+      query: String): Map[String, (Long, Long)] = {
+    val hs = paths.map(p => p -> head(spark, p)).toMap
+    val walk = query.takeRight(FmIndex.W - 1)
+    var state = paths.map(p => p -> (0L, hs(p).n)).toMap
+    walk.reverseIterator.foreach { ch =>
+      val c = ch.toString
+      val needs = state.collect { case (p, (lo, hi)) if lo < hi =>
+        val h = hs(p)
+        p -> Seq(lo, hi).filter(pos => pos > 0 && pos < h.n).map(_ / ChunkSize)
+      }.filter(_._2.nonEmpty)
+      fetchChunks(spark, needs)
+      state = state.map { case (p, (lo, hi)) =>
+        if (lo >= hi) p -> (lo, hi)
+        else hs(p).cBefore.get(c) match {
+          case None => p -> (0L, 0L)
+          case Some(cb) =>
+            p -> (cb + rank(spark, path = p, hs(p), c, lo),
+              cb + rank(spark, path = p, hs(p), c, hi))
+        }
+      }
+    }
+    state
+  }
+
+  def saRange(spark: SparkSession, path: String, query: String): (Long, Long) =
+    saRangeMulti(spark, Seq(path), query)(path)
+
+  /** SA-ordered uid posting slice [lo, hi). */
+  def postingSlice(spark: SparkSession, path: String,
+      lo: Long, hi: Long): Seq[Long] = {
+    if (hi <= lo) return Nil
+    val ids = (lo / ChunkSize) to ((hi - 1) / ChunkSize)
+    val fetched = chunks(spark, path, ids)
+    ids.flatMap { id =>
+      val ch = fetched(id)
+      val base = id * ChunkSize
+      val from = math.max(lo - base, 0L).toInt
+      val until = math.min(hi - base, ch.uids.size.toLong).toInt
+      if (until > from) ch.uids.slice(from, until) else Nil
+    }.distinct
+  }
+
+  def fetchPostings(spark: SparkSession,
+      ranges: Map[String, (Long, Long)]): Unit =
+    fetchChunks(spark, ranges.collect { case (p, (lo, hi)) if hi > lo =>
+      p -> ((lo / ChunkSize) to ((hi - 1) / ChunkSize)).toSeq
+    })
+
+  /** Search one index: wavelet backward search → SA-range posting
+    * slice → selective read → refine with the FULL query (identical
+    * flow and results to [[FmIndex.search]]).
+    */
+  def search(spark: SparkSession, path: String, column: String,
+      query: String): DataFrame = {
+    import spark.implicits._
+    val q = query.toLowerCase
+    val meta = spark.read.parquet(s"$path/meta")
+    def covered: Seq[String] = meta.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (q.isEmpty)
+      return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
+    val (lo, hi) = saRange(spark, path, q)
+    if (hi - lo > graft.core.Lake.BruteForceThreshold * ChunkSize) {
+      return spark.read.parquet(covered: _*)
+        .filter(lower(col(column)).contains(q))
+        .withColumn("uid", lit(-1L))
+    }
+    val uids = postingSlice(spark, path, lo, hi)
+    Layout.readHits(spark, meta, uids.toDF("uid"))
+      .filter(lower(col(column)).contains(q))
+  }
+}

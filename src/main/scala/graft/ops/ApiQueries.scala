@@ -103,6 +103,19 @@ object ApiQueries {
     }, s"SELECT doc_id FROM documents WHERE contains(lower(text), " +
        s"'${IndexQueries.QueryStr}') ORDER BY doc_id"),
 
+    // the wavelet-encoded BWT kind through the same lifecycle —
+    // incremental index → compact (rebuild-on-merge) → lock-step
+    // multi-index backward search
+    "lake_api_wavelet" -> Q((s, dir) => {
+      val lake = docLake(s, dir)
+      lake.index(graft.api.WaveletKind, "text", binpackRows = 1)
+      lake.compact(graft.api.WaveletKind, "text", threshold = 1000000L)
+      lake.search(graft.api.WaveletKind, "text", IndexQueries.QueryStr,
+          1000000, Seq("doc_id"))
+        .select(col("doc_id"))
+    }, s"SELECT doc_id FROM documents WHERE contains(lower(text), " +
+       s"'${IndexQueries.QueryStr}') ORDER BY doc_id"),
+
     // zone-map range search through the facade (virtual-mode index)
     "lake_api_zonemap" -> Q((s, dir) => {
       val lake = tableLake(s, dir, "orders", "o_orderkey")

@@ -79,6 +79,14 @@ object IndexQueries {
     p
   }
 
+  private def waveletIdx(s: SparkSession, dir: String): String = {
+    val p = IndexStore.indexPath(dir, "wavelet_documents_text")
+    IndexStore.ensure(p) {
+      graft.index.WaveletIndex.build(s, lakeFiles(s, dir), Column, p)
+    }
+    p
+  }
+
   def entries: Map[String, Q] = Map(
     // full lifecycle: build (cached) → gram-intersect → selective read →
     // refine → project
@@ -110,6 +118,24 @@ object IndexQueries {
     "substring_search_fm_long" -> Q((s, dir) => {
       val p = fmIdx(s, dir)
       FmIndex.search(s, p, Column, LongQueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, bruteSql(LongQueryStr)),
+
+    // wavelet-tree encoding of the same BWT (reference:
+    // src/lava/substring/build.rs:20-125, wavelet_tree.rs:161-197,
+    // search.rs:209-312): rank via per-level bitvector blocks instead
+    // of chunk text — results bit-identical to the FM path
+    "substring_search_wavelet" -> Q((s, dir) => {
+      val p = waveletIdx(s, dir)
+      graft.index.WaveletIndex.search(s, p, Column, QueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, bruteSql(QueryStr)),
+
+    // wavelet walk past the exact window + refine (same discipline as
+    // the FM long-query path)
+    "substring_search_wavelet_long" -> Q((s, dir) => {
+      val p = waveletIdx(s, dir)
+      graft.index.WaveletIndex.search(s, p, Column, LongQueryStr)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, bruteSql(LongQueryStr)),
 
