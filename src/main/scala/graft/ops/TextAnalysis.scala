@@ -189,6 +189,109 @@ object TextAnalysis {
         |SELECT DISTINCT doc_id, fp FROM (
         |  SELECT doc_id, unnest([list_min(hs[i + 1:i + $WinnowW]) for i in generate_series(0, len(hs) - 1)]) AS fp
         |  FROM hs) t""".stripMargin
-    })
+    }),
+
+    // Gopher-style document quality rules (Rae et al. 2021, §A.1.1 —
+    // published heuristics): word-count bounds, mean-word-length bounds,
+    // alphabetic-word fraction, stopword presence. Flags compare in
+    // exact integer arithmetic (sum_len >= 3·n, 10·n_alpha >= 8·n) so
+    // both engines agree bitwise; map-only at scale like text_quality.
+    "text_gopher_quality" -> Q((s, dir) => {
+      val base = Tables.load(s, dir, "documents").select(
+        col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+            .as("sum_len"),
+          size(filter(col("toks"), t => t.rlike("[a-z]")))
+            .cast("long").as("n_alpha"),
+          stopwordCount(col("toks"), Text.enStopwords).cast("long")
+            .as("n_stop"))
+        .filter(col("n_tokens") > 0)
+      val okCount = col("n_tokens") >= 50 && col("n_tokens") <= 100000
+      val okLen = col("sum_len") >= col("n_tokens") * 3 &&
+        col("sum_len") <= col("n_tokens") * 10
+      val okAlpha = col("n_alpha") * 10 >= col("n_tokens") * 8
+      val okStop = col("n_stop") >= 2
+      base.select(col("doc_id"), col("n_tokens"),
+        round(col("sum_len").cast("double") / col("n_tokens"), 4)
+          .as("mean_word_len"),
+        okCount.as("ok_count"), okLen.as("ok_word_len"),
+        okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+        (okCount && okLen && okAlpha && okStop).as("pass"))
+    }, {
+      val stops = Text.enStopwords.map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id, n_tokens,
+        |  round(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS mean_word_len,
+        |  (n_tokens >= 50 AND n_tokens <= 100000) AS ok_count,
+        |  (sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens) AS ok_word_len,
+        |  (10 * n_alpha >= 8 * n_tokens) AS ok_alpha,
+        |  (n_stop >= 2) AS ok_stop,
+        |  (n_tokens >= 50 AND n_tokens <= 100000
+        |   AND sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens
+        |   AND 10 * n_alpha >= 8 * n_tokens AND n_stop >= 2) AS pass
+        |FROM (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(toks, t -> list_contains([$stops], t))) AS BIGINT) AS n_stop
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |        FROM documents) x) y
+        |WHERE n_tokens > 0""".stripMargin
+    }),
+
+    // corpus vocabulary: term frequency + document frequency, top 50.
+    // The canonical map-side-combine shuffle: explode → two-phase
+    // groupBy(token) with partial counts; countDistinct(doc_id) is
+    // Spark's two-round distinct aggregate. Vocabulary-sized output —
+    // at 100 TB the shuffle carries only (token, partial-count) pairs.
+    "corpus_vocab" -> Q((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token")).limit(50)
+    },
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id,
+        |        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+        |      FROM documents) x
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin),
+
+    // per-document lexical diversity: type-token ratio + hapax count
+    // (tokens occurring exactly once in the doc). ONE shuffle: docs are
+    // repartitioned by doc_id BEFORE exploding (the shuffle carries each
+    // text once, not its exploded tokens), and hashpartitioning(doc_id)
+    // satisfies both downstream groupings — (doc_id, token) and doc_id —
+    // so the whole two-level aggregation is partition-local.
+    "text_type_token" -> Q((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(
+          sum("n").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+            .as("ttr"),
+          col("n_hapax"))
+    },
+      """SELECT doc_id, n_tokens, n_distinct,
+        |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr, n_hapax
+        |FROM (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM (
+        |    SELECT doc_id, token, count(*) AS n
+        |    FROM (SELECT doc_id,
+        |            unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+        |          FROM documents) x
+        |    GROUP BY doc_id, token) c
+        |  GROUP BY doc_id) y""".stripMargin)
   )
 }

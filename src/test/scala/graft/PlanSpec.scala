@@ -26,10 +26,28 @@ class PlanSpec extends AnyFunSuite {
 
   test("text analysis entries are map-only stages") {
     for (name <- Seq("text_token_count", "text_quality", "text_lang_id",
-        "doc_fingerprint", "text_bpe_token_count")) {
+        "doc_fingerprint", "text_bpe_token_count", "text_gopher_quality")) {
       val p = plan(SparkEntry.queries(name)(spark, sf))
       assert(!p.contains("Exchange"), s"$name plan shuffles:\n$p")
     }
+  }
+
+  test("corpus vocab is one partial-agg shuffle ending in top-k") {
+    val p = plan(SparkEntry.queries("corpus_vocab")(spark, sf))
+    // two-phase aggregate: partial before the exchange, final after —
+    // the shuffle carries (token, partial-count), never raw tokens
+    assert(p.contains("partial_count"), s"vocab lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab lost top-k form:\n$p")
+  }
+
+  test("type-token ratio shuffles once, pre-explode") {
+    val p = plan(SparkEntry.queries("text_type_token")(spark, sf))
+    // the single repartition(doc_id) comes BEFORE the explode (texts
+    // shuffle once; tokens never do) and satisfies both groupings
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"ttr must shuffle exactly once:\n$p")
+    assert(p.indexOf("Exchange") > p.indexOf("HashAggregate"),
+      s"the exchange must sit below every aggregate (pre-explode):\n$p")
   }
 
   test("decontamination joins the benchmark side as a broadcast") {
