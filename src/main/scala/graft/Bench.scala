@@ -34,7 +34,10 @@ object Bench {
       name -> ts.min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    def fmt(v: Double): String = f"$v%.3f"
+    // locale-pinned: the f-interpolator honors the default locale, and a
+    // comma-decimal locale would make the JSON line unparseable
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full-precision per-query map for inspection (the stdout line below
     // must stay parseable from a bounded log tail, so it carries only the
     // slowest entries; this file always carries everything).

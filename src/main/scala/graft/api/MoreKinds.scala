@@ -256,46 +256,52 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
       .limit(k)
   }
 }
-
-/** FM-index substring kind (contains semantics, real BWT backward
-  * search). The lock-step multi-index walk keeps the job count at one
-  * batched boundary-chunk fetch per LF step regardless of how many
-  * indexes cover the lake, plus one posting fetch and one materialize —
-  * the same constant-jobs discipline as the union-plan kinds.
+/** Shared facade kind for the two BWT substring encodings (contains
+  * semantics, real backward search). The lock-step multi-index walk
+  * keeps the job count at one batched boundary-chunk fetch per LF step
+  * regardless of how many indexes cover the lake, plus one posting
+  * fetch and one materialize — the same constant-jobs discipline as
+  * the union-plan kinds. The encodings share every line of this path
+  * (and of the driver machinery behind it, [[graft.index.BwtDriver]]),
+  * so they cannot drift apart semantically.
   */
-object FmKind extends IndexKind {
-
-  val name = "fm"
+abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
 
   def build(spark: SparkSession, files: Seq[String], column: String,
-      path: String): Unit = graft.index.FmIndex.build(spark, files, column, path)
+      path: String): Unit = driver.build(spark, files, column, path)
 
   def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
-    graft.index.FmIndex.merge(spark, a, b, out)
+    driver.merge(spark, a, b, out)
 
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
-    import graft.index.FmIndex
-    val q = query.toLowerCase
+    val q = query.toLowerCase(java.util.Locale.ROOT)
     def brute(files: Seq[String]): DataFrame =
       spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
       if (q.isEmpty) return None // contains("") = every row: brute
-      val ranges = FmIndex.saRangeMulti(spark, paths, q)
+      val ranges = driver.saRangeMulti(spark, paths, q)
       // cost switch on total SA-range width (positions, so scaled by
       // chunk size relative to the row-group hit threshold)
       val width = ranges.values.map { case (lo, hi) => math.max(hi - lo, 0L) }.sum
-      if (width > Lake.BruteForceThreshold * FmIndex.ChunkSize) return None
-      FmIndex.fetchPostings(spark, ranges) // one batched job
+      if (width > Lake.BruteForceThreshold.toLong * driver.ChunkSize) return None
+      driver.fetchPostings(spark, ranges) // one batched job
+      // capped slices: a single over-threshold index alone decides brute
+      // without the driver ever materializing an unbounded uid list
+      val slices = paths.map { p =>
+        val (lo, hi) = ranges(p)
+        driver.postingSliceCapped(spark, p, lo, hi, Lake.BruteForceThreshold)
+      }
+      if (slices.exists(_.isEmpty)) return None
       val byPath = paths.map(p => p -> metaRows(spark, p)
         .map(r => r._1 -> (r._2, r._3, r._4)).toMap).toMap
-      val hits = paths.flatMap { p =>
-        val (lo, hi) = ranges(p)
-        FmIndex.postingSlice(spark, p, lo, hi).flatMap(uid =>
+      val hits = paths.zip(slices).flatMap { case (p, Some(uids)) =>
+        uids.flatMap(uid =>
           byPath(p).get(uid).map { case (f, rs, n) => (f, uid, rs, n) })
+      case _ => Nil
       }.distinct.filter(h => live.forall(_.contains(h._1)))
       if (bruteBeatsIndex(spark, paths, hits)) None
       else Some(
@@ -312,55 +318,14 @@ object FmKind extends IndexKind {
   }
 }
 
-/** Wavelet-encoded substring kind: same lifecycle and lock-step
-  * multi-index backward search as [[FmKind]], with the wavelet-matrix
-  * rank encoding (reference's wavelet-tree variant,
-  * src/lava/substring/build.rs:20-125 + wavelet_tree.rs).
+/** FM-encoded BWT substring kind. */
+object FmKind extends BwtKind(graft.index.FmIndex) {
+  val name = "fm"
+}
+
+/** Wavelet-encoded BWT substring kind (reference's wavelet-tree
+  * variant, src/lava/substring/build.rs:20-125 + wavelet_tree.rs).
   */
-object WaveletKind extends IndexKind {
-
+object WaveletKind extends BwtKind(graft.index.WaveletIndex) {
   val name = "wavelet"
-
-  def build(spark: SparkSession, files: Seq[String], column: String,
-      path: String): Unit =
-    graft.index.WaveletIndex.build(spark, files, column, path)
-
-  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
-    graft.index.WaveletIndex.merge(spark, a, b, out)
-
-  def searchLake(spark: SparkSession, paths: Seq[String],
-      insituFiles: Seq[String], column: String, query: String,
-      k: Int, live: Option[Set[String]] = None): DataFrame = {
-    import graft.index.WaveletIndex
-    val q = query.toLowerCase
-    def brute(files: Seq[String]): DataFrame =
-      spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
-    val covered = coveredFiles(spark, paths, live)
-
-    def viaIndex(): Option[DataFrame] = {
-      if (q.isEmpty) return None // contains("") = every row: brute
-      val ranges = WaveletIndex.saRangeMulti(spark, paths, q)
-      val width = ranges.values.map { case (lo, hi) => math.max(hi - lo, 0L) }.sum
-      if (width > Lake.BruteForceThreshold * WaveletIndex.ChunkSize) return None
-      WaveletIndex.fetchPostings(spark, ranges) // one batched job
-      val byPath = paths.map(p => p -> metaRows(spark, p)
-        .map(r => r._1 -> (r._2, r._3, r._4)).toMap).toMap
-      val hits = paths.flatMap { p =>
-        val (lo, hi) = ranges(p)
-        WaveletIndex.postingSlice(spark, p, lo, hi).flatMap(uid =>
-          byPath(p).get(uid).map { case (f, rs, n) => (f, uid, rs, n) })
-      }.distinct.filter(h => live.forall(_.contains(h._1)))
-      if (bruteBeatsIndex(spark, paths, hits)) None
-      else Some(
-        Layout.readGroups(spark, hits, covered).drop("uid")
-          .filter(lower(col(column)).contains(q)))
-    }
-
-    val parts =
-      (if (covered.isEmpty) Seq.empty
-       else Seq(viaIndex().getOrElse(brute(covered)))) ++
-      (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
-    require(parts.nonEmpty, "no live files to search")
-    parts.reduce(_ unionByName _)
-  }
 }

@@ -1,0 +1,281 @@
+package graft.index
+
+import graft.core.{Lake, Layout}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Common shape of a BWT index "head" — the tiny driver-cached metadata
+  * page: the C array (suffixes starting below each code point), per-code
+  * point BWT totals (rank at position N), and the total position count.
+  */
+trait BwtHead {
+  def cBefore: Map[String, Long]
+  def nBwt: Map[String, Long]
+  def n: Long
+}
+
+/** Driver-side lookup layer shared by the two physical encodings of the
+  * BWT substring index — [[FmIndex]] (raw text chunks, linear in-chunk
+  * rank) and [[WaveletIndex]] (wavelet-matrix chunks, O(log σ) rank).
+  * The encodings differ ONLY in the chunk payload and the in-chunk rank
+  * primitive; everything else lives here exactly once: version-keyed
+  * head/chunk caches, batched one-job chunk fetches, the lock-step
+  * multi-index backward search, capped posting slices, and the
+  * search/merge entry points.
+  *
+  * Unicode discipline: the Spark-side build indexes CODE POINTS
+  * (Spark's `length`/`substring`/`sequence` are code-point functions,
+  * and its string sort order is UTF-8 binary = code-point order), so
+  * every driver-side walk here iterates code points too — a query with
+  * a supplementary character (an emoji) walks the full code point,
+  * never a lone surrogate that could not match any single-code-point
+  * BWT entry.
+  *
+  * Version discipline: each top-level operation reads every index's
+  * `head/` mtime ONCE and threads it through all cache keys, so a
+  * same-path rebuild mid-operation can never mix chunks of two builds
+  * (it fails loudly instead of NPE-ing or silently serving a blend).
+  */
+trait BwtDriver {
+
+  /** Chunk payload of this encoding. */
+  protected type Chunk >: Null <: AnyRef
+  /** Head type of this encoding (may carry extra fields, e.g. the
+    * wavelet alphabet coding). */
+  protected type Head <: BwtHead
+
+  def ChunkSize: Int
+
+  /** Parquet subdirectory holding the chunk table. */
+  protected def chunkDir: String
+  /** Chunk-table columns to read; the first must be `chunk`. */
+  protected def chunkColumns: Seq[String]
+  /** Decode one fetched chunk row (fields in `chunkColumns` order). */
+  protected def decodeChunk(r: Row): Chunk
+  /** SA-ordered posting uids of the chunk. */
+  protected def chunkUids(c: Chunk): Seq[Long]
+  /** Cumulative occurrences of code point `ch` before this chunk. */
+  protected def chunkCum(c: Chunk, ch: String): Long
+  /** Occurrences of code point `ch` within the chunk's first `off` SA
+    * positions — the encoding-specific rank primitive. */
+  protected def rankWithin(h: Head, c: Chunk, ch: String, off: Int): Long
+  /** Load the head tables of one index. */
+  protected def loadHead(spark: SparkSession, path: String): Head
+
+  /** Build one index over a file group (encoding-specific). */
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit
+
+  /** Merge = rebuild over the union of covered files (SURVEY §7.5's
+    * sanctioned BWT merge: the reference's streaming interleave,
+    * merge.rs:185-407, is an encoding-level optimization with identical
+    * search results).
+    */
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    val column = spark.read.parquet(s"$a/info").collect()(0).getString(0)
+    val files = (spark.read.parquet(s"$a/meta").select("file_path")
+      .unionByName(spark.read.parquet(s"$b/meta").select("file_path")))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    build(spark, files, column, out)
+  }
+
+  // ---- code-point helpers --------------------------------------------
+
+  /** One string per code point (surrogate pairs stay joined). */
+  protected def codePoints(s: String): IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      out += s.substring(i, i + w)
+      i += w
+    }
+    out.result()
+  }
+
+  // ---- driver-side caches (the hot "metadata page") ------------------
+
+  // caches are keyed by (path, head-dir mtime): index dirs are immutable
+  // once built (the facade's discipline — merge writes a NEW dir), but a
+  // same-path rebuild must never serve stale chunks
+  private def version(path: String): Long =
+    java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(path, "head")).toMillis
+
+  private val headCache =
+    scala.collection.mutable.Map.empty[(String, Long), Head]
+  private val chunkCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Chunk](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Chunk]): Boolean =
+        size() > 1024
+    }
+
+  private def headAt(spark: SparkSession, path: String, v: Long): Head =
+    synchronized {
+      headCache.getOrElseUpdate((path, v), loadHead(spark, path))
+    }
+
+  /** Batched fetch: ONE job loads every missing (path, chunk) pair
+    * across all indexes — the per-step boundary read of backward search
+    * stays one job no matter how many indexes cover the lake (the
+    * facade's constant-jobs discipline). Rows are attributed to their
+    * index by file path and cached under the operation's versions.
+    */
+  private def fetchChunks(spark: SparkSession, needs: Map[String, Seq[Long]],
+      vers: Map[String, Long]): Unit = synchronized {
+    val missing = needs.toSeq.flatMap { case (p, ids) =>
+      ids.distinct.filterNot(id =>
+        chunkCache.containsKey((p, vers(p), id))).map(p -> _)
+    }
+    if (missing.isEmpty) return
+    val paths = missing.map(_._1).distinct
+    val ids = missing.map(_._2).distinct
+    spark.read.parquet(paths.map(_ + s"/$chunkDir"): _*)
+      .filter(col("chunk").isin(ids: _*))
+      .select(chunkColumns.map(col) :+ input_file_name().as("__f"): _*)
+      .collect().foreach { r =>
+        val f = Layout.canonPath(r.getString(chunkColumns.length))
+        paths.find(p => f.startsWith(Layout.canonPath(p) + "/")).foreach { p =>
+          chunkCache.put((p, vers(p), r.getLong(0)), decodeChunk(r))
+        }
+      }
+  }
+
+  private def chunkAt(spark: SparkSession, path: String, id: Long,
+      v: Long): Chunk = {
+    fetchChunks(spark, Map(path -> Seq(id)), Map(path -> v))
+    val c = synchronized { chunkCache.get((path, v, id)) }
+    require(c != null,
+      s"index at $path changed during the operation (chunk $id) — retry")
+    c
+  }
+
+  /** occurrences of `ch` in BWT[0, pos) */
+  private def rankAt(spark: SparkSession, path: String, h: Head, v: Long,
+      ch: String, pos: Long): Long = {
+    if (pos <= 0) return 0L
+    if (pos >= h.n) return h.nBwt.getOrElse(ch, 0L)
+    val id = pos / ChunkSize
+    val c = chunkAt(spark, path, id, v)
+    chunkCum(c, ch) + rankWithin(h, c, ch, (pos % ChunkSize).toInt)
+  }
+
+  // ---- backward search ----------------------------------------------
+
+  /** Lock-step backward search over several indexes at once: all walks
+    * advance together and each step's boundary chunks are fetched in
+    * ONE batched job across every index. Returns each index's SA range
+    * [lo, hi) for the walk pattern (last W−1 CODE POINTS of the query;
+    * the reference keeps the last `token_viable_limit` tokens,
+    * search.rs:512-524 — the mandatory refine restores exactness).
+    */
+  def saRangeMulti(spark: SparkSession, paths: Seq[String],
+      query: String): Map[String, (Long, Long)] = {
+    val vers = paths.map(p => p -> version(p)).toMap
+    val hs = paths.map(p => p -> headAt(spark, p, vers(p))).toMap
+    val walk = codePoints(query).takeRight(FmIndex.W - 1)
+    var state = paths.map(p => p -> (0L, hs(p).n)).toMap
+    walk.reverseIterator.foreach { c =>
+      val needs = state.collect { case (p, (lo, hi)) if lo < hi =>
+        val h = hs(p)
+        p -> Seq(lo, hi).filter(pos => pos > 0 && pos < h.n).map(_ / ChunkSize)
+      }.filter(_._2.nonEmpty)
+      fetchChunks(spark, needs, vers)
+      state = state.map { case (p, (lo, hi)) =>
+        if (lo >= hi) p -> (lo, hi)
+        else hs(p).cBefore.get(c) match {
+          case None => p -> (0L, 0L) // code point never starts a suffix
+          case Some(cb) =>
+            p -> (cb + rankAt(spark, p, hs(p), vers(p), c, lo),
+              cb + rankAt(spark, p, hs(p), vers(p), c, hi))
+        }
+      }
+    }
+    state
+  }
+
+  def saRange(spark: SparkSession, path: String, query: String): (Long, Long) =
+    saRangeMulti(spark, Seq(path), query)(path)
+
+  // ---- posting slices ------------------------------------------------
+
+  /** SA-ordered distinct uid slice of [lo, hi), stopping as soon as the
+    * distinct count exceeds `cap` (None = over cap: the caller's
+    * brute-force switch wins, and the driver never materializes an
+    * unbounded uid list — the reference's own >threshold discipline,
+    * backends/utils.py:221-225).
+    */
+  def postingSliceCapped(spark: SparkSession, path: String,
+      lo: Long, hi: Long, cap: Int): Option[Seq[Long]] = {
+    if (hi <= lo) return Some(Nil)
+    val v = version(path)
+    val ids = (lo / ChunkSize) to ((hi - 1) / ChunkSize)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    ids.foreach { id =>
+      val c = chunkAt(spark, path, id, v)
+      val uids = chunkUids(c)
+      val base = id * ChunkSize
+      val from = math.max(lo - base, 0L).toInt
+      val until = math.min(hi - base, uids.size.toLong).toInt
+      var i = from
+      while (i < until) {
+        out += uids(i)
+        if (out.size > cap) return None
+        i += 1
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  def postingSlice(spark: SparkSession, path: String,
+      lo: Long, hi: Long): Seq[Long] =
+    postingSliceCapped(spark, path, lo, hi, Int.MaxValue).get
+
+  /** Batch-fetch the posting chunks covering every index's range in one
+    * job, so subsequent postingSlice calls are cache hits.
+    */
+  def fetchPostings(spark: SparkSession,
+      ranges: Map[String, (Long, Long)]): Unit = {
+    val needs = ranges.collect { case (p, (lo, hi)) if hi > lo =>
+      p -> ((lo / ChunkSize) to ((hi - 1) / ChunkSize)).toSeq
+    }
+    fetchChunks(spark, needs, needs.keys.map(p => p -> version(p)).toMap)
+  }
+
+  // ---- search --------------------------------------------------------
+
+  /** Search one index: backward search → capped SA-range posting slice
+    * → selective read → refine with the FULL query (exactness past W−1
+    * and the reference's no-truncate-before-refine discipline,
+    * search.rs:78-85). Two brute-force switches guard the index path:
+    * SA-range width (unselective pattern) and distinct-hit count
+    * (> threshold, or EVERY covered row group hit — zero pruning
+    * value), mirroring NgramIndex and the facade kinds.
+    */
+  def search(spark: SparkSession, path: String, column: String,
+      query: String): DataFrame = {
+    import spark.implicits._
+    val q = query.toLowerCase(java.util.Locale.ROOT)
+    val meta = spark.read.parquet(s"$path/meta")
+    def covered: Seq[String] = meta.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSeq
+    def brute(): DataFrame = spark.read.parquet(covered: _*)
+      .filter(lower(col(column)).contains(q))
+      .withColumn("uid", lit(-1L))
+    if (q.isEmpty)
+      return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
+    val (lo, hi) = saRange(spark, path, q)
+    // cost switch 1: a huge SA range means the pattern is unselective —
+    // the covered-files scan wins
+    if (hi - lo > Lake.BruteForceThreshold.toLong * ChunkSize) return brute()
+    postingSliceCapped(spark, path, lo, hi, Lake.BruteForceThreshold) match {
+      case Some(uids)
+          if uids.size < graft.api.IndexKind.metaRows(spark, path).size =>
+        Layout.readHits(spark, meta, uids.toDF("uid"))
+          .filter(lower(col(column)).contains(q))
+      case _ => brute() // cost switch 2: too many hits / all groups hit
+    }
+  }
+}

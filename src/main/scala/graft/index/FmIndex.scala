@@ -1,7 +1,7 @@
 package graft.index
 
 import graft.core.Layout
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,16 +32,19 @@ import org.apache.spark.sql.functions._
   * search.rs:512-524) and the mandatory brute-force refine restores
   * exactness — the reference's own FP discipline (search.rs:78-85).
   *
-  * Search is driver-orchestrated point lookups: ≤ |walk| steps, each
-  * reading ≤ 2 boundary chunks by `chunk_id` (parquet min/max pruned),
-  * memoized in a driver LRU — the role the reference's Redis range
-  * cache plays for hot index ranges (src/formats/cache/cache.rs:11-35).
+  * The driver-side search machinery (caches, lock-step multi-index
+  * walk, capped posting slices, cost switches) is the shared
+  * [[BwtDriver]]; this object contributes the raw-text chunk encoding
+  * (linear in-chunk rank) and the build pipeline, which
+  * [[WaveletIndex]] reuses with a different physical rank structure.
   */
-object FmIndex {
+object FmIndex extends BwtDriver {
 
   val W = 16 // suffix window; exact backward search for |q| ≤ 15
   val ChunkSize = 4096 // SA positions per chunk (reference: FM_CHUNK_TOKS)
   val Sentinel = "\u0001"
+
+  // ---- shared build pipeline (used by both encodings) ----------------
 
   /** Shared SA/BWT pipeline: suffix rows → bounded sort → global SA
     * rank. Returns (ranked, meta), both cached — `ranked` has columns
@@ -129,11 +132,17 @@ object FmIndex {
   private[index] def writeCommon(spark: SparkSession, ranked: DataFrame,
       meta: DataFrame, column: String, path: String): Unit = {
     import spark.implicits._
+    // the C array must be ordered the way the suffix sort ordered keys:
+    // Spark string order is UTF-8 binary = CODE POINT order, so sort by
+    // code point, not by Java's UTF-16 char order (they diverge for
+    // supplementary chars vs BMP chars in [U+E000, U+FFFF])
+    def cpOrder(s: String): Int = s.codePointAt(0)
     val counts = ranked.groupBy("bwtc").agg(count(lit(1)).as("nb"))
     // head: per char, suffixes starting below it (C array), suffixes
     // starting with it, and its total BWT occurrences (rank at pos = N)
     val firstCounts = ranked.groupBy("fc").agg(count(lit(1)).as("nf"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(t => cpOrder(t._1))
     val bwtTotals = counts
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     var before = 0L
@@ -141,7 +150,7 @@ object FmIndex {
       val r = (ch, before, nf, bwtTotals.getOrElse(ch, 0L)); before += nf; r
     }
     val bwtOnly = (bwtTotals.keySet -- firstCounts.map(_._1).toSet).toSeq
-      .sorted.map(ch => (ch, -1L, 0L, bwtTotals(ch)))
+      .sortBy(cpOrder).map(ch => (ch, -1L, 0L, bwtTotals(ch)))
     (headRows ++ bwtOnly).toSeq
       .toDF("ch", "c_before", "n_first", "n_bwt")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
@@ -169,186 +178,50 @@ object FmIndex {
     writeCommon(spark, ranked, meta, column, path)
   }
 
-  /** Merge = rebuild over the union of both indexes' covered files
-    * (SURVEY §7.5: rebuild-on-merge is the sanctioned v1 for BWT
-    * indexes — the reference's streaming interleave, merge.rs:185-407,
-    * is an encoding-level optimization with identical search results).
+  // ---- BwtDriver: raw-text chunk encoding ----------------------------
+
+  protected case class FmChunk(bwt: String, cum: Map[String, Long],
+      uids: Seq[Long])
+  protected case class FmHead(cBefore: Map[String, Long],
+      nBwt: Map[String, Long], n: Long) extends BwtHead
+
+  protected type Chunk = FmChunk
+  protected type Head = FmHead
+
+  protected def chunkDir: String = "fm"
+  protected def chunkColumns: Seq[String] = Seq("chunk", "bwt", "uids", "cum")
+
+  protected def decodeChunk(r: Row): FmChunk =
+    FmChunk(r.getString(1), r.getMap[String, Long](3).toMap,
+      r.getSeq[Long](2).toIndexedSeq)
+
+  protected def chunkUids(c: FmChunk): Seq[Long] = c.uids
+  protected def chunkCum(c: FmChunk, ch: String): Long =
+    c.cum.getOrElse(ch, 0L)
+
+  /** Linear code-point scan of the chunk prefix — iterates code points
+    * so a surrogate pair counts as one BWT entry, matching the
+    * code-point positions the build indexed.
     */
-  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
-    val column = spark.read.parquet(s"$a/info").collect()(0).getString(0)
-    val files = (spark.read.parquet(s"$a/meta").select("file_path")
-      .unionByName(spark.read.parquet(s"$b/meta").select("file_path")))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    build(spark, files, column, out)
-  }
-
-  // ---- driver-side lookup state (the hot "metadata page") -------------
-
-  private case class Head(cBefore: Map[String, Long], nBwt: Map[String, Long],
-      n: Long)
-  private case class Chunk(bwt: String, cum: Map[String, Long], uids: Seq[Long])
-
-  // caches are keyed by (path, head-dir mtime): index dirs are immutable
-  // once built (the facade's discipline — merge writes a NEW dir), but a
-  // same-path rebuild must never serve stale chunks
-  private def version(path: String): Long =
-    java.nio.file.Files
-      .getLastModifiedTime(java.nio.file.Paths.get(path, "head")).toMillis
-
-  private val headCache =
-    scala.collection.mutable.Map.empty[(String, Long), Head]
-  private val chunkCache =
-    new java.util.LinkedHashMap[(String, Long, Long), Chunk](256, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Chunk]): Boolean =
-        size() > 1024
+  protected def rankWithin(h: FmHead, c: FmChunk, ch: String,
+      off: Int): Long = {
+    val target = ch.codePointAt(0)
+    var i = 0; var seen = 0; var cnt = 0L
+    while (seen < off && i < c.bwt.length) {
+      val cp = c.bwt.codePointAt(i)
+      if (cp == target) cnt += 1
+      i += Character.charCount(cp)
+      seen += 1
     }
-
-  private def head(spark: SparkSession, path: String): Head = synchronized {
-    headCache.getOrElseUpdate((path, version(path)), {
-      val rows = spark.read.parquet(s"$path/head").collect()
-      Head(
-        rows.filter(_.getLong(1) >= 0)
-          .map(r => r.getString(0) -> r.getLong(1)).toMap,
-        rows.map(r => r.getString(0) -> r.getLong(3)).toMap,
-        rows.map(_.getLong(2)).sum)
-    })
+    cnt
   }
 
-  /** Batched fetch: ONE job loads every missing (path, chunk) pair
-    * across all indexes — the per-step boundary read of backward search
-    * stays one job no matter how many indexes cover the lake (the
-    * facade's constant-jobs discipline). Rows are attributed to their
-    * index by file path.
-    */
-  private def fetchChunks(spark: SparkSession,
-      needs: Map[String, Seq[Long]]): Unit = synchronized {
-    val vers = needs.keys.map(p => p -> version(p)).toMap
-    val missing = needs.toSeq.flatMap { case (p, ids) =>
-      ids.distinct.filterNot(id =>
-        chunkCache.containsKey((p, vers(p), id))).map(p -> _)
-    }
-    if (missing.isEmpty) return
-    val paths = missing.map(_._1).distinct
-    val ids = missing.map(_._2).distinct
-    spark.read.parquet(paths.map(_ + "/fm"): _*)
-      .filter(col("chunk").isin(ids: _*))
-      .select(col("chunk"), col("bwt"), col("uids"), col("cum"),
-        input_file_name().as("__f"))
-      .collect().foreach { r =>
-        val f = Layout.canonPath(r.getString(4))
-        paths.find(p => f.startsWith(Layout.canonPath(p) + "/")).foreach { p =>
-          chunkCache.put((p, vers(p), r.getLong(0)),
-            Chunk(r.getString(1), r.getMap[String, Long](3).toMap,
-              r.getSeq[Long](2).toIndexedSeq))
-        }
-      }
-  }
-
-  private def chunks(spark: SparkSession, path: String,
-      ids: Seq[Long]): Map[Long, Chunk] = {
-    fetchChunks(spark, Map(path -> ids))
-    synchronized {
-      val v = version(path)
-      ids.distinct.map(id => id -> chunkCache.get((path, v, id))).toMap
-    }
-  }
-
-  /** occurrences of `c` in BWT[0, pos) */
-  private def rank(spark: SparkSession, path: String, h: Head,
-      c: String, pos: Long): Long = {
-    if (pos <= 0) return 0L
-    if (pos >= h.n) return h.nBwt.getOrElse(c, 0L)
-    val id = pos / ChunkSize
-    val ch = chunks(spark, path, Seq(id))(id)
-    val inChunk = ch.bwt.substring(0, (pos % ChunkSize).toInt)
-      .count(_.toString == c)
-    ch.cum.getOrElse(c, 0L) + inChunk
-  }
-
-  /** Lock-step backward search over several indexes at once: all walks
-    * advance together and each step's boundary chunks are fetched in
-    * ONE batched job across every index. Returns each index's SA range
-    * [lo, hi) for the walk pattern (last W−1 chars of the query).
-    */
-  def saRangeMulti(spark: SparkSession, paths: Seq[String],
-      query: String): Map[String, (Long, Long)] = {
-    val hs = paths.map(p => p -> head(spark, p)).toMap
-    val walk = query.takeRight(W - 1)
-    var state = paths.map(p => p -> (0L, hs(p).n)).toMap
-    walk.reverseIterator.foreach { ch =>
-      val c = ch.toString
-      val needs = state.collect { case (p, (lo, hi)) if lo < hi =>
-        val h = hs(p)
-        p -> Seq(lo, hi).filter(pos => pos > 0 && pos < h.n).map(_ / ChunkSize)
-      }.filter(_._2.nonEmpty)
-      fetchChunks(spark, needs)
-      state = state.map { case (p, (lo, hi)) =>
-        if (lo >= hi) p -> (lo, hi)
-        else hs(p).cBefore.get(c) match {
-          case None => p -> (0L, 0L) // char never starts a suffix here
-          case Some(cb) =>
-            p -> (cb + rank(spark, path = p, hs(p), c, lo),
-              cb + rank(spark, path = p, hs(p), c, hi))
-        }
-      }
-    }
-    state
-  }
-
-  def saRange(spark: SparkSession, path: String, query: String): (Long, Long) =
-    saRangeMulti(spark, Seq(path), query)(path)
-
-  /** SA-ordered uid posting slice [lo, hi); assumes the covering chunks
-    * are already cached (call fetchPostings/chunks first).
-    */
-  def postingSlice(spark: SparkSession, path: String,
-      lo: Long, hi: Long): Seq[Long] = {
-    if (hi <= lo) return Nil
-    val ids = (lo / ChunkSize) to ((hi - 1) / ChunkSize)
-    val fetched = chunks(spark, path, ids)
-    ids.flatMap { id =>
-      val ch = fetched(id)
-      val base = id * ChunkSize
-      val from = math.max(lo - base, 0L).toInt
-      val until = math.min(hi - base, ch.uids.size.toLong).toInt
-      if (until > from) ch.uids.slice(from, until) else Nil
-    }.distinct
-  }
-
-  /** Batch-fetch the posting chunks covering every index's range in one
-    * job, so subsequent postingSlice calls are cache hits.
-    */
-  def fetchPostings(spark: SparkSession,
-      ranges: Map[String, (Long, Long)]): Unit =
-    fetchChunks(spark, ranges.collect { case (p, (lo, hi)) if hi > lo =>
-      p -> ((lo / ChunkSize) to ((hi - 1) / ChunkSize)).toSeq
-    })
-
-  /** Search one index: backward search → SA-range uid posting slice →
-    * selective read → refine with the FULL query (exactness past W−1
-    * and the reference's no-truncate-before-refine discipline).
-    */
-  def search(spark: SparkSession, path: String, column: String,
-      query: String): DataFrame = {
-    import spark.implicits._
-    val q = query.toLowerCase
-    val meta = spark.read.parquet(s"$path/meta")
-    def covered: Seq[String] = meta.select("file_path").distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (q.isEmpty)
-      return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
-    val (lo, hi) = saRange(spark, path, q)
-    // cost switch: a huge SA range means the gram is unselective — the
-    // covered-files scan wins (reference: brute_force_threshold,
-    // backends/utils.py:221-225)
-    if (hi - lo > graft.core.Lake.BruteForceThreshold * ChunkSize) {
-      return spark.read.parquet(covered: _*)
-        .filter(lower(col(column)).contains(q))
-        .withColumn("uid", lit(-1L))
-    }
-    val uids = postingSlice(spark, path, lo, hi)
-    Layout.readHits(spark, meta, uids.toDF("uid"))
-      .filter(lower(col(column)).contains(q))
+  protected def loadHead(spark: SparkSession, path: String): FmHead = {
+    val rows = spark.read.parquet(s"$path/head").collect()
+    FmHead(
+      rows.filter(_.getLong(1) >= 0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rows.map(r => r.getString(0) -> r.getLong(3)).toMap,
+      rows.map(_.getLong(2)).sum)
   }
 }

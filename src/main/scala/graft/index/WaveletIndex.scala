@@ -1,7 +1,6 @@
 package graft.index
 
-import graft.core.Layout
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Wavelet-encoded variant of the BWT substring index — the reference's
@@ -14,10 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * Same logical content as [[FmIndex]] — identical suffix-array build
   * (shared via [[FmIndex.rankedBwt]]), identical `head/`, `meta/` and
-  * posting layout, identical backward search — but each chunk's rank
-  * structure is a levelwise wavelet matrix (Claude & Navarro's
-  * pointerless wavelet-tree layout, the standard public formulation)
-  * instead of raw BWT text:
+  * posting layout, identical backward search (the shared [[BwtDriver]])
+  * — but each chunk's rank structure is a levelwise wavelet matrix
+  * (Claude & Navarro's pointerless wavelet-tree layout, the standard
+  * public formulation) instead of raw BWT text:
   *
   *  - the global alphabet is coded into `depth = ceil(log2 σ)` bits
   *    (`alpha/` table; the reference fixes σ=256 / 8 levels for bytes,
@@ -35,7 +34,7 @@ import org.apache.spark.sql.functions._
   * same per-chunk cumulative map as the FM encoding. Search results are
   * bit-identical to [[FmIndex]] by construction.
   */
-object WaveletIndex {
+object WaveletIndex extends BwtDriver {
 
   val ChunkSize: Int = FmIndex.ChunkSize
   private val WordsPerBlock = 8
@@ -154,7 +153,7 @@ object WaveletIndex {
     import spark.implicits._
     val (ranked, meta) = FmIndex.rankedBwt(spark, files, column)
     val alpha = ranked.select("bwtc").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .collect().map(_.getString(0)).sortBy(_.codePointAt(0)).toSeq
     val code = alpha.zipWithIndex.toMap
     val depth = depthFor(alpha.size)
     val codeB = spark.sparkContext.broadcast(code)
@@ -176,185 +175,51 @@ object WaveletIndex {
   private def depthFor(sigma: Int): Int =
     math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(sigma - 1, 1)))
 
-  /** Merge = rebuild over the union of covered files (SURVEY §7.5's
-    * sanctioned BWT merge; same contract as [[FmIndex.merge]]).
-    */
-  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
-    val column = spark.read.parquet(s"$a/info").collect()(0).getString(0)
-    val files = (spark.read.parquet(s"$a/meta").select("file_path")
-      .unionByName(spark.read.parquet(s"$b/meta").select("file_path")))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    build(spark, files, column, out)
-  }
+  // ---- BwtDriver: wavelet-matrix chunk encoding ----------------------
 
-  // ---- driver-side lookup state (same discipline as FmIndex) ---------
+  protected case class WHead(cBefore: Map[String, Long],
+      nBwt: Map[String, Long], n: Long, code: Map[String, Int],
+      depth: Int) extends BwtHead
 
-  private case class Head(cBefore: Map[String, Long], nBwt: Map[String, Long],
-      n: Long, code: Map[String, Int], depth: Int)
+  protected type Chunk = WChunk
+  protected type Head = WHead
 
-  private def version(path: String): Long =
-    java.nio.file.Files
-      .getLastModifiedTime(java.nio.file.Paths.get(path, "head")).toMillis
+  protected def chunkDir: String = "wt"
+  protected def chunkColumns: Seq[String] =
+    Seq("chunk", "m", "words", "zeros", "blocks", "cum", "uids")
 
-  private val headCache =
-    scala.collection.mutable.Map.empty[(String, Long), Head]
-  private val chunkCache =
-    new java.util.LinkedHashMap[(String, Long, Long), WChunk](256, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), WChunk]): Boolean =
-        size() > 1024
-    }
+  protected def decodeChunk(r: Row): WChunk =
+    // inner arrays surface as mutable ArraySeq — type them loosely and
+    // copy to immutable
+    WChunk(r.getLong(0), r.getInt(1),
+      r.getSeq[scala.collection.Seq[Long]](2)
+        .map(_.toIndexedSeq).toIndexedSeq,
+      r.getSeq[Long](3).toIndexedSeq,
+      r.getSeq[scala.collection.Seq[Long]](4)
+        .map(_.toIndexedSeq).toIndexedSeq,
+      r.getMap[String, Long](5).toMap,
+      r.getSeq[Long](6).toIndexedSeq)
 
-  private def head(spark: SparkSession, path: String): Head = synchronized {
-    headCache.getOrElseUpdate((path, version(path)), {
-      val rows = spark.read.parquet(s"$path/head").collect()
-      val alpha = spark.read.parquet(s"$path/alpha").collect()
-        .map(r => r.getString(0) -> r.getInt(1)).toMap
-      Head(
-        rows.filter(_.getLong(1) >= 0)
-          .map(r => r.getString(0) -> r.getLong(1)).toMap,
-        rows.map(r => r.getString(0) -> r.getLong(3)).toMap,
-        rows.map(_.getLong(2)).sum,
-        alpha, depthFor(alpha.size))
-    })
-  }
+  protected def chunkUids(c: WChunk): Seq[Long] = c.uids
+  protected def chunkCum(c: WChunk, ch: String): Long =
+    c.cum.getOrElse(ch, 0L)
 
-  /** Batched fetch of missing (path, chunk) pairs in ONE job across all
-    * indexes (the facade's constant-jobs discipline, as in
-    * [[FmIndex.fetchChunks]]).
-    */
-  private def fetchChunks(spark: SparkSession,
-      needs: Map[String, Seq[Long]]): Unit = synchronized {
-    val vers = needs.keys.map(p => p -> version(p)).toMap
-    val missing = needs.toSeq.flatMap { case (p, ids) =>
-      ids.distinct.filterNot(id =>
-        chunkCache.containsKey((p, vers(p), id))).map(p -> _)
-    }
-    if (missing.isEmpty) return
-    val paths = missing.map(_._1).distinct
-    val ids = missing.map(_._2).distinct
-    spark.read.parquet(paths.map(_ + "/wt"): _*)
-      .filter(col("chunk").isin(ids: _*))
-      .select(col("chunk"), col("m"), col("words"), col("zeros"),
-        col("blocks"), col("cum"), col("uids"),
-        input_file_name().as("__f"))
-      .collect().foreach { r =>
-        val f = Layout.canonPath(r.getString(7))
-        paths.find(p => f.startsWith(Layout.canonPath(p) + "/")).foreach { p =>
-          // inner arrays surface as mutable ArraySeq — type them loosely
-          // and copy to immutable
-          chunkCache.put((p, vers(p), r.getLong(0)),
-            WChunk(r.getLong(0), r.getInt(1),
-              r.getSeq[scala.collection.Seq[Long]](2)
-                .map(_.toIndexedSeq).toIndexedSeq,
-              r.getSeq[Long](3).toIndexedSeq,
-              r.getSeq[scala.collection.Seq[Long]](4)
-                .map(_.toIndexedSeq).toIndexedSeq,
-              r.getMap[String, Long](5).toMap,
-              r.getSeq[Long](6).toIndexedSeq))
-        }
-      }
-  }
-
-  private def chunks(spark: SparkSession, path: String,
-      ids: Seq[Long]): Map[Long, WChunk] = {
-    fetchChunks(spark, Map(path -> ids))
-    synchronized {
-      val v = version(path)
-      ids.distinct.map(id => id -> chunkCache.get((path, v, id))).toMap
-    }
-  }
-
-  /** occurrences of `c` in BWT[0, pos) — wavelet rank walk instead of
-    * the FM chunk's linear count.
-    */
-  private def rank(spark: SparkSession, path: String, h: Head,
-      c: String, pos: Long): Long = {
-    if (pos <= 0) return 0L
-    if (pos >= h.n) return h.nBwt.getOrElse(c, 0L)
-    h.code.get(c) match {
+  protected def rankWithin(h: WHead, c: WChunk, ch: String,
+      off: Int): Long =
+    h.code.get(ch) match {
       case None => 0L
-      case Some(cd) =>
-        val id = pos / ChunkSize
-        val ch = chunks(spark, path, Seq(id))(id)
-        ch.cum.getOrElse(c, 0L) +
-          rankInChunk(ch, cd, h.depth, (pos % ChunkSize).toInt)
+      case Some(cd) => rankInChunk(c, cd, h.depth, off)
     }
-  }
 
-  /** Lock-step backward search over several indexes (same contract as
-    * [[FmIndex.saRangeMulti]]).
-    */
-  def saRangeMulti(spark: SparkSession, paths: Seq[String],
-      query: String): Map[String, (Long, Long)] = {
-    val hs = paths.map(p => p -> head(spark, p)).toMap
-    val walk = query.takeRight(FmIndex.W - 1)
-    var state = paths.map(p => p -> (0L, hs(p).n)).toMap
-    walk.reverseIterator.foreach { ch =>
-      val c = ch.toString
-      val needs = state.collect { case (p, (lo, hi)) if lo < hi =>
-        val h = hs(p)
-        p -> Seq(lo, hi).filter(pos => pos > 0 && pos < h.n).map(_ / ChunkSize)
-      }.filter(_._2.nonEmpty)
-      fetchChunks(spark, needs)
-      state = state.map { case (p, (lo, hi)) =>
-        if (lo >= hi) p -> (lo, hi)
-        else hs(p).cBefore.get(c) match {
-          case None => p -> (0L, 0L)
-          case Some(cb) =>
-            p -> (cb + rank(spark, path = p, hs(p), c, lo),
-              cb + rank(spark, path = p, hs(p), c, hi))
-        }
-      }
-    }
-    state
-  }
-
-  def saRange(spark: SparkSession, path: String, query: String): (Long, Long) =
-    saRangeMulti(spark, Seq(path), query)(path)
-
-  /** SA-ordered uid posting slice [lo, hi). */
-  def postingSlice(spark: SparkSession, path: String,
-      lo: Long, hi: Long): Seq[Long] = {
-    if (hi <= lo) return Nil
-    val ids = (lo / ChunkSize) to ((hi - 1) / ChunkSize)
-    val fetched = chunks(spark, path, ids)
-    ids.flatMap { id =>
-      val ch = fetched(id)
-      val base = id * ChunkSize
-      val from = math.max(lo - base, 0L).toInt
-      val until = math.min(hi - base, ch.uids.size.toLong).toInt
-      if (until > from) ch.uids.slice(from, until) else Nil
-    }.distinct
-  }
-
-  def fetchPostings(spark: SparkSession,
-      ranges: Map[String, (Long, Long)]): Unit =
-    fetchChunks(spark, ranges.collect { case (p, (lo, hi)) if hi > lo =>
-      p -> ((lo / ChunkSize) to ((hi - 1) / ChunkSize)).toSeq
-    })
-
-  /** Search one index: wavelet backward search → SA-range posting
-    * slice → selective read → refine with the FULL query (identical
-    * flow and results to [[FmIndex.search]]).
-    */
-  def search(spark: SparkSession, path: String, column: String,
-      query: String): DataFrame = {
-    import spark.implicits._
-    val q = query.toLowerCase
-    val meta = spark.read.parquet(s"$path/meta")
-    def covered: Seq[String] = meta.select("file_path").distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (q.isEmpty)
-      return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
-    val (lo, hi) = saRange(spark, path, q)
-    if (hi - lo > graft.core.Lake.BruteForceThreshold * ChunkSize) {
-      return spark.read.parquet(covered: _*)
-        .filter(lower(col(column)).contains(q))
-        .withColumn("uid", lit(-1L))
-    }
-    val uids = postingSlice(spark, path, lo, hi)
-    Layout.readHits(spark, meta, uids.toDF("uid"))
-      .filter(lower(col(column)).contains(q))
+  protected def loadHead(spark: SparkSession, path: String): WHead = {
+    val rows = spark.read.parquet(s"$path/head").collect()
+    val alpha = spark.read.parquet(s"$path/alpha").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    WHead(
+      rows.filter(_.getLong(1) >= 0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rows.map(r => r.getString(0) -> r.getLong(3)).toMap,
+      rows.map(_.getLong(2)).sum,
+      alpha, depthFor(alpha.size))
   }
 }
