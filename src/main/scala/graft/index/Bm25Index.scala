@@ -207,7 +207,8 @@ object Bm25Index {
   /** Oracle SQL generator: the same scoring pipeline in ANSI SQL. */
   def oracleSql(table: String, column: String, idCol: String,
       query: String, k: Int): String = {
-    val qtoks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    val qtoks = query.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
     oracleSqlWeighted(table, column, idCol, qtoks.map(_ -> 1.0), k)
   }
 

@@ -82,17 +82,8 @@ trait BwtDriver {
   // ---- code-point helpers --------------------------------------------
 
   /** One string per code point (surrogate pairs stay joined). */
-  protected def codePoints(s: String): IndexedSeq[String] = {
-    val out = Vector.newBuilder[String]
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      val w = Character.charCount(cp)
-      out += s.substring(i, i + w)
-      i += w
-    }
-    out.result()
-  }
+  protected def codePoints(s: String): IndexedSeq[String] =
+    graft.text.Text.codePoints(s)
 
   // ---- driver-side caches (the hot "metadata page") ------------------
 

@@ -274,8 +274,10 @@ object LogCloudIndex {
     // over distinct values first — a candidate SUPERSET of matching
     // values (refined by the contains filter in prune)
     val varSource =
-      if (q.length >= 3) {
-        val qgrams = q.toLowerCase.sliding(3).toSeq.distinct
+      if (graft.text.Text.codePoints(q).length >= 3) {
+        // code-point trigram windows, matching the Spark-side build
+        val qgrams = graft.text.Text
+          .cpGrams(q.toLowerCase(java.util.Locale.ROOT), 3).distinct
         val qbuckets = qgrams.map(bucketOfString).distinct
         val candVals = spark.read.parquet(s"$path/hawaii")
           .filter(col("bucket").isin(qbuckets: _*) &&

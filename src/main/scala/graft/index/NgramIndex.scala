@@ -82,7 +82,7 @@ object NgramIndex {
     */
   def search(spark: SparkSession, path: String, column: String,
       query: String): DataFrame = {
-    val q = query.toLowerCase
+    val q = query.toLowerCase(java.util.Locale.ROOT)
     val meta = spark.read.parquet(s"$path/meta")
     if (q.isEmpty) {
       // contains("") is every row: no gram to probe, scan covered files
@@ -95,10 +95,13 @@ object NgramIndex {
     // refine restores exactness) — reference: token_viable_limit,
     // src/lava/substring/search.rs:512-524. Queries shorter than the
     // gram width probe their exact short gram instead of scanning.
-    val qgrams =
-      if (q.length >= N)
-        graft.text.QueryShaping.viableGrams(q.sliding(N).toSeq.distinct)
+    // code-point grams: the index's grams are Spark-side code-point
+    // windows, so the query must window the same way (Text.cpGrams)
+    val qgrams = {
+      val cpg = graft.text.Text.cpGrams(q, N)
+      if (cpg.nonEmpty) graft.text.QueryShaping.viableGrams(cpg.distinct)
       else Seq(q)
+    }
     val qbuckets = qgrams.map(bucketOfString).distinct
     val post = spark.read.parquet(s"$path/postings")
       // bucket predicate prunes partitions; gram predicate prunes row

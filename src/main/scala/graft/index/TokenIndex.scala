@@ -66,7 +66,8 @@ object TokenIndex {
   }
 
   def tokensOf(query: String): Seq[String] =
-    query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    query.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
 
   /** Query grams: adjacent bigrams, or the exact unigram for
     * single-token queries; empty for token-less queries (→ brute).

@@ -172,11 +172,13 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     * one small Spark job per covering index set).
     */
   private def probe(paths: Seq[String], query: String): Set[String] = {
-    val q = query.toLowerCase
-    val qgrams =
-      if (q.length >= NgramIndex.N) graft.text.QueryShaping.viableGrams(
-        q.sliding(NgramIndex.N).toSeq.distinct)
+    val q = query.toLowerCase(java.util.Locale.ROOT)
+    // code-point gram windows, matching the Spark-side build
+    val qgrams = {
+      val cpg = graft.text.Text.cpGrams(q, NgramIndex.N)
+      if (cpg.nonEmpty) graft.text.QueryShaping.viableGrams(cpg.distinct)
       else Seq(q)
+    }
     val qbuckets = qgrams.map(NgramIndex.bucketOfString).distinct
     paths.flatMap { p =>
       val cands = spark.read.parquet(s"$p/postings")

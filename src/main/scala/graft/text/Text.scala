@@ -41,7 +41,36 @@ object Text {
   object RegexTokenizer extends Tokenizer {
     def tokenize(c: Column): Column = tokens(c)
     def tokenizeQuery(q: String): Seq[String] =
-      q.toLowerCase.split(TokenDelim).filter(_.nonEmpty).toSeq
+      q.toLowerCase(java.util.Locale.ROOT).split(TokenDelim)
+        .filter(_.nonEmpty).toSeq
+  }
+
+  /** One string per code point (surrogate pairs stay joined) — the
+    * driver-side mirror of Spark's string functions, which index CODE
+    * POINTS (UTF8String.numChars/substring). Driver-side query shaping
+    * must use these, never UTF-16 `String#length`/`sliding`, or a
+    * supplementary character (emoji) splits into lone surrogates that
+    * match nothing built Spark-side.
+    */
+  def codePoints(s: String): IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      out += s.substring(i, i + w)
+      i += w
+    }
+    out.result()
+  }
+
+  /** Code-point n-gram windows of `s` — the driver-side mirror of
+    * [[charNgrams]] (empty when `s` has fewer than `n` code points).
+    */
+  def cpGrams(s: String, n: Int): Seq[String] = {
+    val cps = codePoints(s)
+    if (cps.length < n) Seq.empty
+    else cps.sliding(n).map(_.mkString).toSeq
   }
 
   /** Token count (whitespace/punctuation-delimited). */

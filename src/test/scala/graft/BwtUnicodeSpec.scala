@@ -70,4 +70,19 @@ class BwtUnicodeSpec extends AnyFunSuite {
       (files, idx) => WaveletIndex.build(spark, files, "text", idx))
     check(dir, (idx, q) => WaveletIndex.search(spark, idx, "text", q))
   }
+
+  test("ngram search handles supplementary characters exactly") {
+    val dir = build("ngram-unicode",
+      (files, idx) => graft.index.NgramIndex.build(spark, files, "text", idx))
+    check(dir, (idx, q) => graft.index.NgramIndex.search(spark, idx, "text", q))
+  }
+
+  test("code-point helpers window like Spark's charNgrams") {
+    import graft.text.Text
+    val s = s"a$Emoji$Bmp z"
+    assert(Text.codePoints(s).map(_.length) == Seq(1, 2, 1, 1, 1))
+    assert(Text.cpGrams(s, 3) ==
+      Seq(s"a$Emoji$Bmp", s"$Emoji$Bmp ", s"$Bmp z"))
+    assert(Text.cpGrams("ab", 3) == Seq.empty)
+  }
 }
