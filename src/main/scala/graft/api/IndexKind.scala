@@ -102,6 +102,35 @@ object IndexKind {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(String, Long), Seq[(Long, String, Long, Long)]]
 
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), org.apache.spark.sql.types.StructType]
+
+  /** Union scan of the same sub-table across several index dirs, each
+    * row tagged with its index ordinal (`idx`). Every read pins the
+    * sub-table's schema (driver-cached from the first index, keyed by
+    * mtime — all indexes of a kind share it by construction): a bare
+    * `spark.read.parquet` resolves its schema EAGERLY with one listing/
+    * schema job per call, which made facade searches pay one job PER
+    * COVERING INDEX at plan time. With the schema pinned, planning runs
+    * zero jobs and the search stays at a constant job count as
+    * compaction history grows (pinned by JobCountSpec). Per-path reads
+    * keep per-root partition discovery (and so partition pruning) —
+    * one multi-root read would reject the conflicting `bucket=`
+    * layouts.
+    */
+  private[graft] def readTagged(spark: SparkSession, paths: Seq[String],
+      sub: String): DataFrame = {
+    val first = s"${paths.head}/$sub"
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(Layout.canonPath(paths.head), sub)).toMillis
+    val schema = schemaCache.getOrElseUpdate((first, mtime),
+      spark.read.parquet(first).schema)
+    paths.zipWithIndex.map { case (p, i) =>
+      spark.read.schema(schema).parquet(s"$p/$sub")
+        .withColumn("idx", lit(i))
+    }.reduce(_ unionByName _)
+  }
+
   private[graft] def metaRows(spark: SparkSession,
       path: String): Seq[(Long, String, Long, Long)] = {
     val p = java.nio.file.Paths.get(path, "meta")
@@ -129,7 +158,7 @@ object NgramKind extends IndexKind {
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
-    val q = query.toLowerCase
+    val q = query.toLowerCase(java.util.Locale.ROOT)
     def brute(files: Seq[String]): DataFrame =
       spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
     // metadata-sized; empty without a job when paths is empty
@@ -137,18 +166,19 @@ object NgramKind extends IndexKind {
 
     def viaIndex(): Option[DataFrame] = {
       if (q.isEmpty) return None // contains("") = every row: brute
-      // short queries probe their exact 1/2-gram (no scan cliff)
-      val qgrams =
-        if (q.length >= NgramIndex.N) graft.text.QueryShaping.viableGrams(
-          q.sliding(NgramIndex.N).toSeq.distinct)
+      // short queries probe their exact 1/2-gram (no scan cliff);
+      // grams are CODE-POINT windows to match the Spark-side build
+      val qgrams = {
+        val cpg = graft.text.Text.cpGrams(q, NgramIndex.N)
+        if (cpg.nonEmpty) graft.text.QueryShaping.viableGrams(cpg.distinct)
         else Seq(q)
+      }
       val qbuckets = qgrams.map(NgramIndex.bucketOfString).distinct
-      // every covering index probed in ONE union plan (no per-index jobs)
-      val post = paths.zipWithIndex.map { case (p, i) =>
-        spark.read.parquet(s"$p/postings")
-          .filter(col("bucket").isin(qbuckets: _*) && col("gram").isin(qgrams: _*))
-          .select(lit(i).as("idx"), col("gram"), col("uid"))
-      }.reduce(_ unionByName _)
+      // every covering index probed in ONE multi-path scan (a per-index
+      // read+union would pay a listing/schema job per index)
+      val post = IndexKind.readTagged(spark, paths, "postings")
+        .filter(col("bucket").isin(qbuckets: _*) && col("gram").isin(qgrams: _*))
+        .select(col("idx"), col("gram"), col("uid"))
       val cands = post.groupBy(col("idx"), col("uid"))
         .agg(countDistinct(col("gram")).as("ng"))
         .filter(col("ng") === qgrams.size)
@@ -250,9 +280,8 @@ object KeyKind extends IndexKind {
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
-      val keys = paths.zipWithIndex.map { case (p, i) =>
-        spark.read.parquet(s"$p/keys").select(lit(i).as("idx"), col("key"), col("uid"))
-      }.reduce(_ unionByName _)
+      val keys = IndexKind.readTagged(spark, paths, "keys")
+        .select(col("idx"), col("key"), col("uid"))
       val ranged =
         if (!prefixMode) keys.filter(col("key") === key)
         else KeyIndex.prefixUpperBound(key) match {

@@ -52,10 +52,8 @@ object LogCloudKind extends IndexKind {
     def viaIndex(): Option[DataFrame] = {
       // template/dictionary-text queries → brute-force signal (flag 0)
       if (!LogCloudIndex.isVariableQuery(query)) return None
-      val cands = paths.zipWithIndex.map { case (p, i) =>
-        LogCloudIndex.varCandidates(spark, p, query)
-          .select(lit(i).as("idx"), col("line_id").as("uid"))
-      }.reduce(_ unionByName _)
+      val cands = LogCloudIndex.varCandidatesMulti(spark, paths, query)
+        .select(col("idx"), col("line_id").as("uid"))
       val hits = collectHits(spark, paths, cands, live)
       if (bruteBeatsIndex(spark, paths, hits)) None
       else Some(
@@ -99,11 +97,9 @@ object TokenKind extends IndexKind {
       if (qtoks.isEmpty) return None
       val qg = TokenIndex.queryGrams(qtoks)
       val qbuckets = qg.map(TokenIndex.bucketOfString).distinct
-      val post = paths.zipWithIndex.map { case (p, i) =>
-        spark.read.parquet(s"$p/postings")
-          .filter(col("bucket").isin(qbuckets: _*) && col("gram").isin(qg: _*))
-          .select(lit(i).as("idx"), col("gram"), col("uid"))
-      }.reduce(_ unionByName _)
+      val post = IndexKind.readTagged(spark, paths, "postings")
+        .filter(col("bucket").isin(qbuckets: _*) && col("gram").isin(qg: _*))
+        .select(col("idx"), col("gram"), col("uid"))
       val cands = post.groupBy(col("idx"), col("uid"))
         .agg(countDistinct(col("gram")).as("ng"))
         .filter(col("ng") === qg.size)
@@ -152,10 +148,8 @@ object ZoneMapKind extends IndexKind {
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
-      val cands = paths.zipWithIndex.map { case (p, i) =>
-        spark.read.parquet(s"$p/zones")
-          .select(lit(i).as("idx"), col("uid"), col("lo"), col("hi"))
-      }.reduce(_ unionByName _)
+      val cands = IndexKind.readTagged(spark, paths, "zones")
+        .select(col("idx"), col("uid"), col("lo"), col("hi"))
         .filter(col("hi") >= lo && col("lo") <= hi) // overlap test
       val hits = collectHits(spark, paths, cands, live)
       if (bruteBeatsIndex(spark, paths, hits)) None
@@ -225,22 +219,38 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
     val indexed: Option[DataFrame] =
       if (covered.isEmpty) None
       else {
-        val cands = paths.zipWithIndex.map { case (p, i) =>
-          // centroid head is tiny: driver-side probe selection
-          val centers = spark.read.parquet(s"$p/centroids").collect()
-            .map(r => (r.getInt(0), r.getSeq[Double](1)))
-          val probes = centers.sortBy { case (id, c) => (l2(c, q), id) }
+        // probe selection against the driver-cached centroid heads —
+        // zero Spark jobs in steady state
+        val probesByIdx = paths.map { p =>
+          val centers = VectorIndex.centroidHead(spark, p)
+          centers.sortBy { case (id, c) => (l2(c, q), id) }
             .take(math.min(nprobe, centers.length)).map(_._1).toSeq
-          val cells = spark.read.parquet(s"$p/cells")
-            .filter(col("centroid").isin(probes: _*)) // partition pruning
-          val pre =
-            if (refine == Int.MaxValue) cells // probe-everything: no pre-rank sort
-            else cells
+        }
+        // ONE tagged multi-path cells scan: the union of all probe sets
+        // drives partition pruning on the scan itself, the per-(idx,
+        // centroid) pair filter restores each index's exact probe set
+        val allProbes = probesByIdx.flatten.distinct
+        val pairPred = probesByIdx.zipWithIndex
+          .map { case (ps, i) => col("idx") === i && col("centroid").isin(ps: _*) }
+          .reduce(_ || _)
+        val cells = IndexKind.readTagged(spark, paths, "cells")
+          .filter(col("centroid").isin(allProbes: _*)) // partition pruning
+          .filter(pairPred)
+        val pre =
+          if (refine == Int.MaxValue) cells // probe-everything: no pre-rank sort
+          else {
+            // per-index pre-rank (the reference refines per file):
+            // a window by idx replaces the per-index orderBy+limit
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("idx")
+              .orderBy(col("cos").desc, col("vec_id"))
+            cells
               .withColumn("cos",
                 graft.GraftExtensions.cosineSim(spark, col("v"), qc))
-              .orderBy(col("cos").desc, col("vec_id")).limit(refine)
-          pre.select(lit(i).as("idx"), col("vec_id").as("uid"))
-        }.reduce(_ unionByName _)
+              .withColumn("__rnk", row_number().over(w))
+              .filter(col("__rnk") <= refine)
+          }
+        val cands = pre.select(col("idx"), col("vec_id").as("uid"))
         val hits = collectHits(spark, paths, cands, live)
         Some(Layout.readGroups(spark, hits, covered).drop("uid"))
       }

@@ -98,10 +98,11 @@ object Bm25Index {
       terms: Seq[(String, Double)], k: Int): DataFrame = {
     val qtoks = terms.map(_._1)
     val qbuckets = qtoks.map(bucketOfString).distinct
-    val dl = paths.map(p => spark.read.parquet(s"$p/docstats"))
-      .reduce(_ unionByName _)
-    val post = paths.map(p => spark.read.parquet(s"$p/postings"))
-      .reduce(_ unionByName _)
+    // one multi-path scan per sub-table (per-index reads would pay a
+    // listing/schema job per covering index); doc_ids are globally
+    // unique across indexes so no tagging is needed
+    val dl = spark.read.parquet(paths.map(_ + "/docstats"): _*)
+    val post = spark.read.parquet(paths.map(_ + "/postings"): _*)
       .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
       .select(col("token"), col("doc_id"), col("tf"))
     scoreWeighted(spark, post, dl, terms, k)

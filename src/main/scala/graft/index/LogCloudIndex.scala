@@ -257,42 +257,52 @@ object LogCloudIndex {
   def isVariableQuery(q: String): Boolean =
     q.nonEmpty && !q.exists(_.isWhitespace) && q.exists(_.isDigit)
 
-  /** Candidate line_ids for a variable-shaped query from one index:
-    * dict → outliers → (hawaii-pruned) typed vars, all type-masked.
+  /** Candidate (idx, line_id) pairs for a variable-shaped query across
+    * SEVERAL indexes in one plan: dict → outliers → (hawaii-pruned)
+    * typed vars, all type-masked. Each of the four sub-tables is ONE
+    * tagged multi-path scan — per-index reads would pay a
+    * listing/schema job per covering index.
     */
-  private[graft] def varCandidates(spark: SparkSession, path: String,
-      q: String): DataFrame = {
+  private[graft] def varCandidatesMulti(spark: SparkSession,
+      paths: Seq[String], q: String): DataFrame = {
+    import graft.api.IndexKind.readTagged
     val qt = typeBits(q)
     // type pruning: a variable can contain q only if its type bits
     // cover q's (reference: logcloud.rs:737-747)
     def prune(df: DataFrame) =
       df.filter((col("type").bitwiseAND(qt) === qt) && col("value").contains(q))
-    val dictHits = prune(spark.read.parquet(s"$path/dict"))
-    val outlierHits = prune(spark.read.parquet(s"$path/outliers"))
-    val typedVars = spark.read.parquet(s"$path/vars")
+    val dictHits = prune(readTagged(spark, paths, "dict"))
+    val outlierHits = prune(readTagged(spark, paths, "outliers"))
+    val typedVars = readTagged(spark, paths, "vars")
     // hawaii tier: for gram-width queries, intersect trigram postings
     // over distinct values first — a candidate SUPERSET of matching
-    // values (refined by the contains filter in prune)
+    // values (refined by the contains filter in prune); the intersect
+    // and semi-join are per-index ((idx, value) keys)
     val varSource =
       if (graft.text.Text.codePoints(q).length >= 3) {
         // code-point trigram windows, matching the Spark-side build
         val qgrams = graft.text.Text
           .cpGrams(q.toLowerCase(java.util.Locale.ROOT), 3).distinct
         val qbuckets = qgrams.map(bucketOfString).distinct
-        val candVals = spark.read.parquet(s"$path/hawaii")
+        val candVals = readTagged(spark, paths, "hawaii")
           .filter(col("bucket").isin(qbuckets: _*) &&
             col("gram").isin(qgrams: _*))
-          .groupBy(col("value"))
+          .groupBy(col("idx"), col("value"))
           .agg(countDistinct(col("gram")).as("ng"))
           .filter(col("ng") === qgrams.size)
-          .select("value")
-        typedVars.join(candVals, Seq("value"), "left_semi")
+          .select("idx", "value")
+        typedVars.join(candVals, Seq("idx", "value"), "left_semi")
       } else typedVars
-    dictHits.select("line_id")
-      .union(outlierHits.select("line_id"))
-      .union(prune(varSource).select("line_id"))
+    dictHits.select("idx", "line_id")
+      .union(outlierHits.select("idx", "line_id"))
+      .union(prune(varSource).select("idx", "line_id"))
       .distinct()
   }
+
+  /** Single-index candidates (the multi-path plan with one path). */
+  private[graft] def varCandidates(spark: SparkSession, path: String,
+      q: String): DataFrame =
+    varCandidatesMulti(spark, Seq(path), q).drop("idx")
 
   /** Search → matching line_ids (deduped). `lines` is the lake view
     * (line_id, line) used for the brute path and final refine.

@@ -43,7 +43,23 @@ object VectorIndex {
 
   /** Cell count of a built index (the centroid head is tiny). */
   def numCells(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/centroids").count().toInt
+    centroidHead(spark, path).length
+
+  // the centroid head is the index's tiny hot "metadata page" — cache
+  // it on the driver keyed by (path, mtime) like the meta sidecars, so
+  // steady-state searches pay zero Spark jobs for probe selection
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Array[(Int, Seq[Double])]]
+
+  /** Driver-cached (centroid id, center) rows of one index. */
+  private[graft] def centroidHead(spark: SparkSession,
+      path: String): Array[(Int, Seq[Double])] = {
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "centroids")).toMillis
+    centroidCache.getOrElseUpdate((path, mtime),
+      spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double])))
+  }
   val PqM = 8      // subspaces (reference: m=32 on 128-d,
                    // vector_index.py:52-56; 8 on 64-d keeps sub-dim 8)
   val PqCodes = 16 // codebook size per subspace

@@ -1,0 +1,74 @@
+package graft
+
+import graft.api.{FmKind, GraftLake, IndexKind, NgramKind}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the facade's central scale claim: a search runs a CONSTANT
+  * number of Spark jobs regardless of how many index files cover the
+  * lake (candidates probe in one union plan / one lock-step walk, never
+  * one job per index). A lake compacted into hundreds of groups must
+  * not pay hundreds of sequential jobs — this is the difference between
+  * O(1) and O(#indexes) latency at scale, so it gets a test, not just a
+  * scaladoc sentence.
+  */
+class JobCountSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 48 docs; the needle sits only in docs 1-3, and range partitioning
+    * confines them to the FIRST lake file at any split — so the search
+    * takes the INDEX path (hits a strict subset of row groups) in both
+    * lakes, and the job counts compare like for like.
+    */
+  private def mkLake(name: String, parts: Int, kind: IndexKind): GraftLake = {
+    val dir = TestSpark.tmpDir(name)
+    val docs = (1L to 48L).map { i =>
+      i -> s"row $i body ${if (i <= 3) "needle thread" else "plain filler"}"
+    }
+    docs.toDF("doc_id", "text")
+      .repartitionByRange(parts, org.apache.spark.sql.functions.col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val lake = GraftLake(spark, s"$dir/t")
+    // binpackRows=1 → one index file per lake file
+    val built = lake.index(kind, "text", binpackRows = 1)
+    assert(built.size == parts, s"expected $parts index groups")
+    lake
+  }
+
+  private def jobs(group: String)(f: => Unit): Int = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try f finally sc.clearJobGroup()
+    sc.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  private def searchJobs(lake: GraftLake, kind: IndexKind,
+      group: String): Int =
+    jobs(group) {
+      val ids = lake.search(kind, "text", "needle thread", 1000, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 3L), "wrong results")
+    }
+
+  test("ngram search jobs do not grow with covering-index count") {
+    val small = mkLake("jobs-ngram-2", 2, NgramKind)
+    val big = mkLake("jobs-ngram-8", 8, NgramKind)
+    // warm driver-side meta caches so both measure steady state
+    searchJobs(small, NgramKind, "ng-warm-s")
+    searchJobs(big, NgramKind, "ng-warm-b")
+    val js = searchJobs(small, NgramKind, "ng-meas-s")
+    val jb = searchJobs(big, NgramKind, "ng-meas-b")
+    assert(jb == js, s"jobs grew with index count: 2 indexes → $js, 8 → $jb")
+  }
+
+  test("fm search jobs do not grow with covering-index count") {
+    val small = mkLake("jobs-fm-2", 2, FmKind)
+    val big = mkLake("jobs-fm-8", 8, FmKind)
+    // warm chunk caches: the steady-state walk pays ZERO fetch jobs
+    searchJobs(small, FmKind, "fm-warm-s")
+    searchJobs(big, FmKind, "fm-warm-b")
+    val js = searchJobs(small, FmKind, "fm-meas-s")
+    val jb = searchJobs(big, FmKind, "fm-meas-b")
+    assert(jb == js, s"jobs grew with index count: 2 indexes → $js, 8 → $jb")
+  }
+}
