@@ -149,23 +149,30 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     * zone tables (string keys) return every covered file — "nothing
     * pruned", plan untouched.
     */
-  private def zoneProbe(paths: Seq[String], lo: Long, hi: Long): Set[String] =
-    paths.flatMap { p =>
-      val zones = spark.read.parquet(s"$p/zones")
-      val integral = zones.schema("lo").dataType match {
-        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }
-      val rows = graft.api.IndexKind.metaRows(spark, p)
-      if (!integral) rows.map(r => Layout.canonPath(r._2))
-      else {
-        val cands = zones
-          .filter(col("hi") >= lo && col("lo") <= hi) // overlap test
-          .select("uid").collect().map(_.getLong(0)).toSet
-        rows.filter(r => cands.contains(r._1)).map(r => Layout.canonPath(r._2))
-      }
-    }.toSet
+  private def zoneProbe(paths: Seq[String], lo: Long, hi: Long): Set[String] = {
+    val zones = graft.api.IndexKind.readTagged(spark, paths, "zones")
+    val integral = zones.schema("lo").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (!integral)
+      paths.flatMap(p => graft.api.IndexKind.metaRows(spark, p)
+        .map(r => Layout.canonPath(r._2))).toSet
+    else {
+      // ONE tagged scan + collect across all covering indexes
+      val cands = zones
+        .filter(col("hi") >= lo && col("lo") <= hi) // overlap test
+        .select("idx", "uid").collect()
+        .map(r => (r.getInt(r.fieldIndex("idx")), r.getLong(r.fieldIndex("uid"))))
+        .toSet
+      paths.zipWithIndex.flatMap { case (p, i) =>
+        graft.api.IndexKind.metaRows(spark, p)
+          .filter(r => cands.contains((i, r._1)))
+          .map(r => Layout.canonPath(r._2))
+      }.toSet
+    }
+  }
 
   /** Files of the covering indexes whose gram postings intersect every
     * query gram (driver-side candidate resolution via the cached metas;
@@ -180,16 +187,20 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       else Seq(q)
     }
     val qbuckets = qgrams.map(NgramIndex.bucketOfString).distinct
-    paths.flatMap { p =>
-      val cands = spark.read.parquet(s"$p/postings")
-        .filter(col("bucket").isin(qbuckets: _*) &&
-          col("gram").isin(qgrams: _*))
-        .groupBy(col("uid"))
-        .agg(countDistinct(col("gram")).as("ng"))
-        .filter(col("ng") === qgrams.size)
-        .select("uid").collect().map(_.getLong(0)).toSet
+    // ONE tagged scan + intersection across all covering indexes
+    val cands = graft.api.IndexKind.readTagged(spark, paths, "postings")
+      .filter(col("bucket").isin(qbuckets: _*) &&
+        col("gram").isin(qgrams: _*))
+      .groupBy(col("idx"), col("uid"))
+      .agg(countDistinct(col("gram")).as("ng"))
+      .filter(col("ng") === qgrams.size)
+      .select("idx", "uid").collect()
+      .map(r => (r.getInt(r.fieldIndex("idx")), r.getLong(r.fieldIndex("uid"))))
+      .toSet
+    paths.zipWithIndex.flatMap { case (p, i) =>
       graft.api.IndexKind.metaRows(spark, p)
-        .filter(r => cands.contains(r._1)).map(r => Layout.canonPath(r._2))
+        .filter(r => cands.contains((i, r._1)))
+        .map(r => Layout.canonPath(r._2))
     }.toSet
   }
 }
