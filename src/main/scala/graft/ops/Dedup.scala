@@ -29,6 +29,7 @@ object Dedup {
   val NumHashes = 64
   val Bands = 16 // × 4 rows; P[miss | J=0.8] = (1-0.8⁴)¹⁶ ≈ 2e-4
   val Tau = 0.8
+  val BucketCap = 4 // max band-bucket size eligible for pairwise LSH
   // Mersenne prime 2^31−1: h1 + 63·h2 < 2^38 — no 64-bit overflow in
   // either engine, and band keys concat 4 such values (124 bits)
   val HashP = 2147483647L
@@ -116,7 +117,23 @@ object Dedup {
     * EXACT candidate set — banding recall (< 1 against τ-boundary
     * pairs) can never desynchronize the two sides.
     */
-  def minhashPairs(d: DataFrame): DataFrame = {
+  def minhashPairs(d: DataFrame): DataFrame = minhashImpl(d, None)
+
+  /** MinHash LSH with a band-bucket size cap — the 100 TB skew guard.
+    * A boilerplate document duplicated millions of times puts every
+    * copy in the same band bucket, and the candidate self-join on that
+    * bucket is QUADRATIC in its size — the one place the minhash
+    * pipeline can blow up at scale. Buckets larger than `cap` are
+    * excluded from pairwise candidacy (the counting window is linear in
+    * bucket size); their members are near-certain duplicate cliques
+    * whose resolution belongs to the exact-hash / connected-components
+    * path, not to a pair join. The cap bounds the join at cap² per
+    * bucket at ANY corpus size.
+    */
+  def minhashPairsCapped(d: DataFrame, cap: Int): DataFrame =
+    minhashImpl(d, Some(cap))
+
+  private def minhashImpl(d: DataFrame, cap: Option[Int]): DataFrame = {
     val sh = shingleRows(d)
       .withColumn("_md5", md5(col("s")))
       .withColumn("h1", conv(substring(col("_md5"), 1, 8), 16, 10).cast("long"))
@@ -132,8 +149,15 @@ object Dedup {
     }
     val banded = sigs.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    val cand = banded.select(col("doc_id").as("i"), col("band"), col("bkey"))
-      .join(banded.select(col("doc_id").as("j"), col("band"), col("bkey")),
+    val eligible = cap match {
+      case None => banded
+      case Some(c) => banded
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+        .filter(col("bsz") <= c).drop("bsz")
+    }
+    val cand = eligible.select(col("doc_id").as("i"), col("band"), col("bkey"))
+      .join(eligible.select(col("doc_id").as("j"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
@@ -196,9 +220,20 @@ object Dedup {
     * mod p), same comma-joined band keys, same exact-Jaccard
     * verification of the banded candidates.
     */
-  private[ops] def minhashSql: String = {
+  private[ops] def minhashSql: String = minhashSqlImpl(None)
+
+  private[ops] def minhashSqlImpl(cap: Option[Int]): String = {
     val km1 = ShingleK - 1
     val rows = NumHashes / Bands
+    // the capped variant filters band buckets over the size cap before
+    // pairing, mirroring minhashPairsCapped's counting window
+    val bandSource = cap match {
+      case None => "bands"
+      case Some(c) =>
+        s"(SELECT doc_id, band, bkey FROM (SELECT doc_id, band, bkey, " +
+        s"count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands) " +
+        s"WHERE bsz <= $c)"
+    }
     s"""WITH t AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
        |  FROM documents),
@@ -219,7 +254,7 @@ object Dedup {
        |  FROM sigs GROUP BY doc_id, i // $rows),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-       |  FROM bands a JOIN bands b USING (band, bkey)
+       |  FROM $bandSource a JOIN $bandSource b USING (band, bkey)
        |  WHERE a.doc_id < b.doc_id),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |p AS (SELECT c.i, c.j, count(*) AS inter
@@ -271,6 +306,14 @@ object Dedup {
     // of banding recall at the τ boundary
     "dedup_minhash" -> Q(
       (s, dir) => minhashPairs(docs(s, dir)), minhashSql),
+
+    // the skew-guarded variant: band buckets over BucketCap members are
+    // excluded from pairwise candidacy (quadratic-join bound — the cap
+    // is what makes the banded join safe against a boilerplate doc
+    // duplicated millions of times); oracle mirrors the cap exactly
+    "dedup_minhash_capped" -> Q(
+      (s, dir) => minhashPairsCapped(docs(s, dir), BucketCap),
+      minhashSqlImpl(Some(BucketCap))),
 
     "dedup_simhash" -> Q(
       (s, dir) => simhashPairs(docs(s, dir)), simhashSql)

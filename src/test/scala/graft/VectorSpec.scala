@@ -64,6 +64,24 @@ class VectorSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("capped minhash drops oversized band buckets, keeps small ones") {
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (0 until 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    // ten identical "boilerplate" docs: every band bucket they occupy
+    // has 10 members, over the cap of 4 — the quadratic pair join on
+    // that clique must be skipped
+    val boiler = (10L until 20L).map(id => id -> (0 until 60)
+      .map(i => s"boil$i").mkString(" "))
+    val docs = (Seq(1L -> base, 2L -> nearDup) ++ boiler).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairsCapped(docs, 4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), "cap must keep the small-bucket pair only")
+    // uncapped control: the boilerplate clique pairs all 45 ways
+    val full = Dedup.minhashPairs(docs)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size == 1 + 45, "uncapped control should pair the clique")
+  }
+
   test("simhash pairs identical docs at hamming 0, not unrelated ones") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
