@@ -158,7 +158,7 @@ object NgramKind extends IndexKind {
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
-    val q = query.toLowerCase(java.util.Locale.ROOT)
+    val q = graft.text.Text.sparkLower(query)
     def brute(files: Seq[String]): DataFrame =
       spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
     // metadata-sized; empty without a job when paths is empty
@@ -236,13 +236,17 @@ case class Bm25Kind(idCol: String,
     }
     val terms = tokenizer.tokenizeQuery(query).distinct.map(_ -> 1.0)
     val qtoks = terms.map(_._1)
-    val idxParts = paths.map { p =>
-      val qbuckets = qtoks.map(Bm25Index.bucketOfString).distinct
-      (spark.read.parquet(s"$p/postings")
-        .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
-        .select(col("token"), col("doc_id"), col("tf")),
-        spark.read.parquet(s"$p/docstats"))
-    }
+    val qbuckets = qtoks.map(Bm25Index.bucketOfString).distinct
+    // one tagged scan per sub-table across every covering index (the
+    // same constant-jobs discipline as the other kinds); doc_ids are
+    // globally unique so the ordinal tag is dropped after the read
+    val idxParts =
+      if (paths.isEmpty) Seq.empty
+      else Seq((
+        IndexKind.readTagged(spark, paths, "postings")
+          .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
+          .select(col("token"), col("doc_id"), col("tf")),
+        IndexKind.readTagged(spark, paths, "docstats").drop("idx")))
     val insituParts =
       if (insituFiles.isEmpty) Seq.empty
       else Seq(Bm25Index.insituStats(spark, insituFiles, column, idCol,

@@ -286,24 +286,28 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
-    val q = query.toLowerCase(java.util.Locale.ROOT)
+    val q = graft.text.Text.sparkLower(query)
     def brute(files: Seq[String]): DataFrame =
       spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
       if (q.isEmpty) return None // contains("") = every row: brute
-      val ranges = driver.saRangeMulti(spark, paths, q)
+      // one version map for the whole operation: walk, fetch, and slice
+      // must all see the same build of every index
+      val vers = driver.versionsOf(paths)
+      val ranges = driver.saRangeMulti(spark, paths, q, vers)
       // cost switch on total SA-range width (positions, so scaled by
       // chunk size relative to the row-group hit threshold)
       val width = ranges.values.map { case (lo, hi) => math.max(hi - lo, 0L) }.sum
       if (width > Lake.BruteForceThreshold.toLong * driver.ChunkSize) return None
-      driver.fetchPostings(spark, ranges) // one batched job
+      driver.fetchPostings(spark, ranges, vers) // one batched job
       // capped slices: a single over-threshold index alone decides brute
       // without the driver ever materializing an unbounded uid list
       val slices = paths.map { p =>
         val (lo, hi) = ranges(p)
-        driver.postingSliceCapped(spark, p, lo, hi, Lake.BruteForceThreshold)
+        driver.postingSliceCapped(spark, p, lo, hi, Lake.BruteForceThreshold,
+          vers(p))
       }
       if (slices.exists(_.isEmpty)) return None
       val byPath = paths.map(p => p -> metaRows(spark, p)

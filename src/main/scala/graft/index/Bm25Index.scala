@@ -98,11 +98,13 @@ object Bm25Index {
       terms: Seq[(String, Double)], k: Int): DataFrame = {
     val qtoks = terms.map(_._1)
     val qbuckets = qtoks.map(bucketOfString).distinct
-    // one multi-path scan per sub-table (per-index reads would pay a
-    // listing/schema job per covering index); doc_ids are globally
-    // unique across indexes so no tagging is needed
-    val dl = spark.read.parquet(paths.map(_ + "/docstats"): _*)
-    val post = spark.read.parquet(paths.map(_ + "/postings"): _*)
+    // one tagged scan per sub-table (per-index reads would pay a
+    // listing/schema job per covering index; a bare multi-root read of
+    // the bucket-partitioned postings trips Spark's conflicting-
+    // directory check); doc_ids are globally unique so the tag drops
+    val dl = graft.api.IndexKind.readTagged(spark, paths, "docstats")
+      .drop("idx")
+    val post = graft.api.IndexKind.readTagged(spark, paths, "postings")
       .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
       .select(col("token"), col("doc_id"), col("tf"))
     scoreWeighted(spark, post, dl, terms, k)
@@ -208,7 +210,7 @@ object Bm25Index {
   /** Oracle SQL generator: the same scoring pipeline in ANSI SQL. */
   def oracleSql(table: String, column: String, idCol: String,
       query: String, k: Int): String = {
-    val qtoks = query.toLowerCase(java.util.Locale.ROOT)
+    val qtoks = graft.text.Text.sparkLower(query)
       .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
     oracleSqlWeighted(table, column, idCol, qtoks.map(_ -> 1.0), k)
   }

@@ -94,13 +94,27 @@ trait BwtDriver {
     java.nio.file.Files
       .getLastModifiedTime(java.nio.file.Paths.get(path, "head")).toMillis
 
+  /** Stat every index's version ONCE for an operation; thread the map
+    * through every step (saRangeMulti → fetchPostings → posting
+    * slices) so a same-path rebuild mid-operation can never pair one
+    * build's SA ranges with another build's posting chunks.
+    */
+  def versionsOf(paths: Seq[String]): Map[String, Long] =
+    paths.map(p => p -> version(p)).toMap
+
   private val headCache =
     scala.collection.mutable.Map.empty[(String, Long), Head]
+  // capacity invariant: must exceed the worst single batched fetch —
+  // ≤ Lake.BruteForceThreshold range chunks (the SA-width cost switch
+  // bounds the posting fetch) plus 2 boundary chunks per covering
+  // index per LF step — or one fetchPostings batch evicts its own
+  // entries and the walk degrades to one job per chunk
+  private val MaxCachedChunks = 2048
   private val chunkCache =
     new java.util.LinkedHashMap[(String, Long, Long), Chunk](256, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Long, Long), Chunk]): Boolean =
-        size() > 1024
+        size() > MaxCachedChunks
     }
 
   private def headAt(spark: SparkSession, path: String, v: Long): Head =
@@ -163,8 +177,9 @@ trait BwtDriver {
     * search.rs:512-524 — the mandatory refine restores exactness).
     */
   def saRangeMulti(spark: SparkSession, paths: Seq[String],
-      query: String): Map[String, (Long, Long)] = {
-    val vers = paths.map(p => p -> version(p)).toMap
+      query: String, versions: Map[String, Long] = null)
+      : Map[String, (Long, Long)] = {
+    val vers = Option(versions).getOrElse(versionsOf(paths))
     val hs = paths.map(p => p -> headAt(spark, p, vers(p))).toMap
     val walk = codePoints(query).takeRight(FmIndex.W - 1)
     var state = paths.map(p => p -> (0L, hs(p).n)).toMap
@@ -199,9 +214,10 @@ trait BwtDriver {
     * backends/utils.py:221-225).
     */
   def postingSliceCapped(spark: SparkSession, path: String,
-      lo: Long, hi: Long, cap: Int): Option[Seq[Long]] = {
+      lo: Long, hi: Long, cap: Int,
+      atVersion: Long = -1L): Option[Seq[Long]] = {
     if (hi <= lo) return Some(Nil)
-    val v = version(path)
+    val v = if (atVersion >= 0) atVersion else version(path)
     val ids = (lo / ChunkSize) to ((hi - 1) / ChunkSize)
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     ids.foreach { id =>
@@ -228,11 +244,13 @@ trait BwtDriver {
     * job, so subsequent postingSlice calls are cache hits.
     */
   def fetchPostings(spark: SparkSession,
-      ranges: Map[String, (Long, Long)]): Unit = {
+      ranges: Map[String, (Long, Long)],
+      versions: Map[String, Long] = null): Unit = {
     val needs = ranges.collect { case (p, (lo, hi)) if hi > lo =>
       p -> ((lo / ChunkSize) to ((hi - 1) / ChunkSize)).toSeq
     }
-    fetchChunks(spark, needs, needs.keys.map(p => p -> version(p)).toMap)
+    val vers = Option(versions).getOrElse(versionsOf(needs.keys.toSeq))
+    fetchChunks(spark, needs, vers)
   }
 
   // ---- search --------------------------------------------------------
@@ -248,7 +266,7 @@ trait BwtDriver {
   def search(spark: SparkSession, path: String, column: String,
       query: String): DataFrame = {
     import spark.implicits._
-    val q = query.toLowerCase(java.util.Locale.ROOT)
+    val q = graft.text.Text.sparkLower(query)
     val meta = spark.read.parquet(s"$path/meta")
     def covered: Seq[String] = meta.select("file_path").distinct()
       .collect().map(_.getString(0)).toSeq
@@ -257,11 +275,15 @@ trait BwtDriver {
       .withColumn("uid", lit(-1L))
     if (q.isEmpty)
       return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
-    val (lo, hi) = saRange(spark, path, q)
+    // one version for the whole operation: walk and slice must see the
+    // same build
+    val vers = versionsOf(Seq(path))
+    val (lo, hi) = saRangeMulti(spark, Seq(path), q, vers)(path)
     // cost switch 1: a huge SA range means the pattern is unselective —
     // the covered-files scan wins
     if (hi - lo > Lake.BruteForceThreshold.toLong * ChunkSize) return brute()
-    postingSliceCapped(spark, path, lo, hi, Lake.BruteForceThreshold) match {
+    postingSliceCapped(spark, path, lo, hi, Lake.BruteForceThreshold,
+        vers(path)) match {
       case Some(uids)
           if uids.size < graft.api.IndexKind.metaRows(spark, path).size =>
         Layout.readHits(spark, meta, uids.toDF("uid"))

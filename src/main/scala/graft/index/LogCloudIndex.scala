@@ -282,7 +282,7 @@ object LogCloudIndex {
       if (graft.text.Text.codePoints(q).length >= 3) {
         // code-point trigram windows, matching the Spark-side build
         val qgrams = graft.text.Text
-          .cpGrams(q.toLowerCase(java.util.Locale.ROOT), 3).distinct
+          .cpGrams(graft.text.Text.sparkLower(q), 3).distinct
         val qbuckets = qgrams.map(bucketOfString).distinct
         val candVals = readTagged(spark, paths, "hawaii")
           .filter(col("bucket").isin(qbuckets: _*) &&

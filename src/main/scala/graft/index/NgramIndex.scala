@@ -82,7 +82,7 @@ object NgramIndex {
     */
   def search(spark: SparkSession, path: String, column: String,
       query: String): DataFrame = {
-    val q = query.toLowerCase(java.util.Locale.ROOT)
+    val q = graft.text.Text.sparkLower(query)
     val meta = spark.read.parquet(s"$path/meta")
     if (q.isEmpty) {
       // contains("") is every row: no gram to probe, scan covered files

@@ -66,7 +66,7 @@ object TokenIndex {
   }
 
   def tokensOf(query: String): Seq[String] =
-    query.toLowerCase(java.util.Locale.ROOT)
+    graft.text.Text.sparkLower(query)
       .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
 
   /** Query grams: adjacent bigrams, or the exact unigram for

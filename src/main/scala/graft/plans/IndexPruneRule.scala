@@ -179,7 +179,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     * one small Spark job per covering index set).
     */
   private def probe(paths: Seq[String], query: String): Set[String] = {
-    val q = query.toLowerCase(java.util.Locale.ROOT)
+    val q = graft.text.Text.sparkLower(query)
     // code-point gram windows, matching the Spark-side build
     val qgrams = {
       val cpg = graft.text.Text.cpGrams(q, NgramIndex.N)

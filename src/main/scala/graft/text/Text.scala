@@ -41,9 +41,20 @@ object Text {
   object RegexTokenizer extends Tokenizer {
     def tokenize(c: Column): Column = tokens(c)
     def tokenizeQuery(q: String): Seq[String] =
-      q.toLowerCase(java.util.Locale.ROOT).split(TokenDelim)
-        .filter(_.nonEmpty).toSeq
+      sparkLower(q).split(TokenDelim).filter(_.nonEmpty).toSeq
   }
+
+  /** Driver-side lowercase with EXACTLY Spark's `lower()` semantics:
+    * the Lower expression evaluates `UTF8String.toLowerCase`, so
+    * calling the same function makes query normalization bit-identical
+    * to the indexed text at ANY JVM default locale (`Locale.ROOT`
+    * fixed the ASCII Turkish-I hazard but Spark's own non-ASCII slow
+    * path doesn't use ROOT — only sharing the implementation removes
+    * the divergence entirely).
+    */
+  def sparkLower(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      .toLowerCase.toString
 
   /** One string per code point (surrogate pairs stay joined) — the
     * driver-side mirror of Spark's string functions, which index CODE
