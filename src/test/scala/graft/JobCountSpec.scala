@@ -1,6 +1,6 @@
 package graft
 
-import graft.api.{FmKind, GraftLake, IndexKind, NgramKind}
+import graft.api.{FmKind, GraftLake, IndexKind, NgramKind, TokenKind}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the facade's central scale claim: a search runs a CONSTANT
@@ -58,6 +58,16 @@ class JobCountSpec extends AnyFunSuite {
     searchJobs(big, NgramKind, "ng-warm-b")
     val js = searchJobs(small, NgramKind, "ng-meas-s")
     val jb = searchJobs(big, NgramKind, "ng-meas-b")
+    assert(jb == js, s"jobs grew with index count: 2 indexes → $js, 8 → $jb")
+  }
+
+  test("token search jobs do not grow with covering-index count") {
+    val small = mkLake("jobs-token-2", 2, TokenKind)
+    val big = mkLake("jobs-token-8", 8, TokenKind)
+    searchJobs(small, TokenKind, "tk-warm-s")
+    searchJobs(big, TokenKind, "tk-warm-b")
+    val js = searchJobs(small, TokenKind, "tk-meas-s")
+    val jb = searchJobs(big, TokenKind, "tk-meas-b")
     assert(jb == js, s"jobs grew with index count: 2 indexes → $js, 8 → $jb")
   }
 

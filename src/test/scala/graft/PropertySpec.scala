@@ -113,4 +113,59 @@ object PropertySpec extends Properties("graft") {
         }
       }
     }
+
+  // ---- code-point helpers vs Java's own code-point API ----------------
+
+  private val unicodeText: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaLowerChar.map(_.toString),
+      2 -> Gen.const(" "),
+      1 -> Gen.const(new String(Character.toChars(0x1F600))), // surrogate pair
+      1 -> Gen.const("\uffee"))).map(_.mkString))
+
+  property("codePoints partitions any string into whole code points") =
+    Prop.forAll(unicodeText) { s =>
+      val cps = graft.text.Text.codePoints(s)
+      cps.mkString == s &&
+        cps.forall(c => c.codePointCount(0, c.length) == 1) &&
+        cps.length == s.codePointCount(0, s.length)
+    }
+
+  property("cpGrams windows == brute code-point sliding") =
+    Prop.forAll(unicodeText, Gen.chooseNum(1, 5)) { (s, n) =>
+      val cps = graft.text.Text.codePoints(s)
+      val want =
+        if (cps.length < n) Seq.empty
+        else (0 to cps.length - n).map(i => cps.slice(i, i + n).mkString)
+      graft.text.Text.cpGrams(s, n) == want
+    }
+
+  property("sparkLower == Spark's lower() on UTF8String") =
+    Prop.forAll(unicodeText) { s =>
+      graft.text.Text.sparkLower(s) ==
+        UTF8String.fromString(s).toLowerCase.toString
+    }
+
+  // ---- wavelet-matrix rank vs naive count ------------------------------
+
+  private val codeSeqs: Gen[(Array[Int], Int)] = for {
+    sigma <- Gen.chooseNum(2, 50)
+    m <- Gen.chooseNum(1, 600)
+    codes <- Gen.listOfN(m, Gen.chooseNum(0, sigma - 1))
+  } yield (codes.toArray, sigma)
+
+  property("wavelet rankInChunk == naive prefix count") =
+    Prop.forAll(codeSeqs, Gen.chooseNum(0, 1000)) { case ((codes, sigma), seed) =>
+      val depth = math.max(1, 32 - Integer.numberOfLeadingZeros(sigma - 1))
+      val (w, z, b) = graft.index.WaveletIndex.encode(codes, depth)
+      val ch = graft.index.WaveletIndex.WChunk(0L, codes.length, w, z, b,
+        Map.empty, Nil)
+      val rnd = new scala.util.Random(seed)
+      (1 to 8).forall { _ =>
+        val c = rnd.nextInt(sigma)
+        val pos = rnd.nextInt(codes.length + 1)
+        graft.index.WaveletIndex.rankInChunk(ch, c, depth, pos) ==
+          codes.take(pos).count(_ == c).toLong
+      }
+    }
 }
