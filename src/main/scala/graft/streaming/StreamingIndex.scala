@@ -1,27 +1,30 @@
 package graft.streaming
 
 import graft.Q
+import graft.api.{IndexKind, NgramKind, TokenKind}
 import graft.core.{IndexStore, Lake, Layout}
-import graft.index.NgramIndex
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** Streaming index maintenance: Structured Streaming's file source
-  * discovers newly landed lake files and each micro-batch builds a
-  * substring index over exactly the new files — the streaming twin of
-  * the reference's incremental `index_parquet_lake` (which indexes the
+  * discovers newly landed lake files and each micro-batch builds an
+  * index over exactly the new files — the streaming twin of the
+  * reference's incremental `index_parquet_lake` (which indexes the
   * files metadata doesn't cover yet, reference:
   * python/rottnest/backends/parquet.py `index_parquet_lake`). At 100 TB
   * this is the continuous-ingest shape: checkpointed file discovery,
   * one bounded index build per trigger, never a full-lake rebuild;
   * compaction later folds the per-batch indexes (ops.Maintenance).
   *
-  * Search unions the per-batch index probes in one plan — results must
-  * equal a brute-force scan no matter how the file→batch assignment
-  * fell out, because every file lands in exactly one batch and the
-  * refine is exact.
+  * Kind-generic: the stream maintains ANY [[IndexKind]] (the build is
+  * one `kind.build` per batch) and search goes through the kind's own
+  * `searchLake` — ONE plan over every per-batch index with the
+  * facade's constant-job discipline, not a per-batch probe union.
+  * Results must equal a brute-force scan no matter how the file→batch
+  * assignment fell out, because every file lands in exactly one batch
+  * and the refine is exact.
   */
 object StreamingIndex {
 
@@ -38,10 +41,11 @@ object StreamingIndex {
   /** Run the indexing stream to completion (Trigger.AvailableNow) if it
     * has not run yet; returns the per-batch index paths.
     */
-  def ensureStreamIndexes(spark: SparkSession, dir: String): Seq[String] = {
+  def ensureStreamIndexes(spark: SparkSession, dir: String,
+      kind: IndexKind = NgramKind): Seq[String] = {
     Lake.ensureSplit(spark, dir, "documents", "doc_id", 4)
     val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/documents"
-    val root = IndexStore.indexPath(dir, "ngram_stream")
+    val root = IndexStore.indexPath(dir, s"${kind.name}_stream")
     IndexStore.ensure(root) {
       val stream = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", BatchFiles)
@@ -54,7 +58,7 @@ object StreamingIndex {
           val newFiles = batch.distinct().collect()
             .map(r => Layout.canonPath(r.getString(0))).toSeq.sorted
           if (newFiles.nonEmpty)
-            NgramIndex.build(spark, newFiles, Column, s"$root/b$id")
+            kind.build(spark, newFiles, Column, s"$root/b$id")
         }
         .start()
       q.awaitTermination()
@@ -64,16 +68,30 @@ object StreamingIndex {
       .map(_.getAbsolutePath).sorted.toSeq
   }
 
-  /** One-plan union of the per-batch index searches. */
-  def search(spark: SparkSession, dir: String, query: String): DataFrame =
-    ensureStreamIndexes(spark, dir)
-      .map(p => NgramIndex.search(spark, p, Column, query).select("doc_id"))
-      .reduce((a, b) => a.unionByName(b))
+  /** The kind's one-plan multi-index search over the per-batch indexes. */
+  def search(spark: SparkSession, dir: String, query: String,
+      kind: IndexKind = NgramKind): DataFrame = {
+    val paths = ensureStreamIndexes(spark, dir, kind)
+    kind.searchLake(spark, paths, Seq.empty, Column, query, Int.MaxValue)
+      .select("doc_id")
+  }
+
+  private val QueryStr = graft.ops.IndexQueries.QueryStr
 
   def entries: Map[String, Q] = Map(
     // stream-built indexes answer exactly like a batch scan
     "streaming_index_search" -> Q((s, dir) =>
-      search(s, dir, graft.ops.IndexQueries.QueryStr).orderBy("doc_id"),
-      s"SELECT doc_id FROM documents WHERE contains(lower(text), '${graft.ops.IndexQueries.QueryStr}') ORDER BY doc_id")
+      search(s, dir, QueryStr).orderBy("doc_id"),
+      s"SELECT doc_id FROM documents WHERE contains(lower(text), '$QueryStr') ORDER BY doc_id"),
+
+    // the same stream maintaining a DIFFERENT kind (token-sequence
+    // semantics) — the maintenance loop is kind-generic like the
+    // reference's index_parquet_lake(..., index)
+    "streaming_index_search_token" -> Q((s, dir) =>
+      search(s, dir, QueryStr, TokenKind).orderBy("doc_id"),
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id, ' ' || array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS nf
+         |  FROM documents) t
+         |WHERE contains(nf, ' $QueryStr ') ORDER BY doc_id""".stripMargin)
   )
 }
