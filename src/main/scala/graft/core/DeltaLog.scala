@@ -94,8 +94,18 @@ object DeltaLog {
             if (node.has("remove")) live -= node.get("remove").get("path").asText()
           }
       }
-    live.toSeq.map(p => Layout.canonPath(s"$table/$p")).sorted
+    live.toSeq.map(resolvePath(table, _)).sorted
   }
+
+  /** Resolve an add/remove path per the spec: paths MAY be absolute
+    * URIs (spec-legal, e.g. after SHALLOW CLONE) — only relative paths
+    * resolve against the table root. Add/remove matching happens on the
+    * RAW path string (both sides of a pair use the same form), so only
+    * final resolution needs this.
+    */
+  private def resolvePath(table: String, p: String): String =
+    if (p.contains("://") || p.startsWith("/")) Layout.canonPath(p)
+    else Layout.canonPath(s"$table/$p")
 
   // ---- writer --------------------------------------------------------
 
@@ -170,7 +180,13 @@ object DeltaLog {
     import spark.implicits._
     val files = liveFiles(spark, table, Some(version))
     val tableCanon = Layout.canonPath(table)
+    // table-relative adds keep the relative form; absolute-URI adds
+    // (spec-legal) stay absolute — stripPrefix leaves them untouched
     val rel = files.map(_.stripPrefix(tableCanon + "/"))
+    // real file sizes where resolvable (readers use add.size for
+    // planning); unreachable files record 0
+    val sizes = files.map(f =>
+      try Files.size(Paths.get(f)) catch { case _: Exception => 0L })
     // latest metaData/protocol at `version` (last one wins on replay)
     var metaN: Option[com.fasterxml.jackson.databind.JsonNode] = None
     var protoN: Option[com.fasterxml.jackson.databind.JsonNode] = None
@@ -188,29 +204,39 @@ object DeltaLog {
     val remT = "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
     val metaT = "struct<id:string,format:struct<provider:string,options:map<string,string>>,schemaString:string,partitionColumns:array<string>,configuration:map<string,string>,createdTime:bigint>"
     val protoT = "struct<minReaderVersion:int,minWriterVersion:int>"
-    val addRows = rel.toDF("p").selectExpr(
-      "named_struct('path', p, 'partitionValues', cast(map() as map<string,string>), 'size', 0L, 'modificationTime', 0L, 'dataChange', true) as add",
+    val addRows = rel.zip(sizes).toDF("p", "sz").selectExpr(
+      "named_struct('path', p, 'partitionValues', cast(map() as map<string,string>), 'size', sz, 'modificationTime', 0L, 'dataChange', true) as add",
       s"cast(null as $remT) as remove",
       s"cast(null as $metaT) as metaData",
       s"cast(null as $protoT) as protocol")
-    val headRow = Seq((
+    // one action per checkpoint row, per the spec: metaData and
+    // protocol each get their own row
+    val metaRow = Seq((
       metaN.get.get("id").asText,
-      metaN.get.get("schemaString").asText,
-      protoN.get.get("minReaderVersion").asInt,
-      protoN.get.get("minWriterVersion").asInt
-    )).toDF("id", "ss", "r", "w").selectExpr(
+      metaN.get.get("schemaString").asText
+    )).toDF("id", "ss").selectExpr(
       s"cast(null as $addT) as add",
       s"cast(null as $remT) as remove",
       "named_struct('id', id, 'format', named_struct('provider', 'parquet', 'options', cast(map() as map<string,string>)), 'schemaString', ss, 'partitionColumns', cast(array() as array<string>), 'configuration', cast(map() as map<string,string>), 'createdTime', 0L) as metaData",
+      s"cast(null as $protoT) as protocol")
+    val protoRow = Seq((
+      protoN.get.get("minReaderVersion").asInt,
+      protoN.get.get("minWriterVersion").asInt
+    )).toDF("r", "w").selectExpr(
+      s"cast(null as $addT) as add",
+      s"cast(null as $remT) as remove",
+      s"cast(null as $metaT) as metaData",
       "named_struct('minReaderVersion', r, 'minWriterVersion', w) as protocol")
     val out = checkpointFile(table, version)
-    headRow.unionByName(addRows)
+    metaRow.unionByName(protoRow).unionByName(addRows)
       .coalesce(1).write.mode("overwrite").parquet(out + "_tmp")
     // checkpoint must be ONE parquet object at the spec'd name
     val part = Lake.listFiles(out + "_tmp").head
     Files.move(Paths.get(part), Paths.get(out), StandardCopyOption.REPLACE_EXISTING)
     IndexStore.deleteRec(Paths.get(out + "_tmp"))
+    // _last_checkpoint.size counts ALL actions in the checkpoint
+    // (adds + metaData + protocol)
     Files.writeString(Paths.get(s"${logDir(table)}/_last_checkpoint"),
-      s"""{"version":$version,"size":${rel.size}}""")
+      s"""{"version":$version,"size":${rel.size + 2}}""")
   }
 }

@@ -176,9 +176,19 @@ object IcebergLog {
     sn.put("manifest-list", listPath)
     sn.putObject("summary").put("operation",
       if (removes.nonEmpty) "overwrite" else "append")
-    Files.writeString(
+    // optimistic concurrency, like DeltaLog.commit: the versioned
+    // metadata file is claimed with CREATE_NEW, so of two racing
+    // committers exactly one wins and the loser gets
+    // FileAlreadyExistsException instead of silently clobbering the
+    // winner's snapshot (Iceberg catalogs do this with an atomic
+    // pointer swap; file-system tables use the rename/claim of the
+    // versioned metadata name)
+    Files.write(
       Paths.get(metaDir(table), s"v$version.metadata.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
     Files.writeString(hint, version.toString)
     snapId
   }
@@ -190,9 +200,17 @@ object IcebergLog {
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == target).get
     readAvro(snap.get("manifest-list").asText()).flatMap { m =>
+      // same delete-file rejection as liveFiles: carrying a delete
+      // manifest forward would rewrite its entries as content-0 data
+      // files in the new snapshot, turning delete files into garbage
+      // table rows for every subsequent reader
+      require(m.get("content").asInstanceOf[Int] == 0,
+        s"Iceberg table $table has delete manifests — unsupported (reference rejects them too)")
       readAvro(m.get("manifest_path").toString).flatMap { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        require(df.get("content").asInstanceOf[Int] == 0,
+          s"Iceberg table $table has non-data files — unsupported")
         if (e.get("status").asInstanceOf[Int] != 2) {
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
           Some(DataFile(df.get("file_path").toString,
             df.get("record_count").asInstanceOf[Long],
             df.get("file_size_in_bytes").asInstanceOf[Long]))

@@ -53,8 +53,22 @@ object IndexStore {
   def metadataPath(dir: String): String = s"$root/${lakeId(dir)}/_metadata"
 
   def readMetadata(spark: SparkSession, dir: String): Option[DataFrame] = {
+    recoverMetadata(dir)
     val p = metadataPath(dir)
     if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
+  }
+
+  /** Crash recovery for the two-rename swap in [[swapInMetadata]]: if a
+    * writer died between moving the live table to `_old` and moving the
+    * replacement in, the backup IS the authoritative table — restore it
+    * so the crash demotes to a retried commit instead of permanent
+    * metadata loss (the build-once markers would otherwise block any
+    * re-commit forever).
+    */
+  private def recoverMetadata(dir: String): Unit = synchronized {
+    val target = Paths.get(metadataPath(dir))
+    val bak = Paths.get(metadataPath(dir) + "_old")
+    if (!Files.exists(target) && Files.exists(bak)) Files.move(bak, target)
   }
 
   /** One collected metadata row (the table is metadata-sized: one row
@@ -63,27 +77,45 @@ object IndexStore {
   case class MetaRow(table: String, column: String, files: Seq[String],
       indexFile: String, indexType: String)
 
+  // keep only the LATEST (mtime, rows) per path: commits change the
+  // mtime, and versioned keys would strand one dead entry per commit —
+  // unbounded growth under streaming maintenance
   private val metaRowCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[MetaRow]]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Seq[MetaRow])]
 
   /** Collected metadata rows, cached by the table's mtime so repeated
     * facade calls (index → compact → search in one entry) pay ONE job.
-    * Staleness on mtime aliasing is correctness-safe: a missed commit
-    * only demotes covered files to the in-situ path.
+    * mtime aliasing is prevented at the writer ([[swapInMetadata]] bumps
+    * the mtime monotonically); a concurrent swap mid-read demotes to the
+    * empty (in-situ) answer rather than crashing — the read is retried
+    * with fresh state on the next call.
     */
-  def metadataRowsCached(spark: SparkSession, dir: String): Seq[MetaRow] = {
-    val p = Paths.get(metadataPath(dir))
-    if (!Files.exists(p)) return Seq.empty
-    val mtime = Files.getLastModifiedTime(p).toMillis
-    metaRowCache.getOrElseUpdate((metadataPath(dir), mtime),
-      readMetadata(spark, dir).get
-        .select("table_name", "column_name", "file_path", "index_file",
-          "index_type")
-        .collect()
-        .map(r => MetaRow(r.getString(0), r.getString(1),
-          r.getSeq[String](2).toSeq, r.getString(3), r.getString(4)))
-        .toSeq)
-  }
+  def metadataRowsCached(spark: SparkSession, dir: String): Seq[MetaRow] =
+    try {
+      recoverMetadata(dir)
+      val path = metadataPath(dir)
+      val p = Paths.get(path)
+      if (!Files.exists(p)) return Seq.empty
+      val mtime = Files.getLastModifiedTime(p).toMillis
+      metaRowCache.get(path) match {
+        case Some((m, rows)) if m == mtime => rows
+        case _ =>
+          val rows = spark.read.parquet(path)
+            .select("table_name", "column_name", "file_path", "index_file",
+              "index_type")
+            .collect()
+            .map(r => MetaRow(r.getString(0), r.getString(1),
+              r.getSeq[String](2).toSeq, r.getString(3), r.getString(4)))
+            .toSeq
+          metaRowCache.put(path, (mtime, rows))
+          rows
+      }
+    } catch {
+      // TOCTOU with a concurrent swap: treat as "no metadata yet"
+      case _: java.nio.file.NoSuchFileException => Seq.empty
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") => Seq.empty
+    }
 
   /** Append rows to the metadata table (overwrite-commit of the single
     * metadata object, as in the reference's plain-parquet backend).
@@ -97,18 +129,37 @@ object IndexStore {
           old.join(newKeys, Seq("index_file"), "left_anti").unionByName(rows)
         case None => rows
       }
-      val tmp = metadataPath(dir) + "_tmp"
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val target = Paths.get(metadataPath(dir))
-      // atomic swap: write to tmp, move over target
-      if (Files.exists(target)) {
-        val bak = Paths.get(metadataPath(dir) + "_old")
-        deleteRec(bak)
-        Files.move(target, bak)
-        Files.move(Paths.get(tmp), target)
-        deleteRec(bak)
-      } else Files.move(Paths.get(tmp), target)
+      swapInMetadata(spark, dir, merged)
     }
+
+  /** Two-rename swap of the single metadata object, crash-tolerant:
+    * the live table moves to `_old` before the replacement moves in, so
+    * at every instant either `_metadata` or `_metadata_old` holds a
+    * complete table — [[recoverMetadata]] restores the backup if a
+    * crash lands between the renames. The new table's mtime is bumped
+    * strictly past the old one's so the (path, mtime) caches can never
+    * alias two versions committed within one clock granule (compact's
+    * append-then-delete commits twice back-to-back).
+    */
+  private def swapInMetadata(spark: SparkSession, dir: String,
+      table: DataFrame): Unit = {
+    val tmp = metadataPath(dir) + "_tmp"
+    table.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val target = Paths.get(metadataPath(dir))
+    val prev =
+      if (Files.exists(target)) Files.getLastModifiedTime(target).toMillis
+      else 0L
+    val bak = Paths.get(metadataPath(dir) + "_old")
+    if (Files.exists(target)) {
+      deleteRec(bak)
+      Files.move(target, bak)
+    }
+    Files.move(Paths.get(tmp), target)
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(
+        math.max(System.currentTimeMillis(), prev + 1)))
+    deleteRec(bak)
+  }
 
   /** Delete metadata rows whose index_file is in `indexFiles` (second
     * half of the append-then-delete compaction commit,
@@ -118,11 +169,7 @@ object IndexStore {
     synchronized {
       readMetadata(spark, dir).foreach { old =>
         val keep = old.filter(!col("index_file").isin(indexFiles: _*))
-        val tmp = metadataPath(dir) + "_tmp"
-        keep.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val target = Paths.get(metadataPath(dir))
-        deleteRec(target)
-        Files.move(Paths.get(tmp), target)
+        swapInMetadata(spark, dir, keep)
       }
     }
 

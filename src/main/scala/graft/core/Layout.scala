@@ -44,9 +44,19 @@ object Layout {
   def scan(spark: SparkSession, files: Seq[String]): DataFrame = {
     import spark.implicits._
     val par = math.max(1, math.min(files.size, 64))
+    // ship the SESSION's effective Hadoop settings (spark.hadoop.* —
+    // s3a credentials, endpoints, fs impls) to the executors: a bare
+    // `new Configuration()` there would only see cluster defaults
+    val hadoopProps = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
     val rgs = spark.sparkContext.parallelize(files.map(canonPath), par)
       .flatMap { f =>
-        val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
+        val conf = new Configuration(false)
+        hadoopProps.foreach { case (k, v) => conf.set(k, v) }
+        val in = HadoopInputFile.fromPath(new Path(f), conf)
         val reader = ParquetFileReader.open(in)
         try {
           var start = 0L
@@ -70,8 +80,14 @@ object Layout {
     */
   def buildMeta(spark: SparkSession, files: Seq[String]): DataFrame = {
     import spark.implicits._
-    val layout = scan(spark, files).cache()
-    val counts = layout.groupBy(col("file_path"))
+    // the footer scan runs twice (per-file counts now, the returned
+    // rows when the caller materializes) — deliberately UNCACHED both
+    // times: callers cache/unpersist only the returned meta, so an
+    // inner layout.cache() would strand one session-cache entry per
+    // index build for the life of the session (streaming maintenance
+    // builds indefinitely many). Footer reads are metadata-only IO;
+    // the second pass is noise next to the build job that follows.
+    val counts = scan(spark, files).groupBy(col("file_path"))
       .agg(count(lit(1)).as("n_rgs"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
@@ -80,7 +96,7 @@ object Layout {
       val o = off; off += n; (f, o)
     }.toSeq
     val offDf = broadcast(offsets.toDF("file_path", "uid_offset"))
-    layout.join(offDf, Seq("file_path"))
+    scan(spark, files).join(offDf, Seq("file_path"))
       .withColumn("uid", col("uid_offset") + col("row_group") + 1L)
       .drop("uid_offset")
   }

@@ -39,4 +39,37 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(live)))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphan)))
   }
+
+  test("a crash between the swap renames is recovered on the next read") {
+    val ns = s"spec-recover-${System.nanoTime()}"
+    IndexStore.commitMetadata(spark, ns, rows("idxA", Seq("f1")))
+    // simulate the crash window: the live table was moved to _old but
+    // the replacement never landed
+    val target = java.nio.file.Paths.get(IndexStore.metadataPath(ns))
+    val bak = java.nio.file.Paths.get(IndexStore.metadataPath(ns) + "_old")
+    java.nio.file.Files.move(target, bak)
+    assert(!java.nio.file.Files.exists(target))
+    // any read restores the backup as the authoritative table
+    val m = IndexStore.readMetadata(spark, ns)
+    assert(m.isDefined && m.get.count() == 1)
+    assert(java.nio.file.Files.exists(target) &&
+      !java.nio.file.Files.exists(bak))
+    // and the row cache serves it too
+    assert(IndexStore.metadataRowsCached(spark, ns).map(_.indexFile) ==
+      Seq("idxA"))
+  }
+
+  test("back-to-back commits never alias the metadata row cache") {
+    val ns = s"spec-alias-${System.nanoTime()}"
+    IndexStore.commitMetadata(spark, ns, rows("idxA", Seq("f1")))
+    assert(IndexStore.metadataRowsCached(spark, ns).size == 1)
+    // compact's append-then-delete commits twice within one clock
+    // granule; the writer bumps mtimes monotonically so each read sees
+    // its own version
+    IndexStore.commitMetadata(spark, ns, rows("idxB", Seq("f2")))
+    assert(IndexStore.metadataRowsCached(spark, ns).size == 2)
+    IndexStore.deleteMetadata(spark, ns, Seq("idxA"))
+    assert(IndexStore.metadataRowsCached(spark, ns).map(_.indexFile) ==
+      Seq("idxB"))
+  }
 }
