@@ -99,11 +99,13 @@ trait IndexKind {
 }
 
 object IndexKind {
+  // keep-latest-per-path: versioned keys would strand one dead entry
+  // per rebuild/vacuum cycle — unbounded growth in long sessions
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long), Seq[(Long, String, Long, Long)]]
+    .empty[String, (Long, Seq[(Long, String, Long, Long)])]
 
   private val schemaCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long), org.apache.spark.sql.types.StructType]
+    .empty[String, (Long, org.apache.spark.sql.types.StructType)]
 
   /** Union scan of the same sub-table across several index dirs, each
     * row tagged with its index ordinal (`idx`). Every read pins the
@@ -123,8 +125,13 @@ object IndexKind {
     val first = s"${paths.head}/$sub"
     val mtime = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(Layout.canonPath(paths.head), sub)).toMillis
-    val schema = schemaCache.getOrElseUpdate((first, mtime),
-      spark.read.parquet(first).schema)
+    val schema = schemaCache.get(first) match {
+      case Some((m, s)) if m == mtime => s
+      case _ =>
+        val s = spark.read.parquet(first).schema
+        schemaCache.put(first, (mtime, s))
+        s
+    }
     paths.zipWithIndex.map { case (p, i) =>
       spark.read.schema(schema).parquet(s"$p/$sub")
         .withColumn("idx", lit(i))
@@ -135,12 +142,17 @@ object IndexKind {
       path: String): Seq[(Long, String, Long, Long)] = {
     val p = java.nio.file.Paths.get(path, "meta")
     val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
-    cache.getOrElseUpdate((path, mtime),
-      spark.read.parquet(s"$path/meta")
-        .select("uid", "file_path", "row_start", "num_rows")
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-        .toSeq)
+    cache.get(path) match {
+      case Some((m, rows)) if m == mtime => rows
+      case _ =>
+        val rows = spark.read.parquet(s"$path/meta")
+          .select("uid", "file_path", "row_start", "num_rows")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        cache.put(path, (mtime, rows))
+        rows
+    }
   }
 }
 

@@ -102,8 +102,10 @@ trait BwtDriver {
   def versionsOf(paths: Seq[String]): Map[String, Long] =
     paths.map(p => p -> version(p)).toMap
 
+  // keep-latest per path (versioned keys would strand a dead head per
+  // rebuild); chunk entries are bounded by the LRU below
   private val headCache =
-    scala.collection.mutable.Map.empty[(String, Long), Head]
+    scala.collection.mutable.Map.empty[String, (Long, Head)]
   // capacity invariant: must exceed the worst single batched fetch —
   // ≤ Lake.BruteForceThreshold range chunks (the SA-width cost switch
   // bounds the posting fetch) plus 2 boundary chunks per covering
@@ -119,7 +121,13 @@ trait BwtDriver {
 
   private def headAt(spark: SparkSession, path: String, v: Long): Head =
     synchronized {
-      headCache.getOrElseUpdate((path, v), loadHead(spark, path))
+      headCache.get(path) match {
+        case Some((m, h)) if m == v => h
+        case _ =>
+          val h = loadHead(spark, path)
+          headCache.put(path, (v, h))
+          h
+      }
     }
 
   /** Batched fetch: ONE job loads every missing (path, chunk) pair

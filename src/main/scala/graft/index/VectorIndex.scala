@@ -46,19 +46,25 @@ object VectorIndex {
     centroidHead(spark, path).length
 
   // the centroid head is the index's tiny hot "metadata page" — cache
-  // it on the driver keyed by (path, mtime) like the meta sidecars, so
-  // steady-state searches pay zero Spark jobs for probe selection
+  // it on the driver, keep-latest per path (versioned keys would
+  // strand one dead entry per rebuild), so steady-state searches pay
+  // zero Spark jobs for probe selection
   private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long), Array[(Int, Seq[Double])]]
+    .empty[String, (Long, Array[(Int, Seq[Double])])]
 
   /** Driver-cached (centroid id, center) rows of one index. */
   private[graft] def centroidHead(spark: SparkSession,
       path: String): Array[(Int, Seq[Double])] = {
     val mtime = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(path, "centroids")).toMillis
-    centroidCache.getOrElseUpdate((path, mtime),
-      spark.read.parquet(s"$path/centroids").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double])))
+    centroidCache.get(path) match {
+      case Some((m, rows)) if m == mtime => rows
+      case _ =>
+        val rows = spark.read.parquet(s"$path/centroids").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+        centroidCache.put(path, (mtime, rows))
+        rows
+    }
   }
   val PqM = 8      // subspaces (reference: m=32 on 128-d,
                    // vector_index.py:52-56; 8 on 64-d keeps sub-dim 8)
