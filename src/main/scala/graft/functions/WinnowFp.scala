@@ -11,10 +11,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * fused pass — polynomial rolling k-gram hashes, min per sliding window
   * of w hash positions, distinct — returning array<long>.
   *
-  * The hash is h(p) = (Σ_j code(p+j)·B^(k−1−j)) mod P with B=256 and
-  * P=2^31−1; powers are pre-reduced mod P so every term stays < 2^39 —
-  * exact in 64-bit signed arithmetic in Spark and DuckDB alike, which is
-  * what lets the DuckDB oracle reproduce the fingerprints bit-for-bit.
+  * The hash is h(p) = (Σ_j code(p+j)·B^(k−1−j)) mod P over CODE POINTS
+  * with B=256 and P=2^31−1; powers are pre-reduced mod P so every term
+  * stays < 2^52 (code point < 2^21 × coefficient < 2^31) and a k-term
+  * sum < 2^56 — exact in 64-bit signed arithmetic in Spark and DuckDB
+  * alike, which is what lets the DuckDB oracle reproduce the
+  * fingerprints bit-for-bit.
   * Tail windows shorter than w are included (the trailing ROWS BETWEEN
   * semantics of a window frame).
   *
@@ -63,12 +65,25 @@ object WinnowFp {
 
   /** Distinct windowed-min fingerprints of `u` (sorted ascending; order
     * is irrelevant to the set semantics downstream). Empty array when
-    * the string is shorter than k.
+    * the string is shorter than k CODE POINTS — grams are hashed over
+    * code points, matching both the DuckDB oracle (ord/substr are
+    * code-point functions) and the Spark-side length() prefilter; a
+    * UTF-16 loop would hash lone surrogates and diverge on any non-BMP
+    * text (see Text.codePoints for the repo-wide convention).
     */
   def compute(u: UTF8String, k: Int, w: Int): ArrayData = {
     val s = u.toString
-    val n = s.length
+    val n = s.codePointCount(0, s.length)
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val cps = new Array[Long](n)
+    var ui = 0
+    var ci = 0
+    while (ui < s.length) {
+      val cp = s.codePointAt(ui)
+      cps(ci) = cp.toLong
+      ci += 1
+      ui += Character.charCount(cp)
+    }
     val cf = coefCache.getOrElseUpdate(k, coefs(k))
     val nh = n - k + 1
     val hs = new Array[Long](nh)
@@ -76,7 +91,7 @@ object WinnowFp {
     while (p < nh) {
       var h = 0L
       var j = 0
-      while (j < k) { h += s.charAt(p + j).toLong * cf(j); j += 1 }
+      while (j < k) { h += cps(p + j) * cf(j); j += 1 }
       hs(p) = h % P
       p += 1
     }

@@ -73,13 +73,14 @@ object Dedup {
     }
   }
 
-  /** Exact Jaccard for a pair set (i, j) against the shingle rows. */
-  private def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Shared tail of both exact-Jaccard paths: per-pair intersection
+    * counts → J = inter/(ni+nj−inter) ≥ τ. One copy so the rounding
+    * and threshold semantics can never drift between the verifier and
+    * the all-pairs operator.
+    */
+  private def jaccardFromIntersections(sh: DataFrame,
+      inter: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("i"), col("s")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
     inter
       .join(sz.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
       .join(sz.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
@@ -89,6 +90,13 @@ object Dedup {
       .select(col("i"), col("j"), col("jac"))
   }
 
+  /** Exact Jaccard for a pair set (i, j) against the shingle rows. */
+  private def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame =
+    jaccardFromIntersections(sh, pairs
+      .join(sh.select(col("doc_id").as("i"), col("s")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter")))
+
   /** All near-dup pairs by exact Jaccard (pair generation via the
     * shared-shingle inverted index: only pairs sharing ≥1 shingle can
     * have J > 0). The self-join's per-pair match count IS the
@@ -96,18 +104,10 @@ object Dedup {
     */
   def ngramJaccardPairs(d: DataFrame): DataFrame = {
     val sh = shingleRows(d)
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("i"), col("s"))
+    jaccardFromIntersections(sh, sh.select(col("doc_id").as("i"), col("s"))
       .join(sh.select(col("doc_id").as("j"), col("s")), Seq("s"))
       .filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("i"), col("n").as("ni")), Seq("i"))
-      .join(sz.select(col("doc_id").as("j"), col("n").as("nj")), Seq("j"))
-      .withColumn("jac",
-        round(col("inter").cast("double") / (col("ni") + col("nj") - col("inter")), 4))
-      .filter(col("jac") >= Tau)
-      .select(col("i"), col("j"), col("jac"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter")))
   }
 
   /** MinHash + LSH banding → verified near-dup pairs. Permutations are

@@ -55,8 +55,14 @@ object Maintenance {
     */
   def vacuum(spark: SparkSession, ns: String,
       retentionMs: Long = DefaultRetentionMs): Seq[String] = {
+    // normalize before comparing against Files.list's normalized
+    // Path.toString — an unnormalized GRAFT_INDEX_DIR (trailing slash,
+    // '//', '.') would otherwise make every live index look
+    // unreferenced and vacuum would delete it
     val referenced = IndexStore.readMetadata(spark, ns)
-      .map(_.select("index_file").collect().map(_.getString(0)).toSet)
+      .map(_.select("index_file").collect()
+        .map(r => java.nio.file.Paths.get(r.getString(0))
+          .normalize().toString).toSet)
       .getOrElse(Set.empty)
     val rootDir = java.nio.file.Paths.get(s"${IndexStore.root}/${IndexStore.lakeId(ns)}")
     val now = System.currentTimeMillis()
@@ -67,7 +73,7 @@ object Maintenance {
       }
         .filter(p => java.nio.file.Files.isDirectory(p))
         .filterNot(_.getFileName.toString.startsWith("_metadata"))
-        .filterNot(p => referenced.contains(p.toString))
+        .filterNot(p => referenced.contains(p.normalize().toString))
         .filter(p => now -
           java.nio.file.Files.getLastModifiedTime(p).toMillis >= retentionMs)
         .foreach(IndexStore.deleteRec)

@@ -67,8 +67,8 @@ object Multimodal {
   def entries: Map[String, Q] = Map(
     // metadata extraction over a binary payload column
     "multimodal_meta" -> Q((s, dir) => {
-      val (w, h) = (decoder.dims(col("payload"))._1.as("width"),
-        decoder.dims(col("payload"))._2.as("height"))
+      val dims = decoder.dims(col("payload"))
+      val (w, h) = (dims._1.as("width"), dims._2.as("height"))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .select(col("doc_id"),

@@ -70,7 +70,11 @@ object Pipeline {
         .groupBy("id").agg(min("cluster").as("cluster"))
         .localCheckpoint(false)
       val curSum = labelSum(merged)
-      lab.unpersist() // old round's blocks; merged is self-contained now
+      // NOTE: localCheckpoint blocks are NOT CacheManager entries, so
+      // this unpersist is a no-op for them — the old round's blocks are
+      // reclaimed by the ContextCleaner when the RDD is GC'd (bounded:
+      // one round's labels each, O(diameter) rounds)
+      lab.unpersist()
       lab = merged
       done = curSum == prevSum
       prevSum = curSum

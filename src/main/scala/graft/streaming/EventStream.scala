@@ -10,9 +10,10 @@ import org.apache.spark.sql.types._
   * The reference is batch-only (SURVEY §2.6 marks streaming absent),
   * but a training-data lake ingests continuously, so the engine ships
   * the streaming twin of the hourly windowed aggregation: readStream →
-  * event-time watermark → tumbling window → sink. The query entry runs
-  * it as a real micro-batch stream over the parquet directory (memory
-  * sink, complete mode) and must produce exactly the batch result.
+  * event-time watermark → tumbling window → sink. The query entries run
+  * real micro-batch streams over the parquet directory (memory sink)
+  * and must produce exactly the batch result REGARDLESS of how the
+  * source split into micro-batches.
   */
 object EventStream {
 
@@ -24,12 +25,30 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def hourlyStream(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared streaming source over the events parquet. */
+  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
+    spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+  }
+
+  /** Run the stream to completion into a memory sink, return the table. */
+  private def runToMemory(out: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val spark = out.sparkSession
+    val query = out.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    spark.table(name)
+  }
+
+  def hourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    val stream = readEvents(spark, dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -37,14 +56,9 @@ object EventStream {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
-    val name = "graft_events_hourly_" + math.abs(dir.hashCode)
-    val query = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
-    spark.table(name)
+    // complete mode rewrites the whole table each batch: multi-batch safe
+    runToMemory(stream, "graft_events_hourly_" + math.abs(dir.hashCode),
+      "complete")
   }
 
   case class UserEvent(event_id: Long, ts: Long, user_id: Long,
@@ -59,11 +73,7 @@ object EventStream {
   def userStateStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = readEvents(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .as[UserEvent]
     val out = stream
@@ -81,14 +91,16 @@ object EventStream {
         (uid, st.n, st.lastType)
       }
       .toDF("user_id", "n", "last_type")
-    val name = "graft_user_state_" + math.abs(dir.hashCode)
-    val query = out.writeStream
-      .format("memory").queryName(name)
-      .outputMode("update")
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
-    spark.table(name)
+    // update mode APPENDS each batch's changed keys to the memory sink,
+    // so a user active in several micro-batches leaves one row per
+    // batch; the event count only ever grows, so the max-n row per user
+    // IS the final state — keep exactly that one
+    val table = runToMemory(out,
+      "graft_user_state_" + math.abs(dir.hashCode), "update")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n").desc)
+    table.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Streaming deduplication: distinct (user_id, event_type) pairs via
@@ -99,21 +111,12 @@ object EventStream {
     * state).
     */
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = readEvents(spark, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
-    val name = "graft_stream_dedup_" + math.abs(dir.hashCode)
-    val query = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
-    spark.table(name)
+    // append mode emits each pair exactly once: multi-batch safe
+    runToMemory(stream, "graft_stream_dedup_" + math.abs(dir.hashCode),
+      "append")
   }
 
   def entries: Map[String, Q] = Map(
