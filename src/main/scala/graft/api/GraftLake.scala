@@ -41,11 +41,27 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
   /** (index_file, covered files) for this (kind, column)'s indexes —
     * served from the driver-side metadata row cache (one job per
     * metadata version, not per call).
+    *
+    * The raw rows pass through greedy max-coverage selection (the
+    * reference's Delta walk, backends/delta.py:77-93) so REDUNDANT
+    * indexes are dropped before any search: compact's crash-tolerant
+    * append-then-delete commit has a window (and a possible post-crash
+    * state) where both the superseded part-indexes and their merged
+    * superset are committed — probing both would return every row of
+    * the doubly-covered files twice and double-count BM25 corpus stats.
+    * The facade only ever creates disjoint groups and superset merges,
+    * so the greedy cover is exact deduplication here.
     */
-  private def coverage(kind: IndexKind, column: String): Seq[(String, Seq[String])] =
-    IndexStore.metadataRowsCached(spark, prefix)
+  private def coverage(kind: IndexKind, column: String): Seq[(String, Seq[String])] = {
+    val all = IndexStore.metadataRowsCached(spark, prefix)
       .filter(r => r.column == column && r.indexType == kind.name)
       .map(r => (r.indexFile, r.files.map(Layout.canonPath)))
+    if (all.size <= 1) return all
+    val byPath = all.toMap
+    Maintenance.selectIndexes(all.flatMap(_._2).toSet,
+        all.map { case (p, fs) => (p, fs.toSet) })
+      .map(p => p -> byPath(p))
+  }
 
   /** Index all not-yet-covered files; returns new index paths. */
   def index(kind: IndexKind, column: String,
@@ -57,8 +73,10 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       .groupBy(col("file_path")).agg(sum(col("num_rows")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     Maintenance.binpack(counts.toSeq, binpackRows).map { group =>
-      val id = java.util.UUID.nameUUIDFromBytes(
-        group.mkString("|").getBytes("UTF-8")).toString.take(8)
+      // 64-bit id: an 8-hex (32-bit) truncation collides at ~1% per
+      // 10k groups, and a collision permanently skips a group's build
+      // via the ensure marker
+      val id = GraftLake.groupId(group.mkString("|"))
       val p = IndexStore.indexPath(prefix, s"${kindName(kind, column)}_$id")
       IndexStore.ensure(p) {
         kind.build(spark, group, column, p)
@@ -112,9 +130,7 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       .collect()
     if (small.length < 2) return None
     val sorted = small.sortBy(_.getString(0))
-    val mergedId = java.util.UUID.nameUUIDFromBytes(
-      sorted.map(_.getString(0)).mkString("|").getBytes("UTF-8"))
-      .toString.take(8)
+    val mergedId = GraftLake.groupId(sorted.map(_.getString(0)).mkString("|"))
     val out = IndexStore.indexPath(prefix, s"${kindName(kind, column)}_m$mergedId")
     // fold pairwise merges (the reference's binary merge tree,
     // src/lava/merge.rs:17-205, collapses to a fold over parquet tables)
@@ -144,4 +160,9 @@ object GraftLake {
   /** Plain-parquet prefix lake (the reference's parquet backend). */
   def apply(spark: SparkSession, prefix: String): GraftLake =
     GraftLake(spark, PrefixBackend(prefix))
+
+  /** Deterministic 64-bit group id (16 hex chars of the name-UUID md5). */
+  private[api] def groupId(name: String): String =
+    java.util.UUID.nameUUIDFromBytes(name.getBytes("UTF-8"))
+      .toString.replace("-", "").take(16)
 }

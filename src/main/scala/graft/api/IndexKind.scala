@@ -65,6 +65,20 @@ trait IndexKind {
     paths.flatMap(p => metaRows(spark, p).map(_._2)).distinct
       .filter(f => live.forall(_.contains(f))).sorted
 
+  /** Zero-row result with the lake row schema, for searches whose
+    * live/snapshot file set is empty while covering indexes exist
+    * (e.g. a snapshot predating every add) — the correct answer is an
+    * EMPTY result, not a crash. Schema comes from the physically
+    * present covered files (table-format removes are logical; the
+    * parquet objects remain until a data vacuum).
+    */
+  protected def emptyLike(spark: SparkSession,
+      paths: Seq[String]): DataFrame = {
+    val all = coveredFiles(spark, paths, None)
+    require(all.nonEmpty, "no live files to search")
+    spark.read.parquet(all: _*).limit(0)
+  }
+
   /** Uniform cost switch (reference: brute_force_threshold,
     * backends/utils.py:221-225): too many hits, or EVERY covered row
     * group hit (zero pruning value), → the brute scan beats a
@@ -209,7 +223,7 @@ object NgramKind extends IndexKind {
       (if (covered.isEmpty) Seq.empty
        else Seq(viaIndex().getOrElse(brute(covered)))) ++
       (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
-    require(parts.nonEmpty, "no live files to search")
+    if (parts.isEmpty) return emptyLike(spark, paths)
     parts.reduce(_ unionByName _)
   }
 }
@@ -316,7 +330,7 @@ object KeyKind extends IndexKind {
          refine(spark.read.parquet(covered: _*))))) ++
       (if (insituFiles.isEmpty) Seq.empty
        else Seq(refine(spark.read.parquet(insituFiles: _*))))
-    require(parts.nonEmpty, "no live files to search")
+    if (parts.isEmpty) return emptyLike(spark, paths)
     parts.reduce(_ unionByName _)
   }
 }

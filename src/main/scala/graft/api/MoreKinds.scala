@@ -65,7 +65,7 @@ object LogCloudKind extends IndexKind {
       (if (covered.isEmpty) Seq.empty
        else Seq(viaIndex().getOrElse(brute(covered)))) ++
       (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
-    require(parts.nonEmpty, "no live files to search")
+    if (parts.isEmpty) return emptyLike(spark, paths)
     parts.reduce(_ unionByName _)
   }
 }
@@ -114,7 +114,7 @@ object TokenKind extends IndexKind {
          spark.read.parquet(covered: _*))))) ++
       (if (insituFiles.isEmpty) Seq.empty
        else Seq(refine(spark.read.parquet(insituFiles: _*))))
-    require(parts.nonEmpty, "no live files to search")
+    if (parts.isEmpty) return emptyLike(spark, paths)
     parts.reduce(_ unionByName _)
   }
 }
@@ -162,7 +162,7 @@ object ZoneMapKind extends IndexKind {
          refine(spark.read.parquet(covered: _*))))) ++
       (if (insituFiles.isEmpty) Seq.empty
        else Seq(refine(spark.read.parquet(insituFiles: _*))))
-    require(parts.nonEmpty, "no live files to search")
+    if (parts.isEmpty) return emptyLike(spark, paths)
     parts.reduce(_ unionByName _)
   }
 }
@@ -213,19 +213,14 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
     val q = query.split(",").map(_.trim.toDouble).toSeq
     val qc = typedLit(q)
     val covered = coveredFiles(spark, paths, live)
-    def l2(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
 
     val indexed: Option[DataFrame] =
       if (covered.isEmpty) None
       else {
         // probe selection against the driver-cached centroid heads —
         // zero Spark jobs in steady state
-        val probesByIdx = paths.map { p =>
-          val centers = VectorIndex.centroidHead(spark, p)
-          centers.sortBy { case (id, c) => (l2(c, q), id) }
-            .take(math.min(nprobe, centers.length)).map(_._1).toSeq
-        }
+        val probesByIdx =
+          paths.map(p => VectorIndex.probeCells(spark, p, q, nprobe))
         // ONE tagged multi-path cells scan: the union of all probe sets
         // drives partition pruning on the scan itself, the per-(idx,
         // centroid) pair filter restores each index's exact probe set
@@ -258,8 +253,12 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
     val parts = indexed.toSeq ++
       (if (insituFiles.isEmpty) Seq.empty
        else Seq(spark.read.parquet(insituFiles: _*)))
-    require(parts.nonEmpty, "no live files to search")
-    parts.reduce(_ unionByName _)
+    // empty live set: run the zero-row frame through the SAME rerank
+    // projection so the result schema matches the normal path
+    val base =
+      if (parts.isEmpty) emptyLike(spark, paths)
+      else parts.reduce(_ unionByName _)
+    base
       .withColumn("cos", round(graft.GraftExtensions.cosineSim(spark,
         col(column).cast("array<double>"), qc), 6))
       .orderBy(col("cos").desc, col(idCol))
@@ -327,7 +326,7 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
       (if (covered.isEmpty) Seq.empty
        else Seq(viaIndex().getOrElse(brute(covered)))) ++
       (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
-    require(parts.nonEmpty, "no live files to search")
+    if (parts.isEmpty) return emptyLike(spark, paths)
     parts.reduce(_ unionByName _)
   }
 }

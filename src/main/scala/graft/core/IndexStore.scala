@@ -36,14 +36,26 @@ object IndexStore {
 
   def isBuilt(path: String): Boolean = Files.exists(marker(path))
 
+  // one monitor PER INDEX PATH: a build holds its lock for minutes of
+  // Spark jobs, and holding the global IndexStore monitor for that long
+  // would stall every concurrent search's metadata read (they
+  // synchronize on IndexStore for microseconds)
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Build-once guard; builds are idempotent per (lake, index name).
-    * JVM-level lock keeps concurrent query entries from double-building.
+    * A per-path lock keeps concurrent query entries from
+    * double-building the SAME index without serializing unrelated
+    * builds or blocking metadata readers.
     */
-  def ensure(path: String)(build: => Unit): String = synchronized {
-    if (!isBuilt(path)) {
-      build
-      Files.createDirectories(Paths.get(path))
-      Files.write(marker(path), Array.emptyByteArray)
+  def ensure(path: String)(build: => Unit): String = {
+    val lock = buildLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!isBuilt(path)) {
+        build
+        Files.createDirectories(Paths.get(path))
+        Files.write(marker(path), Array.emptyByteArray)
+      }
     }
     path
   }

@@ -121,6 +121,10 @@ object Bm25Index {
     import spark.implicits._
     val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("len")).collect()(0)
     val nDocs = corpus.getLong(0)
+    // empty corpus (all-NULL column, zero-row files): sum() is null and
+    // avgdl would divide by zero — the correct top-k is empty
+    if (nDocs == 0)
+      return Seq.empty[(Long, Double)].toDF("doc_id", "score")
     val avgdl = corpus.getLong(1).toDouble / nDocs
     val weights = terms.toDF("token", "qw")
     val df = post.groupBy(col("token")).agg(count(lit(1)).as("df"))

@@ -46,6 +46,14 @@ trait BwtDriver {
 
   def ChunkSize: Int
 
+  /** Suffix-window length of the encoding's build: backward search may
+    * walk at most W−1 code points (walking further than the sorted
+    * window would silently drop true matches). Owned by the trait so a
+    * future encoding with a different window cannot inherit the wrong
+    * walk length.
+    */
+  def W: Int
+
   /** Parquet subdirectory holding the chunk table. */
   protected def chunkDir: String
   /** Chunk-table columns to read; the first must be `chunk`. */
@@ -189,7 +197,7 @@ trait BwtDriver {
       : Map[String, (Long, Long)] = {
     val vers = Option(versions).getOrElse(versionsOf(paths))
     val hs = paths.map(p => p -> headAt(spark, p, vers(p))).toMap
-    val walk = codePoints(query).takeRight(FmIndex.W - 1)
+    val walk = codePoints(query).takeRight(W - 1)
     var state = paths.map(p => p -> (0L, hs(p).n)).toMap
     walk.reverseIterator.foreach { c =>
       val needs = state.collect { case (p, (lo, hi)) if lo < hi =>

@@ -52,6 +52,18 @@ object VectorIndex {
   private val centroidCache = scala.collection.concurrent.TrieMap
     .empty[String, (Long, Array[(Int, Seq[Double])])]
 
+  /** Squared L2 — the probe-selection metric. */
+  private[graft] def l2(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** Top-`nprobe` cell ids for a query, against the cached centroid
+    * head — zero Spark jobs in steady state.
+    */
+  private[graft] def probeCells(spark: SparkSession, path: String,
+      q: Seq[Double], nprobe: Int): Seq[Int] =
+    centroidHead(spark, path).sortBy { case (id, c) => (l2(c, q), id) }
+      .take(nprobe).map(_._1).toSeq
+
   /** Driver-cached (centroid id, center) rows of one index. */
   private[graft] def centroidHead(spark: SparkSession,
       path: String): Array[(Int, Seq[Double])] = {
@@ -119,12 +131,7 @@ object VectorIndex {
     */
   def search(spark: SparkSession, path: String, q: Seq[Double], k: Int,
       nprobe: Int): DataFrame = {
-    val centers = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-    def l2(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    val probes = centers.sortBy { case (id, c) => (l2(c, q), id) }
-      .take(nprobe).map(_._1).toSeq
+    val probes = probeCells(spark, path, q, nprobe)
     val qc = typedLit(q)
     spark.read.parquet(s"$path/cells")
       .filter(col("centroid").isin(probes: _*)) // partition pruning
@@ -144,12 +151,7 @@ object VectorIndex {
     */
   def searchPq(spark: SparkSession, path: String, q: Seq[Double], k: Int,
       nprobe: Int, refine: Int): DataFrame = {
-    val centers = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-    def l2(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    val probes = centers.sortBy { case (id, c) => (l2(c, q), id) }
-      .take(nprobe).map(_._1).toSeq
+    val probes = probeCells(spark, path, q, nprobe)
     val books = spark.read.parquet(s"$path/pq").collect()
       .map(r => (r.getInt(0),
         r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](1)

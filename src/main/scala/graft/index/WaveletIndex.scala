@@ -37,6 +37,7 @@ import org.apache.spark.sql.functions._
 object WaveletIndex extends BwtDriver {
 
   val ChunkSize: Int = FmIndex.ChunkSize
+  val W: Int = FmIndex.W // shares FmIndex.rankedBwt, hence its window
   private val WordsPerBlock = 8
 
   // ---- wavelet-matrix encode / rank (pure Scala, per chunk) ----------

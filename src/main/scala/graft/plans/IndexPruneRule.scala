@@ -43,7 +43,9 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case f @ Filter(_, l: LogicalRelation)
           if l.relation.isInstanceOf[HadoopFsRelation] =>
         try rewrite(f, l).getOrElse(f)
-        catch { case _: Throwable => f } // never fail a user query
+        // never fail a user query on a probe error — but let fatal JVM
+        // errors and interrupts (cancellation) propagate
+        catch { case scala.util.control.NonFatal(_) => f }
     }
   }
 
