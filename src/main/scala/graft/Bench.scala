@@ -24,15 +24,20 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // min of 2 timed runs: single-shot numbers at this scale are
-    // dominated by GC/JIT luck of the shared JVM, not by the plans
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dominated by GC/JIT luck of the shared JVM, not by the plans.
+    // A query that THROWS must not be recorded as a fast success — a
+    // near-instant failure would otherwise IMPROVE the reported total.
+    val timed = SparkEntry.queries.map { case (name, fn) =>
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> ts.min
+      name -> (ts.forall(_._1), ts.map(_._2).min)
     }
+    val failed = timed.collect { case (n, (false, _)) => n }.toSeq.sorted
+    val results = timed.collect { case (n, (true, t)) => n -> t }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // locale-pinned: the f-interpolator honors the default locale, and a
     // comma-decimal locale would make the JSON line unparseable
@@ -43,7 +48,8 @@ object Bench {
     // slowest entries; this file always carries everything).
     val fullJson = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString(s"""{"total":${fmt(total)},"sf":"$sfDir","queries":{""", ",", "}}")
+      .mkString(s"""{"total":${fmt(total)},"sf":"$sfDir","failed":[${
+        failed.map("\"" + _ + "\"").mkString(",")}],"queries":{""", ",", "}}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -63,7 +69,7 @@ object Bench {
     }
     val omitted = results.size - picked.size
     val qs = picked.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"omitted_fastest":$omitted,"queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"omitted_fastest":$omitted,"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -35,8 +35,16 @@ object GraftExtensions {
   private[graft] def winnowFromExprs(
       children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): WinnowFp = {
     import org.apache.spark.sql.catalyst.expressions.Literal
-    val Seq(Literal(k: Int, _), Literal(w: Int, _)) = children.slice(1, 3)
-    WinnowFp(children.head, k, w)
+    // a clear contract error instead of a MatchError out of the
+    // analyzer: function resolution runs before constant folding, so
+    // k/w must be plain integer literals
+    children.slice(1, 3) match {
+      case Seq(Literal(k: Int, _), Literal(w: Int, _)) =>
+        WinnowFp(children.head, k, w)
+      case other => throw new IllegalArgumentException(
+        "winnow_fp(text, k, w) needs integer LITERALS for k and w, got: " +
+          (if (other.isEmpty) "no k/w arguments" else other.mkString(", ")))
+    }
   }
 
   def register(spark: SparkSession): Unit = {

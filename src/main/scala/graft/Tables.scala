@@ -20,6 +20,11 @@ object Tables {
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) which Spark's vectorized reader
       // rejects; read nanos as long and truncate to microseconds.
+      // Deliberately a SESSION-level set (the flag is consulted at scan
+      // time, so a scoped set/restore would race lazy execution): by
+      // contract every TIMESTAMP(NANOS) read in this engine goes
+      // through Tables.load, and the long representation is what the
+      // oracle compares against.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(path(dir, name))
       df.withColumn("ts",

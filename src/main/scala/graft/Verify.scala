@@ -25,6 +25,11 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a failure must leave NO output: a stale parquet from a
+          // previous run in the same outDir would hash-compare as
+          // current and report a broken operator green
+          graft.core.IndexStore.deleteRec(
+            java.nio.file.Paths.get(s"$outDir/$name"))
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -18,20 +18,37 @@ object Lake {
   def lakeRoot: String =
     sys.env.getOrElse("GRAFT_LAKE_DIR", "/root/repo/target/graft-lake")
 
+  /** The split lake directory for a testdata table — the ONE place the
+    * path scheme lives (ensureSplit writes it, query entries read it).
+    */
+  def splitPath(dir: String, table: String): String =
+    s"$lakeRoot/${IndexStore.lakeId(dir)}/$table"
+
   /** Split `table` into `parts` files range-partitioned on `key`.
-    * Returns the sorted list of data-file paths.
+    * Returns the sorted list of data-file paths. Built once per (dir,
+    * table) under IndexStore's per-path lock (a multi-second Spark
+    * write must not hold the global monitor metadata readers share);
+    * the split spec is recorded and a later call with a DIFFERENT
+    * key/parts fails loudly instead of silently returning the old
+    * layout.
     */
   def ensureSplit(spark: SparkSession, dir: String, table: String,
       key: String, parts: Int): Seq[String] = {
-    val path = s"$lakeRoot/${IndexStore.lakeId(dir)}/$table"
-    IndexStore.synchronized {
-      if (!Files.exists(Paths.get(path, "_GRAFT_DONE"))) {
-        graft.Tables.load(spark, dir, table)
-          .repartitionByRange(parts, col(key))
-          .write.mode("overwrite").parquet(path)
-        Files.write(Paths.get(path, "_GRAFT_DONE"), Array.emptyByteArray)
-      }
+    val path = splitPath(dir, table)
+    val spec = s"$key|$parts"
+    IndexStore.ensure(path) {
+      graft.Tables.load(spark, dir, table)
+        .repartitionByRange(parts, col(key))
+        .write.mode("overwrite").parquet(path)
+      Files.writeString(Paths.get(path, "_GRAFT_SPLIT"), spec)
     }
+    val specPath = Paths.get(path, "_GRAFT_SPLIT")
+    // dirs split before the spec file existed: adopt the caller's spec
+    if (!Files.exists(specPath)) Files.writeString(specPath, spec)
+    val stored = Files.readString(specPath)
+    require(stored == spec,
+      s"$table at $dir is already split as '$stored' — a '$spec' split " +
+        "of the same table needs its own lake dir")
     listFiles(path)
   }
 
@@ -51,9 +68,15 @@ object Lake {
 
   /** In-situ probing of files not covered by any index
     * (reference: backends/utils.py:235-282): scan them with the
-    * brute-force predicate directly.
+    * brute-force predicate directly. Callers with possibly-complete
+    * coverage must skip the call when the remainder is empty (a
+    * zero-path parquet read cannot infer a schema) — the facade kinds
+    * do this via their own empty guards.
     */
   def scanUnindexed(spark: SparkSession, files: Seq[String],
-      pred: DataFrame => DataFrame): DataFrame =
+      pred: DataFrame => DataFrame): DataFrame = {
+    require(files.nonEmpty,
+      "scanUnindexed needs ≥1 file — skip the in-situ scan when coverage is complete")
     pred(spark.read.parquet(files: _*))
+  }
 }

@@ -21,7 +21,7 @@ object ApiQueries {
   private def tableLake(s: SparkSession, dir: String, table: String,
       key: String): GraftLake = {
     Lake.ensureSplit(s, dir, table, key, 4)
-    GraftLake(s, s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/$table")
+    GraftLake(s, Lake.splitPath(dir, table))
   }
 
   private def docLake(s: SparkSession, dir: String): GraftLake =
@@ -56,7 +56,7 @@ object ApiQueries {
     // backends/utils.py:249-275) — same oracle as the indexed entry
     "lake_api_bm25_insitu" -> Q((s, dir) => {
       Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
-      val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/documents"
+      val prefix = Lake.splitPath(dir, "documents")
       // fresh namespace that never gets indexed
       val lake = GraftLake(s,
         graft.api.PrefixBackend(prefix, Some(s"$prefix#noindex")))

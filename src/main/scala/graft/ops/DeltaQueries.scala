@@ -26,7 +26,7 @@ object DeltaQueries {
   private val Query = IndexQueries.QueryStr // "merge merge"
 
   def ensureDeltaDocs(s: SparkSession, dir: String): String = {
-    val table = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/delta_documents"
+    val table = Lake.splitPath(dir, "delta_documents")
     IndexStore.synchronized {
       if (!Files.exists(Paths.get(table, "_delta_log"))) {
         Files.createDirectories(Paths.get(table))

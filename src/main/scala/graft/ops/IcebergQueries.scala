@@ -25,7 +25,7 @@ object IcebergQueries {
   private val Query = IndexQueries.QueryStr // "merge merge"
 
   def ensureIcebergDocs(s: SparkSession, dir: String): String = {
-    val table = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/iceberg_documents"
+    val table = Lake.splitPath(dir, "iceberg_documents")
     IndexStore.synchronized {
       if (!Files.exists(Paths.get(table, "metadata"))) {
         Files.createDirectories(Paths.get(table, "data"))

@@ -171,7 +171,7 @@ object IndexQueries {
     // search_parquet_lake equivalent): incremental index + K-fill search
     "lake_api_search" -> Q((s, dir) => {
       Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
-      val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/$Table"
+      val prefix = Lake.splitPath(dir, Table)
       val lake = graft.api.GraftLake(s, prefix)
       lake.index(graft.api.NgramKind, Column)
       lake.search(graft.api.NgramKind, Column, QueryStr, 100000, Seq("doc_id"))
@@ -184,7 +184,7 @@ object IndexQueries {
     // ngram index; the refine filter stays so semantics are exact
     "catalyst_index_prune" -> Q((s, dir) => {
       Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
-      val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/$Table"
+      val prefix = Lake.splitPath(dir, Table)
       graft.api.GraftLake(s, prefix).index(graft.api.NgramKind, Column)
       graft.plans.IndexPruneRule.enable(s)
       s.read.parquet(prefix)

@@ -42,7 +42,7 @@ object LayoutQueries {
     // zone-map index; the refine filter stays so semantics are exact
     "catalyst_zonemap_prune" -> Q((s, dir) => {
       Lake.ensureSplit(s, dir, "orders", "o_orderkey", 4)
-      val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/orders"
+      val prefix = Lake.splitPath(dir, "orders")
       graft.api.GraftLake(s, prefix).index(graft.api.ZoneMapKind, "o_orderkey")
       graft.plans.IndexPruneRule.enable(s)
       s.read.parquet(prefix)

@@ -44,7 +44,7 @@ object StreamingIndex {
   def ensureStreamIndexes(spark: SparkSession, dir: String,
       kind: IndexKind = NgramKind): Seq[String] = {
     Lake.ensureSplit(spark, dir, "documents", "doc_id", 4)
-    val prefix = s"${Lake.lakeRoot}/${IndexStore.lakeId(dir)}/documents"
+    val prefix = Lake.splitPath(dir, "documents")
     val root = IndexStore.indexPath(dir, s"${kind.name}_stream")
     IndexStore.ensure(root) {
       val stream = spark.readStream.schema(docSchema)
