@@ -125,6 +125,61 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(got == Seq(3L))
   }
 
+  test("fully empty live set returns zero rows with the lake schema") {
+    val dir = TestSpark.tmpDir("apilake6")
+    def write(name: String, rows: Seq[(Long, String)]): String = {
+      val staging = TestSpark.tmpDir(s"stage6-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val dst = s"$dir/$name.parquet"
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(dst))
+      graft.core.Layout.canonPath(dst)
+    }
+    val fa = write("a", Seq(1L -> "some indexed row"))
+    val idx = graft.core.IndexStore.indexPath(dir, "empty_live_ngram")
+    graft.index.NgramIndex.build(spark, Seq(fa), "text", idx)
+    // a snapshot predating EVERY add: live is empty, indexes exist —
+    // the correct answer is an empty result, not a crash
+    val res = NgramKind.searchLake(spark, Seq(idx), Seq.empty, "text",
+      "row", 10, live = Some(Set.empty))
+    assert(res.columns.contains("doc_id") && res.count() == 0)
+  }
+
+  test("compact-window double coverage is deduplicated by greedy selection") {
+    // simulate the append-then-delete window (or a crash inside it):
+    // metadata holds BOTH the part indexes and their merged superset
+    val dir = TestSpark.tmpDir("apilake7")
+    writeFileTo(dir, "a", Seq(1L -> "needle one", 2L -> "plain"))
+    writeFileTo(dir, "b", Seq(3L -> "needle two", 4L -> "other"))
+    val lake = GraftLake(spark, dir)
+    lake.index(NgramKind, "text", binpackRows = 1) // one index per file
+    val merged = lake.compact(NgramKind, "text", threshold = 1000000)
+    assert(merged.isDefined)
+    // resurrect the superseded rows alongside the merged ones: re-commit
+    // part-index metadata as if deleteMetadata never ran
+    val files = graft.core.Lake.listFiles(dir)
+    files.zipWithIndex.foreach { case (f, i) =>
+      graft.core.IndexStore.commitMetadata(spark, dir,
+        graft.core.IndexStore.metadataRows(spark, dir, "text", Seq(f),
+          Seq(2L), s"${merged.get}_stale$i", "ngram", 2L))
+    }
+    val ids = lake.search(NgramKind, "text", "needle", 10, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 3L), s"double coverage must not duplicate rows: $ids")
+  }
+
+  private def writeFileTo(dir: String, name: String,
+      rows: Seq[(Long, String)]): Unit = {
+    val staging = TestSpark.tmpDir(s"stage7-$name")
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$dir/$name.parquet"))
+  }
+
   test("bm25 tokenizer seam: a custom tokenizer changes the vocabulary") {
     val dir = TestSpark.tmpDir("apilake4")
     val staging = TestSpark.tmpDir("stage4")
