@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * (shared via [[FmIndex.rankedBwt]]), identical `head/`, `meta/` and
   * posting layout, identical backward search (the shared [[BwtDriver]])
   * — but each chunk's rank structure is a levelwise wavelet matrix
-  * (Claude & Navarro's pointerless wavelet-tree layout, the standard
-  * public formulation) instead of raw BWT text:
+  * (the standard pointerless wavelet-tree formulation, "The Wavelet
+  * Matrix", SPIRE 2012) instead of raw BWT text:
   *
   *  - the global alphabet is coded into `depth = ceil(log2 σ)` bits
   *    (`alpha/` table; the reference fixes σ=256 / 8 levels for bytes,
