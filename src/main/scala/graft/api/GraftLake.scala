@@ -55,6 +55,11 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
   private def coverage(kind: IndexKind, column: String): Seq[(String, Seq[String])] = {
     val all = IndexStore.metadataRowsCached(spark, prefix)
       .filter(r => r.column == column && r.indexType == kind.name)
+      // metadata and physical state can disagree (a dir deleted out of
+      // band, a vacuum racing a commit): a row whose index is GONE must
+      // demote its files to in-situ/rebuild, not crash every search
+      .filter(r => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(Layout.canonPath(r.indexFile))))
       .map(r => (r.indexFile, r.files.map(Layout.canonPath)))
     if (all.size <= 1) return all
     val byPath = all.toMap
@@ -128,6 +133,10 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       .filter(col("rows") < threshold)
       .select(col("index_file"), col("file_path"), col("record_counts"))
       .collect()
+      // same physical-existence guard as coverage(): never merge a
+      // metadata row whose index dir is gone
+      .filter(r => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(Layout.canonPath(r.getString(0)))))
     if (small.length < 2) return None
     val sorted = small.sortBy(_.getString(0))
     val mergedId = GraftLake.groupId(sorted.map(_.getString(0)).mkString("|"))
