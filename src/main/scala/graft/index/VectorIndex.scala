@@ -21,10 +21,17 @@ import org.apache.spark.sql.functions._
   * probe-then-refine flow (reference: nprobes=50, refine=50,
   * vector_index.py:146).
   *
-  * PQ codes are an encoding-level compression of the cell payload; the
-  * capability (coarse quantization + cell-pruned exact re-rank) is
-  * complete without them. A PQ `Aggregator` is the listed stretch
-  * (SURVEY §7.3).
+  * Index layout (two-phase, I/O-separated): `cells/` holds ONLY the
+  * compressed payload (vec_id, PQ codes, row norm) partitioned by
+  * centroid — the ADC pre-rank scans it without ever touching a full
+  * vector, which is the point of PQ at 100 TB (the reference's `.lava`
+  * stores codes only and fetches candidate blobs after pre-ranking,
+  * src/lava/vector/vector.rs:193-221). `vecs/` (optional, `storeVecs`)
+  * holds the full-precision vectors, sorted by vec_id within each
+  * centroid partition so the rerank's `vec_id IN (...)` fetch prunes
+  * row groups; the facade kind skips `vecs/` entirely and reranks from
+  * the lake (`Layout.readGroups`), exactly the reference's flow
+  * (vector_index.py:166-196).
   */
 object VectorIndex {
 
@@ -103,10 +110,16 @@ object VectorIndex {
     m
   }
 
-  /** `emb` must have (vec_id: long, v: array<double>). Writes IVF cells
-    * (with PQ codes per vector) + coarse-centroid and PQ-codebook heads.
+  /** `emb` must have (vec_id: long, v: array<double>). Writes codes-only
+    * IVF cells + coarse-centroid and PQ-codebook heads, plus (when
+    * `storeVecs`) the full-precision `vecs/` table for self-contained
+    * reranks. Facade indexes pass `storeVecs = false`: their rerank
+    * fetches hit row groups from the lake, so storing vectors would
+    * double the index for nothing (the reference index holds codes
+    * only, vector_index.py:52-66).
     */
-  def build(spark: SparkSession, emb: DataFrame, path: String): Unit = {
+  def build(spark: SparkSession, emb: DataFrame, path: String,
+      storeVecs: Boolean = true): Unit = {
     import spark.implicits._
     val feat = emb.withColumn("features", array_to_vector(col("v"))).cache()
     val n = feat.count()
@@ -136,13 +149,24 @@ object VectorIndex {
           lit(0.0), (acc, x) => acc + x))
       array_position(dists, array_min(dists)).cast("int") - 1
     })
+    // codes-only cells: the ADC scan must never read a full vector, so
+    // `v` is deliberately NOT in this table (the scale-critical I/O
+    // separation). One file per centroid, sorted by vec_id, so the
+    // rerank's id fetch prunes on row-group stats.
     assigned.withColumn("codes", codesCol)
       // exact row norm, stored once at build: the ADC cosine pre-rank
       // divides the dot-product estimate by it at query time
       .withColumn("vnorm", sqrt(aggregate(col("v"), lit(0.0),
         (acc, x) => acc + x * x)))
+      .select("vec_id", "codes", "vnorm", "centroid")
+      .repartition(col("centroid")).sortWithinPartitions("vec_id")
       .write.mode("overwrite").partitionBy("centroid")
       .option("compression", "zstd").parquet(s"$path/cells")
+    if (storeVecs)
+      assigned.select("vec_id", "v", "centroid")
+        .repartition(col("centroid")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("centroid")
+        .option("compression", "zstd").parquet(s"$path/vecs")
     val centers = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray.toSeq)
     }
@@ -153,19 +177,77 @@ object VectorIndex {
     feat.unpersist()
   }
 
+  /** Fails loudly on an index written by the pre-split format (cells
+    * carrying full vectors / missing `vnorm`): silently reading it
+    * would either crash mid-query or quietly skip the ADC machinery.
+    */
+  private[graft] def requireCurrentFormat(spark: SparkSession,
+      path: String): Unit = {
+    val fields = spark.read.parquet(s"$path/cells").schema.fieldNames.toSet
+    require(!fields.contains("v") && fields.contains("vnorm"),
+      s"vector index at $path uses an older on-disk format " +
+        s"(cells columns: ${fields.mkString(",")}); delete and rebuild it")
+  }
+
+  private[graft] def isCurrentFormat(spark: SparkSession,
+      path: String): Boolean =
+    try {
+      val fields = spark.read.parquet(s"$path/cells").schema.fieldNames.toSet
+      !fields.contains("v") && fields.contains("vnorm") &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(path, "vecs"))
+    } catch { case _: Exception => false }
+
   /** Top-k cosine search probing `nprobe` cells. `nprobe >= numCells`
-    * scans every cell ⇒ exact (equals brute force).
+    * scans every cell ⇒ exact (equals brute force). Reads the
+    * full-precision `vecs/` table (cells are codes-only); requires the
+    * index was built with `storeVecs`.
     */
   def search(spark: SparkSession, path: String, q: Seq[Double], k: Int,
       nprobe: Int): DataFrame = {
+    requireCurrentFormat(spark, path)
     val probes = probeCells(spark, path, q, nprobe)
     val qc = typedLit(q)
-    spark.read.parquet(s"$path/cells")
+    spark.read.parquet(s"$path/vecs")
       .filter(col("centroid").isin(probes: _*)) // partition pruning
       .select(col("vec_id"),
         round(graft.GraftExtensions.cosineSim(spark, col("v"), qc), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Asymmetric dot-product table for one query against one index's
+    * PQ codebooks: `table(m)(code) = q_slice_m · codebook_m(code)`.
+    * Σ_m table(m)(codes(m)) ≈ q·x; divided by the stored row norm it
+    * is the ADC cosine estimate (|q| is constant across rows —
+    * dropped). Shared by the standalone and facade searchers.
+    */
+  private[graft] def adcTable(spark: SparkSession, path: String,
+      q: Seq[Double]): Seq[Seq[Double]] = {
+    val books = spark.read.parquet(s"$path/pq").collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](1)
+          .map(_.toSeq).toSeq))
+      .sortBy(_._1)
+    val nSub = books.length // build-time pqM(dim), read back from disk
+    val sub = q.size / nSub
+    books.map { case (m, cs) =>
+      val qs = q.slice(m * sub, (m + 1) * sub)
+      cs.map(c => qs.zip(c).map { case (x, y) => x * y }.sum).toSeq
+    }.toSeq
+  }
+
+  /** ADC cosine column over a (codes, vnorm) row given the query's
+    * dot-product table literal. Zero-norm rows score 0 instead of
+    * null, so the exact configuration genuinely keeps every row.
+    */
+  private[graft] def adcCol(dtabLit: org.apache.spark.sql.Column,
+      nSub: Int): org.apache.spark.sql.Column = {
+    val dot = aggregate(
+      transform(sequence(lit(0), lit(nSub - 1)), m =>
+        element_at(element_at(dtabLit, m + 1),
+          element_at(col("codes"), m + 1) + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    when(col("vnorm") === 0.0, lit(0.0)).otherwise(dot / col("vnorm"))
   }
 
   /** PQ search: ADC pre-rank over probed cells, exact cosine re-rank of
@@ -178,44 +260,45 @@ object VectorIndex {
     */
   def searchPq(spark: SparkSession, path: String, q: Seq[Double], k: Int,
       nprobe: Int, refine: Int): DataFrame = {
+    requireCurrentFormat(spark, path)
     val probes = probeCells(spark, path, q, nprobe)
-    val books = spark.read.parquet(s"$path/pq").collect()
-      .map(r => (r.getInt(0),
-        r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](1)
-          .map(_.toSeq).toSeq))
-      .sortBy(_._1)
-    val nSub = books.length // build-time pqM(dim), read back from disk
-    val sub = q.size / nSub
-    // asymmetric DOT-PRODUCT table: (subspace)(code) → q_slice · code.
-    // The pre-rank must approximate the FINAL metric (cosine): an
-    // L2-based ADC ranks differently whenever row norms vary, so the
-    // top-`refine` candidate set systematically excluded true cosine
-    // neighbors. Σ_m dot(q_m, c_m) ≈ q·x, and dividing by the stored
-    // exact row norm gives an ADC cosine estimate (|q| is constant
-    // across rows — dropped).
-    val dtab: Seq[Seq[Double]] = books.map { case (m, cs) =>
-      val qs = q.slice(m * sub, (m + 1) * sub)
-      cs.map(c => qs.zip(c).map { case (x, y) => x * y }.sum).toSeq
-    }.toSeq
+    // asymmetric DOT-PRODUCT table: the pre-rank must approximate the
+    // FINAL metric (cosine): an L2-based ADC ranks differently whenever
+    // row norms vary, so the top-`refine` candidate set systematically
+    // excluded true cosine neighbors.
+    val dtab = adcTable(spark, path, q)
     val dtabLit = typedLit(dtab)
+    val nSub = dtab.length
     val qc = typedLit(q)
+    // phase 1: ADC pre-rank over the CODES-ONLY cells scan — no full
+    // vector is read here, which is what makes PQ save I/O (not just
+    // compute) at scale
     val scored = spark.read.parquet(s"$path/cells")
       .filter(col("centroid").isin(probes: _*))
-      .withColumn("adc", aggregate(
-        transform(sequence(lit(0), lit(nSub - 1)), m =>
-          element_at(element_at(dtabLit, m + 1),
-            element_at(col("codes"), m + 1) + 1)),
-        lit(0.0), (acc, x) => acc + x) / col("vnorm"))
-    // refine ≥ corpus (the exact correctness configuration) keeps every
-    // row, so the top-`refine` truncation is a no-op — skipping it
-    // avoids funnelling the whole corpus through a single-partition
-    // TakeOrdered merge; the isNotNull filter keeps the ADC decode in
-    // the executed plan instead of letting column pruning drop the
-    // machinery being verified
-    val pre =
-      if (refine == Int.MaxValue) scored.filter(col("adc").isNotNull)
-      else scored.orderBy(col("adc").desc, col("vec_id")).limit(refine)
-    pre.select(col("vec_id"),
+      .withColumn("adc", adcCol(dtabLit, nSub))
+    val vecs = spark.read.parquet(s"$path/vecs")
+      .filter(col("centroid").isin(probes: _*))
+    // phase 2: fetch ONLY the top-`refine` candidates' full vectors for
+    // the exact rerank (reference: fetch candidate blobs after
+    // pre-ranking, src/lava/vector/vector.rs:193-221). The candidate id
+    // list is bounded by `refine` (a query parameter, never data-scale),
+    // so collecting it and pushing `vec_id IN (...)` into the vecs scan
+    // prunes row groups via the sorted-by-vec_id stats.
+    val fetched =
+      if (refine == Int.MaxValue) {
+        // exact correctness configuration: every probed row is a
+        // candidate — join instead of collecting the corpus. The
+        // isNotNull filter keeps the ADC decode in the executed plan
+        // (it is never null post zero-norm guard) instead of letting
+        // column pruning drop the machinery being verified.
+        vecs.join(scored.filter(col("adc").isNotNull).select("vec_id"),
+          Seq("vec_id"))
+      } else {
+        val ids = scored.orderBy(col("adc").desc, col("vec_id"))
+          .limit(refine).select("vec_id").collect().map(_.getLong(0))
+        vecs.filter(col("vec_id").isin(ids: _*))
+      }
+    fetched.select(col("vec_id"),
       round(graft.GraftExtensions.cosineSim(spark, col("v"), qc), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -224,6 +307,12 @@ object VectorIndex {
   def ensureBuilt(s: SparkSession, dir: String): String = {
     val p = IndexStore.indexPath(dir, "ivf_embeddings")
     IndexStore.ensure(p) { build(s, Similarity.embeddings(s, dir), p) }
+    if (!isCurrentFormat(s, p)) {
+      // a cached index from before the codes/vecs split: rebuild under
+      // the same build-once guard (deleting the dir clears the marker)
+      IndexStore.deleteRec(java.nio.file.Paths.get(p))
+      IndexStore.ensure(p) { build(s, Similarity.embeddings(s, dir), p) }
+    }
     p
   }
 

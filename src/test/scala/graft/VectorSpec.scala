@@ -54,6 +54,52 @@ class VectorSpec extends AnyFunSuite {
     assert(approx.size == 5 && approx.contains(3L))
   }
 
+  test("PQ pre-rank scan is codes-only; rerank fetch pushes the id list") {
+    val df = vecs.toDF("vec_id", "v")
+    val idx = TestSpark.tmpDir("ivfsplit")
+    VectorIndex.build(spark, df, idx)
+    // the scale contract: the ADC-scanned table carries no full vector
+    val cellCols = spark.read.parquet(s"$idx/cells").schema.fieldNames.toSet
+    assert(cellCols == Set("vec_id", "codes", "vnorm", "centroid"))
+    assert(spark.read.parquet(s"$idx/vecs").schema.fieldNames.toSet ==
+      Set("vec_id", "v", "centroid"))
+    // bounded refine: full vectors are read only through the pushed
+    // vec_id IN (...) fetch, never in the pre-rank
+    val q = vecs(5)._2
+    val plan = VectorIndex.searchPq(spark, idx, q, 5, 4, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vecs"), "rerank must read the vecs table")
+    assert(!plan.contains("cells"),
+      "the final plan must not rescan cells (ids were collected)")
+    assert(plan.contains("In(vec_id"),
+      s"candidate ids must push into the vecs scan:\n$plan")
+  }
+
+  test("zero-norm vectors survive the exact PQ configuration") {
+    val withZero = vecs :+ (99L -> Seq.fill(8)(0.0))
+    val df = withZero.toDF("vec_id", "v")
+    val idx = TestSpark.tmpDir("ivfzero")
+    VectorIndex.build(spark, df, idx)
+    val q = vecs(3)._2
+    val got = VectorIndex.searchPq(spark, idx, q, withZero.size,
+      VectorIndex.numCells(spark, idx), Int.MaxValue)
+    // the zero row scores adc=0 (not null) and is kept through the
+    // exact path — the full corpus must come back
+    assert(got.count() == withZero.size)
+  }
+
+  test("old-format index (cells carrying v) fails loudly") {
+    val df = vecs.toDF("vec_id", "v")
+    val idx = TestSpark.tmpDir("ivfold")
+    // simulate the pre-split layout
+    df.withColumn("centroid", lit(0)).withColumn("vnorm", lit(1.0))
+      .write.partitionBy("centroid").parquet(s"$idx/cells")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.searchPq(spark, idx, vecs(0)._2, 5, 1, 10)
+    }
+    assert(e.getMessage.contains("older on-disk format"))
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = (0 until 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (0 until 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
