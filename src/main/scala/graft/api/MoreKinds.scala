@@ -169,13 +169,17 @@ object ZoneMapKind extends IndexKind {
 
 /** ANN kind over an embedding column. The query is the vector itself
   * (comma-separated doubles); each covering index is probed through its
-  * centroid head (`nprobe` cells, pre-ranked to `refine` candidates),
-  * hit row groups are fetched, and the final exact cosine re-rank runs
-  * over fetched + in-situ rows — the reference's 3-stage probe →
-  * pre-rank → rerank flow (src/lava/vector/vector.rs:22-239). With the
-  * default probe-everything configuration the result is exactly brute
-  * force. Merge retrains on the union of the stored vectors (the cells
-  * keep full-precision vectors, so no lake re-scan).
+  * centroid head (`nprobe` cells, ADC pre-ranked to `refine`
+  * candidates over the codes-only cells scan), hit row groups are
+  * fetched, and the final exact cosine re-rank runs over fetched +
+  * in-situ rows — the reference's 3-stage probe → pre-rank → rerank
+  * flow (src/lava/vector/vector.rs:22-239). With the default
+  * probe-everything configuration the result is exactly brute force.
+  * The index stores NO full-precision vectors (`storeVecs = false`):
+  * the lake is the vector store and `Layout.readGroups` is the rerank
+  * fetch, exactly the reference's index/lake split
+  * (vector_index.py:166-196) — half the index footprint, and the
+  * pre-rank scan I/O is codes + norms only.
   */
 case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
     refine: Int = Int.MaxValue) extends IndexKind {
@@ -190,7 +194,13 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
     val emb = Layout.withUid(spark, files, meta)
       .select(col("uid").as("vec_id"),
         col(column).cast("array<double>").as("v"))
-    VectorIndex.build(spark, emb, path)
+    VectorIndex.build(spark, emb, path, storeVecs = false)
+    // tiny head recording the indexed column: merge re-reads the lake
+    // (the index holds no vectors), so it must know which column to
+    // re-extract
+    import spark.implicits._
+    Seq(column).toDF("column").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/vhead")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()
   }
@@ -198,13 +208,22 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
   def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
     val offset = spark.read.parquet(s"$a/meta")
       .agg(max("uid")).collect()(0).getLong(0)
-    val emb = spark.read.parquet(s"$a/cells").select(col("vec_id"), col("v"))
-      .unionByName(spark.read.parquet(s"$b/cells")
-        .select((col("vec_id") + offset).as("vec_id"), col("v")))
-    VectorIndex.build(spark, emb, out)
-    spark.read.parquet(s"$a/meta").unionByName(
+    val column = spark.read.parquet(s"$a/vhead").head().getString(0)
+    val meta = spark.read.parquet(s"$a/meta").unionByName(
       spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+      .cache()
+    val files = meta.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    // re-extract vectors from the lake (the index stores codes only)
+    val emb = Layout.withUid(spark, files, meta)
+      .select(col("uid").as("vec_id"),
+        col(column).cast("array<double>").as("v"))
+    VectorIndex.build(spark, emb, out, storeVecs = false)
+    import spark.implicits._
+    Seq(column).toDF("column").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/vhead")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+    meta.unpersist()
   }
 
   def searchLake(spark: SparkSession, paths: Seq[String],
@@ -234,14 +253,27 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
         val pre =
           if (refine == Int.MaxValue) cells // probe-everything: no pre-rank sort
           else {
-            // per-index pre-rank (the reference refines per file):
-            // a window by idx replaces the per-index orderBy+limit
+            // per-index ADC pre-rank over codes + norms only (the
+            // reference refines per file): no full vector is read until
+            // the hit row groups are fetched from the lake. A window by
+            // idx replaces the per-index orderBy+limit.
+            val dtabs: Seq[Seq[Seq[Double]]] =
+              paths.map(p => VectorIndex.adcTable(spark, p, q))
+            val nSub = dtabs.head.length
+            require(dtabs.forall(_.length == nSub),
+              "covering vector indexes disagree on PQ subspace count")
+            val dtabsLit = typedLit(dtabs)
+            val dot = aggregate(
+              transform(sequence(lit(0), lit(nSub - 1)), m =>
+                element_at(element_at(element_at(dtabsLit, col("idx") + 1),
+                  m + 1), element_at(col("codes"), m + 1) + 1)),
+              lit(0.0), (acc, x) => acc + x)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("idx")
-              .orderBy(col("cos").desc, col("vec_id"))
+              .orderBy(col("adc").desc, col("vec_id"))
             cells
-              .withColumn("cos",
-                graft.GraftExtensions.cosineSim(spark, col("v"), qc))
+              .withColumn("adc", when(col("vnorm") === 0.0, lit(0.0))
+                .otherwise(dot / col("vnorm")))
               .withColumn("__rnk", row_number().over(w))
               .filter(col("__rnk") <= refine)
           }
@@ -282,16 +314,26 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
   def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
     driver.merge(spark, a, b, out)
 
+  /** Refine predicate for a lowercased query — raw containment for the
+    * char-mode encodings; the token-mode kind overrides with
+    * token-sequence containment.
+    */
+  protected def refinePred(column: String, q: String)
+      : org.apache.spark.sql.Column = lower(col(column)).contains(q)
+
+  /** False when the query has no walkable symbols (always brute). */
+  protected def indexable(q: String): Boolean = q.nonEmpty
+
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
     val q = graft.text.Text.sparkLower(query)
     def brute(files: Seq[String]): DataFrame =
-      spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
+      spark.read.parquet(files: _*).filter(refinePred(column, q))
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
-      if (q.isEmpty) return None // contains("") = every row: brute
+      if (!indexable(q)) return None // no walkable symbols: brute
       // one version map for the whole operation: walk, fetch, and slice
       // must all see the same build of every index
       val vers = driver.versionsOf(paths)
@@ -319,7 +361,7 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
       if (bruteBeatsIndex(spark, paths, hits)) None
       else Some(
         Layout.readGroups(spark, hits, covered).drop("uid")
-          .filter(lower(col(column)).contains(q)))
+          .filter(refinePred(column, q)))
     }
 
     val parts =
@@ -341,4 +383,22 @@ object FmKind extends BwtKind(graft.index.FmIndex) {
   */
 object WaveletKind extends BwtKind(graft.index.WaveletIndex) {
   val name = "wavelet"
+}
+
+/** Token-mode BWT substring kind (reference's token-mode FM build,
+  * src/lava/substring/build.rs:307-547): token-sequence query
+  * semantics over the shared lock-step backward-search path.
+  */
+object TokenFmKind extends BwtKind(graft.index.TokenFmIndex) {
+  val name = "tokenfm"
+
+  override protected def refinePred(column: String, q: String)
+      : org.apache.spark.sql.Column = {
+    val qnorm =
+      " " + graft.index.TokenIndex.tokensOf(q).mkString(" ") + " "
+    graft.index.TokenIndex.normalForm(col(column)).contains(qnorm)
+  }
+
+  override protected def indexable(q: String): Boolean =
+    graft.index.TokenIndex.tokensOf(q).nonEmpty
 }

@@ -93,6 +93,22 @@ trait BwtDriver {
   protected def codePoints(s: String): IndexedSeq[String] =
     graft.text.Text.codePoints(s)
 
+  /** Alphabet of the encoding: how a (normalized) query splits into BWT
+    * symbols. Char-mode encodings walk code points; the token-mode
+    * encoding ([[TokenFmIndex]]) overrides this with word tokens
+    * (reference: token-mode queries are tokenized exactly like the
+    * corpus, search.rs:446-530).
+    */
+  protected def symbols(s: String): IndexedSeq[String] = codePoints(s)
+
+  /** Refine predicate over the indexed column for a normalized query —
+    * raw substring containment for char-mode; the token-mode encoding
+    * overrides with token-sequence containment.
+    */
+  protected def refinePred(column: String, normQ: String)
+      : org.apache.spark.sql.Column =
+    lower(col(column)).contains(normQ)
+
   // ---- driver-side caches (the hot "metadata page") ------------------
 
   // caches are keyed by (path, head-dir mtime): index dirs are immutable
@@ -197,7 +213,7 @@ trait BwtDriver {
       : Map[String, (Long, Long)] = {
     val vers = Option(versions).getOrElse(versionsOf(paths))
     val hs = paths.map(p => p -> headAt(spark, p, vers(p))).toMap
-    val walk = codePoints(query).takeRight(W - 1)
+    val walk = symbols(query).takeRight(W - 1)
     var state = paths.map(p => p -> (0L, hs(p).n)).toMap
     walk.reverseIterator.foreach { c =>
       val needs = state.collect { case (p, (lo, hi)) if lo < hi =>
@@ -287,9 +303,9 @@ trait BwtDriver {
     def covered: Seq[String] = meta.select("file_path").distinct()
       .collect().map(_.getString(0)).toSeq
     def brute(): DataFrame = spark.read.parquet(covered: _*)
-      .filter(lower(col(column)).contains(q))
+      .filter(refinePred(column, q))
       .withColumn("uid", lit(-1L))
-    if (q.isEmpty)
+    if (symbols(q).isEmpty)
       return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
     // one version for the whole operation: walk and slice must see the
     // same build
@@ -303,7 +319,7 @@ trait BwtDriver {
       case Some(uids)
           if uids.size < graft.api.IndexKind.metaRows(spark, path).size =>
         Layout.readHits(spark, meta, uids.toDF("uid"))
-          .filter(lower(col(column)).contains(q))
+          .filter(refinePred(column, q))
       case _ => brute() // cost switch 2: too many hits / all groups hit
     }
   }

@@ -80,20 +80,29 @@ object FmIndex extends BwtDriver {
         when(col("i") === 0, lit(Sentinel))
           .otherwise(substring(col("txt"), col("i"), lit(1))).as("bwtc"),
         substring(padded, col("i") + 1, lit(1)).as("fc"))
-    // bounded suffix sort; (rid, i) tie-break makes the order total and
-    // LF-consistent (see scaladoc). zipWithIndex assigns the global SA
-    // rank without funneling data through one partition.
+    (rankSuffixes(spark, suf, ChunkSize), meta)
+  }
+
+  /** Bounded suffix sort + global SA rank, shared by the char- and
+    * token-mode builds: (rid, i) tie-break makes the order total and
+    * LF-consistent (see scaladoc). zipWithIndex assigns the global SA
+    * rank without funneling data through one partition. `suf` needs
+    * (uid, rid, i, key, bwtc, fc); returns cached (rank, uid, bwtc, fc,
+    * chunk, off).
+    */
+  private[index] def rankSuffixes(spark: SparkSession, suf: DataFrame,
+      chunkSize: Int): DataFrame = {
+    import spark.implicits._
     val sorted = suf
       .repartitionByRange(col("key"), col("rid"), col("i"))
       .sortWithinPartitions("key", "rid", "i")
-    val ranked = sorted.select("uid", "bwtc", "fc").rdd.zipWithIndex
+    sorted.select("uid", "bwtc", "fc").rdd.zipWithIndex
       .map { case (r, rank) =>
         (rank, r.getLong(0), r.getString(1), r.getString(2))
       }.toDF("rank", "uid", "bwtc", "fc")
-      .withColumn("chunk", expr(s"rank div $ChunkSize"))
-      .withColumn("off", col("rank") % ChunkSize)
+      .withColumn("chunk", expr(s"rank div $chunkSize"))
+      .withColumn("off", col("rank") % chunkSize)
       .cache()
-    (ranked, meta)
   }
 
   /** Per-chunk SA-order char and uid arrays (array_sort on structs
@@ -133,16 +142,20 @@ object FmIndex extends BwtDriver {
       meta: DataFrame, column: String, path: String): Unit = {
     import spark.implicits._
     // the C array must be ordered the way the suffix sort ordered keys:
-    // Spark string order is UTF-8 binary = CODE POINT order, so sort by
-    // code point, not by Java's UTF-16 char order (they diverge for
-    // supplementary chars vs BMP chars in [U+E000, U+FFFF])
-    def cpOrder(s: String): Int = s.codePointAt(0)
+    // Spark string order is UTF-8 BINARY order, so sort symbols by
+    // their UTF-8 bytes — not by Java's UTF-16 char order (they diverge
+    // for supplementary chars vs BMP chars in [U+E000, U+FFFF]). Full
+    // UTF8String comparison, not first-code-point, so multi-char
+    // symbols (token-mode) order exactly like the suffix sort did.
+    val utf8Ord: Ordering[String] = (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     val counts = ranked.groupBy("bwtc").agg(count(lit(1)).as("nb"))
-    // head: per char, suffixes starting below it (C array), suffixes
+    // head: per symbol, suffixes starting below it (C array), suffixes
     // starting with it, and its total BWT occurrences (rank at pos = N)
     val firstCounts = ranked.groupBy("fc").agg(count(lit(1)).as("nf"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(t => cpOrder(t._1))
+      .sortBy(_._1)(utf8Ord)
     val bwtTotals = counts
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     var before = 0L
@@ -150,7 +163,7 @@ object FmIndex extends BwtDriver {
       val r = (ch, before, nf, bwtTotals.getOrElse(ch, 0L)); before += nf; r
     }
     val bwtOnly = (bwtTotals.keySet -- firstCounts.map(_._1).toSet).toSeq
-      .sortBy(cpOrder).map(ch => (ch, -1L, 0L, bwtTotals(ch)))
+      .sorted(utf8Ord).map(ch => (ch, -1L, 0L, bwtTotals(ch)))
     (headRows ++ bwtOnly).toSeq
       .toDF("ch", "c_before", "n_first", "n_bwt")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/head")

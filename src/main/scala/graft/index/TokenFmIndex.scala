@@ -1,0 +1,122 @@
+package graft.index
+
+import graft.core.Layout
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Token-mode FM index: the BWT machinery instantiated over a TOKEN
+  * alphabet (reference: src/lava/substring/build.rs:307-547 — the
+  * token-mode build sorts bounded 10-TOKEN windows of the tokenized
+  * corpus; search.rs:446-530 tokenizes queries exactly like the corpus
+  * and walks tokens, not chars).
+  *
+  * Construction mirrors [[FmIndex]] one level up the alphabet: each row
+  * becomes its token sequence plus a terminator, one suffix row per
+  * TOKEN position, the sort key is the next `W` tokens joined by a
+  * single space. Because the space (0x20) sorts below every token
+  * character (`[a-z0-9]`, ≥ 0x30) and above the sentinel (0x01), the
+  * joined-string UTF-8 order equals token-sequence lexicographic order
+  * — so the shared bounded-sort pipeline ([[FmIndex.rankSuffixes]])
+  * and head writer produce a valid token-alphabet BWT as-is. Backward
+  * search is EXACT for queries of ≤ W−1 tokens by the same tie-break
+  * argument as char-mode ([[FmIndex]] scaladoc); longer queries walk
+  * their last W−1 tokens (the reference's `token_viable_limit`,
+  * search.rs:512-524) and the mandatory token-sequence refine restores
+  * exactness.
+  *
+  * Versus [[TokenIndex]] (word uni+bigram postings): same query
+  * semantics, but a phrase of individually-common tokens prunes by the
+  * full (≤ 9-token) sequence here instead of by its best bigram —
+  * the candidate set the FM machinery was built to shrink.
+  */
+object TokenFmIndex extends BwtDriver {
+
+  val W = 10 // token window (reference 10-token windows, build.rs:439-451)
+  val ChunkSize = 4096
+  val Sentinel = ""
+
+  override protected def symbols(s: String): IndexedSeq[String] =
+    TokenIndex.tokensOf(s).toIndexedSeq
+
+  override protected def refinePred(column: String, normQ: String)
+      : org.apache.spark.sql.Column = {
+    val qnorm = " " + TokenIndex.tokensOf(normQ).mkString(" ") + " "
+    TokenIndex.normalForm(col(column)).contains(qnorm)
+  }
+
+  /** Build over a file group: token suffix rows → shared bounded sort /
+    * SA rank → chunked token-BWT tables + symbol head + meta sidecar.
+    */
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = {
+    val meta = Layout.buildMeta(spark, files).cache()
+    val data = Layout.withUid(spark, files, meta)
+      .select(col("uid"), graft.text.Text.tokens(col(column)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("rid", monotonically_increasing_id())
+    // one suffix row per token position 0..n INCLUSIVE (the terminator
+    // suffix puts the row's LAST token into the BWT — same boundary
+    // argument as char-mode). key = next W tokens space-joined.
+    val padded = concat(col("toks"), array_repeat(lit(Sentinel), W))
+    val suf = data
+      .select(col("uid"), col("rid"), col("toks"),
+        explode(expr("sequence(0, size(toks))")).as("i"))
+      .select(col("uid"), col("rid"), col("i"),
+        concat_ws(" ", slice(padded, col("i") + 1, lit(W))).as("key"),
+        when(col("i") === 0, lit(Sentinel))
+          .otherwise(element_at(col("toks"), col("i"))).as("bwtc"),
+        element_at(padded, col("i") + 1).as("fc"))
+    val ranked = FmIndex.rankSuffixes(spark, suf, ChunkSize)
+    // chunk payload: SA-ordered token array (no join into one string —
+    // token boundaries must survive), posting uids, cumulative counts
+    FmIndex.perChunkArrays(ranked)
+      .join(FmIndex.chunkCums(ranked), Seq("chunk"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/tfm")
+    FmIndex.writeCommon(spark, ranked, meta, column, path)
+  }
+
+  // ---- BwtDriver: token-array chunk encoding -------------------------
+
+  protected case class TokChunk(toks: IndexedSeq[String],
+      cum: Map[String, Long], uids: Seq[Long])
+  protected case class TokHead(cBefore: Map[String, Long],
+      nBwt: Map[String, Long], n: Long) extends BwtHead
+
+  protected type Chunk = TokChunk
+  protected type Head = TokHead
+
+  protected def chunkDir: String = "tfm"
+  protected def chunkColumns: Seq[String] = Seq("chunk", "chars", "uids", "cum")
+
+  protected def decodeChunk(r: Row): TokChunk =
+    TokChunk(r.getSeq[String](1).toIndexedSeq,
+      r.getMap[String, Long](3).toMap, r.getSeq[Long](2).toIndexedSeq)
+
+  protected def chunkUids(c: TokChunk): Seq[Long] = c.uids
+  protected def chunkCum(c: TokChunk, ch: String): Long =
+    c.cum.getOrElse(ch, 0L)
+
+  /** Linear scan of the chunk's token prefix — whole-token equality,
+    * the token-alphabet rank primitive.
+    */
+  protected def rankWithin(h: TokHead, c: TokChunk, ch: String,
+      off: Int): Long = {
+    val lim = math.min(off, c.toks.length)
+    var i = 0; var cnt = 0L
+    while (i < lim) {
+      if (c.toks(i) == ch) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  protected def loadHead(spark: SparkSession, path: String): TokHead = {
+    val rows = spark.read.parquet(s"$path/head").collect()
+    TokHead(
+      rows.filter(_.getLong(1) >= 0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rows.map(r => r.getString(0) -> r.getLong(3)).toMap,
+      rows.map(_.getLong(2)).sum)
+  }
+}

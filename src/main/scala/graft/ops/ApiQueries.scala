@@ -116,6 +116,20 @@ object ApiQueries {
     }, s"SELECT doc_id FROM documents WHERE contains(lower(text), " +
        s"'${IndexQueries.QueryStr}') ORDER BY doc_id"),
 
+    // token-mode BWT through the facade: per-file token-FM indexes →
+    // compact (rebuild-on-merge) → lock-step token backward search
+    "lake_api_token_bwt" -> Q((s, dir) => {
+      val lake = docLake(s, dir)
+      lake.index(graft.api.TokenFmKind, "text", binpackRows = 1)
+      lake.compact(graft.api.TokenFmKind, "text", threshold = 1000000L)
+      lake.search(graft.api.TokenFmKind, "text", "merge merge", 1000000,
+          Seq("doc_id"))
+        .select(col("doc_id"))
+    }, """SELECT doc_id FROM (
+         |  SELECT doc_id, ' ' || array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS nf
+         |  FROM documents) t
+         |WHERE contains(nf, ' merge merge ') ORDER BY doc_id""".stripMargin),
+
     // zone-map range search through the facade (virtual-mode index)
     "lake_api_zonemap" -> Q((s, dir) => {
       val lake = tableLake(s, dir, "orders", "o_orderkey")

@@ -98,6 +98,18 @@ object SearchQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, tokenOracle("merge merge")),
 
+    // token-mode BWT: the REAL token-alphabet FM machinery (10-token
+    // suffix windows, backward search over tokens) — same oracle as
+    // the posting-based token index, so the two encodings are pinned
+    // to identical semantics
+    "substring_token_search_bwt" -> Q((s, dir) => {
+      val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val p = IndexStore.indexPath(dir, "tokenfm_documents_text")
+      IndexStore.ensure(p) { graft.index.TokenFmIndex.build(s, files, "text", p) }
+      graft.index.TokenFmIndex.search(s, p, "text", "merge merge")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, tokenOracle("merge merge")),
+
     // single-token query prunes via the unigram postings (short-query
     // discipline, no covered-files scan)
     "substring_token_search_single" -> Q((s, dir) => {

@@ -1,0 +1,113 @@
+package graft
+
+import graft.index.{TokenFmIndex, TokenIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenFmIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Tiny-vocabulary random corpus: token sequences repeat heavily —
+    * the adversarial case for token-rank bookkeeping.
+    */
+  private def corpus(n: Int, len: Int, seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Seq("red", "blue", "green", "go", "stop", "x1")
+    (0L until n.toLong).map { id =>
+      id -> (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+  }
+
+  private def buildOver(rows: Seq[(Long, String)],
+      name: String): (String, String) = {
+    val dir = TestSpark.tmpDir(name)
+    rows.toDF("doc_id", "text").repartition(2).write.mode("overwrite")
+      .parquet(s"$dir/data")
+    val files = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    val idx = s"$dir/idx"
+    TokenFmIndex.build(spark, files, "text", idx)
+    (idx, s"$dir/data")
+  }
+
+  /** Token-sequence containment oracle (TokenIndex's normal form). */
+  private def bruteIds(data: String, q: String): Set[Long] = {
+    val qnorm = " " + TokenIndex.tokensOf(q).mkString(" ") + " "
+    spark.read.parquet(data)
+      .filter(TokenIndex.normalForm(col("text")).contains(qnorm))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  private def fmIds(idx: String, q: String): Set[Long] =
+    TokenFmIndex.search(spark, idx, "text", q)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("token BWT search equals the token-sequence oracle") {
+    val rows = corpus(50, 30, seed = 7)
+    val (idx, data) = buildOver(rows, "tfm-rand")
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("red", "blue", "green", "go", "stop", "x1", "nope")
+    // random phrases from 1 token to beyond the exact window
+    (1 to 30).foreach { trial =>
+      val len = 1 + rnd.nextInt(TokenFmIndex.W + 2)
+      val q = (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      assert(fmIds(idx, q) == bruteIds(data, q), s"phrase '$q' (len $len)")
+    }
+    // planted phrases (guaranteed hits), including punctuation noise
+    // the tokenizer must strip
+    (1 to 15).foreach { _ =>
+      val toks = rows(rnd.nextInt(rows.size))._2.split(" ")
+      val start = rnd.nextInt(toks.length - 1)
+      val q = toks.slice(start, math.min(toks.length,
+        start + 1 + rnd.nextInt(11))).mkString(", ").toUpperCase
+      assert(fmIds(idx, q) == bruteIds(data, q), s"planted '$q'")
+    }
+  }
+
+  test("token BWT handles token-less, absent-token and boundary queries") {
+    val rows = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta gamma delta"),
+      (3L, "Gamma, ALPHA!   beta"))
+    val (idx, data) = buildOver(rows, "tfm-edge")
+    // absent token
+    assert(fmIds(idx, "omega") == Set.empty)
+    // adjacency is required: gamma and beta both occur in doc 3 but
+    // never adjacently — and "alpha beta gamma"(1) + "beta ..."(2)
+    // must not match across row boundaries either
+    assert(fmIds(idx, "gamma beta") == Set.empty)
+    assert(fmIds(idx, "gamma alpha") == Set(3L))
+    // tokenization: punctuation/case-insensitive
+    assert(fmIds(idx, "GAMMA, alpha") == Set(3L))
+    assert(fmIds(idx, "alpha beta") == bruteIds(data, "alpha beta"))
+    // token-less query: every row comes back (uid = -1 passthrough)
+    val all = TokenFmIndex.search(spark, idx, "text", "!!!")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L))
+  }
+
+  test("merged token-BWT index answers exactly like one whole index") {
+    val rows = corpus(30, 20, seed = 5)
+    val dir = TestSpark.tmpDir("tfm-merge")
+    rows.toDF("doc_id", "text").repartition(2).write.mode("overwrite")
+      .parquet(s"$dir/data")
+    val files = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    TokenFmIndex.build(spark, Seq(files.head), "text", s"$dir/a")
+    TokenFmIndex.build(spark, files.tail, "text", s"$dir/b")
+    TokenFmIndex.merge(spark, s"$dir/a", s"$dir/b", s"$dir/m")
+    TokenFmIndex.build(spark, files, "text", s"$dir/whole")
+    Seq("red blue", "go stop go", "x1").foreach { q =>
+      val m = TokenFmIndex.search(spark, s"$dir/m", "text", q)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val w = TokenFmIndex.search(spark, s"$dir/whole", "text", q)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(m == w, s"query '$q'")
+    }
+  }
+}
