@@ -182,13 +182,46 @@ object FmIndex extends BwtDriver {
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
     val (ranked, meta) = rankedBwt(spark, files, column)
+    writeChunks(spark, ranked, path)
+    writeCommon(spark, ranked, meta, column, path)
+  }
+
+  protected def writeChunks(spark: SparkSession, ranked: DataFrame,
+      path: String): Unit = {
     val perChunk = perChunkArrays(ranked)
       .select(col("chunk"), array_join(col("chars"), "").as("bwt"),
         col("uids"))
     perChunk.join(chunkCums(ranked), Seq("chunk"))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/fm")
-    writeCommon(spark, ranked, meta, column, path)
+  }
+
+  /** Merge input: per-position rows decoded chunk-locally, INCLUDING
+    * the LF value — the chunk's own `cum` map plus a running local
+    * count gives occ(p) with no shuffle, so recovering the ψ
+    * permutation for the interleave is map-only.
+    */
+  protected def positions(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(loadHead(spark, path).cBefore)
+    spark.read.parquet(s"$path/fm")
+      .select(col("chunk"), col("bwt"), col("uids"), col("cum"))
+      .as[(Long, String, Seq[Long], Map[String, Long])]
+      .flatMap { case (chunk, bwt, uids, cum) =>
+        val occ = scala.collection.mutable.HashMap.empty[String, Long]
+        val out = Seq.newBuilder[(Long, String, Long, Long)]
+        var i = 0; var k = 0
+        while (i < bwt.length) {
+          val cp = bwt.codePointAt(i); val w = Character.charCount(cp)
+          val ch = bwt.substring(i, i + w)
+          val o = occ.getOrElse(ch, 0L)
+          occ.update(ch, o + 1)
+          out += ((chunk * ChunkSize + k, ch, uids(k),
+            cB.value(ch) + cum.getOrElse(ch, 0L) + o))
+          i += w; k += 1
+        }
+        out.result()
+      }.toDF("pos", "bwtc", "uid", "lf")
   }
 
   // ---- BwtDriver: raw-text chunk encoding ----------------------------

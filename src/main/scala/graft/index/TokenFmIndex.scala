@@ -67,13 +67,40 @@ object TokenFmIndex extends BwtDriver {
           .otherwise(element_at(col("toks"), col("i"))).as("bwtc"),
         element_at(padded, col("i") + 1).as("fc"))
     val ranked = FmIndex.rankSuffixes(spark, suf, ChunkSize)
-    // chunk payload: SA-ordered token array (no join into one string —
-    // token boundaries must survive), posting uids, cumulative counts
+    writeChunks(spark, ranked, path)
+    FmIndex.writeCommon(spark, ranked, meta, column, path)
+  }
+
+  /** Chunk payload: SA-ordered token array (no join into one string —
+    * token boundaries must survive), posting uids, cumulative counts.
+    */
+  protected def writeChunks(spark: SparkSession,
+      ranked: org.apache.spark.sql.DataFrame, path: String): Unit =
     FmIndex.perChunkArrays(ranked)
       .join(FmIndex.chunkCums(ranked), Seq("chunk"))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/tfm")
-    FmIndex.writeCommon(spark, ranked, meta, column, path)
+
+  /** Merge input with chunk-locally computed LF (see
+    * [[FmIndex.positions]]), token alphabet.
+    */
+  protected def positions(spark: SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(loadHead(spark, path).cBefore)
+    spark.read.parquet(s"$path/tfm")
+      .select(col("chunk"), col("chars"), col("uids"), col("cum"))
+      .as[(Long, Seq[String], Seq[Long], Map[String, Long])]
+      .flatMap { case (chunk, chars, uids, cum) =>
+        val occ = scala.collection.mutable.HashMap.empty[String, Long]
+        chars.indices.map { k =>
+          val ch = chars(k)
+          val o = occ.getOrElse(ch, 0L)
+          occ.update(ch, o + 1)
+          (chunk * ChunkSize + k, ch, uids(k),
+            cB.value(ch) + cum.getOrElse(ch, 0L) + o)
+        }
+      }.toDF("pos", "bwtc", "uid", "lf")
   }
 
   // ---- BwtDriver: token-array chunk encoding -------------------------

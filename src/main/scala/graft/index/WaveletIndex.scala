@@ -151,8 +151,14 @@ object WaveletIndex extends BwtDriver {
     */
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
-    import spark.implicits._
     val (ranked, meta) = FmIndex.rankedBwt(spark, files, column)
+    writeChunks(spark, ranked, path)
+    FmIndex.writeCommon(spark, ranked, meta, column, path)
+  }
+
+  protected def writeChunks(spark: SparkSession,
+      ranked: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import spark.implicits._
     val alpha = ranked.select("bwtc").distinct()
       .collect().map(_.getString(0)).sortBy(_.codePointAt(0)).toSeq
     val code = alpha.zipWithIndex.toMap
@@ -170,7 +176,54 @@ object WaveletIndex extends BwtDriver {
       .parquet(s"$path/wt")
     alpha.zipWithIndex.toDF("ch", "code").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/alpha")
-    FmIndex.writeCommon(spark, ranked, meta, column, path)
+  }
+
+  /** Inverse of [[encode]] for one chunk: walk each position down the
+    * levels reading its bit (MSB first) and stepping by the same
+    * stable-partition arithmetic the rank walk uses.
+    */
+  private[graft] def decodeCodes(c: WChunk, depth: Int): Array[Int] = {
+    val out = new Array[Int](c.m)
+    var i = 0
+    while (i < c.m) {
+      var p = i; var code = 0; var l = 0
+      while (l < depth) {
+        val w = c.words(l); val bl = c.blocks(l)
+        val bit = ((w(p / 64) >> (p % 64)) & 1L).toInt
+        code = (code << 1) | bit
+        p = if (bit == 0) (p - rank1(w, bl, p)).toInt
+            else (c.zeros(l) + rank1(w, bl, p)).toInt
+        l += 1
+      }
+      out(i) = code
+      i += 1
+    }
+    out
+  }
+
+  /** Merge input: per-position rows decoded chunk-locally from the
+    * wavelet matrix (O(m log σ) per chunk, distributed), INCLUDING the
+    * LF value from the chunk's cum map + a running local code count —
+    * recovering ψ for the interleave is map-only.
+    */
+  protected def positions(spark: SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val alpha = spark.read.parquet(s"$path/alpha").collect()
+      .map(r => r.getInt(1) -> r.getString(0)).toMap
+    val depth = depthFor(alpha.size)
+    val invB = spark.sparkContext.broadcast(alpha)
+    val cB = spark.sparkContext.broadcast(loadHead(spark, path).cBefore)
+    spark.read.parquet(s"$path/wt").as[WChunk].flatMap { c =>
+      val codes = decodeCodes(c, depth)
+      val occ = new Array[Long](invB.value.size)
+      codes.indices.map { i =>
+        val cd = codes(i); val ch = invB.value(cd)
+        val o = occ(cd); occ(cd) += 1
+        (c.chunk * ChunkSize + i, ch, c.uids(i),
+          cB.value(ch) + c.cum.getOrElse(ch, 0L) + o)
+      }
+    }.toDF("pos", "bwtc", "uid", "lf")
   }
 
   private def depthFor(sigma: Int): Int =

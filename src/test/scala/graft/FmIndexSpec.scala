@@ -70,6 +70,31 @@ class FmIndexSpec extends AnyFunSuite {
     assert(fmIds(idx, longQ) == bruteIds(data, longQ))
   }
 
+  test("interleave-merged FM index answers exactly like a full rebuild") {
+    // tiny alphabet → massive suffix-window ties: the adversarial case
+    // for the merge's tie-break LF-consistency
+    val rows = corpus(50, 100, seed = 19)
+    val dir = TestSpark.tmpDir("fm-ilv")
+    rows.toDF("doc_id", "text").repartition(3).write.mode("overwrite")
+      .parquet(s"$dir/data")
+    val files = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    FmIndex.build(spark, Seq(files.head), "text", s"$dir/a")
+    FmIndex.build(spark, files.tail, "text", s"$dir/b")
+    FmIndex.mergeInterleave(spark, s"$dir/a", s"$dir/b", s"$dir/m")
+    FmIndex.build(spark, files, "text", s"$dir/whole")
+    val rnd = new scala.util.Random(23)
+    val alpha = "abc "
+    (1 to 25).foreach { _ =>
+      val len = 1 + rnd.nextInt(FmIndex.W + 2)
+      val q = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val m = fmIds(s"$dir/m", q)
+      assert(m == fmIds(s"$dir/whole", q), s"pattern '$q' vs rebuild")
+      assert(m == bruteIds(s"$dir/data", q), s"pattern '$q' vs brute")
+    }
+  }
+
   test("FM search on the sf0.001 documents lake matches brute force") {
     val files = graft.core.Lake.ensureSplit(spark, "/root/testdata/sf0.001",
       "documents", "doc_id", 4)

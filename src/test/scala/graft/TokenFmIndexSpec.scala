@@ -101,13 +101,16 @@ class TokenFmIndexSpec extends AnyFunSuite {
     TokenFmIndex.build(spark, Seq(files.head), "text", s"$dir/a")
     TokenFmIndex.build(spark, files.tail, "text", s"$dir/b")
     TokenFmIndex.merge(spark, s"$dir/a", s"$dir/b", s"$dir/m")
+    // the non-default interleave strategy must answer identically
+    // (token-alphabet decode + non-power-of-2 W key composition)
+    TokenFmIndex.mergeInterleave(spark, s"$dir/a", s"$dir/b", s"$dir/mi")
     TokenFmIndex.build(spark, files, "text", s"$dir/whole")
     Seq("red blue", "go stop go", "x1").foreach { q =>
-      val m = TokenFmIndex.search(spark, s"$dir/m", "text", q)
+      def ids(p: String) = TokenFmIndex.search(spark, p, "text", q)
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      val w = TokenFmIndex.search(spark, s"$dir/whole", "text", q)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(m == w, s"query '$q'")
+      val w = ids(s"$dir/whole")
+      assert(ids(s"$dir/m") == w, s"rebuild-merge query '$q'")
+      assert(ids(s"$dir/mi") == w, s"interleave-merge query '$q'")
     }
   }
 }

@@ -90,7 +90,7 @@ class WaveletIndexSpec extends AnyFunSuite {
     assert(wIds(wIdx, "zzzz") == Set.empty[Long])
   }
 
-  test("wavelet merge (rebuild) equals brute force over the union") {
+  test("wavelet merge (streaming interleave) equals brute force over the union") {
     val rowsA = corpus(20, 80, seed = 31)
     val rowsB = corpus(20, 80, seed = 37).map { case (id, t) => (id + 100, t) }
     val dir = TestSpark.tmpDir("wavelet-merge")
@@ -103,7 +103,10 @@ class WaveletIndexSpec extends AnyFunSuite {
     val fa = write(rowsA, "a"); val fb = write(rowsB, "b")
     WaveletIndex.build(spark, fa, "text", s"$dir/ia")
     WaveletIndex.build(spark, fb, "text", s"$dir/ib")
-    WaveletIndex.merge(spark, s"$dir/ia", s"$dir/ib", s"$dir/merged")
+    // the interleave path exercises the wavelet-matrix DECODE as well
+    // as the encode; the default rebuild path is covered by the facade
+    // compaction entries
+    WaveletIndex.mergeInterleave(spark, s"$dir/ia", s"$dir/ib", s"$dir/merged")
     val q = "ab ab"
     val expect = (rowsA ++ rowsB).filter(_._2.contains(q)).map(_._1).toSet
     assert(wIds(s"$dir/merged", q) == expect)
