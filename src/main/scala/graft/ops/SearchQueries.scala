@@ -29,6 +29,100 @@ object SearchQueries {
     p
   }
 
+  // ---- embedding query expansion -------------------------------------
+
+  /** Vocab-embedding table: corpus vocabulary tokens paired with
+    * embedding vectors by a deterministic rank-modulo rule. The
+    * reference expands queries against a VOCAB EMBEDDING FILE computed
+    * offline by an external model (BGE-M3/OpenAI,
+    * reference: indices/bm25_index.py:12-96); with no model in-engine,
+    * the embeddings table stands in for that artifact — the join rule
+    * only has to be deterministic and oracle-reproducible, which
+    * rank-modulo is. In production this table IS the model's vocab
+    * sidecar; everything downstream (cosine top-N, weighted search) is
+    * the real flow.
+    */
+  def vocabEmbeddings(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = graft.Tables.load(s, dir, "documents")
+      .select(explode(graft.text.Text.tokens(col("text"))).as("token"))
+      .distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("token")))
+    val emb = Similarity.embeddings(s, dir).select(col("vec_id"), col("v"))
+    val n = emb.count()
+    val embn = emb
+      .withColumn("ern", row_number().over(Window.orderBy("vec_id")))
+    vocab.join(embn, (col("rn") - 1) % n + 1 === col("ern"))
+      .select("token", "v")
+  }
+
+  /** Cosine top-`topN` expansion terms for `term`, weights = rounded
+    * cosine (the reference's expansion arithmetic: cosine of the query
+    * token's embedding against every vocab embedding, top-20 kept with
+    * their similarities as weights, bm25_index.py:140-160).
+    */
+  def expandTermsEmbed(s: SparkSession, dir: String, term: String,
+      topN: Int): Seq[(String, Double)] = {
+    val ve = vocabEmbeddings(s, dir)
+    val qv = ve.filter(col("token") === term)
+      .select("v").head().getSeq[Double](0)
+    ve.select(col("token"),
+      round(graft.GraftExtensions.cosineSim(s, col("v"), typedLit(qv)), 6)
+        .as("qw"))
+      .orderBy(col("qw").desc, col("token")).limit(topN)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+  }
+
+  /** The full expansion + weighted-BM25 pipeline in ANSI SQL: vocab
+    * CTE, rank-modulo embedding join, sequential-fold cosines (the
+    * list-comprehension form DuckDB evaluates left-to-right, matching
+    * Spark's fold bit-for-bit), top-N expansion, then the same
+    * quantized weighted scoring as [[Bm25Index.oracleSqlWeighted]].
+    */
+  def oracleSqlExpandedEmbed(term: String, topN: Int, k: Int): String = {
+    import Bm25Index.{B, K1, Quant}
+    s"""WITH vocab AS (
+       |  SELECT token, row_number() OVER (ORDER BY token) AS rn
+       |  FROM (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |        FROM documents)),
+       |embn AS (SELECT embedding::DOUBLE[] AS v,
+       |           row_number() OVER (ORDER BY vec_id) AS ern
+       |         FROM embeddings),
+       |nemb AS (SELECT count(*) AS n FROM embn),
+       |ve AS (SELECT vocab.token, embn.v
+       |       FROM vocab, embn, nemb
+       |       WHERE ((vocab.rn - 1) % nemb.n) + 1 = embn.ern),
+       |qv AS (SELECT v AS q FROM ve WHERE token = '$term'),
+       |cos AS (SELECT token,
+       |  round(list_sum([ve.v[i] * q.q[i] for i in generate_series(1, len(ve.v))]) /
+       |        (sqrt(list_sum([ve.v[i] * ve.v[i] for i in generate_series(1, len(ve.v))])) *
+       |         sqrt(list_sum([q.q[i] * q.q[i] for i in generate_series(1, len(q.q))]))), 6) AS qw
+       |  FROM ve CROSS JOIN qv q),
+       |expterms AS (SELECT token, qw FROM cos ORDER BY qw DESC, token LIMIT $topN),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       |       WHERE token IN (SELECT token FROM expterms) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      e.qw *
+       |      ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |      (tf.tf * ${K1 + 1} / (tf.tf + $K1 * (${1 - B} + $B * dl.dl / c.avgdl)))
+       |      * $Quant) AS BIGINT) AS cq
+       |  FROM tf JOIN df USING (token) JOIN expterms e USING (token)
+       |       JOIN dl USING (doc_id) CROSS JOIN corpus c)
+       |SELECT doc_id, round(CAST(sum(cq) AS DOUBLE) / $Quant, 4) AS score
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Token-sequence containment oracle (the normalized-form contains). */
   private def tokenOracle(q: String): String =
     s"""SELECT doc_id FROM (
@@ -97,6 +191,16 @@ object SearchQueries {
       TokenIndex.search(s, m, "text", "merge merge")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, tokenOracle("merge merge")),
+
+    // embedding-based query expansion: cosine top-20 vocab neighbors of
+    // the query term, similarities as weights, through the same
+    // weighted-IDF scorer — the reference's full expansion flow with
+    // the vocab-embedding table in-engine
+    "bm25_search_expanded_embed" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      val terms = expandTermsEmbed(s, dir, "vector", 20)
+      Bm25Index.searchWeighted(s, p, terms, Bm25K)
+    }, oracleSqlExpandedEmbed("vector", 20, Bm25K)),
 
     // token-mode BWT: the REAL token-alphabet FM machinery (10-token
     // suffix windows, backward search over tokens) — same oracle as
