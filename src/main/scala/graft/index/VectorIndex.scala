@@ -177,16 +177,32 @@ object VectorIndex {
     feat.unpersist()
   }
 
+  // format verdicts cached by (path, cells mtime): the check is a
+  // footer read, but recall gates issue dozens of searches per index
+  // and the verdict can only change through a rebuild (which bumps the
+  // mtime) — keep-latest per path, like the centroid cache
+  private val formatCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Boolean, String)]
+
   /** Fails loudly on an index written by the pre-split format (cells
     * carrying full vectors / missing `vnorm`): silently reading it
     * would either crash mid-query or quietly skip the ADC machinery.
     */
   private[graft] def requireCurrentFormat(spark: SparkSession,
       path: String): Unit = {
-    val fields = spark.read.parquet(s"$path/cells").schema.fieldNames.toSet
-    require(!fields.contains("v") && fields.contains("vnorm"),
-      s"vector index at $path uses an older on-disk format " +
-        s"(cells columns: ${fields.mkString(",")}); delete and rebuild it")
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "cells")).toMillis
+    val (_, ok, detail) = formatCache.get(path) match {
+      case Some(v @ (m, _, _)) if m == mtime => v
+      case _ =>
+        val fields = spark.read.parquet(s"$path/cells").schema.fieldNames.toSet
+        val v = (mtime, !fields.contains("v") && fields.contains("vnorm"),
+          fields.mkString(","))
+        formatCache.put(path, v)
+        v
+    }
+    require(ok, s"vector index at $path uses an older on-disk format " +
+      s"(cells columns: $detail); delete and rebuild it")
   }
 
   private[graft] def isCurrentFormat(spark: SparkSession,

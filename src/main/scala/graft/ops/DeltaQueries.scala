@@ -39,8 +39,19 @@ object DeltaQueries {
           IndexStore.deleteRec(Paths.get(stage))
           DeltaLog.Add(name, Files.size(Paths.get(s"$table/$name")))
         }
-        val adds0 = (0 to 1).map(m =>
-          part(s"part-m$m.parquet", docs.filter(col("doc_id") % 4 === m)))
+        // all four mod-partitions in ONE write job (partitionBy splits
+        // them; the partition column is dropped from the files, so the
+        // data schema stays identical to `documents`)
+        val stage = s"$table/_stage_mods"
+        docs.coalesce(1).withColumn("__m", pmod(col("doc_id"), lit(4)))
+          .write.mode("overwrite").partitionBy("__m").parquet(stage)
+        def mv(m: Int): DeltaLog.Add = {
+          val name = s"part-m$m.parquet"
+          Files.move(Paths.get(Lake.listFiles(s"$stage/__m=$m").head),
+            Paths.get(s"$table/$name"))
+          DeltaLog.Add(name, Files.size(Paths.get(s"$table/$name")))
+        }
+        val adds0 = (0 to 1).map(mv)
         // junk rows deliberately match the query: surviving a remove
         // would be caught by the latest-version oracle
         val junk = part("junk.parquet",
@@ -48,8 +59,8 @@ object DeltaQueries {
             .withColumn("doc_id", -col("doc_id") - 1)
             .withColumn("text", lit(s"xx $Query yy")))
         DeltaLog.commit(table, 0, adds0 :+ junk)
-        val adds1 = (2 to 3).map(m =>
-          part(s"part-m$m.parquet", docs.filter(col("doc_id") % 4 === m)))
+        val adds1 = (2 to 3).map(mv)
+        IndexStore.deleteRec(Paths.get(stage))
         DeltaLog.commit(table, 1, adds1, removes = Seq("junk.parquet"))
         DeltaLog.checkpoint(s, table, 1L)
       }
