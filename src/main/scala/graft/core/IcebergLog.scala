@@ -88,6 +88,15 @@ object IcebergLog {
     metadataJson(table).get("snapshots").elements().asScala
       .map(_.get("snapshot-id").asLong()).toList.sorted
 
+  /** (snapshot id, committed-at ms) for every snapshot — the
+    * retention input (reference inspects `committed_at` per snapshot,
+    * backends/iceberg.py:325-338).
+    */
+  def snapshotsWithTimes(table: String): Seq[(Long, Long)] =
+    metadataJson(table).get("snapshots").elements().asScala
+      .map(n => (n.get("snapshot-id").asLong(),
+        n.get("timestamp-ms").asLong())).toList.sortBy(_._1)
+
   def currentSnapshot(table: String): Long =
     metadataJson(table).get("current-snapshot-id").asLong()
 
@@ -122,9 +131,12 @@ object IcebergLog {
 
   /** Commit a new snapshot: previous live files carry forward (minus
     * `removes`), `adds` join as ADDED entries. Returns the snapshot id.
+    * `timestampMs` is the snapshot's committed-at time (overridable so
+    * retention tests can age snapshots deterministically).
     */
   def commit(table: String, adds: Seq[DataFile],
-      removes: Seq[String] = Seq.empty): Long = {
+      removes: Seq[String] = Seq.empty,
+      timestampMs: Long = System.currentTimeMillis()): Long = {
     Files.createDirectories(Paths.get(metaDir(table)))
     val hint = Paths.get(metaDir(table), "version-hint.text")
     val (version, prevLive, prevSnaps) =
@@ -172,7 +184,7 @@ object IcebergLog {
     prevSnaps.foreach(s => snapArr.add(s))
     val sn = snapArr.addObject()
     sn.put("snapshot-id", snapId)
-    sn.put("timestamp-ms", 0L)
+    sn.put("timestamp-ms", timestampMs)
     sn.put("manifest-list", listPath)
     sn.putObject("summary").put("operation",
       if (removes.nonEmpty) "overwrite" else "append")

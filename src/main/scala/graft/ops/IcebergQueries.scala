@@ -58,6 +58,41 @@ object IcebergQueries {
   private def lake(s: SparkSession, dir: String): GraftLake =
     GraftLake(s, IcebergBackend(ensureIcebergDocs(s, dir)))
 
+  /** Two-era table for the retention entry: snapshot 1 (committed "40
+    * days ago") holds the %4∈{0,1} partitions; snapshot 2 (committed
+    * an hour ago) REWRITES the table to the %4∈{2,3} partitions. With
+    * a 30-day history window, snapshot 1 and every file it covered are
+    * out of retention.
+    */
+  def ensureAgedDocs(s: SparkSession, dir: String): String = {
+    val table = Lake.splitPath(dir, "iceberg_aged_documents")
+    IndexStore.synchronized {
+      if (!Files.exists(Paths.get(table, "metadata"))) {
+        Files.createDirectories(Paths.get(table, "data"))
+        val docs = graft.Tables.load(s, dir, "documents")
+        def part(name: String, df: DataFrame): IcebergLog.DataFile = {
+          val stage = s"$table/_stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          Files.move(Paths.get(Lake.listFiles(stage).head),
+            Paths.get(s"$table/data/$name"))
+          IndexStore.deleteRec(Paths.get(stage))
+          IcebergLog.DataFile(s"$table/data/$name", df.count(),
+            Files.size(Paths.get(s"$table/data/$name")))
+        }
+        val now = System.currentTimeMillis()
+        val day = 24L * 3600 * 1000
+        val era1 = (0 to 1).map(m =>
+          part(s"part-m$m.parquet", docs.filter(col("doc_id") % 4 === m)))
+        IcebergLog.commit(table, era1, timestampMs = now - 40 * day)
+        val era2 = (2 to 3).map(m =>
+          part(s"part-m$m.parquet", docs.filter(col("doc_id") % 4 === m)))
+        IcebergLog.commit(table, era2,
+          removes = era1.map(_.path), timestampMs = now - 3600 * 1000)
+      }
+    }
+    table
+  }
+
   def entries: Map[String, Q] = Map(
     // current snapshot: manifest-tree listing; the removed junk file
     // must be gone even though its rows match the query
@@ -67,6 +102,43 @@ object IcebergQueries {
       l.search(NgramKind, "text", Query, 100000, Seq("doc_id"))
         .select(col("doc_id"))
     }, s"SELECT doc_id FROM documents WHERE contains(lower(text), '$Query') ORDER BY doc_id"),
+
+    // retention vacuum over an aged two-era table: the index covering
+    // only out-of-history files must lose its metadata row AND its
+    // physical dir (reference keep-latest-snapshot + history-days
+    // rules, backends/iceberg.py:307-384); the surviving index then
+    // answers the current-snapshot search
+    "vacuum_retention" -> Q((s, dir) => {
+      val table = ensureAgedDocs(s, dir)
+      val ns = dir + "#vacuumret"
+      val day = 24L * 3600 * 1000
+      val oldIdx = IndexStore.indexPath(ns, "ngram_era1")
+      val newIdx = IndexStore.indexPath(ns, "ngram_era2")
+      def commitIdx(p: String, files: Seq[String]): Unit = {
+        graft.index.NgramIndex.build(s, files, "text", p)
+        IndexStore.commitMetadata(s, ns, IndexStore.metadataRows(s,
+          "documents", "text", files, files.map(_ => -1L), p, "ngram", -1L))
+      }
+      val era1Files = (0 to 1).map(m => s"$table/data/part-m$m.parquet")
+      val era2Files = (2 to 3).map(m => s"$table/data/part-m$m.parquet")
+      IndexStore.ensure(oldIdx) { commitIdx(oldIdx, era1Files) }
+      IndexStore.ensure(newIdx) { commitIdx(newIdx, era2Files) }
+      val survivors =
+        Maintenance.vacuumIceberg(s, ns, table, historyMs = 30 * day)
+      // retention contract, asserted loudly: era-1's index is gone from
+      // both the metadata table and disk; era-2's survives
+      require(survivors == Seq(newIdx),
+        s"expected only $newIdx to survive, got $survivors")
+      require(!Files.exists(Paths.get(oldIdx)),
+        "out-of-retention index dir must be physically deleted")
+      require(Files.exists(Paths.get(newIdx)),
+        "in-retention index dir must survive")
+      graft.api.NgramKind.searchLake(s, Seq(newIdx), Seq.empty, "text",
+          Query, 100000)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, s"""SELECT doc_id FROM documents
+          |WHERE doc_id % 4 IN (2, 3) AND contains(lower(text), '$Query')
+          |ORDER BY doc_id""".stripMargin),
 
     // snapshot 1: only the %4∈{0,1} partitions and the junk file were
     // live — index hits from later files are filtered out, the

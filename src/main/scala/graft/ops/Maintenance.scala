@@ -81,6 +81,39 @@ object Maintenance {
     referenced.toSeq.sorted
   }
 
+  /** Snapshot-aware vacuum — the reference's retention semantics
+    * (reference: backends/iceberg.py:307-384 `vacuum_iceberg_indices`):
+    *
+    *  1. live snapshots = those committed within `historyMs` of `now`,
+    *     ALWAYS including the latest one even if it has aged out
+    *     (reference: :333-338 falls back to the newest snapshot when
+    *     the history window is empty);
+    *  2. live files = union of the live snapshots' data files;
+    *  3. metadata rows whose covered files miss the live set entirely
+    *     are deleted (reference: :347-360);
+    *  4. physically delete index dirs no longer referenced and older
+    *     than `fileTimeoutMs` (reference: :362-384 deletes
+    *     unreferenced `.lava`/`.meta` files past `index_timeout`).
+    *
+    * Returns the surviving referenced index paths.
+    */
+  def vacuumIceberg(spark: SparkSession, ns: String, table: String,
+      historyMs: Long, now: Long = System.currentTimeMillis(),
+      fileTimeoutMs: Long = 0L): Seq[String] = {
+    val snaps = graft.core.IcebergLog.snapshotsWithTimes(table)
+    val cutoff = now - historyMs
+    val recent = snaps.filter(_._2 > cutoff)
+    val live = if (recent.nonEmpty) recent else Seq(snaps.maxBy(_._2))
+    val liveFiles = live.flatMap { case (id, _) =>
+      graft.core.IcebergLog.liveFiles(table, Some(id))
+    }.toSet
+    val dead = IndexStore.metadataRowsCached(spark, ns)
+      .filter(r => !r.files.exists(liveFiles.contains))
+      .map(_.indexFile)
+    if (dead.nonEmpty) IndexStore.deleteMetadata(spark, ns, dead)
+    vacuum(spark, ns, fileTimeoutMs)
+  }
+
   /** Greedy max-coverage index selection (reference: the Delta path
     * repeatedly picks the index file covering the most not-yet-covered
     * live parquet files, backends/delta.py:77-93). Driver-side:
