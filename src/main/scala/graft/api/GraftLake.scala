@@ -57,9 +57,11 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       .filter(r => r.column == column && r.indexType == kind.name)
       // metadata and physical state can disagree (a dir deleted out of
       // band, a vacuum racing a commit): a row whose index is GONE must
-      // demote its files to in-situ/rebuild, not crash every search
-      .filter(r => java.nio.file.Files.exists(
-        java.nio.file.Paths.get(Layout.canonPath(r.indexFile))))
+      // demote its files to in-situ/rebuild, not crash every search.
+      // Hadoop-FS check, not java.nio: on an s3a/hdfs index store a
+      // local-FS exists() is always false and every search would
+      // silently demote to a brute-force scan.
+      .filter(r => graft.core.Fs.exists(spark, r.indexFile))
       .map(r => (r.indexFile, r.files.map(Layout.canonPath)))
     if (all.size <= 1) return all
     val byPath = all.toMap
@@ -134,9 +136,9 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       .select(col("index_file"), col("file_path"), col("record_counts"))
       .collect()
       // same physical-existence guard as coverage(): never merge a
-      // metadata row whose index dir is gone
-      .filter(r => java.nio.file.Files.exists(
-        java.nio.file.Paths.get(Layout.canonPath(r.getString(0)))))
+      // metadata row whose index dir is gone (Hadoop-FS check, like
+      // coverage)
+      .filter(r => graft.core.Fs.exists(spark, r.getString(0)))
     if (small.length < 2) return None
     val sorted = small.sortBy(_.getString(0))
     val mergedId = GraftLake.groupId(sorted.map(_.getString(0)).mkString("|"))

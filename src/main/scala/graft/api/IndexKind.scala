@@ -137,8 +137,7 @@ object IndexKind {
   private[graft] def readTagged(spark: SparkSession, paths: Seq[String],
       sub: String): DataFrame = {
     val first = s"${paths.head}/$sub"
-    val mtime = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(Layout.canonPath(paths.head), sub)).toMillis
+    val mtime = graft.core.Fs.mtime(spark, first)
     val schema = schemaCache.get(first) match {
       case Some((m, s)) if m == mtime => s
       case _ =>
@@ -154,8 +153,7 @@ object IndexKind {
 
   private[graft] def metaRows(spark: SparkSession,
       path: String): Seq[(Long, String, Long, Long)] = {
-    val p = java.nio.file.Paths.get(path, "meta")
-    val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    val mtime = graft.core.Fs.mtime(spark, s"$path/meta")
     cache.get(path) match {
       case Some((m, rows)) if m == mtime => rows
       case _ =>

@@ -336,7 +336,7 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
       if (!indexable(q)) return None // no walkable symbols: brute
       // one version map for the whole operation: walk, fetch, and slice
       // must all see the same build of every index
-      val vers = driver.versionsOf(paths)
+      val vers = driver.versionsOf(spark, paths)
       val ranges = driver.saRangeMulti(spark, paths, q, vers)
       // cost switch on total SA-range width (positions, so scaled by
       // chunk size relative to the row-group hit threshold)

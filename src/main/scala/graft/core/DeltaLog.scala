@@ -97,15 +97,52 @@ object DeltaLog {
     live.toSeq.map(resolvePath(table, _)).sorted
   }
 
-  /** Resolve an add/remove path per the spec: paths MAY be absolute
-    * URIs (spec-legal, e.g. after SHALLOW CLONE) — only relative paths
+  /** Resolve an add/remove path per the spec: paths are stored as
+    * percent-encoded relative URIs, and MAY be absolute URIs
+    * (spec-legal, e.g. after SHALLOW CLONE) — only relative paths
     * resolve against the table root. Add/remove matching happens on the
     * RAW path string (both sides of a pair use the same form), so only
-    * final resolution needs this.
+    * final resolution needs decoding — a data file with a space or '%'
+    * in its name is URL-encoded in the log and must not resolve to a
+    * nonexistent path.
     */
-  private def resolvePath(table: String, p: String): String =
-    if (p.contains("://") || p.startsWith("/")) Layout.canonPath(p)
-    else Layout.canonPath(s"$table/$p")
+  private def resolvePath(table: String, p: String): String = {
+    val d = decodePath(p)
+    if (d.contains("://") || d.startsWith("/")) Layout.canonPath(d)
+    else Layout.canonPath(s"$table/$d")
+  }
+
+  /** Percent-decode a log path. A raw string that is not a valid URI
+    * (an unencoded space from a non-conforming writer) is used as-is.
+    */
+  private[core] def decodePath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme == null) Option(u.getPath).getOrElse(p)
+      else if (u.getScheme == "file") u.getPath
+      else new java.net.URI(u.getScheme, u.getAuthority, u.getPath,
+        null, null).toString
+    } catch { case _: java.net.URISyntaxException => p }
+
+  /** Percent-encode a path for the log (inverse of [[decodePath]]);
+    * preserves '/' and any scheme://authority prefix.
+    */
+  private[core] def encodePath(p: String): String =
+    try {
+      val i = p.indexOf("://")
+      if (i >= 0) {
+        val rest = p.substring(i + 3)
+        val slash = rest.indexOf('/')
+        val auth = if (slash >= 0) rest.substring(0, slash) else rest
+        val path = if (slash >= 0) rest.substring(slash) else ""
+        new java.net.URI(p.substring(0, i), auth, path, null).toASCIIString
+      } else if (p.startsWith("/"))
+        new java.net.URI(null, null, p, null).getRawPath
+      else
+        // the multi-arg URI ctor rejects relative paths: encode behind
+        // a leading slash, then strip it
+        new java.net.URI(null, null, "/" + p, null).getRawPath.substring(1)
+    } catch { case _: java.net.URISyntaxException => p }
 
   // ---- writer --------------------------------------------------------
 
@@ -140,7 +177,7 @@ object DeltaLog {
     }
     adds.foreach { a =>
       obj("add") { n =>
-        n.put("path", a.path)
+        n.put("path", encodePath(a.path))
         n.putObject("partitionValues")
         n.put("size", a.size)
         n.put("modificationTime", 0L)
@@ -149,7 +186,7 @@ object DeltaLog {
     }
     removes.foreach { p =>
       obj("remove") { n =>
-        n.put("path", p); n.put("deletionTimestamp", 0L)
+        n.put("path", encodePath(p)); n.put("deletionTimestamp", 0L)
         n.put("dataChange", true)
       }
     }
@@ -181,8 +218,10 @@ object DeltaLog {
     val files = liveFiles(spark, table, Some(version))
     val tableCanon = Layout.canonPath(table)
     // table-relative adds keep the relative form; absolute-URI adds
-    // (spec-legal) stay absolute — stripPrefix leaves them untouched
-    val rel = files.map(_.stripPrefix(tableCanon + "/"))
+    // (spec-legal) stay absolute — stripPrefix leaves them untouched.
+    // liveFiles returns DECODED paths; the checkpoint stores the log's
+    // percent-encoded form like commit does
+    val rel = files.map(f => encodePath(f.stripPrefix(tableCanon + "/")))
     // real file sizes where resolvable (readers use add.size for
     // planning); unreachable files record 0
     val sizes = files.map(f =>

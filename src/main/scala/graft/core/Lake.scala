@@ -52,12 +52,24 @@ object Lake {
     listFiles(path)
   }
 
+  /** List a lake directory's parquet files. Scheme-carrying prefixes
+    * (`file://`, `s3a://`, `hdfs://` — reference scheme dispatch:
+    * src/formats/readers/mod.rs:259-294) list through the scheme's
+    * Hadoop FileSystem and keep their scheme (callers canonicalize via
+    * `Layout.canonPath`); bare local paths keep the direct-nio fast
+    * path whose results feed `Paths.get` call sites.
+    */
   def listFiles(path: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.list(Paths.get(path))) { s =>
-      s.iterator().asScala
-        .map(_.toString).filter(_.endsWith(".parquet")).toList
-    }.sorted
+    if (path.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(Fs.anyConf()).listStatus(p).toList
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+    } else
+      scala.util.Using.resource(Files.list(Paths.get(path))) { s =>
+        s.iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toList
+      }.sorted
   }
 
   /** Reference behavior: if the index returns more than this many hits

@@ -170,18 +170,18 @@ trait BwtDriver {
 
   // caches are keyed by (path, head-dir mtime): index dirs are immutable
   // once built (the facade's discipline — merge writes a NEW dir), but a
-  // same-path rebuild must never serve stale chunks
-  private def version(path: String): Long =
-    java.nio.file.Files
-      .getLastModifiedTime(java.nio.file.Paths.get(path, "head")).toMillis
+  // same-path rebuild must never serve stale chunks. Hadoop-FS stat so
+  // a non-local index store versions correctly instead of throwing
+  private def version(spark: SparkSession, path: String): Long =
+    graft.core.Fs.mtime(spark, s"$path/head")
 
   /** Stat every index's version ONCE for an operation; thread the map
     * through every step (saRangeMulti → fetchPostings → posting
     * slices) so a same-path rebuild mid-operation can never pair one
     * build's SA ranges with another build's posting chunks.
     */
-  def versionsOf(paths: Seq[String]): Map[String, Long] =
-    paths.map(p => p -> version(p)).toMap
+  def versionsOf(spark: SparkSession, paths: Seq[String]): Map[String, Long] =
+    paths.map(p => p -> version(spark, p)).toMap
 
   // keep-latest per path (versioned keys would strand a dead head per
   // rebuild); chunk entries are bounded by the LRU below
@@ -200,41 +200,55 @@ trait BwtDriver {
         size() > MaxCachedChunks
     }
 
-  private def headAt(spark: SparkSession, path: String, v: Long): Head =
+  private def headAt(spark: SparkSession, path: String, v: Long): Head = {
     synchronized {
       headCache.get(path) match {
-        case Some((m, h)) if m == v => h
+        case Some((m, h)) if m == v => return h
         case _ =>
-          val h = loadHead(spark, path)
-          headCache.put(path, (v, h))
-          h
       }
     }
+    // Spark read OUTSIDE the monitor: one slow head load must not block
+    // concurrent cache-hit lookups on other indexes (a racing duplicate
+    // load is harmless — last insert wins with identical content)
+    val h = loadHead(spark, path)
+    synchronized { headCache.put(path, (v, h)); h }
+  }
 
   /** Batched fetch: ONE job loads every missing (path, chunk) pair
     * across all indexes — the per-step boundary read of backward search
     * stays one job no matter how many indexes cover the lake (the
     * facade's constant-jobs discipline). Rows are attributed to their
     * index by file path and cached under the operation's versions.
+    *
+    * The monitor is held only to compute the missing set and to insert
+    * results — the Spark read/collect runs outside it, so one slow
+    * fetch never blocks concurrent pure-cache-hit searches. Two racing
+    * fetches of the same chunk redundantly read it; both insert
+    * identical (version-keyed) content.
     */
   private def fetchChunks(spark: SparkSession, needs: Map[String, Seq[Long]],
-      vers: Map[String, Long]): Unit = synchronized {
-    val missing = needs.toSeq.flatMap { case (p, ids) =>
-      ids.distinct.filterNot(id =>
-        chunkCache.containsKey((p, vers(p), id))).map(p -> _)
+      vers: Map[String, Long]): Unit = {
+    val missing = synchronized {
+      needs.toSeq.flatMap { case (p, ids) =>
+        ids.distinct.filterNot(id =>
+          chunkCache.containsKey((p, vers(p), id))).map(p -> _)
+      }
     }
     if (missing.isEmpty) return
     val paths = missing.map(_._1).distinct
     val ids = missing.map(_._2).distinct
-    spark.read.parquet(paths.map(_ + s"/$chunkDir"): _*)
+    val rows = spark.read.parquet(paths.map(_ + s"/$chunkDir"): _*)
       .filter(col("chunk").isin(ids: _*))
       .select(chunkColumns.map(col) :+ input_file_name().as("__f"): _*)
-      .collect().foreach { r =>
+      .collect()
+    synchronized {
+      rows.foreach { r =>
         val f = Layout.canonPath(r.getString(chunkColumns.length))
         paths.find(p => f.startsWith(Layout.canonPath(p) + "/")).foreach { p =>
           chunkCache.put((p, vers(p), r.getLong(0)), decodeChunk(r))
         }
       }
+    }
   }
 
   private def chunkAt(spark: SparkSession, path: String, id: Long,
@@ -268,7 +282,7 @@ trait BwtDriver {
   def saRangeMulti(spark: SparkSession, paths: Seq[String],
       query: String, versions: Map[String, Long] = null)
       : Map[String, (Long, Long)] = {
-    val vers = Option(versions).getOrElse(versionsOf(paths))
+    val vers = Option(versions).getOrElse(versionsOf(spark, paths))
     val hs = paths.map(p => p -> headAt(spark, p, vers(p))).toMap
     val walk = symbols(query).takeRight(W - 1)
     var state = paths.map(p => p -> (0L, hs(p).n)).toMap
@@ -306,7 +320,7 @@ trait BwtDriver {
       lo: Long, hi: Long, cap: Int,
       atVersion: Long = -1L): Option[Seq[Long]] = {
     if (hi <= lo) return Some(Nil)
-    val v = if (atVersion >= 0) atVersion else version(path)
+    val v = if (atVersion >= 0) atVersion else version(spark, path)
     val ids = (lo / ChunkSize) to ((hi - 1) / ChunkSize)
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     ids.foreach { id =>
@@ -338,7 +352,7 @@ trait BwtDriver {
     val needs = ranges.collect { case (p, (lo, hi)) if hi > lo =>
       p -> ((lo / ChunkSize) to ((hi - 1) / ChunkSize)).toSeq
     }
-    val vers = Option(versions).getOrElse(versionsOf(needs.keys.toSeq))
+    val vers = Option(versions).getOrElse(versionsOf(spark, needs.keys.toSeq))
     fetchChunks(spark, needs, vers)
   }
 
@@ -366,7 +380,7 @@ trait BwtDriver {
       return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
     // one version for the whole operation: walk and slice must see the
     // same build
-    val vers = versionsOf(Seq(path))
+    val vers = versionsOf(spark, Seq(path))
     val (lo, hi) = saRangeMulti(spark, Seq(path), q, vers)(path)
     // cost switch 1: a huge SA range means the pattern is unselective —
     // the covered-files scan wins

@@ -74,8 +74,7 @@ object VectorIndex {
   /** Driver-cached (centroid id, center) rows of one index. */
   private[graft] def centroidHead(spark: SparkSession,
       path: String): Array[(Int, Seq[Double])] = {
-    val mtime = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(path, "centroids")).toMillis
+    val mtime = graft.core.Fs.mtime(spark, s"$path/centroids")
     centroidCache.get(path) match {
       case Some((m, rows)) if m == mtime => rows
       case _ =>
@@ -190,8 +189,7 @@ object VectorIndex {
     */
   private[graft] def requireCurrentFormat(spark: SparkSession,
       path: String): Unit = {
-    val mtime = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(path, "cells")).toMillis
+    val mtime = graft.core.Fs.mtime(spark, s"$path/cells")
     val (_, ok, detail) = formatCache.get(path) match {
       case Some(v @ (m, _, _)) if m == mtime => v
       case _ =>
@@ -210,7 +208,7 @@ object VectorIndex {
     try {
       val fields = spark.read.parquet(s"$path/cells").schema.fieldNames.toSet
       !fields.contains("v") && fields.contains("vnorm") &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(path, "vecs"))
+        graft.core.Fs.exists(spark, s"$path/vecs")
     } catch { case _: Exception => false }
 
   /** Top-k cosine search probing `nprobe` cells. `nprobe >= numCells`

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.api.{GraftLake, NgramKind}
+import graft.core.{DeltaLog, Lake}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Non-local-URI handling: a lake prefix that carries a scheme
+  * (`file://` — the only Hadoop filesystem available in the sandbox,
+  * standing in for `s3a://`/`hdfs://`; reference scheme dispatch:
+  * src/formats/readers/mod.rs:259-294) must run the full facade
+  * lifecycle, and Delta log paths must round-trip the protocol's
+  * percent-encoding.
+  */
+class SchemeLakeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val lakeDir = TestSpark.tmpDir("schemelake")
+
+  private def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+    val staging = TestSpark.tmpDir(s"stage-scheme-$name")
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    Files.move(Paths.get(Lake.listFiles(staging).head),
+      Paths.get(s"$lakeDir/$name.parquet"))
+  }
+
+  test("file:// scheme prefix runs the index/search/compact lifecycle") {
+    writeFile("a", Seq(1L -> "alpha search engine", 2L -> "beta testing rig"))
+    writeFile("b", Seq(3L -> "gamma search index", 4L -> "delta rays"))
+    val lake = GraftLake(spark, s"file://$lakeDir")
+
+    // scheme-listed files canonicalize to the same physical set
+    assert(lake.files == Lake.listFiles(lakeDir).map(graft.core.Layout.canonPath))
+
+    assert(lake.index(NgramKind, "text", binpackRows = 2).size == 2)
+    def searchIds(q: String) =
+      lake.search(NgramKind, "text", q, 100, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(searchIds("search") == Seq(1L, 3L))
+
+    // growth is probed in-situ through the scheme'd listing too
+    writeFile("c", Seq(5L -> "epsilon search party", 6L -> "zeta zone"))
+    assert(searchIds("search") == Seq(1L, 3L, 5L))
+    assert(lake.index(NgramKind, "text").size == 1)
+
+    val merged = lake.compact(NgramKind, "text", threshold = 1000000)
+    assert(merged.isDefined)
+    assert(lake.vacuum() == Seq(merged.get))
+    assert(searchIds("search") == Seq(1L, 3L, 5L))
+  }
+
+  test("delta log percent-encodes special-character paths per the spec") {
+    val t = TestSpark.tmpDir("deltaenc")
+    def add(fname: String, rows: Seq[(Long, String)]): DeltaLog.Add = {
+      val stage = TestSpark.tmpDir("stage-deltaenc")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      Files.move(Paths.get(Lake.listFiles(stage).head),
+        Paths.get(s"$t/$fname"))
+      DeltaLog.Add(fname, Files.size(Paths.get(s"$t/$fname")))
+    }
+    val spaced = add("part a b.parquet", Seq(1L -> "one"))
+    val pct = add("part%20c.parquet", Seq(2L -> "two")) // literal %20 in NAME
+    DeltaLog.commit(t, 0, Seq(spaced, pct))
+
+    // the log stores the ENCODED form (external-reader interop): a
+    // space becomes %20, a literal '%' becomes %25
+    val logText = Files.readString(
+      Paths.get(s"$t/_delta_log/00000000000000000000.json"))
+    assert(logText.contains("part%20a%20b.parquet"))
+    assert(logText.contains("part%2520c.parquet"))
+
+    // replay decodes back to the real physical paths
+    val live = DeltaLog.liveFiles(spark, t)
+    assert(live.map(_.split('/').last).sorted ==
+      Seq("part a b.parquet", "part%20c.parquet"))
+    live.foreach(f => assert(Files.exists(Paths.get(f)), f))
+    assert(spark.read.parquet(live: _*).count() == 2)
+
+    // removes match on the raw encoded form and decode the same way
+    DeltaLog.commit(t, 1, removes = Seq("part a b.parquet"))
+    assert(DeltaLog.liveFiles(spark, t).map(_.split('/').last) ==
+      Seq("part%20c.parquet"))
+
+    // checkpoint preserves the encoding: replay-from-checkpoint agrees
+    DeltaLog.checkpoint(spark, t, 1L)
+    assert(DeltaLog.liveFiles(spark, t).map(_.split('/').last) ==
+      Seq("part%20c.parquet"))
+  }
+}
