@@ -211,6 +211,11 @@ trait BwtDriver {
     // concurrent cache-hit lookups on other indexes (a racing duplicate
     // load is harmless — last insert wins with identical content)
     val h = loadHead(spark, path)
+    // re-stat: never cache a head that was rebuilt since the operation
+    // stat'd its version (see fetchChunks)
+    require(try graft.core.Fs.mtime(spark, s"$path/head") == v
+      catch { case _: Exception => false },
+      s"index at $path changed during the operation — retry")
     synchronized { headCache.put(path, (v, h)); h }
   }
 
@@ -241,12 +246,23 @@ trait BwtDriver {
       .filter(col("chunk").isin(ids: _*))
       .select(chunkColumns.map(col) :+ input_file_name().as("__f"): _*)
       .collect()
+    // re-stat AFTER the read: a same-path rebuild completing between
+    // the operation's version stat and this fetch would hand us the NEW
+    // build's chunks under the OLD version key — a silent blend of two
+    // builds. Dropping such rows makes chunkAt's require fire ("index
+    // changed — retry") instead. (A rebuild still mid-overwrite is the
+    // residual window; its half-written chunk dir fails the read or
+    // misses chunks, which the same require catches.)
+    val stale = paths.filter(p =>
+      try graft.core.Fs.mtime(spark, s"$p/head") != vers(p)
+      catch { case _: Exception => true }).toSet
     synchronized {
       rows.foreach { r =>
         val f = Layout.canonPath(r.getString(chunkColumns.length))
-        paths.find(p => f.startsWith(Layout.canonPath(p) + "/")).foreach { p =>
-          chunkCache.put((p, vers(p), r.getLong(0)), decodeChunk(r))
-        }
+        paths.find(p => f.startsWith(Layout.canonPath(p) + "/"))
+          .filterNot(stale).foreach { p =>
+            chunkCache.put((p, vers(p), r.getLong(0)), decodeChunk(r))
+          }
       }
     }
   }

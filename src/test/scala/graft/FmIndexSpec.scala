@@ -95,6 +95,33 @@ class FmIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a stale version map fails loudly instead of serving a blend") {
+    val rows = corpus(20, 60, seed = 29)
+    val (idx, _) = buildOver(rows, "fm-race")
+    // pin the version BEFORE a same-path rebuild (the race ADVICE r5
+    // describes: versionsOf() then a rebuild, then the fetch)
+    val vers = FmIndex.versionsOf(spark, Seq(idx))
+    Thread.sleep(10) // ms-resolution mtimes: guarantee a new version
+    val rows2 = corpus(20, 60, seed = 31)
+    val dir2 = TestSpark.tmpDir("fm-race2")
+    rows2.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir2/data")
+    val files2 = new java.io.File(s"$dir2/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    FmIndex.build(spark, files2, "text", idx)
+    // an operation pinned at the old version must error ("retry"), not
+    // pair the old head/C-array with the new build's chunks
+    val e = intercept[Exception] {
+      FmIndex.saRangeMulti(spark, Seq(idx), "ab", vers)
+    }
+    assert(e.getMessage.contains("changed during the operation"))
+    // a fresh operation (fresh version map) sees the new build whole
+    val fresh = fmIds(idx, "ab")
+    val want = rows2.filter(_._2.contains("ab")).map(_._1).toSet
+    assert(fresh == want)
+  }
+
   test("FM search on the sf0.001 documents lake matches brute force") {
     val files = graft.core.Lake.ensureSplit(spark, "/root/testdata/sf0.001",
       "documents", "doc_id", 4)
