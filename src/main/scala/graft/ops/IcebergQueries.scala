@@ -121,14 +121,20 @@ object IcebergQueries {
       }
       val era1Files = (0 to 1).map(m => s"$table/data/part-m$m.parquet")
       val era2Files = (2 to 3).map(m => s"$table/data/part-m$m.parquet")
-      IndexStore.ensure(oldIdx) { commitIdx(oldIdx, era1Files) }
-      IndexStore.ensure(newIdx) { commitIdx(newIdx, era2Files) }
-      val survivors =
-        Maintenance.vacuumIceberg(s, ns, table, historyMs = 30 * day)
-      // retention contract, asserted loudly: era-1's index is gone from
-      // both the metadata table and disk; era-2's survives
-      require(survivors == Seq(newIdx),
-        s"expected only $newIdx to survive, got $survivors")
+      // the vacuum DELETES era-1's index, so the whole build→vacuum
+      // lifecycle runs once behind a marker (re-running `ensure` on the
+      // vacuumed dir would rebuild-then-revacuum it every invocation —
+      // query time must measure the search, not the fixture)
+      IndexStore.ensure(IndexStore.indexPath(ns, "vacuumret_done")) {
+        commitIdx(oldIdx, era1Files)
+        commitIdx(newIdx, era2Files)
+        val survivors =
+          Maintenance.vacuumIceberg(s, ns, table, historyMs = 30 * day)
+        // retention contract, asserted loudly: era-1's index is gone
+        // from both the metadata table and disk; era-2's survives
+        require(survivors == Seq(newIdx),
+          s"expected only $newIdx to survive, got $survivors")
+      }
       require(!Files.exists(Paths.get(oldIdx)),
         "out-of-retention index dir must be physically deleted")
       require(Files.exists(Paths.get(newIdx)),
