@@ -92,4 +92,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
     assert(!p.contains("SinglePartition"), s"keyword window went global:\n$p")
   }
+
+  test("embedding-expanded bm25 prunes posting buckets and broadcasts stats") {
+    val p = plan(SparkEntry.queries("bm25_search_expanded_embed")(spark, sf))
+    // the 20 expansion terms must reach the postings scan as BOTH a
+    // bucket partition filter and a pushed token predicate — at 100 TB
+    // the postings table is corpus-sized and these are what keep the
+    // scan at |query terms| partitions
+    assert("PartitionFilters: \\[bucket".r.findFirstIn(p).isDefined,
+      s"expansion terms lost bucket pruning:\n$p")
+    assert(p.contains("PushedFilters: [In(token"),
+      s"expansion terms not pushed to the token scan:\n$p")
+    // docstats and the term-weight table are metadata-sized: broadcast,
+    // never sort-merge
+    assert(!p.contains("SortMergeJoin"), s"stats join got sort-merged:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"lost top-k form:\n$p")
+  }
 }
