@@ -55,18 +55,21 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
   private def coverage(kind: IndexKind, column: String): Seq[(String, Seq[String])] = {
     val all = IndexStore.metadataRowsCached(spark, prefix)
       .filter(r => r.column == column && r.indexType == kind.name)
-      // metadata and physical state can disagree (a dir deleted out of
-      // band, a vacuum racing a commit): a row whose index is GONE must
-      // demote its files to in-situ/rebuild, not crash every search.
-      // Hadoop-FS check, not java.nio: on an s3a/hdfs index store a
-      // local-FS exists() is always false and every search would
-      // silently demote to a brute-force scan.
-      .filter(r => graft.core.Fs.exists(spark, r.indexFile))
       .map(r => (r.indexFile, r.files.map(Layout.canonPath)))
-    if (all.size <= 1) return all
-    val byPath = all.toMap
-    Maintenance.selectIndexes(all.flatMap(_._2).toSet,
-        all.map { case (p, fs) => (p, fs.toSet) })
+    // metadata and physical state can disagree (a dir deleted out of
+    // band, a vacuum racing a commit): a row whose index is GONE must
+    // demote its files to in-situ/rebuild, not crash every search.
+    // Hadoop-FS check, not java.nio (on an s3a/hdfs index store a
+    // local-FS exists() is always false and every search would silently
+    // demote to a brute-force scan), batched as one LIST per parent dir
+    // instead of one HEAD per row — per-row stats would be O(#indexes)
+    // object-store round trips on every search.
+    val present = graft.core.Fs.existing(spark, all.map(_._1))
+    val alive = all.filter(r => present.contains(r._1))
+    if (alive.size <= 1) return alive
+    val byPath = alive.toMap
+    Maintenance.selectIndexes(alive.flatMap(_._2).toSet,
+        alive.map { case (p, fs) => (p, fs.toSet) })
       .map(p => p -> byPath(p))
   }
 
@@ -129,16 +132,18 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
   def compact(kind: IndexKind, column: String,
       threshold: Long = 10000): Option[String] = {
     val m = metadata.getOrElse(return None)
-    val small = m
+    val collected = m
       .filter(col("column_name") === column && col("index_type") === kind.name)
       .withColumn("rows", col("rows_indexed"))
       .filter(col("rows") < threshold)
       .select(col("index_file"), col("file_path"), col("record_counts"))
       .collect()
-      // same physical-existence guard as coverage(): never merge a
-      // metadata row whose index dir is gone (Hadoop-FS check, like
-      // coverage)
-      .filter(r => graft.core.Fs.exists(spark, r.getString(0)))
+    // same physical-existence guard as coverage(): never merge a
+    // metadata row whose index dir is gone (batched Hadoop-FS listing,
+    // like coverage)
+    val presentIdx = graft.core.Fs.existing(spark,
+      collected.map(_.getString(0)).toSeq)
+    val small = collected.filter(r => presentIdx.contains(r.getString(0)))
     if (small.length < 2) return None
     val sorted = small.sortBy(_.getString(0))
     val mergedId = GraftLake.groupId(sorted.map(_.getString(0)).mkString("|"))

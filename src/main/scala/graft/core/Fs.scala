@@ -48,4 +48,31 @@ object Fs {
     val p = new HPath(path)
     p.getFileSystem(conf(spark)).getFileStatus(p).getModificationTime
   }
+
+  /** Child names of a directory (empty if the directory is absent).
+    * The batch alternative to per-path [[exists]]: filtering N metadata
+    * rows by existence costs N HEAD requests on an object store, but
+    * one LIST per parent directory — which is how coverage/compaction
+    * validate their index dirs.
+    */
+  def childNames(spark: SparkSession, dir: String): Set[String] = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(conf(spark))
+    try fs.listStatus(p).map(_.getPath.getName).toSet
+    catch { case _: java.io.FileNotFoundException => Set.empty }
+  }
+
+  /** Batch existence filter: `paths` grouped by parent, one LIST each.
+    * Semantics match per-path [[exists]] for directory children.
+    */
+  def existing(spark: SparkSession, paths: Seq[String]): Set[String] = {
+    val byParent = paths.distinct.groupBy(p => new HPath(p).getParent)
+    byParent.iterator.flatMap { case (parent, ps) =>
+      if (parent == null) ps.filter(exists(spark, _))
+      else {
+        val names = childNames(spark, parent.toString)
+        ps.filter(p => names.contains(new HPath(p).getName))
+      }
+    }.toSet
+  }
 }
