@@ -24,6 +24,13 @@ object TextAnalysis {
   private def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
+  // PII regexes, shared verbatim between the Spark expressions and the
+  // DuckDB oracle SQL — restricted to the Java∩RE2 common subset so
+  // both engines match identically
+  private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiPhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private val PiiIpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
   private val tokenCountSql =
     """SELECT doc_id,
       |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_tokens,
@@ -292,6 +299,79 @@ object TextAnalysis {
         |            unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
         |          FROM documents) x
         |    GROUP BY doc_id, token) c
-        |  GROUP BY doc_id) y""".stripMargin)
+        |  GROUP BY doc_id) y""".stripMargin),
+
+    // PII detection + redaction (the C4/Dolma-style scrub stage):
+    // email/phone/IPv4 regexes count matches and redact to typed
+    // placeholders — map-only, full codegen, no UDFs. The synthetic
+    // corpus contains no PII, so the entry injects deterministic
+    // doc_id-derived PII IDENTICALLY in both engines (the injection is
+    // part of the query, not the data) — detection and redaction are
+    // exercised for real and the md5 of the redacted text pins byte
+    // equality. Regexes stay in the Java∩RE2 common subset (classes,
+    // bounded repeats, alternation — no lookarounds, no \b).
+    "text_pii_redact" -> Q((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ptext = concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1")))
+          .otherwise(lit("")))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(ptext,
+        PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>"), PiiIpRe, "<IP>")
+      docs.select(col("doc_id"),
+        regexp_count(ptext, lit(PiiEmailRe)).cast("long").as("n_email"),
+        regexp_count(ptext, lit(PiiPhoneRe)).cast("long").as("n_phone"),
+        regexp_count(ptext, lit(PiiIpRe)).cast("long").as("n_ipv4"),
+        md5(redacted).as("red_fp"))
+    },
+      s"""WITH p AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END AS ptext
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(ptext, '$PiiEmailRe')) AS n_email,
+         |  len(regexp_extract_all(ptext, '$PiiPhoneRe')) AS n_phone,
+         |  len(regexp_extract_all(ptext, '$PiiIpRe')) AS n_ipv4,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+         |    '$PiiEmailRe', '<EMAIL>', 'g'),
+         |    '$PiiPhoneRe', '<PHONE>', 'g'),
+         |    '$PiiIpRe', '<IP>', 'g')) AS red_fp
+         |FROM p""".stripMargin),
+
+    // source/domain-level quality filter (the FineWeb-style domain
+    // blocklist stage): per-source aggregates gate which documents
+    // survive. Threshold is RELATIVE (sources at or above the mean
+    // chars-per-source, compared by integer cross-multiplication — no
+    // float division, no scale-dependent constant). Shape at 100 TB:
+    // per-source stats are one partial-agg shuffle to a #sources-sized
+    // table, the corpus-side filter is a broadcast semi-join — the
+    // documents themselves never shuffle.
+    "source_quality_filter" -> Q((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val t = docs.agg(sum("n_chars"), countDistinct("source")).head()
+      val (total, nsrc) = (t.getLong(0), t.getLong(1))
+      val keep = docs.groupBy("source")
+        .agg(sum("n_chars").as("sum_chars"))
+        .filter(col("sum_chars") * nsrc >= total)
+        .select("source")
+      docs.join(broadcast(keep), Seq("source"))
+        .select(col("doc_id"), col("source"))
+    },
+      """WITH s AS (SELECT source, sum(n_chars) AS sc FROM documents GROUP BY source),
+        |     t AS (SELECT sum(n_chars) AS total, count(DISTINCT source) AS ns FROM documents)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN s USING (source), t
+        |WHERE s.sc * t.ns >= t.total""".stripMargin)
   )
 }

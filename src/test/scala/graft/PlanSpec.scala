@@ -93,6 +93,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"keyword window went global:\n$p")
   }
 
+  test("pii redaction is a map-only stage") {
+    val p = plan(SparkEntry.queries("text_pii_redact")(spark, sf))
+    assert(!p.contains("Exchange"), s"pii redaction shuffles:\n$p")
+  }
+
+  test("source filter broadcasts the per-source stats back to the corpus") {
+    val p = plan(SparkEntry.queries("source_quality_filter")(spark, sf))
+    // the corpus side must NOT shuffle for the join — per-source stats
+    // are #sources-sized and broadcast
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus got sort-merged:\n$p")
+  }
+
   test("embedding-expanded bm25 prunes posting buckets and broadcasts stats") {
     val p = plan(SparkEntry.queries("bm25_search_expanded_embed")(spark, sf))
     // the 20 expansion terms must reach the postings scan as BOTH a
