@@ -89,4 +89,31 @@ class SchemeLakeSpec extends AnyFunSuite {
     assert(DeltaLog.liveFiles(spark, t).map(_.split('/').last) ==
       Seq("part%20c.parquet"))
   }
+
+  test("delta paths with adversarial names round-trip add and remove") {
+    val t = TestSpark.tmpDir("deltanames")
+    // every shape a conforming writer may emit: spaces, literal percent
+    // escapes, plus (must NOT decode as space), rfc-reserved chars
+    // (unicode names are excluded only because this sandbox JVM runs a
+    // POSIX file.encoding that cannot create them)
+    val names = Seq(
+      "a b c.parquet", "x%2Fy.parquet", "p+q.parquet",
+      "semi;colon.parquet", "eq=ual.parquet")
+    val adds = names.zipWithIndex.map { case (fname, i) =>
+      val stage = TestSpark.tmpDir(s"stage-n$i")
+      Seq((i.toLong, s"row $i")).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      Files.move(Paths.get(Lake.listFiles(stage).head),
+        Paths.get(s"$t/$fname"))
+      DeltaLog.Add(fname, 1L)
+    }
+    DeltaLog.commit(t, 0, adds)
+    val live = DeltaLog.liveFiles(spark, t)
+    assert(live.map(_.split('/').last).sorted == names.sorted)
+    live.foreach(f => assert(Files.exists(Paths.get(f)), f))
+    // remove each by its ORIGINAL (decoded) name; all must resolve
+    names.foreach(n => DeltaLog.commit(t,
+      DeltaLog.currentVersion(t) + 1, removes = Seq(n)))
+    assert(DeltaLog.liveFiles(spark, t).isEmpty)
+  }
 }
