@@ -206,6 +206,10 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
   }
 
   def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    // fail loudly (delete-and-rebuild message) on pre-split indexes
+    // instead of crashing on the missing codes/vhead tables
+    VectorIndex.requireCurrentFormat(spark, a)
+    VectorIndex.requireCurrentFormat(spark, b)
     val offset = spark.read.parquet(s"$a/meta")
       .agg(max("uid")).collect()(0).getLong(0)
     val column = spark.read.parquet(s"$a/vhead").head().getString(0)
@@ -236,6 +240,10 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
     val indexed: Option[DataFrame] =
       if (covered.isEmpty) None
       else {
+        // same old-format guard as the standalone searcher: a persisted
+        // pre-split index must fail with the delete-and-rebuild message,
+        // not an unresolved-column error mid-plan
+        paths.foreach(p => VectorIndex.requireCurrentFormat(spark, p))
         // probe selection against the driver-cached centroid heads —
         // zero Spark jobs in steady state
         val probesByIdx =
@@ -263,17 +271,15 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
             require(dtabs.forall(_.length == nSub),
               "covering vector indexes disagree on PQ subspace count")
             val dtabsLit = typedLit(dtabs)
-            val dot = aggregate(
-              transform(sequence(lit(0), lit(nSub - 1)), m =>
-                element_at(element_at(element_at(dtabsLit, col("idx") + 1),
-                  m + 1), element_at(col("codes"), m + 1) + 1)),
-              lit(0.0), (acc, x) => acc + x)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("idx")
               .orderBy(col("adc").desc, col("vec_id"))
             cells
-              .withColumn("adc", when(col("vnorm") === 0.0, lit(0.0))
-                .otherwise(dot / col("vnorm")))
+              // shared ADC expression (dot-table fold + zero-norm
+              // guard): the per-row table is this row's index's slice
+              // of the nested literal
+              .withColumn("adc", VectorIndex.adcCol(
+                element_at(dtabsLit, col("idx") + 1), nSub))
               .withColumn("__rnk", row_number().over(w))
               .filter(col("__rnk") <= refine)
           }
@@ -314,15 +320,18 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
   def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
     driver.merge(spark, a, b, out)
 
-  /** Refine predicate for a lowercased query — raw containment for the
-    * char-mode encodings; the token-mode kind overrides with
-    * token-sequence containment.
+  /** Refine predicate and walkability DELEGATE to the driver — the
+    * encoding's refine semantics (raw containment for char-mode,
+    * token-sequence containment for token-mode) must have exactly one
+    * definition, or a tokenizer change in the driver would leave the
+    * facade filtering on the old semantics and silently discard true
+    * index hits.
     */
   protected def refinePred(column: String, q: String)
-      : org.apache.spark.sql.Column = lower(col(column)).contains(q)
+      : org.apache.spark.sql.Column = driver.refinePred(column, q)
 
   /** False when the query has no walkable symbols (always brute). */
-  protected def indexable(q: String): Boolean = q.nonEmpty
+  protected def indexable(q: String): Boolean = driver.symbols(q).nonEmpty
 
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
@@ -390,15 +399,7 @@ object WaveletKind extends BwtKind(graft.index.WaveletIndex) {
   * semantics over the shared lock-step backward-search path.
   */
 object TokenFmKind extends BwtKind(graft.index.TokenFmIndex) {
+  // refine/walkability come from TokenFmIndex via the BwtKind
+  // delegation — token-sequence semantics live in ONE place
   val name = "tokenfm"
-
-  override protected def refinePred(column: String, q: String)
-      : org.apache.spark.sql.Column = {
-    val qnorm =
-      " " + graft.index.TokenIndex.tokensOf(q).mkString(" ") + " "
-    graft.index.TokenIndex.normalForm(col(column)).contains(qnorm)
-  }
-
-  override protected def indexable(q: String): Boolean =
-    graft.index.TokenIndex.tokensOf(q).nonEmpty
 }

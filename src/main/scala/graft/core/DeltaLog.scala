@@ -114,14 +114,20 @@ object DeltaLog {
 
   /** Percent-decode a log path. A raw string that is not a valid URI
     * (an unencoded space from a non-conforming writer) is used as-is.
+    * Relative paths parse behind a prepended '/' — handing a bare
+    * relative path to java.net.URI would misread a ':' in its first
+    * segment (a timestamped file name) as a URI scheme and fail the
+    * parse, leaving the path encoded.
     */
   private[core] def decodePath(p: String): String =
     try {
-      val u = new java.net.URI(p)
-      if (u.getScheme == null) Option(u.getPath).getOrElse(p)
-      else if (u.getScheme == "file") u.getPath
-      else new java.net.URI(u.getScheme, u.getAuthority, u.getPath,
-        null, null).toString
+      if (p.contains("://")) {
+        val u = new java.net.URI(p)
+        if (u.getScheme == "file") u.getPath
+        else new java.net.URI(u.getScheme, u.getAuthority, u.getPath,
+          null, null).toString
+      } else if (p.startsWith("/")) new java.net.URI(p).getPath
+      else new java.net.URI("/" + p).getPath.substring(1)
     } catch { case _: java.net.URISyntaxException => p }
 
   /** Percent-encode a path for the log (inverse of [[decodePath]]);

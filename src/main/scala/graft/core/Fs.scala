@@ -21,10 +21,14 @@ import org.apache.spark.sql.SparkSession
 object Fs {
 
   // one Hadoop conf per session (newHadoopConf() copies the full conf;
-  // stat calls happen several times per search)
-  private val confCache = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, org.apache.hadoop.conf.Configuration]()
+  // stat calls happen several times per search). WEAK keys: a strong
+  // map would pin every discarded per-tenant session (and its full
+  // copied conf) for the JVM lifetime
+  private val confCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      org.apache.hadoop.conf.Configuration]())
 
+  // the synchronizedMap wrapper locks itself around computeIfAbsent
   private def conf(spark: SparkSession) =
     confCache.computeIfAbsent(spark, s => s.sessionState.newHadoopConf())
 
@@ -47,6 +51,39 @@ object Fs {
   def mtime(spark: SparkSession, path: String): Long = {
     val p = new HPath(path)
     p.getFileSystem(conf(spark)).getFileStatus(p).getModificationTime
+  }
+
+  /** Version key for an index sub-directory: the max child mtime from
+    * ONE list call (the directory's own status mtime if it is empty).
+    * Cache keys must derive from the CHILDREN a rewrite replaces —
+    * directory status mtimes are synthetic on object stores (S3A), so
+    * a same-path rebuild would not change them and version-keyed caches
+    * would silently serve the stale build.
+    */
+  def dirVersion(spark: SparkSession, dir: String): Long = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(conf(spark))
+    val st = fs.listStatus(p)
+    if (st.isEmpty) fs.getFileStatus(p).getModificationTime
+    else st.map(_.getModificationTime).max
+  }
+
+  /** Child statuses `(path, isDirectory, mtime)` of a directory; empty
+    * if it is absent. One LIST call.
+    */
+  def childStats(spark: SparkSession,
+      dir: String): Seq[(String, Boolean, Long)] = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(conf(spark))
+    try fs.listStatus(p).toSeq.map(s =>
+      (s.getPath.toString, s.isDirectory, s.getModificationTime))
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  /** Recursive delete through the path's filesystem (no-op if absent). */
+  def deleteRec(spark: SparkSession, path: String): Unit = {
+    val p = new HPath(path)
+    p.getFileSystem(conf(spark)).delete(p, true)
   }
 
   /** Child names of a directory (empty if the directory is absent).

@@ -156,13 +156,13 @@ trait BwtDriver {
     * (reference: token-mode queries are tokenized exactly like the
     * corpus, search.rs:446-530).
     */
-  protected def symbols(s: String): IndexedSeq[String] = codePoints(s)
+  protected[graft] def symbols(s: String): IndexedSeq[String] = codePoints(s)
 
   /** Refine predicate over the indexed column for a normalized query —
     * raw substring containment for char-mode; the token-mode encoding
     * overrides with token-sequence containment.
     */
-  protected def refinePred(column: String, normQ: String)
+  protected[graft] def refinePred(column: String, normQ: String)
       : org.apache.spark.sql.Column =
     lower(col(column)).contains(normQ)
 
@@ -173,7 +173,7 @@ trait BwtDriver {
   // same-path rebuild must never serve stale chunks. Hadoop-FS stat so
   // a non-local index store versions correctly instead of throwing
   private def version(spark: SparkSession, path: String): Long =
-    graft.core.Fs.mtime(spark, s"$path/head")
+    graft.core.Fs.dirVersion(spark, s"$path/head")
 
   /** Stat every index's version ONCE for an operation; thread the map
     * through every step (saRangeMulti → fetchPostings → posting
@@ -213,7 +213,7 @@ trait BwtDriver {
     val h = loadHead(spark, path)
     // re-stat: never cache a head that was rebuilt since the operation
     // stat'd its version (see fetchChunks)
-    require(try graft.core.Fs.mtime(spark, s"$path/head") == v
+    require(try graft.core.Fs.dirVersion(spark, s"$path/head") == v
       catch { case _: Exception => false },
       s"index at $path changed during the operation — retry")
     synchronized { headCache.put(path, (v, h)); h }
@@ -254,7 +254,7 @@ trait BwtDriver {
     // residual window; its half-written chunk dir fails the read or
     // misses chunks, which the same require catches.)
     val stale = paths.filter(p =>
-      try graft.core.Fs.mtime(spark, s"$p/head") != vers(p)
+      try graft.core.Fs.dirVersion(spark, s"$p/head") != vers(p)
       catch { case _: Exception => true }).toSet
     synchronized {
       rows.foreach { r =>

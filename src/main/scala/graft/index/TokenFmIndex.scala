@@ -35,10 +35,10 @@ object TokenFmIndex extends BwtDriver {
   val ChunkSize = 4096
   val Sentinel = ""
 
-  override protected def symbols(s: String): IndexedSeq[String] =
+  override protected[graft] def symbols(s: String): IndexedSeq[String] =
     TokenIndex.tokensOf(s).toIndexedSeq
 
-  override protected def refinePred(column: String, normQ: String)
+  override protected[graft] def refinePred(column: String, normQ: String)
       : org.apache.spark.sql.Column = {
     val qnorm = " " + TokenIndex.tokensOf(normQ).mkString(" ") + " "
     TokenIndex.normalForm(col(column)).contains(qnorm)

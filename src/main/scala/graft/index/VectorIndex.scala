@@ -74,7 +74,7 @@ object VectorIndex {
   /** Driver-cached (centroid id, center) rows of one index. */
   private[graft] def centroidHead(spark: SparkSession,
       path: String): Array[(Int, Seq[Double])] = {
-    val mtime = graft.core.Fs.mtime(spark, s"$path/centroids")
+    val mtime = graft.core.Fs.dirVersion(spark, s"$path/centroids")
     centroidCache.get(path) match {
       case Some((m, rows)) if m == mtime => rows
       case _ =>
@@ -189,7 +189,7 @@ object VectorIndex {
     */
   private[graft] def requireCurrentFormat(spark: SparkSession,
       path: String): Unit = {
-    val mtime = graft.core.Fs.mtime(spark, s"$path/cells")
+    val mtime = graft.core.Fs.dirVersion(spark, s"$path/cells")
     val (_, ok, detail) = formatCache.get(path) match {
       case Some(v @ (m, _, _)) if m == mtime => v
       case _ =>

@@ -55,29 +55,32 @@ object Maintenance {
     */
   def vacuum(spark: SparkSession, ns: String,
       retentionMs: Long = DefaultRetentionMs): Seq[String] = {
-    // normalize before comparing against Files.list's normalized
-    // Path.toString — an unnormalized GRAFT_INDEX_DIR (trailing slash,
-    // '//', '.') would otherwise make every live index look
-    // unreferenced and vacuum would delete it
+    // normalize before comparing against the listing's paths — an
+    // unnormalized GRAFT_INDEX_DIR (trailing slash, '//', '.') would
+    // otherwise make every live index look unreferenced and vacuum
+    // would delete it
+    def norm(p: String): String =
+      java.nio.file.Paths.get(graft.core.Layout.canonPath(p))
+        .normalize().toString
     val referenced = IndexStore.readMetadata(spark, ns)
       .map(_.select("index_file").collect()
-        .map(r => java.nio.file.Paths.get(r.getString(0))
-          .normalize().toString).toSet)
+        .map(r => norm(r.getString(0))).toSet)
       .getOrElse(Set.empty)
-    val rootDir = java.nio.file.Paths.get(s"${IndexStore.root}/${IndexStore.lakeId(ns)}")
+    val root = s"${IndexStore.root}/${IndexStore.lakeId(ns)}"
     val now = System.currentTimeMillis()
-    if (java.nio.file.Files.exists(rootDir)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.list(rootDir)) { s =>
-        s.iterator().asScala.toList
-      }
-        .filter(p => java.nio.file.Files.isDirectory(p))
-        .filterNot(_.getFileName.toString.startsWith("_metadata"))
-        .filterNot(p => referenced.contains(p.normalize().toString))
-        .filter(p => now -
-          java.nio.file.Files.getLastModifiedTime(p).toMillis >= retentionMs)
-        .foreach(IndexStore.deleteRec)
-    }
+    // Hadoop-FS listing/deletes, not java.nio: on a non-local index
+    // store a local listing is empty and vacuum would silently delete
+    // nothing forever (unbounded storage growth). Age comes from the
+    // dir's CONTENT (max child mtime, like the version caches) — the
+    // directory status mtime is synthetic on object stores.
+    graft.core.Fs.childStats(spark, root)
+      .filter(_._2) // directories
+      .filterNot(s => new org.apache.hadoop.fs.Path(s._1).getName
+        .startsWith("_metadata"))
+      .filterNot(s => referenced.contains(norm(s._1)))
+      .filter(s => now - (try graft.core.Fs.dirVersion(spark, s._1)
+        catch { case _: Exception => s._3 }) >= retentionMs)
+      .foreach(s => graft.core.Fs.deleteRec(spark, s._1))
     referenced.toSeq.sorted
   }
 

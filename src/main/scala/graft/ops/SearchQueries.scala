@@ -44,17 +44,25 @@ object SearchQueries {
     */
   def vocabEmbeddings(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vocab = graft.Tables.load(s, dir, "documents")
-      .select(explode(graft.text.Text.tokens(col("text"))).as("token"))
-      .distinct()
-      .withColumn("rn", row_number().over(Window.orderBy("token")))
-    val emb = Similarity.embeddings(s, dir).select(col("vec_id"), col("v"))
-    val n = emb.count()
-    val embn = emb
-      .withColumn("ern", row_number().over(Window.orderBy("vec_id")))
-    vocab.join(embn, (col("rn") - 1) % n + 1 === col("ern"))
-      .select("token", "v")
+    // persisted once, like every other offline artifact (the reference
+    // computes its vocab embedding file offline): recomputing would pay
+    // a full-corpus tokenize + two global windows on EVERY expansion
+    val p = IndexStore.indexPath(dir, "vocab_embeddings")
+    IndexStore.ensure(p) {
+      import org.apache.spark.sql.expressions.Window
+      val vocab = graft.Tables.load(s, dir, "documents")
+        .select(explode(graft.text.Text.tokens(col("text"))).as("token"))
+        .distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("token")))
+      val emb = Similarity.embeddings(s, dir).select(col("vec_id"), col("v"))
+      val n = emb.count()
+      val embn = emb
+        .withColumn("ern", row_number().over(Window.orderBy("vec_id")))
+      vocab.join(embn, (col("rn") - 1) % n + 1 === col("ern"))
+        .select("token", "v")
+        .write.mode("overwrite").parquet(s"$p/table")
+    }
+    s.read.parquet(s"$p/table")
   }
 
   /** Cosine top-`topN` expansion terms for `term`, weights = rounded
@@ -65,13 +73,18 @@ object SearchQueries {
   def expandTermsEmbed(s: SparkSession, dir: String, term: String,
       topN: Int): Seq[(String, Double)] = {
     val ve = vocabEmbeddings(s, dir)
-    val qv = ve.filter(col("token") === term)
-      .select("v").head().getSeq[Double](0)
-    ve.select(col("token"),
-      round(graft.GraftExtensions.cosineSim(s, col("v"), typedLit(qv)), 6)
-        .as("qw"))
-      .orderBy(col("qw").desc, col("token")).limit(topN)
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // a term absent from the vocab expands to NOTHING (the oracle's qv
+    // CTE is empty and yields zero rows) — not a head() crash
+    ve.filter(col("token") === term).select("v").take(1).headOption match {
+      case None => Seq.empty
+      case Some(row) =>
+        val qv = row.getSeq[Double](0)
+        ve.select(col("token"),
+          round(graft.GraftExtensions.cosineSim(s, col("v"), typedLit(qv)), 6)
+            .as("qw"))
+          .orderBy(col("qw").desc, col("token")).limit(topN)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
   }
 
   /** The full expansion + weighted-BM25 pipeline in ANSI SQL: vocab

@@ -98,7 +98,10 @@ class SchemeLakeSpec extends AnyFunSuite {
     // POSIX file.encoding that cannot create them)
     val names = Seq(
       "a b c.parquet", "x%2Fy.parquet", "p+q.parquet",
-      "semi;colon.parquet", "eq=ual.parquet")
+      "semi;colon.parquet", "eq=ual.parquet",
+      // ':' in the FIRST segment + an encoded char: a bare URI parse
+      // would misread the colon as a scheme and skip the decode
+      "2024-01-01T12:30:00 run.parquet")
     val adds = names.zipWithIndex.map { case (fname, i) =>
       val stage = TestSpark.tmpDir(s"stage-n$i")
       Seq((i.toLong, s"row $i")).toDF("doc_id", "text").coalesce(1)
