@@ -108,7 +108,7 @@ object DeltaLog {
     */
   private def resolvePath(table: String, p: String): String = {
     val d = decodePath(p)
-    if (d.contains("://") || d.startsWith("/")) Layout.canonPath(d)
+    if (SchemeRe.matches(d) || d.startsWith("/")) Layout.canonPath(d)
     else Layout.canonPath(s"$table/$d")
   }
 
@@ -119,9 +119,14 @@ object DeltaLog {
     * segment (a timestamped file name) as a URI scheme and fail the
     * parse, leaving the path encoded.
     */
+  // scheme detection for BOTH the double-slash ("file://x") and the
+  // single-slash ("file:/x" — Hadoop Path.toUri's common form) URI
+  // shapes; a ':' later in a path segment does not match
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/.*".r
+
   private[core] def decodePath(p: String): String =
     try {
-      if (p.contains("://")) {
+      if (SchemeRe.matches(p)) {
         val u = new java.net.URI(p)
         if (u.getScheme == "file") u.getPath
         else new java.net.URI(u.getScheme, u.getAuthority, u.getPath,
@@ -142,6 +147,11 @@ object DeltaLog {
         val auth = if (slash >= 0) rest.substring(0, slash) else rest
         val path = if (slash >= 0) rest.substring(slash) else ""
         new java.net.URI(p.substring(0, i), auth, path, null).toASCIIString
+      } else if (SchemeRe.matches(p)) {
+        // single-slash scheme URI (file:/tmp/x): no authority component
+        val c = p.indexOf(':')
+        new java.net.URI(p.substring(0, c), null, p.substring(c + 1), null)
+          .toASCIIString
       } else if (p.startsWith("/"))
         new java.net.URI(null, null, p, null).getRawPath
       else

@@ -28,9 +28,17 @@ object Fs {
     new java.util.WeakHashMap[SparkSession,
       org.apache.hadoop.conf.Configuration]())
 
-  // the synchronizedMap wrapper locks itself around computeIfAbsent
-  private def conf(spark: SparkSession) =
-    confCache.computeIfAbsent(spark, s => s.sessionState.newHadoopConf())
+  // fast path: a synchronized get (microseconds). The full-conf copy
+  // (newHadoopConf, expensive) runs OUTSIDE the lock; a racing
+  // duplicate copy is harmless — first insert wins
+  private def conf(spark: SparkSession)
+      : org.apache.hadoop.conf.Configuration = {
+    val cached = confCache.get(spark)
+    if (cached != null) return cached
+    val fresh = spark.sessionState.newHadoopConf()
+    val prev = confCache.putIfAbsent(spark, fresh)
+    if (prev != null) prev else fresh
+  }
 
   /** Hadoop conf for call sites with no SparkSession in scope (lake
     * listing from a backend): the active session's conf when one
@@ -53,19 +61,23 @@ object Fs {
     p.getFileSystem(conf(spark)).getFileStatus(p).getModificationTime
   }
 
-  /** Version key for an index sub-directory: the max child mtime from
-    * ONE list call (the directory's own status mtime if it is empty).
-    * Cache keys must derive from the CHILDREN a rewrite replaces —
-    * directory status mtimes are synthetic on object stores (S3A), so
-    * a same-path rebuild would not change them and version-keyed caches
-    * would silently serve the stale build.
+  /** Version key for an index sub-directory: the max mtime over its
+    * descendant FILES (recursive listing; the directory's own status
+    * mtime if it holds none). Cache keys must derive from the files a
+    * rewrite replaces — directory status mtimes are synthetic on object
+    * stores (S3A), and one level is not enough for partitioned tables
+    * (`cells/centroid=N/...`) whose direct children are directories
+    * again. Index sub-dirs hold tens to hundreds of files, so the
+    * recursive listing is one or two LIST round trips.
     */
   def dirVersion(spark: SparkSession, dir: String): Long = {
     val p = new HPath(dir)
     val fs = p.getFileSystem(conf(spark))
-    val st = fs.listStatus(p)
-    if (st.isEmpty) fs.getFileStatus(p).getModificationTime
-    else st.map(_.getModificationTime).max
+    val it = fs.listFiles(p, true)
+    var max = Long.MinValue
+    while (it.hasNext) max = math.max(max, it.next().getModificationTime)
+    if (max == Long.MinValue) fs.getFileStatus(p).getModificationTime
+    else max
   }
 
   /** Child statuses `(path, isDirectory, mtime)` of a directory; empty

@@ -55,33 +55,40 @@ object Maintenance {
     */
   def vacuum(spark: SparkSession, ns: String,
       retentionMs: Long = DefaultRetentionMs): Seq[String] = {
-    // normalize before comparing against the listing's paths — an
-    // unnormalized GRAFT_INDEX_DIR (trailing slash, '//', '.') would
-    // otherwise make every live index look unreferenced and vacuum
-    // would delete it
-    def norm(p: String): String =
-      java.nio.file.Paths.get(graft.core.Layout.canonPath(p))
-        .normalize().toString
-    val referenced = IndexStore.readMetadata(spark, ns)
-      .map(_.select("index_file").collect()
-        .map(r => norm(r.getString(0))).toSet)
-      .getOrElse(Set.empty)
+    val referencedPaths = IndexStore.readMetadata(spark, ns)
+      .map(_.select("index_file").collect().map(_.getString(0)).toSeq)
     val root = s"${IndexStore.root}/${IndexStore.lakeId(ns)}"
-    val now = System.currentTimeMillis()
     // Hadoop-FS listing/deletes, not java.nio: on a non-local index
     // store a local listing is empty and vacuum would silently delete
-    // nothing forever (unbounded storage growth). Age comes from the
-    // dir's CONTENT (max child mtime, like the version caches) — the
-    // directory status mtime is synthetic on object stores.
-    graft.core.Fs.childStats(spark, root)
+    // nothing forever (unbounded storage growth).
+    val listing = graft.core.Fs.childStats(spark, root)
       .filter(_._2) // directories
-      .filterNot(s => new org.apache.hadoop.fs.Path(s._1).getName
-        .startsWith("_metadata"))
-      .filterNot(s => referenced.contains(norm(s._1)))
+      .map(s => (s._1, new org.apache.hadoop.fs.Path(s._1).getName, s._3))
+    // FAIL-SAFE: the listing shows a metadata table this driver could
+    // not read (a scheme/visibility mismatch) — "delete every index
+    // under the root" is never the right reading of that state. A
+    // store with NO metadata table at all is different: its dirs are
+    // genuine orphans (a build that died before its commit) and age
+    // out normally.
+    if (referencedPaths.isEmpty &&
+        listing.exists(_._2.startsWith("_metadata"))) return Seq.empty
+    // index dirs and the metadata table share one directory, so
+    // liveness compares BASENAMES — immune to scheme/authority
+    // qualification differences between the stored paths and the
+    // filesystem listing
+    val referencedNames = referencedPaths.getOrElse(Seq.empty)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val now = System.currentTimeMillis()
+    // age comes from the dir's CONTENT (max descendant file mtime,
+    // like the version caches) — directory status mtimes are synthetic
+    // on object stores
+    listing
+      .filterNot(_._2.startsWith("_metadata"))
+      .filterNot(s => referencedNames.contains(s._2))
       .filter(s => now - (try graft.core.Fs.dirVersion(spark, s._1)
         catch { case _: Exception => s._3 }) >= retentionMs)
       .foreach(s => graft.core.Fs.deleteRec(spark, s._1))
-    referenced.toSeq.sorted
+    referencedPaths.getOrElse(Seq.empty).sorted
   }
 
   /** Snapshot-aware vacuum — the reference's retention semantics

@@ -46,7 +46,12 @@ object SearchQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     // persisted once, like every other offline artifact (the reference
     // computes its vocab embedding file offline): recomputing would pay
-    // a full-corpus tokenize + two global windows on EVERY expansion
+    // a full-corpus tokenize + two global windows on EVERY expansion.
+    // Staleness contract mirrors the reference's vocab file: the
+    // artifact does NOT track corpus growth — tokens added to the lake
+    // after the build expand to nothing until the artifact dir is
+    // deleted and rebuilt (a maintenance action, like retraining the
+    // vocab embedding itself)
     val p = IndexStore.indexPath(dir, "vocab_embeddings")
     IndexStore.ensure(p) {
       import org.apache.spark.sql.expressions.Window

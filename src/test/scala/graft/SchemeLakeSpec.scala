@@ -90,6 +90,26 @@ class SchemeLakeSpec extends AnyFunSuite {
       Seq("part%20c.parquet"))
   }
 
+  test("single-slash scheme URIs resolve as absolute, not table-relative") {
+    // Hadoop Path.toUri renders file URIs with ONE slash (file:/tmp/x)
+    // — spec-legal absolute adds that must not be resolved against the
+    // table root
+    val t = TestSpark.tmpDir("deltass")
+    val ext = TestSpark.tmpDir("deltass-ext")
+    val stage = TestSpark.tmpDir("stage-deltass")
+    Seq((1L, "external")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    Files.move(Paths.get(Lake.listFiles(stage).head),
+      Paths.get(s"$ext/ext file.parquet"))
+    DeltaLog.commit(t, 0,
+      Seq(DeltaLog.Add(s"file:$ext/ext file.parquet", 1L)))
+    // the log form is encoded, the resolved form is the real local path
+    val logText = Files.readString(
+      Paths.get(s"$t/_delta_log/00000000000000000000.json"))
+    assert(logText.contains("ext%20file.parquet"))
+    assert(DeltaLog.liveFiles(spark, t) == Seq(s"$ext/ext file.parquet"))
+  }
+
   test("delta paths with adversarial names round-trip add and remove") {
     val t = TestSpark.tmpDir("deltanames")
     // every shape a conforming writer may emit: spaces, literal percent
