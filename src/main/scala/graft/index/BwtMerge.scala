@@ -114,7 +114,7 @@ object BwtMerge {
     val sorted = full
       .repartitionByRange(col("key"), col("src"), col("pos"))
       .sortWithinPartitions("key", "src", "pos")
-    val ranked = sorted.select("uid", "bwtc", "fc").rdd.zipWithIndex
+    val ranked = sorted.select("uid", "bwtc", "fc").rdd.zipWithIndex()
       .map { case (r, rank) =>
         (rank, r.getLong(0), r.getString(1), r.getString(2))
       }.toDF("rank", "uid", "bwtc", "fc")

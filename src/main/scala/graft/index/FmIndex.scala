@@ -96,7 +96,7 @@ object FmIndex extends BwtDriver {
     val sorted = suf
       .repartitionByRange(col("key"), col("rid"), col("i"))
       .sortWithinPartitions("key", "rid", "i")
-    sorted.select("uid", "bwtc", "fc").rdd.zipWithIndex
+    sorted.select("uid", "bwtc", "fc").rdd.zipWithIndex()
       .map { case (r, rank) =>
         (rank, r.getLong(0), r.getString(1), r.getString(2))
       }.toDF("rank", "uid", "bwtc", "fc")

@@ -310,7 +310,7 @@ object VectorIndex {
       } else {
         val ids = scored.orderBy(col("adc").desc, col("vec_id"))
           .limit(refine).select("vec_id").collect().map(_.getLong(0))
-        vecs.filter(col("vec_id").isin(ids: _*))
+        vecs.filter(col("vec_id").isin(ids.toIndexedSeq: _*))
       }
     fetched.select(col("vec_id"),
       round(graft.GraftExtensions.cosineSim(spark, col("v"), qc), 6).as("cos"))
