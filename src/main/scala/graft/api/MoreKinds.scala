@@ -25,7 +25,7 @@ object LogCloudKind extends IndexKind {
 
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
-    val meta = Layout.buildMeta(spark, files).cache()
+    val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     val lines = Layout.withUid(spark, files, meta)
       .select(col("uid").as("line_id"), col(column).as("line"))
     LogCloudIndex.build(spark, lines, path)
@@ -190,7 +190,7 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
 
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
-    val meta = Layout.buildMeta(spark, files).cache()
+    val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     val emb = Layout.withUid(spark, files, meta)
       .select(col("uid").as("vec_id"),
         col(column).cast("array<double>").as("v"))

@@ -14,21 +14,32 @@ import scala.jdk.CollectionConverters._
   * The reference walks thrift page headers to index at *data-page*
   * granularity (reference: src/formats/parquet.rs:243-419) and maps index
   * hits back to exact page byte ranges. Spark's reader prunes at
-  * file/row-group granularity, so our unit of retrieval is
+  * file/row-group granularity, so our default unit of retrieval is
   * **uid = global row-group ordinal** across the indexed file group
   * (SURVEY §7.1) — the same selective-fetch capability, one level up.
+  * Setting `spark.graft.layout.granularity=page` switches the unit to
+  * the reference's own: one uid per DATA PAGE of the indexed column,
+  * recovered from the parquet offset index in the footer (no page-header
+  * walk — the offset index IS the reference's page map, written by every
+  * parquet-mr ≥1.11 writer). Everything downstream (uid assignment,
+  * selective fetch, merge re-offset) is granularity-agnostic: a uid is
+  * an opaque `(file, row_start, num_rows)` range either way.
   * The meta sidecar mirrors the reference's `.meta` parquet
   * (reference: python/rottnest/backends/utils.py:63-108).
   */
 object Layout {
 
-  /** Row-group descriptor; `row_start` is the first row ordinal of the
-    * group within its file, `uid` the 1-based global ordinal across the
-    * file group (reference: backends/utils.py:73-74 assigns page uids the
-    * same way).
+  /** Retrieval-unit descriptor (one row group, or one data page in page
+    * granularity); `row_start` is the first row ordinal of the unit
+    * within its file, `row_group` the per-file unit ordinal, `uid` the
+    * 1-based global ordinal across the file group (reference:
+    * backends/utils.py:73-74 assigns page uids the same way).
     */
   case class RowGroup(file_path: String, row_group: Int, num_rows: Long,
       byte_size: Long, row_start: Long)
+
+  /** `spark.graft.layout.granularity`: `rowgroup` (default) or `page`. */
+  val GranularityKey = "spark.graft.layout.granularity"
 
   /** Canonical file path (strip URI scheme) so footer-scan paths and
     * `_metadata.file_path` values join cleanly.
@@ -71,15 +82,87 @@ object Layout {
     rgs.toDF()
   }
 
+  /** Page-level footer scan → one row per DATA PAGE of `column`
+    * (reference: src/formats/parquet.rs:243-419 walks page headers for
+    * the same map; the offset index gives it from the footer for free).
+    * `row_group` holds the per-file PAGE ordinal so the shared uid
+    * arithmetic applies unchanged; `byte_size` is the page's compressed
+    * size (the fetch cost, which is what bin-packing-style consumers
+    * want at this granularity). A block whose column chunk lacks an
+    * offset index (pre-1.11 writer) degrades to its row-group row.
+    */
+  def scanPages(spark: SparkSession, files: Seq[String],
+      column: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val par = math.max(1, math.min(files.size, 64))
+    val hadoopProps = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
+    val rgs = spark.sparkContext.parallelize(files.map(canonPath), par)
+      .flatMap { f =>
+        val conf = new Configuration(false)
+        hadoopProps.foreach { case (k, v) => conf.set(k, v) }
+        val in = HadoopInputFile.fromPath(new Path(f), conf)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val leaves = reader.getFooter.getFileMetaData.getSchema
+            .getPaths.asScala.map(p => p.mkString("."))
+          val leaf = column match {
+            case Some(c) =>
+              leaves.find(_ == c).orElse(leaves.find(_.startsWith(c + ".")))
+                .getOrElse(sys.error(
+                  s"page-granularity column '$c' not in $f (has: ${leaves.mkString(", ")})"))
+            case None => leaves.head
+          }
+          val out = scala.collection.mutable.ListBuffer.empty[RowGroup]
+          var start = 0L
+          var ord = 0
+          reader.getFooter.getBlocks.asScala.foreach { b =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == leaf)
+            val oi = cc.map(reader.readOffsetIndex).orNull
+            if (oi == null) {
+              out += RowGroup(f, ord, b.getRowCount, b.getTotalByteSize, start)
+              ord += 1
+            } else {
+              var i = 0
+              while (i < oi.getPageCount) {
+                val first = oi.getFirstRowIndex(i)
+                val last = oi.getLastRowIndex(i, b.getRowCount)
+                out += RowGroup(f, ord, last - first + 1,
+                  oi.getCompressedPageSize(i).toLong, start + first)
+                ord += 1
+                i += 1
+              }
+            }
+            start += b.getRowCount
+          }
+          out.toList
+        } finally reader.close()
+      }
+    rgs.toDF()
+  }
+
   /** Meta sidecar: layout + global uid (1-based ordinal over files
-    * sorted by path, row groups in order). uid assignment joins a
+    * sorted by path, retrieval units in order). uid assignment joins a
     * driver-computed per-file offset map instead of a global window —
-    * per-file row-group counts are metadata-sized (the reference holds
+    * per-file unit counts are metadata-sized (the reference holds
     * the same list on its driver, backends/utils.py:63-108), and the
     * layout rows never funnel through a single partition.
+    *
+    * `column` is the indexed column: page granularity
+    * (`spark.graft.layout.granularity=page`) cuts units at THAT
+    * column's page boundaries, exactly like the reference's per-column
+    * page map. Row-group granularity ignores it.
     */
-  def buildMeta(spark: SparkSession, files: Seq[String]): DataFrame = {
+  def buildMeta(spark: SparkSession, files: Seq[String],
+      column: Option[String] = None): DataFrame = {
     import spark.implicits._
+    val perPage = spark.conf.getOption(GranularityKey).contains("page")
+    def layout() =
+      if (perPage) scanPages(spark, files, column) else scan(spark, files)
     // the footer scan runs twice (per-file counts now, the returned
     // rows when the caller materializes) — deliberately UNCACHED both
     // times: callers cache/unpersist only the returned meta, so an
@@ -87,7 +170,7 @@ object Layout {
     // index build for the life of the session (streaming maintenance
     // builds indefinitely many). Footer reads are metadata-only IO;
     // the second pass is noise next to the build job that follows.
-    val counts = scan(spark, files).groupBy(col("file_path"))
+    val counts = layout().groupBy(col("file_path"))
       .agg(count(lit(1)).as("n_rgs"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
@@ -96,7 +179,7 @@ object Layout {
       val o = off; off += n; (f, o)
     }.toSeq
     val offDf = broadcast(offsets.toDF("file_path", "uid_offset"))
-    scan(spark, files).join(offDf, Seq("file_path"))
+    layout().join(offDf, Seq("file_path"))
       .withColumn("uid", col("uid_offset") + col("row_group") + 1L)
       .drop("uid_offset")
   }

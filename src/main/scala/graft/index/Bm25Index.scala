@@ -46,7 +46,7 @@ object Bm25Index {
   def build(spark: SparkSession, files: Seq[String], column: String,
       idCol: String, path: String,
       tokenizer: Text.Tokenizer = Text.RegexTokenizer): Unit = {
-    val meta = Layout.buildMeta(spark, files).cache()
+    val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     val data = Layout.withUid(spark, files, meta)
     val toks = data.select(col(idCol).as("doc_id"), col("uid"),
       explode(tokenizer.tokenize(col(column))).as("token"))

@@ -54,7 +54,7 @@ object FmIndex extends BwtDriver {
   private[index] def rankedBwt(spark: SparkSession, files: Seq[String],
       column: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val meta = Layout.buildMeta(spark, files).cache()
+    val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     // rid = per-ROW unique id: the suffix-sort tie-break must be unique
     // per position, and uid is row-GROUP granularity (docs sharing a
     // row group would collide, making the BWT order of tied windows

@@ -23,7 +23,7 @@ object KeyIndex {
 
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String, parts: Int = 8): Unit = {
-    val meta = Layout.buildMeta(spark, files).cache()
+    val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     val data = Layout.withUid(spark, files, meta)
     data.select(col(column).as("key"), col("uid"))
       .repartitionByRange(parts, col("key"))

@@ -55,7 +55,7 @@ object NgramIndex {
     */
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
-    val meta = Layout.buildMeta(spark, files).cache()
+    val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     val data = Layout.withUid(spark, files, meta)
     // 3-grams for normal queries + 1/2-grams for the short-query path
     // (different lengths never collide, so one flat gram column)

@@ -49,7 +49,7 @@ object TokenFmIndex extends BwtDriver {
     */
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
-    val meta = Layout.buildMeta(spark, files).cache()
+    val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     val data = Layout.withUid(spark, files, meta)
       .select(col("uid"), graft.text.Text.tokens(col(column)).as("toks"))
       .filter(size(col("toks")) > 0)

@@ -35,7 +35,7 @@ object TokenIndex {
 
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
-    val meta = Layout.buildMeta(spark, files).cache()
+    val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     val data = Layout.withUid(spark, files, meta)
     // bigram construction windows over each input ROW (not each uid —
     // bigrams must never span row boundaries)

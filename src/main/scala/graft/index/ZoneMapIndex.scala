@@ -21,7 +21,7 @@ object ZoneMapIndex {
   /** Zone map: per row group, min/max of the (orderable) key column. */
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
-    val meta = Layout.buildMeta(spark, files).cache()
+    val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     val data = Layout.withUid(spark, files, meta)
     data.groupBy(col("uid"))
       .agg(min(col(column)).as("lo"), max(col(column)).as("hi"))

@@ -44,6 +44,29 @@ object IndexQueries {
   private def fullIdx(s: SparkSession, dir: String): String =
     buildIdx(s, dir, "ngram_documents_text", lakeFiles(s, dir))
 
+  /** Page-granular index over a page-limited rewrite of the SAME
+    * documents rows (sf-scale row groups hold one page per column at
+    * parquet defaults, so exercising page granularity needs a lake
+    * whose row groups actually split into pages; contents are
+    * identical, so the DuckDB oracle over `documents` still applies).
+    */
+  private def pageIdx(s: SparkSession, dir: String): String = {
+    val lake = IndexStore.indexPath(dir, "lake_documents_paged")
+    IndexStore.ensure(lake) {
+      graft.Tables.load(s, dir, Table).coalesce(2)
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "64")
+        .parquet(lake)
+    }
+    val p = IndexStore.indexPath(dir, "ngram_documents_text_paged")
+    IndexStore.ensure(p) {
+      s.conf.set(Layout.GranularityKey, "page")
+      try NgramIndex.build(s, Lake.listFiles(lake), Column, p)
+      finally s.conf.unset(Layout.GranularityKey)
+    }
+    p
+  }
+
   /** Index over only the first half of the lake (partial coverage). */
   private def halfIdx(s: SparkSession, dir: String): String =
     buildIdx(s, dir, "ngram_documents_text_01", lakeFiles(s, dir).take(2))
@@ -92,6 +115,16 @@ object IndexQueries {
     // refine → project
     "substring_search" -> Q((s, dir) => {
       val p = fullIdx(s, dir)
+      NgramIndex.search(s, p, Column, QueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, bruteSql(QueryStr)),
+
+    // the reference's own retrieval granularity: one uid per DATA PAGE
+    // of the indexed column (reference: src/formats/parquet.rs:243-419
+    // maps hits to page byte ranges) — selective fetch reads page-row
+    // ranges instead of whole row groups, results identical
+    "substring_search_page" -> Q((s, dir) => {
+      val p = pageIdx(s, dir)
       NgramIndex.search(s, p, Column, QueryStr)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, bruteSql(QueryStr)),
