@@ -253,6 +253,77 @@ object Dedup {
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingMax""".stripMargin
 
+  /** Exact duplicate-SPAN detection — sub-document dedup in the style
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022): a span duplicated verbatim across documents is
+    * found even when the documents as wholes are unique. The paper
+    * builds a corpus-wide suffix array; the shuffle-bounded Spark
+    * formulation hashes every k-token window (the paper's length
+    * threshold), keeps windows occurring in ≥2 distinct docs, and
+    * merges each doc's duplicated window positions into maximal spans
+    * (gaps-and-islands over a doc-partitioned window — overlap or
+    * adjacency chains into one span).
+    *
+    * Scale shape: window rows are O(total tokens) carrying a fixed
+    * 32-char md5, never the window text; the shared-window filter is
+    * one partial-agg shuffle on the hash; the join back is many-to-one
+    * (AQE-skew-safe — a boilerplate span shared by millions of docs
+    * still produces one row per occurrence, bounded by the input); the
+    * island merge is doc-partitioned. No all-pairs, no suffix sort.
+    * Returns (doc_id, n_spans, dup_tokens), docs with no duplicated
+    * span absent. At 100 TB run with the paper's k (≈50 tokens); k = 8
+    * here so sf-scale fixtures exercise multi-window span merging.
+    */
+  val SpanK = 8
+
+  def spanDedup(d: DataFrame, k: Int = SpanK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+    val wins = toks.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1})," +
+          s" i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h"))
+    val shared = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val dw = wins.join(shared, Seq("h")).select("doc_id", "p")
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val prevEnd = max(col("p") + (k - 1)).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dw.withColumn("pe", prevEnd)
+      .withColumn("isl", sum(
+        when(col("pe").isNull || col("p") > col("pe") + 1, 1).otherwise(0))
+        .over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("p")).as("st"), (max(col("p")) + (k - 1)).as("en"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st") + 1).cast("long").as("dup_tokens"))
+  }
+
+  private def spanSql: String = {
+    val k = SpanK; val km1 = k - 1
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest([{'p': CAST(i AS BIGINT), 'h': md5(array_to_string(toks[i:i+$km1], ' '))} for i in generate_series(1, len(toks) - $km1)], recursive := true)
+       |  FROM t WHERE len(toks) >= $k),
+       |shared AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |dw AS (SELECT doc_id, p FROM w JOIN shared USING (h)),
+       |m AS (SELECT doc_id, p,
+       |        max(p + $km1) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |      FROM dw),
+       |i AS (SELECT doc_id, p,
+       |        sum(CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |      FROM m),
+       |s AS (SELECT doc_id, isl, min(p) AS st, max(p) + $km1 AS en FROM i GROUP BY doc_id, isl)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+       |FROM s GROUP BY doc_id""".stripMargin
+  }
+
   /** The minhash pipeline itself in DuckDB: same shingles, same
     * universal-hash permutations (one md5 → h1/h2 → h_i = (h1+i·h2)
     * mod p), same comma-joined band keys, same exact-Jaccard
@@ -337,6 +408,12 @@ object Dedup {
 
     "dedup_ngram_jaccard" -> Q(
       (s, dir) => ngramJaccardPairs(docs(s, dir)), jaccardSql),
+
+    // sub-document exact-span dedup (Lee et al. 2022): per-doc maximal
+    // spans duplicated verbatim in some other doc
+    "dedup_span" -> Q(
+      (s, dir) => spanDedup(docs(s, dir)).orderBy(col("doc_id")),
+      spanSql + " ORDER BY doc_id"),
 
     // oracle = the SAME minhash→banding→verify pipeline in DuckDB:
     // candidate sets match by construction, then exact-Jaccard verify

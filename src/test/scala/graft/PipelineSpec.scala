@@ -101,4 +101,35 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.keySet == Set(1L) && got(1L) >= 1L)
   }
+
+  test("spanDedup merges overlapping windows into maximal cross-doc spans") {
+    // docs 1/2 share two DISJOINT 4-token spans (separated in each doc
+    // by unique filler), doc 3 shares nothing, doc 4 repeats a span
+    // within itself only (no cross-doc duplicate → not counted)
+    val a = "alpha beta gamma delta uniqA1 uniqA2 epsilon zeta eta theta"
+    val b = "alpha beta gamma delta uniqB1 uniqB2 epsilon zeta eta theta"
+    val d = Seq(
+      (1L, a), (2L, b),
+      (3L, "nothing here matches any other document at all ever once"),
+      (4L, "iota kappa lambda mu filler iota kappa lambda mu tail"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.spanDedup(d, k = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // per doc: spans {alpha..delta} (4 toks) and {epsilon..theta} (4
+    // toks) → 2 islands, 8 duplicated tokens
+    assert(got == Map(1L -> ((2L, 8L)), 2L -> ((2L, 8L))))
+  }
+
+  test("spanDedup chains overlapping windows across a long shared run") {
+    // one 8-token run shared verbatim: with k=4 that is 5 overlapping
+    // windows which must merge into ONE span of 8 tokens
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = Seq(
+      (1L, s"prefixone $run suffixone"),
+      (2L, s"prefixtwo $run suffixtwo"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.spanDedup(d, k = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 8L)), 2L -> ((1L, 8L))))
+  }
 }
