@@ -51,6 +51,40 @@ class SchemeLakeSpec extends AnyFunSuite {
     assert(searchIds("search") == Seq(1L, 3L, 5L))
   }
 
+  test("a non-file scheme (mock://) runs scan, build, search, and selective fetch") {
+    // a registered custom FileSystem ([[MockFs]]) stands in for
+    // s3a/hdfs: nothing below may fall back to java.nio or assume the
+    // path is local — footer scans, uid joins, and the selective fetch
+    // must all resolve through the scheme's Hadoop FS with the
+    // session-shipped conf
+    val localDir = TestSpark.tmpDir("mocklake")
+    Seq(1L -> "alpha search engine", 2L -> "beta testing rig",
+      3L -> "gamma search index", 4L -> "delta rays")
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"mock://$localDir/lake")
+
+    val files = Lake.listFiles(s"mock://$localDir/lake")
+    assert(files.nonEmpty && files.forall(_.startsWith("mock:/")),
+      s"listing must keep the scheme: $files")
+
+    // footer scan + meta over mock:/ paths (executor-side opens)
+    val meta = graft.core.Layout.buildMeta(spark, files)
+    assert(meta.select("file_path").collect()
+      .forall(_.getString(0).startsWith("mock:/")))
+
+    // full index lifecycle against the scheme'd lake
+    val idx = s"$localDir/idx"
+    graft.index.NgramIndex.build(spark, files, "text", idx)
+    val got = graft.index.NgramIndex.search(spark, idx, "text", "search")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(1L, 3L))
+
+    // the driver-side FS helpers dispatch by scheme too
+    assert(graft.core.Fs.exists(spark, files.head))
+    assert(graft.core.Fs.childNames(spark, s"mock://$localDir/lake")
+      .exists(_.endsWith(".parquet")))
+  }
+
   test("delta log percent-encodes special-character paths per the spec") {
     val t = TestSpark.tmpDir("deltaenc")
     def add(fname: String, rows: Seq[(Long, String)]): DeltaLog.Add = {

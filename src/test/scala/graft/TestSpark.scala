@@ -10,6 +10,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // non-file scheme for dispatch tests (SchemeLakeSpec): must be
+      // set at session build so conf caches copied from the session
+      // (graft.core.Fs) already carry it
+      .config("spark.hadoop.fs.mock.impl", "graft.MockFs")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
