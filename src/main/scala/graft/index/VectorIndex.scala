@@ -360,31 +360,42 @@ object VectorIndex {
       .orderBy(col("vec_id")).limit(n)
       .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
 
-  /** recall@k of the probe configuration against the exact search —
-    * the reference's own evaluation harness shape (reference:
-    * msmarco.py:47-56, ground-truth recall of the ANN path). Driver-side
-    * set compare of two k-row results.
+  /** Panel ground truth `(query, exact top-k id set)` — the exact
+    * (probe-all) side of the recall gates. For an immutable index this
+    * never changes, so it is computed once and PERSISTED beside the
+    * index like every other ensure* artifact (the reference harness
+    * likewise evaluates against a precomputed ground-truth file,
+    * msmarco.py:47-56); the gates then pay only the ANN searches they
+    * actually certify. A rebuild writes a new index dir, which carries
+    * a fresh panel by construction.
     */
-  def recallAtK(s: SparkSession, path: String, q: Seq[Double], k: Int,
-      nprobe: Int): Double = {
-    val exact = search(s, path, q, k, numCells(s, path))
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val approx = search(s, path, q, k, nprobe)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    exact.intersect(approx).size.toDouble / k
+  def panelTruth(s: SparkSession, dir: String, path: String,
+      n: Int, k: Int): Seq[(Seq[Double], Set[Long])] = {
+    import s.implicits._
+    val panel = queryPanel(s, dir, n)
+    val store = s"$path/panel_k$k"
+    graft.core.IndexStore.ensure(store) {
+      panel.zipWithIndex.flatMap { case (q, i) =>
+        search(s, path, q, k, numCells(s, path))
+          .select("vec_id").collect().map(r => (i, r.getLong(0)))
+      }.toDF("qid", "vec_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$store/table")
+    }
+    val byQ = s.read.parquet(s"$store/table").collect()
+      .groupBy(_.getInt(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+    panel.zipWithIndex.map { case (q, i) =>
+      (q, byQ.getOrElse(i, Set.empty))
+    }
   }
 
-  /** recall@k of the PQ production configuration (ADC pre-rank +
-    * bounded refine) against the exact searcher.
+  /** recall@k of an approximate result against the exact id set —
+    * the reference's own evaluation arithmetic (msmarco.py:47-56).
     */
-  def recallPqAtK(s: SparkSession, path: String, q: Seq[Double], k: Int,
-      nprobe: Int, refine: Int): Double = {
-    val exact = search(s, path, q, k, numCells(s, path))
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val approx = searchPq(s, path, q, k, nprobe, refine)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    exact.intersect(approx).size.toDouble / k
-  }
+  def recallAgainst(exact: Set[Long], approx: DataFrame, k: Int): Double =
+    exact.intersect(
+      approx.select("vec_id").collect().map(_.getLong(0)).toSet
+    ).size.toDouble / k
 
   val RecallFloor = 0.9
 
@@ -410,8 +421,9 @@ object VectorIndex {
       import s.implicits._
       val p = ensureBuilt(s, dir)
       val np = probeCount(s, p)
-      val rs = queryPanel(s, dir, 5)
-        .map(q => recallAtK(s, p, q, Similarity.K, np))
+      val rs = panelTruth(s, dir, p, 5, Similarity.K).map { case (q, exact) =>
+        recallAgainst(exact, search(s, p, q, Similarity.K, np), Similarity.K)
+      }
       Seq(rs.sum / rs.size >= RecallFloor).toDF("recall_ok")
     }, "SELECT true AS recall_ok"),
     // quantitative gate for the PQ production path: ADC pre-rank +
@@ -420,8 +432,10 @@ object VectorIndex {
       import s.implicits._
       val p = ensureBuilt(s, dir)
       val np = probeCount(s, p)
-      val rs = queryPanel(s, dir, 5)
-        .map(q => recallPqAtK(s, p, q, Similarity.K, np, 50))
+      val rs = panelTruth(s, dir, p, 5, Similarity.K).map { case (q, exact) =>
+        recallAgainst(exact,
+          searchPq(s, p, q, Similarity.K, np, 50), Similarity.K)
+      }
       Seq(rs.sum / rs.size >= RecallFloor).toDF("recall_ok")
     }, "SELECT true AS recall_ok"),
 
