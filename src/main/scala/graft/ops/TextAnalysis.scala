@@ -248,6 +248,52 @@ object TextAnalysis {
         |WHERE n_tokens > 0""".stripMargin
     }),
 
+    // corpus-trained LM-style quality (CCNet, Wenzek et al. 2020,
+    // reduced to an exactly-reproducible proxy): a char-TRIGRAM model
+    // trained on a trusted slice (doc_id % 10 == 0, the decontamination
+    // held-out convention) scores every doc by its fraction of trigrams
+    // UNSEEN-OR-HAPAX in the model — the rational-arithmetic stand-in
+    // for perplexity (log-prob would hang bit-exactness on libm; a doc
+    // the model finds surprising has many rare trigrams either way).
+    // Trigrams are over the normalized token stream (ASCII [a-z0-9 ]),
+    // so char slicing agrees across engines. Scale: the model is
+    // alphabet-bounded (≤ 37³ rows) → broadcast; scoring is map-only
+    // plus one doc_id-partitioned agg, text shuffled once pre-explode.
+    "text_lm_quality" -> Q((s, dir) => {
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", Text.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) >= 3)
+        .repartition(col("doc_id"))
+        .withColumn("cs", split(col("t"), ""))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(cs) - 2), i -> " +
+            "concat(element_at(cs, i), element_at(cs, i + 1), element_at(cs, i + 2)))"))
+          .as("g"))
+      val model = grams.filter(col("doc_id") % 10 === 0)
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+      grams.join(broadcast(model), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          sum(when(col("cnt").isNull || col("cnt") <= 1, 1).otherwise(0))
+            .as("n_rare"))
+        .select(col("doc_id"), col("n_tri"),
+          round(col("n_rare").cast("double") / col("n_tri"), 6)
+            .as("rare_frac"))
+        .orderBy(col("doc_id"))
+    },
+      """WITH t AS (
+        |  SELECT doc_id, array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest([t[i:i+2] for i in generate_series(1, len(t) - 2)]) AS g
+        |  FROM t WHERE len(t) >= 3),
+        |m AS (SELECT g, count(*) AS cnt FROM gr WHERE doc_id % 10 = 0 GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  round(CAST(sum(CASE WHEN cnt IS NULL OR cnt <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_frac
+        |FROM gr LEFT JOIN m USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // corpus vocabulary: term frequency + document frequency, top 50.
     // The canonical map-side-combine shuffle: explode → two-phase
     // groupBy(token) with partial counts; countDistinct(doc_id) is
