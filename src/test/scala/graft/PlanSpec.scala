@@ -121,4 +121,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"stats join got sort-merged:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"lost top-k form:\n$p")
   }
+
+  test("span dedup: no cartesian, window-hash agg keeps map-side combine") {
+    val p = plan(SparkEntry.queries("dedup_span")(spark, sf))
+    // no all-pairs anywhere — the whole point vs the paper's suffix
+    // array is that every stage is a key-partitioned shuffle
+    assert(!p.contains("CartesianProduct"), s"span dedup went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"span dedup nested-loops:\n$p")
+    // the shared-window filter is a two-phase count-distinct: the
+    // shuffle carries (hash, partial) pairs, never window text
+    assert(p.contains("partial_count"), s"shared-window agg lost map-side combine:\n$p")
+  }
+
+  test("lm quality broadcasts the trigram model back to the corpus") {
+    val p = plan(SparkEntry.queries("text_lm_quality")(spark, sf))
+    // the model is alphabet-bounded: the scoring join must broadcast
+    // it, never shuffle the corpus-sized gram stream for a merge join
+    assert(p.contains("BroadcastHashJoin"), s"model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"gram stream got sort-merged:\n$p")
+  }
 }
