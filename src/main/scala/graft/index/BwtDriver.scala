@@ -297,10 +297,19 @@ trait BwtDriver {
     */
   def saRangeMulti(spark: SparkSession, paths: Seq[String],
       query: String, versions: Map[String, Long] = null)
+      : Map[String, (Long, Long)] =
+    saRangeMultiSyms(spark, paths, symbols(query), versions)
+
+  /** [[saRangeMulti]] over pre-split pattern symbols — the entry point
+    * for searches whose pattern is NOT the tokenization of a query
+    * string (skip-sampled residue patterns, [[TokenFmIndex]]).
+    */
+  def saRangeMultiSyms(spark: SparkSession, paths: Seq[String],
+      syms: Seq[String], versions: Map[String, Long] = null)
       : Map[String, (Long, Long)] = {
     val vers = Option(versions).getOrElse(versionsOf(spark, paths))
     val hs = paths.map(p => p -> headAt(spark, p, vers(p))).toMap
-    val walk = symbols(query).takeRight(W - 1)
+    val walk = syms.takeRight(W - 1)
     var state = paths.map(p => p -> (0L, hs(p).n)).toMap
     walk.reverseIterator.foreach { c =>
       val needs = state.collect { case (p, (lo, hi)) if lo < hi =>

@@ -46,14 +46,35 @@ object TokenFmIndex extends BwtDriver {
 
   /** Build over a file group: token suffix rows → shared bounded sort /
     * SA rank → chunked token-BWT tables + symbol head + meta sidecar.
+    *
+    * `sample` > 1 enables the reference's token skip-sampling
+    * (reference: src/lava/substring/build.rs:420-437 thins the token
+    * stream to every Nth token before the suffix sort): the index is a
+    * normal token BWT over the THINNED stream — 1/N the suffix rows,
+    * 1/N the sort — and [[search]] compensates with one residue
+    * pattern per offset (reference: search.rs:493-507), refine
+    * restoring exactness. Thinning here is per ROW (the reference
+    * thins the concatenated global stream, which lets windows straddle
+    * document boundaries; row-local thinning keeps every candidate
+    * attributable to its row). Queries shorter than `sample` tokens
+    * cannot guarantee a sampled alignment and take the brute path.
     */
   def build(spark: SparkSession, files: Seq[String], column: String,
-      path: String): Unit = {
+      path: String): Unit = build(spark, files, column, path, 1)
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String, sample: Int): Unit = {
+    require(sample >= 1, s"sample factor must be >= 1, got $sample")
     val meta = Layout.buildMeta(spark, files, Some(column)).cache()
+    val toksCol =
+      if (sample == 1) graft.text.Text.tokens(col(column))
+      else filter(graft.text.Text.tokens(col(column)),
+        (_, i) => i % sample === 0)
     val data = Layout.withUid(spark, files, meta)
-      .select(col("uid"), graft.text.Text.tokens(col(column)).as("toks"))
+      .select(col("uid"), toksCol.as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("rid", monotonically_increasing_id())
+    writeSample(spark, path, sample)
     // one suffix row per token position 0..n INCLUSIVE (the terminator
     // suffix puts the row's LAST token into the BWT — same boundary
     // argument as char-mode). key = next W tokens space-joined.
@@ -69,6 +90,78 @@ object TokenFmIndex extends BwtDriver {
     val ranked = FmIndex.rankSuffixes(spark, suf, ChunkSize)
     writeChunks(spark, ranked, path)
     FmIndex.writeCommon(spark, ranked, meta, column, path)
+  }
+
+  // sample factor sidecar: one row, read once per (path, version)
+  private val sampleCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Int)]
+
+  private def writeSample(spark: SparkSession, path: String,
+      sample: Int): Unit = {
+    import spark.implicits._
+    Seq(sample).toDF("sample").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/tconf")
+  }
+
+  def sampleOf(spark: SparkSession, path: String): Int = {
+    val dir = s"$path/tconf"
+    if (!graft.core.Fs.exists(spark, dir)) return 1 // pre-sampling build
+    val v = graft.core.Fs.dirVersion(spark, dir)
+    sampleCache.get(path) match {
+      case Some((ver, s)) if ver == v => s
+      case _ =>
+        val s = spark.read.parquet(dir).head().getInt(0)
+        sampleCache.put(path, (v, s))
+        s
+    }
+  }
+
+  /** Search: sample == 1 delegates to the shared driver flow; a
+    * skip-sampled index probes one thinned residue pattern per offset
+    * (reference: search.rs:493-507) and unions the posting slices —
+    * a candidate SUPERSET by the alignment argument in [[build]] —
+    * then the full-query refine restores exactness.
+    */
+  override def search(spark: SparkSession, path: String, column: String,
+      query: String): org.apache.spark.sql.DataFrame = {
+    val sample = sampleOf(spark, path)
+    if (sample == 1) return super.search(spark, path, column, query)
+    import spark.implicits._
+    val q = graft.text.Text.sparkLower(query)
+    val meta = spark.read.parquet(s"$path/meta")
+    def covered: Seq[String] = meta.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSeq
+    def brute(): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(covered: _*)
+        .filter(refinePred(column, q))
+        .withColumn("uid", lit(-1L))
+    val toks = TokenIndex.tokensOf(q)
+    if (toks.isEmpty)
+      return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
+    // below the sample factor an occurrence may straddle the thinning
+    // with no sampled token at all — no residue pattern can see it
+    if (toks.size < sample) return brute()
+    val vers = versionsOf(spark, Seq(path))
+    val residues = (0 until sample).map(r =>
+      toks.drop(r).zipWithIndex.collect {
+        case (t, i) if i % sample == 0 => t
+      })
+    val ranges = residues.map(rs =>
+      saRangeMultiSyms(spark, Seq(path), rs, vers)(path))
+    val width = ranges.map { case (lo, hi) => math.max(hi - lo, 0L) }.sum
+    if (width > graft.core.Lake.BruteForceThreshold.toLong * ChunkSize)
+      return brute()
+    val slices = ranges.map { case (lo, hi) =>
+      postingSliceCapped(spark, path, lo, hi,
+        graft.core.Lake.BruteForceThreshold, vers(path))
+    }
+    if (slices.contains(None)) return brute()
+    val uids = slices.flatMap(_.get).distinct
+    if (uids.size > graft.core.Lake.BruteForceThreshold ||
+        uids.size >= graft.api.IndexKind.metaRows(spark, path).size)
+      return brute()
+    Layout.readHits(spark, meta, uids.toDF("uid"))
+      .filter(refinePred(column, q))
   }
 
   /** Chunk payload: SA-ordered token array (no join into one string —

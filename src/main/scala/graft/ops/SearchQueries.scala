@@ -232,6 +232,20 @@ object SearchQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, tokenOracle("merge merge")),
 
+    // skip-sampled token BWT (reference sample_factor): index over the
+    // every-2nd-token thinned stream, search probes one residue
+    // pattern per offset and unions the slices; refine restores the
+    // exact containment semantics — same oracle as the full index
+    "substring_token_search_sampled" -> Q((s, dir) => {
+      val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val p = IndexStore.indexPath(dir, "tokenfm_s2_documents_text")
+      IndexStore.ensure(p) {
+        graft.index.TokenFmIndex.build(s, files, "text", p, sample = 2)
+      }
+      graft.index.TokenFmIndex.search(s, p, "text", "merge merge")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, tokenOracle("merge merge")),
+
     // single-token query prunes via the unigram postings (short-query
     // discipline, no covered-files scan)
     "substring_token_search_single" -> Q((s, dir) => {

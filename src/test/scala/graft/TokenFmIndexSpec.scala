@@ -90,6 +90,49 @@ class TokenFmIndexSpec extends AnyFunSuite {
     assert(all == Set(1L, 2L, 3L))
   }
 
+  test("skip-sampled token BWT equals the oracle via residue probes") {
+    val rows = corpus(50, 30, seed = 13)
+    val dir = TestSpark.tmpDir("tfm-sampled")
+    rows.toDF("doc_id", "text").repartition(2).write.mode("overwrite")
+      .parquet(s"$dir/data")
+    val files = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    TokenFmIndex.build(spark, files, "text", s"$dir/full")
+    TokenFmIndex.build(spark, files, "text", s"$dir/s2", sample = 2)
+    TokenFmIndex.build(spark, files, "text", s"$dir/s3", sample = 3)
+    assert(TokenFmIndex.sampleOf(spark, s"$dir/s2") == 2)
+
+    // the thinned index holds ~1/N of the full index's BWT positions
+    def bwtLen(p: String): Long =
+      spark.read.parquet(s"$p/head").agg(sum("n_bwt"))
+        .head().getLong(0)
+    assert(bwtLen(s"$dir/s2") < bwtLen(s"$dir/full") * 6 / 10,
+      s"sampled index not thinned: ${bwtLen(s"$dir/s2")} vs ${bwtLen(s"$dir/full")}")
+
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("red", "blue", "green", "go", "stop", "x1", "nope")
+    (1 to 25).foreach { _ =>
+      val len = 1 + rnd.nextInt(TokenFmIndex.W + 2)
+      val q = (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      val want = bruteIds(s"$dir/data", q)
+      assert(fmIds(s"$dir/s2", q) == want, s"sample=2 phrase '$q'")
+      assert(fmIds(s"$dir/s3", q) == want, s"sample=3 phrase '$q'")
+    }
+    // planted phrases must be found through the residue union
+    (1 to 10).foreach { _ =>
+      val toks = rows(rnd.nextInt(rows.size))._2.split(" ")
+      val start = rnd.nextInt(toks.length - 2)
+      val q = toks.slice(start, math.min(toks.length,
+        start + 2 + rnd.nextInt(8))).mkString(" ")
+      assert(fmIds(s"$dir/s2", q) == bruteIds(s"$dir/data", q), s"planted '$q'")
+    }
+    // sub-sample-length queries take the brute path and stay exact
+    assert(fmIds(s"$dir/s3", "red blue") == bruteIds(s"$dir/data", "red blue"))
+    assert(fmIds(s"$dir/s3", "go") == bruteIds(s"$dir/data", "go"))
+  }
+
   test("merged token-BWT index answers exactly like one whole index") {
     val rows = corpus(30, 20, seed = 5)
     val dir = TestSpark.tmpDir("tfm-merge")
