@@ -225,6 +225,36 @@ object IndexQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, bruteSql(QueryStr)),
 
+    // SURVEY §7.4 stretch, point-lookup flavor: a PLAIN
+    // spark.read.parquet + equality/IN filter — no graft API in the
+    // query — transparently file-pruned by the Catalyst IndexPruneRule
+    // via the committed key index (sorted key table; the probe's own
+    // equality filter prunes row groups INSIDE the key table too)
+    "catalyst_key_prune" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "customer", "c_custkey", 4)
+      val prefix = Lake.splitPath(dir, "customer")
+      graft.api.GraftLake(s, prefix).index(graft.api.KeyKind, "c_name")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix)
+        .filter(col("c_name").isin("Customer#000000042", "Customer#000000007"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, "SELECT c_custkey, c_name FROM customer WHERE c_name IN " +
+       "('Customer#000000042', 'Customer#000000007') ORDER BY c_custkey"),
+
+    // same rule, prefix flavor: startsWith → key-range probe
+    "catalyst_key_prune_prefix" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "customer", "c_custkey", 4)
+      val prefix = Lake.splitPath(dir, "customer")
+      graft.api.GraftLake(s, prefix).index(graft.api.KeyKind, "c_name")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix)
+        .filter(col("c_name").startsWith("Customer#00000001"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, "SELECT c_custkey, c_name FROM customer " +
+       "WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey"),
+
     // lake-level index metadata table (reference:
     // backends/parquet.py:162-172)
     "index_metadata" -> Q((s, dir) => {

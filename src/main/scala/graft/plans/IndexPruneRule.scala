@@ -4,7 +4,7 @@ import graft.core.{IndexStore, Layout}
 import graft.index.NgramIndex
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Lower, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Lower, PredicateHelper, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.StringType
 
 /** Transparent index acceleration for PLAIN Spark reads — the SURVEY
   * §7.4 stretch: an optimizer rule that rewrites
-  * `spark.read.parquet(lake).filter(col.contains(q))` (ngram index) and
+  * `spark.read.parquet(lake).filter(col.contains(q))` (ngram index),
+  * `...filter(col === v)` / `isin` / `startsWith` (key index), and
   * `...filter(col >= lo && col <= hi)` (zone-map index) into the same
   * filter over ONLY the files the index cannot rule out, without the
   * caller ever touching the graft API (the app-level routing the
@@ -90,11 +91,71 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case Contains(Lower(a: AttributeReference), Literal(q, StringType))
           if q != null && q.toString.nonEmpty => (a.name, q.toString)
     }
+    // exact/IN-list string predicates → key index (case-exact, like
+    // the predicate itself; keys are stored raw at build)
+    val keyEq = preds.collectFirst {
+      case EqualTo(a: AttributeReference, Literal(v, StringType))
+          if v != null => (a.name, Seq(v.toString))
+      case EqualTo(Literal(v, StringType), a: AttributeReference)
+          if v != null => (a.name, Seq(v.toString))
+      case In(a: AttributeReference, vs)
+          if a.dataType == StringType && vs.nonEmpty && vs.forall {
+            case Literal(v, StringType) => v != null
+            case _ => false
+          } => (a.name, vs.map(_.asInstanceOf[Literal].value.toString))
+    }
+    // prefix predicate → key index range probe
+    val keyPrefix = preds.collectFirst {
+      case StartsWith(a: AttributeReference, Literal(p, StringType))
+          if p != null && p.toString.nonEmpty => (a.name, p.toString)
+    }
     contains.flatMap { case (colName, query) =>
       pruneWith(colName, "ngram", probe(_, query))
-    }.orElse(integralBounds(preds).flatMap { case (colName, lo, hi) =>
+    }.orElse(keyEq.flatMap { case (colName, keys) =>
+      pruneWith(colName, "key", keyProbe(_, keys))
+    }).orElse(keyPrefix.flatMap { case (colName, p) =>
+      pruneWith(colName, "key", keyPrefixProbe(_, p))
+    }).orElse(integralBounds(preds).flatMap { case (colName, lo, hi) =>
       pruneWith(colName, "zonemap", zoneProbe(_, lo, hi))
     })
+  }
+
+  /** Covered files whose meta rows carry any candidate (idx, uid) —
+    * the shared tail of every probe.
+    */
+  private def filesOf(paths: Seq[String], cands: Set[(Int, Long)]): Set[String] =
+    paths.zipWithIndex.flatMap { case (p, i) =>
+      graft.api.IndexKind.metaRows(spark, p)
+        .filter(r => cands.contains((i, r._1)))
+        .map(r => Layout.canonPath(r._2))
+    }.toSet
+
+  /** Files whose sorted key table contains any of `keys` (pushed
+    * equality filter → row-group pruning inside the key table itself).
+    */
+  private def keyProbe(paths: Seq[String], keys: Seq[String]): Set[String] = {
+    val cands = graft.api.IndexKind.readTagged(spark, paths, "keys")
+      .filter(col("key").isin(keys: _*))
+      .select("idx", "uid").distinct().collect()
+      .map(r => (r.getInt(r.fieldIndex("idx")), r.getLong(r.fieldIndex("uid"))))
+      .toSet
+    filesOf(paths, cands)
+  }
+
+  /** Files whose sorted key table has any key in [prefix, nextPrefix)
+    * (both bounds pushed; see [[graft.index.KeyIndex.prefixUpperBound]]).
+    */
+  private def keyPrefixProbe(paths: Seq[String], prefix: String): Set[String] = {
+    val ranged = graft.api.IndexKind.readTagged(spark, paths, "keys")
+      .filter(col("key") >= prefix)
+    val bounded = graft.index.KeyIndex.prefixUpperBound(prefix) match {
+      case Some(hi) => ranged.filter(col("key") < hi)
+      case None     => ranged
+    }
+    val cands = bounded.select("idx", "uid").distinct().collect()
+      .map(r => (r.getInt(r.fieldIndex("idx")), r.getLong(r.fieldIndex("uid"))))
+      .toSet
+    filesOf(paths, cands)
   }
 
   private object IntLit {
@@ -168,11 +229,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         .select("idx", "uid").collect()
         .map(r => (r.getInt(r.fieldIndex("idx")), r.getLong(r.fieldIndex("uid"))))
         .toSet
-      paths.zipWithIndex.flatMap { case (p, i) =>
-        graft.api.IndexKind.metaRows(spark, p)
-          .filter(r => cands.contains((i, r._1)))
-          .map(r => Layout.canonPath(r._2))
-      }.toSet
+      filesOf(paths, cands)
     }
   }
 
@@ -199,11 +256,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       .select("idx", "uid").collect()
       .map(r => (r.getInt(r.fieldIndex("idx")), r.getLong(r.fieldIndex("uid"))))
       .toSet
-    paths.zipWithIndex.flatMap { case (p, i) =>
-      graft.api.IndexKind.metaRows(spark, p)
-        .filter(r => cands.contains((i, r._1)))
-        .map(r => Layout.canonPath(r._2))
-    }.toSet
+    filesOf(paths, cands)
   }
 }
 

@@ -83,6 +83,41 @@ class IndexPruneRuleSpec extends AnyFunSuite {
     assert(none.count() == 0 && scannedFiles(none) == 0)
   }
 
+  test("equality, IN and prefix filters over a key-indexed lake prune files") {
+    val dir = TestSpark.tmpDir("prunekey")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-pk-$name")
+      rows.toDF("id", "name").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "alpha", 2L -> "beta"))
+    write("b", Seq(3L -> "gamma", 4L -> "delta"))
+    write("c", Seq(5L -> "epsilon", 6L -> "zeta"))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.KeyKind, "name", binpackRows = 1) // one index per file
+    IndexPruneRule.enable(spark)
+
+    // equality: only the file holding the key is scanned
+    val eq = spark.read.parquet(dir).filter(col("name") === "gamma")
+    assert(eq.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(scannedFiles(eq) == 1, "expected equality to prune to one file")
+    // IN-list spanning two files scans exactly those two
+    val in = spark.read.parquet(dir)
+      .filter(col("name").isin("alpha", "zeta"))
+    assert(in.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 6L))
+    assert(scannedFiles(in) == 2)
+    // prefix: startsWith routes through the key-range probe
+    val pf = spark.read.parquet(dir).filter(col("name").startsWith("de"))
+    assert(pf.select("id").collect().map(_.getLong(0)).toSet == Set(4L))
+    assert(scannedFiles(pf) == 1)
+    // equality is case-exact — no candidate file, nothing scanned
+    val none = spark.read.parquet(dir).filter(col("name") === "GAMMA")
+    assert(none.count() == 0 && scannedFiles(none) == 0)
+  }
+
   test("case-sensitive contains prunes soundly (superset candidates)") {
     val dir = TestSpark.tmpDir("prunelake3")
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
