@@ -71,6 +71,26 @@ class JobCountSpec extends AnyFunSuite {
     assert(jb == js, s"jobs grew with index count: 2 indexes → $js, 8 → $jb")
   }
 
+  test("batched vector search jobs do not grow with query count") {
+    import graft.index.VectorIndex
+    val vecs = (0L until 40L).map { i =>
+      i -> Seq.tabulate(8)(d => math.sin(i * 1.3 + d).abs + 0.1)
+    }
+    val idx = TestSpark.tmpDir("jobs-ivfbatch")
+    VectorIndex.build(spark, vecs.toDF("vec_id", "v"), idx)
+    val np = VectorIndex.numCells(spark, idx)
+    def batchJobs(qs: Seq[Seq[Double]], group: String): Int =
+      jobs(group) {
+        assert(VectorIndex.searchBatch(spark, idx, qs, 5, np).count() ==
+          qs.size * 5L)
+      }
+    val panel = Seq(2, 11, 23, 31, 37).map(i => vecs(i)._2)
+    batchJobs(panel.take(1), "vb-warm") // warm centroid/format caches
+    val j1 = batchJobs(panel.take(1), "vb-meas-1")
+    val j5 = batchJobs(panel, "vb-meas-5")
+    assert(j5 == j1, s"jobs grew with batch size: 1 query → $j1, 5 → $j5")
+  }
+
   test("fm search jobs do not grow with covering-index count") {
     val small = mkLake("jobs-fm-2", 2, FmKind)
     val big = mkLake("jobs-fm-8", 8, FmKind)

@@ -54,6 +54,33 @@ class VectorSpec extends AnyFunSuite {
     assert(approx.size == 5 && approx.contains(3L))
   }
 
+  test("batched search equals per-query search, exact and probed") {
+    val df = vecs.toDF("vec_id", "v")
+    val idx = TestSpark.tmpDir("ivfbatch")
+    VectorIndex.build(spark, df, idx)
+    val panel = Seq(vecs(3)._2, vecs(11)._2, vecs(29)._2)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      d.select("vec_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (np <- Seq(VectorIndex.numCells(spark, idx), 4)) {
+      val batch = VectorIndex.searchBatch(spark, idx, panel, 5, np)
+      panel.zipWithIndex.foreach { case (q, i) =>
+        val one = rows(VectorIndex.search(spark, idx, q, 5, np))
+        val b = rows(batch.filter(col("qid") === i))
+        assert(b == one, s"qid=$i nprobe=$np")
+      }
+    }
+    // batched PQ: bounded refine, equals the sequential PQ searcher
+    for ((np, refine) <- Seq((VectorIndex.numCells(spark, idx), 40), (4, 10))) {
+      val batch = VectorIndex.searchPqBatch(spark, idx, panel, 5, np, refine)
+      panel.zipWithIndex.foreach { case (q, i) =>
+        val one = rows(VectorIndex.searchPq(spark, idx, q, 5, np, refine))
+        val b = rows(batch.filter(col("qid") === i))
+        assert(b == one, s"pq qid=$i nprobe=$np refine=$refine")
+      }
+    }
+  }
+
   test("PQ pre-rank scan is codes-only; rerank fetch pushes the id list") {
     val df = vecs.toDF("vec_id", "v")
     val idx = TestSpark.tmpDir("ivfsplit")
