@@ -119,6 +119,46 @@ object Clustering {
        |WHERE rn = 1""".stripMargin
   }
 
+  // ---- semantic dedup (cluster-blocked) -------------------------------
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embed → k-means cluster → within-cluster
+    * pairwise cosine — near-duplicates only ever compete inside their
+    * cluster, so the quadratic pair join is bounded by the cell size
+    * (n/K per cluster), never all-pairs over the corpus. Blocking here
+    * is the engine-exact integer k-means above (deterministic, so the
+    * DuckDB oracle reproduces the exact same blocks); at 100 TB the
+    * blocks are the IVF index's centroid partitions (`VectorIndex`) —
+    * the same cells the ANN search prunes by, reused as dedup blocks.
+    * Returns near-dup pairs (i, j, cluster, cos ≥ τ); cluster-spanning
+    * near-dups are missed by design (the paper's trade: recall for a
+    * corpus-size-independent bound on pair candidates).
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val cl = kmeans(s, dir) // (vec_id, cluster)
+    val e = Similarity.embeddings(s, dir).join(cl, Seq("vec_id"))
+    val a = e.select(col("cluster"), col("vec_id").as("i"), col("v").as("va"))
+    val b = e.select(col("cluster"), col("vec_id").as("j"), col("v").as("vb"))
+    a.join(b, Seq("cluster")).filter(col("i") < col("j"))
+      .withColumn("cos",
+        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 4))
+      .filter(col("cos") >= Similarity.DedupTau)
+      .select(col("i"), col("j"), col("cluster"), col("cos"))
+  }
+
+  private def semanticSql: String =
+    s"""WITH cl AS (${kmeansSql}),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT cl.cluster, e.vec_id, e.v FROM e JOIN cl USING (vec_id))
+       |SELECT a.vec_id AS i, b.vec_id AS j, a.cluster,
+       |  round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) AS cos
+       |FROM x a JOIN x b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) >= ${Similarity.DedupTau}""".stripMargin
+
   // ---- batch KNN join ------------------------------------------------
 
   val QueryMod = 100 // query set = vec_id % QueryMod == 0
@@ -192,6 +232,9 @@ object Clustering {
 
   def entries: Map[String, Q] = Map(
     "embed_kmeans" -> Q((s, dir) => kmeans(s, dir), kmeansSql),
+    // SemDeDup: k-means cells as dedup blocks (deterministic clustering
+    // ⇒ the oracle reproduces the identical blocking)
+    "dedup_semantic" -> Q((s, dir) => semanticDedup(s, dir), semanticSql),
     "similarity_knn_join" -> Q((s, dir) => knnJoin(s, dir), knnJoinSql),
     "embed_quantize_int8" -> Q((s, dir) => quantizeInt8(s, dir), quantizeSql)
   )

@@ -325,11 +325,112 @@ object Pipeline {
        |GROUP BY doc_id""".stripMargin
   }
 
+  // ---- composed end-to-end prep pipeline -----------------------------
+
+  /** The whole training-data prep flow as ONE declarative plan:
+    * quality gate (≥ [[E2EMinTokens]] tokens) → language gate (en) →
+    * exact dedup (normalized-fingerprint keeper = min doc_id) →
+    * benchmark decontamination (drop bench docs and any doc sharing a
+    * word n-gram with them) → token-budget sequence packing of the
+    * survivors. The point is composition: every stage is the same
+    * DataFrame machinery the standalone entries use, so Catalyst fuses
+    * the gates into the scan (one pass computes tokens/lang/fp), the
+    * only shuffles are the dedup window, the decontamination gram agg,
+    * and the final per-shard packing window — there is no
+    * materialization boundary between stages. At 100 TB this is the
+    * difference between one job and five pipeline hops with
+    * intermediate parquet.
+    */
+  val E2EMinTokens = 10
+
+  def endToEnd(d: DataFrame): DataFrame = {
+    val enWords = graft.text.Text.langProfiles.toMap
+    def sc(l: String) =
+      TextAnalysis.stopwordCount(col("toks"), enWords(l)).as(s"s_$l")
+    val toks = d.select(col("doc_id"), col("source"), col("text"),
+      Text.tokens(col("text")).as("toks"))
+    // quality gate: the text_quality entry's not-'poor' condition
+    val q = toks.filter(size(col("toks")) >= E2EMinTokens)
+    // language gate: the text_lang_id entry's 'en' branch (en wins ties)
+    val en = q
+      .select(col("doc_id"), col("source"), col("text"), col("toks"),
+        sc("en"), sc("es"), sc("fr"), sc("de"))
+      .filter(col("s_en") > 0 && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"))
+    // exact dedup: doc_fingerprint's normalized md5, keeper = min id
+    val keep = en
+      .withColumn("fp", Text.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    // decontamination: bench docs (the text_decontaminate stand-in set)
+    // out, plus anything sharing an n-gram with them (broadcast grams)
+    val contaminated = decontaminate(d).select("doc_id")
+    val clean = keep.filter(col("doc_id") % BenchMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // packing: q_pack_sequences' per-shard greedy bins over SURVIVORS
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    clean
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"cum div $PackBudget").as("bin"))
+  }
+
+  private val e2eSql = {
+    val km1 = DecontamN - 1
+    def score(l: String, words: Seq[String]) =
+      s"len(list_filter(toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t))) AS s_$l"
+    val scores = Text.langProfiles.map { case (l, ws) => score(l, ws) }
+      .mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |q AS (SELECT * FROM toks WHERE len(toks) >= $E2EMinTokens),
+       |sc AS (SELECT doc_id, source, text, toks,
+       |    $scores
+       |  FROM q),
+       |en AS (SELECT doc_id, source, text, toks FROM sc
+       |  WHERE s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de),
+       |fp AS (SELECT doc_id, source, toks,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM en),
+       |keep AS (SELECT doc_id, source, toks FROM (
+       |    SELECT doc_id, source, toks,
+       |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |    FROM fp) t WHERE rn = 1),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i + $km1], ' ') for i in generate_series(1, len(toks) - $km1)])) AS g
+       |  FROM toks WHERE len(toks) >= $DecontamN),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % $BenchMod = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
+       |  WHERE doc_id % $BenchMod <> 0),
+       |clean AS (
+       |  SELECT doc_id, source, len(toks)::BIGINT AS n_tok FROM keep
+       |  WHERE doc_id % $BenchMod <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |SELECT doc_id, source, n_tok,
+       |  CAST((cum - n_tok) // $PackBudget AS BIGINT) AS bin
+       |FROM (
+       |  SELECT doc_id, source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+       |  FROM clean) t""".stripMargin
+  }
+
   def entries: Map[String, Q] = Map(
     // near-dup pairs → duplicate clusters (keeper = min doc_id); the
     // oracle replays the same minhash pipeline then resolves components
     // with a recursive min-label CTE
     "dedup_cc" -> Q((s, dir) => connectedComponents(ccEdges(s, dir)), ccSql),
+
+    // the composed prep flow: quality → lang → dedup → decontaminate →
+    // pack, one Catalyst plan end-to-end
+    "pipeline_end_to_end" -> Q(
+      (s, dir) => endToEnd(docs(s, dir)).orderBy(col("doc_id")),
+      e2eSql + " ORDER BY doc_id"),
 
     "text_repetition" -> Q((s, dir) => repetition(docs(s, dir)), repetitionSql),
 

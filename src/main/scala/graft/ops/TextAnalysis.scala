@@ -21,7 +21,7 @@ object TextAnalysis {
   val winnowCoefs: Seq[Long] =
     graft.functions.WinnowFp.coefs(WinnowK).toSeq
 
-  private def stopwordCount(toks: Column, words: Seq[String]): Column =
+  private[ops] def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
   // PII regexes, shared verbatim between the Spark expressions and the

@@ -69,6 +69,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!pack.contains("SinglePartition"), s"pack went single-partition:\n$pack")
   }
 
+  test("end-to-end pipeline fuses gates into the scan; no cartesian") {
+    val p = plan(SparkEntry.queries("pipeline_end_to_end")(spark, sf))
+    // the quality/lang/fingerprint gates must stay filters over ONE
+    // scan (no exchange between them); the decontamination gram pass
+    // accounts for the other two scans (bench side + corpus side of
+    // the gram join). More scans would mean a stage stopped fusing.
+    assert(!p.contains("CartesianProduct"), s"e2e went cartesian:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 3, s"e2e re-scans the lake ($scans scans):\n$p")
+    // decontamination's gram set stays broadcast inside the composition
+    assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
+  }
+
   test("knn brute force is one map-side top-k (no wide exchange)") {
     val p = plan(SparkEntry.queries("similarity_knn_brute")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"knn lost top-k form:\n$p")
