@@ -346,7 +346,13 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
       // one version map for the whole operation: walk, fetch, and slice
       // must all see the same build of every index
       val vers = driver.versionsOf(spark, paths)
-      val ranges = driver.saRangeMulti(spark, paths, q, vers)
+      // skip-sampled indexes (token-mode sample_factor builds) cannot
+      // join the full-pattern lock-step walk — their BWT is the THINNED
+      // stream, so the full query would silently match nothing. They
+      // resolve per-path through the driver's residue-union candidates.
+      val (plain, sampled) = paths.partition(p =>
+        driver.sampleFactor(spark, p) == 1)
+      val ranges = driver.saRangeMulti(spark, plain, q, vers)
       // cost switch on total SA-range width (positions, so scaled by
       // chunk size relative to the row-group hit threshold)
       val width = ranges.values.map { case (lo, hi) => math.max(hi - lo, 0L) }.sum
@@ -354,15 +360,18 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
       driver.fetchPostings(spark, ranges, vers) // one batched job
       // capped slices: a single over-threshold index alone decides brute
       // without the driver ever materializing an unbounded uid list
-      val slices = paths.map { p =>
+      val slices = plain.map { p =>
         val (lo, hi) = ranges(p)
         driver.postingSliceCapped(spark, p, lo, hi, Lake.BruteForceThreshold,
           vers(p))
+      } ++ sampled.map { p =>
+        driver.candidateUids(spark, p, q, Lake.BruteForceThreshold, vers(p))
       }
+      val paths0 = plain ++ sampled
       if (slices.exists(_.isEmpty)) return None
-      val byPath = paths.map(p => p -> metaRows(spark, p)
+      val byPath = paths0.map(p => p -> metaRows(spark, p)
         .map(r => r._1 -> (r._2, r._3, r._4)).toMap).toMap
-      val hits = paths.zip(slices).flatMap { case (p, Some(uids)) =>
+      val hits = paths0.zip(slices).flatMap { case (p, Some(uids)) =>
         uids.flatMap(uid =>
           byPath(p).get(uid).map { case (f, rs, n) => (f, uid, rs, n) })
       case _ => Nil

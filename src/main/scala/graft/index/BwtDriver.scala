@@ -119,8 +119,16 @@ trait BwtDriver {
     val files = (spark.read.parquet(s"$a/meta").select("file_path")
       .unionByName(spark.read.parquet(s"$b/meta").select("file_path")))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
-    build(spark, files, column, out)
+    rebuildBuild(spark, files, column, out, a, b)
   }
+
+  /** The build call a rebuild-merge issues — encodings with build-time
+    * options that must survive a merge (the token encoding's skip-
+    * sample factor) override to propagate them from the inputs.
+    */
+  protected def rebuildBuild(spark: SparkSession, files: Seq[String],
+      column: String, out: String, a: String, b: String): Unit =
+    build(spark, files, column, out)
 
   /** Streaming interleave merge (reference: src/lava/substring/
     * merge.rs:115-183): both indexes' per-position frames (decoded
@@ -142,6 +150,35 @@ trait BwtDriver {
       spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))
       .cache()
     FmIndex.writeCommon(spark, ranked, meta, column, out)
+    mergeSampleSidecar(spark, a, b, out)
+  }
+
+  /** Interleave-merge hook for build-time sidecars that must carry over
+    * (the token encoding's skip-sample factor): the interleaved stream
+    * IS still the thinned stream, so the merged index must declare the
+    * same factor or searches would silently treat it as unsampled.
+    */
+  protected def mergeSampleSidecar(spark: SparkSession, a: String,
+      b: String, out: String): Unit = ()
+
+  /** Skip-sample factor of a built index (1 = not sampled). Encodings
+    * without sampling always report 1.
+    */
+  protected[graft] def sampleFactor(spark: SparkSession, path: String): Int = 1
+
+  /** Per-path candidate uid list under `cap` — the facade's per-index
+    * candidate resolution: one backward walk + capped posting slice.
+    * Encodings whose on-disk stream is transformed (skip-sampled token
+    * mode) override to restore the candidate-superset guarantee. None
+    * means "over cap / not resolvable": the caller's brute-force
+    * switch wins for this path's files.
+    */
+  protected[graft] def candidateUids(spark: SparkSession, path: String,
+      query: String, cap: Int, ver: Long): Option[Seq[Long]] = {
+    val (lo, hi) = saRangeMultiSyms(spark, Seq(path), symbols(query),
+      Map(path -> ver))(path)
+    if (hi - lo > cap.toLong * ChunkSize) None
+    else postingSliceCapped(spark, path, lo, hi, cap, ver)
   }
 
   // ---- code-point helpers --------------------------------------------

@@ -74,7 +74,6 @@ object TokenFmIndex extends BwtDriver {
       .select(col("uid"), toksCol.as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("rid", monotonically_increasing_id())
-    writeSample(spark, path, sample)
     // one suffix row per token position 0..n INCLUSIVE (the terminator
     // suffix puts the row's LAST token into the BWT — same boundary
     // argument as char-mode). key = next W tokens space-joined.
@@ -90,9 +89,16 @@ object TokenFmIndex extends BwtDriver {
     val ranked = FmIndex.rankSuffixes(spark, suf, ChunkSize)
     writeChunks(spark, ranked, path)
     FmIndex.writeCommon(spark, ranked, meta, column, path)
+    // LAST: the sidecar must never describe a build whose BWT is not
+    // yet on disk (a search racing a same-path rebuild would pair one
+    // build's factor with the other build's chunks)
+    writeSample(spark, path, sample)
   }
 
-  // sample factor sidecar: one row, read once per (path, version)
+  // sample factor sidecar, cached by (path, HEAD version): the factor
+  // is part of the build (the BWT is the thinned stream), so it must
+  // ride the same version discipline as head/chunks — its own dir's
+  // mtime would let a same-path rebuild pair mismatched halves
   private val sampleCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Int)]
 
@@ -103,17 +109,93 @@ object TokenFmIndex extends BwtDriver {
       .write.mode("overwrite").parquet(s"$path/tconf")
   }
 
-  def sampleOf(spark: SparkSession, path: String): Int = {
-    val dir = s"$path/tconf"
-    if (!graft.core.Fs.exists(spark, dir)) return 1 // pre-sampling build
-    val v = graft.core.Fs.dirVersion(spark, dir)
+  def sampleOf(spark: SparkSession, path: String): Int =
+    sampleAt(spark, path,
+      graft.core.Fs.dirVersion(spark, s"$path/head"))
+
+  /** Sample factor at a known head version — fails loudly when a
+    * rebuild lands between the caller's version stat and the sidecar
+    * read (same contract as the chunk fetches).
+    */
+  private def sampleAt(spark: SparkSession, path: String,
+      headVer: Long): Int = {
     sampleCache.get(path) match {
-      case Some((ver, s)) if ver == v => s
+      case Some((v, s)) if v == headVer => return s
       case _ =>
-        val s = spark.read.parquet(dir).head().getInt(0)
-        sampleCache.put(path, (v, s))
-        s
     }
+    val dir = s"$path/tconf"
+    val s =
+      if (!graft.core.Fs.exists(spark, dir)) 1 // pre-sampling build
+      else spark.read.parquet(dir).head().getInt(0)
+    require(try graft.core.Fs.dirVersion(spark, s"$path/head") == headVer
+      catch { case _: Exception => false },
+      s"index at $path changed during the operation — retry")
+    sampleCache.put(path, (headVer, s))
+    s
+  }
+
+  override protected[graft] def sampleFactor(spark: SparkSession,
+      path: String): Int = sampleOf(spark, path)
+
+  /** The reference's residue patterns (search.rs:493-507): pattern `r`
+    * is the query tokens at offsets r, r+sample, r+2·sample… — exactly
+    * the thinned subsequence an occurrence starting at row position
+    * ≡ −r (mod sample) leaves in the sampled stream.
+    */
+  private def residues(toks: Seq[String], sample: Int): Seq[Seq[String]] =
+    (0 until sample).map(r =>
+      toks.drop(r).zipWithIndex.collect {
+        case (t, i) if i % sample == 0 => t
+      })
+
+  /** Facade candidate resolution, sample-aware: an unsampled index
+    * walks normally; a skip-sampled one unions one residue probe per
+    * offset. None (→ brute) when the query is shorter than the sample
+    * factor (no guaranteed alignment) or any cap trips.
+    */
+  override protected[graft] def candidateUids(spark: SparkSession,
+      path: String, query: String, cap: Int,
+      ver: Long): Option[Seq[Long]] = {
+    val sample = sampleAt(spark, path, ver)
+    if (sample == 1)
+      return super.candidateUids(spark, path, query, cap, ver)
+    val toks = TokenIndex.tokensOf(query)
+    if (toks.size < sample) return None
+    val vers = Map(path -> ver)
+    val ranges = residues(toks, sample).map(rs =>
+      saRangeMultiSyms(spark, Seq(path), rs, vers)(path))
+    val width = ranges.map { case (lo, hi) => math.max(hi - lo, 0L) }.sum
+    if (width > cap.toLong * ChunkSize) return None
+    val slices = ranges.map { case (lo, hi) =>
+      postingSliceCapped(spark, path, lo, hi, cap, ver)
+    }
+    if (slices.contains(None)) None
+    else {
+      val uids = slices.flatMap(_.get).distinct
+      if (uids.size > cap) None else Some(uids)
+    }
+  }
+
+  /** Interleave-merge carries the factor forward (the interleaved BWT
+    * is still the thinned stream); mixed factors cannot interleave —
+    * their thinned alphabets describe different streams.
+    */
+  override protected def mergeSampleSidecar(spark: SparkSession,
+      a: String, b: String, out: String): Unit = {
+    val (sa, sb) = (sampleOf(spark, a), sampleOf(spark, b))
+    require(sa == sb, s"cannot interleave-merge token indexes with " +
+      s"different sample factors ($sa vs $sb) — use rebuild")
+    writeSample(spark, out, sa)
+  }
+
+  /** Rebuild-merge propagates a common factor; mixed factors rebuild
+    * unsampled (correct for any query, just un-thinned).
+    */
+  override protected def rebuildBuild(spark: SparkSession,
+      files: Seq[String], column: String, out: String, a: String,
+      b: String): Unit = {
+    val (sa, sb) = (sampleOf(spark, a), sampleOf(spark, b))
+    build(spark, files, column, out, if (sa == sb) sa else 1)
   }
 
   /** Search: sample == 1 delegates to the shared driver flow; a
@@ -124,8 +206,9 @@ object TokenFmIndex extends BwtDriver {
     */
   override def search(spark: SparkSession, path: String, column: String,
       query: String): org.apache.spark.sql.DataFrame = {
-    val sample = sampleOf(spark, path)
-    if (sample == 1) return super.search(spark, path, column, query)
+    val vers = versionsOf(spark, Seq(path))
+    if (sampleAt(spark, path, vers(path)) == 1)
+      return super.search(spark, path, column, query)
     import spark.implicits._
     val q = graft.text.Text.sparkLower(query)
     val meta = spark.read.parquet(s"$path/meta")
@@ -135,33 +218,16 @@ object TokenFmIndex extends BwtDriver {
       spark.read.parquet(covered: _*)
         .filter(refinePred(column, q))
         .withColumn("uid", lit(-1L))
-    val toks = TokenIndex.tokensOf(q)
-    if (toks.isEmpty)
+    if (TokenIndex.tokensOf(q).isEmpty)
       return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
-    // below the sample factor an occurrence may straddle the thinning
-    // with no sampled token at all — no residue pattern can see it
-    if (toks.size < sample) return brute()
-    val vers = versionsOf(spark, Seq(path))
-    val residues = (0 until sample).map(r =>
-      toks.drop(r).zipWithIndex.collect {
-        case (t, i) if i % sample == 0 => t
-      })
-    val ranges = residues.map(rs =>
-      saRangeMultiSyms(spark, Seq(path), rs, vers)(path))
-    val width = ranges.map { case (lo, hi) => math.max(hi - lo, 0L) }.sum
-    if (width > graft.core.Lake.BruteForceThreshold.toLong * ChunkSize)
-      return brute()
-    val slices = ranges.map { case (lo, hi) =>
-      postingSliceCapped(spark, path, lo, hi,
-        graft.core.Lake.BruteForceThreshold, vers(path))
+    candidateUids(spark, path, q, graft.core.Lake.BruteForceThreshold,
+        vers(path)) match {
+      case Some(uids)
+          if uids.size < graft.api.IndexKind.metaRows(spark, path).size =>
+        Layout.readHits(spark, meta, uids.toDF("uid"))
+          .filter(refinePred(column, q))
+      case _ => brute() // over cap, sub-sample-length, or no pruning value
     }
-    if (slices.contains(None)) return brute()
-    val uids = slices.flatMap(_.get).distinct
-    if (uids.size > graft.core.Lake.BruteForceThreshold ||
-        uids.size >= graft.api.IndexKind.metaRows(spark, path).size)
-      return brute()
-    Layout.readHits(spark, meta, uids.toDF("uid"))
-      .filter(refinePred(column, q))
   }
 
   /** Chunk payload: SA-ordered token array (no join into one string —

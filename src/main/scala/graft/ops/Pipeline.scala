@@ -343,20 +343,28 @@ object Pipeline {
     */
   val E2EMinTokens = 10
 
-  def endToEnd(d: DataFrame): DataFrame = {
+  /** The map-only front of the pipeline — quality gate (the
+    * text_quality entry's not-'poor' condition) then language gate
+    * (the text_lang_id entry's 'en' branch, en wins ties). Pure
+    * filters over one scan, so it applies unchanged to a STREAMING
+    * DataFrame (no shuffle, no state).
+    */
+  def gates(d: DataFrame): DataFrame = {
     val enWords = graft.text.Text.langProfiles.toMap
     def sc(l: String) =
       TextAnalysis.stopwordCount(col("toks"), enWords(l)).as(s"s_$l")
-    val toks = d.select(col("doc_id"), col("source"), col("text"),
-      Text.tokens(col("text")).as("toks"))
-    // quality gate: the text_quality entry's not-'poor' condition
-    val q = toks.filter(size(col("toks")) >= E2EMinTokens)
-    // language gate: the text_lang_id entry's 'en' branch (en wins ties)
-    val en = q
+    d.select(col("doc_id"), col("source"), col("text"),
+        Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= E2EMinTokens)
       .select(col("doc_id"), col("source"), col("text"), col("toks"),
         sc("en"), sc("es"), sc("fr"), sc("de"))
       .filter(col("s_en") > 0 && col("s_en") >= col("s_es") &&
         col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"))
+      .select("doc_id", "source", "text", "toks")
+  }
+
+  def endToEnd(d: DataFrame): DataFrame = {
+    val en = gates(d)
     // exact dedup: doc_fingerprint's normalized md5, keeper = min id
     val keep = en
       .withColumn("fp", Text.fingerprint(col("text")))
@@ -378,13 +386,18 @@ object Pipeline {
         expr(s"cum div $PackBudget").as("bin"))
   }
 
-  private val e2eSql = {
-    val km1 = DecontamN - 1
+  /** Shared oracle fragments: the gate CTEs (toks → q → sc → en) and
+    * the decontamination CTEs (sh → bench → contaminated). ONE
+    * definition each — the batch pipeline's oracle and the streaming
+    * twin's oracle compose from these, so a gate-semantics change
+    * cannot leave one of them testing stale arithmetic.
+    */
+  private[graft] val gatesCtes: String = {
     def score(l: String, words: Seq[String]) =
       s"len(list_filter(toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t))) AS s_$l"
     val scores = Text.langProfiles.map { case (l, ws) => score(l, ws) }
       .mkString(",\n    ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, source, text,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
        |  FROM documents),
@@ -393,7 +406,22 @@ object Pipeline {
        |    $scores
        |  FROM q),
        |en AS (SELECT doc_id, source, text, toks FROM sc
-       |  WHERE s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de),
+       |  WHERE s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de)""".stripMargin
+  }
+
+  private[graft] val contamCtes: String = {
+    val km1 = DecontamN - 1
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i + $km1], ' ') for i in generate_series(1, len(toks) - $km1)])) AS g
+       |  FROM toks WHERE len(toks) >= $DecontamN),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % $BenchMod = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
+       |  WHERE doc_id % $BenchMod <> 0)""".stripMargin
+  }
+
+  private val e2eSql =
+    s"""WITH $gatesCtes,
        |fp AS (SELECT doc_id, source, toks,
        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
        |  FROM en),
@@ -401,13 +429,7 @@ object Pipeline {
        |    SELECT doc_id, source, toks,
        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
        |    FROM fp) t WHERE rn = 1),
-       |sh AS (
-       |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i + $km1], ' ') for i in generate_series(1, len(toks) - $km1)])) AS g
-       |  FROM toks WHERE len(toks) >= $DecontamN),
-       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % $BenchMod = 0),
-       |contaminated AS (
-       |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
-       |  WHERE doc_id % $BenchMod <> 0),
+       |$contamCtes,
        |clean AS (
        |  SELECT doc_id, source, len(toks)::BIGINT AS n_tok FROM keep
        |  WHERE doc_id % $BenchMod <> 0
@@ -418,7 +440,16 @@ object Pipeline {
        |  SELECT doc_id, source, n_tok,
        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
        |  FROM clean) t""".stripMargin
-  }
+
+  /** The streaming twin's oracle: gates + decontamination survivors
+    * (the stateless front of [[e2eSql]], before dedup/packing).
+    */
+  private[graft] val gatesSurvivorsSql =
+    s"""WITH $gatesCtes,
+       |$contamCtes
+       |SELECT doc_id, source FROM en
+       |WHERE doc_id % $BenchMod <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 
   def entries: Map[String, Q] = Map(
     // near-dup pairs → duplicate clusters (keeper = min doc_id); the

@@ -4,7 +4,7 @@ import graft.core.{IndexStore, Layout}
 import graft.index.NgramIndex
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Lower, PredicateHelper, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Lower, PredicateHelper, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -103,6 +103,12 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
             case Literal(v, StringType) => v != null
             case _ => false
           } => (a.name, vs.map(_.asInstanceOf[Literal].value.toString))
+      // lists past spark.sql.optimizer.inSetConversionThreshold reach
+      // this rule (extraOptimizations run AFTER OptimizeIn) as InSet
+      case InSet(a: AttributeReference, hset)
+          if a.dataType == StringType && hset.nonEmpty &&
+            !hset.contains(null) =>
+        (a.name, hset.toSeq.map(_.toString))
     }
     // prefix predicate → key index range probe
     val keyPrefix = preds.collectFirst {

@@ -119,9 +119,48 @@ object EventStream {
       "append")
   }
 
+  /** The prep pipeline's streaming twin: the map-only quality/language
+    * gates apply unchanged to a document stream (they are stateless
+    * filters — [[graft.ops.Pipeline.gates]]), and decontamination
+    * becomes a STREAM-STATIC left-anti join against the benchmark-
+    * contaminated id set (the gram agg runs once, batch-side; the
+    * stream never shuffles). This is the continuous-ingest shape: docs
+    * arriving in any micro-batch split produce exactly the batch
+    * pipeline's survivor set.
+    */
+  def docPipelineStream(spark: SparkSession, dir: String): DataFrame = {
+    val staticDocs = graft.Tables.load(spark, dir, "documents")
+    // persisted: the static side of a stream-static join re-executes
+    // every micro-batch — without the cache each trigger would re-run
+    // the whole gram agg over the corpus instead of reading the
+    // materialized id set
+    val contaminated = graft.ops.Pipeline.decontaminate(staticDocs)
+      .select("doc_id").persist()
+    try {
+      contaminated.count() // materialize before the first trigger
+      val stream = spark.readStream
+        .schema(staticDocs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val out = graft.ops.Pipeline.gates(stream)
+        .filter(col("doc_id") % graft.ops.Pipeline.BenchMod =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+      // stateless filters + anti join: append mode, multi-batch safe
+      runToMemory(out, "graft_doc_pipeline_" + math.abs(dir.hashCode),
+        "append")
+    } finally contaminated.unpersist()
+  }
+
   def entries: Map[String, Q] = Map(
     "streaming_dedup" -> Q((s, dir) => dedupStream(s, dir),
       "SELECT DISTINCT user_id, event_type FROM events"),
+
+    // gates + decontamination over a document STREAM; oracle = the
+    // batch pipeline's survivor set before the stateful stages (the
+    // SAME CTE fragments the batch oracle composes from)
+    "streaming_doc_pipeline" -> Q((s, dir) => docPipelineStream(s, dir),
+      graft.ops.Pipeline.gatesSurvivorsSql),
 
     "streaming_user_state" -> Q((s, dir) => userStateStream(s, dir),
       """SELECT user_id, count(*) AS n, arg_max(event_type, ts) AS last_type

@@ -116,6 +116,12 @@ class IndexPruneRuleSpec extends AnyFunSuite {
     // equality is case-exact — no candidate file, nothing scanned
     val none = spark.read.parquet(dir).filter(col("name") === "GAMMA")
     assert(none.count() == 0 && scannedFiles(none) == 0)
+    // lists past spark.sql.optimizer.inSetConversionThreshold (10)
+    // reach the rule as InSet, not In — they must prune identically
+    val big = Seq("alpha", "zeta") ++ (1 to 9).map(i => s"nope$i")
+    val inset = spark.read.parquet(dir).filter(col("name").isin(big: _*))
+    assert(inset.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 6L))
+    assert(scannedFiles(inset) == 2, "InSet form must prune like In")
   }
 
   test("case-sensitive contains prunes soundly (superset candidates)") {

@@ -16,6 +16,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamed prep gates equal the batch gates across micro-batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // multi-file source + one file per trigger: the survivor set must
+    // not depend on how ingestion batches the corpus
+    val docs = Tables.load(spark, dir, "documents")
+    val src = TestSpark.tmpDir("stream-gates-src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val out = graft.ops.Pipeline.gates(stream).select("doc_id")
+    val q = out.writeStream.format("memory")
+      .queryName("gates_mb").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("gates_mb")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.Pipeline.gates(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("mapGroupsWithState user state equals the batch arg_max") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.EventStream.userStateStream(spark, dir)

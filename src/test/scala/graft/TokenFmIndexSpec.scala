@@ -133,6 +133,57 @@ class TokenFmIndexSpec extends AnyFunSuite {
     assert(fmIds(s"$dir/s3", "go") == bruteIds(s"$dir/data", "go"))
   }
 
+  test("sampled indexes stay exact through the facade path and merges") {
+    val rows = corpus(40, 25, seed = 23)
+    val dir = TestSpark.tmpDir("tfm-facade-sampled")
+    rows.toDF("doc_id", "text").repartition(2).write.mode("overwrite")
+      .parquet(s"$dir/data")
+    val files = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    // half the lake under a PLAIN index, half under a SAMPLED one —
+    // the facade walk must not push the full pattern through the
+    // thinned BWT (it would silently match nothing)
+    val plain = s"$dir/plain"; val s2 = s"$dir/s2"
+    TokenFmIndex.build(spark, files.take(1), "text", plain)
+    TokenFmIndex.build(spark, files.drop(1), "text", s2, sample = 2)
+    def lakeIds(q: String): Set[Long] =
+      graft.api.TokenFmKind.searchLake(spark, Seq(plain, s2), Seq.empty,
+        "text", q, 100000)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rnd = new scala.util.Random(29)
+    (1 to 12).foreach { _ =>
+      val toks = rows(rnd.nextInt(rows.size))._2.split(" ")
+      val start = rnd.nextInt(toks.length - 2)
+      val q = toks.slice(start, start + 2 + rnd.nextInt(5)).mkString(" ")
+      assert(lakeIds(q) == bruteIds(s"$dir/data", q), s"facade '$q'")
+    }
+    // sub-sample-length query: the sampled path demotes to brute, the
+    // plain path still walks — result stays exact
+    assert(lakeIds("go") == bruteIds(s"$dir/data", "go"))
+
+    // interleave merge of two sampled halves keeps the factor (and so
+    // keeps answering through residue probes)
+    val sa = s"$dir/ma"; val sb = s"$dir/mb"; val mi = s"$dir/mi"
+    TokenFmIndex.build(spark, files.take(1), "text", sa, sample = 2)
+    TokenFmIndex.build(spark, files.drop(1), "text", sb, sample = 2)
+    spark.conf.set("spark.graft.bwt.merge", "interleave")
+    try TokenFmIndex.merge(spark, sa, sb, mi)
+    finally spark.conf.unset("spark.graft.bwt.merge")
+    assert(TokenFmIndex.sampleOf(spark, mi) == 2)
+    // rebuild merge propagates the common factor too
+    val mr = s"$dir/mr"
+    TokenFmIndex.merge(spark, sa, sb, mr)
+    assert(TokenFmIndex.sampleOf(spark, mr) == 2)
+    (1 to 8).foreach { _ =>
+      val toks = rows(rnd.nextInt(rows.size))._2.split(" ")
+      val start = rnd.nextInt(toks.length - 2)
+      val q = toks.slice(start, start + 2 + rnd.nextInt(5)).mkString(" ")
+      assert(fmIds(mi, q) == bruteIds(s"$dir/data", q), s"interleaved '$q'")
+      assert(fmIds(mr, q) == bruteIds(s"$dir/data", q), s"rebuilt '$q'")
+    }
+  }
+
   test("merged token-BWT index answers exactly like one whole index") {
     val rows = corpus(30, 20, seed = 5)
     val dir = TestSpark.tmpDir("tfm-merge")
