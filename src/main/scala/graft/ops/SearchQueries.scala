@@ -141,6 +141,95 @@ object SearchQueries {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  // ---- hybrid retrieval (RRF fusion) ---------------------------------
+
+  val HybridN = 20          // per-arm candidate depth (deeper than final k)
+  val RrfC = 60             // reciprocal-rank constant (Cormack et al. 2009)
+  val RrfQuant = 1000000000L
+
+  /** Hybrid lexical + semantic retrieval: a BM25 arm over the text
+    * index and a cosine arm over the documents' embeddings, fused by
+    * Reciprocal Rank Fusion — score(d) = Σ_arms 1/(C + rank_arm(d))
+    * (Cormack/Clarke/Buettcher, SIGIR 2009). Not a reference operator:
+    * part of the beyond-reference retrieval surface (RAG-style corpus
+    * curation ranks by a fused signal, not either arm alone).
+    *
+    * Exactness: each arm's rank comes from an already-oracle-pinned
+    * ordering (quantized BM25 score desc / rounded cosine desc, ties
+    * by doc_id), and each rank's contribution is quantized to
+    * `RrfQuant div (C + rank)` so the fused score is an exact integer
+    * sum in both engines.
+    *
+    * Scale: both arms are index-served at 100 TB (BM25 postings prune
+    * to the query-token buckets; the vector arm is the IVF batch
+    * searcher over the embedding column) and fusion joins two
+    * HybridN-sized lists — driver-scale regardless of corpus size.
+    * The testdata documents carry no embedding column, so the id-modulo
+    * join to the embeddings table stands in for it (the same device as
+    * [[vocabEmbeddings]]); in production the arm reads the document's
+    * own embedding.
+    */
+  def hybridRrf(s: SparkSession, dir: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = bm25Idx(s, dir)
+    val bmArm = Bm25Index.search(s, p, Bm25Query, HybridN)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+    val e = Similarity.embeddings(s, dir)
+    val nVecs = e.count()
+    val qv = e.filter(col("vec_id") === Similarity.QueryVecId)
+      .select("v").collect()(0).getSeq[Double](0)
+    val dv = graft.Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(e.select(col("vec_id"), col("v")),
+        col("doc_id") % nVecs === col("vec_id"))
+      .select(col("doc_id"),
+        round(graft.GraftExtensions.cosineSim(s, col("v"), typedLit(qv)), 6)
+          .as("cos"))
+    val vecArm = dv.orderBy(col("cos").desc, col("doc_id")).limit(HybridN)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+    val contrib = bmArm.select(col("doc_id"),
+        expr(s"${RrfQuant}L div ($RrfC + r)").as("c"))
+      .unionByName(vecArm.select(col("doc_id"),
+        expr(s"${RrfQuant}L div ($RrfC + r)").as("c")))
+    contrib.groupBy(col("doc_id")).agg(sum(col("c")).as("q"))
+      .select(col("doc_id"),
+        round(col("q").cast("double") / lit(RrfQuant.toDouble), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+  }
+
+  /** The fusion arithmetic in ANSI SQL, composed from the BM25 oracle
+    * and the knn cosine fold — one definition of each arm's ordering.
+    */
+  def oracleSqlHybrid(k: Int): String = {
+    val bmInner = Bm25Index.oracleSql("documents", "text", "doc_id",
+      Bm25Query, HybridN)
+    s"""WITH bmtop AS (
+       |$bmInner
+       |),
+       |bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |       FROM bmtop),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nv AS (SELECT count(*) AS n FROM e),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = ${Similarity.QueryVecId}),
+       |dv AS (SELECT d.doc_id,
+       |         round(list_sum([e.v[i] * q.q[i] for i in generate_series(1, len(e.v))]) /
+       |               (sqrt(list_sum([e.v[i] * e.v[i] for i in generate_series(1, len(e.v))])) *
+       |                sqrt(list_sum([q.q[i] * q.q[i] for i in generate_series(1, len(q.q))]))), 6) AS cos
+       |       FROM documents d JOIN e ON d.doc_id % (SELECT n FROM nv) = e.vec_id
+       |       CROSS JOIN qv q),
+       |vtop AS (SELECT doc_id, cos FROM dv ORDER BY cos DESC, doc_id LIMIT $HybridN),
+       |vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+       |       FROM vtop),
+       |contrib AS (
+       |  SELECT doc_id, $RrfQuant // ($RrfC + r) AS c FROM bm
+       |  UNION ALL
+       |  SELECT doc_id, $RrfQuant // ($RrfC + r) AS c FROM vr)
+       |SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / $RrfQuant, 6) AS rrf
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Token-sequence containment oracle (the normalized-form contains). */
   private def tokenOracle(q: String): String =
     s"""SELECT doc_id FROM (
@@ -245,6 +334,12 @@ object SearchQueries {
       graft.index.TokenFmIndex.search(s, p, "text", "merge merge")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, tokenOracle("merge merge")),
+
+    // hybrid BM25 + embedding retrieval fused by reciprocal-rank (the
+    // RAG-curation ranking); both arms reuse their oracle-pinned
+    // orderings, fusion is an exact integer sum
+    "hybrid_search_rrf" -> Q((s, dir) => hybridRrf(s, dir, Bm25K),
+      oracleSqlHybrid(Bm25K)),
 
     // single-token query prunes via the unigram postings (short-query
     // discipline, no covered-files scan)
