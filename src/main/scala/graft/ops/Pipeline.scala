@@ -286,6 +286,94 @@ object Pipeline {
        |  least(len(toks) - k * $ChunkS, $ChunkW)::BIGINT AS n_chunk_tokens
        |FROM ks""".stripMargin
 
+  // ---- token-budget mixture sampling ---------------------------------
+
+  val MixBudget = 4000L
+  /** Target mixture weights in basis points (integer, so each source's
+    * token target `bp × MixBudget div 10000` is exact arithmetic in
+    * both engines — no float-threshold hazards). Sources absent from
+    * the map contribute nothing.
+    */
+  val MixBp: Seq[(String, Long)] = Seq(
+    "src0" -> 3000L, "src1" -> 2000L, "src2" -> 2000L,
+    "src3" -> 1500L, "src4" -> 1500L)
+
+  /** Training-mix assembly: each source contributes documents, in
+    * deterministic md5(doc_id) order, until its share of the token
+    * budget (weight × MixBudget tokens) is reached — a doc is admitted
+    * iff its source's target was not yet exhausted before it (greedy,
+    * so the mix can overshoot by at most one document per source; the
+    * standard mixture-sampling semantics). The cumulative sum is a
+    * window per source partition — parallel across sources, never a
+    * global sort; the md5 order makes the sample independent of file
+    * layout and cluster shape, like [[sampleStratified]]. At 100 TB
+    * this is THE operation that assembles a domain-reweighted training
+    * mix from a curated lake.
+    */
+  def mixtureSample(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    d.filter(col("source").isin(MixBp.map(_._1): _*))
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("n_tok"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("tbp", element_at(typedLit(MixBp.toMap), col("source")))
+      // Column./ is always DOUBLE division — div keeps the target exact
+      .filter(col("cum") < expr(s"(tbp * $MixBudget) div 10000"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
+  private def mixtureSql: String = {
+    val inList = MixBp.map { case (s, _) => s"'$s'" }.mkString(", ")
+    val cases = MixBp.map { case (s, bp) => s"WHEN '$s' THEN $bp" }
+      .mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents WHERE source IN ($inList)),
+       |c AS (
+       |  SELECT doc_id, source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) - n_tok AS cum
+       |  FROM t)
+       |SELECT doc_id, source, n_tok FROM c
+       |WHERE cum < (CASE source $cases END) * $MixBudget // 10000""".stripMargin
+  }
+
+  // ---- per-source dataset card ---------------------------------------
+
+  /** Dataset-card statistics per source: document/token counts, mean
+    * tokens, language spread, and exact-duplicate count (normalized-
+    * fingerprint collisions). ONE partial-agg groupBy — the reporting
+    * pass a pipeline runs after curation; countDistinct is Spark's
+    * two-round distinct agg, never a driver collect.
+    */
+  def corpusStatsBySource(d: DataFrame): DataFrame =
+    d.select(col("source"), col("lang"),
+        Text.tokenCount(col("text")).cast("long").as("n_tok"),
+        Text.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
+
+  private val statsSql =
+    s"""SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS avg_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+       |FROM (
+       |  SELECT source, lang,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tok,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents) t
+       |GROUP BY source""".stripMargin
+
   // ---- n-gram decontamination ----------------------------------------
 
   val DecontamN: Int = Dedup.ShingleK // shares the cached shingle rows
@@ -467,6 +555,16 @@ object Pipeline {
 
     "q_sample_stratified" -> Q(
       (s, dir) => sampleStratified(docs(s, dir)), sampleSql),
+
+    // domain-reweighted training-mix assembly: per-source token budgets
+    // hit greedily in deterministic md5 order
+    "q_mixture_sample" -> Q(
+      (s, dir) => mixtureSample(docs(s, dir)), mixtureSql),
+
+    // dataset-card reporting: per-source doc/token/lang/dup stats in
+    // one partial-agg groupBy
+    "corpus_stats_by_source" -> Q(
+      (s, dir) => corpusStatsBySource(docs(s, dir)), statsSql),
 
     "q_pack_sequences" -> Q((s, dir) => packSequences(docs(s, dir)), packSql),
 

@@ -67,6 +67,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.forall(_ % 2 == 0)) // 'xx' has no rate → dropped
   }
 
+  test("mixtureSample hits each source's token target within one doc overshoot") {
+    val words = (1 to 100).map(i => s"w$i").mkString(" ") // 100 tokens/doc
+    val d = (0L until 120L).map(i => (i, s"src${i % 6}", words))
+      .toDF("doc_id", "source", "text")
+    val got = Pipeline.mixtureSample(d).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    // unweighted sources (src5) contribute nothing
+    assert(got.forall(_._1 != "src5"))
+    val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    Pipeline.MixBp.foreach { case (src, bp) =>
+      val target = bp * Pipeline.MixBudget / 10000
+      val tok = bySrc.getOrElse(src, 0L)
+      // greedy admit: ≥ target (unless source exhausted) and overshoot
+      // bounded by one document
+      assert(tok >= math.min(target, 2000L) && tok < target + 100,
+        s"$src: $tok vs target $target")
+    }
+    // deterministic across runs
+    val again = Pipeline.mixtureSample(d).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.sortBy(_.toString).sameElements(again.sortBy(_.toString)))
+  }
+
   test("repetition flags a degenerate doc and clears a diverse one") {
     val d = Seq((1L, "spam spam spam spam"), (2L, "all words differ here"))
       .toDF("doc_id", "text")
