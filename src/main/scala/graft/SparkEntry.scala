@@ -19,6 +19,7 @@ object SparkEntry {
       graft.ops.Similarity.entries ++
       graft.ops.Clustering.entries ++
       graft.index.VectorIndex.entries ++
+      graft.index.VamanaIndex.entries ++
       graft.index.LogCloudIndex.entries ++
       graft.ops.Maintenance.entries ++
       graft.ops.ApiQueries.entries ++

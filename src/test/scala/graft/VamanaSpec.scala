@@ -1,0 +1,86 @@
+package graft
+
+import graft.index.VamanaIndex
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VamanaSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two well-separated direction clusters plus noise, so graph search
+  // has real structure to navigate
+  private val vecs: Seq[(Long, Seq[Double])] = (0L until 60L).map { i =>
+    val base = if (i % 2 == 0) 1.0 else -1.0
+    i -> Seq.tabulate(8)(d =>
+      base * (d + 1) + 0.05 * math.sin(i * 2.3 + d))
+  }
+
+  private def brute(q: Seq[Double], k: Int): Seq[Long] = {
+    val qc = typedLit(q)
+    vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), round(Similarity.cosine(col("v"), qc), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+  }
+
+  test("local build yields a fully reachable bounded-degree graph") {
+    val arr = vecs.map(_._2.toArray).toArray
+    val (adj, med) = VamanaIndex.buildLocal(arr, 8, 32, seed = 1L)
+    assert(adj.length == arr.length)
+    // reachability patch guarantees a total BFS from the medoid
+    val reached = scala.collection.mutable.HashSet(med)
+    val q = scala.collection.mutable.Queue(med)
+    while (q.nonEmpty) adj(q.dequeue()).foreach { n =>
+      if (reached.add(n)) q += n
+    }
+    assert(reached.size == arr.length)
+    // non-medoid nodes respect the degree bound (the medoid may carry
+    // reachability-patch slack)
+    adj.zipWithIndex.filter(_._2 != med).foreach { case (ns, _) =>
+      assert(ns.length <= 8)
+    }
+  }
+
+  test("exact configuration equals brute-force top-k") {
+    val idx = TestSpark.tmpDir("vamana")
+    VamanaIndex.build(spark, vecs.toDF("vec_id", "v"), idx)
+    val q = vecs(7)._2
+    val got = VamanaIndex.search(spark, idx, q, 5, exact = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute(q, 5))
+  }
+
+  test("production beam finds the true top-k on clustered data") {
+    val idx = TestSpark.tmpDir("vamana2")
+    VamanaIndex.build(spark, vecs.toDF("vec_id", "v"), idx)
+    val q = vecs(12)._2
+    val got = VamanaIndex.search(spark, idx, q, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // 60 nodes, beam 64 ≥ n: the beam covers the graph, so production
+    // search is exact here — any miss is a navigation bug
+    assert(got == brute(q, 5))
+  }
+
+  test("merge of two disjoint graphs searches like one") {
+    val (l, r) = vecs.partition(_._1 < 30L)
+    val (ia, ib, im) = (TestSpark.tmpDir("va"), TestSpark.tmpDir("vb"),
+      TestSpark.tmpDir("vm"))
+    VamanaIndex.build(spark, l.toDF("vec_id", "v"), ia)
+    VamanaIndex.build(spark, r.toDF("vec_id", "v"), ib)
+    VamanaIndex.merge(spark, ia, ib, im)
+    val q = vecs(33)._2
+    val got = VamanaIndex.search(spark, im, q, 5, exact = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute(q, 5))
+  }
+
+  test("build is deterministic") {
+    val arr = vecs.map(_._2.toArray).toArray
+    val a = VamanaIndex.buildLocal(arr, 8, 32, seed = 7L)
+    val b = VamanaIndex.buildLocal(arr, 8, 32, seed = 7L)
+    assert(a._2 == b._2 &&
+      a._1.map(_.toSeq).toSeq == b._1.map(_.toSeq).toSeq)
+  }
+}
