@@ -374,6 +374,95 @@ object Pipeline {
        |  FROM documents) t
        |GROUP BY source""".stripMargin
 
+  // ---- DSIR importance resampling ------------------------------------
+
+  val DsirB = 512L      // hashed feature buckets
+  val DsirS = 10000L    // ratio quantization scale
+  val DsirK = 100       // selected documents
+  val DsirTarget = "en" // the target slice the selection steers toward
+
+  /** Hashed n-gram feature stream (doc_id, lang, b): word unigrams +
+    * bigrams, each md5-hashed to one of [[DsirB]] buckets, multiplicity
+    * kept (DSIR scores use counts). Map-only apart from the per-doc
+    * window the bigram lead needs.
+    */
+  private def dsirFeatures(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), col("lang"),
+      posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val uni = toks.select(col("doc_id"), col("lang"), col("tok").as("g"))
+    val bi = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("tok"), col("nxt")).as("g"))
+    uni.unionByName(bi).withColumn("b",
+      conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % DsirB)
+      .drop("g")
+  }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document
+    * by how much more likely its hashed n-gram features are under the
+    * TARGET distribution (the `lang = '`[[DsirTarget]]`'` slice stands
+    * in for the curated target corpus) than under the raw corpus, and
+    * keep the top [[DsirK]]. Per the library's ulp convention the
+    * per-bucket log-ratio sum is replaced by a sum of INTEGER-quantized
+    * Laplace-smoothed ratios — `rho(b) = (S·(t_b+1)·(R+B)) div
+    * ((r_b+1)·(T+B))` in DECIMAL(38) intermediates (counts at web
+    * scale overflow 64-bit products) — the same linearization as
+    * text_keywords_tfidf's quantized IDF, exact in both engines.
+    *
+    * Scale shape: features are map-only + one per-doc window; BOTH
+    * distributions come out of ONE B-bounded groupBy (target = filtered
+    * count in the same pass); rho is a B-row broadcast joined back onto
+    * the feature stream; per-doc scores are one groupBy(doc_id) with
+    * map-side combine; selection is orderBy().limit() — per-partition
+    * top-K, never a global sort.
+    */
+  def dsirSample(d: DataFrame): DataFrame = {
+    val f = dsirFeatures(d)
+    val byB = f.groupBy("b").agg(
+      count(lit(1)).as("rc"),
+      count(when(col("lang") === DsirTarget, 1)).as("tc"))
+    val tot = byB.agg(sum("rc").as("rr"), sum("tc").as("tt"))
+    val rho = byB.crossJoin(broadcast(tot)).select(col("b"),
+      expr(s"CAST(($DsirS * CAST(tc + 1 AS DECIMAL(38,0)) * (rr + $DsirB))" +
+        s" div (CAST(rc + 1 AS DECIMAL(38,0)) * (tt + $DsirB)) AS BIGINT)")
+        .as("rho"))
+    f.join(broadcast(rho), Seq("b"))
+      .groupBy("doc_id").agg(sum("rho").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(DsirK)
+  }
+
+  private val dsirSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    unnest(ts || [ts[i] || ' ' || ts[i+1] for i in generate_series(1, len(ts) - 1)]) AS g
+       |  FROM base),
+       |fb AS (
+       |  SELECT doc_id, lang,
+       |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(g),j,1)) - 1)::BIGINT << (4*(8-j)) for j in generate_series(1,8)]) AS BIGINT) % $DsirB AS b
+       |  FROM f),
+       |byb AS (
+       |  SELECT b, count(*) AS rc,
+       |    count(*) FILTER (WHERE lang = '$DsirTarget') AS tc
+       |  FROM fb GROUP BY b),
+       |tot AS (SELECT sum(rc) AS rr, sum(tc) AS tt FROM byb),
+       |rho AS (
+       |  SELECT b,
+       |    CAST(($DsirS * CAST(tc + 1 AS HUGEINT) * (rr + $DsirB)) //
+       |         (CAST(rc + 1 AS HUGEINT) * (tt + $DsirB)) AS BIGINT) AS rho
+       |  FROM byb CROSS JOIN tot),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(rho) AS BIGINT) AS score
+       |  FROM fb JOIN rho USING (b) GROUP BY doc_id)
+       |SELECT doc_id, score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT $DsirK""".stripMargin
+
   // ---- n-gram decontamination ----------------------------------------
 
   val DecontamN: Int = Dedup.ShingleK // shares the cached shingle rows
@@ -565,6 +654,10 @@ object Pipeline {
     // one partial-agg groupBy
     "corpus_stats_by_source" -> Q(
       (s, dir) => corpusStatsBySource(docs(s, dir)), statsSql),
+
+    // DSIR data selection: hashed-ngram importance scores against the
+    // target slice, integer-quantized ratio arithmetic
+    "dsir_sample" -> Q((s, dir) => dsirSample(docs(s, dir)), dsirSql),
 
     "q_pack_sequences" -> Q((s, dir) => packSequences(docs(s, dir)), packSql),
 

@@ -90,6 +90,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.sortBy(_.toString).sameElements(again.sortBy(_.toString)))
   }
 
+  test("dsirSample prefers documents that look like the target slice") {
+    // target (en) docs share a vocabulary; the out-of-distribution docs
+    // use disjoint words — DSIR must rank in-distribution docs first
+    val enWords = "alpha beta gamma delta epsilon zeta"
+    val deWords = "zahl wort haus baum fluss berg"
+    val d = ((0L until 20L).map(i => (i, "en", enWords)) ++
+      (20L until 40L).map(i => (i, "de", deWords)) ++
+      // an unlabeled doc WRITTEN in target vocabulary: must be selected
+      Seq((99L, "de", enWords)))
+      .toDF("doc_id", "lang", "text")
+    val got = Pipeline.dsirSample(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = got.map(_._1).toSet
+    assert(ids.contains(99L), "target-like doc not selected")
+    // every target-vocab doc outscores every out-of-distribution doc
+    val sc = got.toMap
+    assert(sc(99L) > sc(20L) && sc(0L) > sc(20L))
+  }
+
   test("repetition flags a degenerate doc and clears a diverse one") {
     val d = Seq((1L, "spam spam spam spam"), (2L, "all words differ here"))
       .toDF("doc_id", "text")
