@@ -68,8 +68,8 @@ object VamanaIndex {
     */
   val PartTarget = 100000
 
-  def numPartitions(n: Long): Int =
-    math.max(4, math.ceil(2.0 * n / PartTarget).toInt)
+  def numPartitions(n: Long, partTarget: Int = PartTarget): Int =
+    math.max(4, math.ceil(2.0 * n / partTarget).toInt)
 
   // ---- metric -------------------------------------------------------
 
@@ -220,12 +220,16 @@ object VamanaIndex {
     * medoids with vectors: the search seeds, driver-cached), and
     * `info/` (n).
     */
-  def build(spark: SparkSession, emb: DataFrame, path: String): Unit = {
+  def build(spark: SparkSession, emb: DataFrame, path: String,
+      partTarget: Int = PartTarget): Unit = {
     import spark.implicits._
     val src = emb.select(col("vec_id").cast("long"),
       col("v").cast("array<double>")).cache()
     val n = src.count()
-    val k = math.min(numPartitions(n), math.max(2, n / 2).toInt)
+    // min/max on Long BEFORE the narrowing: n/2 for a multi-billion-row
+    // corpus overflows an eager .toInt to 0 or negative, crashing setK
+    val k = math.min(numPartitions(n, partTarget).toLong,
+      math.max(2L, n / 2)).toInt
     // k-means cells for the overlapping partition assignment
     // (reference: vamana.rs:532 kmeans into 2×threads partitions)
     val model = new KMeans().setK(k).setSeed(Seed).setMaxIter(10)
@@ -253,8 +257,24 @@ object VamanaIndex {
       }
     }
     // per-partition in-memory Vamana with halved degree
-    // (reference: vamana.rs:541-552)
-    val parts = assigned.groupByKey(_._1).flatMapGroups { (pid, rows) =>
+    // (reference: vamana.rs:541-552). k-means gives NO per-cell size
+    // bound — a skewed corpus (millions of near-identical embeddings)
+    // can collapse into one cell — so count each cell (one k-row agg)
+    // and salt oversized cells by vec_id into ceil(size/PartTarget)
+    // sub-groups: flatMapGroups' toArray is then genuinely bounded at
+    // ~PartTarget rows at any corpus size or skew. Each sub-group gets
+    // its own medoid + reachability patch, so the exact-configuration
+    // totality guarantee survives the split.
+    val cellSizes = assigned.groupByKey(_._1).count().collect().toMap
+    val splits = cellSizes.map { case (c, sz) =>
+      c -> math.max(1L, math.ceil(sz.toDouble / partTarget).toLong)
+    }
+    val stride = splits.values.foldLeft(1L)(math.max)
+    val bcSplits = spark.sparkContext.broadcast(splits)
+    val parts = assigned.groupByKey { case (c, id, _) =>
+      val s = bcSplits.value.getOrElse(c, 1L)
+      c * stride + (if (s <= 1L) 0L else java.lang.Long.remainderUnsigned(id, s))
+    }.flatMapGroups { (pid, rows) =>
       val buf = rows.toArray.sortBy(_._2)
       val ids = buf.map(_._2)
       val vecs = buf.map(_._3.toArray)
@@ -286,7 +306,7 @@ object VamanaIndex {
       .withColumn("d", lit(1.0) -
         graft.GraftExtensions.cosineSim(spark, col("v"), typedLit(mean)))
       .orderBy(col("d"), col("vec_id")).limit(1)
-      .select(lit(-1).as("part"), col("vec_id"), col("v"))
+      .select(lit(-1L).as("part"), col("vec_id"), col("v"))
     parts.filter(col("med")).select(col("part"), col("vec_id"))
       .join(src, Seq("vec_id")).select(col("part"), col("vec_id"), col("v"))
       .unionByName(gm)
@@ -303,7 +323,7 @@ object VamanaIndex {
   // head (seed medoids + n) cached keep-latest per path like the IVF
   // centroid head; nodes LRU-cached version-keyed like BWT chunks
   private val headCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Array[(Int, Long, Array[Double])], Long)]
+    .empty[String, (Long, Array[(Long, Long, Array[Double])], Long)]
   private val MaxCachedNodes = 65536
   private val nodeCache =
     new java.util.LinkedHashMap[(String, Long, Long), Node](256, 0.75f, true) {
@@ -313,13 +333,13 @@ object VamanaIndex {
     }
 
   private def headOf(spark: SparkSession,
-      path: String): (Long, Array[(Int, Long, Array[Double])], Long) = {
+      path: String): (Long, Array[(Long, Long, Array[Double])], Long) = {
     val ver = graft.core.Fs.dirVersion(spark, s"$path/graph")
     headCache.get(path) match {
       case Some(h @ (v, _, _)) if v == ver => h
       case _ =>
         val meds = spark.read.parquet(s"$path/head").collect()
-          .map(r => (r.getInt(0), r.getLong(1),
+          .map(r => (r.getLong(0), r.getLong(1),
             r.getSeq[Double](2).toArray))
         val n = spark.read.parquet(s"$path/info").head().getLong(0)
         val h = (ver, meds, n)
@@ -330,28 +350,35 @@ object VamanaIndex {
 
   /** ONE point-lookup job fetches every missing node row of a batch;
     * rows land in the shared LRU cache. The Spark collect runs outside
-    * any lock (racing duplicate fetches insert identical rows).
+    * any lock (racing duplicate fetches insert identical rows). The
+    * returned map is assembled from the cache HITS read under the lock
+    * plus the fetched rows themselves — never re-read from the cache —
+    * so eviction during this call (by its own inserts or a concurrent
+    * search's) cannot silently drop a requested id from the result.
     */
   private def fetchNodes(spark: SparkSession, path: String, ver: Long,
       ids: Seq[Long]): Map[Long, Node] = {
-    val missing = nodeCache.synchronized {
-      ids.distinct.filterNot(id => nodeCache.containsKey((path, ver, id)))
-    }
-    if (missing.nonEmpty) {
-      val rows = spark.read.parquet(s"$path/graph")
-        .filter(col("vec_id").isin(missing: _*))
-        .select("vec_id", "nbrs", "v").collect()
-      nodeCache.synchronized {
-        rows.foreach { r =>
-          nodeCache.put((path, ver, r.getLong(0)),
-            Node(r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
-        }
-      }
-    }
-    nodeCache.synchronized {
-      ids.distinct.flatMap { id =>
+    val distinct = ids.distinct
+    val hits = nodeCache.synchronized {
+      distinct.flatMap { id =>
         Option(nodeCache.get((path, ver, id))).map(id -> _)
       }.toMap
+    }
+    val missing = distinct.filterNot(hits.contains)
+    if (missing.isEmpty) hits
+    else {
+      val fetched = spark.read.parquet(s"$path/graph")
+        .filter(col("vec_id").isin(missing: _*))
+        .select("vec_id", "nbrs", "v").collect()
+        .map(r => r.getLong(0) ->
+          Node(r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
+        .toMap
+      nodeCache.synchronized {
+        fetched.foreach { case (id, nd) =>
+          nodeCache.put((path, ver, id), nd)
+        }
+      }
+      hits ++ fetched
     }
   }
 
@@ -371,7 +398,7 @@ object VamanaIndex {
       seedAll: Boolean): (Seq[Long], Long) = {
     val (ver, meds, _) = headOf(spark, path)
     val seeds = (if (seedAll) meds.toSeq
-                 else meds.toSeq.filter(_._1 == -1))
+                 else meds.toSeq.filter(_._1 == -1L))
       .map { case (_, id, v) => (id, cosDist(q, v)) }
       .sortBy { case (id, d) => (d, id) }.distinctBy(_._1)
     val dist = scala.collection.mutable.HashMap(seeds: _*)
@@ -453,16 +480,17 @@ object VamanaIndex {
     p
   }
 
-  /** Panel exact top-k ground truth, persisted beside the index (one
-    * brute-force batched plan, computed once per build — the same
-    * persisted-ground-truth shape as the IVF recall gates).
+  /** Panel exact top-k ground truth, persisted beside the index via
+    * the shared [[VectorIndex.persistedPanel]] store (one recall
+    * convention across all ANN gates); the exact side here is one
+    * brute-force batched window plan (this index has no probe-all
+    * searcher to reuse).
     */
   private def panelTruth(s: SparkSession, dir: String, path: String,
       n: Int, k: Int): Seq[(Seq[Double], Set[Long])] = {
     import s.implicits._
     val panel = VectorIndex.queryPanel(s, dir, n)
-    val store = s"$path/panel_k$k"
-    IndexStore.ensure(store) {
+    VectorIndex.persistedPanel(s, s"$path/panel_k$k", panel) {
       val qdf = broadcast(panel.zipWithIndex.map(_.swap).toDF("qid", "qv"))
       val w = Window.partitionBy("qid")
         .orderBy(col("cos").desc, col("vec_id"))
@@ -471,13 +499,7 @@ object VamanaIndex {
           round(graft.GraftExtensions.cosineSim(s, col("v"), col("qv")), 6)
             .as("cos"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-        .select("qid", "vec_id").coalesce(1)
-        .write.mode("overwrite").parquet(s"$store/table")
     }
-    val byQ = s.read.parquet(s"$store/table").collect()
-      .groupBy(_.getInt(0))
-      .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
-    panel.zipWithIndex.map { case (q, i) => (q, byQ.getOrElse(i, Set.empty)) }
   }
 
   def entries: Map[String, graft.Q] = Map(
@@ -501,9 +523,8 @@ object VamanaIndex {
       val p = ensureBuilt(s, dir)
       val truth = panelTruth(s, dir, p, 5, Similarity.K)
       val rs = truth.map { case (q, exact) =>
-        exact.intersect(
-          search(s, p, q, Similarity.K).select("vec_id").collect()
-            .map(_.getLong(0)).toSet).size.toDouble / Similarity.K
+        VectorIndex.recallAgainst(exact,
+          search(s, p, q, Similarity.K), Similarity.K)
       }
       Seq(rs.sum / rs.size >= VectorIndex.RecallFloor).toDF("recall_ok")
     }, "SELECT true AS recall_ok")

@@ -460,14 +460,25 @@ object VectorIndex {
     */
   def panelTruth(s: SparkSession, dir: String, path: String,
       n: Int, k: Int): Seq[(Seq[Double], Set[Long])] = {
-    import s.implicits._
     val panel = queryPanel(s, dir, n)
-    val store = s"$path/panel_k$k"
-    graft.core.IndexStore.ensure(store) {
-      // one batched probe-all search computes the whole panel's exact
-      // top-k (identical per-query results — pinned by spec)
+    // one batched probe-all search computes the whole panel's exact
+    // top-k (identical per-query results — pinned by spec)
+    persistedPanel(s, s"$path/panel_k$k", panel) {
       searchBatch(s, path, panel, k, numCells(s, path))
-        .select("qid", "vec_id").coalesce(1)
+    }
+  }
+
+  /** The persist-and-load half of every panel ground-truth store (one
+    * recall convention for all ANN gates — IVF, PQ, Vamana): `compute`
+    * produces the exact (qid, vec_id) top-k table once per index
+    * build; subsequent gates read the persisted table and group it
+    * into per-query id sets.
+    */
+  def persistedPanel(s: SparkSession, store: String,
+      panel: Seq[Seq[Double]])(
+      compute: => DataFrame): Seq[(Seq[Double], Set[Long])] = {
+    graft.core.IndexStore.ensure(store) {
+      compute.select("qid", "vec_id").coalesce(1)
         .write.mode("overwrite").parquet(s"$store/table")
     }
     val byQ = s.read.parquet(s"$store/table").collect()

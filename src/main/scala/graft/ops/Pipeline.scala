@@ -381,24 +381,26 @@ object Pipeline {
   val DsirK = 100       // selected documents
   val DsirTarget = "en" // the target slice the selection steers toward
 
-  /** Hashed n-gram feature stream (doc_id, lang, b): word unigrams +
-    * bigrams, each md5-hashed to one of [[DsirB]] buckets, multiplicity
-    * kept (DSIR scores use counts). Map-only apart from the per-doc
-    * window the bigram lead needs.
+  /** Per-document hashed n-gram bucket counts (doc_id, lang, b, c):
+    * word unigrams + bigrams, each md5-hashed to one of [[DsirB]]
+    * buckets, multiplicity kept as the count `c` (DSIR scores use
+    * counts). Genuinely map-only up to the one groupBy: bigrams come
+    * from an ARRAY-level adjacency transform (`ts[i] ts[i+1]`), not a
+    * per-token window — no corpus-scale shuffle of the token stream —
+    * and the aggregation to (doc, bucket) counts shrinks the stream to
+    * ≤ B rows per document before anything downstream touches it.
     */
-  private def dsirFeatures(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"), col("lang"),
-      posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val uni = toks.select(col("doc_id"), col("lang"), col("tok").as("g"))
-    val bi = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
+  private def dsirFeatures(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("ts"))
       .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("tok"), col("nxt")).as("g"))
-    uni.unionByName(bi).withColumn("b",
-      conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % DsirB)
-      .drop("g")
-  }
+        explode(concat(col("ts"),
+          when(size(col("ts")) >= 2,
+            expr("transform(sequence(0, size(ts) - 2), " +
+              "i -> concat_ws(' ', ts[i], ts[i + 1]))"))
+            .otherwise(array()))).as("g"))
+      .withColumn("b",
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % DsirB)
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each document
@@ -412,25 +414,29 @@ object Pipeline {
     * scale overflow 64-bit products) — the same linearization as
     * text_keywords_tfidf's quantized IDF, exact in both engines.
     *
-    * Scale shape: features are map-only + one per-doc window; BOTH
-    * distributions come out of ONE B-bounded groupBy (target = filtered
-    * count in the same pass); rho is a B-row broadcast joined back onto
-    * the feature stream; per-doc scores are one groupBy(doc_id) with
-    * map-side combine; selection is orderBy().limit() — per-partition
-    * top-K, never a global sort.
+    * Scale shape: features are a map-only tokenize/hash pass into one
+    * (doc, bucket)-count groupBy (no token-stream shuffle); BOTH
+    * distributions come out of ONE B-bounded groupBy over those counts
+    * (target = conditional sum in the same pass); rho is a B-row
+    * broadcast joined back onto the per-doc counts; per-doc scores are
+    * one groupBy(doc_id) with map-side combine; selection is
+    * orderBy().limit() — per-partition top-K, never a global sort. The
+    * tokenize runs twice (distribution pass + scoring pass) — inherent
+    * to importance resampling, which needs the global ratios before any
+    * document can be scored.
     */
   def dsirSample(d: DataFrame): DataFrame = {
     val f = dsirFeatures(d)
     val byB = f.groupBy("b").agg(
-      count(lit(1)).as("rc"),
-      count(when(col("lang") === DsirTarget, 1)).as("tc"))
+      sum("c").as("rc"),
+      sum(when(col("lang") === DsirTarget, col("c")).otherwise(0L)).as("tc"))
     val tot = byB.agg(sum("rc").as("rr"), sum("tc").as("tt"))
     val rho = byB.crossJoin(broadcast(tot)).select(col("b"),
       expr(s"CAST(($DsirS * CAST(tc + 1 AS DECIMAL(38,0)) * (rr + $DsirB))" +
         s" div (CAST(rc + 1 AS DECIMAL(38,0)) * (tt + $DsirB)) AS BIGINT)")
         .as("rho"))
     f.join(broadcast(rho), Seq("b"))
-      .groupBy("doc_id").agg(sum("rho").as("score"))
+      .groupBy("doc_id").agg(sum(col("rho") * col("c")).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(DsirK)
   }
 

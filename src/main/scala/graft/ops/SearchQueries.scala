@@ -160,12 +160,15 @@ object SearchQueries {
     * `RrfQuant div (C + rank)` so the fused score is an exact integer
     * sum in both engines.
     *
-    * Scale: both arms are index-served at 100 TB (BM25 postings prune
-    * to the query-token buckets; the vector arm is the IVF batch
-    * searcher over the embedding column) and fusion joins two
-    * HybridN-sized lists — driver-scale regardless of corpus size.
-    * The testdata documents carry no embedding column, so the id-modulo
-    * join to the embeddings table stands in for it (the same device as
+    * Scale: the BM25 arm is index-served (postings prune to the
+    * query-token buckets); the vector arm HERE is the exact cosine
+    * ranking over the document-mapped embeddings — the oracle-pinned
+    * baseline, a full embedding scan. [[hybridRrfIndexed]] is the
+    * production wiring where that arm is served by the IVF vector
+    * index instead; fusion in both joins two HybridN-sized lists —
+    * driver-scale regardless of corpus size. The testdata documents
+    * carry no embedding column, so the id-modulo join to the
+    * embeddings table stands in for it (the same device as
     * [[vocabEmbeddings]]); in production the arm reads the document's
     * own embedding.
     */
@@ -196,6 +199,76 @@ object SearchQueries {
       .select(col("doc_id"),
         round(col("q").cast("double") / lit(RrfQuant.toDouble), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+  }
+
+  /** Hybrid RRF with BOTH arms index-served — the production wiring:
+    * the lexical arm is the BM25 postings search, the semantic arm is
+    * the IVF vector index searcher ([[graft.index.VectorIndex.search]])
+    * run in its probe-all configuration, which is EXACT (equals brute
+    * force, proven by `similarity_ivf_all`) so the whole entry stays
+    * oracle-gated; dropping nprobe to `probeCount` gives the
+    * approximate production trade with the identical plan shape (cell
+    * partition pruning replaces the full cells scan). Fusion key is
+    * vec_id — the production document key where documents carry their
+    * own embeddings; the testdata BM25 arm's doc_ids map into vec
+    * space by the same `doc_id % nVecs` device as [[hybridRrf]].
+    */
+  def hybridRrfIndexed(s: SparkSession, dir: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.index.VectorIndex
+    val p = bm25Idx(s, dir)
+    val nVecs = Similarity.embeddings(s, dir).count()
+    val bmArm = Bm25Index.search(s, p, Bm25Query, HybridN)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select((col("doc_id") % nVecs).as("vec_id"), col("r"))
+    val vp = VectorIndex.ensureBuilt(s, dir)
+    val vecArm = VectorIndex.search(s, vp, VectorIndex.queryVec(s, dir),
+        HybridN, VectorIndex.numCells(s, vp))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id"), col("r"))
+    val contrib = bmArm.select(col("vec_id"),
+        expr(s"${RrfQuant}L div ($RrfC + r)").as("c"))
+      .unionByName(vecArm.select(col("vec_id"),
+        expr(s"${RrfQuant}L div ($RrfC + r)").as("c")))
+    contrib.groupBy(col("vec_id")).agg(sum(col("c")).as("q"))
+      .select(col("vec_id"),
+        round(col("q").cast("double") / lit(RrfQuant.toDouble), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("vec_id")).limit(k)
+  }
+
+  /** [[hybridRrfIndexed]]'s fusion in ANSI SQL: the same BM25 ranks
+    * mapped into vec space, the vector arm as the exact knn ordering
+    * (what the probe-all searcher provably equals).
+    */
+  def oracleSqlHybridIndexed(k: Int): String = {
+    val bmInner = Bm25Index.oracleSql("documents", "text", "doc_id",
+      Bm25Query, HybridN)
+    s"""WITH bmtop AS (
+       |$bmInner
+       |),
+       |bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       |       FROM bmtop),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nv AS (SELECT count(*) AS n FROM e),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = ${Similarity.QueryVecId}),
+       |cos AS (SELECT vec_id,
+       |  round(list_sum([e.v[i] * q.q[i] for i in generate_series(1, len(e.v))]) /
+       |        (sqrt(list_sum([e.v[i] * e.v[i] for i in generate_series(1, len(e.v))])) *
+       |         sqrt(list_sum([q.q[i] * q.q[i] for i in generate_series(1, len(q.q))]))), 6) AS cos
+       |  FROM e CROSS JOIN qv q),
+       |vtop AS (SELECT vec_id, cos FROM cos ORDER BY cos DESC, vec_id LIMIT $HybridN),
+       |vr AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+       |       FROM vtop),
+       |contrib AS (
+       |  SELECT doc_id % (SELECT n FROM nv) AS vec_id, $RrfQuant // ($RrfC + r) AS c FROM bm
+       |  UNION ALL
+       |  SELECT vec_id, $RrfQuant // ($RrfC + r) AS c FROM vr)
+       |SELECT vec_id, round(CAST(sum(c) AS DOUBLE) / $RrfQuant, 6) AS rrf
+       |FROM contrib GROUP BY vec_id
+       |ORDER BY rrf DESC, vec_id LIMIT $k""".stripMargin
   }
 
   /** The fusion arithmetic in ANSI SQL, composed from the BM25 oracle
@@ -340,6 +413,11 @@ object SearchQueries {
     // orderings, fusion is an exact integer sum
     "hybrid_search_rrf" -> Q((s, dir) => hybridRrf(s, dir, Bm25K),
       oracleSqlHybrid(Bm25K)),
+
+    // the production wiring: the semantic arm goes through the IVF
+    // vector index (probe-all = exact, so still oracle-gated)
+    "hybrid_search_rrf_indexed" -> Q((s, dir) =>
+      hybridRrfIndexed(s, dir, Bm25K), oracleSqlHybridIndexed(Bm25K)),
 
     // single-token query prunes via the unigram postings (short-query
     // discipline, no covered-files scan)

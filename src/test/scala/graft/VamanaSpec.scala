@@ -76,6 +76,31 @@ class VamanaSpec extends AnyFunSuite {
     assert(got == brute(q, 5))
   }
 
+  test("oversized cells are salted into sub-groups; exact search still total") {
+    // partTarget = 8 forces every k-means cell over the bound, so the
+    // build MUST split cells by vec_id salt — and a skewed corpus is
+    // simulated by near-identical vectors that collapse into few cells
+    val skewed: Seq[(Long, Seq[Double])] = (0L until 48L).map { i =>
+      i -> Seq.tabulate(8)(d => 1.0 + 1e-4 * (i * 7 % 13) + 1e-5 * d)
+    }
+    val idx = TestSpark.tmpDir("vamana-salt")
+    VamanaIndex.build(spark, skewed.toDF("vec_id", "v"), idx,
+      partTarget = 8)
+    // sub-groups are real: more medoid parts than the 4 base cells
+    val parts = spark.read.parquet(s"$idx/head")
+      .select("part").distinct().count()
+    assert(parts > 5, s"expected salted sub-groups, got $parts parts")
+    val q = skewed(11)._2
+    val qc = typedLit(q)
+    val want = skewed.toDF("vec_id", "v")
+      .select(col("vec_id"), round(Similarity.cosine(col("v"), qc), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = VamanaIndex.search(spark, idx, q, 5, exact = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
   test("build is deterministic") {
     val arr = vecs.map(_._2.toArray).toArray
     val a = VamanaIndex.buildLocal(arr, 8, 32, seed = 7L)
