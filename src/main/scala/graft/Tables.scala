@@ -1,6 +1,14 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated lake tables (TESTDATA.md).
   *
@@ -16,20 +24,77 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) which Spark's vectorized reader
-      // rejects; read nanos as long and truncate to microseconds.
-      // Deliberately a SESSION-level set (the flag is consulted at scan
-      // time, so a scoped set/restore would race lazy execution): by
-      // contract every TIMESTAMP(NANOS) read in this engine goes
-      // through Tables.load, and the long representation is what the
-      // oracle compares against.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(path(dir, name))
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(path(dir, name))
+  /** How the events `ts` column is physically encoded in the footer.
+    * The testdata generator has shipped it both as TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader only accepts as a raw long under
+    * the legacy flag) and as TIMESTAMP(MICROS); the loader dispatches
+    * on the actual footer so either vintage of data reads identically.
+    */
+  sealed trait TsEncoding
+  case object TsNanosAsLong extends TsEncoding
+  case object TsNative extends TsEncoding
+
+  // footer probe cached per (path, mtime): one open per distinct file,
+  // immune to testdata regeneration between runs
+  private val tsEncodingCache =
+    new ConcurrentHashMap[(String, Long), TsEncoding]()
+
+  /** Read the parquet footer of `file` (or of the first parquet inside
+    * it, when it's a directory) and report how `ts` is annotated.
+    */
+  def tsEncoding(spark: SparkSession, file: String): TsEncoding = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    val target =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).getOrElse(p)
+      else p
+    val mtime = fs.getFileStatus(target).getModificationTime
+    tsEncodingCache.computeIfAbsent((target.toString, mtime), { _ =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(target, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val nanos = schema.containsField("ts") &&
+          (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+        if (nanos) TsNanosAsLong else TsNative
+      } finally reader.close()
+    })
   }
+
+  /** Session-timezone-stable TimestampType view of `ts`, whatever the
+    * raw reader produced: legacy nanos-as-long → truncate to micros;
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TimestampNTZ →
+    * cast (identity under the engine's UTC session timezone); plain
+    * TimestampType passes through.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
+  /** Events loader: footer-dispatched timestamp decode. The legacy flag
+    * is only touched when the footer actually shows TIMESTAMP(NANOS)
+    * (a SESSION-level set by contract — the flag is consulted at scan
+    * time, so a scoped set/restore would race lazy execution; every
+    * nanos read in this engine goes through here).
+    */
+  def loadEvents(spark: SparkSession, file: String): DataFrame = {
+    if (tsEncoding(spark, file) == TsNanosAsLong)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(file))
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, path(dir, name))
+    else spark.read.parquet(path(dir, name))
 }

@@ -17,21 +17,32 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** The shared streaming source over the events parquet. */
+  /** The shared streaming source over the events parquet.
+    *
+    * Streaming sources need an explicit schema, and the testdata has
+    * shipped `ts` both as TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * ([[graft.Tables.tsEncoding]]), so the source schema is the BATCH
+    * reader's inferred schema for the same file — whatever that reader
+    * can decode, the stream decodes identically — and `ts` is then
+    * normalized to one TimestampType (µs) column exactly as the batch
+    * loader does. Downstream operators never see the raw encoding.
+    */
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val file = graft.Tables.path(dir, "events")
+    if (graft.Tables.tsEncoding(spark, file) == graft.Tables.TsNanosAsLong)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(file).schema
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run the stream to completion into a memory sink, return the table. */
@@ -49,7 +60,6 @@ object EventStream {
 
   def hourlyStream(spark: SparkSession, dir: String): DataFrame = {
     val stream = readEvents(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -66,15 +76,16 @@ object EventStream {
   case class UserState(n: Long, lastTs: Long, lastType: String)
 
   /** Custom per-key streaming state via mapGroupsWithState: running
-    * event count + latest event type per user. (ts stays raw nanos so
-    * ordering matches the source exactly; (user_id, ts) is unique in
-    * the data, making the fold deterministic.)
+    * event count + latest event type per user. (ts is folded as raw
+    * epoch-micros so ordering matches the source exactly; (user_id, ts)
+    * is unique in the data, making the fold deterministic.)
     */
   def userStateStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val stream = readEvents(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"))
       .as[UserEvent]
     val out = stream
       .groupByKey(_.user_id)
