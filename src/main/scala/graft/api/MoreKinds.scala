@@ -303,6 +303,114 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
       .limit(k)
   }
 }
+/** Vamana graph-ANN kind — the reference's alternate vector path
+  * through the same lake API (reference: the vector flow of
+  * backends/utils.py:215-244 with src/vamana/vamana.rs as the engine).
+  * The query is the vector itself; each covering index runs the
+  * driver-side beam search ([[graft.index.VamanaIndex.beam]], batched
+  * point-lookup graph hops), candidate uids resolve to row groups
+  * through the cached metas, and the exact cosine rerank runs over
+  * fetched + in-situ rows. The default configuration (all-medoid seed,
+  * unbounded beam) provably visits every node — the build's
+  * reachability patch makes it EXACT and oracle-gateable, mirroring
+  * [[VectorKind]]'s probe-everything default; production sets
+  * `l = SearchL, seedAll = false` and quantifies recall instead.
+  */
+case class VamanaKind(idCol: String, l: Int = Int.MaxValue,
+    seedAll: Boolean = true) extends IndexKind {
+  import graft.index.VamanaIndex
+
+  val name = "vamana"
+
+  override def ranked: Boolean = true
+
+  /** Graph node identity is the ROW-granular rid ([[Layout.withRowId]])
+    * — a row-group uid would collapse every vector of a retrieval unit
+    * into one node. Search decodes candidate rids back to uids with the
+    * metadata-sized [[Layout.ridBases]] table.
+    */
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = {
+    val meta = Layout.buildMeta(spark, files, Some(column)).cache()
+    val emb = Layout.withRowId(spark, files, meta)
+      .select(col("rid").as("vec_id"),
+        col(column).cast("array<double>").as("v"))
+    VamanaIndex.build(spark, emb, path)
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    meta.unpersist()
+  }
+
+  /** Merge = rebuild over both graphs' stored vectors (the graph rows
+    * carry the full-precision vectors, so no lake re-read). `b`'s meta
+    * uids re-offset by `a`'s max uid like every other kind; `b`'s node
+    * rids re-offset by `a`'s TOTAL ROW COUNT, which keeps the merged
+    * rid space exactly the cumulative-by-uid ordinal the decode table
+    * reconstructs from the merged meta.
+    */
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
+    val ma = spark.read.parquet(s"$a/meta")
+    val uidOff = ma.agg(max("uid")).collect()(0).getLong(0)
+    val rowOff = ma.agg(sum("num_rows")).collect()(0).getLong(0)
+    val va = spark.read.parquet(s"$a/graph").select("vec_id", "v")
+    val vb = spark.read.parquet(s"$b/graph")
+      .select((col("vec_id") + rowOff).as("vec_id"), col("v"))
+    VamanaIndex.build(spark, va.unionByName(vb), out)
+    ma.unionByName(
+      spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + uidOff))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+  }
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    val q = query.split(",").map(_.trim.toDouble).toSeq
+    val qa = q.toArray
+    val qc = typedLit(q)
+    val covered = coveredFiles(spark, paths, live)
+    val exact = seedAll && l == Int.MaxValue
+
+    val indexed: Option[DataFrame] =
+      if (covered.isEmpty) None
+      else {
+        // driver beam per covering index: candidate count is bounded by
+        // the beam width (or, exact, by the graph size — where the
+        // totality guarantee is ENFORCED, not assumed)
+        val cands = paths.map { p =>
+          val (ids, visited) = VamanaIndex.beam(spark, p, qa, l,
+            if (exact) 1024 else VamanaIndex.BeamW, seedAll)
+          if (exact) {
+            val n = VamanaIndex.nodeCount(spark, p)
+            require(visited == n,
+              s"exact traversal visited $visited of $n nodes — graph at " +
+                s"$p is not fully reachable; rebuild it")
+          }
+          p -> ids
+        }
+        val byPath = paths.map(p => p -> metaRows(spark, p)
+          .map(r => r._1 -> (r._2, r._3, r._4)).toMap).toMap
+        val basesByPath = paths.map(p =>
+          p -> Layout.ridBases(metaRows(spark, p))).toMap
+        val hits = cands.flatMap { case (p, ids) =>
+          ids.map(Layout.uidOfRid(basesByPath(p), _)).distinct.flatMap(uid =>
+            byPath(p).get(uid).map { case (f, rs, n) => (f, uid, rs, n) })
+        }.distinct.filter(h => live.forall(_.contains(h._1)))
+        Some(Layout.readGroups(spark, hits, covered).drop("uid"))
+      }
+
+    val parts = indexed.toSeq ++
+      (if (insituFiles.isEmpty) Seq.empty
+       else Seq(spark.read.parquet(insituFiles: _*)))
+    val base =
+      if (parts.isEmpty) emptyLike(spark, paths)
+      else parts.reduce(_ unionByName _)
+    base
+      .withColumn("cos", round(graft.GraftExtensions.cosineSim(spark,
+        col(column).cast("array<double>"), qc), 6))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}
+
 /** Shared facade kind for the two BWT substring encodings (contains
   * semantics, real backward search). The lock-step multi-index walk
   * keeps the job count at one batched boundary-chunk fetch per LF step

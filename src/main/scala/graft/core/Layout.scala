@@ -201,6 +201,54 @@ object Layout {
       .drop("__file", "__pos", "row_start", "row_end")
   }
 
+  /** Like [[withUid]] but additionally tags each row with a per-ROW
+    * unique ordinal `rid` = (cumulative row count of all lower uids) +
+    * (offset within this retrieval unit) — node identity for
+    * row-granular indexes (Vamana graph nodes), decodable back to the
+    * retrieval-unit uid with [[ridBases]] + binary search. Both the
+    * base table build and the decode are metadata-sized (one entry per
+    * retrieval unit, same scale as the meta sidecar itself).
+    */
+  def withRowId(spark: SparkSession, files: Seq[String], meta: DataFrame): DataFrame = {
+    import spark.implicits._
+    val units = meta.select(col("uid"), col("num_rows")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val baseRows = units.toSeq.map { case (uid, n) =>
+      val b = acc; acc += n; (uid, b)
+    }
+    val data = spark.read.parquet(files: _*)
+      .withColumn("__file", canonPath(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val m = meta.select(col("file_path").as("__file"), col("uid"),
+      col("row_start"), (col("row_start") + col("num_rows")).as("row_end"))
+    data.join(broadcast(m), Seq("__file"))
+      .filter(col("__pos") >= col("row_start") && col("__pos") < col("row_end"))
+      .join(broadcast(baseRows.toDF("uid", "__rid_base")), Seq("uid"))
+      .withColumn("rid", col("__rid_base") + col("__pos") - col("row_start"))
+      .drop("__file", "__pos", "row_start", "row_end", "__rid_base")
+  }
+
+  /** Decode table for [[withRowId]] ids: (rid_base, uid) sorted by
+    * base. A rid belongs to the last entry whose base is <= rid.
+    */
+  def ridBases(metaRows: Seq[(Long, String, Long, Long)]): Array[(Long, Long)] = {
+    var acc = 0L
+    metaRows.sortBy(_._1).map { case (uid, _, _, n) =>
+      val b = acc; acc += n; (b, uid)
+    }.toArray
+  }
+
+  /** uid owning `rid` per [[ridBases]] decode table. */
+  def uidOfRid(bases: Array[(Long, Long)], rid: Long): Long = {
+    var lo = 0; var hi = bases.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (bases(mid)._1 <= rid) lo = mid else hi = mid - 1
+    }
+    bases(lo)._2
+  }
+
   /** Selective materialization: given index hits (a `uid` column), read
     * ONLY the parquet files containing hit row groups and keep only rows
     * inside hit groups (reference: read_indexed_pages,

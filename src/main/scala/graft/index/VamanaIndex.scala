@@ -348,6 +348,10 @@ object VamanaIndex {
     }
   }
 
+  /** Node count of the graph at `path` (driver-cached with the head). */
+  private[graft] def nodeCount(spark: SparkSession, path: String): Long =
+    headOf(spark, path)._3
+
   /** ONE point-lookup job fetches every missing node row of a batch;
     * rows land in the shared LRU cache. The Spark collect runs outside
     * any lock (racing duplicate fetches insert identical rows). The

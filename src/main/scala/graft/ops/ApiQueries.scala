@@ -80,6 +80,24 @@ object ApiQueries {
         .select(col("vec_id"), col("cos"))
     }, Similarity.knnSql),
 
+    // the Vamana graph kind through the same lifecycle: per-file graph
+    // indexes → compact (rebuild over the stored vectors, uids
+    // re-offset) → beam search per covering index. The exact
+    // configuration (all-medoid seed, unbounded beam — totality
+    // ENFORCED against the node count) must equal the brute-force
+    // cosine oracle, the same gate as lake_api_vector
+    "lake_api_vamana" -> Q((s, dir) => {
+      val lake = tableLake(s, dir, "embeddings", "vec_id")
+      val kind = graft.api.VamanaKind("vec_id")
+      lake.index(kind, "embedding", binpackRows = 1)
+      lake.compact(kind, "embedding", threshold = 1000000L)
+      val q = Similarity.embeddings(s, dir)
+        .filter(col("vec_id") === Similarity.QueryVecId)
+        .select(col("v")).collect()(0).getSeq[Double](0)
+      lake.search(kind, "embedding", q.mkString(","), Similarity.K)
+        .select(col("vec_id"), col("cos"))
+    }, Similarity.knnSql),
+
     // log search through the facade: per-file logcloud indexes →
     // compact → typed-variable search with row-group materialization
     "lake_api_logcloud" -> Q((s, dir) => {
