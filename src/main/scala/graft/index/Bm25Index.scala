@@ -211,23 +211,26 @@ object Bm25Index {
       .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
   }
 
-  /** Oracle SQL generator: the same scoring pipeline in ANSI SQL. */
+  /** Oracle SQL generator: the same scoring pipeline in ANSI SQL, with
+    * the tokenization delegated to the tokenizer's own oracle
+    * expression so both sides of the seam stay in one place. */
   def oracleSql(table: String, column: String, idCol: String,
-      query: String, k: Int): String = {
-    val qtoks = graft.text.Text.sparkLower(query)
-      .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
-    oracleSqlWeighted(table, column, idCol, qtoks.map(_ -> 1.0), k)
+      query: String, k: Int,
+      tokenizer: Text.Tokenizer = Text.RegexTokenizer): String = {
+    val qtoks = tokenizer.tokenizeQuery(query).distinct
+    oracleSqlWeighted(table, column, idCol, qtoks.map(_ -> 1.0), k, tokenizer)
   }
 
   def oracleSqlWeighted(table: String, column: String, idCol: String,
-      terms: Seq[(String, Double)], k: Int): String = {
+      terms: Seq[(String, Double)], k: Int,
+      tokenizer: Text.Tokenizer = Text.RegexTokenizer): String = {
     val inList = terms.map { case (t, _) => s"'$t'" }.mkString(", ")
     val qwCase = "CASE " + terms.map { case (t, w) =>
       s"WHEN token = '$t' THEN $w"
     }.mkString(" ") + " END"
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id,
-       |    unnest(list_filter(string_split_regex(lower($column), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |    unnest(${tokenizer.oracleListExpr(column)}) AS token
        |  FROM $table),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

@@ -323,6 +323,22 @@ object SearchQueries {
       Bm25Index.search(s, p, Bm25Query, Bm25K)
     }, Bm25Index.oracleSql("documents", "text", "doc_id", Bm25Query, Bm25K)),
 
+    // BM25 over the SUBWORD tokenizer (the reference parameterizes BM25
+    // with a trained wordpiece, tokenizer_utils.rs:14-34): the index is
+    // built, queried, and oracle-checked on the exact same greedy
+    // longest-match token stream ([[graft.text.Text.SubwordTokenizer]])
+    "bm25_search_bpe" -> Q((s, dir) => {
+      val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val p = IndexStore.indexPath(dir, "bm25_documents_text_bpe")
+      IndexStore.ensure(p) {
+        Bm25Index.build(s, files, "text", "doc_id", p,
+          graft.text.Text.SubwordTokenizer)
+      }
+      Bm25Index.search(s, p, Bm25Query, Bm25K,
+        graft.text.Text.SubwordTokenizer)
+    }, Bm25Index.oracleSql("documents", "text", "doc_id", Bm25Query, Bm25K,
+      graft.text.Text.SubwordTokenizer)),
+
     // search → selective row-group fetch → scored lake rows (the
     // reference's materialization flow)
     "bm25_search_materialized" -> Q((s, dir) => {

@@ -36,12 +36,94 @@ object Text {
     def tokenize(c: Column): Column
     /** Tokens of a query string (driver side, same semantics). */
     def tokenizeQuery(q: String): Seq[String]
+    /** DuckDB list expression producing exactly [[tokenize]]'s token
+      * stream from `column` — the oracle side of the seam.
+      */
+    def oracleListExpr(column: String): String
   }
 
   object RegexTokenizer extends Tokenizer {
     def tokenize(c: Column): Column = tokens(c)
     def tokenizeQuery(q: String): Seq[String] =
       sparkLower(q).split(TokenDelim).filter(_.nonEmpty).toSeq
+    def oracleListExpr(column: String): String =
+      s"list_filter(string_split_regex(lower($column), '$TokenDelim'), t -> t <> '')"
+  }
+
+  /** Subword (wordpiece-style) tokenizer over a FIXED in-repo vocab —
+    * the stand-in for the reference's trained HF wordpiece
+    * (reference: src/lava/bm25/tokenizer_utils.rs:14-34, default
+    * bert-base-uncased; the trained vocab is an external artifact, so
+    * a deterministic curated one stands in, exactly like the vocab-
+    * embedding table stands in for the expansion model).
+    *
+    * Greedy longest-match-first segmentation — wordpiece's algorithm —
+    * is expressed as ONE regex: an alternation of the vocab pieces
+    * sorted by length descending with a single-char fallback. A regex
+    * scan consumes, at each position, the first alternative that
+    * matches = the longest vocab piece, then continues after it; for
+    * an alternation of literals this is identical under leftmost-first
+    * (java.util.regex, which Spark's regexp_extract_all uses) AND
+    * leftmost-longest (POSIX) semantics, so Spark, the driver, and
+    * DuckDB (RE2) produce bit-identical token streams from one shared
+    * pattern string. Unknown characters fall back to single-symbol
+    * tokens (wordpiece-with-saturated-char-vocab behavior; no `##`
+    * continuation marking — BM25 only needs a stable vocabulary).
+    */
+  object SubwordTokenizer extends Tokenizer {
+    /** Curated subword pieces: common English words, affixes, and
+      * technical fragments. Lowercase a-z only (no regex
+      * metacharacters, enforced below).
+      */
+    val Vocab: Seq[String] = Seq(
+      // common whole words
+      "the", "and", "that", "with", "this", "from", "have", "not",
+      "for", "are", "was", "were", "you", "all", "can", "will",
+      "one", "out", "about", "which", "when", "there", "their",
+      "what", "more", "other", "into", "time", "than", "some",
+      "very", "just", "over", "also", "after", "most", "only",
+      // technical / corpus-frequent fragments
+      "vector", "stream", "data", "index", "search", "merge", "dup",
+      "batch", "spark", "query", "table", "file", "row", "column",
+      "text", "doc", "log", "event", "user", "value", "count",
+      "build", "read", "write", "scan", "join", "group", "sort",
+      "filter", "page", "key", "hash", "graph", "node", "token",
+      // prefixes
+      "un", "re", "pre", "dis", "non", "anti", "inter", "trans",
+      "sub", "super", "over", "under", "multi", "micro", "semi",
+      "com", "con", "pro", "per", "ex", "de", "en",
+      // suffixes
+      "ing", "tion", "sion", "ation", "ization", "ment", "ness",
+      "able", "ible", "ally", "ful", "less", "ous", "ive", "ize",
+      "ise", "ity", "ant", "ent", "est", "ed", "er", "es", "ly",
+      "al", "ic", "en")
+      .distinct
+
+    /** One shared pattern: pieces length-desc (ties lexicographic —
+      * equal-length literals can't both match, so ties only pin
+      * determinism of the pattern STRING), then the single-symbol
+      * fallback. Escape-free by construction.
+      */
+    val Pattern: String = {
+      require(Vocab.forall(_.matches("[a-z]+")),
+        "subword vocab must be lowercase a-z only (regex-literal safe)")
+      Vocab.sortBy(p => (-p.length, p)).mkString("(?:", "|", "|[a-z0-9])")
+    }
+
+    private lazy val compiled = java.util.regex.Pattern.compile(Pattern)
+
+    def tokenize(c: Column): Column =
+      regexp_extract_all(lower(c), lit(Pattern), lit(0))
+
+    def tokenizeQuery(q: String): Seq[String] = {
+      val m = compiled.matcher(sparkLower(q))
+      val out = Seq.newBuilder[String]
+      while (m.find()) out += m.group()
+      out.result()
+    }
+
+    def oracleListExpr(column: String): String =
+      s"regexp_extract_all(lower($column), '$Pattern')"
   }
 
   /** Driver-side lowercase with EXACTLY Spark's `lower()` semantics:

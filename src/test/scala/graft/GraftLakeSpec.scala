@@ -193,6 +193,8 @@ class GraftLakeSpec extends AnyFunSuite {
       def tokenize(c: org.apache.spark.sql.Column) =
         filter(split(c, " "), t => t =!= lit(""))
       def tokenizeQuery(q: String) = q.split(" ").filter(_.nonEmpty).toSeq
+      def oracleListExpr(column: String) =
+        s"list_filter(string_split($column, ' '), t -> t <> '')"
     }
     val lake = GraftLake(spark, dir)
     val kind = Bm25Kind("doc_id", Ws)

@@ -45,4 +45,22 @@ class TextSpec extends AnyFunSuite {
       .select(Text.tokens(col("t")).as("x")).collect()(0).getSeq[String](0)
     assert(t == Seq("foo", "bar", "baz9"))
   }
+
+  test("subword tokenizer: greedy longest-match, build/query parity") {
+    // longest piece wins at each position; unknowns fall back per-char
+    assert(Text.SubwordTokenizer.tokenizeQuery("Interesting")
+      == Seq("inter", "est", "ing"))
+    assert(Text.SubwordTokenizer.tokenizeQuery("vectorization")
+      == Seq("vector", "ization"))
+    // punctuation/whitespace is skipped, never merged across
+    assert(Text.SubwordTokenizer.tokenizeQuery("re-index! 42")
+      == Seq("re", "index", "4", "2"))
+    // the column form must emit the exact driver token stream
+    val samples = Seq("Deduplication of the stream", "préfix überString",
+      "x7 multi-query batches", "", "   ", "THE THEOREM")
+    val sparkSide = samples.toDF("t")
+      .select(Text.SubwordTokenizer.tokenize(col("t")).as("x"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(sparkSide == samples.map(Text.SubwordTokenizer.tokenizeQuery))
+  }
 }
