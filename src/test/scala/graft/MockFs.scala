@@ -11,3 +11,27 @@ class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("mock:///")
   override def getScheme: String = "mock"
 }
+
+/** An AUTHORITY-BEARING variant (`mocks://bucket/...`) — the shape of
+  * every object-store URI (`s3a://bucket/key`). The authority is
+  * captured at initialize and echoed from `getUri`, so Hadoop's
+  * `checkPath`/`makeQualified` keep `scheme://authority` on every
+  * listed path — any code that round-trips paths through string
+  * handling must preserve the authority or reads break loudly
+  * (registered in [[TestSpark]] via `spark.hadoop.fs.mocks.impl`).
+  * Storage maps to the local tree by dropping the authority.
+  */
+class MockAuthFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  private var uri: java.net.URI = java.net.URI.create("mocks:///")
+  override def initialize(name: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    uri = java.net.URI.create(
+      s"${name.getScheme}://${Option(name.getAuthority).getOrElse("")}")
+    super.initialize(name, conf)
+  }
+  // the superclass constructor consults getUri before Scala field
+  // initializers run — fall back to the bare scheme until initialize
+  override def getUri: java.net.URI =
+    if (uri == null) java.net.URI.create("mocks:///") else uri
+  override def getScheme: String = "mocks"
+}

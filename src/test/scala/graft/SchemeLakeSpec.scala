@@ -85,6 +85,68 @@ class SchemeLakeSpec extends AnyFunSuite {
       .exists(_.endsWith(".parquet")))
   }
 
+  test("an authority-bearing URI (mocks://bucket/...) runs the full lifecycle") {
+    // the object-store URI shape: scheme://bucket/key. Every layer that
+    // string-handles paths (canonPath, listings, meta joins, the
+    // selective fetch, facade metadata) must keep the authority intact
+    // — an s3a lake dies silently if anything drops or mangles it
+    val localDir = TestSpark.tmpDir("authlake")
+    val prefix = s"mocks://bucket$localDir/lake"
+    Seq(1L -> "alpha search engine", 2L -> "beta testing rig")
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$prefix/seg=a")
+    Seq(3L -> "gamma search index", 4L -> "delta rays")
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$prefix/seg=b")
+    val fs0 = new org.apache.hadoop.fs.Path(prefix)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("a", "b").foreach { seg =>
+      val part = Lake.listFiles(s"$prefix/seg=$seg").head
+      fs0.rename(new org.apache.hadoop.fs.Path(part),
+        new org.apache.hadoop.fs.Path(s"$prefix/$seg.parquet"))
+      fs0.delete(new org.apache.hadoop.fs.Path(s"$prefix/seg=$seg"), true)
+    }
+
+    val files = Lake.listFiles(prefix)
+    assert(files.nonEmpty && files.forall(_.startsWith("mocks://bucket/")),
+      s"listing must keep scheme AND authority: $files")
+    // canonPath must pass authority URIs through untouched
+    assert(files.map(graft.core.Layout.canonPath) == files)
+
+    // footer scan + uid join + selective row-group fetch over
+    // authority'd paths (executor-side opens through the shipped conf)
+    val meta = graft.core.Layout.buildMeta(spark, files)
+    val metaRows = meta.collect()
+    assert(metaRows.map(_.getAs[String]("file_path"))
+      .forall(_.startsWith("mocks://bucket/")))
+    val withUid = graft.core.Layout.withUid(spark, files, meta)
+    assert(withUid.count() == 4)
+    val hits = metaRows.map(r => (r.getAs[String]("file_path"),
+      r.getAs[Long]("uid"), r.getAs[Long]("row_start"),
+      r.getAs[Long]("num_rows"))).toSeq
+    assert(graft.core.Layout.readGroups(spark, hits, files).count() == 4)
+
+    // facade lifecycle: index → search → in-situ growth → compact
+    val lake = GraftLake(spark, prefix)
+    assert(lake.index(NgramKind, "text", binpackRows = 2).size == 2)
+    def searchIds(q: String) =
+      lake.search(NgramKind, "text", q, 100, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(searchIds("search") == Seq(1L, 3L))
+    val staging = TestSpark.tmpDir("stage-auth")
+    Seq(5L -> "epsilon search party").toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(prefix)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(
+      new org.apache.hadoop.fs.Path(Lake.listFiles(staging).head),
+      new org.apache.hadoop.fs.Path(s"$prefix/grow.parquet"))
+    assert(searchIds("search") == Seq(1L, 3L, 5L))
+    assert(lake.index(NgramKind, "text").size == 1)
+    assert(lake.compact(NgramKind, "text", threshold = 1000000).isDefined)
+    assert(searchIds("search") == Seq(1L, 3L, 5L))
+  }
+
   test("delta log percent-encodes special-character paths per the spec") {
     val t = TestSpark.tmpDir("deltaenc")
     def add(fname: String, rows: Seq[(Long, String)]): DeltaLog.Add = {

@@ -14,6 +14,7 @@ object TestSpark {
       // set at session build so conf caches copied from the session
       // (graft.core.Fs) already carry it
       .config("spark.hadoop.fs.mock.impl", "graft.MockFs")
+      .config("spark.hadoop.fs.mocks.impl", "graft.MockAuthFs")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
