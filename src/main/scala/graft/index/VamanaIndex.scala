@@ -60,6 +60,7 @@ object VamanaIndex {
   val BuildL = 64     // build-time search frontier size
   val SearchL = 64    // query-time beam width (frontier cap)
   val BeamW = 8       // nodes expanded per batched fetch round
+  val SeedProbe = 8   // production entry points: nearest cell medoids
   val Seed = 42L
 
   /** Vectors per build partition. Each vector is assigned to 2 cells,
@@ -401,8 +402,17 @@ object VamanaIndex {
       q: Array[Double], l: Int, w: Int,
       seedAll: Boolean): (Seq[Long], Long) = {
     val (ver, meds, _) = headOf(spark, path)
+    // production seeds: the global medoid PLUS the [[SeedProbe]] cell
+    // medoids nearest the query (IVF-style entry probing against the
+    // driver-cached head — zero extra jobs). A lone global seed starts
+    // the walk in one build partition and cross-cell edges only exist
+    // where the overlapping assignment made them, which left recall on
+    // a wide query panel below the floor.
     val seeds = (if (seedAll) meds.toSeq
-                 else meds.toSeq.filter(_._1 == -1L))
+                 else meds.toSeq.filter(_._1 == -1L) ++
+                   meds.toSeq.filter(_._1 != -1L)
+                     .sortBy { case (_, id, v) => (cosDist(q, v), id) }
+                     .take(SeedProbe))
       .map { case (_, id, v) => (id, cosDist(q, v)) }
       .sortBy { case (id, d) => (d, id) }.distinctBy(_._1)
     val dist = scala.collection.mutable.HashMap(seeds: _*)
@@ -494,7 +504,9 @@ object VamanaIndex {
       n: Int, k: Int): Seq[(Seq[Double], Set[Long])] = {
     import s.implicits._
     val panel = VectorIndex.queryPanel(s, dir, n)
-    VectorIndex.persistedPanel(s, s"$path/panel_k$k", panel) {
+    // n in the store name: a widened panel must rebuild its truth, not
+    // inherit a narrower fixture whose missing qids read as recall 0
+    VectorIndex.persistedPanel(s, s"$path/panel_k${k}_n$n", panel) {
       val qdf = broadcast(panel.zipWithIndex.map(_.swap).toDF("qid", "qv"))
       val w = Window.partitionBy("qid")
         .orderBy(col("cos").desc, col("vec_id"))
@@ -525,7 +537,7 @@ object VamanaIndex {
     "vamana_recall" -> graft.Q((s, dir) => {
       import s.implicits._
       val p = ensureBuilt(s, dir)
-      val truth = panelTruth(s, dir, p, 5, Similarity.K)
+      val truth = panelTruth(s, dir, p, VectorIndex.PanelN, Similarity.K)
       val rs = truth.map { case (q, exact) =>
         VectorIndex.recallAgainst(exact,
           search(s, p, q, Similarity.K), Similarity.K)

@@ -462,8 +462,10 @@ object VectorIndex {
       n: Int, k: Int): Seq[(Seq[Double], Set[Long])] = {
     val panel = queryPanel(s, dir, n)
     // one batched probe-all search computes the whole panel's exact
-    // top-k (identical per-query results — pinned by spec)
-    persistedPanel(s, s"$path/panel_k$k", panel) {
+    // top-k (identical per-query results — pinned by spec). The store
+    // name carries n: a widened panel must rebuild its truth, not
+    // inherit a smaller fixture whose missing qids read as recall 0.
+    persistedPanel(s, s"$path/panel_k${k}_n$n", panel) {
       searchBatch(s, path, panel, k, numCells(s, path))
     }
   }
@@ -513,6 +515,12 @@ object VectorIndex {
 
   val RecallFloor = 0.9
 
+  /** Recall-gate panel width. Batched search + persisted ground truth
+    * make panel queries cheap, so the gates average over 20 queries —
+    * a 5-query mean left single-query noise able to flip a 0.9 floor.
+    */
+  val PanelN = 20
+
   def entries: Map[String, graft.Q] = Map(
     // probe-all = exact: must equal the brute-force oracle while going
     // through the full IVF machinery (head → cells → re-rank)
@@ -535,7 +543,7 @@ object VectorIndex {
       import s.implicits._
       val p = ensureBuilt(s, dir)
       val np = probeCount(s, p)
-      val truth = panelTruth(s, dir, p, 5, Similarity.K)
+      val truth = panelTruth(s, dir, p, PanelN, Similarity.K)
       val approx = searchBatch(s, p, truth.map(_._1), Similarity.K, np)
       Seq(meanRecallBatch(truth.map(_._2), approx, Similarity.K)
         >= RecallFloor).toDF("recall_ok")
@@ -546,7 +554,7 @@ object VectorIndex {
       import s.implicits._
       val p = ensureBuilt(s, dir)
       val np = probeCount(s, p)
-      val truth = panelTruth(s, dir, p, 5, Similarity.K)
+      val truth = panelTruth(s, dir, p, PanelN, Similarity.K)
       val approx = searchPqBatch(s, p, truth.map(_._1), Similarity.K, np, 50)
       Seq(meanRecallBatch(truth.map(_._2), approx, Similarity.K)
         >= RecallFloor).toDF("recall_ok")
