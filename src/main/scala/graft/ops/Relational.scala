@@ -209,6 +209,84 @@ object Relational {
         |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
         |FROM g GROUP BY user_id""".stripMargin),
 
+    // as-of join: each click matched to the SAME USER's latest purchase
+    // at or before it. Spark has no asof operator; the scalable
+    // formulation is union-the-tagged-streams + one per-user window
+    // with last_value(ignoreNulls) — ONE shuffle on user_id, state
+    // bounded by the window frame, no per-key explode and no
+    // range-condition nested-loop join (which is what a naive
+    // `p.ts >= b.ts` join degenerates to at 100 TB). Build rows sort
+    // BEFORE probe rows at equal ts (tag ordering) for the asof
+    // convention's inclusive match. (user_id, ts) is unique in the
+    // data, so the match is deterministic.
+    "q_asof_join" -> Q((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      val probe = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"), lit(1).as("tag"),
+          lit(null).cast("struct<bus:bigint,bvalue:double>").as("b"))
+      val build = e.filter(col("event_type") === "purchase")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("us"), lit(0).as("tag"),
+          struct(col("us").as("bus"), col("value").as("bvalue")).as("b"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probe.unionByName(build)
+        .withColumn("m", last(col("b"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1 && col("m").isNotNull)
+        .select(col("event_id"), col("user_id"), col("us").as("click_us"),
+          col("m.bus").as("purchase_us"),
+          col("m.bvalue").as("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS click_us,
+        |  epoch_us(b.ts) AS purchase_us, b.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON p.user_id = b.user_id AND p.ts >= b.ts
+        |ORDER BY p.event_id""".stripMargin),
+
+    // bounded-interval range join: per purchase, count the same user's
+    // clicks within the following hour. A raw inequality join is a
+    // nested-loop cross per user at scale; bucketizing both sides by
+    // the interval length turns it into an EQUI-join on (user, bucket)
+    // — each purchase probes exactly 2 buckets, so the join is
+    // shuffle-hash-able and the blowup is a constant ×2, independent
+    // of data size or key skew. A (pid, click) pair matches in at most
+    // one bucket (the click's own), so no double counting.
+    "q_range_join" -> Q((s, dir) => {
+      val HourUs = 3600000000L
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("us").as("pus"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("cus"),
+          (col("us") / HourUs).cast("long").as("bucket"))
+      val pb = p.withColumn("bucket", explode(array(
+        (col("pus") / HourUs).cast("long"),
+        (col("pus") / HourUs).cast("long") + 1L)))
+      val counts = pb.join(c, Seq("user_id", "bucket"))
+        .filter(col("cus") > col("pus") && col("cus") <= col("pus") + HourUs)
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_clicks"))
+      p.join(counts, Seq("pid"), "left")
+        .select(col("pid"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy(col("pid"))
+    },
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS cus
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.pid, count(c.cus) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        | AND c.cus > p.pus AND c.cus <= p.pus + 3600000000
+        |GROUP BY p.pid ORDER BY p.pid""".stripMargin),
+
     "q_union_distinct" -> Q((s, dir) => {
       val n = Tables.load(s, dir, "nation")
       val c = Tables.load(s, dir, "customer").select(col("c_nationkey").as("k"))
