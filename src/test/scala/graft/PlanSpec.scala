@@ -50,6 +50,26 @@ class PlanSpec extends AnyFunSuite {
       s"the exchange must sit below every aggregate (pre-explode):\n$p")
   }
 
+  test("asof join is one union + one per-key window, no nested loop") {
+    val p = plan(SparkEntry.queries("q_asof_join")(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"asof degenerated to a range join:\n$p")
+    assert(p.contains("Window"), s"asof lost its window form:\n$p")
+    // exactly one hash exchange feeds the window (the user_id shuffle);
+    // the trailing sort exchange is the presentation orderBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"asof must shuffle on the key exactly once:\n$p")
+  }
+
+  test("range join is a bucketized equi-join, no nested loop") {
+    val p = plan(SparkEntry.queries("q_range_join")(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+    // the interval condition must ride an equi-join on (user, bucket)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"range join lost its equi-join form:\n$p")
+  }
+
   test("decontamination joins the benchmark side as a broadcast") {
     val p = plan(Pipeline.decontaminate(
       Tables.load(spark, sf, "documents")))
