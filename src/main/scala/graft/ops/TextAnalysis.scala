@@ -418,6 +418,88 @@ object TextAnalysis {
         |     t AS (SELECT sum(n_chars) AS total, count(DISTINCT source) AS ns FROM documents)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN s USING (source), t
-        |WHERE s.sc * t.ns >= t.total""".stripMargin)
+        |WHERE s.sc * t.ns >= t.total""".stripMargin),
+
+    // corpus length distribution (dataset-card reporting): one
+    // partial-agg shuffle to a #buckets-sized table
+    "corpus_length_histogram" -> Q((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(expr("n_chars div 256").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi")),
+      """SELECT n_chars // 256 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    // BPE merge LEARNING — tokenizer training as a distributed op
+    // (Sennrich et al. 2016; the training-side twin of the reference's
+    // trained-tokenizer parameter, tokenizer_utils.rs:14-34). Classic
+    // shape: train on the WORD-FREQUENCY VOCAB, not the corpus — one
+    // corpus-sized tokenize+count shuffle up front, then every round is
+    // a pair-count aggregation over the vocab-sized symbol table with
+    // the (tiny) argmax collected and pushed back as a literal replace.
+    // Rounds are driver-sequenced like dedup_cc; `replace` is
+    // left-to-right non-overlapping in BOTH engines, which IS BPE's
+    // greedy merge order, so the oracle (the same rounds unrolled as
+    // CTEs) reproduces the merge table bit-for-bit.
+    "bpe_learn_merges" -> Q((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      var sym = docs
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "), concat_ws(" ", split(col("word"), "")),
+          lit(" ")).as("sym"), col("freq"))
+      val pairsOf = {
+        val syms = filter(split(trim(col("sym")), " "), t => t =!= lit(""))
+        when(size(syms) >= 2,
+          transform(sequence(lit(0), size(syms) - 2), i =>
+            concat(element_at(syms, i + 1), lit(" "),
+              element_at(syms, i + 2))))
+          .otherwise(array().cast("array<string>"))
+      }
+      val merges = (1 to BpeRounds).map { r =>
+        val best = sym
+          .select(explode(pairsOf).as("pair"), col("freq"))
+          .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect()(0)
+        val (pair, cnt) = (best.getString(0), best.getLong(1))
+        // pairs are [a-z0-9 ] by construction — literal-safe
+        sym = sym.withColumn("sym",
+          expr(s"replace(sym, ' $pair ', ' ${pair.replace(" ", "")} ')"))
+        (r, pair, cnt)
+      }
+      import s.implicits._
+      merges.toDF("rank", "pair", "cnt").orderBy("rank")
+    }, bpeLearnSql)
   )
+
+  val BpeRounds = 5
+
+  /** The same [[BpeRounds]] merge rounds unrolled as CTE stages. */
+  private def bpeLearnSql: String = {
+    val head =
+      """WITH w0 AS (
+        |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym,
+        |    CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word
+        |        FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest([l[i] || ' ' || l[i+1] for i in generate_series(1, len(l)-1)]) AS pair, freq
+         |    FROM (SELECT list_filter(string_split(trim(sym), ' '), x -> x <> '') AS l, freq FROM w${r - 1}))
+         |  GROUP BY pair),
+         |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(sym,
+         |    ' ' || (SELECT pair FROM b$r) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS sym, freq
+         |  FROM w${r - 1})""".stripMargin
+    }
+    val union = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS INTEGER) AS rank, pair, cnt FROM b$r")
+      .mkString("\nUNION ALL ")
+    (head +: rounds).mkString(",\n") + "\n" + union + "\nORDER BY rank"
+  }
 }
