@@ -318,6 +318,30 @@ object VectorIndex {
       .orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
+  // PQ codebooks are head metadata (nSub × codes × sub-dim doubles) —
+  // driver-cached keep-latest per path like the centroid head, so ADC
+  // table construction is pure driver math with zero jobs in steady
+  // state (a per-query parquet collect made a 20-query batched gate
+  // pay 20 identical codebook reads — the dominant cost of the call)
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Seq[(Int, Seq[Seq[Double]])])]
+
+  private[graft] def pqBooks(spark: SparkSession,
+      path: String): Seq[(Int, Seq[Seq[Double]])] = {
+    val mtime = graft.core.Fs.dirVersion(spark, s"$path/pq")
+    pqCache.get(path) match {
+      case Some((m, rows)) if m == mtime => rows
+      case _ =>
+        val rows = spark.read.parquet(s"$path/pq").collect()
+          .map(r => (r.getInt(0),
+            r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](1)
+              .map(_.toSeq).toSeq))
+          .sortBy(_._1).toSeq
+        pqCache.put(path, (mtime, rows))
+        rows
+    }
+  }
+
   /** Asymmetric dot-product table for one query against one index's
     * PQ codebooks: `table(m)(code) = q_slice_m · codebook_m(code)`.
     * Σ_m table(m)(codes(m)) ≈ q·x; divided by the stored row norm it
@@ -326,11 +350,7 @@ object VectorIndex {
     */
   private[graft] def adcTable(spark: SparkSession, path: String,
       q: Seq[Double]): Seq[Seq[Double]] = {
-    val books = spark.read.parquet(s"$path/pq").collect()
-      .map(r => (r.getInt(0),
-        r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](1)
-          .map(_.toSeq).toSeq))
-      .sortBy(_._1)
+    val books = pqBooks(spark, path)
     val nSub = books.length // build-time pqM(dim), read back from disk
     val sub = q.size / nSub
     books.map { case (m, cs) =>
