@@ -287,6 +287,18 @@ object Relational {
         | AND c.cus > p.pus AND c.cus <= p.pus + 3600000000
         |GROUP BY p.pid ORDER BY p.pid""".stripMargin),
 
+    // hierarchical totals in one pass: rollup emits (status, priority),
+    // (status, NULL), (NULL, NULL) grouping sets from a single shuffle
+    // with partial aggregation — the OLAP reporting shape
+    "q_rollup" -> Q((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price")),
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin),
+
     "q_union_distinct" -> Q((s, dir) => {
       val n = Tables.load(s, dir, "nation")
       val c = Tables.load(s, dir, "customer").select(col("c_nationkey").as("k"))

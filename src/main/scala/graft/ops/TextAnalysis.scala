@@ -444,11 +444,17 @@ object TextAnalysis {
     // CTEs) reproduces the merge table bit-for-bit.
     "bpe_learn_merges" -> Q((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      var sym = docs
+      // the ONE corpus-sized pass, persisted: each round's argmax
+      // collect would otherwise re-run the corpus tokenize+count five
+      // times through the growing replace lineage (the dedup_cc
+      // iterative-job lesson applied here)
+      val base = docs
         .select(explode(Text.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .select(concat(lit(" "), concat_ws(" ", split(col("word"), "")),
           lit(" ")).as("sym"), col("freq"))
+        .persist()
+      var sym = base
       val pairsOf = {
         val syms = filter(split(trim(col("sym")), " "), t => t =!= lit(""))
         when(size(syms) >= 2,
@@ -469,6 +475,7 @@ object TextAnalysis {
           expr(s"replace(sym, ' $pair ', ' ${pair.replace(" ", "")} ')"))
         (r, pair, cnt)
       }
+      base.unpersist()
       import s.implicits._
       merges.toDF("rank", "pair", "cnt").orderBy("rank")
     }, bpeLearnSql)
