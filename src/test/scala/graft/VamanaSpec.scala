@@ -63,6 +63,23 @@ class VamanaSpec extends AnyFunSuite {
     assert(got == brute(q, 5))
   }
 
+  test("batched search equals per-query production search") {
+    val idx = TestSpark.tmpDir("vamana-batch")
+    VamanaIndex.build(spark, vecs.toDF("vec_id", "v"), idx)
+    val panel = Seq(vecs(3)._2, vecs(10)._2, vecs(21)._2, vecs(44)._2)
+    // lock-step beams must produce the SAME per-query results as
+    // independent beams — batching changes job count, never answers
+    val batched = VamanaIndex.searchBatch(spark, idx, panel, 5)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getInt(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    panel.zipWithIndex.foreach { case (q, i) =>
+      val single = VamanaIndex.search(spark, idx, q, 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(batched(i) == single, s"query $i diverged")
+    }
+  }
+
   test("merge of two disjoint graphs searches like one") {
     val (l, r) = vecs.partition(_._1 < 30L)
     val (ia, ib, im) = (TestSpark.tmpDir("va"), TestSpark.tmpDir("vb"),
