@@ -237,7 +237,11 @@ case class Bm25Kind(idCol: String,
     tokenizer: graft.text.Text.Tokenizer = graft.text.Text.RegexTokenizer)
     extends IndexKind {
 
-  val name = "bm25"
+  // the tokenizer id keeps two tokenizations of one column apart in
+  // the lake's index namespace — otherwise the second kind would see
+  // the first's coverage as its own and search the wrong token stream
+  val name = "bm25" +
+    (if (tokenizer.id.isEmpty) "" else s"_${tokenizer.id}")
 
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit =

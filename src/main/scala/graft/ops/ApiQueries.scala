@@ -51,6 +51,18 @@ object ApiQueries {
     }, "SELECT c_custkey, c_name FROM customer " +
        "WHERE c_name LIKE 'Customer#00000001%' ORDER BY c_custkey"),
 
+    // the subword tokenizer through the FULL facade (per-file indexes,
+    // global IDF): the tokenizer seam must hold wherever the regex
+    // default does — same oracle machinery, subword token stream
+    "lake_api_bm25_bpe" -> Q((s, dir) => {
+      val lake = docLake(s, dir)
+      val kind = Bm25Kind("doc_id", graft.text.Text.SubwordTokenizer)
+      lake.index(kind, "text", binpackRows = 1)
+      lake.search(kind, "text", SearchQueries.Bm25Query, SearchQueries.Bm25K)
+    }, Bm25Index.oracleSql("documents", "text", "doc_id",
+      SearchQueries.Bm25Query, SearchQueries.Bm25K,
+      graft.text.Text.SubwordTokenizer)),
+
     // bm25 with ZERO coverage: searching before any index() must fill
     // from in-situ files with exact global stats (reference:
     // backends/utils.py:249-275) — same oracle as the indexed entry

@@ -40,6 +40,11 @@ object Text {
       * stream from `column` — the oracle side of the seam.
       */
     def oracleListExpr(column: String): String
+    /** Stable discriminator mixed into index-kind names so two
+      * tokenizations of the same column register as DIFFERENT indexes
+      * in one lake (empty = the default regex scheme).
+      */
+    def id: String = ""
   }
 
   object RegexTokenizer extends Tokenizer {
@@ -124,6 +129,8 @@ object Text {
 
     def oracleListExpr(column: String): String =
       s"regexp_extract_all(lower($column), '$Pattern')"
+
+    override def id: String = "sub"
   }
 
   /** Driver-side lowercase with EXACTLY Spark's `lower()` semantics:

@@ -154,6 +154,27 @@ object PropertySpec extends Properties("graft") {
     codes <- Gen.listOfN(m, Gen.chooseNum(0, sigma - 1))
   } yield (codes.toArray, sigma)
 
+  // ---- subword tokenizer invariants ---------------------------------
+
+  private val mixedText: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaChar, 2 -> Gen.const(' '), 2 -> Gen.numChar,
+        1 -> Gen.oneOf('!', '-', '_', 'é', '雪')))
+        .map(_.mkString))
+
+  property("subword tokens concatenate back to the alnum stream") =
+    Prop.forAll(mixedText) { s =>
+      val toks = graft.text.Text.SubwordTokenizer.tokenizeQuery(s)
+      // lossless over [a-z0-9]: joining the pieces reproduces the
+      // lowercased text with every non-alphanumeric removed, and every
+      // piece is either a vocab entry or a single symbol
+      val want = graft.text.Text.sparkLower(s).replaceAll("[^a-z0-9]", "")
+      toks.mkString == want &&
+        toks.forall(t =>
+          graft.text.Text.SubwordTokenizer.Vocab.contains(t) || t.length == 1)
+    }
+
   property("wavelet rankInChunk == naive prefix count") =
     Prop.forAll(codeSeqs, Gen.chooseNum(0, 1000)) { case ((codes, sigma), seed) =>
       val depth = math.max(1, 32 - Integer.numberOfLeadingZeros(sigma - 1))
