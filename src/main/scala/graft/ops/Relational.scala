@@ -219,28 +219,10 @@ object Relational {
     // BEFORE probe rows at equal ts (tag ordering) for the asof
     // convention's inclusive match. (user_id, ts) is unique in the
     // data, so the match is deterministic.
-    "q_asof_join" -> Q((s, dir) => {
-      val e = Tables.load(s, dir, "events")
+    "q_asof_join" -> Q((s, dir) => asofClickPurchase(
+      Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
-      val probe = e.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("us"), lit(1).as("tag"),
-          lit(null).cast("struct<bus:bigint,bvalue:double>").as("b"))
-      val build = e.filter(col("event_type") === "purchase")
-        .select(lit(null).cast("long").as("event_id"), col("user_id"),
-          col("us"), lit(0).as("tag"),
-          struct(col("us").as("bus"), col("value").as("bvalue")).as("b"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("tag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      probe.unionByName(build)
-        .withColumn("m", last(col("b"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1 && col("m").isNotNull)
-        .select(col("event_id"), col("user_id"), col("us").as("click_us"),
-          col("m.bus").as("purchase_us"),
-          col("m.bvalue").as("purchase_value"))
-        .orderBy(col("event_id"))
-    },
+          unix_micros(col("ts")).as("us"), col("event_type"), col("value"))),
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS click_us,
         |  epoch_us(b.ts) AS purchase_us, b.value AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') p
@@ -256,27 +238,10 @@ object Relational {
     // shuffle-hash-able and the blowup is a constant ×2, independent
     // of data size or key skew. A (pid, click) pair matches in at most
     // one bucket (the click's own), so no double counting.
-    "q_range_join" -> Q((s, dir) => {
-      val HourUs = 3600000000L
-      val e = Tables.load(s, dir, "events")
+    "q_range_join" -> Q((s, dir) => rangeJoinCounts(
+      Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("us"), col("event_type"))
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pid"), col("user_id"),
-          col("us").as("pus"))
-      val c = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("us").as("cus"),
-          (col("us") / HourUs).cast("long").as("bucket"))
-      val pb = p.withColumn("bucket", explode(array(
-        (col("pus") / HourUs).cast("long"),
-        (col("pus") / HourUs).cast("long") + 1L)))
-      val counts = pb.join(c, Seq("user_id", "bucket"))
-        .filter(col("cus") > col("pus") && col("cus") <= col("pus") + HourUs)
-        .groupBy(col("pid")).agg(count(lit(1)).as("n_clicks"))
-      p.join(counts, Seq("pid"), "left")
-        .select(col("pid"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
-        .orderBy(col("pid"))
-    },
+          unix_micros(col("ts")).as("us"), col("event_type"))),
       """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
         |           FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, epoch_us(ts) AS cus
@@ -286,6 +251,10 @@ object Relational {
         |  ON p.user_id = c.user_id
         | AND c.cus > p.pus AND c.cus <= p.pus + 3600000000
         |GROUP BY p.pid ORDER BY p.pid""".stripMargin),
+
+    // (asof/range cores live below as functions so their boundary
+    // semantics — inclusive ties, bucket edges — are unit-testable
+    // against a naive in-memory oracle, not just the sf0.01 data)
 
     // hierarchical totals in one pass: rollup emits (status, priority),
     // (status, NULL), (NULL, NULL) grouping sets from a single shuffle
@@ -308,4 +277,54 @@ object Relational {
         .orderBy(col("n_nationkey"))
     }, unionSql)
   )
+
+  /** As-of join core: each click row of `e` matched to the SAME USER's
+    * latest purchase at or before it (inclusive at equal timestamps —
+    * build rows sort before probe rows via the tag). `e` must carry
+    * (event_id, user_id, us, event_type, value). One shuffle on
+    * user_id; no per-key explode, no range nested loop.
+    */
+  private[graft] def asofClickPurchase(e: DataFrame): DataFrame = {
+    val probe = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"), lit(1).as("tag"),
+        lit(null).cast("struct<bus:bigint,bvalue:double>").as("b"))
+    val build = e.filter(col("event_type") === "purchase")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"),
+        col("us"), lit(0).as("tag"),
+        struct(col("us").as("bus"), col("value").as("bvalue")).as("b"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probe.unionByName(build)
+      .withColumn("m", last(col("b"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("m").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us").as("click_us"),
+        col("m.bus").as("purchase_us"),
+        col("m.bvalue").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Bounded-interval range-join core: per purchase of `e`, the count
+    * of the same user's clicks in `(pus, pus + intervalUs]`. Bucketized
+    * by the interval length into an equi-join on (user, bucket) — each
+    * purchase probes exactly 2 buckets, and a (purchase, click) pair
+    * matches in at most one bucket (the click's own), so counts are
+    * exact with a constant ×2 blowup at any scale or skew.
+    */
+  private[graft] def rangeJoinCounts(e: DataFrame,
+      intervalUs: Long = 3600000000L): DataFrame = {
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("us").as("pus"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"),
+        expr(s"us div $intervalUs").as("bucket"))
+    val pb = p.withColumn("bucket", explode(array(
+      expr(s"pus div $intervalUs"), expr(s"pus div $intervalUs") + 1L)))
+    val counts = pb.join(c, Seq("user_id", "bucket"))
+      .filter(col("cus") > col("pus") && col("cus") <= col("pus") + intervalUs)
+      .groupBy(col("pid")).agg(count(lit(1)).as("n_clicks"))
+    p.join(counts, Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy(col("pid"))
+  }
 }
