@@ -39,15 +39,20 @@ object StreamingIndex {
     StructField("n_chars", LongType)))
 
   /** Run the indexing stream to completion (Trigger.AvailableNow) if it
-    * has not run yet; returns the per-batch index paths.
+    * has not run yet; returns the per-batch index paths. Table-generic:
+    * the same maintenance loop streams ANY lake table into ANY kind
+    * (documents → text kinds, embeddings → ANN kinds).
     */
   def ensureStreamIndexes(spark: SparkSession, dir: String,
-      kind: IndexKind = NgramKind): Seq[String] = {
-    Lake.ensureSplit(spark, dir, "documents", "doc_id", 4)
-    val prefix = Lake.splitPath(dir, "documents")
-    val root = IndexStore.indexPath(dir, s"${kind.name}_stream")
+      kind: IndexKind = NgramKind, table: String = "documents",
+      key: String = "doc_id", column: String = Column,
+      schema: StructType = docSchema): Seq[String] = {
+    Lake.ensureSplit(spark, dir, table, key, 4)
+    val prefix = Lake.splitPath(dir, table)
+    val root = IndexStore.indexPath(dir, s"${kind.name}_stream" +
+      (if (table == "documents") "" else s"_$table"))
     IndexStore.ensure(root) {
-      val stream = spark.readStream.schema(docSchema)
+      val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", BatchFiles)
         .parquet(prefix)
         .select(col("_metadata.file_path").as("f"))
@@ -58,7 +63,7 @@ object StreamingIndex {
           val newFiles = batch.distinct().collect()
             .map(r => Layout.canonPath(r.getString(0))).toSeq.sorted
           if (newFiles.nonEmpty)
-            kind.build(spark, newFiles, Column, s"$root/b$id")
+            kind.build(spark, newFiles, column, s"$root/b$id")
         }
         .start()
       q.awaitTermination()
@@ -92,6 +97,26 @@ object StreamingIndex {
       s"""SELECT doc_id FROM (
          |  SELECT doc_id, ' ' || array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') || ' ' AS nf
          |  FROM documents) t
-         |WHERE contains(nf, ' $QueryStr ') ORDER BY doc_id""".stripMargin)
+         |WHERE contains(nf, ' $QueryStr ') ORDER BY doc_id""".stripMargin),
+
+    // continuous-ingest ANN: the stream maintains per-batch IVF
+    // indexes over the embeddings table; the kind's multi-index
+    // searchLake (probe-everything default = exact) must equal the
+    // brute-force cosine oracle regardless of the file→batch split
+    "streaming_index_search_vector" -> Q((s, dir) => {
+      val kind = graft.api.VectorKind("vec_id")
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val paths = ensureStreamIndexes(s, dir, kind, "embeddings",
+        "vec_id", "embedding", embSchema)
+      val q = graft.ops.Similarity.embeddings(s, dir)
+        .filter(col("vec_id") === graft.ops.Similarity.QueryVecId)
+        .select(col("v")).collect()(0).getSeq[Double](0)
+      kind.searchLake(s, paths, Seq.empty, "embedding", q.mkString(","),
+        graft.ops.Similarity.K)
+        .select(col("vec_id"), col("cos"))
+    }, graft.ops.Similarity.knnSql)
   )
 }
