@@ -268,6 +268,27 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin),
 
+    // pivot = conditional aggregation: one shuffle on the grouping key,
+    // the pivot values pinned explicitly (an unpinned pivot pays a
+    // distinct-values job and is non-deterministic in column order)
+    "q_pivot" -> Q((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    },
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     "q_union_distinct" -> Q((s, dir) => {
       val n = Tables.load(s, dir, "nation")
       val c = Tables.load(s, dir, "customer").select(col("c_nationkey").as("k"))

@@ -431,6 +431,22 @@ object TextAnalysis {
         |  min(n_chars) AS lo, max(n_chars) AS hi
         |FROM documents GROUP BY 1""".stripMargin),
 
+    // exact corpus length quantiles (dataset-card reporting): Spark's
+    // percentile and DuckDB's quantile_cont share the same
+    // rank = p·(n−1) linear interpolation, so the doubles match
+    // bit-for-bit. Spark's exact percentile shuffles the value
+    // multiset; at 100 TB swap in approx_percentile and gate with a
+    // tolerance instead of a hash
+    "corpus_length_quantiles" -> Q((s, dir) =>
+      Tables.load(s, dir, "documents").agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99")),
+      """SELECT quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents""".stripMargin),
+
     // BPE merge LEARNING — tokenizer training as a distributed op
     // (Sennrich et al. 2016; the training-side twin of the reference's
     // trained-tokenizer parameter, tokenizer_utils.rs:14-34). Classic
