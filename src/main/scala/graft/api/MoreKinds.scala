@@ -167,6 +167,50 @@ object ZoneMapKind extends IndexKind {
   }
 }
 
+/** Bloom-filter kind: exact equality probes pruned by per-row-group
+  * Bloom filters — the point-lookup path for columns the lake is NOT
+  * sorted by (KeyKind's sorted tables presume key-ordered data; a
+  * Bloom build is map-only over ingest order). Query = the value's
+  * string form; exact refine keeps the false-positive discipline.
+  */
+object BloomKind extends IndexKind {
+
+  val name = "bloom"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit =
+    graft.index.BloomIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    graft.index.BloomIndex.merge(spark, a, b, out)
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    def refine(d: DataFrame): DataFrame =
+      d.filter(col(column).cast("string") === query)
+    val covered = coveredFiles(spark, paths, live)
+
+    def viaIndex(): Option[DataFrame] = {
+      val cands = IndexKind.readTagged(spark, paths, "blooms")
+        .filter(graft.index.BloomIndex.probe(query))
+        .select(col("idx"), col("uid"))
+      val hits = collectHits(spark, paths, cands, live)
+      if (bruteBeatsIndex(spark, paths, hits)) None
+      else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
+    }
+
+    val parts =
+      (if (covered.isEmpty) Seq.empty
+       else Seq(viaIndex().getOrElse(
+         refine(spark.read.parquet(covered: _*))))) ++
+      (if (insituFiles.isEmpty) Seq.empty
+       else Seq(refine(spark.read.parquet(insituFiles: _*))))
+    if (parts.isEmpty) return emptyLike(spark, paths)
+    parts.reduce(_ unionByName _)
+  }
+}
+
 /** ANN kind over an embedding column. The query is the vector itself
   * (comma-separated doubles); each covering index is probed through its
   * centroid head (`nprobe` cells, ADC pre-ranked to `refine`

@@ -222,6 +222,39 @@ object DeltaLog {
     Files.delete(tmp)
   }
 
+  /** Row-level change feed between two versions, derived from the
+    * snapshot FILE-set diff: rows of files added in (from, to] are
+    * inserts, rows of files removed are deletes. Only the changed
+    * files are read — change-capture cost is proportional to the delta
+    * between the versions, never to table size (the CDF contract that
+    * makes incremental downstream pipelines viable at 100 TB). File
+    * granularity is exact for append/remove workloads (this engine's
+    * commit protocol only appends and removes whole files); a rewrite
+    * surfaces as delete+insert of the rewritten rows.
+    */
+  def changes(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long): org.apache.spark.sql.DataFrame = {
+    require(fromVersion <= toVersion,
+      s"from $fromVersion must be <= to $toVersion")
+    val before = liveFiles(spark, table, Some(fromVersion)).toSet
+    val after = liveFiles(spark, table, Some(toVersion)).toSet
+    val added = (after -- before).toSeq.sorted
+    val removed = (before -- after).toSeq.sorted
+    def tagged(files: Seq[String], change: String) =
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*)
+        .withColumn("_change_type", lit(change)))
+    val parts = tagged(added, "insert").toSeq ++ tagged(removed, "delete")
+    require(parts.nonEmpty || before == after, "unreachable")
+    if (parts.isEmpty) {
+      // no change between versions: empty frame with the table schema
+      val any = after.toSeq.sorted
+      require(any.nonEmpty, s"$table is empty at both versions")
+      spark.read.parquet(any.head).limit(0)
+        .withColumn("_change_type", lit(""))
+    } else parts.reduce(_ unionByName _)
+  }
+
   /** Materialize snapshot state at `version` as a parquet checkpoint +
     * `_last_checkpoint` pointer; replay afterwards starts here instead
     * of at version 0. Per the spec a checkpoint carries the table's

@@ -161,6 +161,19 @@ object ApiQueries {
          |WHERE contains(nf, ' merge merge ') ORDER BY doc_id""".stripMargin),
 
     // zone-map range search through the facade (virtual-mode index)
+    // bloom equality lookups through the FULL facade: per-file
+    // indexes → compact (pure uid-offset union, no rehash) →
+    // multi-index probe + exact refine
+    "lake_api_bloom" -> Q((s, dir) => {
+      val lake = custLake(s, dir)
+      lake.index(graft.api.BloomKind, "c_custkey", binpackRows = 1)
+      lake.compact(graft.api.BloomKind, "c_custkey", threshold = 1000000L)
+      lake.search(graft.api.BloomKind, "c_custkey", "137", 1000000,
+          Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+    }, "SELECT c_custkey, c_name FROM customer WHERE c_custkey = 137 " +
+       "ORDER BY c_custkey"),
+
     "lake_api_zonemap" -> Q((s, dir) => {
       val lake = tableLake(s, dir, "orders", "o_orderkey")
       lake.index(ZoneMapKind, "o_orderkey", binpackRows = 1)

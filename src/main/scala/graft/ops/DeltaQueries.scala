@@ -84,6 +84,23 @@ object DeltaQueries {
     // snapshot 0: JSON replay; only the %4∈{0,1} partitions and the
     // junk file were live — index hits from later files are filtered
     // out, the then-live junk file is probed in-situ
+    // change data feed v0 -> v1 from the snapshot file-set diff: the
+    // junk file's rows surface as deletes, the %4∈{2,3} partitions as
+    // inserts — and ONLY the changed files are read (CDF cost tracks
+    // the delta, not the table)
+    "delta_cdf" -> Q((s, dir) => {
+      val table = ensureDeltaDocs(s, dir)
+      DeltaLog.changes(s, table, 0L, 1L)
+        .select(col("doc_id"), col("_change_type"))
+        .orderBy(col("_change_type"), col("doc_id"))
+    }, s"""SELECT doc_id, _change_type FROM (
+          |  SELECT doc_id, 'insert' AS _change_type FROM documents
+          |  WHERE doc_id % 4 IN (2, 3)
+          |  UNION ALL
+          |  SELECT -doc_id - 1, 'delete' FROM
+          |    (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+          |) ORDER BY _change_type, doc_id""".stripMargin),
+
     "delta_time_travel" -> Q((s, dir) => {
       val l = lake(s, dir)
       l.index(NgramKind, "text")

@@ -51,6 +51,70 @@ object LayoutQueries {
         .orderBy(col("o_orderkey"))
     },
       """SELECT o_orderkey, o_custkey FROM orders
-        |WHERE o_orderkey BETWEEN 1000 AND 1200 ORDER BY o_orderkey""".stripMargin)
+        |WHERE o_orderkey BETWEEN 1000 AND 1200 ORDER BY o_orderkey""".stripMargin),
+
+    // per-row-group Bloom filters over a HASH-SCATTERED lake (the
+    // layout where sorted key tables and min/max zones are both
+    // useless): map-only build, equality probe pruned to the few
+    // groups that may hold the key, exact refine (parquet/Delta
+    // bloom-filter analog — the point-lookup path a 100 TB lake needs
+    // for columns it is not clustered by)
+    "bloom_search" -> Q((s, dir) => {
+      val lake = IndexStore.indexPath(dir, "lake_documents_hashed")
+      IndexStore.ensure(lake) {
+        Tables.load(s, dir, "documents").repartition(4, col("doc_id"))
+          .write.mode("overwrite").parquet(lake)
+      }
+      val p = IndexStore.indexPath(dir, "bloom_documents_docid")
+      IndexStore.ensure(p) {
+        graft.index.BloomIndex.build(s, Lake.listFiles(lake), "doc_id", p)
+      }
+      graft.index.BloomIndex.search(s, p, "doc_id", "17")
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    },
+      "SELECT doc_id, source FROM documents WHERE doc_id = 17 ORDER BY doc_id"),
+
+    // SURVEY §7.4 stretch, equality flavor: a PLAIN spark.read.parquet
+    // + integral equality filter — no graft API in the query —
+    // transparently file-pruned by the Catalyst IndexPruneRule via the
+    // committed bloom index; the refine filter stays so semantics are
+    // exact
+    "catalyst_bloom_prune" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "customer", "c_custkey", 4)
+      val prefix = Lake.splitPath(dir, "customer")
+      graft.api.GraftLake(s, prefix).index(graft.api.BloomKind, "c_custkey")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix)
+        .filter(col("c_custkey") === 137)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey = 137 " +
+        "ORDER BY c_custkey"),
+
+    // Z-order clustering (OPTIMIZE ZORDER analog): one range shuffle
+    // on the Morton interleave gives BOTH columns row-group locality;
+    // a 2-D range query prunes by the INTERSECTION of two zone maps,
+    // then refines exactly
+    "zorder_search_2d" -> Q((s, dir) => {
+      val lake = IndexStore.indexPath(dir, "lake_orders_zorder")
+      IndexStore.ensure(lake) {
+        ZOrder.cluster(Tables.load(s, dir, "orders"),
+          "o_custkey", "o_orderkey", 8, lake)
+      }
+      val files = Lake.listFiles(lake)
+      val pa = IndexStore.indexPath(dir, "zonemap_zorder_custkey")
+      IndexStore.ensure(pa) { ZoneMapIndex.build(s, files, "o_custkey", pa) }
+      val pb = IndexStore.indexPath(dir, "zonemap_zorder_orderkey")
+      IndexStore.ensure(pb) { ZoneMapIndex.build(s, files, "o_orderkey", pb) }
+      ZOrder.searchRange2(s,
+        pa, "o_custkey", 100L, 120L,
+        pb, "o_orderkey", 2000L, 4000L)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    },
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 120
+        |AND o_orderkey BETWEEN 2000 AND 4000 ORDER BY o_orderkey""".stripMargin)
   )
 }

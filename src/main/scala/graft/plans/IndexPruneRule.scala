@@ -115,12 +115,35 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case StartsWith(a: AttributeReference, Literal(p, StringType))
           if p != null && p.toString.nonEmpty => (a.name, p.toString)
     }
+    // equality/IN over string OR integral literals → bloom index (the
+    // filter hashes the value's string form; integral literals render
+    // exactly like Spark's cast-to-string, so both sides agree)
+    val bloomEq = preds.collectFirst {
+      case EqualTo(a: AttributeReference, Literal(v, StringType))
+          if v != null => (a.name, Seq(v.toString))
+      case EqualTo(Literal(v, StringType), a: AttributeReference)
+          if v != null => (a.name, Seq(v.toString))
+      case EqualTo(a: AttributeReference, IntLit(v)) => (a.name, Seq(v.toString))
+      case EqualTo(IntLit(v), a: AttributeReference) => (a.name, Seq(v.toString))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall {
+            case Literal(v, StringType) => v != null
+            case IntLit(_) => true
+            case _ => false
+          } =>
+        (a.name, vs.map {
+          case IntLit(v) => v.toString
+          case Literal(v, _) => v.toString
+        })
+    }
     contains.flatMap { case (colName, query) =>
       pruneWith(colName, "ngram", probe(_, query))
     }.orElse(keyEq.flatMap { case (colName, keys) =>
       pruneWith(colName, "key", keyProbe(_, keys))
     }).orElse(keyPrefix.flatMap { case (colName, p) =>
       pruneWith(colName, "key", keyPrefixProbe(_, p))
+    }).orElse(bloomEq.flatMap { case (colName, vals) =>
+      pruneWith(colName, "bloom", bloomProbe(_, vals))
     }).orElse(integralBounds(preds).flatMap { case (colName, lo, hi) =>
       pruneWith(colName, "zonemap", zoneProbe(_, lo, hi))
     })
@@ -159,6 +182,19 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case None     => ranged
     }
     val cands = bounded.select("idx", "uid").distinct().collect()
+      .map(r => (r.getInt(r.fieldIndex("idx")), r.getLong(r.fieldIndex("uid"))))
+      .toSet
+    filesOf(paths, cands)
+  }
+
+  /** Files whose bloom filter may contain any of `vals` (bitset probe
+    * over the tiny blooms table; false positives keep extra files —
+    * sound, the refine filter stays on top).
+    */
+  private def bloomProbe(paths: Seq[String], vals: Seq[String]): Set[String] = {
+    val cands = graft.api.IndexKind.readTagged(spark, paths, "blooms")
+      .filter(vals.map(graft.index.BloomIndex.probe).reduce(_ || _))
+      .select("idx", "uid").distinct().collect()
       .map(r => (r.getInt(r.fieldIndex("idx")), r.getLong(r.fieldIndex("uid"))))
       .toSet
     filesOf(paths, cands)

@@ -41,6 +41,28 @@ class DeltaLogSpec extends AnyFunSuite {
       Seq("a.parquet", "b.parquet"))
   }
 
+  test("changes() is the file-set diff and reads ONLY changed files") {
+    val t = mkTable("delta-cdf")
+    val a = addFile(t, "a.parquet", Seq(1L -> "one"))
+    val b = addFile(t, "b.parquet", Seq(2L -> "two"))
+    val c = addFile(t, "c.parquet", Seq(3L -> "three"))
+    DeltaLog.commit(t, 0, Seq(a, b))
+    DeltaLog.commit(t, 1, Seq(c), removes = Seq("a.parquet"))
+
+    val cdf = DeltaLog.changes(spark, t, 0L, 1L)
+    assert(cdf.select("doc_id", "_change_type").as[(Long, String)]
+      .collect().toSet == Set((3L, "insert"), (1L, "delete")))
+    // the unchanged b.parquet must not appear in the scan at all
+    val scanned = cdf.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+      }).flatten.map(_.split('/').last).toSet
+    assert(scanned == Set("a.parquet", "c.parquet"), scanned.toString)
+    // identical versions: empty feed, schema preserved
+    assert(DeltaLog.changes(spark, t, 1L, 1L).count() == 0)
+  }
+
   test("checkpoint replaces json replay and the tail still applies") {
     val t = mkTable("delta2")
     val a = addFile(t, "a.parquet", Seq(1L -> "one"))
