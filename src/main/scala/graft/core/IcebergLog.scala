@@ -127,6 +127,32 @@ object IcebergLog {
     files.map(Layout.canonPath).sorted
   }
 
+  /** Incremental read between two snapshots: rows of files added in
+    * (from, to] tagged `insert`, rows of removed files tagged
+    * `delete` — the snapshot file-set diff, reading ONLY changed
+    * files (same contract as [[DeltaLog.changes]]; Iceberg's own
+    * incremental-scan API works the same way on append/delete
+    * histories).
+    */
+  def changes(spark: org.apache.spark.sql.SparkSession, table: String,
+      fromSnapshot: Long, toSnapshot: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val before = liveFiles(table, Some(fromSnapshot)).toSet
+    val after = liveFiles(table, Some(toSnapshot)).toSet
+    def tagged(files: Set[String], change: String) =
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files.toSeq.sorted: _*)
+        .withColumn("_change_type", lit(change)))
+    val parts = tagged(after -- before, "insert").toSeq ++
+      tagged(before -- after, "delete")
+    if (parts.isEmpty) {
+      val any = after.toSeq.sorted
+      require(any.nonEmpty, s"$table is empty at both snapshots")
+      spark.read.parquet(any.head).limit(0)
+        .withColumn("_change_type", lit(""))
+    } else parts.reduce(_ unionByName _)
+  }
+
   // ---- writer ---------------------------------------------------------
 
   /** Commit a new snapshot: previous live files carry forward (minus

@@ -160,7 +160,6 @@ object ApiQueries {
          |  FROM documents) t
          |WHERE contains(nf, ' merge merge ') ORDER BY doc_id""".stripMargin),
 
-    // zone-map range search through the facade (virtual-mode index)
     // bloom equality lookups through the FULL facade: per-file
     // indexes → compact (pure uid-offset union, no rehash) →
     // multi-index probe + exact refine
@@ -174,6 +173,7 @@ object ApiQueries {
     }, "SELECT c_custkey, c_name FROM customer WHERE c_custkey = 137 " +
        "ORDER BY c_custkey"),
 
+    // zone-map range search through the facade (virtual-mode index)
     "lake_api_zonemap" -> Q((s, dir) => {
       val lake = tableLake(s, dir, "orders", "o_orderkey")
       lake.index(ZoneMapKind, "o_orderkey", binpackRows = 1)

@@ -149,6 +149,23 @@ object IcebergQueries {
     // snapshot 1: only the %4∈{0,1} partitions and the junk file were
     // live — index hits from later files are filtered out, the
     // then-live junk file is probed in-situ
+    // incremental read snapshot 1 -> 2 from the manifest file-set
+    // diff (the Iceberg twin of delta_cdf): junk rows surface as
+    // deletes, the %4∈{2,3} appends as inserts, unchanged files are
+    // never scanned
+    "iceberg_cdf" -> Q((s, dir) => {
+      val table = ensureIcebergDocs(s, dir)
+      IcebergLog.changes(s, table, 1L, 2L)
+        .select(col("doc_id"), col("_change_type"))
+        .orderBy(col("_change_type"), col("doc_id"))
+    }, s"""SELECT doc_id, _change_type FROM (
+          |  SELECT doc_id, 'insert' AS _change_type FROM documents
+          |  WHERE doc_id % 4 IN (2, 3)
+          |  UNION ALL
+          |  SELECT -doc_id - 1, 'delete' FROM
+          |    (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+          |) ORDER BY _change_type, doc_id""".stripMargin),
+
     "iceberg_time_travel" -> Q((s, dir) => {
       val l = lake(s, dir)
       l.index(NgramKind, "text")

@@ -61,11 +61,11 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val preds = splitConjunctivePredicates(f.condition)
     val allFiles = fsRel.location.inputFiles.map(Layout.canonPath).toSet
 
-    // shared tail: resolve covering indexes of `kind`, probe, shrink the
-    // file listing (schema and attribute ids unchanged; the original
-    // filter stays on top as the refine)
-    def pruneWith(colName: String, kind: String,
-        probeFn: Seq[String] => Set[String]): Option[Filter] = {
+    // per-predicate keep set: resolve covering indexes of `kind`,
+    // probe, return the files the index cannot rule out (uncovered
+    // files are always kept — sound)
+    def keepFor(colName: String, kind: String,
+        probeFn: Seq[String] => Set[String]): Option[Set[String]] = {
       val idx = IndexStore.metadataRowsCached(spark, prefix)
         .filter(r => r.column == colName && r.indexType == kind)
       if (idx.isEmpty) return None
@@ -75,17 +75,11 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       val hits =
         try probeFn(idx.map(_.indexFile))
         finally probing.set(false)
-      val keep = (allFiles -- covered) ++ (hits & allFiles)
-      if (keep.size >= allFiles.size) return None // nothing pruned
-      val pruned = new InMemoryFileIndex(spark,
-        keep.toSeq.sorted.map(new Path(_)), Map.empty,
-        Some(fsRel.dataSchema))
-      val newRel = fsRel.copy(location = pruned)(spark)
-      Some(f.copy(child = l.copy(relation = newRel)))
+      Some((allFiles -- covered) ++ (hits & allFiles))
     }
 
-    // first contains-predicate over a plain column (bare or lower())
-    val contains = preds.collectFirst {
+    // contains-predicates over a plain column (bare or lower())
+    val contains = preds.collect {
       case Contains(a: AttributeReference, Literal(q, StringType))
           if q != null && q.toString.nonEmpty => (a.name, q.toString)
       case Contains(Lower(a: AttributeReference), Literal(q, StringType))
@@ -93,7 +87,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     // exact/IN-list string predicates → key index (case-exact, like
     // the predicate itself; keys are stored raw at build)
-    val keyEq = preds.collectFirst {
+    val keyEqs = preds.collect {
       case EqualTo(a: AttributeReference, Literal(v, StringType))
           if v != null => (a.name, Seq(v.toString))
       case EqualTo(Literal(v, StringType), a: AttributeReference)
@@ -110,15 +104,15 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
             !hset.contains(null) =>
         (a.name, hset.toSeq.map(_.toString))
     }
-    // prefix predicate → key index range probe
-    val keyPrefix = preds.collectFirst {
+    // prefix predicates → key index range probe
+    val keyPrefixes = preds.collect {
       case StartsWith(a: AttributeReference, Literal(p, StringType))
           if p != null && p.toString.nonEmpty => (a.name, p.toString)
     }
     // equality/IN over string OR integral literals → bloom index (the
     // filter hashes the value's string form; integral literals render
     // exactly like Spark's cast-to-string, so both sides agree)
-    val bloomEq = preds.collectFirst {
+    val bloomEqs = preds.collect {
       case EqualTo(a: AttributeReference, Literal(v, StringType))
           if v != null => (a.name, Seq(v.toString))
       case EqualTo(Literal(v, StringType), a: AttributeReference)
@@ -136,17 +130,29 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           case Literal(v, _) => v.toString
         })
     }
-    contains.flatMap { case (colName, query) =>
-      pruneWith(colName, "ngram", probe(_, query))
-    }.orElse(keyEq.flatMap { case (colName, keys) =>
-      pruneWith(colName, "key", keyProbe(_, keys))
-    }).orElse(keyPrefix.flatMap { case (colName, p) =>
-      pruneWith(colName, "key", keyPrefixProbe(_, p))
-    }).orElse(bloomEq.flatMap { case (colName, vals) =>
-      pruneWith(colName, "bloom", bloomProbe(_, vals))
-    }).orElse(integralBounds(preds).flatMap { case (colName, lo, hi) =>
-      pruneWith(colName, "zonemap", zoneProbe(_, lo, hi))
-    })
+    // a conjunction may carry several indexable predicates over
+    // DIFFERENT columns/kinds (contains(text) && custkey = k): each
+    // probe's keep set is individually sound (superset of the files
+    // holding matches for ITS conjunct), so their INTERSECTION is a
+    // sound keep set for the conjunction — every applicable index
+    // prunes, not just the first
+    val keeps =
+      contains.flatMap { case (c, q) => keepFor(c, "ngram", probe(_, q)) } ++
+      keyEqs.flatMap { case (c, ks) => keepFor(c, "key", keyProbe(_, ks)) } ++
+      keyPrefixes.flatMap { case (c, p) =>
+        keepFor(c, "key", keyPrefixProbe(_, p)) } ++
+      bloomEqs.flatMap { case (c, vs) =>
+        keepFor(c, "bloom", bloomProbe(_, vs)) } ++
+      integralBounds(preds).flatMap { case (c, lo, hi) =>
+        keepFor(c, "zonemap", zoneProbe(_, lo, hi)) }
+    if (keeps.isEmpty) return None
+    val keep = keeps.reduce(_ & _)
+    if (keep.size >= allFiles.size) return None // nothing pruned
+    val pruned = new InMemoryFileIndex(spark,
+      keep.toSeq.sorted.map(new Path(_)), Map.empty,
+      Some(fsRel.dataSchema))
+    val newRel = fsRel.copy(location = pruned)(spark)
+    Some(f.copy(child = l.copy(relation = newRel)))
   }
 
   /** Covered files whose meta rows carry any candidate (idx, uid) —
@@ -210,13 +216,13 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Tightest [lo, hi] implied by the conjuncts for the first attribute
-    * carrying any integral bound. Strict bounds saturate outward at the
-    * Long domain edge (a > MAX keeps [MAX, ∞) — a superset, still
-    * sound).
+  /** Tightest [lo, hi] implied by the conjuncts for EVERY attribute
+    * carrying any integral bound (each feeds its own zone-map probe).
+    * Strict bounds saturate outward at the Long domain edge (a > MAX
+    * keeps [MAX, ∞) — a superset, still sound).
     */
   private def integralBounds(
-      preds: Seq[Expression]): Option[(String, Long, Long)] = {
+      preds: Seq[Expression]): Seq[(String, Long, Long)] = {
     val lows = scala.collection.mutable.Map.empty[String, Long]
     val highs = scala.collection.mutable.Map.empty[String, Long]
     def lo(a: String, v: Long): Unit =
@@ -245,7 +251,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       p.references.foreach(r => order += r.name)
     }
     order.result().distinct
-      .find(a => lows.contains(a) || highs.contains(a))
+      .filter(a => lows.contains(a) || highs.contains(a))
       .map(a => (a, lows.getOrElse(a, Long.MinValue),
         highs.getOrElse(a, Long.MaxValue)))
   }

@@ -56,6 +56,21 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(rate < 0.05, s"false-positive rate $rate")
   }
 
+  test("the search scan reads ONLY files holding candidate groups") {
+    val scanned = BloomIndex.search(s, idx, "id", "17")
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.inputFiles.exists(_.contains("/lake/")) =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.toSeq
+      }.flatten.toSet
+    assert(scanned.nonEmpty && scanned.size < lakeFiles.size,
+      s"expected a pruned lake scan, got ${scanned.size} of ${lakeFiles.size}")
+  }
+
   test("merge re-bases uids; merged search == brute over the union") {
     val dir = TestSpark.tmpDir("bloom-merge")
     val a = s"$dir/a"; val b = s"$dir/b"; val m = s"$dir/m"

@@ -124,6 +124,34 @@ class IndexPruneRuleSpec extends AnyFunSuite {
     assert(scannedFiles(inset) == 2, "InSet form must prune like In")
   }
 
+  test("conjunctions intersect the prune sets of EVERY applicable index") {
+    val dir = TestSpark.tmpDir("pruneboth")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-pb-$name")
+      rows.toDF("k", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(10L -> "needle here", 11L -> "filler"))
+    write("b", Seq(500L -> "needle far away", 501L -> "filler"))
+    write("c", Seq(12L -> "nothing", 13L -> "also nothing"))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.NgramKind, "text", binpackRows = 1)
+    lake.index(api.ZoneMapKind, "k", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+
+    // text index alone keeps {a,b}; zone map alone keeps {a,c};
+    // the conjunction must scan only the intersection {a}
+    val q = spark.read.parquet(dir)
+      .filter(lower(col("text")).contains("needle") &&
+        col("k") >= 0 && col("k") <= 100)
+    assert(q.select("k").collect().map(_.getLong(0)).toSet == Set(10L))
+    assert(scannedFiles(q) == 1,
+      "expected BOTH indexes to prune (intersection of keep sets)")
+  }
+
   test("case-sensitive contains prunes soundly (superset candidates)") {
     val dir = TestSpark.tmpDir("prunelake3")
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
