@@ -92,6 +92,25 @@ object LayoutQueries {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey = 137 " +
         "ORDER BY c_custkey"),
 
+    // dynamic file pruning: a PLAIN equi-join of the lake against a
+    // small literal dimension — no graft API, no filter — prunes the
+    // lake scan to files whose bloom index may hold one of the join
+    // keys (the lakehouse DFP pattern, driven by the engine's own
+    // secondary indexes)
+    "catalyst_join_prune" -> Q((s, dir) => {
+      import s.implicits._
+      Lake.ensureSplit(s, dir, "customer", "c_custkey", 4)
+      val prefix = Lake.splitPath(dir, "customer")
+      graft.api.GraftLake(s, prefix).index(graft.api.BloomKind, "c_custkey")
+      graft.plans.IndexPruneRule.enable(s)
+      val dim = Seq(42L, 137L).toDF("c_custkey")
+      s.read.parquet(prefix).join(dim, "c_custkey")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (42, 137) " +
+        "ORDER BY c_custkey"),
+
     // Z-order clustering (OPTIMIZE ZORDER analog): one range shuffle
     // on the Morton interleave gives BOTH columns row-group locality;
     // a 2-D range query prunes by the INTERSECTION of two zone maps,

@@ -47,36 +47,57 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         // never fail a user query on a probe error — but let fatal JVM
         // errors and interrupts (cancellation) propagate
         catch { case scala.util.control.NonFatal(_) => f }
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        try rewriteJoin(j).getOrElse(j)
+        catch { case scala.util.control.NonFatal(_) => j }
     }
   }
 
-  private def rewrite(f: Filter, l: LogicalRelation): Option[Filter] = {
-    val fsRel = l.relation.asInstanceOf[HadoopFsRelation]
+  /** Parquet lake relations the rule may prune: single-root,
+    * unpartitioned, not one of the engine's own index tables. Returns
+    * (relation, canonical prefix, canonical file set).
+    */
+  private def eligible(
+      l: LogicalRelation): Option[(HadoopFsRelation, String, Set[String])] = {
+    val fsRel = l.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
     if (!fsRel.fileFormat.isInstanceOf[ParquetFileFormat]) return None
     if (fsRel.partitionSchema.nonEmpty) return None
     val roots = fsRel.location.rootPaths
     if (roots.size != 1) return None
     val prefix = Layout.canonPath(roots.head.toString)
     if (prefix.startsWith(IndexStore.root)) return None // index tables
-    val preds = splitConjunctivePredicates(f.condition)
-    val allFiles = fsRel.location.inputFiles.map(Layout.canonPath).toSet
+    Some((fsRel, prefix, fsRel.location.inputFiles.map(Layout.canonPath).toSet))
+  }
 
-    // per-predicate keep set: resolve covering indexes of `kind`,
-    // probe, return the files the index cannot rule out (uncovered
-    // files are always kept — sound)
+  /** Keep set for one predicate: resolve covering indexes of `kind`,
+    * probe, return the files the index cannot rule out (uncovered
+    * files are always kept — sound). None when no index applies.
+    */
+  private def keepFor(prefix: String, allFiles: Set[String],
+      colName: String, kind: String,
+      probeFn: Seq[String] => Set[String]): Option[Set[String]] = {
+    val idx = IndexStore.metadataRowsCached(spark, prefix)
+      .filter(r => r.column == colName && r.indexType == kind)
+    if (idx.isEmpty) return None
+    val covered = idx.flatMap(_.files).map(Layout.canonPath).toSet & allFiles
+    if (covered.isEmpty) return None
+    probing.set(true)
+    val hits =
+      try probeFn(idx.map(_.indexFile))
+      finally probing.set(false)
+    Some((allFiles -- covered) ++ (hits & allFiles))
+  }
+
+  private def rewrite(f: Filter, l: LogicalRelation): Option[Filter] = {
+    val (fsRel, prefix, allFiles) = eligible(l).getOrElse(return None)
+    val preds = splitConjunctivePredicates(f.condition)
+
     def keepFor(colName: String, kind: String,
-        probeFn: Seq[String] => Set[String]): Option[Set[String]] = {
-      val idx = IndexStore.metadataRowsCached(spark, prefix)
-        .filter(r => r.column == colName && r.indexType == kind)
-      if (idx.isEmpty) return None
-      val covered = idx.flatMap(_.files).map(Layout.canonPath).toSet & allFiles
-      if (covered.isEmpty) return None
-      probing.set(true)
-      val hits =
-        try probeFn(idx.map(_.indexFile))
-        finally probing.set(false)
-      Some((allFiles -- covered) ++ (hits & allFiles))
-    }
+        probeFn: Seq[String] => Set[String]): Option[Set[String]] =
+      this.keepFor(prefix, allFiles, colName, kind, probeFn)
 
     // contains-predicates over a plain column (bare or lower())
     val contains = preds.collect {
@@ -153,6 +174,83 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       Some(fsRel.dataSchema))
     val newRel = fsRel.copy(location = pruned)(spark)
     Some(f.copy(child = l.copy(relation = newRel)))
+  }
+
+  /** Max literal-side rows a join probe will materialize on the
+    * driver (a LocalRelation is already driver-resident, so this caps
+    * probe work, not memory).
+    */
+  private val MaxJoinProbeKeys = 1000
+
+  /** Dynamic file pruning for equi-joins against a LITERAL small
+    * side: `lake.join(localDf, "col")` scans only the lake files
+    * whose key/bloom index may contain one of the local side's keys —
+    * the DFP pattern of lakehouse engines, driven by this engine's own
+    * secondary indexes instead of runtime subquery results. Sound for
+    * Inner and LeftSemi joins: rows from pruned files can never
+    * produce output (their key provably matches no local-side row);
+    * uncovered files are always kept.
+    */
+  private def rewriteJoin(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    if (j.joinType != Inner && j.joinType != LeftSemi) return None
+    val eqs = j.condition.toSeq.flatMap(splitConjunctivePredicates).collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference) => (a, b)
+    }
+    if (eqs.isEmpty) return None
+
+    // the literal side's key strings (string form matches both the
+    // raw key table and the bloom hash input; nulls never equi-match)
+    def localKeys(p: LogicalPlan,
+        attr: AttributeReference): Option[Seq[String]] = p match {
+      case lr: LocalRelation if lr.data.size <= MaxJoinProbeKeys =>
+        val i = lr.output.indexWhere(_.exprId == attr.exprId)
+        if (i < 0) None
+        else Some(lr.data.flatMap { row =>
+          if (row.isNullAt(i)) None
+          else Some(row.get(i, lr.output(i).dataType).toString)
+        })
+      case _ => None
+    }
+
+    // the single eligible lake relation producing `attr` inside `p`
+    def lakeTarget(p: LogicalPlan, attr: AttributeReference) =
+      p.collect {
+        case l: LogicalRelation if l.output.exists(_.exprId == attr.exprId) => l
+      } match {
+        case Seq(l) => eligible(l).map(e => (l, e))
+        case _ => None
+      }
+
+    eqs.view.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .flatMap { case (lakeAttr, localAttr) =>
+        val (lakeSide, localSide) =
+          if (j.left.outputSet.contains(lakeAttr)) (j.left, j.right)
+          else (j.right, j.left)
+        if (!localSide.outputSet.contains(localAttr)) None
+        else for {
+          keys <- localKeys(localSide, localAttr)
+          if keys.nonEmpty
+          (lrel, (fsRel, prefix, allFiles)) <- lakeTarget(lakeSide, lakeAttr)
+          keep <- keepFor(prefix, allFiles, lakeAttr.name, "key",
+              keyProbe(_, keys))
+            .orElse(keepFor(prefix, allFiles, lakeAttr.name, "bloom",
+              bloomProbe(_, keys)))
+          if keep.size < allFiles.size
+        } yield {
+          val pruned = new InMemoryFileIndex(spark,
+            keep.toSeq.sorted.map(new Path(_)), Map.empty,
+            Some(fsRel.dataSchema))
+          val newRel = fsRel.copy(location = pruned)(spark)
+          val newSide = lakeSide.transform {
+            case l: LogicalRelation if l eq lrel => l.copy(relation = newRel)
+          }
+          if (lakeSide eq j.left) j.copy(left = newSide)
+          else j.copy(right = newSide)
+        }
+      }.headOption
   }
 
   /** Covered files whose meta rows carry any candidate (idx, uid) —

@@ -124,6 +124,52 @@ class IndexPruneRuleSpec extends AnyFunSuite {
     assert(scannedFiles(inset) == 2, "InSet form must prune like In")
   }
 
+  // AQE wraps join plans (AdaptiveSparkPlanExec is a leaf), so scan
+  // sets for joins are read off the optimized LOGICAL plan
+  private def logicalScanFiles(df: org.apache.spark.sql.DataFrame,
+      marker: String): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq.filter(_.contains(marker))
+    }.flatten.toSet
+
+  test("equi-join with a literal small side prunes lake files (DFP)") {
+    val dir = TestSpark.tmpDir("prunedfp")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-dfp-$name")
+      rows.toDF("id", "name").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "alpha", 2L -> "beta"))
+    write("b", Seq(3L -> "gamma", 4L -> "delta"))
+    write("c", Seq(5L -> "epsilon", 6L -> "zeta"))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.KeyKind, "name", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+
+    val dim = Seq("gamma" -> 30, "zeta" -> 60).toDF("name", "score")
+    val q = spark.read.parquet(dir).join(dim, "name")
+    assert(q.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 6L))
+    assert(logicalScanFiles(q, "prunedfp").size == 2,
+      "expected the join keys to prune the no-match file")
+    // left_semi prunes the same way
+    val semi = spark.read.parquet(dir)
+      .join(dim, Seq("name"), "left_semi")
+    assert(semi.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 6L))
+    assert(logicalScanFiles(semi, "prunedfp").size == 2)
+    // left_anti must NOT be pruned (non-matching rows are the result)
+    val anti = spark.read.parquet(dir)
+      .join(dim, Seq("name"), "left_anti")
+    assert(anti.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L, 5L))
+    assert(logicalScanFiles(anti, "prunedfp").size == 3)
+  }
+
   test("conjunctions intersect the prune sets of EVERY applicable index") {
     val dir = TestSpark.tmpDir("pruneboth")
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
