@@ -312,6 +312,36 @@ object TextAnalysis {
         |      FROM documents) x
         |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin),
 
+    // one-pass sketched distinct (HyperLogLog++ via
+    // approx_count_distinct) gated against the exact two-round
+    // distinct: the sketch is the 100 TB path — partial sketches are
+    // constant-size and merge associatively, so the shuffle carries
+    // one sketch per partition instead of the full distinct key set.
+    // The gate returns the EXACT counts (oracle-checkable) plus a
+    // within-2% flag for the sketch, the same convention as the ANN
+    // recall gates (approximate operator, quantified bound)
+    "corpus_distinct_sketch" -> Q((s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+      val users = Tables.load(s, dir, "events").select(col("user_id"))
+      // sketch and exact side by side in ONE job per table
+      val t = toks.agg(approx_count_distinct(col("token"), 0.01).as("a"),
+        countDistinct(col("token")).as("e")).collect()(0)
+      val u = users.agg(approx_count_distinct(col("user_id"), 0.01).as("a"),
+        countDistinct(col("user_id")).as("e")).collect()(0)
+      def ok(r: org.apache.spark.sql.Row) =
+        math.abs(r.getLong(0) - r.getLong(1)).toDouble / r.getLong(1) <= 0.02
+      Seq((t.getLong(1), u.getLong(1), ok(t) && ok(u)))
+        .toDF("exact_tokens", "exact_users", "within_tol")
+    },
+      """SELECT
+        |  (SELECT count(DISTINCT token) FROM
+        |    (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+        |     FROM documents) x) AS exact_tokens,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS exact_users,
+        |  true AS within_tol""".stripMargin),
+
     // per-document lexical diversity: type-token ratio + hapax count
     // (tokens occurring exactly once in the doc). ONE shuffle: docs are
     // repartitioned by doc_id BEFORE exploding (the shuffle carries each

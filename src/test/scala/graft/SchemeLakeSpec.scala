@@ -145,6 +145,12 @@ class SchemeLakeSpec extends AnyFunSuite {
     assert(lake.index(NgramKind, "text").size == 1)
     assert(lake.compact(NgramKind, "text", threshold = 1000000).isDefined)
     assert(searchIds("search") == Seq(1L, 3L, 5L))
+
+    // the newest kind must survive the same authority'd paths: bloom
+    // equality probe through the facade over mocks://bucket/...
+    assert(lake.index(graft.api.BloomKind, "doc_id").nonEmpty)
+    assert(lake.search(graft.api.BloomKind, "doc_id", "3", 100, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
   test("delta log percent-encodes special-character paths per the spec") {
