@@ -70,6 +70,19 @@ object BloomIndex {
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
     val meta = Layout.buildMeta(spark, files, Some(column)).cache()
+    buildFrame(spark, files, column, meta)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/blooms")
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    meta.unpersist()
+    ()
+  }
+
+  /** The build dataflow (exposed for plan pinning): map-only hash →
+    * bit_or per (uid, word) with map-side partial aggregation (the
+    * shuffle carries set WORDS, never rows) → per-uid word map.
+    */
+  private[graft] def buildFrame(spark: SparkSession, files: Seq[String],
+      column: String, meta: DataFrame): DataFrame = {
     val mDf = meta.select(col("uid"),
       greatest(lit(64L), (ceil(col("num_rows") * BitsPerRow / 64.0) * 64)
         .cast("long")).as("m"))
@@ -81,7 +94,7 @@ object BloomIndex {
       .withColumn("h2",
         conv(substring(col("h"), 17, 15), 16, 10).cast("long")
           .bitwiseOR(lit(1L)))
-    val bits = data
+    data
       .select(col("uid"), col("m"), col("h1"), col("h2"),
         explode(sequence(lit(0L), lit((K - 1).toLong))).as("i"))
       .withColumn("pos", pmod(col("h1") + col("i") * col("h2"), col("m")))
@@ -93,10 +106,6 @@ object BloomIndex {
       .groupBy(col("uid"), col("m"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
         .as("words"))
-    bits.coalesce(1).write.mode("overwrite").parquet(s"$path/blooms")
-    meta.write.mode("overwrite").parquet(s"$path/meta")
-    meta.unpersist()
-    ()
   }
 
   /** Merge two bloom indexes: pure uid-offset union — filters are

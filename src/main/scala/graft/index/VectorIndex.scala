@@ -229,6 +229,32 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** Filtered top-k cosine search: rank only vectors whose `vec_id`
+    * passes an external predicate (`allowed`, any DataFrame with a
+    * `vec_id` column — typically the lake filtered on a metadata
+    * column). The filter lands as a left-semi join BEFORE ranking, so
+    * the result is the true top-k of the filtered set, not a
+    * post-filtered top-k that can come up short — the "filtered vector
+    * search" semantics of serving-grade vector stores. Scale shape:
+    * the semi join touches only the PROBED cells' rows; a selective
+    * predicate side broadcasts (AQE), a broad one shuffles the probed
+    * slice — and `nprobe` is the recall knob when the filter thins
+    * cells out. `nprobe >= numCells` ⇒ exact over the filtered set.
+    */
+  def searchFiltered(spark: SparkSession, path: String, q: Seq[Double],
+      k: Int, nprobe: Int, allowed: DataFrame): DataFrame = {
+    requireCurrentFormat(spark, path)
+    val probes = probeCells(spark, path, q, nprobe)
+    val qc = typedLit(q)
+    spark.read.parquet(s"$path/vecs")
+      .filter(col("centroid").isin(probes: _*)) // partition pruning
+      .join(allowed.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        round(graft.GraftExtensions.cosineSim(spark, col("v"), qc), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batched top-k cosine search: ONE plan answers every query in
     * `queries` — the reference API takes a query batch
     * (vector_index.py:146 `search(queries, ...)`), and at scale
@@ -548,6 +574,17 @@ object VectorIndex {
       val p = ensureBuilt(s, dir)
       search(s, p, queryVec(s, dir), Similarity.K, numCells(s, p))
     }, Similarity.knnSql),
+    // filtered vector search through the IVF machinery: the label
+    // predicate lands as a left-semi join BEFORE ranking (true top-k
+    // of the filtered set); probe-all ⇒ exact vs the filter-then-rank
+    // brute oracle
+    "similarity_ivf_filtered" -> graft.Q((s, dir) => {
+      val p = ensureBuilt(s, dir)
+      val allowed = Similarity.embeddings(s, dir)
+        .filter(col("label") === Similarity.FilterLabel)
+      searchFiltered(s, p, queryVec(s, dir), Similarity.K,
+        numCells(s, p), allowed)
+    }, Similarity.knnFilteredSql),
     // the production path: probe HALF the cells (the reference's
     // ratio); approximate by design ⇒ rows-only check, quantified by
     // similarity_ivf_recall below

@@ -27,6 +27,7 @@ object Similarity {
 
   val K = 10
   val QueryVecId = 0
+  val FilterLabel = 3
   val DedupTau = 0.4 // synthetic embeddings have no planted near-dups;
                      // 0.4 keeps the pair set non-trivial at every SF
 
@@ -57,6 +58,33 @@ object Similarity {
        |        (sqrt(list_sum([v[i] * v[i] for i in generate_series(1, len(v))])) *
        |         sqrt(list_sum([qv[i] * qv[i] for i in generate_series(1, len(qv))]))), 6) AS cos
        |FROM e CROSS JOIN q
+       |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
+
+  /** Exact filtered cosine top-k: rank ONLY vectors with
+    * `label == FilterLabel` — the brute baseline for filtered vector
+    * search (filter first, then rank: the true top-k of the filtered
+    * set, never a post-filtered top-k that comes up short).
+    */
+  def knnBruteFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") === QueryVecId)
+      .select(col("v")).collect()(0).getSeq[Double](0)
+    val qc = typedLit(q)
+    e.filter(col("label") === FilterLabel)
+      .select(col("vec_id"),
+        round(graft.GraftExtensions.cosineSim(s, col("v"), qc), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(K)
+  }
+
+  val knnFilteredSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $QueryVecId)
+       |SELECT vec_id,
+       |  round(list_sum([v[i] * qv[i] for i in generate_series(1, len(v))]) /
+       |        (sqrt(list_sum([v[i] * v[i] for i in generate_series(1, len(v))])) *
+       |         sqrt(list_sum([qv[i] * qv[i] for i in generate_series(1, len(qv))]))), 6) AS cos
+       |FROM e CROSS JOIN q WHERE label = $FilterLabel
        |ORDER BY cos DESC, vec_id LIMIT $K""".stripMargin
 
   /** Embedding near-dup pairs, label-blocked (the blocking key stands in
@@ -176,6 +204,9 @@ object Similarity {
 
   def entries: Map[String, Q] = Map(
     "similarity_knn_brute" -> Q((s, dir) => knnBrute(s, dir), knnSql),
+    // filtered vector search, brute baseline: filter-then-rank
+    "similarity_knn_filtered" -> Q(
+      (s, dir) => knnBruteFiltered(s, dir), knnFilteredSql),
     "dedup_embedding" -> Q((s, dir) => embeddingDedup(s, dir), embeddingDedupSql),
     // LSH-blocked variant: the blocking key the label stands in for at
     // small scale, made real (SCALE.md: at 100 TB the block is an

@@ -50,6 +50,18 @@ class PlanSpec extends AnyFunSuite {
       s"the exchange must sit below every aggregate (pre-explode):\n$p")
   }
 
+  test("bloom build keeps map-side combine; the shuffle carries words") {
+    val dir = TestSpark.tmpDir("planbloom")
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lake")
+    val files = graft.core.Lake.listFiles(s"$dir/lake")
+    val meta = graft.core.Layout.buildMeta(spark, files, Some("id"))
+    val p = plan(graft.index.BloomIndex.buildFrame(spark, files, "id", meta))
+    // partial bit_or BEFORE the exchange: rows fold into set words
+    // map-side, the shuffle carries (uid, word, bits) triples
+    assert(p.contains("partial_bit_or"), s"bloom build lost map-side combine:\n$p")
+  }
+
   test("asof join is one union + one per-key window, no nested loop") {
     val p = plan(SparkEntry.queries("q_asof_join")(spark, sf))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
