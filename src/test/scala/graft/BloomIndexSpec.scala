@@ -71,6 +71,34 @@ class BloomIndexSpec extends AnyFunSuite {
       s"expected a pruned lake scan, got ${scanned.size} of ${lakeFiles.size}")
   }
 
+  test("no false negatives: every present key's owner group is a candidate") {
+    // probe ALL 2000 keys in one plan: hash each key with the same
+    // md5-derived (h1, h2) the driver uses, cross the tiny blooms
+    // table, and keep (key, uid) pairs whose K probed bits are all set
+    // — the result must cover every (key, true-owner-uid) pair
+    val hashed = s.read.parquet(lakeFiles: _*)
+      .select(col("id"), md5(col("id").cast("string")).as("h"))
+      .withColumn("h1", conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
+      .withColumn("h2",
+        conv(substring(col("h"), 17, 15), 16, 10).cast("long")
+          .bitwiseOR(lit(1L)))
+    val probeAll = (0 until BloomIndex.K).map { i =>
+      val pos = s"pmod(h1 + ${i}L * h2, m)"
+      expr(s"(coalesce(element_at(words, cast($pos div 64 as int)), " +
+        s"cast(0 as bigint)) & shiftleft(cast(1 as bigint), " +
+        s"cast($pos % 64 as int))) != 0")
+    }.reduce(_ && _)
+    val candPairs = hashed
+      .crossJoin(s.read.parquet(s"$idx/blooms"))
+      .filter(probeAll)
+      .select(col("id"), col("uid")).as[(Long, Long)].collect().toSet
+    val meta = s.read.parquet(s"$idx/meta")
+    val ownerPairs = graft.core.Layout.withUid(s, lakeFiles, meta)
+      .select(col("id"), col("uid")).as[(Long, Long)].collect().toSet
+    assert(ownerPairs.subsetOf(candPairs),
+      s"missing ${(ownerPairs -- candPairs).take(5)} — a bloom false negative")
+  }
+
   test("merge re-bases uids; merged search == brute over the union") {
     val dir = TestSpark.tmpDir("bloom-merge")
     val a = s"$dir/a"; val b = s"$dir/b"; val m = s"$dir/m"
