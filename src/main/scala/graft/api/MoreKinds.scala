@@ -211,6 +211,53 @@ object BloomKind extends IndexKind {
   }
 }
 
+/** Near-duplicate lookup kind: the query is a raw DOCUMENT TEXT and
+  * the result is every lake row whose shingle-Jaccard against it
+  * clears τ — dedup-at-ingest through the facade (banded MinHash
+  * postings prune, exact Jaccard verifies; graft.index.MinHashIndex).
+  */
+object MinHashKind extends IndexKind {
+
+  val name = "minhash"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit =
+    graft.index.MinHashIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    graft.index.MinHashIndex.merge(spark, a, b, out)
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    def refine(d: DataFrame): DataFrame =
+      graft.index.MinHashIndex.verifyJaccard(d, column, query)
+    val covered = coveredFiles(spark, paths, live)
+    val keys = graft.index.MinHashIndex.bandKeysOf(query)
+
+    def viaIndex(): Option[DataFrame] = {
+      if (keys.isEmpty) return None // short query: no signature
+      val cands = IndexKind.readTagged(spark, paths, "postings")
+        .filter(keys.map { case (b, kk) =>
+          col("band") === b && col("bkey") === kk
+        }.reduce(_ || _))
+        .select(col("idx"), col("uid"))
+      val hits = collectHits(spark, paths, cands, live)
+      if (bruteBeatsIndex(spark, paths, hits)) None
+      else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
+    }
+
+    val parts =
+      (if (covered.isEmpty) Seq.empty
+       else Seq(viaIndex().getOrElse(
+         refine(spark.read.parquet(covered: _*))))) ++
+      (if (insituFiles.isEmpty) Seq.empty
+       else Seq(refine(spark.read.parquet(insituFiles: _*))))
+    if (parts.isEmpty) return emptyLike(spark, paths)
+    parts.reduce(_ unionByName _)
+  }
+}
+
 /** ANN kind over an embedding column. The query is the vector itself
   * (comma-separated doubles); each covering index is probed through its
   * centroid head (`nprobe` cells, ADC pre-ranked to `refine`

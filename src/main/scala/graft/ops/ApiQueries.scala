@@ -160,6 +160,18 @@ object ApiQueries {
          |  FROM documents) t
          |WHERE contains(nf, ' merge merge ') ORDER BY doc_id""".stripMargin),
 
+    // near-dup lookup through the FULL facade: per-file minhash
+    // indexes → compact (uid-offset union, signatures never
+    // recompute) → 16 band-key probes + exact-Jaccard verify
+    "lake_api_minhash" -> Q((s, dir) => {
+      val lake = docLake(s, dir)
+      lake.index(graft.api.MinHashKind, "text", binpackRows = 1)
+      lake.compact(graft.api.MinHashKind, "text", threshold = 1000000L)
+      lake.search(graft.api.MinHashKind, "text",
+          Dedup.lookupQueryText(s, dir), 1000000, Seq("doc_id"))
+        .select(col("doc_id"), col("jac"))
+    }, Dedup.minhashLookupSql),
+
     // bloom equality lookups through the FULL facade: per-file
     // indexes → compact (pure uid-offset union, no rehash) →
     // multi-index probe + exact refine

@@ -375,6 +375,65 @@ object Dedup {
        |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= $Tau""".stripMargin
   }
 
+  /** Near-dup LOOKUP query text: doc 17's text with one appended
+    * unique token — a high-Jaccard near-duplicate of a known corpus
+    * document that is not itself in the corpus.
+    */
+  val LookupSrcDoc = 17
+  val LookupSuffix = "graftnearduplookup"
+
+  private[ops] def lookupQueryText(s: SparkSession, dir: String): String =
+    docs(s, dir).filter(col("doc_id") === LookupSrcDoc)
+      .select(col("text")).collect()(0).getString(0) + " " + LookupSuffix
+
+  /** The lookup oracle runs the SAME minhash pipeline with the query
+    * injected as doc −1 (text || suffix built in SQL, so both engines
+    * derive the identical query string): result = corpus docs sharing
+    * a band bucket with the query AND exact shingle-Jaccard ≥ τ.
+    * (The Spark side verifies whole candidate ROW GROUPS, which could
+    * only ADD docs that clear the exact-τ bar — none exist in this
+    * corpus beyond the banded match itself.)
+    */
+  private[ops] def minhashLookupSql: String = {
+    val km1 = ShingleK - 1
+    val rows = NumHashes / Bands
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT -1, text || ' $LookupSuffix' FROM documents WHERE doc_id = $LookupSrcDoc),
+       |t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+$km1], ' ') for i in generate_series(1, len(toks)-$km1)])) AS s
+       |  FROM t WHERE len(toks) >= $ShingleK),
+       |shh AS (
+       |  SELECT doc_id, s,
+       |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(s),j,1)) - 1)::BIGINT << (4*(8-j)) for j in generate_series(1,8)]) AS BIGINT) AS h1,
+       |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(s),j,1)) - 1)::BIGINT << (4*(16-j)) for j in generate_series(9,16)]) AS BIGINT) AS h2
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, g.i, min((h1 + g.i * h2) % $HashP) AS h
+       |  FROM shh CROSS JOIN generate_series(0, ${NumHashes - 1}) g(i)
+       |  GROUP BY doc_id, g.i),
+       |bands AS (
+       |  SELECT doc_id, i // $rows AS band, string_agg(h::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sigs GROUP BY doc_id, i // $rows),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS j
+       |  FROM bands a JOIN bands b USING (band, bkey)
+       |  WHERE a.doc_id = -1 AND b.doc_id <> -1),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (SELECT c.j, count(*) AS inter
+       |      FROM cand c JOIN sh a ON a.doc_id = -1
+       |                  JOIN sh b ON b.doc_id = c.j AND b.s = a.s
+       |      GROUP BY c.j)
+       |SELECT j AS doc_id, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) AS jac
+       |FROM p JOIN sz x ON x.doc_id = -1 JOIN sz y ON y.doc_id = p.j
+       |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= $Tau
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def jaccardSql: String = {
     val km1 = ShingleK - 1
     s"""WITH t AS (
@@ -431,6 +490,21 @@ object Dedup {
       minhashSqlImpl(Some(BucketCap))),
 
     "dedup_simhash" -> Q(
-      (s, dir) => simhashPairs(docs(s, dir)), simhashSql)
+      (s, dir) => simhashPairs(docs(s, dir)), simhashSql),
+
+    // near-dup LOOKUP (dedup-at-ingest): a perturbed copy of doc 17
+    // probes the banded MinHash INDEX — 16 band-key point lookups →
+    // candidate row groups → selective read → exact Jaccard ≥ τ. The
+    // corpus is never rescanned per query; oracle = the same pipeline
+    // with the query injected as doc −1
+    "minhash_lookup" -> Q((s, dir) => {
+      val files = graft.core.Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val p = graft.core.IndexStore.indexPath(dir, "minhash_documents_text")
+      graft.core.IndexStore.ensure(p) {
+        graft.index.MinHashIndex.build(s, files, "text", p)
+      }
+      graft.index.MinHashIndex.search(s, p, "text", lookupQueryText(s, dir))
+        .select(col("doc_id"), col("jac")).orderBy(col("doc_id"))
+    }, minhashLookupSql)
   )
 }
