@@ -382,7 +382,7 @@ object Dedup {
   val LookupSrcDoc = 17
   val LookupSuffix = "graftnearduplookup"
 
-  private[ops] def lookupQueryText(s: SparkSession, dir: String): String =
+  private[graft] def lookupQueryText(s: SparkSession, dir: String): String =
     docs(s, dir).filter(col("doc_id") === LookupSrcDoc)
       .select(col("text")).collect()(0).getString(0) + " " + LookupSuffix
 
@@ -394,7 +394,7 @@ object Dedup {
     * only ADD docs that clear the exact-τ bar — none exist in this
     * corpus beyond the banded match itself.)
     */
-  private[ops] def minhashLookupSql: String = {
+  private[graft] def minhashLookupSql: String = {
     val km1 = ShingleK - 1
     val rows = NumHashes / Bands
     s"""WITH corpus AS (

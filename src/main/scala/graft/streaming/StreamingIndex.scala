@@ -99,6 +99,17 @@ object StreamingIndex {
          |  FROM documents) t
          |WHERE contains(nf, ' $QueryStr ') ORDER BY doc_id""".stripMargin),
 
+    // continuous dedup-at-ingest: the stream maintains per-batch
+    // MinHash lookup indexes; a perturbed copy of doc 17 finds its
+    // near-duplicate through the multi-index band probe no matter
+    // which batch the matching file landed in
+    "streaming_index_search_minhash" -> Q((s, dir) => {
+      val paths = ensureStreamIndexes(s, dir, graft.api.MinHashKind)
+      graft.api.MinHashKind.searchLake(s, paths, Seq.empty, Column,
+        graft.ops.Dedup.lookupQueryText(s, dir), Int.MaxValue)
+        .select(col("doc_id"), col("jac")).orderBy("doc_id")
+    }, graft.ops.Dedup.minhashLookupSql),
+
     // continuous-ingest ANN: the stream maintains per-batch IVF
     // indexes over the embeddings table; the kind's multi-index
     // searchLake (probe-everything default = exact) must equal the
