@@ -331,7 +331,8 @@ object Dedup {
     */
   private[ops] def minhashSql: String = minhashSqlImpl(None)
 
-  private[ops] def minhashSqlImpl(cap: Option[Int]): String = {
+  private[ops] def minhashSqlImpl(cap: Option[Int],
+      source: String = "documents"): String = {
     val km1 = ShingleK - 1
     val rows = NumHashes / Bands
     // the capped variant filters band buckets over the size cap before
@@ -345,7 +346,7 @@ object Dedup {
     }
     s"""WITH t AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-       |  FROM documents),
+       |  FROM $source),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+$km1], ' ') for i in generate_series(1, len(toks)-$km1)])) AS s
        |  FROM t WHERE len(toks) >= $ShingleK),

@@ -114,6 +114,41 @@ object Pipeline {
     }
   }
 
+  /** The dedup pipeline's END PRODUCT: the surviving corpus. The
+    * duplicated corpus (documents ∪ re-keyed copies) runs minhash →
+    * CC, each cluster keeps its min-id member, edge-free docs keep
+    * themselves — what actually ships to training after near-dup
+    * resolution. One minhash pass + the O(diameter) CC loop + one
+    * left join; the full row set never self-joins.
+    */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.withColumn("doc_id", col("doc_id") + 100000))
+    val labels = connectedComponents(
+      Dedup.minhashPairs(corpus).select(col("i"), col("j")))
+      .withColumnRenamed("id", "doc_id")
+    corpus.join(labels, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  private def dedupApplySql: String =
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT doc_id, text FROM documents
+       |           UNION ALL SELECT doc_id + 100000, text FROM documents),
+       |pairs AS (
+       |${Dedup.minhashSqlImpl(None, source = "corpus")}
+       |),
+       |sym AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id),
+       |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+       |SELECT c.doc_id FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id
+       |WHERE l.cluster IS NULL OR l.cluster = c.doc_id ORDER BY c.doc_id""".stripMargin
+
   private def ccSql: String =
     s"""WITH RECURSIVE
        |pairs AS (
@@ -639,6 +674,11 @@ object Pipeline {
     // oracle replays the same minhash pipeline then resolves components
     // with a recursive min-label CTE
     "dedup_cc" -> Q((s, dir) => connectedComponents(ccEdges(s, dir)), ccSql),
+
+    // pairs → clusters → the SURVIVING corpus (keeper = min id per
+    // cluster, singletons keep themselves) — the dedup pipeline's
+    // actual output table
+    "dedup_apply" -> Q((s, dir) => dedupApply(s, dir), dedupApplySql),
 
     // the composed prep flow: quality → lang → dedup → decontaminate →
     // pack, one Catalyst plan end-to-end
