@@ -158,10 +158,11 @@ object Dedup {
     * signature table is the reusable artifact a production dedup run
     * writes once and bands many times).
     */
-  private def ensureMinhashFixture(s: SparkSession, dir: String): String = {
-    val p = graft.core.IndexStore.indexPath(dir, "dedup_minhash_fixture")
+  private[ops] def ensureMinhashFixtureFor(s: SparkSession, dir: String,
+      name: String, corpus: => DataFrame): String = {
+    val p = graft.core.IndexStore.indexPath(dir, name)
     graft.core.IndexStore.ensure(p) {
-      val sh = shingleRows(docs(s, dir))
+      val sh = shingleRows(corpus)
       sh.write.mode("overwrite").option("compression", "zstd")
         .parquet(s"$p/shingles")
       signatures(sh).write.mode("overwrite").parquet(s"$p/sigs")
@@ -169,13 +170,19 @@ object Dedup {
     p
   }
 
-  /** Banding + verify over the persisted signature/shingle tables. */
-  def minhashPairsPersisted(s: SparkSession, dir: String,
-      cap: Option[Int]): DataFrame = {
-    val p = ensureMinhashFixture(s, dir)
+  private def ensureMinhashFixture(s: SparkSession, dir: String): String =
+    ensureMinhashFixtureFor(s, dir, "dedup_minhash_fixture", docs(s, dir))
+
+  /** Banding + verify over persisted signature/shingle tables. */
+  private[ops] def minhashPairsFromFixture(s: SparkSession, p: String,
+      cap: Option[Int]): DataFrame =
     minhashFrom(s.read.parquet(s"$p/shingles"),
       s.read.parquet(s"$p/sigs"), cap)
-  }
+
+  /** Banding + verify over the persisted signature/shingle tables. */
+  def minhashPairsPersisted(s: SparkSession, dir: String,
+      cap: Option[Int]): DataFrame =
+    minhashPairsFromFixture(s, ensureMinhashFixture(s, dir), cap)
 
   private def minhashFrom(sh: DataFrame, sigs: DataFrame,
       cap: Option[Int]): DataFrame = {

@@ -125,8 +125,12 @@ object Pipeline {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     val corpus = d.unionByName(
       d.withColumn("doc_id", col("doc_id") + 100000))
+    // signatures persist once (the production artifact), like the
+    // dedup_minhash entries — repeat runs pay only banding + CC
+    val fx = Dedup.ensureMinhashFixtureFor(s, dir, "dedup_apply_fixture",
+      corpus)
     val labels = connectedComponents(
-      Dedup.minhashPairs(corpus).select(col("i"), col("j")))
+      Dedup.minhashPairsFromFixture(s, fx, None).select(col("i"), col("j")))
       .withColumnRenamed("id", "doc_id")
     corpus.join(labels, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
