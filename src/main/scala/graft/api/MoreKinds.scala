@@ -234,9 +234,12 @@ object MinHashKind extends IndexKind {
       graft.index.MinHashIndex.verifyJaccard(d, column, query)
     val covered = coveredFiles(spark, paths, live)
     val keys = graft.index.MinHashIndex.bandKeysOf(query)
+    // a query shorter than ShingleK tokens has no shingles, hence no
+    // signature and (by definition) no near-duplicates — return empty
+    // instead of falling through to verifyJaccard's nonEmpty require
+    if (keys.isEmpty) return emptyLike(spark, paths)
 
     def viaIndex(): Option[DataFrame] = {
-      if (keys.isEmpty) return None // short query: no signature
       val cands = IndexKind.readTagged(spark, paths, "postings")
         .filter(keys.map { case (b, kk) =>
           col("band") === b && col("bkey") === kk

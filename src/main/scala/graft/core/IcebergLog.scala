@@ -137,6 +137,9 @@ object IcebergLog {
   def changes(spark: org.apache.spark.sql.SparkSession, table: String,
       fromSnapshot: Long, toSnapshot: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.lit
+    require(fromSnapshot <= toSnapshot,
+      s"fromSnapshot $fromSnapshot > toSnapshot $toSnapshot of $table — " +
+        "reversed arguments would silently swap insert/delete tags")
     val before = liveFiles(table, Some(fromSnapshot)).toSet
     val after = liveFiles(table, Some(toSnapshot)).toSet
     def tagged(files: Set[String], change: String) =

@@ -77,6 +77,20 @@ object ZOrder {
       pathA: String, colA: String, loA: Long, hiA: Long,
       pathB: String, colB: String, loB: Long, hiB: Long): DataFrame = {
     val meta = spark.read.parquet(s"$pathA/meta")
+    // the uid join below is only meaningful if both indexes were built
+    // over the SAME lake snapshot (shared uid space); a mismatch would
+    // intersect unrelated uids and silently return wrong rows, so fail
+    // fast on any (uid, file_path) disagreement (metadata-scale check)
+    val fpA = meta.select("uid", "file_path").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val fpB = spark.read.parquet(s"$pathB/meta")
+      .select("uid", "file_path").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    require(fpA == fpB,
+      s"zone-map indexes $pathA and $pathB were built over different " +
+        s"lakes/snapshots (${fpA.size} vs ${fpB.size} meta rows, " +
+        s"${(fpA diff fpB).size + (fpB diff fpA).size} disagreeing) — " +
+        "their uid spaces cannot be joined")
     val candA = spark.read.parquet(s"$pathA/zones")
       .filter(col("hi") >= loA && col("lo") <= hiA) // overlap test
       .select("uid")

@@ -201,28 +201,65 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     if (eqs.isEmpty) return None
 
-    // the literal side's key strings (string form matches both the
-    // raw key table and the bloom hash input; nulls never equi-match)
+    // the literal side's key strings. Only StringType and integral
+    // types are accepted (the Filter path's discipline): for those the
+    // JVM toString equals Spark's cast-to-string, so the probe hashes
+    // the same bytes the key/bloom index was built from. Date/Timestamp/
+    // Decimal internal forms (days int, micros long, Decimal) do NOT —
+    // probing with them would find no candidates and wrongly prune
+    // files that contain matches.
     def localKeys(p: LogicalPlan,
         attr: AttributeReference): Option[Seq[String]] = p match {
       case lr: LocalRelation if lr.data.size <= MaxJoinProbeKeys =>
         val i = lr.output.indexWhere(_.exprId == attr.exprId)
-        if (i < 0) None
-        else Some(lr.data.flatMap { row =>
-          if (row.isNullAt(i)) None
-          else Some(row.get(i, lr.output(i).dataType).toString)
-        })
+        if (i < 0) return None
+        import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+        lr.output(i).dataType match {
+          case StringType =>
+            Some(lr.data.flatMap { row =>
+              if (row.isNullAt(i)) None
+              else Some(row.getString(i))
+            })
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(lr.data.flatMap { row =>
+              if (row.isNullAt(i)) None
+              else Some(row.get(i, lr.output(i).dataType).toString)
+            })
+          case _ => None
+        }
       case _ => None
     }
 
-    // the single eligible lake relation producing `attr` inside `p`
-    def lakeTarget(p: LogicalPlan, attr: AttributeReference) =
-      p.collect {
-        case l: LogicalRelation if l.output.exists(_.exprId == attr.exprId) => l
-      } match {
-        case Seq(l) => eligible(l).map(e => (l, e))
+    // the eligible lake relation producing `attr`, reachable from the
+    // join side ONLY through prune-transparent operators — ones where
+    // deleting an input row deletes exactly the output rows derived
+    // from it and changes nothing else. Limit/Sample/Window/Aggregate/
+    // outer joins/non-deterministic projections are NOT transparent:
+    // e.g. lake.limit(5).join(dim) must keep all files, else pruning
+    // changes WHICH 5 rows the limit selects.
+    def lakeTarget(p: LogicalPlan,
+        attr: AttributeReference): Option[(LogicalRelation,
+          (HadoopFsRelation, String, Set[String]))] = {
+      import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, Project, SubqueryAlias}
+      def descend(n: LogicalPlan): Option[LogicalRelation] = n match {
+        case l: LogicalRelation if l.output.exists(_.exprId == attr.exprId) =>
+          Some(l)
+        case pr: Project if pr.projectList.forall(_.deterministic) =>
+          descend(pr.child)
+        case flt: Filter if flt.condition.deterministic =>
+          descend(flt.child)
+        case sa: SubqueryAlias => descend(sa.child)
+        case jn: Join if (jn.joinType == Inner || jn.joinType == Cross) &&
+            jn.condition.forall(_.deterministic) =>
+          // attr's exprId is unique, so at most one side produces it
+          Seq(jn.left, jn.right)
+            .find(_.outputSet.exists(_.exprId == attr.exprId))
+            .flatMap(descend)
         case _ => None
       }
+      descend(p).flatMap(l => eligible(l).map(e => (l, e)))
+    }
 
     eqs.view.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .flatMap { case (lakeAttr, localAttr) =>

@@ -100,6 +100,26 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(keyIds("cherry%") == Seq(3L))
   }
 
+  test("minhash search with a sub-shingle query returns empty, not a crash") {
+    val dir = TestSpark.tmpDir("mhshort")
+    val staging = TestSpark.tmpDir("stage-mhshort")
+    Seq(1L -> "one two three four five six seven eight")
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$dir/a.parquet"))
+    val lake = GraftLake(spark, dir)
+    lake.index(graft.api.MinHashKind, "text", binpackRows = 1)
+    // fewer than ShingleK tokens -> no shingles, no signature: a legal
+    // facade search must return an empty frame (a short doc has no
+    // near-duplicates by definition), not throw from verifyJaccard
+    val res = lake.search(graft.api.MinHashKind, "text", "too short", 10,
+      Seq("doc_id"))
+    assert(res.count() == 0)
+    assert(res.columns.contains("doc_id"))
+  }
+
   test("empty live-restricted coverage falls back to in-situ (no crash)") {
     val dir = TestSpark.tmpDir("apilake5")
     def write(name: String, rows: Seq[(Long, String)]): String = {

@@ -28,5 +28,11 @@ class IcebergLogSpec extends AnyFunSuite {
       IcebergLog.liveFiles(t, Some(99L))
     }
     assert(err.getMessage.contains("unknown Iceberg snapshot"))
+
+    // reversed snapshot order must fail fast, not swap insert/delete
+    val rev = intercept[IllegalArgumentException] {
+      IcebergLog.changes(TestSpark.spark, t, s2, s1)
+    }
+    assert(rev.getMessage.contains("reversed"))
   }
 }

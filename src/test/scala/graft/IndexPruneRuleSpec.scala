@@ -170,6 +170,78 @@ class IndexPruneRuleSpec extends AnyFunSuite {
     assert(logicalScanFiles(anti, "prunedfp").size == 3)
   }
 
+  test("join pruning bails out under row-position-sensitive operators") {
+    val dir = TestSpark.tmpDir("prunelim")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-lim-$name")
+      rows.toDF("id", "name").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "alpha", 2L -> "beta"))
+    write("b", Seq(3L -> "gamma", 4L -> "delta"))
+    write("c", Seq(5L -> "epsilon", 6L -> "zeta"))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.KeyKind, "name", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+    val dim = Seq("gamma" -> 30).toDF("name", "score")
+
+    // limit between the scan and the join: pruning first would change
+    // WHICH rows the limit selects — every file must stay
+    val lim = spark.read.parquet(dir).limit(4).join(dim, "name")
+    assert(logicalScanFiles(lim, "prunelim").size == 3,
+      "limit under a join must disable file pruning")
+    // sample: same row-position sensitivity
+    val samp = spark.read.parquet(dir).sample(0.5, 42L).join(dim, "name")
+    assert(logicalScanFiles(samp, "prunelim").size == 3,
+      "sample under a join must disable file pruning")
+    // a non-deterministic projection (monotonically_increasing_id)
+    // yields different values once files are pruned — every file stays
+    val mid = spark.read.parquet(dir)
+      .withColumn("rid", monotonically_increasing_id())
+      .join(dim, "name")
+    assert(logicalScanFiles(mid, "prunelim").size == 3,
+      "non-deterministic projection under a join must disable pruning")
+    // prune-transparent operators (deterministic project + filter)
+    // still allow pruning
+    val ok = spark.read.parquet(dir)
+      .select(col("name"), (col("id") * 2).as("id2"))
+      .filter(col("id2") >= 0)
+      .join(dim, "name")
+    assert(ok.select("id2").collect().map(_.getLong(0)).toSet == Set(6L))
+    assert(logicalScanFiles(ok, "prunelim").size == 1,
+      "deterministic project/filter must stay prune-transparent")
+  }
+
+  test("join pruning ignores non-string/integral local key types") {
+    val dir = TestSpark.tmpDir("prunedate")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-dt-$name")
+      rows.toDF("id", "d").select(col("id"), col("d").cast("date"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "2024-01-01", 2L -> "2024-01-02"))
+    write("b", Seq(3L -> "2024-06-01", 4L -> "2024-06-02"))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.BloomKind, "d", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+    // a DateType local key's internal form (days int) is NOT what the
+    // bloom was built from; probing with it would prune files that
+    // hold matches. The rule must skip such joins entirely.
+    val dim = Seq("2024-06-01").toDF("ds")
+      .select(col("ds").cast("date").as("d"))
+    val q = spark.read.parquet(dir).join(dim, "d")
+    assert(q.select("id").collect().map(_.getLong(0)).toSet == Set(3L),
+      "date-keyed join must still return the matching row")
+    assert(logicalScanFiles(q, "prunedate").size == 2,
+      "date-typed keys must not drive (possibly wrong) pruning")
+  }
+
   test("conjunctions intersect the prune sets of EVERY applicable index") {
     val dir = TestSpark.tmpDir("pruneboth")
     def write(name: String, rows: Seq[(Long, String)]): Unit = {

@@ -60,5 +60,13 @@ class ZOrderSpec extends AnyFunSuite {
       .select("x", "y").as[(Long, Long)].collect().toSet
     val want = (8L to 15L).flatMap(a => (8L to 15L).map(b => (a, b))).toSet
     assert(got == want)
+
+    // indexes from DIFFERENT lakes (z-clustered vs x-sorted: disjoint
+    // file sets, unrelated uid spaces) must fail fast, not silently
+    // intersect colliding uids
+    val err = intercept[IllegalArgumentException] {
+      ZOrder.searchRange2(s, zx, "x", 8, 15, xy, "y", 8, 15).collect()
+    }
+    assert(err.getMessage.contains("different"))
   }
 }
