@@ -608,11 +608,13 @@ object VamanaIndex {
       search(s, p, VectorIndex.queryVec(s, dir), Similarity.K, exact = true)
     }, Similarity.knnSql),
     // production shape: global-medoid seed, beam SearchL — approximate
-    // by design ⇒ rows-only, quantified by vamana_recall
+    // by design ⇒ gate-style oracle over the exact invariants
+    // (VectorIndex.probeGate); the 0.9 mean bound is vamana_recall
     "vamana_search" -> graft.Q((s, dir) => {
       val p = ensureBuilt(s, dir)
-      search(s, p, VectorIndex.queryVec(s, dir), Similarity.K)
-    }, None),
+      VectorIndex.probeGate(s, dir, Similarity.K,
+        search(s, p, VectorIndex.queryVec(s, dir), Similarity.K))
+    }, VectorIndex.probeGateSql(Similarity.K)),
     // quantitative gate: mean recall@10 over the fixed query panel at
     // the production beam must clear the same 0.9 floor as IVF; the
     // panel runs through the BATCHED searcher (lock-step beams, one

@@ -567,6 +567,64 @@ object VectorIndex {
     */
   val PanelN = 20
 
+  /** Single-query recall floor for the probe GATES below — looser
+    * than the 20-query-mean 0.9 floor because one query carries all
+    * the variance (in practice the probe configs score 1.0 here; 0.5
+    * is the alarm threshold, not the expectation).
+    */
+  val ProbeRecallFloor = 0.5
+
+  /** Deterministic gate frame for an approximate PROBE configuration.
+    *
+    * A probe search's candidate SET is approximate by design, so its
+    * raw rows cannot be hash-checked against a DuckDB oracle. What IS
+    * exact, every run, on any data:
+    *   - `k_rows`   — the search returns exactly k rows;
+    *   - `scores_exact` — every reported cos is the TRUE cosine of
+    *     that vec_id (the re-rank stage always computes exact scores
+    *     over the candidates; only candidate selection approximates);
+    *   - `sorted_ok` — (cos desc, vec_id asc) output order;
+    *   - `recall_ok` — overlap with the exact top-k clears
+    *     [[ProbeRecallFloor]] (the panel-mean gates quantify the
+    *     strong 0.9 bound; this pins THIS query's config).
+    * Hashing these makes the probe entries first-class oracle rows
+    * (the corpus_distinct_sketch convention) instead of rows-only.
+    */
+  def probeGate(s: SparkSession, dir: String, k: Int,
+      approx: DataFrame): DataFrame = {
+    import s.implicits._
+    val rows = approx.select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ids = rows.map(_._1)
+    val qc = typedLit(queryVec(s, dir))
+    val exactMap =
+      if (ids.isEmpty) Map.empty[Long, Double]
+      else Similarity.embeddings(s, dir)
+        .filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"),
+          round(graft.GraftExtensions.cosineSim(s, col("v"), qc), 6)
+            .as("ecos"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scoresExact = rows.forall { case (id, c) =>
+      exactMap.get(id).contains(c)
+    }
+    val sortedOk = rows.sliding(2).forall {
+      case Seq((i1, c1), (i2, c2)) => c1 > c2 || (c1 == c2 && i1 < i2)
+      case _ => true
+    }
+    val exactIds = Similarity.knnBrute(s, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val recall = ids.toSet.intersect(exactIds).size.toDouble / k
+    Seq((rows.size.toLong, scoresExact, sortedOk,
+        recall >= ProbeRecallFloor))
+      .toDF("k_rows", "scores_exact", "sorted_ok", "recall_ok")
+  }
+
+  /** The oracle for every [[probeGate]] entry. */
+  def probeGateSql(k: Int): String =
+    s"SELECT CAST($k AS BIGINT) AS k_rows, true AS scores_exact, " +
+      "true AS sorted_ok, true AS recall_ok"
+
   def entries: Map[String, graft.Q] = Map(
     // probe-all = exact: must equal the brute-force oracle while going
     // through the full IVF machinery (head → cells → re-rank)
@@ -586,12 +644,15 @@ object VectorIndex {
         numCells(s, p), allowed)
     }, Similarity.knnFilteredSql),
     // the production path: probe HALF the cells (the reference's
-    // ratio); approximate by design ⇒ rows-only check, quantified by
+    // ratio); approximate by design ⇒ gate-style oracle over the
+    // invariants that ARE exact (row count, true re-rank scores,
+    // order, bounded recall); the 0.9 mean bound lives in
     // similarity_ivf_recall below
     "similarity_ivf_probe" -> graft.Q((s, dir) => {
       val p = ensureBuilt(s, dir)
-      search(s, p, queryVec(s, dir), Similarity.K, probeCount(s, p))
-    }, None),
+      probeGate(s, dir, Similarity.K,
+        search(s, p, queryVec(s, dir), Similarity.K, probeCount(s, p)))
+    }, probeGateSql(Similarity.K)),
     // quantitative gate for the probe path: MEAN recall@10 over a
     // fixed query panel vs the exact searcher must clear 0.9 — if cell
     // pruning ever degrades, the boolean flips and the hash check
@@ -646,10 +707,12 @@ object VectorIndex {
         Int.MaxValue)
     }, Similarity.knnSql),
     // PQ production shape: half-cells probe, refine=50 (reference
-    // defaults nprobes=50, refine=50) — approximate ⇒ rows-only
+    // defaults nprobes=50, refine=50) — approximate ⇒ gate-style
+    // oracle (see similarity_ivf_probe)
     "similarity_ivf_pq_probe" -> graft.Q((s, dir) => {
       val p = ensureBuilt(s, dir)
-      searchPq(s, p, queryVec(s, dir), Similarity.K, probeCount(s, p), 50)
-    }, None)
+      probeGate(s, dir, Similarity.K,
+        searchPq(s, p, queryVec(s, dir), Similarity.K, probeCount(s, p), 50))
+    }, probeGateSql(Similarity.K))
   )
 }
