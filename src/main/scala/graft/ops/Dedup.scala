@@ -43,10 +43,10 @@ object Dedup {
     * object churn per row and measured ~3 ms/doc; the window form is
     * one doc-partitioned shuffle in full codegen.
     */
-  // at most ONE live shingle cache: calls over the same input reuse it
-  // (CacheManager dedups equivalent plans), a new input evicts the old
-  // entry instead of accumulating across the session
-  private var cachedSh: Option[DataFrame] = None
+  // TWO live shingle caches (plan-keyed LRU): the documents corpus and
+  // one alternate (e.g. dedup_apply's duplicated corpus) stay warm
+  // side by side instead of evicting each other per suite pass
+  private val shCache = new graft.core.PlanCache(2)
 
   private[ops] def shingleRows(d: DataFrame): DataFrame = synchronized {
     import org.apache.spark.sql.expressions.Window
@@ -60,17 +60,9 @@ object Dedup {
       .withColumn("_last", lead(col("tok"), ShingleK - 1).over(w))
       .filter(col("_last").isNotNull) // complete shingles only
       .select(col("doc_id"), col("s")).distinct()
-    cachedSh match {
-      case Some(prev) if prev.queryExecution.analyzed
-          .sameResult(sh.queryExecution.analyzed) => prev
-      case prev =>
-        prev.foreach(_.unpersist())
-        // cached: the self-join reads it twice, and jaccard/minhash
-        // share the identical plan fragment
-        sh.cache()
-        cachedSh = Some(sh)
-        sh
-    }
+    // cached: the self-join reads it twice, and jaccard/minhash
+    // share the identical plan fragment
+    shCache.getOrPersist(sh)
   }
 
   /** Shared tail of both exact-Jaccard paths: per-pair intersection

@@ -89,10 +89,11 @@ object Pipeline {
     * 0) — the chains force multi-hop label propagation, which 2-cliques
     * alone would never exercise.
     */
-  // at most ONE live edge cache (same discipline as Dedup.cachedSh):
-  // the CC loop re-reads the edge set every round, and regenerating the
-  // minhash candidate pipeline per round would dominate the operator
-  private var cachedEdges: Option[DataFrame] = None
+  // TWO live edge caches (plan-keyed LRU, same discipline as Dedup's
+  // shingle cache): the CC loop re-reads the edge set every round, and
+  // regenerating the minhash candidate pipeline per round would
+  // dominate the operator
+  private val edgeCache = new graft.core.PlanCache(2)
 
   def ccEdges(s: SparkSession, dir: String): DataFrame = synchronized {
     val d = docs(s, dir)
@@ -103,15 +104,7 @@ object Pipeline {
       .unionByName(
         seeds.select((col("i") + 100000).as("i"), (col("i") + 200000).as("j")))
     val edges = pairs.unionByName(chains)
-    cachedEdges match {
-      case Some(prev) if prev.queryExecution.analyzed
-          .sameResult(edges.queryExecution.analyzed) => prev
-      case prev =>
-        prev.foreach(_.unpersist())
-        edges.cache()
-        cachedEdges = Some(edges)
-        edges
-    }
+    edgeCache.getOrPersist(edges)
   }
 
   /** The dedup pipeline's END PRODUCT: the surviving corpus. The
