@@ -1,0 +1,163 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileAlreadyExistsException, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Conditional-write (put-if-absent) commit protocol for the index
+  * metadata table — the object-store twin of [[IndexStore]]'s
+  * two-rename swap.
+  *
+  * The rename swap assumes atomic rename, which local filesystems and
+  * HDFS provide but raw object stores do not (renames there are
+  * copy+delete; a crash mid-"rename" loses the table, and two racing
+  * committers can interleave their copies). The reference sidesteps
+  * this with a single-object PUT of the whole (small) metadata table
+  * (backends/s3_utils.py:83-109); this protocol keeps that
+  * single-object shape AND adds multi-writer safety via the one
+  * primitive modern object stores make atomic: create-if-absent
+  * (`PUT If-None-Match: *`, surfaced through Hadoop as
+  * `FileSystem.create(path, overwrite = false)`).
+  *
+  * Layout: `<dir>/_metadata_caslog/{N}.manifest`, each a COMPLETE
+  * NDJSON snapshot of the table, written exactly once and never
+  * renamed or rewritten. Commit = read latest N, merge, attempt to
+  * create `{N+1}.manifest`; exactly one racer's create succeeds, the
+  * loser re-reads (now seeing the winner's rows) and retries at N+2 —
+  * optimistic concurrency with no lock service and no rename anywhere
+  * on the commit path. Manifests are immutable once visible, so reads
+  * cache by (path, version) with no mtime protocol at all.
+  *
+  * The table is metadata-scale (one row per index file), so snapshot
+  * manifests stay tiny; a vacuum may delete manifests `< N-k` at
+  * leisure — readers only ever resolve the max.
+  */
+object CasMetadata {
+
+  private val mapper = new ObjectMapper()
+
+  def logDir(dir: String): String = s"$dir/_metadata_caslog"
+
+  private def manifestPath(dir: String, v: Long): String =
+    f"${logDir(dir)}/$v%020d.manifest"
+
+  private def fs(spark: SparkSession, p: String) =
+    new HPath(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Largest committed version, if any (one LIST). */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val names = Fs.childNames(spark, logDir(dir))
+    val vs = names.filter(_.endsWith(".manifest")).map(_.take(20).toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  // manifests are immutable: cache rows by manifest path, never stat
+  private val manifestCache = scala.collection.mutable.Map
+    .empty[String, Seq[IndexStore.MetaRow]]
+
+  /** Rows of the latest committed snapshot (empty before the first
+    * commit).
+    */
+  def read(spark: SparkSession, dir: String): Seq[IndexStore.MetaRow] =
+    latestVersion(spark, dir) match {
+      case None => Seq.empty
+      case Some(v) => readManifest(spark, manifestPath(dir, v))
+    }
+
+  private def readManifest(spark: SparkSession,
+      path: String): Seq[IndexStore.MetaRow] = synchronized {
+    manifestCache.getOrElseUpdate(path, {
+      val f = fs(spark, path)
+      val in = f.open(new HPath(path))
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8")
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val n = mapper.readTree(line)
+        IndexStore.MetaRow(
+          n.get("table_name").asText(),
+          n.get("column_name").asText(),
+          n.get("file_path").elements().asScala.map(_.asText()).toSeq,
+          n.get("index_file").asText(),
+          n.get("index_type").asText())
+      }.toSeq
+    })
+  }
+
+  private def render(rows: Seq[IndexStore.MetaRow]): String = {
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val n: ObjectNode = mapper.createObjectNode()
+      n.put("table_name", r.table)
+      n.put("column_name", r.column)
+      val arr = n.putArray("file_path")
+      r.files.foreach(arr.add)
+      n.put("index_file", r.indexFile)
+      n.put("index_type", r.indexType)
+      sb.append(mapper.writeValueAsString(n)).append('\n')
+    }
+    sb.toString
+  }
+
+  /** Claim version `v` with `payload` via create-if-absent. True iff
+    * THIS caller created the manifest — the whole protocol's atomicity
+    * rests on this one primitive.
+    */
+  private[graft] def tryClaim(spark: SparkSession, dir: String, v: Long,
+      payload: String): Boolean = {
+    val p = new HPath(manifestPath(dir, v))
+    val f = fs(spark, p.toString)
+    f.mkdirs(p.getParent)
+    val out =
+      try f.create(p, false /* overwrite */)
+      catch {
+        case _: FileAlreadyExistsException => return false
+        // RawLocalFileSystem signals an existing target as IOException
+        case e: java.io.IOException if f.exists(p) => return false
+      }
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  /** Merge `rows` into the table (replacing rows with the same
+    * index_file — the same idempotent-rebuild semantics as
+    * [[IndexStore.commitMetadata]]) and commit optimistically. Returns
+    * the committed version. Losing a race re-reads and retries —
+    * BOTH writers' rows land, in two consecutive versions.
+    */
+  def commit(spark: SparkSession, dir: String,
+      rows: Seq[IndexStore.MetaRow], maxAttempts: Int = 20): Long = {
+    val newKeys = rows.map(_.indexFile).toSet
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = read(spark, dir)
+      val merged = base.filterNot(r => newKeys.contains(r.indexFile)) ++ rows
+      val v = latestVersion(spark, dir).getOrElse(0L) + 1
+      if (tryClaim(spark, dir, v, render(merged))) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"CAS metadata commit on $dir lost $maxAttempts straight races")
+  }
+
+  /** Drop rows whose index_file is in `indexFiles` (the delete half of
+    * compaction's append-then-delete), same optimistic loop.
+    */
+  def deleteRows(spark: SparkSession, dir: String,
+      indexFiles: Seq[String], maxAttempts: Int = 20): Long = {
+    val gone = indexFiles.toSet
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = read(spark, dir)
+      val kept = base.filterNot(r => gone.contains(r.indexFile))
+      val v = latestVersion(spark, dir).getOrElse(0L) + 1
+      if (tryClaim(spark, dir, v, render(kept))) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"CAS metadata delete on $dir lost $maxAttempts straight races")
+  }
+}

@@ -1,12 +1,10 @@
 package graft.core
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-
-import scala.jdk.CollectionConverters._
 
 /** Native reader/writer of the Delta Lake transaction-log protocol —
   * the table format is an open spec (delta-io PROTOCOL.md): a table is
@@ -39,16 +37,48 @@ object DeltaLog {
   private def checkpointFile(table: String, v: Long) =
     f"${logDir(table)}/$v%020d.checkpoint.parquet"
 
-  /** Sorted JSON commit versions present in the log. */
-  def versions(table: String): Seq[Long] = {
-    val dir = Paths.get(logDir(table))
-    if (!Files.exists(dir)) return Seq.empty
-    scala.util.Using.resource(Files.list(dir)) { s =>
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.endsWith(".json") && n.length == 25)
-        .map(_.take(20).toLong).toList
-    }.sorted
+  // ---- scheme-dispatched IO ------------------------------------------
+  // The log must also work on object stores (the reference's Delta
+  // backend rides deltalake's S3 support), so listing/reading/writing
+  // route through each path's Hadoop FileSystem. Local tables keep the
+  // hardlink put-if-absent commit (atomic on POSIX, where RawLocal
+  // create(overwrite=false) is only check-then-create); non-local
+  // schemes commit via create-if-absent — the conditional single-object
+  // PUT (`If-None-Match: *`), the same primitive as [[CasMetadata]],
+  // with no rename anywhere on the path.
+
+  private def hfs(p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p).getFileSystem(Fs.anyConf())
+
+  private def isLocalPath(p: String): Boolean =
+    !SchemeRe.matches(p) || p.startsWith("file:")
+
+  private def listLogNames(table: String): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(logDir(table))
+    try hfs(logDir(table)).listStatus(d).toSeq.map(_.getPath.getName)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
+
+  private def readLines(path: String): Seq[String] = {
+    val in = hfs(path).open(new org.apache.hadoop.fs.Path(path))
+    val text =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    text.linesIterator.toSeq
+  }
+
+  private def writeObject(path: String, bytes: Array[Byte],
+      overwrite: Boolean): Unit = {
+    val out = hfs(path).create(
+      new org.apache.hadoop.fs.Path(path), overwrite)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Sorted JSON commit versions present in the log. */
+  def versions(table: String): Seq[Long] =
+    listLogNames(table).filter(n => n.endsWith(".json") && n.length == 25)
+      .map(_.take(20).toLong).sorted
 
   def currentVersion(table: String): Long = {
     val vs = versions(table)
@@ -56,15 +86,9 @@ object DeltaLog {
     vs.max
   }
 
-  private def checkpointVersions(table: String): Seq[Long] = {
-    val dir = Paths.get(logDir(table))
-    if (!Files.exists(dir)) return Seq.empty
-    scala.util.Using.resource(Files.list(dir)) { s =>
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".checkpoint.parquet"))
-        .map(_.take(20).toLong).toList
-    }.sorted
-  }
+  private def checkpointVersions(table: String): Seq[Long] =
+    listLogNames(table).filter(_.endsWith(".checkpoint.parquet"))
+      .map(_.take(20).toLong).sorted
 
   /** Live data files (absolute paths, sorted) at `asOf` (None = latest):
     * state from the newest checkpoint ≤ asOf, then JSON-delta replay of
@@ -87,7 +111,7 @@ object DeltaLog {
     versions(table)
       .filter(v => v > cp.getOrElse(-1L) && v <= target)
       .foreach { v =>
-        Files.readAllLines(Paths.get(commitFile(table, v))).asScala
+        readLines(commitFile(table, v))
           .filter(_.nonEmpty).foreach { line =>
             val node = mapper.readTree(line)
             if (node.has("add")) live += node.get("add").get("path").asText()
@@ -171,7 +195,6 @@ object DeltaLog {
     */
   def commit(table: String, version: Long, adds: Seq[Add] = Seq.empty,
       removes: Seq[String] = Seq.empty, schemaJson: Option[String] = None): Unit = {
-    Files.createDirectories(Paths.get(logDir(table)))
     val sb = new StringBuilder
     def obj(kind: String)(fill: ObjectNode => Unit): Unit = {
       val root = mapper.createObjectNode()
@@ -206,20 +229,42 @@ object DeltaLog {
         n.put("dataChange", true)
       }
     }
-    val tmp = Files.createTempFile(Paths.get(logDir(table)), s"_commit$version", ".tmp")
-    Files.writeString(tmp, sb.toString)
-    val target = Paths.get(commitFile(table, version))
-    // true put-if-absent: hard-linking the fully-written temp file is
-    // atomic AND fails with FileAlreadyExistsException if the version
-    // exists — POSIX rename would silently clobber a racing commit
-    try Files.createLink(target, tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.delete(tmp)
-        throw new IllegalStateException(
-          s"concurrent Delta commit: version $version of $table already exists")
+    if (isLocalPath(table)) {
+      Files.createDirectories(Paths.get(logDir(table)))
+      val tmp = Files.createTempFile(Paths.get(logDir(table)),
+        s"_commit$version", ".tmp")
+      Files.writeString(tmp, sb.toString)
+      val target = Paths.get(commitFile(table, version))
+      // true put-if-absent: hard-linking the fully-written temp file is
+      // atomic AND fails with FileAlreadyExistsException if the version
+      // exists — POSIX rename would silently clobber a racing commit
+      try Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp)
+          throw new IllegalStateException(
+            s"concurrent Delta commit: version $version of $table already exists")
+      }
+      Files.delete(tmp)
+    } else {
+      // object store: conditional single-object PUT of the NDJSON —
+      // create-if-absent decides the race; no temp file, no rename
+      val target = commitFile(table, version)
+      val f = hfs(target)
+      val p = new org.apache.hadoop.fs.Path(target)
+      f.mkdirs(p.getParent)
+      val out =
+        try f.create(p, false /* overwrite */)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new IllegalStateException(
+              s"concurrent Delta commit: version $version of $table already exists")
+          case e: java.io.IOException if f.exists(p) =>
+            throw new IllegalStateException(
+              s"concurrent Delta commit: version $version of $table already exists")
+        }
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
     }
-    Files.delete(tmp)
   }
 
   /** Row-level change feed between two versions, derived from the
@@ -274,12 +319,13 @@ object DeltaLog {
     // real file sizes where resolvable (readers use add.size for
     // planning); unreachable files record 0
     val sizes = files.map(f =>
-      try Files.size(Paths.get(f)) catch { case _: Exception => 0L })
+      try hfs(f).getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+      catch { case _: Exception => 0L })
     // latest metaData/protocol at `version` (last one wins on replay)
     var metaN: Option[com.fasterxml.jackson.databind.JsonNode] = None
     var protoN: Option[com.fasterxml.jackson.databind.JsonNode] = None
     versions(table).filter(_ <= version).foreach { v =>
-      Files.readAllLines(Paths.get(commitFile(table, v))).asScala
+      readLines(commitFile(table, v))
         .filter(_.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
           if (node.has("metaData")) metaN = Some(node.get("metaData"))
@@ -316,15 +362,22 @@ object DeltaLog {
       s"cast(null as $metaT) as metaData",
       "named_struct('minReaderVersion', r, 'minWriterVersion', w) as protocol")
     val out = checkpointFile(table, version)
+    // stage LOCALLY (Spark's output committer renames its task files,
+    // which an object store may not support), then stream the single
+    // part to the spec'd name through the TABLE's filesystem — an
+    // idempotent overwrite PUT, no rename on the target store
+    val stage = Files.createTempDirectory("graft-ckpt").toString
     metaRow.unionByName(protoRow).unionByName(addRows)
-      .coalesce(1).write.mode("overwrite").parquet(out + "_tmp")
-    // checkpoint must be ONE parquet object at the spec'd name
-    val part = Lake.listFiles(out + "_tmp").head
-    Files.move(Paths.get(part), Paths.get(out), StandardCopyOption.REPLACE_EXISTING)
-    IndexStore.deleteRec(Paths.get(out + "_tmp"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Lake.listFiles(stage).head
+    val in = Files.newInputStream(Paths.get(part.stripPrefix("file:")))
+    val o = hfs(out).create(new org.apache.hadoop.fs.Path(out), true)
+    org.apache.hadoop.io.IOUtils.copyBytes(in, o, 65536, true)
+    IndexStore.deleteRec(Paths.get(stage))
     // _last_checkpoint.size counts ALL actions in the checkpoint
     // (adds + metaData + protocol)
-    Files.writeString(Paths.get(s"${logDir(table)}/_last_checkpoint"),
-      s"""{"version":$version,"size":${rel.size + 2}}""")
+    writeObject(s"${logDir(table)}/_last_checkpoint",
+      s"""{"version":$version,"size":${rel.size + 2}}""".getBytes("UTF-8"),
+      overwrite = true)
   }
 }

@@ -14,9 +14,11 @@ import org.apache.spark.sql.SparkSession
   * `java.nio.Files` check on an `s3a://` path is always false and
   * would silently demote every search to a brute-force scan (the
   * failure mode this object exists to prevent). The metadata TABLE's
-  * commit protocol (IndexStore's two-rename swap) still requires an
-  * atomic-rename filesystem (local/HDFS) and documents that
-  * separately.
+  * commit protocol (IndexStore's two-rename swap) requires an
+  * atomic-rename filesystem (local/HDFS); for object stores without
+  * one, [[CasMetadata]] provides the rename-free create-if-absent
+  * commit (and [[DeltaLog.commit]] dispatches the same way per
+  * scheme).
   */
 object Fs {
 

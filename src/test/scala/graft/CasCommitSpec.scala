@@ -1,0 +1,86 @@
+package graft
+
+import graft.core.{CasMetadata, IndexStore}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The put-if-absent metadata commit protocol on filesystems WITHOUT
+  * atomic rename — the object-store gap `core/Fs.scala` documents for
+  * the two-rename swap. Everything here runs over the `norename://`
+  * scheme, whose rename always throws: a green suite proves the
+  * protocol never touches rename at all.
+  */
+class CasCommitSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def row(idx: String, files: String*): IndexStore.MetaRow =
+    IndexStore.MetaRow("documents", "text", files.toSeq, idx, "ngram")
+
+  private def dir(name: String): String =
+    "norename://" + TestSpark.tmpDir(name)
+
+  test("commit/read lifecycle with idempotent-rebuild merge semantics") {
+    val d = dir("caslife")
+    assert(CasMetadata.read(spark, d).isEmpty)
+    assert(CasMetadata.latestVersion(spark, d).isEmpty)
+
+    val v1 = CasMetadata.commit(spark, d, Seq(row("idx1", "a.parquet")))
+    assert(v1 == 1L)
+    assert(CasMetadata.read(spark, d) == Seq(row("idx1", "a.parquet")))
+
+    // a second index appends; re-committing an index_file REPLACES its
+    // row (idempotent rebuild), matching IndexStore.commitMetadata
+    val v2 = CasMetadata.commit(spark, d,
+      Seq(row("idx2", "b.parquet", "c.parquet")))
+    val v3 = CasMetadata.commit(spark, d,
+      Seq(row("idx1", "a.parquet", "d.parquet")))
+    assert((v2, v3) == (2L, 3L))
+    assert(CasMetadata.read(spark, d).toSet == Set(
+      row("idx2", "b.parquet", "c.parquet"),
+      row("idx1", "a.parquet", "d.parquet")))
+
+    // delete half of compaction's append-then-delete
+    CasMetadata.deleteRows(spark, d, Seq("idx1"))
+    assert(CasMetadata.read(spark, d) ==
+      Seq(row("idx2", "b.parquet", "c.parquet")))
+  }
+
+  test("two racing committers cannot both win a version") {
+    val d = dir("casrace")
+    CasMetadata.commit(spark, d, Seq(row("base", "a.parquet")))
+
+    // deterministic interleaving of the race: A and B both observe
+    // version 1, both prepare version 2; exactly one create-if-absent
+    // succeeds
+    val a = CasMetadata.tryClaim(spark, d, 2L, "{}")
+    val b = CasMetadata.tryClaim(spark, d, 2L, "{}")
+    assert(a && !b, "create-if-absent must admit exactly one winner")
+
+    // the full commit loop: the loser's NEXT attempt re-reads the
+    // winner's snapshot, so no committed rows are ever lost
+    val d2 = dir("casrace2")
+    CasMetadata.commit(spark, d2, Seq(row("base", "a.parquet")))
+    // winner claims version 2 out from under the loser...
+    assert(CasMetadata.tryClaim(spark, d2, 2L,
+      "{\"table_name\":\"documents\",\"column_name\":\"text\"," +
+        "\"file_path\":[\"a.parquet\"],\"index_file\":\"base\"," +
+        "\"index_type\":\"ngram\"}\n" +
+      "{\"table_name\":\"documents\",\"column_name\":\"text\"," +
+        "\"file_path\":[\"w.parquet\"],\"index_file\":\"winner\"," +
+        "\"index_type\":\"ngram\"}\n"))
+    // ...the loser's commit() retries internally and lands at 3 with
+    // BOTH writers' rows present
+    val v = CasMetadata.commit(spark, d2, Seq(row("loser", "l.parquet")))
+    assert(v == 3L)
+    assert(CasMetadata.read(spark, d2).map(_.indexFile).toSet ==
+      Set("base", "winner", "loser"))
+  }
+
+  test("the norename scheme really rejects rename") {
+    val p = new org.apache.hadoop.fs.Path(dir("casnorename") + "/x")
+    val fs = p.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    intercept[UnsupportedOperationException] {
+      fs.rename(p, new org.apache.hadoop.fs.Path(p.toString + "2"))
+    }
+  }
+}

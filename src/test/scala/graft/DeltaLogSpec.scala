@@ -99,6 +99,40 @@ class DeltaLogSpec extends AnyFunSuite {
     intercept[IllegalStateException] { DeltaLog.commit(t, 0, Seq(a)) }
   }
 
+  test("the full log lifecycle runs on a rename-free object store") {
+    // norename:// rejects every rename: commit (conditional PUT),
+    // replay, CDF, checkpoint and the race check must all survive —
+    // the object-store twin of the local hardlink protocol
+    val local = mkTable("deltanr")
+    val t = "norename://" + local
+    def addNr(fname: String, rows: Seq[(Long, String)]): DeltaLog.Add = {
+      val a = addFile(local, fname, rows) // stage via the local tree
+      a
+    }
+    val a = addNr("a.parquet", Seq(1L -> "one"))
+    val b = addNr("b.parquet", Seq(2L -> "two"))
+    val c = addNr("c.parquet", Seq(3L -> "three"))
+    DeltaLog.commit(t, 0, Seq(a, b))
+    DeltaLog.commit(t, 1, Seq(c), removes = Seq("a.parquet"))
+
+    assert(DeltaLog.currentVersion(t) == 1)
+    assert(DeltaLog.liveFiles(spark, t).map(_.split('/').last) ==
+      Seq("b.parquet", "c.parquet"))
+    assert(DeltaLog.liveFiles(spark, t, Some(0L)).map(_.split('/').last) ==
+      Seq("a.parquet", "b.parquet"))
+    // CDF over the scheme-qualified table
+    assert(DeltaLog.changes(spark, t, 0L, 1L)
+      .select("doc_id", "_change_type").as[(Long, String)]
+      .collect().toSet == Set((3L, "insert"), (1L, "delete")))
+    // double-commit of a version loses the race loudly
+    intercept[IllegalStateException] { DeltaLog.commit(t, 1, Seq(c)) }
+    // checkpoint streams the staged part through the target FS
+    DeltaLog.checkpoint(spark, t, 1L)
+    DeltaLog.commit(t, 2, removes = Seq("b.parquet"))
+    assert(DeltaLog.liveFiles(spark, t).map(_.split('/').last) ==
+      Seq("c.parquet"))
+  }
+
   test("facade over a DeltaBackend: removed files drop out of search") {
     val t = mkTable("delta4")
     val a = addFile(t, "a.parquet",

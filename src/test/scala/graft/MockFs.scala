@@ -12,6 +12,21 @@ class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "mock"
 }
 
+/** A RENAME-FREE variant (`norename://`): every rename throws, the way
+  * a strict object-store contract would if rename weren't emulated —
+  * any protocol that survives on this filesystem provably never relies
+  * on (atomic or otherwise) rename. CasCommitSpec runs the whole CAS
+  * metadata lifecycle on it.
+  */
+class NoRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("norename:///")
+  override def getScheme: String = "norename"
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    throw new UnsupportedOperationException(
+      s"rename($src, $dst) on a no-rename object store")
+}
+
 /** An AUTHORITY-BEARING variant (`mocks://bucket/...`) — the shape of
   * every object-store URI (`s3a://bucket/key`). The authority is
   * captured at initialize and echoed from `getUri`, so Hadoop's

@@ -15,6 +15,7 @@ object TestSpark {
       // (graft.core.Fs) already carry it
       .config("spark.hadoop.fs.mock.impl", "graft.MockFs")
       .config("spark.hadoop.fs.mocks.impl", "graft.MockAuthFs")
+      .config("spark.hadoop.fs.norename.impl", "graft.NoRenameFs")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
