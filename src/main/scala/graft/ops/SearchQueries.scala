@@ -31,6 +31,21 @@ object SearchQueries {
 
   // ---- embedding query expansion -------------------------------------
 
+  /** Pluggable vocab-embedding seam — where a REAL embedding service
+    * plugs in. The reference embeds the vocabulary through an external
+    * model (BGE-M3/OpenAI, reference: indices/bm25_index.py:12-96);
+    * the engine itself only ever needs `(token, v: array<double>)`
+    * rows, so HOW they are produced is an implementation detail behind
+    * this trait (the [[Multimodal.MediaDecoder]] convention). Swapping
+    * in a service-backed implementation touches nothing downstream:
+    * cosine top-N, weighting, and the weighted-BM25 plan are embedder-
+    * agnostic.
+    */
+  trait VocabEmbedder extends Serializable {
+    /** `(token, v)` rows covering the corpus vocabulary of `dir`. */
+    def vocab(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame
+  }
+
   /** Vocab-embedding table: corpus vocabulary tokens paired with
     * embedding vectors by a deterministic rank-modulo rule. The
     * reference expands queries against a VOCAB EMBEDDING FILE computed
@@ -42,6 +57,12 @@ object SearchQueries {
     * sidecar; everything downstream (cosine top-N, weighted search) is
     * the real flow.
     */
+  object RankModuloEmbedder extends VocabEmbedder {
+    def vocab(s: SparkSession,
+        dir: String): org.apache.spark.sql.DataFrame =
+      vocabEmbeddings(s, dir)
+  }
+
   def vocabEmbeddings(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     // persisted once, like every other offline artifact (the reference
@@ -76,8 +97,9 @@ object SearchQueries {
     * their similarities as weights, bm25_index.py:140-160).
     */
   def expandTermsEmbed(s: SparkSession, dir: String, term: String,
-      topN: Int): Seq[(String, Double)] = {
-    val ve = vocabEmbeddings(s, dir)
+      topN: Int,
+      embedder: VocabEmbedder = RankModuloEmbedder): Seq[(String, Double)] = {
+    val ve = embedder.vocab(s, dir)
     // a term absent from the vocab expands to NOTHING (the oracle's qv
     // CTE is empty and yields zero rows) — not a head() crash
     ve.filter(col("token") === term).select("v").take(1).headOption match {
