@@ -552,6 +552,52 @@ object VamanaIndex {
       .limit(k)
   }
 
+  /** Driver-local single-query serving path: same beam, same
+    * candidates, but the final top-k rerank happens on the driver from
+    * the very Node vectors the beam just fetched — no rerank Spark job
+    * at all. Against a warm [[nodeCache]] (the steady state of a
+    * serving process: the beam's working set is the graph's high-degree
+    * core, which the LRU keeps resident) a query runs ZERO Spark jobs;
+    * cold misses cost one batched point-lookup per hop round exactly
+    * like [[search]]. Results are bit-identical to [[search]]: the
+    * rerank reuses [[CosineSim]]'s accumulation order
+    * (`dot/(√na·√nb)`, sequential fold) and Spark's ROUND_HALF_UP
+    * semantics, and every candidate's vector is already driver-resident
+    * because the beam terminates only after expanding (hence fetching)
+    * its whole final frontier.
+    */
+  def searchFast(spark: SparkSession, path: String, q: Seq[Double],
+      k: Int, l: Int = SearchL): DataFrame = {
+    import spark.implicits._
+    val qa = q.toArray
+    val (cands, _) = beam(spark, path, qa, l, BeamW, seedAll = false)
+    val (ver, _, _) = headOf(spark, path)
+    val nodes = fetchNodes(spark, path, ver, cands)
+    cands.flatMap(id => nodes.get(id).map(nd =>
+        (id, round6(cosExact(qa, nd.v)))))
+      .sortBy { case (id, c) => (-c, id) }.take(k)
+      .toDF("vec_id", "cos")
+  }
+
+  /** [[CosineSim]]'s exact arithmetic (same accumulation order, same
+    * `√na·√nb` denominator — NOT `√(na·nb)`, which differs in the last
+    * ulp), so the driver rerank cannot drift from the Spark rerank.
+    */
+  private def cosExact(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Spark's `round(col, 6)` (RoundingMode.HALF_UP over the canonical
+    * decimal form), driver-side.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Merge = rebuild over the union of both graphs' stored vectors
     * (duplicate vec_ids keep one copy). The reference's parallel merge
     * re-inserts every node of `b` one by one under per-node locks

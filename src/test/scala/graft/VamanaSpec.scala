@@ -80,6 +80,31 @@ class VamanaSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-local fast path: identical rows, zero jobs when warm") {
+    val idx = TestSpark.tmpDir("vamana-fast")
+    VamanaIndex.build(spark, vecs.toDF("vec_id", "v"), idx)
+    val panel = Seq(vecs(3)._2, vecs(10)._2, vecs(21)._2, vecs(44)._2)
+    panel.foreach { q =>
+      val slow = VamanaIndex.search(spark, idx, q, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fast = VamanaIndex.searchFast(spark, idx, q, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // BIT-identical, scores included: same beam, same rounding
+      assert(fast == slow, s"fast path diverged for $q")
+    }
+    // steady state: the beam's working set is cache-resident, so a
+    // repeat query runs ZERO Spark jobs end to end (collect() of a
+    // local relation is job-free)
+    val sc = spark.sparkContext
+    sc.setJobGroup("vamana-warm", "vamana-warm")
+    val warm =
+      try VamanaIndex.searchFast(spark, idx, panel.head, 5).collect()
+      finally sc.clearJobGroup()
+    assert(warm.nonEmpty)
+    assert(sc.statusTracker.getJobIdsForGroup("vamana-warm").isEmpty,
+      "warm fast-path search ran Spark jobs")
+  }
+
   test("merge of two disjoint graphs searches like one") {
     val (l, r) = vecs.partition(_._1 < 30L)
     val (ia, ib, im) = (TestSpark.tmpDir("va"), TestSpark.tmpDir("vb"),
