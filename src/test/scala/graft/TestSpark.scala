@@ -16,6 +16,7 @@ object TestSpark {
       .config("spark.hadoop.fs.mock.impl", "graft.MockFs")
       .config("spark.hadoop.fs.mocks.impl", "graft.MockAuthFs")
       .config("spark.hadoop.fs.norename.impl", "graft.NoRenameFs")
+      .config("spark.hadoop.fs.httpr.impl", "graft.core.HttpRangeFs")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
