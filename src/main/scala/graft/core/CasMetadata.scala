@@ -8,7 +8,8 @@ import scala.jdk.CollectionConverters._
 
 /** Conditional-write (put-if-absent) commit protocol for the index
   * metadata table — the object-store twin of [[IndexStore]]'s
-  * two-rename swap.
+  * two-rename swap, and the protocol [[IndexStore]] dispatches to
+  * whenever the index root lives on a non-local scheme.
   *
   * The rename swap assumes atomic rename, which local filesystems and
   * HDFS provide but raw object stores do not (renames there are
@@ -28,7 +29,7 @@ import scala.jdk.CollectionConverters._
   * loser re-reads (now seeing the winner's rows) and retries at N+2 —
   * optimistic concurrency with no lock service and no rename anywhere
   * on the commit path. Manifests are immutable once visible, so reads
-  * cache by (path, version) with no mtime protocol at all.
+  * cache by path with no mtime protocol at all.
   *
   * The table is metadata-scale (one row per index file), so snapshot
   * manifests stay tiny; a vacuum may delete manifests `< N-k` at
@@ -37,6 +38,17 @@ import scala.jdk.CollectionConverters._
 object CasMetadata {
 
   private val mapper = new ObjectMapper()
+
+  /** One full-fidelity metadata row — the complete 8-column schema of
+    * [[IndexStore.metadataRows]], so a CAS-backed table round-trips
+    * losslessly through [[IndexStore.readMetadata]].
+    */
+  case class FullRow(table: String, column: String, files: Seq[String],
+      recordCounts: Seq[Long], indexFile: String, indexType: String,
+      rowsIndexed: Long, indexTimestamp: Long) {
+    def toMetaRow: IndexStore.MetaRow =
+      IndexStore.MetaRow(table, column, files, indexFile, indexType)
+  }
 
   def logDir(dir: String): String = s"$dir/_metadata_caslog"
 
@@ -53,50 +65,66 @@ object CasMetadata {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  // manifests are immutable: cache rows by manifest path, never stat
-  private val manifestCache = scala.collection.mutable.Map
-    .empty[String, Seq[IndexStore.MetaRow]]
+  // manifests are immutable, so caching needs no mtime protocol: keep
+  // the LATEST (manifest path, rows) per dir — a manifest-path key
+  // would strand one dead entry per commit, unbounded under streaming
+  // maintenance (the metaRowCache discipline)
+  private val latestCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Seq[FullRow])]
 
   /** Rows of the latest committed snapshot (empty before the first
     * commit).
     */
-  def read(spark: SparkSession, dir: String): Seq[IndexStore.MetaRow] =
+  def read(spark: SparkSession, dir: String): Seq[FullRow] =
     latestVersion(spark, dir) match {
       case None => Seq.empty
-      case Some(v) => readManifest(spark, manifestPath(dir, v))
+      case Some(v) =>
+        val mp = manifestPath(dir, v)
+        latestCache.get(dir) match {
+          case Some((p, rows)) if p == mp => rows
+          case _ =>
+            val rows = readManifest(spark, mp)
+            latestCache.put(dir, (mp, rows))
+            rows
+        }
     }
 
   private def readManifest(spark: SparkSession,
-      path: String): Seq[IndexStore.MetaRow] = synchronized {
-    manifestCache.getOrElseUpdate(path, {
-      val f = fs(spark, path)
-      val in = f.open(new HPath(path))
-      val text =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8")
-        finally in.close()
-      text.linesIterator.filter(_.nonEmpty).map { line =>
-        val n = mapper.readTree(line)
-        IndexStore.MetaRow(
-          n.get("table_name").asText(),
-          n.get("column_name").asText(),
-          n.get("file_path").elements().asScala.map(_.asText()).toSeq,
-          n.get("index_file").asText(),
-          n.get("index_type").asText())
-      }.toSeq
-    })
+      path: String): Seq[FullRow] = {
+    val f = fs(spark, path)
+    val in = f.open(new HPath(path))
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8")
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val n = mapper.readTree(line)
+      FullRow(
+        n.get("table_name").asText(),
+        n.get("column_name").asText(),
+        n.get("file_path").elements().asScala.map(_.asText()).toSeq,
+        n.get("record_counts").elements().asScala.map(_.asLong()).toSeq,
+        n.get("index_file").asText(),
+        n.get("index_type").asText(),
+        n.get("rows_indexed").asLong(),
+        n.get("index_timestamp").asLong())
+    }.toSeq
   }
 
-  private def render(rows: Seq[IndexStore.MetaRow]): String = {
+  private def render(rows: Seq[FullRow]): String = {
     val sb = new StringBuilder
     rows.foreach { r =>
       val n: ObjectNode = mapper.createObjectNode()
       n.put("table_name", r.table)
       n.put("column_name", r.column)
-      val arr = n.putArray("file_path")
-      r.files.foreach(arr.add)
+      val fp = n.putArray("file_path")
+      r.files.foreach(fp.add)
+      val rc = n.putArray("record_counts")
+      r.recordCounts.foreach(rc.add)
       n.put("index_file", r.indexFile)
       n.put("index_type", r.indexType)
+      n.put("rows_indexed", r.rowsIndexed)
+      n.put("index_timestamp", r.indexTimestamp)
       sb.append(mapper.writeValueAsString(n)).append('\n')
     }
     sb.toString
@@ -129,7 +157,7 @@ object CasMetadata {
     * BOTH writers' rows land, in two consecutive versions.
     */
   def commit(spark: SparkSession, dir: String,
-      rows: Seq[IndexStore.MetaRow], maxAttempts: Int = 20): Long = {
+      rows: Seq[FullRow], maxAttempts: Int = 20): Long = {
     val newKeys = rows.map(_.indexFile).toSet
     var attempt = 0
     while (attempt < maxAttempts) {

@@ -22,8 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  /** Index root. The `graft.index.dir` system property overrides the
+    * env (test seam); may carry any Hadoop scheme — a NON-local root
+    * switches the metadata table to the rename-free [[CasMetadata]]
+    * protocol and every marker/stat/delete to the root's FileSystem.
+    */
   def root: String =
-    sys.env.getOrElse("GRAFT_INDEX_DIR", "/root/repo/target/graft-idx")
+    sys.props.get("graft.index.dir")
+      .orElse(sys.env.get("GRAFT_INDEX_DIR"))
+      .getOrElse("/root/repo/target/graft-idx")
+
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/.*".r
+  private def isLocalRoot: Boolean = {
+    val r = root
+    !SchemeRe.matches(r) || r.startsWith("file:")
+  }
+  private def hfs(p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p).getFileSystem(Fs.anyConf())
 
   /** Stable id for a lake directory (used to key cached indexes/lakes). */
   def lakeId(dir: String): String =
@@ -34,7 +49,9 @@ object IndexStore {
 
   private def marker(path: String) = Paths.get(path, "_GRAFT_DONE")
 
-  def isBuilt(path: String): Boolean = Files.exists(marker(path))
+  def isBuilt(path: String): Boolean =
+    if (isLocalRoot) Files.exists(marker(path))
+    else hfs(path).exists(new org.apache.hadoop.fs.Path(path, "_GRAFT_DONE"))
 
   // one monitor PER INDEX PATH: a build holds its lock for minutes of
   // Spark jobs, and holding the global IndexStore monitor for that long
@@ -53,8 +70,16 @@ object IndexStore {
     lock.synchronized {
       if (!isBuilt(path)) {
         build
-        Files.createDirectories(Paths.get(path))
-        Files.write(marker(path), Array.emptyByteArray)
+        if (isLocalRoot) {
+          Files.createDirectories(Paths.get(path))
+          Files.write(marker(path), Array.emptyByteArray)
+        } else {
+          val f = hfs(path)
+          val p = new org.apache.hadoop.fs.Path(path)
+          f.mkdirs(p)
+          f.create(new org.apache.hadoop.fs.Path(p, "_GRAFT_DONE"),
+            true).close()
+        }
       }
     }
     path
@@ -64,7 +89,32 @@ object IndexStore {
 
   def metadataPath(dir: String): String = s"$root/${lakeId(dir)}/_metadata"
 
+  /** Base dir of the CAS log on a non-local root. */
+  private def casBase(dir: String): String = s"$root/${lakeId(dir)}"
+
+  private def casToDf(spark: SparkSession,
+      rows: Seq[CasMetadata.FullRow]): DataFrame = {
+    import spark.implicits._
+    rows.map(r => (r.table, r.column, r.files, r.recordCounts,
+        r.indexFile, r.indexType, r.rowsIndexed, r.indexTimestamp))
+      .toDF("table_name", "column_name", "file_path", "record_counts",
+        "index_file", "index_type", "rows_indexed", "index_timestamp")
+  }
+
+  private def dfToCas(rows: DataFrame): Seq[CasMetadata.FullRow] =
+    rows.select("table_name", "column_name", "file_path", "record_counts",
+        "index_file", "index_type", "rows_indexed", "index_timestamp")
+      .collect()
+      .map(r => CasMetadata.FullRow(r.getString(0), r.getString(1),
+        r.getSeq[String](2).toSeq, r.getSeq[Long](3).toSeq, r.getString(4),
+        r.getString(5), r.getLong(6), r.getLong(7)))
+      .toSeq
+
   def readMetadata(spark: SparkSession, dir: String): Option[DataFrame] = {
+    if (!isLocalRoot) {
+      val rows = CasMetadata.read(spark, casBase(dir))
+      return if (rows.isEmpty) None else Some(casToDf(spark, rows))
+    }
     recoverMetadata(dir)
     val p = metadataPath(dir)
     if (Files.exists(Paths.get(p))) Some(spark.read.parquet(p)) else None
@@ -104,6 +154,8 @@ object IndexStore {
     */
   def metadataRowsCached(spark: SparkSession, dir: String): Seq[MetaRow] =
     try {
+      if (!isLocalRoot)
+        return CasMetadata.read(spark, casBase(dir)).map(_.toMetaRow)
       recoverMetadata(dir)
       val path = metadataPath(dir)
       val p = Paths.get(path)
@@ -134,6 +186,12 @@ object IndexStore {
     */
   def commitMetadata(spark: SparkSession, dir: String, rows: DataFrame): Unit =
     synchronized {
+      if (!isLocalRoot) {
+        // object-store root: the rename-free create-if-absent protocol
+        // (same idempotent index_file-replace merge, done CAS-side)
+        CasMetadata.commit(spark, casBase(dir), dfToCas(rows))
+        return
+      }
       val merged = readMetadata(spark, dir) match {
         case Some(old) =>
           // replace rows for the same index_file (idempotent rebuild)
@@ -179,6 +237,10 @@ object IndexStore {
     */
   def deleteMetadata(spark: SparkSession, dir: String, indexFiles: Seq[String]): Unit =
     synchronized {
+      if (!isLocalRoot) {
+        CasMetadata.deleteRows(spark, casBase(dir), indexFiles)
+        return
+      }
       readMetadata(spark, dir).foreach { old =>
         val keep = old.filter(!col("index_file").isin(indexFiles: _*))
         swapInMetadata(spark, dir, keep)

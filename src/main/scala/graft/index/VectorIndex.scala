@@ -459,7 +459,7 @@ object VectorIndex {
     if (!isCurrentFormat(s, p)) {
       // a cached index from before the codes/vecs split: rebuild under
       // the same build-once guard (deleting the dir clears the marker)
-      IndexStore.deleteRec(java.nio.file.Paths.get(p))
+      graft.core.Fs.deleteRec(s, p)
       IndexStore.ensure(p) { build(s, Similarity.embeddings(s, dir), p) }
     }
     p

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{CasMetadata, IndexStore}
+import graft.core.CasMetadata
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The put-if-absent metadata commit protocol on filesystems WITHOUT
@@ -12,8 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class CasCommitSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
-  private def row(idx: String, files: String*): IndexStore.MetaRow =
-    IndexStore.MetaRow("documents", "text", files.toSeq, idx, "ngram")
+  private def row(idx: String, files: String*): CasMetadata.FullRow =
+    CasMetadata.FullRow("documents", "text", files.toSeq,
+      files.toSeq.map(_ => 10L), idx, "ngram", 10L, 0L)
 
   private def dir(name: String): String =
     "norename://" + TestSpark.tmpDir(name)
@@ -60,13 +61,13 @@ class CasCommitSpec extends AnyFunSuite {
     val d2 = dir("casrace2")
     CasMetadata.commit(spark, d2, Seq(row("base", "a.parquet")))
     // winner claims version 2 out from under the loser...
+    def nd(idx: String, file: String) =
+      "{\"table_name\":\"documents\",\"column_name\":\"text\"," +
+        "\"file_path\":[\"" + file + "\"],\"record_counts\":[10]," +
+        "\"index_file\":\"" + idx + "\",\"index_type\":\"ngram\"," +
+        "\"rows_indexed\":10,\"index_timestamp\":0}\n"
     assert(CasMetadata.tryClaim(spark, d2, 2L,
-      "{\"table_name\":\"documents\",\"column_name\":\"text\"," +
-        "\"file_path\":[\"a.parquet\"],\"index_file\":\"base\"," +
-        "\"index_type\":\"ngram\"}\n" +
-      "{\"table_name\":\"documents\",\"column_name\":\"text\"," +
-        "\"file_path\":[\"w.parquet\"],\"index_file\":\"winner\"," +
-        "\"index_type\":\"ngram\"}\n"))
+      nd("base", "a.parquet") + nd("winner", "w.parquet")))
     // ...the loser's commit() retries internally and lands at 3 with
     // BOTH writers' rows present
     val v = CasMetadata.commit(spark, d2, Seq(row("loser", "l.parquet")))

@@ -10,6 +10,25 @@ package graft
 class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("mock:///")
   override def getScheme: String = "mock"
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(MockFs.plainStat)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus =
+    MockFs.plainStat(super.getFileStatus(f))
+}
+
+object MockFs {
+  /** RawLocal's lazy permission load does `new java.io.File(uri)`,
+    * which rejects any non-`file:` scheme the moment something wraps a
+    * status into a LocatedFileStatus (FileSystem.listFiles). Real
+    * object-store filesystems return materialized statuses; these
+    * mocks must too.
+    */
+  def plainStat(s: org.apache.hadoop.fs.FileStatus)
+      : org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(s.getLen, s.isDirectory,
+      s.getReplication, s.getBlockSize, s.getModificationTime, s.getPath)
 }
 
 /** A RENAME-FREE variant (`norename://`): every rename throws, the way
@@ -21,6 +40,12 @@ class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
 class NoRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("norename:///")
   override def getScheme: String = "norename"
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(MockFs.plainStat)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus =
+    MockFs.plainStat(super.getFileStatus(f))
   override def rename(src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Boolean =
     throw new UnsupportedOperationException(
@@ -49,4 +74,10 @@ class MockAuthFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI =
     if (uri == null) java.net.URI.create("mocks:///") else uri
   override def getScheme: String = "mocks"
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(MockFs.plainStat)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus =
+    MockFs.plainStat(super.getFileStatus(f))
 }
