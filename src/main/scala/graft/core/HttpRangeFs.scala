@@ -16,9 +16,9 @@ import org.apache.hadoop.util.Progressable
   * unchanged over `httpr://host:port/path` paths.
   *
   * Register with `spark.hadoop.fs.httpr.impl=graft.core.HttpRangeFs`
-  * (and `fs.httprs.impl` + a TLS connection factory for https serving;
-  * the scheme name avoids colliding with Hadoop's built-in non-seekable
-  * `http` filesystem). Semantics:
+  * (TLS twin: `fs.httprs.impl=graft.core.HttpsRangeFs`; the scheme
+  * names avoid colliding with Hadoop's built-in non-seekable `http`
+  * filesystem). Semantics:
   *
   *   - `getFileStatus` = one HEAD (length from Content-Length; 404 →
   *     FileNotFoundException). Plain HTTP has no directory protocol,
@@ -30,7 +30,10 @@ import org.apache.hadoop.util.Progressable
   *   - every mutation throws: the store is someone else's web server.
   */
 class HttpRangeFs extends FileSystem {
-  private var fsUri: URI = URI.create("httpr:///")
+  private var fsUri: URI = URI.create(s"$getScheme:///")
+
+  /** Wire protocol behind the range reads. */
+  protected def wireScheme: String = "http"
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -45,7 +48,7 @@ class HttpRangeFs extends FileSystem {
   private def toUrl(f: Path): URL = {
     val u = f.toUri
     val auth = Option(u.getAuthority).getOrElse(fsUri.getAuthority)
-    new URL("http://" + auth + u.getPath)
+    new URL(s"$wireScheme://" + auth + u.getPath)
   }
 
   override def getFileStatus(f: Path): FileStatus = {
@@ -81,6 +84,14 @@ class HttpRangeFs extends FileSystem {
   override def mkdirs(f: Path, permission: FsPermission): Boolean = throw ro
   override def setWorkingDirectory(d: Path): Unit = ()
   override def getWorkingDirectory: Path = new Path(fsUri.toString + "/")
+}
+
+/** TLS twin (`httprs://` → https GETs; the JVM's default SSL context
+  * handles trust). Register as `fs.httprs.impl`.
+  */
+class HttpsRangeFs extends HttpRangeFs {
+  override protected def wireScheme: String = "https"
+  override def getScheme: String = "httprs"
 }
 
 /** Positioned reads as HTTP Range GETs. [[FSInputStream]] supplies the
