@@ -20,14 +20,23 @@ object Bench {
     // the reference's harnesses time (search over pre-built indexes,
     // reference bench.py measures page fetch with the index in place).
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 isolates queries (warm single-query
+    // re-measures, regression triage) without touching the full-suite
+    // default
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // min of 2 timed runs: single-shot numbers at this scale are
     // dominated by GC/JIT luck of the shared JVM, not by the plans.
     // A query that THROWS must not be recorded as a fast success — a
     // near-instant failure would otherwise IMPROVE the reported total.
-    val timed = SparkEntry.queries.map { case (name, fn) =>
+    val timed = selected.map { case (name, fn) =>
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -50,10 +59,12 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString(s"""{"total":${fmt(total)},"sf":"$sfDir","failed":[${
         failed.map("\"" + _ + "\"").mkString(",")}],"queries":{""", ",", "}}")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // a filtered run must not clobber the full-suite artifact
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     // ONE machine-readable line. The harness that records this keeps only
     // a bounded tail of the build log, so the line must stay comfortably
     // under ~1.9 KB: include per-query timings greedily from slowest to

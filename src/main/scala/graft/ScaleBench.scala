@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-shot timings of the heaviest operators at TWO scale factors, to
+  * verify the documented scale shapes hold an order of magnitude up
+  * (SCALE.md's sf0.1 → sf1 table).
+  *
+  *   GRAFT_INDEX_DIR=/tmp/fresh1 sbt "runMain graft.ScaleBench /root/testdata/sf0.1"
+  *   GRAFT_INDEX_DIR=/tmp/fresh2 sbt "runMain graft.ScaleBench /tmp/graft-sf1"
+  *
+  * Point GRAFT_INDEX_DIR at a FRESH directory so every build really
+  * builds (the ensure* fixtures are build-once per index root).
+  *
+  * `/tmp/graft-sf1` is synthesized on first use: 10 perturbed copies
+  * of the sf0.1 documents/embeddings/events tables. Text perturbation
+  * suffixes every token per copy (`_cJ`) so cross-copy rows are NOT
+  * near-duplicates and the dedup workload scales organically (a plain
+  * 10x copy would instead hand every doc a 9-clique of exact dups —
+  * a different, easier problem); embeddings get a deterministic
+  * per-copy directional nudge for the same reason.
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = "/root/testdata/sf0.1"
+    val dir = if (args.nonEmpty) args(0) else srcDir
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (dir != srcDir &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      generate(spark, srcDir, dir, copies = 10)
+
+    // JIT warm (cheap, does not touch the fixture caches under test)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val docFiles = Seq(s"$dir/documents.parquet")
+    def idx(name: String) = graft.core.IndexStore.indexPath(dir, s"sb_$name")
+
+    val ops: Seq[(String, () => Any)] = Seq(
+      "minhash_pairs" -> (() =>
+        graft.ops.Dedup.minhashPairsPersisted(spark, dir, None).count()),
+      "dedup_apply" -> (() =>
+        graft.ops.Pipeline.dedupApply(spark, dir).count()),
+      "simhash_pairs" -> (() =>
+        graft.ops.Dedup.simhashPairs(
+          Tables.load(spark, dir, "documents")).count()),
+      "bm25_build" -> (() =>
+        graft.index.Bm25Index.build(spark, docFiles, "text", "doc_id",
+          idx("bm25"))),
+      "fm_build" -> (() =>
+        graft.index.FmIndex.build(spark, docFiles, "text", idx("fm"))),
+      "token_fm_build" -> (() =>
+        graft.index.TokenFmIndex.build(spark, docFiles, "text",
+          idx("tokfm"))),
+      "ivf_pq_build" -> (() =>
+        graft.index.VectorIndex.build(spark,
+          graft.ops.Similarity.embeddings(spark, dir), idx("ivf"))),
+      "vamana_build" -> (() =>
+        graft.index.VamanaIndex.build(spark,
+          graft.ops.Similarity.embeddings(spark, dir)
+            .select(col("vec_id"), col("v")), idx("vamana"))),
+      "logcloud_build" -> (() =>
+        graft.index.LogCloudIndex.build(spark,
+          graft.index.LogCloudIndex.eventLines(spark, dir),
+          idx("logcloud"))))
+
+    val docs = Tables.load(spark, dir, "documents").count()
+    val timed = ops.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      f()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val fields = timed.map { case (n, t) => f""""$n":$t%.2f""" }
+    println(s"""{"metric":"scale_bench","dir":"$dir","docs":$docs,${fields.mkString(",")}}""")
+    spark.stop()
+  }
+
+  /** 10-copy perturbed scale-up of documents/embeddings/events into
+    * `out`, one parquet FILE per table like the driver's testdata.
+    */
+  private def generate(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    def asOneFile(df: DataFrame, name: String): Unit = {
+      val staging = s"$out/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = graft.core.Lake.listFiles(staging).head
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(part),
+        java.nio.file.Paths.get(s"$out/$name.parquet"))
+      graft.core.IndexStore.deleteRec(java.nio.file.Paths.get(staging))
+    }
+    val docs = Tables.load(spark, src, "documents")
+    asOneFile((0 until copies).map { j =>
+      if (j == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(j * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1_c$j").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _), "documents")
+
+    val emb = Tables.load(spark, src, "embeddings")
+    asOneFile((0 until copies).map { j =>
+      if (j == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(j * 10000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + lit(0.02 * j) * sin(col("vec_id") * 7 + i))
+            .cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _), "embeddings")
+
+    val ev = Tables.load(spark, src, "events")
+    asOneFile((0 until copies).map { j =>
+      if (j == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(j * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(j * 1000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $j SECONDS"))
+    }.reduce(_ unionByName _), "events")
+  }
+}
