@@ -55,6 +55,58 @@ object Fs {
     p.getFileSystem(conf(spark)).exists(p)
   }
 
+  // ---- session-less scheme-dispatched primitives ---------------------
+  // For the log/commit protocols (DeltaLog, IcebergLog, CasMetadata)
+  // whose call sites have no SparkSession: the active session's conf
+  // when one exists, cluster defaults otherwise.
+
+  private[graft] val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/.*".r
+
+  /** True for plain paths and `file:` URIs — the java.nio fast path. */
+  private[graft] def isLocalPath(p: String): Boolean =
+    !SchemeRe.matches(p) || p.startsWith("file:")
+
+  private[graft] def forPath(p: String): org.apache.hadoop.fs.FileSystem =
+    new HPath(p).getFileSystem(anyConf())
+
+  private[graft] def readBytes(path: String): Array[Byte] = {
+    val in = forPath(path).open(new HPath(path))
+    try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+  }
+
+  private[graft] def readString(path: String): String =
+    new String(readBytes(path), "UTF-8")
+
+  private[graft] def writeBytes(path: String, bytes: Array[Byte]): Unit = {
+    val f = forPath(path)
+    val p = new HPath(path)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** The conditional-PUT primitive (`If-None-Match: *`): create `path`
+    * with `bytes` iff absent. True iff THIS caller created it — the
+    * atom every rename-free commit protocol rests on.
+    */
+  private[graft] def createIfAbsent(path: String,
+      bytes: Array[Byte]): Boolean = {
+    val f = forPath(path)
+    val p = new HPath(path)
+    f.mkdirs(p.getParent)
+    val out =
+      try f.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          return false
+        // RawLocalFileSystem signals an existing target as IOException
+        case e: java.io.IOException if f.exists(p) => return false
+      }
+    try out.write(bytes) finally out.close()
+    true
+  }
+
   /** Modification time in ms (directory or file). Fails if absent —
     * callers that tolerate absence should check [[exists]] first.
     */

@@ -58,31 +58,57 @@ object IcebergLog {
 
   // ---- avro helpers ---------------------------------------------------
 
+  // avro over STREAMS, not java.io.File: manifests may live on any
+  // Hadoop scheme (object stores included). Manifest files are small
+  // (metadata-scale) and read whole, so the sequential DataFileStream
+  // replaces the seekable DataFileReader without cost.
   private def writeAvro(path: String, schema: Schema,
       rows: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
-    w.create(schema, new java.io.File(path))
+    if (Fs.isLocalPath(path)) w.create(schema, new java.io.File(path))
+    else {
+      val f = Fs.forPath(path)
+      val hp = new org.apache.hadoop.fs.Path(path)
+      f.mkdirs(hp.getParent)
+      w.create(schema, f.create(hp, true)
+        : java.io.OutputStream)
+    }
     try rows.foreach(w.append) finally w.close()
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
-    val r = DataFileReader.openReader(new java.io.File(path),
-      new GenericDatumReader[GenericRecord]())
-    try r.iterator().asScala.toList finally r.close()
+    if (Fs.isLocalPath(path)) {
+      val r = DataFileReader.openReader(new java.io.File(path),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally r.close()
+    } else {
+      val in = Fs.forPath(path).open(new org.apache.hadoop.fs.Path(path))
+      val r = new org.apache.avro.file.DataFileStream[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.toList finally { r.close(); }
+    }
   }
 
   // ---- metadata json --------------------------------------------------
 
+  private def hintPath(table: String): String =
+    s"${metaDir(table)}/version-hint.text"
+
+  private def hintExists(table: String): Boolean =
+    if (Fs.isLocalPath(table)) Files.exists(Paths.get(hintPath(table)))
+    else Fs.forPath(table).exists(
+      new org.apache.hadoop.fs.Path(hintPath(table)))
+
   private def currentVersion(table: String): Int = {
-    val hint = Paths.get(metaDir(table), "version-hint.text")
-    require(Files.exists(hint), s"not an Iceberg table (no version hint): $table")
-    Files.readString(hint).trim.toInt
+    require(hintExists(table),
+      s"not an Iceberg table (no version hint): $table")
+    Fs.readString(hintPath(table)).trim.toInt
   }
 
   private def metadataJson(table: String) =
-    mapper.readTree(Files.readString(
-      Paths.get(metaDir(table), s"v${currentVersion(table)}.metadata.json")))
+    mapper.readTree(Fs.readString(
+      s"${metaDir(table)}/v${currentVersion(table)}.metadata.json"))
 
   def snapshots(table: String): Seq[Long] =
     metadataJson(table).get("snapshots").elements().asScala
@@ -166,10 +192,12 @@ object IcebergLog {
   def commit(table: String, adds: Seq[DataFile],
       removes: Seq[String] = Seq.empty,
       timestampMs: Long = System.currentTimeMillis()): Long = {
-    Files.createDirectories(Paths.get(metaDir(table)))
-    val hint = Paths.get(metaDir(table), "version-hint.text")
+    if (Fs.isLocalPath(table))
+      Files.createDirectories(Paths.get(metaDir(table)))
+    else Fs.forPath(table).mkdirs(
+      new org.apache.hadoop.fs.Path(metaDir(table)))
     val (version, prevLive, prevSnaps) =
-      if (Files.exists(hint)) {
+      if (hintExists(table)) {
         val v = currentVersion(table)
         val meta = metadataJson(table)
         (v + 1, liveFilesWithCounts(table),
@@ -197,7 +225,10 @@ object IcebergLog {
       carried.map(entry(_, 0)) ++ adds.map(entry(_, 1)))
     val ml = new GenericData.Record(manifestListSchema)
     ml.put("manifest_path", manifestPath)
-    ml.put("manifest_length", Files.size(Paths.get(manifestPath)))
+    ml.put("manifest_length",
+      if (Fs.isLocalPath(manifestPath)) Files.size(Paths.get(manifestPath))
+      else Fs.forPath(manifestPath).getFileStatus(
+        new org.apache.hadoop.fs.Path(manifestPath)).getLen)
     ml.put("content", 0)
     ml.put("added_snapshot_id", snapId)
     val listPath = s"${metaDir(table)}/snap-$snapId.avro"
@@ -218,19 +249,25 @@ object IcebergLog {
     sn.putObject("summary").put("operation",
       if (removes.nonEmpty) "overwrite" else "append")
     // optimistic concurrency, like DeltaLog.commit: the versioned
-    // metadata file is claimed with CREATE_NEW, so of two racing
-    // committers exactly one wins and the loser gets
-    // FileAlreadyExistsException instead of silently clobbering the
-    // winner's snapshot (Iceberg catalogs do this with an atomic
-    // pointer swap; file-system tables use the rename/claim of the
-    // versioned metadata name)
-    Files.write(
-      Paths.get(metaDir(table), s"v$version.metadata.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW,
-      java.nio.file.StandardOpenOption.WRITE)
-    Files.writeString(hint, version.toString)
+    // metadata file is claimed create-if-absent (CREATE_NEW locally,
+    // the conditional single-object PUT on object-store schemes), so
+    // of two racing committers exactly one wins and the loser fails
+    // loudly instead of silently clobbering the winner's snapshot
+    // (Iceberg catalogs do this with an atomic pointer swap;
+    // file-system tables use the claim of the versioned metadata name)
+    val metaJson = mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val metaPath = s"${metaDir(table)}/v$version.metadata.json"
+    if (Fs.isLocalPath(table))
+      Files.write(Paths.get(metaPath), metaJson,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    else if (!Fs.createIfAbsent(metaPath, metaJson))
+      throw new java.nio.file.FileAlreadyExistsException(metaPath)
+    if (Fs.isLocalPath(table))
+      Files.writeString(Paths.get(hintPath(table)), version.toString)
+    else Fs.writeBytes(hintPath(table), version.toString.getBytes("UTF-8"))
     snapId
   }
 

@@ -35,4 +35,29 @@ class IcebergLogSpec extends AnyFunSuite {
     }
     assert(rev.getMessage.contains("reversed"))
   }
+
+  test("the snapshot log runs on a rename-free object store") {
+    // norename:// rejects every rename: avro manifests, metadata json
+    // (conditional-PUT claim) and the version hint must all commit
+    // without one — the object-store shape of the Iceberg protocol
+    val local = TestSpark.tmpDir("icenr")
+    val t = "norename://" + local
+    val (a, b) = (df(local, "a.parquet"), df(local, "b.parquet"))
+    val s1 = IcebergLog.commit(t, Seq(a, b))
+    val c = df(local, "c.parquet")
+    val s2 = IcebergLog.commit(t, Seq(c), removes = Seq(b.path))
+    assert(IcebergLog.snapshots(t) == Seq(s1, s2))
+    def names(snap: Option[Long]) =
+      IcebergLog.liveFiles(t, snap).map(_.split('/').last)
+    assert(names(Some(s1)) == Seq("a.parquet", "b.parquet"))
+    assert(names(None) == Seq("a.parquet", "c.parquet"))
+    // racing commit of the same version loses loudly (create-if-absent)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      // claim v3 out from under a racer, then race it
+      graft.core.Fs.createIfAbsent(
+        "norename://" + local + "/metadata/v3.metadata.json",
+        "{}".getBytes("UTF-8"))
+      IcebergLog.commit(t, Seq(c))
+    }
+  }
 }
