@@ -171,6 +171,22 @@ object CasMetadata {
       s"CAS metadata commit on $dir lost $maxAttempts straight races")
   }
 
+  /** Delete manifests older than the newest `keep` (readers only ever
+    * resolve the max, so any trailing window is safe to drop; `keep ≥
+    * 1` always retains the live snapshot). Returns the deleted count.
+    */
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 3): Int = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val names = Fs.childNames(spark, logDir(dir))
+      .filter(_.endsWith(".manifest")).toSeq.sorted
+    val stale = names.dropRight(keep)
+    stale.foreach { n =>
+      val p = new HPath(s"${logDir(dir)}/$n")
+      fs(spark, p.toString).delete(p, false)
+    }
+    stale.size
+  }
+
   /** Drop rows whose index_file is in `indexFiles` (the delete half of
     * compaction's append-then-delete), same optimistic loop.
     */

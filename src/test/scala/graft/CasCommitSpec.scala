@@ -76,6 +76,20 @@ class CasCommitSpec extends AnyFunSuite {
       Set("base", "winner", "loser"))
   }
 
+  test("vacuum drops old manifests, never the live snapshot") {
+    val d = dir("casvac")
+    (1 to 5).foreach(i =>
+      CasMetadata.commit(spark, d, Seq(row(s"idx$i", s"$i.parquet"))))
+    assert(CasMetadata.vacuum(spark, d, keep = 2) == 3)
+    // the live snapshot still resolves with all five rows
+    assert(CasMetadata.read(spark, d).map(_.indexFile).toSet ==
+      (1 to 5).map(i => s"idx$i").toSet)
+    assert(CasMetadata.latestVersion(spark, d).contains(5L))
+    // a later commit keeps working on the vacuumed log
+    CasMetadata.commit(spark, d, Seq(row("idx6", "6.parquet")))
+    assert(CasMetadata.read(spark, d).size == 6)
+  }
+
   test("the norename scheme really rejects rename") {
     val p = new org.apache.hadoop.fs.Path(dir("casnorename") + "/x")
     val fs = p.getFileSystem(
