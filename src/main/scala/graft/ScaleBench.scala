@@ -72,8 +72,15 @@ object ScaleBench {
           graft.index.LogCloudIndex.eventLines(spark, dir),
           idx("logcloud"))))
 
+    // optional op filter: second arg = comma-separated op names
+    val selected =
+      if (args.length > 1) {
+        val names = args(1).split(",").map(_.trim).toSet
+        ops.filter(o => names(o._1))
+      } else ops
+
     val docs = Tables.load(spark, dir, "documents").count()
-    val timed = ops.map { case (name, f) =>
+    val timed = selected.map { case (name, f) =>
       val t0 = System.nanoTime()
       f()
       name -> (System.nanoTime() - t0) / 1e9

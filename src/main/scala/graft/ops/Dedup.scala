@@ -207,6 +207,19 @@ object Dedup {
     * pigeonhole blocking (hamming ≤ 3 over 4 disjoint 15-bit bands ⇒ at
     * least one band identical) — recall is exactly 1, so the banded join
     * equals the all-pairs oracle while scaling as a hash join.
+    *
+    * Measured blocking trade (ScaleBench, synthetic 10× corpus): a
+    * combinatorial 3-of-6-band scheme (20 × 30-bit keys, the
+    * multi-index/HmSearch family) was tried to cut birthday collisions
+    * ~2¹¹× — and measured 2.2× SLOWER, because that corpus's cost is
+    * OUTPUT-bound, not collision-bound: 50k docs collapse to 5,038
+    * distinct fingerprints (whole synthetic copies share one simhash),
+    * so 112.5M true h≤3 pairs exist and every exact scheme must emit
+    * them; extra keys only multiply duplicate candidates ahead of
+    * distinct(). 4 bands = the fewest duplicate survivors per true
+    * pair. On fingerprint-degenerate corpora exact simhash is
+    * inherently quadratic in cluster size — at scale it is the
+    * VERIFIER; capped minhash is the discovery path (SCALE.md).
     */
   val HammingMax = 3
 
