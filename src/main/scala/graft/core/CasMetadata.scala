@@ -2,7 +2,7 @@ package graft.core
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.hadoop.fs.{FileAlreadyExistsException, Path => HPath}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
@@ -78,16 +78,20 @@ object CasMetadata {
   def read(spark: SparkSession, dir: String): Seq[FullRow] =
     latestVersion(spark, dir) match {
       case None => Seq.empty
-      case Some(v) =>
-        val mp = manifestPath(dir, v)
-        latestCache.get(dir) match {
-          case Some((p, rows)) if p == mp => rows
-          case _ =>
-            val rows = readManifest(spark, mp)
-            latestCache.put(dir, (mp, rows))
-            rows
-        }
+      case Some(v) => readVersion(spark, dir, v)
     }
+
+  private def readVersion(spark: SparkSession, dir: String,
+      v: Long): Seq[FullRow] = {
+    val mp = manifestPath(dir, v)
+    latestCache.get(dir) match {
+      case Some((p, rows)) if p == mp => rows
+      case _ =>
+        val rows = readManifest(spark, mp)
+        latestCache.put(dir, (mp, rows))
+        rows
+    }
+  }
 
   private def readManifest(spark: SparkSession,
       path: String): Seq[FullRow] = {
@@ -130,25 +134,14 @@ object CasMetadata {
     sb.toString
   }
 
-  /** Claim version `v` with `payload` via create-if-absent. True iff
-    * THIS caller created the manifest — the whole protocol's atomicity
-    * rests on this one primitive.
+  /** Claim version `v` with `payload` via create-if-absent
+    * ([[Fs.createIfAbsent]]). True iff THIS caller created the
+    * manifest — the whole protocol's atomicity rests on that one
+    * primitive.
     */
   private[graft] def tryClaim(spark: SparkSession, dir: String, v: Long,
-      payload: String): Boolean = {
-    val p = new HPath(manifestPath(dir, v))
-    val f = fs(spark, p.toString)
-    f.mkdirs(p.getParent)
-    val out =
-      try f.create(p, false /* overwrite */)
-      catch {
-        case _: FileAlreadyExistsException => return false
-        // RawLocalFileSystem signals an existing target as IOException
-        case e: java.io.IOException if f.exists(p) => return false
-      }
-    try out.write(payload.getBytes("UTF-8")) finally out.close()
-    true
-  }
+      payload: String): Boolean =
+    Fs.createIfAbsent(manifestPath(dir, v), payload.getBytes("UTF-8"))
 
   /** Merge `rows` into the table (replacing rows with the same
     * index_file — the same idempotent-rebuild semantics as
@@ -161,9 +154,14 @@ object CasMetadata {
     val newKeys = rows.map(_.indexFile).toSet
     var attempt = 0
     while (attempt < maxAttempts) {
-      val base = read(spark, dir)
+      // resolve the base version ONCE and claim base+1: if a racer
+      // commits between the resolve and the claim, the claim FAILS and
+      // we retry — resolving twice could claim a version the merge was
+      // never based on and silently drop the racer's rows
+      val latest = latestVersion(spark, dir)
+      val base = latest.map(readVersion(spark, dir, _)).getOrElse(Seq.empty)
       val merged = base.filterNot(r => newKeys.contains(r.indexFile)) ++ rows
-      val v = latestVersion(spark, dir).getOrElse(0L) + 1
+      val v = latest.getOrElse(0L) + 1
       if (tryClaim(spark, dir, v, render(merged))) return v
       attempt += 1
     }
@@ -195,9 +193,10 @@ object CasMetadata {
     val gone = indexFiles.toSet
     var attempt = 0
     while (attempt < maxAttempts) {
-      val base = read(spark, dir)
+      val latest = latestVersion(spark, dir)
+      val base = latest.map(readVersion(spark, dir, _)).getOrElse(Seq.empty)
       val kept = base.filterNot(r => gone.contains(r.indexFile))
-      val v = latestVersion(spark, dir).getOrElse(0L) + 1
+      val v = latest.getOrElse(0L) + 1
       if (tryClaim(spark, dir, v, render(kept))) return v
       attempt += 1
     }

@@ -250,20 +250,9 @@ object DeltaLog {
       // object store: conditional single-object PUT of the NDJSON —
       // create-if-absent decides the race; no temp file, no rename
       val target = commitFile(table, version)
-      val f = hfs(target)
-      val p = new org.apache.hadoop.fs.Path(target)
-      f.mkdirs(p.getParent)
-      val out =
-        try f.create(p, false /* overwrite */)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            throw new IllegalStateException(
-              s"concurrent Delta commit: version $version of $table already exists")
-          case e: java.io.IOException if f.exists(p) =>
-            throw new IllegalStateException(
-              s"concurrent Delta commit: version $version of $table already exists")
-        }
-      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+      if (!Fs.createIfAbsent(target, sb.toString.getBytes("UTF-8")))
+        throw new IllegalStateException(
+          s"concurrent Delta commit: version $version of $table already exists")
     }
   }
 

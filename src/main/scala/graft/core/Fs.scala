@@ -88,7 +88,10 @@ object Fs {
 
   /** The conditional-PUT primitive (`If-None-Match: *`): create `path`
     * with `bytes` iff absent. True iff THIS caller created it — the
-    * atom every rename-free commit protocol rests on.
+    * atom every rename-free commit protocol rests on. A store may
+    * surface the lost race at create() OR at write/close (an atomic
+    * PUT only decides when the full object lands), so the whole
+    * create→write→close sequence is guarded.
     */
   private[graft] def createIfAbsent(path: String,
       bytes: Array[Byte]): Boolean = {
@@ -103,8 +106,16 @@ object Fs {
         // RawLocalFileSystem signals an existing target as IOException
         case e: java.io.IOException if f.exists(p) => return false
       }
-    try out.write(bytes) finally out.close()
-    true
+    try {
+      try out.write(bytes) finally out.close()
+      true
+    } catch {
+      // a lost race surfacing at the PUT's completion; any other IO
+      // failure propagates (a false "lost race" would leave a torn
+      // object as the resolvable max)
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
   }
 
   /** Modification time in ms (directory or file). Fails if absent —

@@ -76,6 +76,26 @@ class CasCommitSpec extends AnyFunSuite {
       Set("base", "winner", "loser"))
   }
 
+  test("concurrent committers from real threads lose no rows") {
+    val d = dir("casthreads")
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            CasMetadata.commit(spark, d, Seq(row(s"t$i", s"$i.parquet")))
+        })
+      }
+      val versions = futures.map(_.get())
+      // every commit won SOME version, all versions distinct
+      assert(versions.toSet.size == n, versions.toString)
+      // and the final snapshot carries every thread's row
+      assert(CasMetadata.read(spark, d).map(_.indexFile).toSet ==
+        (1 to n).map(i => s"t$i").toSet)
+    } finally pool.shutdown()
+  }
+
   test("vacuum drops old manifests, never the live snapshot") {
     val d = dir("casvac")
     (1 to 5).foreach(i =>

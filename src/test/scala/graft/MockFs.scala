@@ -50,6 +50,60 @@ class NoRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       dst: org.apache.hadoop.fs.Path): Boolean =
     throw new UnsupportedOperationException(
       s"rename($src, $dst) on a no-rename object store")
+
+  // conditional-PUT semantics are the STORE's guarantee the CAS
+  // protocols build on (`PUT If-None-Match: *`): the object becomes
+  // visible ATOMICALLY WITH ITS CONTENT, and a lost race surfaces at
+  // the PUT's completion. RawLocal's create(overwrite=false) is only
+  // check-then-create with incremental visibility, so the mock
+  // emulates the real contract — buffer the bytes, and on close()
+  // publish them via hardlink of a fully-written temp file (atomic
+  // claim + content in one syscall; FileAlreadyExists if a racer won).
+  // The CLIENT still never calls rename — this is store-internal
+  // machinery, like the store's own replication.
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (overwrite)
+      super.create(f, permission, overwrite, bufferSize, replication,
+        blockSize, progress)
+    else atomicPut(f)
+
+  // FileSystem.create(Path, boolean) routes through THIS overload, not
+  // the permission one — both must arbitrate atomically
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (overwrite)
+      super.create(f, overwrite, bufferSize, replication, blockSize,
+        progress)
+    else atomicPut(f)
+
+  private def atomicPut(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+      val file = pathToFile(f)
+      java.nio.file.Files.createDirectories(file.getParentFile.toPath)
+      val buf = new java.io.ByteArrayOutputStream() {
+        override def close(): Unit = {
+          val tmp = java.nio.file.Files.createTempFile(
+            file.getParentFile.toPath, "_put", ".tmp")
+          java.nio.file.Files.write(tmp, toByteArray)
+          try java.nio.file.Files.createLink(file.toPath, tmp)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.delete(tmp)
+              throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                f.toString)
+          }
+          java.nio.file.Files.delete(tmp)
+        }
+      }
+      new org.apache.hadoop.fs.FSDataOutputStream(buf, null)
+  }
 }
 
 /** An AUTHORITY-BEARING variant (`mocks://bucket/...`) — the shape of
