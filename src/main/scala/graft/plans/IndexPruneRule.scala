@@ -201,32 +201,63 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     if (eqs.isEmpty) return None
 
-    // the literal side's key strings. Only StringType and integral
+    // the small side's key strings. Only StringType and integral
     // types are accepted (the Filter path's discipline): for those the
     // JVM toString equals Spark's cast-to-string, so the probe hashes
     // the same bytes the key/bloom index was built from. Date/Timestamp/
     // Decimal internal forms (days int, micros long, Decimal) do NOT —
     // probing with them would find no candidates and wrongly prune
     // files that contain matches.
+    def keyType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      dt match {
+        case StringType | ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
     def localKeys(p: LogicalPlan,
         attr: AttributeReference): Option[Seq[String]] = p match {
       case lr: LocalRelation if lr.data.size <= MaxJoinProbeKeys =>
         val i = lr.output.indexWhere(_.exprId == attr.exprId)
-        if (i < 0) return None
-        import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-        lr.output(i).dataType match {
-          case StringType =>
-            Some(lr.data.flatMap { row =>
-              if (row.isNullAt(i)) None
-              else Some(row.getString(i))
-            })
-          case ByteType | ShortType | IntegerType | LongType =>
-            Some(lr.data.flatMap { row =>
-              if (row.isNullAt(i)) None
-              else Some(row.get(i, lr.output(i).dataType).toString)
-            })
-          case _ => None
-        }
+        if (i < 0 || !keyType(lr.output(i).dataType)) None
+        else Some(lr.data.flatMap { row =>
+          if (row.isNullAt(i)) None
+          else Some(row.get(i, lr.output(i).dataType).toString)
+        })
+      // ANY deterministic small subplan — the common 100 TB shape is
+      // lake.join(dimParquet.filter(...), key), not a literal list.
+      // "Small" is Catalyst's own broadcast signal (stats ≤
+      // autoBroadcastJoinThreshold); the side is evaluated ONCE, with
+      // a limit guard, under the probing flag (same discipline as the
+      // index probes — this is dynamic file pruning, the subquery
+      // evaluation IS the point). Non-deterministic anything → bail:
+      // the keys at execution could differ from the probed set.
+      case p if p.output.exists(a => a.exprId == attr.exprId &&
+          keyType(a.dataType)) =>
+        val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
+        if (thresh <= 0 || p.stats.sizeInBytes > thresh) return None
+        if (p.find(n => n.expressions.exists(!_.deterministic)).nonEmpty)
+          return None
+        probing.set(true)
+        try {
+          import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Limit, Project}
+          // distinct first: the probe needs the key SET, so a side with
+          // many rows over few keys still qualifies
+          val keyPlan = Limit(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              MaxJoinProbeKeys + 1),
+            Distinct(Project(Seq(attr), p)))
+          val rows = spark.sessionState.executePlan(keyPlan)
+            .executedPlan.executeCollect()
+          if (rows.length > MaxJoinProbeKeys) None
+          else {
+            val dt = attr.dataType
+            Some(rows.toSeq.flatMap(r =>
+              if (r.isNullAt(0)) None
+              else Some(r.get(0, dt).toString)))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally probing.set(false)
       case _ => None
     }
 

@@ -170,6 +170,46 @@ class IndexPruneRuleSpec extends AnyFunSuite {
     assert(logicalScanFiles(anti, "prunedfp").size == 3)
   }
 
+  test("join pruning against a small deterministic PARQUET side (DFP)") {
+    val dir = TestSpark.tmpDir("prunedfp2")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-dfp2-$name")
+      rows.toDF("id", "name").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "alpha", 2L -> "beta"))
+    write("b", Seq(3L -> "gamma", 4L -> "delta"))
+    write("c", Seq(5L -> "epsilon", 6L -> "zeta"))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.KeyKind, "name", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+
+    // the production shape: the dim side is a FILTERED PARQUET table,
+    // not a literal list — its key set is evaluated once (it is under
+    // Catalyst's broadcast threshold) and drives the same file pruning
+    val dimDir = TestSpark.tmpDir("prunedim")
+    Seq(("gamma", 30), ("zeta", 60), ("omega", 99))
+      .toDF("name", "score").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("score") < 90)
+    val q = spark.read.parquet(dir).join(dim, "name")
+    assert(q.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 6L))
+    assert(logicalScanFiles(q, "prunedfp2").size == 2,
+      "expected the evaluated dim keys to prune the no-match file")
+
+    // a non-deterministic dim side must NOT drive pruning (its keys at
+    // execution could differ from any probed set). The predicate must
+    // be one the optimizer cannot fold away (rand >= -1 folds to true)
+    val rnd = spark.read.parquet(dimDir).filter(rand(7L) < 0.99)
+    val q2 = spark.read.parquet(dir).join(rnd, "name")
+    assert(q2.select("id").collect().map(_.getLong(0)).toSet
+      .subsetOf(Set(3L, 6L)))
+    assert(logicalScanFiles(q2, "prunedfp2").size == 3,
+      "non-deterministic side must disable pruning")
+  }
+
   test("join pruning bails out under row-position-sensitive operators") {
     val dir = TestSpark.tmpDir("prunelim")
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
