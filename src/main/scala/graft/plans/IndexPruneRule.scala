@@ -292,6 +292,14 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       descend(p).flatMap(l => eligible(l).map(e => (l, e)))
     }
 
+    // coverage check FIRST: a small-side evaluation (localKeys' subplan
+    // branch) runs a Spark job, so it must never fire for joins whose
+    // lake side has no key/bloom index to prune with
+    def hasIndex(prefix: String, colName: String): Boolean =
+      IndexStore.metadataRowsCached(spark, prefix).exists(r =>
+        r.column == colName &&
+          (r.indexType == "key" || r.indexType == "bloom"))
+
     eqs.view.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .flatMap { case (lakeAttr, localAttr) =>
         val (lakeSide, localSide) =
@@ -299,9 +307,10 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           else (j.right, j.left)
         if (!localSide.outputSet.contains(localAttr)) None
         else for {
+          (lrel, (fsRel, prefix, allFiles)) <- lakeTarget(lakeSide, lakeAttr)
+          if hasIndex(prefix, lakeAttr.name)
           keys <- localKeys(localSide, localAttr)
           if keys.nonEmpty
-          (lrel, (fsRel, prefix, allFiles)) <- lakeTarget(lakeSide, lakeAttr)
           keep <- keepFor(prefix, allFiles, lakeAttr.name, "key",
               keyProbe(_, keys))
             .orElse(keepFor(prefix, allFiles, lakeAttr.name, "bloom",
