@@ -58,6 +58,10 @@ class HttpRangeFs extends FileSystem {
     if (code == 404) throw new FileNotFoundException(f.toString)
     require(code / 100 == 2, s"HEAD $f -> HTTP $code")
     val len = c.getHeaderFieldLong("Content-Length", -1L)
+    // a length is non-negotiable: every positioned read derives its
+    // Range bound from it, and -1 would silently read as empty
+    require(len >= 0,
+      s"HEAD $f returned no Content-Length — range reads impossible")
     new FileStatus(len, false, 1, 1 << 16, 0L, f)
   }
 

@@ -11,6 +11,42 @@ import org.scalacheck.{Gen, Prop, Properties}
   */
 object PropertySpec extends Properties("graft") {
 
+  // ---- CAS metadata NDJSON round trip --------------------------------
+  // one snapshot manifest line per row, adversarial content: quotes,
+  // backslashes, raw newlines, JSON braces, unicode — the classic ways
+  // a hand-rolled line format loses rows. Jackson escapes embedded
+  // newlines, so linesIterator parsing stays 1:1 with rows.
+
+  private val nasty: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('"', '\\', '\n', '\t', ',', '{', '}'),
+      1 -> Gen.oneOf('é', '雪', 'А'))).map(_.mkString))
+
+  private val casRows: Gen[List[graft.core.CasMetadata.FullRow]] =
+    Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n,
+      for {
+        t <- nasty; c <- nasty
+        files <- Gen.chooseNum(0, 3).flatMap(Gen.listOfN(_, nasty))
+        counts <- Gen.listOfN(files.size, Gen.chooseNum(0L, 1L << 40))
+        kind <- nasty
+        ri <- Gen.chooseNum(0L, Long.MaxValue)
+        ts <- Gen.chooseNum(0L, Long.MaxValue)
+      } yield graft.core.CasMetadata.FullRow(t, c, files, counts,
+        "", kind, ri, ts)))
+
+  property("CasMetadata commit/read round-trips adversarial content") =
+    Prop.forAllNoShrink(casRows) { rows0 =>
+      // distinct index_file keys (the merge replaces by key)
+      val rows = rows0.zipWithIndex.map { case (r, i) =>
+        r.copy(indexFile = s"idx$i\u0000${r.table}")
+      }
+      val dir = "norename://" + TestSpark.tmpDir("casprop")
+      val spark = TestSpark.spark
+      graft.core.CasMetadata.commit(spark, dir, rows)
+      graft.core.CasMetadata.read(spark, dir).toSet == rows.toSet
+    }
+
   // ---- winnowing fingerprints vs a direct reimplementation -----------
 
   private val asciiText: Gen[String] =
