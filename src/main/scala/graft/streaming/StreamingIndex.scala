@@ -68,9 +68,12 @@ object StreamingIndex {
         .start()
       q.awaitTermination()
     }
-    val dirs = new java.io.File(root).listFiles()
-    dirs.filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .map(_.getAbsolutePath).sorted.toSeq
+    // list through the root's FileSystem — the index root may carry a
+    // non-local scheme (object store), where java.io.File sees nothing
+    graft.core.Fs.childStats(spark, root)
+      .collect { case (p, true, _)
+          if p.split('/').last.startsWith("b") => p }
+      .sorted
   }
 
   /** The kind's one-plan multi-index search over the per-batch indexes. */

@@ -1,6 +1,7 @@
 package graft
 
 import graft.api.{GraftLake, NgramKind}
+import org.apache.spark.sql.functions.{col, lower}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The index ROOT on an authority-bearing object-store-style scheme
@@ -62,6 +63,19 @@ class SchemeRootSpec extends AnyFunSuite {
       assert(searchIds("search") == Seq(1L, 3L, 5L))
       assert(searchIds("zone") == Seq(6L))
       assert(searchIds("nothing-here").isEmpty)
+
+      // streaming maintenance against the same scheme root: per-batch
+      // index builds, the checkpoint, and the batch-dir listing all go
+      // through the root's FileSystem
+      val sf = "/root/testdata/sf0.001"
+      val q = graft.ops.IndexQueries.QueryStr
+      val got = graft.streaming.StreamingIndex.search(spark, sf, q)
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      val want = graft.Tables.load(spark, sf, "documents")
+        .filter(lower(col("text")).contains(q))
+        .select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want && want.nonEmpty)
     } finally {
       prev match {
         case Some(v) => sys.props("graft.index.dir") = v
