@@ -130,6 +130,58 @@ object Pipeline {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** The PRODUCTION dedup composition at 100 TB — all three stages the
+    * scale docs prescribe, in their load-bearing order:
+    *   1. exact dedup (one hash groupBy) collapses identical-text mass
+    *      FIRST, so boilerplate mega-cliques never reach LSH;
+    *   2. CAPPED minhash LSH over the distinct-text survivors finds
+    *      near-dups with per-bucket work bounded at cap² (the skew
+    *      guard SkewSpec pins);
+    *   3. connected components → keeper = min-id per cluster.
+    * The stages compose exactly because stage 1 removes the one shape
+    * (identical docs by the million) whose band buckets the cap would
+    * otherwise drop — after it, every remaining near-dup clique is
+    * content-diverse and small. Signatures persist once like the other
+    * dedup fixtures.
+    */
+  def dedupProduction(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.withColumn("doc_id", col("doc_id") + 100000))
+    val survivors = corpus
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+      .select("doc_id", "text")
+    val fx = Dedup.ensureMinhashFixtureFor(s, dir,
+      "dedup_production_fixture", survivors)
+    val labels = connectedComponents(
+      Dedup.minhashPairsFromFixture(s, fx, Some(Dedup.BucketCap))
+        .select(col("i"), col("j")))
+      .withColumnRenamed("id", "doc_id")
+    survivors.join(labels, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  private def dedupProductionSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT doc_id, text FROM documents
+       |           UNION ALL SELECT doc_id + 100000, text FROM documents),
+       |survivors AS (
+       |  SELECT min(doc_id) AS doc_id, min(text) AS text
+       |  FROM corpus GROUP BY md5(text)),
+       |pairs AS (
+       |${Dedup.minhashSqlImpl(Some(Dedup.BucketCap), source = "survivors")}
+       |),
+       |sym AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id),
+       |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+       |SELECT s.doc_id FROM survivors s LEFT JOIN labels l ON l.id = s.doc_id
+       |WHERE l.cluster IS NULL OR l.cluster = s.doc_id ORDER BY s.doc_id""".stripMargin
+
   private def dedupApplySql: String =
     s"""WITH RECURSIVE
        |corpus AS (SELECT doc_id, text FROM documents
@@ -676,6 +728,12 @@ object Pipeline {
     // cluster, singletons keep themselves) — the dedup pipeline's
     // actual output table
     "dedup_apply" -> Q((s, dir) => dedupApply(s, dir), dedupApplySql),
+
+    // the full production composition: exact collapse → CAPPED LSH on
+    // survivors → CC → keepers, each stage's oracle fragment already
+    // proven by its standalone entry
+    "dedup_production" -> Q((s, dir) => dedupProduction(s, dir),
+      dedupProductionSql),
 
     // the composed prep flow: quality → lang → dedup → decontaminate →
     // pack, one Catalyst plan end-to-end
