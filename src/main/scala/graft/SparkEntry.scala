@@ -18,6 +18,7 @@ object SparkEntry {
       graft.ops.Dedup.entries ++
       graft.ops.Similarity.entries ++
       graft.ops.Clustering.entries ++
+      graft.ops.Classifier.entries ++
       graft.index.VectorIndex.entries ++
       graft.index.VamanaIndex.entries ++
       graft.index.LogCloudIndex.entries ++

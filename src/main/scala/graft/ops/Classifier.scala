@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.text.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trainable text classifier for pipeline curation — the fastText /
+  * CCNet "quality classifier" stage of LLM data pipelines (train on a
+  * labeled seed corpus, score the unlabeled lake), expressed as pure
+  * aggregation dataflow so training is itself a distributed Spark job
+  * with a DuckDB-reproducible result.
+  *
+  * Model: multinomial Naive-Bayes-style likelihood-ratio scorer. For
+  * token t and class c over the TRAIN split,
+  *
+  *   rho(t, c) = S * P̂(t | c) / P̂(t)        (Laplace-smoothed)
+  *             = (S * (n_tc + 1) * (N + V)) div ((n_t + 1) * (N_c + V))
+  *
+  * and a document scores `sum_t count(t, d) * rho(t, c)` per class;
+  * the prediction is the argmax (ties broken by class name). Per the
+  * library's ulp convention (see [[Pipeline.dsirSample]]) the log-sum
+  * is linearized to a sum of INTEGER-quantized ratios computed in
+  * DECIMAL(38) intermediates — web-scale count products overflow
+  * 64-bit — so both engines produce bit-identical scores and the hash
+  * oracle is exact. The driver's synthetic text shares one vocabulary
+  * across classes, so accuracy here is near-chance by construction;
+  * the entries verify the MACHINERY (split, train counts, smoothing,
+  * densified rho, scoring join, argmax) end to end.
+  *
+  * Scale shape (100 TB): train counts are one partial-agg groupBy of
+  * the token stream (vocab-bounded output); the rho table is
+  * vocab x classes rows built from a broadcast of the class totals;
+  * scoring is a shuffle join on token (both sides token-partitioned;
+  * rho is the small side and broadcasts when vocab x classes fits)
+  * into a (doc, class) groupBy with map-side combine; the argmax is a
+  * doc-partitioned window — no global sort, no driver materialization
+  * anywhere.
+  */
+object Classifier {
+
+  /** Ratio quantization scale (same convention as [[Pipeline.DsirS]]). */
+  val S = 10000L
+
+  /** Held-out split: doc_id % TestMod == 0 is scored, the rest trains. */
+  val TestMod = 5
+
+  val LabelCol = "lang"
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col(LabelCol).as("cls"),
+        explode(Text.tokens(col("text"))).as("t"))
+
+  /** Densified quantized likelihood-ratio table: one row per
+    * (token, class) in the TRAIN vocabulary, including zero-count
+    * pairs (Laplace smoothing needs them; an inner join on observed
+    * counts would silently drop the smoothing mass).
+    */
+  def rhoTable(train: DataFrame): DataFrame = {
+    val tc = train.groupBy("t", "cls").agg(count(lit(1)).as("ntc"))
+    val cls = train.groupBy("cls").agg(count(lit(1)).as("nc"))
+    val voc = train.groupBy("t").agg(count(lit(1)).as("nt"))
+    val tot = voc.agg(sum("nt").as("n"), count(lit(1)).as("v"))
+    voc.crossJoin(broadcast(cls)) // vocab x classes — classes are tiny
+      .join(tc, Seq("t", "cls"), "left").na.fill(0L, Seq("ntc"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("cls"),
+        expr(s"CAST(($S * CAST(ntc + 1 AS DECIMAL(38,0)) * (n + v)) div " +
+          "(CAST(nt + 1 AS DECIMAL(38,0)) * (nc + v)) AS BIGINT)").as("rho"))
+  }
+
+  /** (doc_id, pred, score) for the held-out split. Documents whose
+    * tokens are all outside the train vocabulary produce no score rows
+    * and are absent (no evidence, no prediction) — same semantics in
+    * the oracle.
+    */
+  def predict(s: SparkSession, dir: String): DataFrame = {
+    val all = toks(s, dir)
+    val rho = rhoTable(all.filter(col("doc_id") % TestMod =!= 0).drop("doc_id"))
+    val testCounts = all.filter(col("doc_id") % TestMod === 0)
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("ctd"))
+    val scores = testCounts.join(rho, Seq("t"))
+      .groupBy(col("doc_id"), col("cls").as("pred"))
+      .agg(sum(col("ctd") * col("rho")).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("pred"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("pred"), col("score"))
+  }
+
+  private val toksSql =
+    s"""toks AS (SELECT doc_id, $LabelCol AS cls,
+       |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+       |FROM documents),
+       |train AS (SELECT cls, t FROM toks WHERE doc_id % $TestMod <> 0),
+       |tc AS (SELECT t, cls, count(*) AS ntc FROM train GROUP BY 1, 2),
+       |cl AS (SELECT cls, count(*) AS nc FROM train GROUP BY 1),
+       |voc AS (SELECT t, count(*) AS nt FROM train GROUP BY 1),
+       |tot AS (SELECT sum(nt) AS n, count(*) AS v FROM voc),
+       |rho AS (SELECT voc.t, cl.cls,
+       |    CAST(($S * CAST(coalesce(ntc, 0) + 1 AS HUGEINT) * (n + v)) //
+       |         (CAST(nt + 1 AS HUGEINT) * (nc + v)) AS BIGINT) AS rho
+       |  FROM voc CROSS JOIN cl
+       |  LEFT JOIN tc ON tc.t = voc.t AND tc.cls = cl.cls
+       |  CROSS JOIN tot),
+       |tcnt AS (SELECT doc_id, t, count(*) AS ctd FROM toks
+       |  WHERE doc_id % $TestMod = 0 GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, rho.cls AS pred, CAST(sum(ctd * rho) AS BIGINT) AS score
+       |  FROM tcnt JOIN rho USING (t) GROUP BY 1, 2),
+       |rk AS (SELECT doc_id, pred, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pred) AS rn
+       |  FROM sc)""".stripMargin
+
+  private val predictSql =
+    s"""WITH $toksSql
+       |SELECT doc_id, pred, score FROM rk WHERE rn = 1""".stripMargin
+
+  private val evalSql =
+    s"""WITH $toksSql
+       |SELECT count(*) AS n_test,
+       |  CAST(count(*) FILTER (WHERE pred = $LabelCol) AS BIGINT) AS n_correct
+       |FROM (SELECT doc_id, pred FROM rk WHERE rn = 1) p
+       |JOIN documents USING (doc_id)""".stripMargin
+
+  def entries: Map[String, Q] = Map(
+    "classifier_nb_predict" -> Q((s, dir) => predict(s, dir), predictSql),
+    // resubstitution-style evaluation of the predictions against the
+    // held-out labels — the pipeline's accept/reject health number
+    "classifier_nb_eval" -> Q((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col(LabelCol))
+      predict(s, dir).join(docs, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === col(LabelCol), 1L).otherwise(0L))
+            .as("n_correct"))
+    }, evalSql)
+  )
+}

@@ -135,14 +135,11 @@ object Similarity {
     }
   }
 
-  /** Embedding near-dup pairs via LSH sign-signature banding — the
-    * scale path: candidate generation is a hash join on (band, key),
-    * never all-pairs, and the blocking key needs no labels. Verified
-    * pairs are exact cosine ≥ τ, so banding recall only bounds which
-    * pairs are FOUND (the oracle runs the same pipeline).
+  /** (vec_id, k, band) rows of the md5-derived sign-LSH banding —
+    * shared candidate machinery of [[embeddingDedupLsh]] and
+    * [[knnJoinLsh]].
     */
-  def embeddingDedupLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(s, dir)
+  private def lshBands(e: DataFrame): DataFrame = {
     val coefLit = typedLit(lshCoefs)
     val vq = transform(col("v"), x => round(x * VecQuant).cast("long"))
     val sigCol = (0 until LshBits).map { b =>
@@ -154,10 +151,21 @@ object Similarity {
     val sigs = e.withColumn("vq", vq).withColumn("sig", sigCol)
       .select("vec_id", "sig")
     val nBands = LshBits / LshBandBits
-    val banded = sigs.select(col("vec_id"),
+    sigs.select(col("vec_id"),
       posexplode(array((0 until nBands).map(k =>
         expr(s"(sig >> ${LshBandBits * k}) & ${(1 << LshBandBits) - 1}")): _*))
         .as(Seq("k", "band")))
+  }
+
+  /** Embedding near-dup pairs via LSH sign-signature banding — the
+    * scale path: candidate generation is a hash join on (band, key),
+    * never all-pairs, and the blocking key needs no labels. Verified
+    * pairs are exact cosine ≥ τ, so banding recall only bounds which
+    * pairs are FOUND (the oracle runs the same pipeline).
+    */
+  def embeddingDedupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val banded = lshBands(e)
     val cand = banded.select(col("vec_id").as("i"), col("k"), col("band"))
       .join(banded.select(col("vec_id").as("j"), col("k"), col("band")),
         Seq("k", "band"))
@@ -202,6 +210,113 @@ object Similarity {
        |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) >= $DedupTau""".stripMargin
   }
 
+  // ---- KNN join (every vector → its top-k neighbors) -----------------
+
+  /** Neighbors per vector in the KNN join. */
+  val KnnJoinK = 3
+
+  /** Recall-gate panel: the first [[KnnPanelN]] vec_ids. */
+  val KnnPanelN = 20
+
+  /** Alarm floor for the LSH join's panel-mean recall@k — like
+    * [[graft.index.VectorIndex.ProbeRecallFloor]] this is the
+    * regression tripwire, not the expectation. Measured ≈0.47 mean at
+    * sf0.001/0.01/0.1: the synthetic embeddings are i.i.d. random —
+    * NO planted neighbor structure, LSH's theoretical worst case
+    * (top-k "neighbors" of a random vector barely beat random pairs
+    * on sign-bit agreement). Real near-duplicate corpora sit far
+    * above this because genuinely-close pairs agree on most
+    * hyperplane signs. 0.3 still trips on machinery regressions: a
+    * broken banding degenerates toward the random-candidate baseline
+    * (≈0.2 here) or to zero.
+    */
+  val KnnRecallFloor = 0.3
+
+  /** KNN JOIN — every vector gets its [[KnnJoinK]] nearest neighbors:
+    * the workhorse of SemDeDup-style pipelines (neighbor graphs,
+    * cluster seeding, redundancy pruning). The scale path is the LSH
+    * band join: candidates are pairs sharing ≥1 signature band (a hash
+    * join on (band, key), never the n² cross product), scored with the
+    * exact cosine, top-k per LEFT row. Because the hyperplanes derive
+    * from md5 (see [[lshCoefs]]) the candidate set — and therefore the
+    * whole result — is deterministically reproducible in the DuckDB
+    * oracle: this entry is hash-matched, and [[entries]]'
+    * knn_join_recall quantifies how close the banded neighbor lists
+    * are to the exact ones. At 100 TB the band join inherits the
+    * minhash skew discipline (cap candidates per bucket against
+    * degenerate bands, see SCALE.md).
+    */
+  def knnJoinLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, dir)
+    val banded = lshBands(e)
+    val cand = banded.select(col("vec_id").as("i"), col("k"), col("band"))
+      .join(banded.select(col("vec_id").as("j"), col("k"), col("band")),
+        Seq("k", "band"))
+      .filter(col("i") =!= col("j")) // directed: each side keeps its own top-k
+      .select("i", "j").distinct()
+    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
+    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
+    cand.join(a, Seq("i")).join(b, Seq("j"))
+      .withColumn("cos",
+        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnJoinK)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
+  def knnJoinLshSql: String = {
+    val nBands = LshBits / LshBandBits
+    val mask = (1 << LshBandBits) - 1
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eq AS (SELECT vec_id, [CAST(round(x * $VecQuant) AS BIGINT) for x in v] AS vq FROM e),
+       |h AS (SELECT b, j,
+       |        CASE WHEN strpos('01234567', substr(md5(b::VARCHAR || ':' || j::VARCHAR), 1, 1)) > 0
+       |             THEN 1 ELSE -1 END AS c
+       |      FROM generate_series(0, ${LshBits - 1}) t(b),
+       |           generate_series(0, ${VecDim - 1}) s(j)),
+       |dots AS (SELECT eq.vec_id, h.b, sum(h.c * eq.vq[h.j + 1]) AS d
+       |         FROM eq CROSS JOIN h GROUP BY eq.vec_id, h.b),
+       |sigs AS (SELECT vec_id,
+       |           CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+       |         FROM dots GROUP BY vec_id),
+       |bands AS (SELECT vec_id, k, (sig >> ($LshBandBits * k)) & $mask AS band
+       |          FROM sigs, generate_series(0, ${nBands - 1}) g(k)),
+       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |         FROM bands a JOIN bands b USING (k, band)
+       |         WHERE a.vec_id <> b.vec_id),
+       |sc AS (SELECT c.i, c.j,
+       |  round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 6) AS cos
+       |  FROM cand c JOIN e a ON a.vec_id = c.i JOIN e b ON b.vec_id = c.j),
+       |rk AS (SELECT i, j, cos,
+       |         row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn
+       |       FROM sc)
+       |SELECT i, j, cos FROM rk WHERE rn <= $KnnJoinK""".stripMargin
+  }
+
+  /** Exact top-k neighbors for the [[KnnPanelN]]-query panel: the
+    * panel side is a broadcast (20 rows), never a cross product of the
+    * corpus against itself.
+    */
+  def knnJoinPanelExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, dir)
+    val panel = e.filter(col("vec_id") < KnnPanelN)
+      .select(col("vec_id").as("i"), col("v").as("va"))
+    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
+    broadcast(panel)
+      .join(e.select(col("vec_id").as("j"), col("v").as("vb")),
+        col("i") =!= col("j"))
+      .withColumn("cos",
+        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnJoinK)
+      .select(col("i"), col("j"))
+  }
+
   def entries: Map[String, Q] = Map(
     "similarity_knn_brute" -> Q((s, dir) => knnBrute(s, dir), knnSql),
     // filtered vector search, brute baseline: filter-then-rank
@@ -212,6 +327,28 @@ object Similarity {
     // small scale, made real (SCALE.md: at 100 TB the block is an
     // LSH/IVF cell, not a label)
     "dedup_embedding_lsh" -> Q(
-      (s, dir) => embeddingDedupLsh(s, dir), embeddingDedupLshSql)
+      (s, dir) => embeddingDedupLsh(s, dir), embeddingDedupLshSql),
+    // KNN join, hash-matched: the LSH candidate set is md5-derived so
+    // the oracle reproduces it exactly (approximate vs the TRUE
+    // neighbors, deterministic vs the oracle)
+    "knn_join_lsh" -> Q((s, dir) => knnJoinLsh(s, dir), knnJoinLshSql),
+    // quantitative gate: panel-mean recall@k of the banded neighbor
+    // lists vs the exact ones must clear the alarm floor
+    "knn_join_recall" -> Q((s, dir) => {
+      import s.implicits._
+      val approx = knnJoinLsh(s, dir).filter(col("i") < KnnPanelN)
+        .select("i", "j").collect()
+        .groupBy(_.getLong(0)).map { case (i, rs) =>
+          i -> rs.map(_.getLong(1)).toSet }
+      val exact = knnJoinPanelExact(s, dir).collect()
+        .groupBy(_.getLong(0)).map { case (i, rs) =>
+          i -> rs.map(_.getLong(1)).toSet }
+      val recalls = exact.map { case (i, truth) =>
+        truth.intersect(approx.getOrElse(i, Set.empty)).size.toDouble /
+          truth.size
+      }
+      val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+      Seq(mean >= KnnRecallFloor).toDF("recall_ok")
+    }, "SELECT true AS recall_ok")
   )
 }

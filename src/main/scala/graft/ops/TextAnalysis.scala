@@ -342,6 +342,58 @@ object TextAnalysis {
         |  (SELECT count(DISTINCT user_id) FROM events) AS exact_users,
         |  true AS within_tol""".stripMargin),
 
+    // mergeable quantile sketch (Greenwald–Khanna via percentile_approx)
+    // gated against the exact rank statistic: the sketch is the 100 TB
+    // path — constant-size partials, one per partition, merged
+    // associatively — while the exact side (a global sort) is the gate
+    // baseline, same convention as corpus_distinct_sketch. The gate
+    // checks the sketch's RANK error against its ε = 1/accuracy
+    // contract (value tolerance would be data-dependent; the GK bound
+    // is on rank), and emits the exact quantiles for the hash oracle.
+    "corpus_quantile_sketch" -> Q((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .select(col("n_chars").cast("long").as("x"))
+      val n = d.count()
+      val ps = Seq(0.25, 0.5, 0.75)
+      val acc = 100 // ε = 1% rank error
+      val approx = d.agg(
+        percentile_approx(col("x"), typedLit(ps), lit(acc)).as("q"))
+        .collect()(0).getSeq[Long](0)
+      // the sketch value's true rank interval vs the ε-band around p·n
+      val rankCols = ps.indices.flatMap { i =>
+        Seq(sum(when(col("x") < approx(i), 1L).otherwise(0L)).as(s"lt$i"),
+          sum(when(col("x") <= approx(i), 1L).otherwise(0L)).as(s"le$i"))
+      }
+      val rr = d.agg(rankCols.head, rankCols.tail: _*).collect()(0)
+      val eps = math.ceil(n.toDouble / acc).toLong + 1
+      val ok = ps.indices.forall { i =>
+        val (lo, hi) = (rr.getLong(2 * i) + 1, rr.getLong(2 * i + 1))
+        val t = math.ceil(ps(i) * n).toLong
+        hi >= t - eps && lo <= t + eps
+      }
+      // exact side: value at rank ceil(p·n) — the deliberate global
+      // sort this gate exists to make unnecessary at scale
+      val targets = ps.map(p => math.ceil(p * n).toLong)
+      val w = Window.orderBy(col("x"))
+      val ex = d.withColumn("rn", row_number().over(w))
+        .filter(col("rn").isin(targets: _*))
+        .collect().map(r => r.getInt(1).toLong -> r.getLong(0)).toMap
+      Seq((ex(targets(0)), ex(targets(1)), ex(targets(2)), ok))
+        .toDF("q25_exact", "q50_exact", "q75_exact", "within_tol")
+    },
+      """WITH s AS (SELECT n_chars AS x,
+        |    row_number() OVER (ORDER BY n_chars) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT
+        |  max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN x END) AS q25_exact,
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN x END) AS q50_exact,
+        |  max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN x END) AS q75_exact,
+        |  true AS within_tol
+        |FROM s""".stripMargin),
+
     // per-document lexical diversity: type-token ratio + hapax count
     // (tokens occurring exactly once in the doc). ONE shuffle: docs are
     // repartitioned by doc_id BEFORE exploding (the shuffle carries each
