@@ -70,7 +70,9 @@ object ScaleBench {
       "logcloud_build" -> (() =>
         graft.index.LogCloudIndex.build(spark,
           graft.index.LogCloudIndex.eventLines(spark, dir),
-          idx("logcloud"))))
+          idx("logcloud"))),
+      "classifier_nb" -> (() =>
+        graft.ops.Classifier.predict(spark, dir).count()))
 
     // optional op filter: second arg = comma-separated op names
     val selected =

@@ -96,9 +96,14 @@ object Clustering {
     a2.select(col("vec_id"), col("cluster"))
   }
 
-  private def kmeansSql: String = {
+  /** Shared CTE chain of the integer-exact Lloyd's rounds, through the
+    * final per-(vector, centroid) distance table `d2` — reused by
+    * [[kmeansSql]] (rn = 1 assignment) and the IVF knn join's oracle
+    * (rn ≤ probe multi-assignment).
+    */
+  private def kmeansCtes: String = {
     val dim = Similarity.VecDim
-    s"""WITH e AS (SELECT vec_id, [CAST(round(x * $Quant) AS BIGINT) for x in embedding::DOUBLE[]] AS q FROM embeddings),
+    s"""e AS (SELECT vec_id, [CAST(round(x * $Quant) AS BIGINT) for x in embedding::DOUBLE[]] AS q FROM embeddings),
        |c0 AS (SELECT vec_id AS k, q FROM e WHERE vec_id < $K),
        |d1 AS (SELECT e.vec_id, c0.k,
        |         list_sum([(e.q[i] - c0.q[i]) * (e.q[i] - c0.q[i]) for i in generate_series(1, $dim)]) AS dist
@@ -113,11 +118,14 @@ object Clustering {
        |c1 AS (SELECT cluster AS k, list(m ORDER BY i) AS q FROM m1 GROUP BY cluster),
        |d2 AS (SELECT e.vec_id, c1.k,
        |         list_sum([(e.q[i] - c1.q[i]) * (e.q[i] - c1.q[i]) for i in generate_series(1, $dim)]) AS dist
-       |       FROM e CROSS JOIN c1)
+       |       FROM e CROSS JOIN c1)""".stripMargin
+  }
+
+  private def kmeansSql: String =
+    s"""WITH $kmeansCtes
        |SELECT vec_id, cluster FROM (
        |  SELECT vec_id, k AS cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d2) t
        |WHERE rn = 1""".stripMargin
-  }
 
   // ---- semantic dedup (cluster-blocked) -------------------------------
 
@@ -158,6 +166,96 @@ object Clustering {
        |WHERE round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
        |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
        |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) >= ${Similarity.DedupTau}""".stripMargin
+
+  // ---- IVF-cell KNN join (the production neighbor graph) -------------
+
+  /** Cells probed per vector in the IVF knn join (multi-assignment:
+    * a vector is a candidate in its [[IvfProbe]] nearest cells, so
+    * near-boundary neighbors are not lost to the cell edge).
+    */
+  val IvfProbe = 2
+
+  /** Alarm floor for the IVF join's panel-mean recall@k (see
+    * [[Similarity.KnnRecallFloor]] for the convention; measured
+    * 0.78–0.85 mean at sf0.001/0.01/0.1 even on the structureless
+    * synthetic embeddings — L2 cells capture cosine locality far
+    * better than 4-bit sign bands, whose same-panel mean is ≈0.47).
+    */
+  val IvfKnnRecallFloor = 0.6
+
+  /** Top-`p` nearest centroids per vector — the multi-assignment the
+    * IVF knn join blocks on. Same literal-centroid map stage as
+    * [[assign]]; the per-vector top-p is a K-wide window.
+    */
+  private def assignTop(e: DataFrame, cents: Seq[(Long, Seq[Long])],
+      p: Int): DataFrame = {
+    val ordered = cents.sortBy(_._1)
+    val centLit = typedLit(ordered.map(_._2))
+    val kLit = typedLit(ordered.map(_._1))
+    val dists = transform(centLit, c =>
+      aggregate(zip_with(col("q"), c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    e.withColumn("da", dists)
+      .select(col("vec_id"), posexplode(col("da")).as(Seq("ci", "dist")))
+      .withColumn("cell", element_at(kLit, (col("ci") + 1).cast("int")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= p)
+      .select("vec_id", "cell")
+  }
+
+  /** KNN JOIN, IVF-cell-blocked — the production path for the
+    * all-corpus neighbor graph: vectors only compete inside their
+    * [[IvfProbe]] nearest k-means cells (the same centroid partitions
+    * the ANN index prunes by, reference:
+    * python/rottnest/indices/vector_index.py:88-102 assigns exactly
+    * this way), so the pair join is bounded by cell size (~n/K per
+    * cell, K scaling with n at 100 TB per the reference's n/10k rule)
+    * at ANY corpus size — unlike sign-LSH bands, cells stay balanced
+    * on structureless data too. The integer-exact k-means makes the
+    * blocking deterministic, so the whole result hash-matches its
+    * DuckDB oracle; knn_join_ivf_recall quantifies closeness to the
+    * TRUE neighbor lists.
+    */
+  def knnJoinIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val init = e.filter(col("vec_id") < K).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val cents = recompute(assign(e, init))
+    val cells = assignTop(e, cents, IvfProbe)
+    val cand = cells.select(col("vec_id").as("i"), col("cell"))
+      .join(cells.select(col("vec_id").as("j"), col("cell")), Seq("cell"))
+      .filter(col("i") =!= col("j"))
+      .select("i", "j").distinct()
+    val ev = Similarity.embeddings(s, dir)
+    val a = ev.select(col("vec_id").as("i"), col("v").as("va"))
+    val b = ev.select(col("vec_id").as("j"), col("v").as("vb"))
+    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
+    cand.join(a, Seq("i")).join(b, Seq("j"))
+      .withColumn("cos",
+        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Similarity.KnnJoinK)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
+  private def knnJoinIvfSql: String =
+    s"""WITH $kmeansCtes,
+       |a2 AS (SELECT vec_id, k AS cell FROM (
+       |         SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d2) t
+       |       WHERE rn <= $IvfProbe),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |         FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |sc AS (SELECT c.i, c.j,
+       |  round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 6) AS cos
+       |  FROM cand c JOIN ev a ON a.vec_id = c.i JOIN ev b ON b.vec_id = c.j),
+       |rk AS (SELECT i, j, cos,
+       |         row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn
+       |       FROM sc)
+       |SELECT i, j, cos FROM rk WHERE rn <= ${Similarity.KnnJoinK}""".stripMargin
 
   // ---- batch KNN join ------------------------------------------------
 
@@ -236,6 +334,27 @@ object Clustering {
     // ⇒ the oracle reproduces the identical blocking)
     "dedup_semantic" -> Q((s, dir) => semanticDedup(s, dir), semanticSql),
     "similarity_knn_join" -> Q((s, dir) => knnJoin(s, dir), knnJoinSql),
-    "embed_quantize_int8" -> Q((s, dir) => quantizeInt8(s, dir), quantizeSql)
+    "embed_quantize_int8" -> Q((s, dir) => quantizeInt8(s, dir), quantizeSql),
+    // all-corpus neighbor graph, IVF-cell-blocked (production path;
+    // deterministic blocking ⇒ exact hash oracle)
+    "knn_join_ivf" -> Q((s, dir) => knnJoinIvf(s, dir), knnJoinIvfSql),
+    // panel-mean recall@k of the cell-blocked lists vs the exact ones
+    "knn_join_ivf_recall" -> Q((s, dir) => {
+      import s.implicits._
+      val approx = knnJoinIvf(s, dir)
+        .filter(col("i") < Similarity.KnnPanelN)
+        .select("i", "j").collect()
+        .groupBy(_.getLong(0)).map { case (i, rs) =>
+          i -> rs.map(_.getLong(1)).toSet }
+      val exact = Similarity.knnJoinPanelExact(s, dir).collect()
+        .groupBy(_.getLong(0)).map { case (i, rs) =>
+          i -> rs.map(_.getLong(1)).toSet }
+      val recalls = exact.map { case (i, truth) =>
+        truth.intersect(approx.getOrElse(i, Set.empty)).size.toDouble /
+          truth.size
+      }
+      val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+      Seq(mean >= IvfKnnRecallFloor).toDF("recall_ok")
+    }, "SELECT true AS recall_ok")
   )
 }

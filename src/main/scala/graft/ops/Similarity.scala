@@ -242,9 +242,12 @@ object Similarity {
     * whole result — is deterministically reproducible in the DuckDB
     * oracle: this entry is hash-matched, and [[entries]]'
     * knn_join_recall quantifies how close the banded neighbor lists
-    * are to the exact ones. At 100 TB the band join inherits the
-    * minhash skew discipline (cap candidates per bucket against
-    * degenerate bands, see SCALE.md).
+    * are to the exact ones. At 100 TB the band-bucket size is governed
+    * by the band-key WIDTH: buckets hold ~n/2^bits vectors, so
+    * production sizes [[LshBandBits]] ≈ log2(n / targetBucket) to keep
+    * the per-bucket join bounded (this fixture keeps the dedup
+    * pipeline's 4-bit bands for oracle parity), with the
+    * dedup_minhash_capped bucket cap as the residual-skew guard.
     */
   def knnJoinLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

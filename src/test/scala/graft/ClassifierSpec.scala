@@ -57,6 +57,21 @@ class ClassifierSpec extends AnyFunSuite {
     assert(r.getLong(0) == n)
     assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(0))
   }
+
+  test("empty train split yields an empty rho table, not a crash") {
+    import spark.implicits._
+    val rho = Classifier.rhoTable(
+      Seq.empty[(String, String)].toDF("t", "cls"))
+    assert(rho.collect().isEmpty)
+  }
+
+  test("single-class training still ranks (degenerate but defined)") {
+    import spark.implicits._
+    val train = Seq(("a", "x"), ("b", "x")).toDF("t", "cls")
+    val rho = Classifier.rhoTable(train).collect()
+    assert(rho.length == 2) // 2 tokens x 1 class
+    assert(rho.forall(_.getLong(2) > 0))
+  }
 }
 
 class KnnJoinSpec extends AnyFunSuite {
@@ -94,5 +109,20 @@ class KnnJoinSpec extends AnyFunSuite {
   test("panel recall clears the gate floor") {
     val r = Similarity.entries("knn_join_recall").fn(spark, sf).collect()(0)
     assert(r.getBoolean(0), "panel-mean recall fell below the alarm floor")
+  }
+
+  test("knnJoinIvf: bounded directed lists, no self, cell-blocked") {
+    val rows = graft.ops.Clustering.knnJoinIvf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (i, rs) =>
+      assert(rs.length <= Similarity.KnnJoinK)
+      assert(!rs.map(_.getLong(1)).contains(i))
+    }
+  }
+
+  test("IVF panel recall clears its gate floor and beats the LSH panel") {
+    val r = graft.ops.Clustering.entries("knn_join_ivf_recall")
+      .fn(spark, sf).collect()(0)
+    assert(r.getBoolean(0), "IVF panel-mean recall fell below the alarm floor")
   }
 }
