@@ -91,6 +91,49 @@ object Classifier {
       .select(col("doc_id"), col("pred"), col("score"))
   }
 
+  /** Broadcast-model scoring: trains the rho table batch-side, ships
+    * it as a token → per-class-rho MAP literal, and scores `docs` in a
+    * single map-only pass (array fold per row, no explode, no shuffle)
+    * — the shape a production scorer uses on a STREAM or on executors
+    * without re-aggregating (train once, broadcast the model, score
+    * anywhere). Semantically identical to [[predict]]: the fold sums
+    * rho over token instances, OOV tokens contribute zero, documents
+    * with no in-vocabulary token are dropped, argmax ties break toward
+    * the lexicographically first class (array_position returns the
+    * FIRST maximum and classes are sorted). The model is vocab×classes
+    * longs — at 100 TB cap the vocabulary (top-V by train count or
+    * feature hashing) before shipping, like any fastText-style model.
+    */
+  def scoreWithModel(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val train = toks(s, dir).filter(col("doc_id") % TestMod =!= 0)
+    val rho = rhoTable(train.drop("doc_id")).collect()
+    val classes = rho.map(_.getString(1)).distinct.sorted.toSeq
+    val cIdx = classes.zipWithIndex.toMap
+    val model: Map[String, Seq[Long]] =
+      rho.groupBy(_.getString(0)).map { case (t, rs) =>
+        val arr = Array.fill(classes.size)(0L)
+        rs.foreach(r => arr(cIdx(r.getString(1))) = r.getLong(2))
+        t -> arr.toSeq
+      }
+    val mapLit = typedLit(model)
+    val clsLit = typedLit(classes)
+    val zero = array_repeat(lit(0L), classes.size)
+    val tk = Text.tokens(col("text"))
+    val scores = aggregate(tk, zero, (acc, t) =>
+      zip_with(acc, coalesce(element_at(mapLit, t), zero), (a, b) => a + b))
+    docs
+      .withColumn("matched",
+        size(filter(tk, t => element_at(mapLit, t).isNotNull)))
+      .filter(col("matched") > 0)
+      .withColumn("sc", scores)
+      .withColumn("best", array_max(col("sc")))
+      .select(col("doc_id"),
+        element_at(clsLit,
+          array_position(col("sc"), col("best")).cast("int")).as("pred"),
+        col("best").as("score"))
+  }
+
   private val toksSql =
     s"""toks AS (SELECT doc_id, $LabelCol AS cls,
        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
@@ -114,7 +157,7 @@ object Classifier {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pred) AS rn
        |  FROM sc)""".stripMargin
 
-  private val predictSql =
+  private[graft] val predictSql =
     s"""WITH $toksSql
        |SELECT doc_id, pred, score FROM rk WHERE rn = 1""".stripMargin
 

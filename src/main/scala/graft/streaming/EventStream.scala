@@ -163,9 +163,31 @@ object EventStream {
     } finally contaminated.unpersist()
   }
 
+  /** Held-out documents scored by the batch-trained classifier model
+    * on a STREAM: training runs once at setup (batch side), the model
+    * ships as a broadcast map literal, and every micro-batch scores
+    * map-only (no stream-side shuffle, append mode) — the deploy shape
+    * of a quality classifier at ingest. Oracle = the batch predictor's
+    * SQL: stream and batch scoring are the same arithmetic.
+    */
+  def classifierStream(spark: SparkSession, dir: String): DataFrame = {
+    val staticDocs = graft.Tables.load(spark, dir, "documents")
+    val stream = spark.readStream
+      .schema(staticDocs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val out = graft.ops.Classifier.scoreWithModel(spark, dir,
+      stream.filter(col("doc_id") % graft.ops.Classifier.TestMod === 0))
+    runToMemory(out, "graft_classifier_" + math.abs(dir.hashCode), "append")
+  }
+
   def entries: Map[String, Q] = Map(
     "streaming_dedup" -> Q((s, dir) => dedupStream(s, dir),
       "SELECT DISTINCT user_id, event_type FROM events"),
+
+    // classifier-at-ingest: batch-trained model, map-only stream scoring
+    "streaming_classifier" -> Q((s, dir) => classifierStream(s, dir),
+      graft.ops.Classifier.predictSql),
 
     // gates + decontamination over a document STREAM; oracle = the
     // batch pipeline's survivor set before the stateful stages (the

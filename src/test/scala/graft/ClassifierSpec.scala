@@ -72,6 +72,17 @@ class ClassifierSpec extends AnyFunSuite {
     assert(rho.length == 2) // 2 tokens x 1 class
     assert(rho.forall(_.getLong(2) > 0))
   }
+
+  test("broadcast-model scoring equals the aggregation-path predictor") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % Classifier.TestMod === 0)
+    val viaModel = Classifier.scoreWithModel(spark, sf, docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val viaAgg = Classifier.predict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(viaModel.toSeq == viaAgg.toSeq)
+  }
 }
 
 class KnnJoinSpec extends AnyFunSuite {
