@@ -257,6 +257,30 @@ object Clustering {
        |       FROM sc)
        |SELECT i, j, cos FROM rk WHERE rn <= ${Similarity.KnnJoinK}""".stripMargin
 
+  /** SemDeDup-style pruning over the IVF NEIGHBOR GRAPH: a vector is
+    * dropped when its k-NN list (knn_join_ivf) contains a near
+    * neighbor (cos ≥ τ) with a smaller id — the keep-one-per-ε-ball
+    * rule, resolved against the bounded neighbor graph instead of the
+    * full within-cluster pair set ([[semanticDedup]]'s trade: that
+    * entry verifies ALL within-cell pairs; this one only the k
+    * strongest edges per vector, which is what SemDeDup implementations
+    * actually materialize at scale). Deterministic blocking + graph ⇒
+    * exact hash oracle.
+    */
+  def knnGraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val dropped = knnJoinIvf(s, dir)
+      .filter(col("cos") >= Similarity.DedupTau && col("j") < col("i"))
+      .select(col("i").as("vec_id")).distinct()
+    Similarity.embeddings(s, dir).select("vec_id")
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  private def knnGraphDedupSql: String =
+    s"""WITH g AS ($knnJoinIvfSql)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (
+       |  SELECT DISTINCT i FROM g WHERE cos >= ${Similarity.DedupTau} AND j < i)""".stripMargin
+
   // ---- batch KNN join ------------------------------------------------
 
   val QueryMod = 100 // query set = vec_id % QueryMod == 0
@@ -338,6 +362,9 @@ object Clustering {
     // all-corpus neighbor graph, IVF-cell-blocked (production path;
     // deterministic blocking ⇒ exact hash oracle)
     "knn_join_ivf" -> Q((s, dir) => knnJoinIvf(s, dir), knnJoinIvfSql),
+    // SemDeDup keep-one-per-ball pruning over the neighbor graph
+    "dedup_knn_graph" -> Q((s, dir) => knnGraphDedup(s, dir),
+      knnGraphDedupSql),
     // panel-mean recall@k of the cell-blocked lists vs the exact ones
     "knn_join_ivf_recall" -> Q((s, dir) => {
       import s.implicits._
