@@ -71,15 +71,32 @@ object Classifier {
           "(CAST(nt + 1 AS DECIMAL(38,0)) * (nc + v)) AS BIGINT)").as("rho"))
   }
 
+  /** One-time persisted model for a lake dir — the artifact a
+    * production pipeline trains once and scores with many times
+    * (here: predict, eval, and the streaming scorer all read it
+    * instead of re-running the training aggregation).
+    */
+  private def ensureModel(s: SparkSession, dir: String): String = {
+    val p = graft.core.IndexStore.indexPath(dir, "classifier_nb_model")
+    graft.core.IndexStore.ensure(p) {
+      rhoTable(toks(s, dir).filter(col("doc_id") % TestMod =!= 0)
+          .drop("doc_id"))
+        .write.mode("overwrite").parquet(s"$p/rho")
+    }
+    p
+  }
+
+  private[ops] def rhoPersisted(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${ensureModel(s, dir)}/rho")
+
   /** (doc_id, pred, score) for the held-out split. Documents whose
     * tokens are all outside the train vocabulary produce no score rows
     * and are absent (no evidence, no prediction) — same semantics in
     * the oracle.
     */
   def predict(s: SparkSession, dir: String): DataFrame = {
-    val all = toks(s, dir)
-    val rho = rhoTable(all.filter(col("doc_id") % TestMod =!= 0).drop("doc_id"))
-    val testCounts = all.filter(col("doc_id") % TestMod === 0)
+    val rho = rhoPersisted(s, dir)
+    val testCounts = toks(s, dir).filter(col("doc_id") % TestMod === 0)
       .groupBy("doc_id", "t").agg(count(lit(1)).as("ctd"))
     val scores = testCounts.join(rho, Seq("t"))
       .groupBy(col("doc_id"), col("cls").as("pred"))
@@ -106,8 +123,7 @@ object Classifier {
     */
   def scoreWithModel(s: SparkSession, dir: String,
       docs: DataFrame): DataFrame = {
-    val train = toks(s, dir).filter(col("doc_id") % TestMod =!= 0)
-    val rho = rhoTable(train.drop("doc_id")).collect()
+    val rho = rhoPersisted(s, dir).collect()
     val classes = rho.map(_.getString(1)).distinct.sorted.toSeq
     val cIdx = classes.zipWithIndex.toMap
     val model: Map[String, Seq[Long]] =

@@ -36,10 +36,12 @@ object Clustering {
   val Off = 10000000L
 
   /** Integer-quantized embeddings: (vec_id, q array<long>). */
+  private def quantize(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("v"), x => round(x * Quant).cast("long")).as("q"))
+
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddings(s, dir)
-      .select(col("vec_id"),
-        transform(col("v"), x => round(x * Quant).cast("long")).as("q"))
+    quantize(Similarity.embeddings(s, dir))
 
   /** Nearest centroid per vector; ties broken toward the lowest
     * cluster id (array_position returns the FIRST minimum; the oracle's
@@ -217,17 +219,35 @@ object Clustering {
     * DuckDB oracle; knn_join_ivf_recall quantifies closeness to the
     * TRUE neighbor lists.
     */
-  def knnJoinIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(s, dir)
+  def knnJoinIvf(s: SparkSession, dir: String): DataFrame =
+    knnJoinIvfFrom(s, Similarity.embeddings(s, dir), None)
+
+  /** Cell cap for adversarial clique skew (exact-duplicate embedding
+    * floods): a cell larger than the cap is excluded from pair
+    * candidacy — its members are near-identical cliques whose
+    * resolution belongs to the exact-dedup / CC path (the
+    * [[Dedup.BucketCap]] argument), and dropping it bounds any task at
+    * cap² pairs regardless of how degenerate the corpus is. None (the
+    * oracle entries) = no cap; production on raw corpora sets one.
+    */
+  def knnJoinIvfFrom(s: SparkSession, ev: DataFrame,
+      cap: Option[Int]): DataFrame = {
+    val e = quantize(ev)
     val init = e.filter(col("vec_id") < K).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
     val cents = recompute(assign(e, init))
-    val cells = assignTop(e, cents, IvfProbe)
+    val cells0 = assignTop(e, cents, IvfProbe)
+    val cells = cap match {
+      case None => cells0
+      case Some(c) => cells0
+        .withColumn("csz",
+          count(lit(1)).over(Window.partitionBy("cell")))
+        .filter(col("csz") <= c).drop("csz")
+    }
     val cand = cells.select(col("vec_id").as("i"), col("cell"))
       .join(cells.select(col("vec_id").as("j"), col("cell")), Seq("cell"))
       .filter(col("i") =!= col("j"))
       .select("i", "j").distinct()
-    val ev = Similarity.embeddings(s, dir)
     val a = ev.select(col("vec_id").as("i"), col("v").as("va"))
     val b = ev.select(col("vec_id").as("j"), col("v").as("vb"))
     val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))

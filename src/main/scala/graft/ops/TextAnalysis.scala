@@ -322,17 +322,23 @@ object TextAnalysis {
     // recall gates (approximate operator, quantified bound)
     "corpus_distinct_sketch" -> Q((s, dir) => {
       import s.implicits._
+      // both corpora fold into ONE tagged union → one grouped agg job
+      // carrying (sketch, exact) per tag — halves the job count vs one
+      // agg per table (user_id counts are cast-stable: casting to
+      // string never changes the distinct COUNT, only the sketch's
+      // hash inputs)
       val toks = Tables.load(s, dir, "documents")
-        .select(explode(Text.tokens(col("text"))).as("token"))
-      val users = Tables.load(s, dir, "events").select(col("user_id"))
-      // sketch and exact side by side in ONE job per table
-      val t = toks.agg(approx_count_distinct(col("token"), 0.01).as("a"),
-        countDistinct(col("token")).as("e")).collect()(0)
-      val u = users.agg(approx_count_distinct(col("user_id"), 0.01).as("a"),
-        countDistinct(col("user_id")).as("e")).collect()(0)
-      def ok(r: org.apache.spark.sql.Row) =
-        math.abs(r.getLong(0) - r.getLong(1)).toDouble / r.getLong(1) <= 0.02
-      Seq((t.getLong(1), u.getLong(1), ok(t) && ok(u)))
+        .select(lit("t").as("k"), explode(Text.tokens(col("text"))).as("v"))
+      val users = Tables.load(s, dir, "events")
+        .select(lit("u").as("k"), col("user_id").cast("string").as("v"))
+      val rows = toks.unionByName(users).groupBy("k")
+        .agg(approx_count_distinct(col("v"), 0.01).as("a"),
+          countDistinct(col("v")).as("e"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      def ok(p: (Long, Long)) =
+        math.abs(p._1 - p._2).toDouble / p._2 <= 0.02
+      Seq((rows("t")._2, rows("u")._2, ok(rows("t")) && ok(rows("u"))))
         .toDF("exact_tokens", "exact_users", "within_tol")
     },
       """SELECT

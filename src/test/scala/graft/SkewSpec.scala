@@ -118,4 +118,30 @@ class SkewSpec extends AnyFunSuite {
     }.sum
     assert(scanned == 1, s"expected the skewed files pruned, scanned $scanned")
   }
+
+  test("capped IVF knn join drops a 1000x duplicated-embedding clique") {
+    // deterministic 8-dim embeddings: 60 distinct vectors + one vector
+    // duplicated 1000x (an exact-dup flood — the shape that sends every
+    // pair join quadratic). All members of the clique land in the same
+    // 2 cells, blowing those cells past the cap; the cap excludes them
+    // from candidacy (their resolution belongs to exact dedup), while
+    // distinct vectors keep their neighbor lists through their other
+    // cells.
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(d => math.sin(seed * 13 + d * 7).abs + 0.01)
+    val rows =
+      (0L until 60L).map(i => (i, vec(i))) ++
+      (0 until 1000).map(i => (10000L + i, vec(999)))
+    val e = rows.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val capped = graft.ops.Clustering
+      .knnJoinIvfFrom(spark, e, Some(100)).collect()
+    assert(capped.nonEmpty, "distinct vectors lost their neighbors")
+    assert(capped.forall(r => r.getLong(0) < 10000L && r.getLong(1) < 10000L),
+      "clique pairs leaked through the cell cap")
+    // and the candidate volume is bounded: at most K neighbors per
+    // distinct vector (the uncapped join would enqueue ~10^6 clique
+    // pairs before the top-k window could discard them)
+    assert(capped.length <= 60 * graft.ops.Similarity.KnnJoinK)
+  }
 }
