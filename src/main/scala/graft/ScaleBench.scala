@@ -44,6 +44,14 @@ object ScaleBench {
     val docFiles = Seq(s"$dir/documents.parquet")
     def idx(name: String) = graft.core.IndexStore.indexPath(dir, s"sb_$name")
 
+    def ensureJoinIndex(spark: SparkSession, dir: String,
+        path: String): Unit =
+      graft.core.IndexStore.ensure(path) {
+        val ev = graft.ops.Similarity.embeddings(spark, dir)
+        val k = math.max(8L, ev.count() / 625L).toInt
+        graft.index.VectorIndex.build(spark, ev, path, cells = Some(k))
+      }
+
     val ops: Seq[(String, () => Any)] = Seq(
       "minhash_pairs" -> (() =>
         graft.ops.Dedup.minhashPairsPersisted(spark, dir, None).count()),
@@ -72,7 +80,25 @@ object ScaleBench {
           graft.index.LogCloudIndex.eventLines(spark, dir),
           idx("logcloud"))),
       "classifier_nb" -> (() =>
-        graft.ops.Classifier.predict(spark, dir).count()))
+        graft.ops.Classifier.predict(spark, dir).count()),
+      // the IVF knn join in its PRODUCTION shape: cells scale with n
+      // (reference's n/10k rule, here n/625 to keep per-cell membership
+      // ~1250 at both SFs) — per-cell pair work stays constant, total
+      // work linear in n
+      "knn_join_ivf" -> (() => {
+        val ev = graft.ops.Similarity.embeddings(spark, dir)
+        val n = ev.count()
+        val k = math.max(8L, n / 625L).toInt
+        graft.ops.Clustering.knnJoinIvfFrom(spark, ev, None, k).count()
+      }),
+      // build a join-tuned IVF index once (timed as the prep op:
+      // cells sized for bounded membership, not the search-probe n/10k
+      // rule), then measure the AMORTIZED neighbor graph over it
+      "ivf_knn_prep" -> (() => ensureJoinIndex(spark, dir, idx("ivfknn"))),
+      "knn_join_from_index" -> (() => {
+        ensureJoinIndex(spark, dir, idx("ivfknn"))
+        graft.index.VectorIndex.knnJoinFromIndex(spark, idx("ivfknn")).count()
+      }))
 
     // optional op filter: second arg = comma-separated op names
     val selected =

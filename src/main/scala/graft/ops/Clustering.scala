@@ -231,9 +231,9 @@ object Clustering {
     * oracle entries) = no cap; production on raw corpora sets one.
     */
   def knnJoinIvfFrom(s: SparkSession, ev: DataFrame,
-      cap: Option[Int]): DataFrame = {
+      cap: Option[Int], numCells: Int = K): DataFrame = {
     val e = quantize(ev)
-    val init = e.filter(col("vec_id") < K).orderBy("vec_id").collect()
+    val init = e.filter(col("vec_id") < numCells).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
     val cents = recompute(assign(e, init))
     val cells0 = assignTop(e, cents, IvfProbe)

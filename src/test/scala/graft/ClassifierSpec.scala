@@ -136,4 +136,17 @@ class KnnJoinSpec extends AnyFunSuite {
       .fn(spark, sf).collect()(0)
     assert(r.getBoolean(0), "IVF panel-mean recall fell below the alarm floor")
   }
+
+  test("stored-cell (amortized) join: bounded lists, no self, gate green") {
+    val p = graft.index.VectorIndex.ensureBuilt(spark, sf)
+    val rows = graft.index.VectorIndex.knnJoinFromIndex(spark, p).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (i, rs) =>
+      assert(rs.length <= Similarity.KnnJoinK)
+      assert(!rs.map(_.getLong(1)).contains(i))
+    }
+    val g = graft.index.VectorIndex.entries("knn_join_index_recall")
+      .fn(spark, sf).collect()(0)
+    assert(g.getBoolean(0), "stored-cell join recall fell below the floor")
+  }
 }
