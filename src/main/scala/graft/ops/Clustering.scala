@@ -219,8 +219,28 @@ object Clustering {
     * DuckDB oracle; knn_join_ivf_recall quantifies closeness to the
     * TRUE neighbor lists.
     */
+  /** One-time persisted cell assignments for a lake dir — the
+    * materialized artifact every neighbor-graph consumer shares
+    * (knn_join_ivf, its recall gate, dedup_knn_graph), so the
+    * deterministic k-means runs once per corpus, not once per caller —
+    * the same amortization the production path gets from the IVF
+    * index's stored cells ([[graft.index.VectorIndex.knnJoinFromIndex]]).
+    */
+  private def ensureCells(s: SparkSession, dir: String): String = {
+    val p = graft.core.IndexStore.indexPath(dir, "knn_ivf_cells")
+    graft.core.IndexStore.ensure(p) {
+      val e = quantize(Similarity.embeddings(s, dir))
+      val init = e.filter(col("vec_id") < K).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+      assignTop(e, recompute(assign(e, init)), IvfProbe)
+        .write.mode("overwrite").parquet(s"$p/cells")
+    }
+    p
+  }
+
   def knnJoinIvf(s: SparkSession, dir: String): DataFrame =
-    knnJoinIvfFrom(s, Similarity.embeddings(s, dir), None)
+    joinWithinCells(s, Similarity.embeddings(s, dir),
+      s.read.parquet(s"${ensureCells(s, dir)}/cells"), None)
 
   /** Cell cap for adversarial clique skew (exact-duplicate embedding
     * floods): a cell larger than the cap is excluded from pair
@@ -235,8 +255,15 @@ object Clustering {
     val e = quantize(ev)
     val init = e.filter(col("vec_id") < numCells).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
-    val cents = recompute(assign(e, init))
-    val cells0 = assignTop(e, cents, IvfProbe)
+    joinWithinCells(s, ev, assignTop(e, recompute(assign(e, init)),
+      IvfProbe), cap)
+  }
+
+  /** The join half of the IVF knn join, over ANY (vec_id, cell)
+    * assignment table (fresh, persisted, or an index's stored cells).
+    */
+  private def joinWithinCells(s: SparkSession, ev: DataFrame,
+      cells0: DataFrame, cap: Option[Int]): DataFrame = {
     val cells = cap match {
       case None => cells0
       case Some(c) => cells0
