@@ -19,7 +19,8 @@ class QueryParitySpec extends AnyFunSuite {
       graft.ops.Relational.entries, graft.ops.TextAnalysis.entries,
       graft.ops.IndexQueries.entries, graft.ops.SearchQueries.entries,
       graft.ops.Dedup.entries, graft.ops.Similarity.entries,
-      graft.ops.Clustering.entries, graft.index.VectorIndex.entries,
+      graft.ops.Clustering.entries, graft.ops.Classifier.entries,
+      graft.index.VectorIndex.entries,
       graft.index.VamanaIndex.entries, graft.index.LogCloudIndex.entries,
       graft.ops.Maintenance.entries, graft.ops.ApiQueries.entries,
       graft.ops.DeltaQueries.entries, graft.ops.IcebergQueries.entries,
