@@ -471,15 +471,12 @@ object VectorIndex {
     * quantified by the knn_join_index_recall gate.
     */
   def knnJoinFromIndex(s: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     requireCurrentFormat(s, path)
     // centroid-adjacency multi-probe: each vector is a candidate in its
     // STORED cell plus that cell's nearest-neighbor cell — recovers
     // boundary pairs without any per-vector distance recompute (the
     // expansion map is K×K on the driver, metadata-scale at any n)
     val cents = centroidHead(s, path)
-    def l2(x: Seq[Double], y: Seq[Double]): Double =
-      x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum
     val probes: Map[Int, Seq[Int]] = cents.map { case (i, ci) =>
       val nn = cents.filter(_._1 != i)
         .minBy { case (jj, cj) => (l2(ci, cj), jj) }._1
@@ -489,21 +486,12 @@ object VectorIndex {
     val vecs = s.read.parquet(s"$path/vecs")
       .select(explode(element_at(probeLit, col("centroid"))).as("cell"),
         col("vec_id"), col("v"))
-    val a = vecs.select(col("cell"), col("vec_id").as("i"), col("v").as("va"))
-    val b = vecs.select(col("cell"), col("vec_id").as("j"), col("v").as("vb"))
-    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
+    val a = vecs.select(col("cell"), col("vec_id").as("i"))
+    val b = vecs.select(col("cell"), col("vec_id").as("j"))
     val cand = a.join(b, Seq("cell")).filter(col("i") =!= col("j"))
       .select("i", "j").distinct()
-    val av = s.read.parquet(s"$path/vecs")
-      .select(col("vec_id").as("i"), col("v").as("va"))
-    val bv = s.read.parquet(s"$path/vecs")
-      .select(col("vec_id").as("j"), col("v").as("vb"))
-    cand.join(av, Seq("i")).join(bv, Seq("j"))
-      .withColumn("cos",
-        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= graft.ops.Similarity.KnnJoinK)
-      .select(col("i"), col("j"), col("cos"))
+    graft.ops.Similarity.topKByCosine(s, cand,
+      s.read.parquet(s"$path/vecs").select("vec_id", "v"))
   }
 
   def ensureBuilt(s: SparkSession, dir: String): String = {
@@ -772,24 +760,10 @@ object VectorIndex {
     // cells + centroid-adjacency expansion (clustering paid once at
     // build) — panel-mean recall@k vs the exact lists clears the
     // alarm floor (measured 0.45–0.67 on the structureless fixture)
-    "knn_join_index_recall" -> graft.Q((s, dir) => {
-      import s.implicits._
-      val p = ensureBuilt(s, dir)
-      val approx = knnJoinFromIndex(s, p)
-        .filter(col("i") < graft.ops.Similarity.KnnPanelN)
-        .select("i", "j").collect()
-        .groupBy(_.getLong(0)).map { case (i, rs) =>
-          i -> rs.map(_.getLong(1)).toSet }
-      val exact = graft.ops.Similarity.knnJoinPanelExact(s, dir).collect()
-        .groupBy(_.getLong(0)).map { case (i, rs) =>
-          i -> rs.map(_.getLong(1)).toSet }
-      val recalls = exact.map { case (i, truth) =>
-        truth.intersect(approx.getOrElse(i, Set.empty)).size.toDouble /
-          truth.size
-      }
-      val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
-      Seq(mean >= IndexKnnRecallFloor).toDF("recall_ok")
-    }, "SELECT true AS recall_ok")
+    "knn_join_index_recall" -> graft.Q((s, dir) =>
+      graft.ops.Similarity.panelRecallOk(s, dir,
+        knnJoinFromIndex(s, ensureBuilt(s, dir)), IndexKnnRecallFloor),
+      "SELECT true AS recall_ok")
   )
 
   /** Alarm floor for the stored-cell join's panel recall — measured

@@ -226,13 +226,23 @@ object Clustering {
     * the same amortization the production path gets from the IVF
     * index's stored cells ([[graft.index.VectorIndex.knnJoinFromIndex]]).
     */
+  /** THE deterministic cell-assignment definition (quantized input,
+    * vec_id < numCells init, one Lloyd round, [[IvfProbe]]-way
+    * top-probe assignment) — shared by the persisted artifact
+    * ([[ensureCells]]) and the fresh path ([[knnJoinIvfFrom]]); a
+    * change here reaches both, so the persisted cells can never
+    * silently diverge from what the bench/oracle path computes.
+    */
+  private def cellAssignments(e: DataFrame, numCells: Int = K): DataFrame = {
+    val init = e.filter(col("vec_id") < numCells).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    assignTop(e, recompute(assign(e, init)), IvfProbe)
+  }
+
   private def ensureCells(s: SparkSession, dir: String): String = {
     val p = graft.core.IndexStore.indexPath(dir, "knn_ivf_cells")
     graft.core.IndexStore.ensure(p) {
-      val e = quantize(Similarity.embeddings(s, dir))
-      val init = e.filter(col("vec_id") < K).orderBy("vec_id").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
-      assignTop(e, recompute(assign(e, init)), IvfProbe)
+      cellAssignments(quantize(Similarity.embeddings(s, dir)))
         .write.mode("overwrite").parquet(s"$p/cells")
     }
     p
@@ -251,13 +261,8 @@ object Clustering {
     * oracle entries) = no cap; production on raw corpora sets one.
     */
   def knnJoinIvfFrom(s: SparkSession, ev: DataFrame,
-      cap: Option[Int], numCells: Int = K): DataFrame = {
-    val e = quantize(ev)
-    val init = e.filter(col("vec_id") < numCells).orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
-    joinWithinCells(s, ev, assignTop(e, recompute(assign(e, init)),
-      IvfProbe), cap)
-  }
+      cap: Option[Int], numCells: Int = K): DataFrame =
+    joinWithinCells(s, ev, cellAssignments(quantize(ev), numCells), cap)
 
   /** The join half of the IVF knn join, over ANY (vec_id, cell)
     * assignment table (fresh, persisted, or an index's stored cells).
@@ -275,15 +280,7 @@ object Clustering {
       .join(cells.select(col("vec_id").as("j"), col("cell")), Seq("cell"))
       .filter(col("i") =!= col("j"))
       .select("i", "j").distinct()
-    val a = ev.select(col("vec_id").as("i"), col("v").as("va"))
-    val b = ev.select(col("vec_id").as("j"), col("v").as("vb"))
-    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
-    cand.join(a, Seq("i")).join(b, Seq("j"))
-      .withColumn("cos",
-        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= Similarity.KnnJoinK)
-      .select(col("i"), col("j"), col("cos"))
+    Similarity.topKByCosine(s, cand, ev)
   }
 
   private def knnJoinIvfSql: String =
@@ -413,22 +410,8 @@ object Clustering {
     "dedup_knn_graph" -> Q((s, dir) => knnGraphDedup(s, dir),
       knnGraphDedupSql),
     // panel-mean recall@k of the cell-blocked lists vs the exact ones
-    "knn_join_ivf_recall" -> Q((s, dir) => {
-      import s.implicits._
-      val approx = knnJoinIvf(s, dir)
-        .filter(col("i") < Similarity.KnnPanelN)
-        .select("i", "j").collect()
-        .groupBy(_.getLong(0)).map { case (i, rs) =>
-          i -> rs.map(_.getLong(1)).toSet }
-      val exact = Similarity.knnJoinPanelExact(s, dir).collect()
-        .groupBy(_.getLong(0)).map { case (i, rs) =>
-          i -> rs.map(_.getLong(1)).toSet }
-      val recalls = exact.map { case (i, truth) =>
-        truth.intersect(approx.getOrElse(i, Set.empty)).size.toDouble /
-          truth.size
-      }
-      val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
-      Seq(mean >= IvfKnnRecallFloor).toDF("recall_ok")
-    }, "SELECT true AS recall_ok")
+    "knn_join_ivf_recall" -> Q((s, dir) => Similarity.panelRecallOk(
+      s, dir, knnJoinIvf(s, dir), IvfKnnRecallFloor),
+      "SELECT true AS recall_ok")
   )
 }

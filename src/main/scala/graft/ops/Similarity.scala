@@ -250,7 +250,6 @@ object Similarity {
     * dedup_minhash_capped bucket cap as the residual-skew guard.
     */
   def knnJoinLsh(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = embeddings(s, dir)
     val banded = lshBands(e)
     val cand = banded.select(col("vec_id").as("i"), col("k"), col("band"))
@@ -258,8 +257,20 @@ object Similarity {
         Seq("k", "band"))
       .filter(col("i") =!= col("j")) // directed: each side keeps its own top-k
       .select("i", "j").distinct()
-    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
+    topKByCosine(s, cand, e)
+  }
+
+  /** Score (i, j) candidate pairs with the exact cosine over `ev`
+    * (vec_id, v) and keep each LEFT row's [[KnnJoinK]] strongest — the
+    * shared scoring tail of every KNN-join variant (LSH bands, fresh
+    * IVF cells, the index's stored cells). Any change to the rounding,
+    * the tie-break, or the k here must reach all three DuckDB oracles.
+    */
+  private[graft] def topKByCosine(s: SparkSession, cand: DataFrame,
+      ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = ev.select(col("vec_id").as("i"), col("v").as("va"))
+    val b = ev.select(col("vec_id").as("j"), col("v").as("vb"))
     val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
     cand.join(a, Seq("i")).join(b, Seq("j"))
       .withColumn("cos",
@@ -267,6 +278,30 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= KnnJoinK)
       .select(col("i"), col("j"), col("cos"))
+  }
+
+  /** Panel-mean recall@k gate shared by the three KNN-join recall
+    * entries: `approx`'s neighbor lists for the [[KnnPanelN]] panel vs
+    * the exact ones, mean recall compared to `floor` → one boolean
+    * row. A panel id with NO approx rows counts as recall 0 for that
+    * id (missing, not skipped).
+    */
+  private[graft] def panelRecallOk(s: SparkSession, dir: String,
+      approx: DataFrame, floor: Double): DataFrame = {
+    import s.implicits._
+    val ap = approx.filter(col("i") < KnnPanelN)
+      .select("i", "j").collect()
+      .groupBy(_.getLong(0)).map { case (i, rs) =>
+        i -> rs.map(_.getLong(1)).toSet }
+    val exact = knnJoinPanelExact(s, dir).collect()
+      .groupBy(_.getLong(0)).map { case (i, rs) =>
+        i -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (i, truth) =>
+      truth.intersect(ap.getOrElse(i, Set.empty)).size.toDouble /
+        truth.size
+    }
+    val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+    Seq(mean >= floor).toDF("recall_ok")
   }
 
   def knnJoinLshSql: String = {
@@ -337,21 +372,8 @@ object Similarity {
     "knn_join_lsh" -> Q((s, dir) => knnJoinLsh(s, dir), knnJoinLshSql),
     // quantitative gate: panel-mean recall@k of the banded neighbor
     // lists vs the exact ones must clear the alarm floor
-    "knn_join_recall" -> Q((s, dir) => {
-      import s.implicits._
-      val approx = knnJoinLsh(s, dir).filter(col("i") < KnnPanelN)
-        .select("i", "j").collect()
-        .groupBy(_.getLong(0)).map { case (i, rs) =>
-          i -> rs.map(_.getLong(1)).toSet }
-      val exact = knnJoinPanelExact(s, dir).collect()
-        .groupBy(_.getLong(0)).map { case (i, rs) =>
-          i -> rs.map(_.getLong(1)).toSet }
-      val recalls = exact.map { case (i, truth) =>
-        truth.intersect(approx.getOrElse(i, Set.empty)).size.toDouble /
-          truth.size
-      }
-      val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
-      Seq(mean >= KnnRecallFloor).toDF("recall_ok")
-    }, "SELECT true AS recall_ok")
+    "knn_join_recall" -> Q((s, dir) =>
+      panelRecallOk(s, dir, knnJoinLsh(s, dir), KnnRecallFloor),
+      "SELECT true AS recall_ok")
   )
 }

@@ -336,9 +336,13 @@ object TextAnalysis {
           countDistinct(col("v")).as("e"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
+      // an empty corpus contributes NO group for its tag: report its
+      // exact count as 0 and fail the gate loudly (defined behavior,
+      // not a NoSuchElementException)
+      def of(k: String) = rows.getOrElse(k, (0L, 0L))
       def ok(p: (Long, Long)) =
-        math.abs(p._1 - p._2).toDouble / p._2 <= 0.02
-      Seq((rows("t")._2, rows("u")._2, ok(rows("t")) && ok(rows("u"))))
+        p._2 > 0 && math.abs(p._1 - p._2).toDouble / p._2 <= 0.02
+      Seq((of("t")._2, of("u")._2, ok(of("t")) && ok(of("u"))))
         .toDF("exact_tokens", "exact_users", "within_tol")
     },
       """SELECT

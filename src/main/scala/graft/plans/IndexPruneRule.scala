@@ -65,6 +65,12 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     if (!fsRel.fileFormat.isInstanceOf[ParquetFileFormat]) return None
     if (fsRel.partitionSchema.nonEmpty) return None
+    // a location this rule already built: the optimizer's fixpoint
+    // re-enters the rule on its own rewrite output (and re-optimization
+    // of a reused DataFrame re-enters again) — re-probing there costs
+    // a Spark job per iteration only to conclude "nothing further to
+    // prune"
+    if (isPruned(fsRel.location)) return None
     val roots = fsRel.location.rootPaths
     if (roots.size != 1) return None
     val prefix = Layout.canonPath(roots.head.toString)
@@ -77,17 +83,20 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     * files are always kept — sound). None when no index applies.
     */
   private def keepFor(prefix: String, allFiles: Set[String],
-      colName: String, kind: String,
+      colName: String, kind: String, sig: String,
       probeFn: Seq[String] => Set[String]): Option[Set[String]] = {
     val idx = IndexStore.metadataRowsCached(spark, prefix)
       .filter(r => r.column == colName && r.indexType == kind)
     if (idx.isEmpty) return None
     val covered = idx.flatMap(_.files).map(Layout.canonPath).toSet & allFiles
     if (covered.isEmpty) return None
-    probing.set(true)
-    val hits =
+    val memoKey = (Seq(kind, colName, sig) ++ idx.map(_.indexFile))
+      .mkString("\u0001")
+    val hits = memoProbe(memoKey) {
+      probing.set(true)
       try probeFn(idx.map(_.indexFile))
       finally probing.set(false)
+    }
     Some((allFiles -- covered) ++ (hits & allFiles))
   }
 
@@ -95,9 +104,9 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val (fsRel, prefix, allFiles) = eligible(l).getOrElse(return None)
     val preds = splitConjunctivePredicates(f.condition)
 
-    def keepFor(colName: String, kind: String,
+    def keepFor(colName: String, kind: String, sig: String,
         probeFn: Seq[String] => Set[String]): Option[Set[String]] =
-      this.keepFor(prefix, allFiles, colName, kind, probeFn)
+      this.keepFor(prefix, allFiles, colName, kind, sig, probeFn)
 
     // contains-predicates over a plain column (bare or lower())
     val contains = preds.collect {
@@ -158,20 +167,23 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // sound keep set for the conjunction — every applicable index
     // prunes, not just the first
     val keeps =
-      contains.flatMap { case (c, q) => keepFor(c, "ngram", probe(_, q)) } ++
-      keyEqs.flatMap { case (c, ks) => keepFor(c, "key", keyProbe(_, ks)) } ++
+      contains.flatMap { case (c, q) =>
+        keepFor(c, "ngram", q, probe(_, q)) } ++
+      keyEqs.flatMap { case (c, ks) =>
+        keepFor(c, "key", ks.mkString("\u0001"), keyProbe(_, ks)) } ++
       keyPrefixes.flatMap { case (c, p) =>
-        keepFor(c, "key", keyPrefixProbe(_, p)) } ++
+        keepFor(c, "key", "pfx\u0001" + p, keyPrefixProbe(_, p)) } ++
       bloomEqs.flatMap { case (c, vs) =>
-        keepFor(c, "bloom", bloomProbe(_, vs)) } ++
+        keepFor(c, "bloom", vs.mkString("\u0001"), bloomProbe(_, vs)) } ++
       integralBounds(preds).flatMap { case (c, lo, hi) =>
-        keepFor(c, "zonemap", zoneProbe(_, lo, hi)) }
+        keepFor(c, "zonemap", lo + "_" + hi, zoneProbe(_, lo, hi)) }
     if (keeps.isEmpty) return None
     val keep = keeps.reduce(_ & _)
     if (keep.size >= allFiles.size) return None // nothing pruned
     val pruned = new InMemoryFileIndex(spark,
       keep.toSeq.sorted.map(new Path(_)), Map.empty,
       Some(fsRel.dataSchema))
+    markPruned(pruned)
     val newRel = fsRel.copy(location = pruned)(spark)
     Some(f.copy(child = l.copy(relation = newRel)))
   }
@@ -181,6 +193,48 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     * probe work, not memory).
     */
   private val MaxJoinProbeKeys = 1000
+
+  /** True iff re-executing `p` provably yields the same rows: built
+    * only from deterministic row-set-stable operators. Limit/Sample/
+    * Tail/Offset select DIFFERENT rows per execution over unordered
+    * input, and Window/order-sensitive aggregates (first, last,
+    * collect_list — all flagged "deterministic" by Catalyst) compute
+    * order-dependent VALUES — any of those on the probed side means
+    * the execution-time key set may differ from the probed one, and
+    * pruning against the probed set would silently drop join rows.
+    */
+  private def stableRowSet(p: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def orderInsensitive(f: AggregateFunction): Boolean = f match {
+      case _: Min | _: Max | _: Sum | _: Count | _: Average => true
+      case _ => false
+    }
+    def ok(n: LogicalPlan): Boolean = n match {
+      case _: LocalRelation | _: Range | _: OneRowRelation => true
+      case _: LogicalRelation => true
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        ok(pr.child)
+      case flt: Filter if flt.condition.deterministic => ok(flt.child)
+      case sa: SubqueryAlias => ok(sa.child)
+      case d: Distinct => ok(d.child)
+      case srt: Sort => ok(srt.child) // order-only; the row SET is stable
+      case r: Repartition => ok(r.child)
+      case r: RepartitionByExpression
+          if r.partitionExpressions.forall(_.deterministic) => ok(r.child)
+      case u: Union => u.children.forall(ok)
+      case jn: Join if jn.condition.forall(_.deterministic) =>
+        ok(jn.left) && ok(jn.right)
+      case ag: Aggregate
+          if ag.groupingExpressions.forall(_.deterministic) &&
+            ag.aggregateExpressions.forall(_.deterministic) &&
+            ag.aggregateExpressions.flatMap(_.collect {
+              case ae: AggregateExpression => ae.aggregateFunction
+            }).forall(orderInsensitive) => ok(ag.child)
+      case _ => false
+    }
+    ok(p)
+  }
 
   /** Dynamic file pruning for equi-joins against a LITERAL small
     * side: `lake.join(localDf, "col")` scans only the lake files
@@ -230,14 +284,18 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       // autoBroadcastJoinThreshold); the side is evaluated ONCE, with
       // a limit guard, under the probing flag (same discipline as the
       // index probes — this is dynamic file pruning, the subquery
-      // evaluation IS the point). Non-deterministic anything → bail:
-      // the keys at execution could differ from the probed set.
+      // evaluation IS the point). The probed key set must be STABLE
+      // under re-execution, so both non-deterministic expressions AND
+      // row-selection/row-order-sensitive operators (Limit, Sample,
+      // Window, order-sensitive aggregates — whose expressions are all
+      // "deterministic" yet whose output rows are not) → bail: the
+      // keys at execution could differ from the probed set, and files
+      // holding the execution-time keys would already be pruned.
       case p if p.output.exists(a => a.exprId == attr.exprId &&
           keyType(a.dataType)) =>
         val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
         if (thresh <= 0 || p.stats.sizeInBytes > thresh) return None
-        if (p.find(n => n.expressions.exists(!_.deterministic)).nonEmpty)
-          return None
+        if (!stableRowSet(p)) return None
         probing.set(true)
         try {
           import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Limit, Project}
@@ -312,14 +370,15 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           keys <- localKeys(localSide, localAttr)
           if keys.nonEmpty
           keep <- keepFor(prefix, allFiles, lakeAttr.name, "key",
-              keyProbe(_, keys))
+              keys.mkString("\u0001"), keyProbe(_, keys))
             .orElse(keepFor(prefix, allFiles, lakeAttr.name, "bloom",
-              bloomProbe(_, keys)))
+              keys.mkString("\u0001"), bloomProbe(_, keys)))
           if keep.size < allFiles.size
         } yield {
           val pruned = new InMemoryFileIndex(spark,
             keep.toSeq.sorted.map(new Path(_)), Map.empty,
             Some(fsRel.dataSchema))
+          markPruned(pruned)
           val newRel = fsRel.copy(location = pruned)(spark)
           val newSide = lakeSide.transform {
             case l: LogicalRelation if l eq lrel => l.copy(relation = newRel)
@@ -486,6 +545,46 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
 object IndexPruneRule {
   private val probing = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
+  }
+
+  // identity set (weak: a dropped plan must not pin its FileIndex) of
+  // the pruned locations this rule has produced — the fixpoint
+  // re-entry guard in `eligible`
+  private val prunedLocations = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.execution.datasources.FileIndex,
+      java.lang.Boolean]())
+
+  private[plans] def markPruned(
+      fi: org.apache.spark.sql.execution.datasources.FileIndex): Unit =
+    prunedLocations.synchronized { prunedLocations.add(fi) }
+
+  private def isPruned(
+      fi: org.apache.spark.sql.execution.datasources.FileIndex): Boolean =
+    prunedLocations.synchronized { prunedLocations.contains(fi) }
+
+  // short-TTL bounded memo for probe keep sets: the same (indexes,
+  // predicate) probe repeats across fixpoint iterations and across
+  // actions on a reused DataFrame within one interactive burst. The
+  // TTL (not an mtime protocol) bounds staleness if an index dir is
+  // ever deleted and rebuilt in place between bursts.
+  private val ProbeMemoTtlMs = 60000L
+  private val probeMemo =
+    new java.util.LinkedHashMap[String, (Long, Set[String])](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Set[String])]): Boolean =
+        size > 256
+    }
+
+  private[plans] def memoProbe(key: String)(f: => Set[String]): Set[String] = {
+    val now = System.currentTimeMillis()
+    probeMemo.synchronized {
+      val hit = probeMemo.get(key)
+      if (hit != null && now - hit._1 < ProbeMemoTtlMs) return hit._2
+    }
+    val v = f
+    probeMemo.synchronized { probeMemo.put(key, (now, v)) }
+    v
   }
 
   /** Attach the rule to an existing session (idempotent). */

@@ -208,6 +208,28 @@ class IndexPruneRuleSpec extends AnyFunSuite {
       .subsetOf(Set(3L, 6L)))
     assert(logicalScanFiles(q2, "prunedfp2").size == 3,
       "non-deterministic side must disable pruning")
+
+    // a LIMIT on the probed side passes the expression-determinism
+    // screen (Literal(2) is deterministic) but selects DIFFERENT rows
+    // per execution over unordered input — its key set must never
+    // drive pruning (execution-time keys could hit pruned files)
+    val lim = spark.read.parquet(dir)
+      .join(spark.read.parquet(dimDir).limit(2), "name")
+    assert(logicalScanFiles(lim, "prunedfp2").size == 3,
+      "limit on the probed side must disable pruning")
+    // sample: same row-set instability, deterministic-looking seed
+    val samp = spark.read.parquet(dir)
+      .join(spark.read.parquet(dimDir).sample(0.5, 42L), "name")
+    assert(logicalScanFiles(samp, "prunedfp2").size == 3,
+      "sample on the probed side must disable pruning")
+    // an order-INSENSITIVE aggregate small side still drives pruning
+    // (group keys are stable under re-execution)
+    val agg = spark.read.parquet(dimDir).filter(col("score") < 90)
+      .groupBy("name").agg(max("score").as("mx"))
+    val q5 = spark.read.parquet(dir).join(agg, "name")
+    assert(q5.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 6L))
+    assert(logicalScanFiles(q5, "prunedfp2").size == 2,
+      "order-insensitive aggregate side must still prune")
   }
 
   test("join pruning bails out under row-position-sensitive operators") {
