@@ -34,9 +34,20 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (dir != srcDir &&
-        !java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    // gate regeneration on a completion MARKER, not bare existence: a
+    // crash mid-generate (OOM at 10x scale is plausible) must not leave
+    // a partial corpus that every later run silently benches against
+    val doneMarker = java.nio.file.Paths.get(dir, "_SCALE_DONE")
+    if (dir != srcDir && !java.nio.file.Files.exists(doneMarker)) {
+      val d = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(d)) {
+        println(s"[scalebench] $dir exists without $doneMarker — " +
+          "partial generation, rebuilding")
+        graft.core.IndexStore.deleteRec(d)
+      }
       generate(spark, srcDir, dir, copies = 10)
+      java.nio.file.Files.createFile(doneMarker)
+    }
 
     // JIT warm (cheap, does not touch the fixture caches under test)
     spark.range(1000000).selectExpr("sum(id)").collect()

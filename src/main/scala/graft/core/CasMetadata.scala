@@ -55,8 +55,7 @@ object CasMetadata {
   private def manifestPath(dir: String, v: Long): String =
     f"${logDir(dir)}/$v%020d.manifest"
 
-  private def fs(spark: SparkSession, p: String) =
-    new HPath(p).getFileSystem(spark.sessionState.newHadoopConf())
+  private def fs(spark: SparkSession, p: String) = Fs.forPath(p)
 
   /** Largest committed version, if any (one LIST). */
   def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
@@ -101,7 +100,25 @@ object CasMetadata {
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         "UTF-8")
       finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { line =>
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    // integrity trailer: the last line of every manifest this protocol
+    // writes records the row count. [[Fs.createIfAbsent]] already makes
+    // manifests land atomically with their content, so a missing or
+    // mismatched trailer means real corruption (a truncated upload, an
+    // out-of-band writer) — and because manifests are cached forever as
+    // immutable, a torn read silently served as the table would drop
+    // every row on the next merge. Fail loudly instead.
+    require(lines.nonEmpty && lines.last.contains("\"__rows__\""), {
+      s"torn CAS manifest $path: no integrity trailer " +
+        s"(${lines.size} lines) — refusing to serve a possibly " +
+        "truncated metadata snapshot"
+    })
+    val declared = mapper.readTree(lines.last).get("__rows__").asLong()
+    val body = lines.dropRight(1)
+    require(body.size == declared,
+      s"torn CAS manifest $path: trailer declares $declared rows, " +
+        s"found ${body.size}")
+    body.map { line =>
       val n = mapper.readTree(line)
       FullRow(
         n.get("table_name").asText(),
@@ -131,6 +148,8 @@ object CasMetadata {
       n.put("index_timestamp", r.indexTimestamp)
       sb.append(mapper.writeValueAsString(n)).append('\n')
     }
+    // integrity trailer (see readManifest): row count as the last line
+    sb.append(s"""{"__rows__":${rows.size}}""").append('\n')
     sb.toString
   }
 
@@ -175,10 +194,14 @@ object CasMetadata {
     */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 3): Int = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
-    val names = Fs.childNames(spark, logDir(dir))
-      .filter(_.endsWith(".manifest")).toSeq.sorted
+    val all = Fs.childNames(spark, logDir(dir))
+    val names = all.filter(_.endsWith(".manifest")).toSeq.sorted
     val stale = names.dropRight(keep)
-    stale.foreach { n =>
+    // also sweep staging leftovers of crashed committers (hidden
+    // `.N.manifest.<uuid>.tmp` siblings on staged-rename schemes) —
+    // they were never published, so no reader can be holding them
+    val orphans = all.filter(n => n.startsWith(".") && n.endsWith(".tmp"))
+    (stale ++ orphans).foreach { n =>
       val p = new HPath(s"${logDir(dir)}/$n")
       fs(spark, p.toString).delete(p, false)
     }

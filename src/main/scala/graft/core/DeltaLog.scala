@@ -40,18 +40,13 @@ object DeltaLog {
   // ---- scheme-dispatched IO ------------------------------------------
   // The log must also work on object stores (the reference's Delta
   // backend rides deltalake's S3 support), so listing/reading/writing
-  // route through each path's Hadoop FileSystem. Local tables keep the
-  // hardlink put-if-absent commit (atomic on POSIX, where RawLocal
-  // create(overwrite=false) is only check-then-create); non-local
-  // schemes commit via create-if-absent — the conditional single-object
-  // PUT (`If-None-Match: *`), the same primitive as [[CasMetadata]],
-  // with no rename anywhere on the path.
+  // route through each path's Hadoop FileSystem, and the commit claim
+  // goes through the one shared atomic-with-content put-if-absent
+  // primitive ([[Fs.createIfAbsent]]: local hardlink / staged rename /
+  // conditional single-object PUT, dispatched per scheme).
 
   private def hfs(p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p).getFileSystem(Fs.anyConf())
-
-  private def isLocalPath(p: String): Boolean =
-    !SchemeRe.matches(p) || p.startsWith("file:")
+    Fs.forPath(p)
 
   private def listLogNames(table: String): Seq[String] = {
     val d = new org.apache.hadoop.fs.Path(logDir(table))
@@ -229,31 +224,14 @@ object DeltaLog {
         n.put("dataChange", true)
       }
     }
-    if (isLocalPath(table)) {
-      Files.createDirectories(Paths.get(logDir(table)))
-      val tmp = Files.createTempFile(Paths.get(logDir(table)),
-        s"_commit$version", ".tmp")
-      Files.writeString(tmp, sb.toString)
-      val target = Paths.get(commitFile(table, version))
-      // true put-if-absent: hard-linking the fully-written temp file is
-      // atomic AND fails with FileAlreadyExistsException if the version
-      // exists — POSIX rename would silently clobber a racing commit
-      try Files.createLink(target, tmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.delete(tmp)
-          throw new IllegalStateException(
-            s"concurrent Delta commit: version $version of $table already exists")
-      }
-      Files.delete(tmp)
-    } else {
-      // object store: conditional single-object PUT of the NDJSON —
-      // create-if-absent decides the race; no temp file, no rename
-      val target = commitFile(table, version)
-      if (!Fs.createIfAbsent(target, sb.toString.getBytes("UTF-8")))
-        throw new IllegalStateException(
-          s"concurrent Delta commit: version $version of $table already exists")
-    }
+    // put-if-absent of the fully-rendered NDJSON decides the race —
+    // atomic WITH content on every scheme (local hardlink, staged
+    // rename on stream-visible filesystems, conditional single-object
+    // PUT on object stores), so no reader ever resolves a torn commit
+    if (!Fs.createIfAbsent(commitFile(table, version),
+        sb.toString.getBytes("UTF-8")))
+      throw new IllegalStateException(
+        s"concurrent Delta commit: version $version of $table already exists")
   }
 
   /** Row-level change feed between two versions, derived from the

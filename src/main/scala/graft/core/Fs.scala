@@ -86,17 +86,51 @@ object Fs {
     try out.write(bytes) finally out.close()
   }
 
+  /** Schemes whose `create(path, overwrite = false)` output streams are
+    * VISIBLE before close (check-then-create filesystems: HDFS and its
+    * relatives, plus the RawLocal-backed test schemes). On these, a
+    * claim-file protocol must never stream content through the claimed
+    * path — a reader (or a writer crash) between create and close would
+    * see a TORN file as the resolvable max version, and since claim
+    * files are treated as immutable the torn read would be cached
+    * forever. These filesystems all provide atomic rename instead, so
+    * content is staged to a hidden sibling and PUBLISHED by one rename.
+    * Every other non-local scheme (`s3a:`/`gs:`/`oss:`-style object
+    * stores, and conditional-PUT mocks) keeps the direct conditional
+    * create: there the object lands atomically WITH its content at
+    * close — the reference's own primitive (`PUT If-None-Match: *`,
+    * backends/s3_utils.py:83-109).
+    */
+  private val streamVisibleSchemes = Set(
+    "hdfs", "webhdfs", "swebhdfs", "viewfs", "ofs", "o3fs",
+    "abfs", "abfss", "wasb", "wasbs", "mock", "mocks")
+
   /** The conditional-PUT primitive (`If-None-Match: *`): create `path`
-    * with `bytes` iff absent. True iff THIS caller created it — the
-    * atom every rename-free commit protocol rests on. A store may
-    * surface the lost race at create() OR at write/close (an atomic
-    * PUT only decides when the full object lands), so the whole
-    * create→write→close sequence is guarded.
+    * with `bytes` iff absent, atomically WITH its content — no observer
+    * ever sees the path existing with partial bytes. True iff THIS
+    * caller created it; the atom every rename-free commit protocol
+    * rests on. Dispatch per scheme:
+    *
+    *   - local: fully-written temp file hard-linked into place (one
+    *     atomic syscall carrying claim + content; POSIX rename would
+    *     silently clobber a racing claim, CREATE_NEW + write would
+    *     expose a torn window).
+    *   - [[streamVisibleSchemes]]: staged sibling + atomic
+    *     rename-no-overwrite (HDFS arbitrates the race at the
+    *     namenode; the dst-exists pre-check narrows it on the
+    *     RawLocal-backed test schemes, whose races the suite never
+    *     exercises).
+    *   - object stores: direct `create(path, overwrite=false)` — the
+    *     PUT only lands whole, and a lost race may surface at create()
+    *     OR at write/close, so the full sequence is guarded.
     */
   private[graft] def createIfAbsent(path: String,
       bytes: Array[Byte]): Boolean = {
-    val f = forPath(path)
+    if (isLocalPath(path)) return createIfAbsentLocal(path, bytes)
     val p = new HPath(path)
+    if (streamVisibleSchemes.contains(p.toUri.getScheme))
+      return createIfAbsentStaged(p, bytes)
+    val f = forPath(path)
     f.mkdirs(p.getParent)
     val out =
       try f.create(p, false)
@@ -115,6 +149,38 @@ object Fs {
       // object as the resolvable max)
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
+  private def createIfAbsentLocal(path: String,
+      bytes: Array[Byte]): Boolean = {
+    val target = java.nio.file.Paths.get(new HPath(path).toUri.getPath)
+    java.nio.file.Files.createDirectories(target.getParent)
+    if (java.nio.file.Files.exists(target)) return false
+    val tmp = java.nio.file.Files.createTempFile(target.getParent,
+      s".${target.getFileName}", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  private def createIfAbsentStaged(p: HPath,
+      bytes: Array[Byte]): Boolean = {
+    val f = forPath(p.toString)
+    f.mkdirs(p.getParent)
+    if (f.exists(p)) return false
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    try {
+      if (f.rename(tmp, p)) true
+      else { f.delete(tmp, false); false } // dst exists: lost the race
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(tmp, false); false
     }
   }
 
@@ -173,6 +239,15 @@ object Fs {
     val p = new HPath(dir)
     val fs = p.getFileSystem(conf(spark))
     try fs.listStatus(p).map(_.getPath.getName).toSet
+    catch { case _: java.io.FileNotFoundException => Set.empty }
+  }
+
+  /** [[childNames]] for call sites with no SparkSession (the log
+    * protocols): same one-LIST semantics through [[anyConf]].
+    */
+  private[graft] def childNamesAny(dir: String): Set[String] = {
+    val p = new HPath(dir)
+    try forPath(dir).listStatus(p).map(_.getPath.getName).toSet
     catch { case _: java.io.FileNotFoundException => Set.empty }
   }
 

@@ -95,15 +95,27 @@ object IcebergLog {
   private def hintPath(table: String): String =
     s"${metaDir(table)}/version-hint.text"
 
-  private def hintExists(table: String): Boolean =
-    if (Fs.isLocalPath(table)) Files.exists(Paths.get(hintPath(table)))
-    else Fs.forPath(table).exists(
-      new org.apache.hadoop.fs.Path(hintPath(table)))
+  private val VersionRe = """v(\d+)\.metadata\.json""".r
+
+  /** Committed metadata versions, resolved by LISTING the metadata dir
+    * — NOT by trusting `version-hint.text`. A claimed
+    * `vN.metadata.json` IS a committed snapshot (the claim lands
+    * atomically with its content); the hint is written AFTER the claim
+    * and a crash between the two must neither pin readers to N-1
+    * forever nor wedge every future commit on the already-claimed N.
+    * The hint stays purely advisory (the spec calls it a hint), kept
+    * for external filesystem-catalog readers.
+    */
+  private def listVersions(table: String): Seq[Int] =
+    Fs.childNamesAny(metaDir(table)).toSeq.collect {
+      case VersionRe(n) => n.toInt
+    }.sorted
 
   private def currentVersion(table: String): Int = {
-    require(hintExists(table),
-      s"not an Iceberg table (no version hint): $table")
-    Fs.readString(hintPath(table)).trim.toInt
+    val vs = listVersions(table)
+    require(vs.nonEmpty,
+      s"not an Iceberg table (no versioned metadata): $table")
+    vs.max
   }
 
   private def metadataJson(table: String) =
@@ -196,14 +208,19 @@ object IcebergLog {
       Files.createDirectories(Paths.get(metaDir(table)))
     else Fs.forPath(table).mkdirs(
       new org.apache.hadoop.fs.Path(metaDir(table)))
+    val versions = listVersions(table)
     val (version, prevLive, prevSnaps) =
-      if (hintExists(table)) {
-        val v = currentVersion(table)
+      if (versions.nonEmpty) {
         val meta = metadataJson(table)
-        (v + 1, liveFilesWithCounts(table),
+        (versions.max + 1, liveFilesWithCounts(table),
           meta.get("snapshots").elements().asScala.toList)
       } else (1, Seq.empty[DataFile], List.empty[com.fasterxml.jackson.databind.JsonNode])
     val snapId = version.toLong
+    // manifest/list names carry a per-attempt uuid (as real Iceberg
+    // writers do): two racers computing the same next version would
+    // otherwise overwrite each other's m-N.avro BEFORE the metadata
+    // claim arbitrates, corrupting the winner's snapshot
+    val attemptId = java.util.UUID.randomUUID().toString.take(8)
     val removed = removes.map(Layout.canonPath).toSet
     val carried = prevLive.filterNot(f => removed.contains(Layout.canonPath(f.path)))
 
@@ -220,7 +237,7 @@ object IcebergLog {
       e.put("data_file", df)
       e
     }
-    val manifestPath = s"${metaDir(table)}/m-$snapId.avro"
+    val manifestPath = s"${metaDir(table)}/m-$snapId-$attemptId.avro"
     writeAvro(manifestPath, manifestSchema,
       carried.map(entry(_, 0)) ++ adds.map(entry(_, 1)))
     val ml = new GenericData.Record(manifestListSchema)
@@ -231,7 +248,7 @@ object IcebergLog {
         new org.apache.hadoop.fs.Path(manifestPath)).getLen)
     ml.put("content", 0)
     ml.put("added_snapshot_id", snapId)
-    val listPath = s"${metaDir(table)}/snap-$snapId.avro"
+    val listPath = s"${metaDir(table)}/snap-$snapId-$attemptId.avro"
     writeAvro(listPath, manifestListSchema, Seq(ml))
 
     val root = mapper.createObjectNode()
@@ -249,25 +266,24 @@ object IcebergLog {
     sn.putObject("summary").put("operation",
       if (removes.nonEmpty) "overwrite" else "append")
     // optimistic concurrency, like DeltaLog.commit: the versioned
-    // metadata file is claimed create-if-absent (CREATE_NEW locally,
-    // the conditional single-object PUT on object-store schemes), so
-    // of two racing committers exactly one wins and the loser fails
-    // loudly instead of silently clobbering the winner's snapshot
-    // (Iceberg catalogs do this with an atomic pointer swap;
-    // file-system tables use the claim of the versioned metadata name)
+    // metadata file is claimed through the shared atomic-with-content
+    // put-if-absent ([[Fs.createIfAbsent]] — hardlink / staged rename /
+    // conditional PUT per scheme), so of two racing committers exactly
+    // one wins and the loser fails loudly instead of silently
+    // clobbering the winner's snapshot (Iceberg catalogs do this with
+    // an atomic pointer swap; filesystem tables claim the versioned
+    // metadata name)
     val metaJson = mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsString(root)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val metaPath = s"${metaDir(table)}/v$version.metadata.json"
-    if (Fs.isLocalPath(table))
-      Files.write(Paths.get(metaPath), metaJson,
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-    else if (!Fs.createIfAbsent(metaPath, metaJson))
+    if (!Fs.createIfAbsent(metaPath, metaJson))
       throw new java.nio.file.FileAlreadyExistsException(metaPath)
-    if (Fs.isLocalPath(table))
-      Files.writeString(Paths.get(hintPath(table)), version.toString)
-    else Fs.writeBytes(hintPath(table), version.toString.getBytes("UTF-8"))
+    // the hint is ADVISORY (version resolution LISTs the metadata dir):
+    // a failure here must not fail the already-committed snapshot, and
+    // a stale hint wedges nothing
+    try Fs.writeBytes(hintPath(table), version.toString.getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
     snapId
   }
 

@@ -32,13 +32,9 @@ object IndexStore {
       .orElse(sys.env.get("GRAFT_INDEX_DIR"))
       .getOrElse("/root/repo/target/graft-idx")
 
-  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/.*".r
-  private def isLocalRoot: Boolean = {
-    val r = root
-    !SchemeRe.matches(r) || r.startsWith("file:")
-  }
+  private def isLocalRoot: Boolean = Fs.isLocalPath(root)
   private def hfs(p: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(p).getFileSystem(Fs.anyConf())
+    Fs.forPath(p)
 
   /** Stable id for a lake directory (used to key cached indexes/lakes). */
   def lakeId(dir: String): String =

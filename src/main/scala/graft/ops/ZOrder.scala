@@ -25,6 +25,11 @@ object ZOrder {
   /** Bits kept per column (2×31 = 62-bit codes, fits a long). */
   val Bits = 31
 
+  // validated (pathA, pathB, metaVersionA, metaVersionB) keys of
+  // searchRange2's shared-uid-space guard (see there)
+  private val uidGuardCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long, Long), Unit]
+
   /** Spread the low 31 bits of `c` to even bit positions (standard
     * 2-D Morton magic masks).
     */
@@ -80,17 +85,31 @@ object ZOrder {
     // the uid join below is only meaningful if both indexes were built
     // over the SAME lake snapshot (shared uid space); a mismatch would
     // intersect unrelated uids and silently return wrong rows, so fail
-    // fast on any (uid, file_path) disagreement (metadata-scale check)
-    val fpA = meta.select("uid", "file_path").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-    val fpB = spark.read.parquet(s"$pathB/meta")
-      .select("uid", "file_path").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-    require(fpA == fpB,
-      s"zone-map indexes $pathA and $pathB were built over different " +
-        s"lakes/snapshots (${fpA.size} vs ${fpB.size} meta rows, " +
-        s"${(fpA diff fpB).size + (fpB diff fpA).size} disagreeing) — " +
-        "their uid spaces cannot be joined")
+    // fast on any (uid, file_path) disagreement (metadata-scale check).
+    // Indexes are immutable once built, so the check runs ONCE per
+    // (pathA, pathB, meta versions) and is memoized — two driver-side
+    // collects per query would otherwise dominate small-query latency
+    val vKey = (pathA, pathB,
+      graft.core.Fs.dirVersion(spark, s"$pathA/meta"),
+      graft.core.Fs.dirVersion(spark, s"$pathB/meta"))
+    if (!uidGuardCache.contains(vKey)) {
+      val fpA = meta.select("uid", "file_path").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val fpB = spark.read.parquet(s"$pathB/meta")
+        .select("uid", "file_path").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      require(fpA == fpB,
+        s"zone-map indexes $pathA and $pathB were built over different " +
+          s"lakes/snapshots (${fpA.size} vs ${fpB.size} meta rows, " +
+          s"${(fpA diff fpB).size + (fpB diff fpA).size} disagreeing) — " +
+          "their uid spaces cannot be joined")
+      uidGuardCache.put(vKey, ())
+      // drop entries for superseded versions of the same pair (a
+      // rebuild changes the dir version; the stale key never hits)
+      uidGuardCache.keys.filter(k =>
+        k._1 == pathA && k._2 == pathB && k != vKey)
+        .foreach(uidGuardCache.remove)
+    }
     val candA = spark.read.parquet(s"$pathA/zones")
       .filter(col("hi") >= loA && col("lo") <= hiA) // overlap test
       .select("uid")

@@ -67,7 +67,8 @@ class CasCommitSpec extends AnyFunSuite {
         "\"index_file\":\"" + idx + "\",\"index_type\":\"ngram\"," +
         "\"rows_indexed\":10,\"index_timestamp\":0}\n"
     assert(CasMetadata.tryClaim(spark, d2, 2L,
-      nd("base", "a.parquet") + nd("winner", "w.parquet")))
+      nd("base", "a.parquet") + nd("winner", "w.parquet") +
+        "{\"__rows__\":2}\n"))
     // ...the loser's commit() retries internally and lands at 3 with
     // BOTH writers' rows present
     val v = CasMetadata.commit(spark, d2, Seq(row("loser", "l.parquet")))
@@ -108,6 +109,42 @@ class CasCommitSpec extends AnyFunSuite {
     // a later commit keeps working on the vacuumed log
     CasMetadata.commit(spark, d, Seq(row("idx6", "6.parquet")))
     assert(CasMetadata.read(spark, d).size == 6)
+  }
+
+  test("a torn manifest is detected, never served as the table") {
+    val d = dir("castorn")
+    CasMetadata.commit(spark, d, Seq(row("idx1", "a.parquet")))
+    // a truncated upload / out-of-band writer leaves a manifest without
+    // the integrity trailer at the max version: reads must fail loudly
+    // — serving it would cache an empty table forever and the next
+    // merge would drop every committed row
+    assert(CasMetadata.tryClaim(spark, d, 2L,
+      "{\"table_name\":\"documents\",\"column_name\":\"text\"," +
+        "\"file_path\":[\"a.parquet\"],\"record_counts\":[10],"))
+    val err = intercept[IllegalArgumentException] {
+      CasMetadata.read(spark, d)
+    }
+    assert(err.getMessage.contains("torn CAS manifest"))
+  }
+
+  test("stream-visible schemes publish claims atomically with content") {
+    // mock:// is RawLocal-backed: create(overwrite=false) streams are
+    // visible before close, so createIfAbsent must stage + rename
+    // there. Observable contract: the claim lands whole, the second
+    // claim loses, and no staging temp survives
+    val d = "mock://" + TestSpark.tmpDir("casstaged")
+    val p = s"$d/claim.json"
+    assert(graft.core.Fs.createIfAbsent(p, "abc".getBytes("UTF-8")))
+    assert(!graft.core.Fs.createIfAbsent(p, "xyz".getBytes("UTF-8")))
+    assert(graft.core.Fs.readString(p) == "abc")
+    val names = graft.core.Fs.childNames(spark, d)
+    assert(names == Set("claim.json"), names.toString)
+    // and the CAS lifecycle runs end-to-end on the staged-rename scheme
+    val d2 = "mock://" + TestSpark.tmpDir("casstaged2")
+    CasMetadata.commit(spark, d2, Seq(row("idx1", "a.parquet")))
+    CasMetadata.commit(spark, d2, Seq(row("idx2", "b.parquet")))
+    assert(CasMetadata.read(spark, d2).map(_.indexFile).toSet ==
+      Set("idx1", "idx2"))
   }
 
   test("the norename scheme really rejects rename") {

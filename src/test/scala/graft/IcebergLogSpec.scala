@@ -51,13 +51,33 @@ class IcebergLogSpec extends AnyFunSuite {
       IcebergLog.liveFiles(t, snap).map(_.split('/').last)
     assert(names(Some(s1)) == Seq("a.parquet", "b.parquet"))
     assert(names(None) == Seq("a.parquet", "c.parquet"))
-    // racing commit of the same version loses loudly (create-if-absent)
-    intercept[java.nio.file.FileAlreadyExistsException] {
-      // claim v3 out from under a racer, then race it
-      graft.core.Fs.createIfAbsent(
-        "norename://" + local + "/metadata/v3.metadata.json",
-        "{}".getBytes("UTF-8"))
-      IcebergLog.commit(t, Seq(c))
-    }
+    // the claim itself arbitrates racing commits of the same version:
+    // exactly one create-if-absent of a versioned metadata name wins
+    val v3 = "norename://" + local + "/metadata/v3.metadata.json"
+    assert(graft.core.Fs.createIfAbsent(v3, "{}".getBytes("UTF-8")))
+    assert(!graft.core.Fs.createIfAbsent(v3, "{}".getBytes("UTF-8")))
+    graft.core.Fs.forPath(v3).delete(new org.apache.hadoop.fs.Path(v3),
+      false)
+  }
+
+  test("a crash between claim and hint neither pins readers nor wedges commits") {
+    val local = TestSpark.tmpDir("icehint")
+    val t = "norename://" + local
+    val s1 = IcebergLog.commit(t, Seq(df(local, "a.parquet")))
+    val s2 = IcebergLog.commit(t, Seq(df(local, "b.parquet")))
+    // simulate a committer that claimed v2 but died before the hint
+    // write by rolling the hint BACK to v1: version resolution must
+    // come from LISTING the metadata dir, the hint is advisory
+    graft.core.Fs.writeBytes(s"$t/metadata/version-hint.text",
+      "1".getBytes("UTF-8"))
+    // readers still resolve the claimed snapshot (not pinned to v1)...
+    assert(IcebergLog.currentSnapshot(t) == s2)
+    assert(IcebergLog.snapshots(t) == Seq(s1, s2))
+    // ...and the next commit lands at v3 instead of wedging forever on
+    // the orphaned v2 claim
+    val s3 = IcebergLog.commit(t, Seq(df(local, "c.parquet")))
+    assert(s3 == s2 + 1)
+    assert(IcebergLog.liveFiles(t).map(_.split('/').last) ==
+      Seq("a.parquet", "b.parquet", "c.parquet"))
   }
 }
