@@ -135,12 +135,15 @@ object Classifier {
     val mapLit = typedLit(model)
     val clsLit = typedLit(classes)
     val zero = array_repeat(lit(0L), classes.size)
-    val tk = Text.tokens(col("text"))
-    val scores = aggregate(tk, zero, (acc, t) =>
+    // tokenize ONCE into a column: "matched" and the score fold both
+    // consume it, and re-evaluating the regex split per expression
+    // would double the per-row cost on this hot scoring path
+    val scores = aggregate(col("tk"), zero, (acc, t) =>
       zip_with(acc, coalesce(element_at(mapLit, t), zero), (a, b) => a + b))
     docs
+      .withColumn("tk", Text.tokens(col("text")))
       .withColumn("matched",
-        size(filter(tk, t => element_at(mapLit, t).isNotNull)))
+        size(filter(col("tk"), t => element_at(mapLit, t).isNotNull)))
       .filter(col("matched") > 0)
       .withColumn("sc", scores)
       .withColumn("best", array_max(col("sc")))
@@ -193,8 +196,10 @@ object Classifier {
         .select(col("doc_id"), col(LabelCol))
       predict(s, dir).join(docs, Seq("doc_id"))
         .agg(count(lit(1)).as("n_test"),
-          sum(when(col("pred") === col(LabelCol), 1L).otherwise(0L))
-            .as("n_correct"))
+          // coalesce: a zero-row join yields sum=NULL but the oracle's
+          // count(*) FILTER yields 0 — and getLong callers would NPE
+          coalesce(sum(when(col("pred") === col(LabelCol), 1L)
+            .otherwise(0L)), lit(0L)).as("n_correct"))
     }, evalSql)
   )
 }

@@ -286,9 +286,8 @@ object Similarity {
     * row. A panel id with NO approx rows counts as recall 0 for that
     * id (missing, not skipped).
     */
-  private[graft] def panelRecallOk(s: SparkSession, dir: String,
-      approx: DataFrame, floor: Double): DataFrame = {
-    import s.implicits._
+  private[graft] def panelRecallMean(s: SparkSession, dir: String,
+      approx: DataFrame): Double = {
     val ap = approx.filter(col("i") < KnnPanelN)
       .select("i", "j").collect()
       .groupBy(_.getLong(0)).map { case (i, rs) =>
@@ -300,8 +299,13 @@ object Similarity {
       truth.intersect(ap.getOrElse(i, Set.empty)).size.toDouble /
         truth.size
     }
-    val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
-    Seq(mean >= floor).toDF("recall_ok")
+    if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+  }
+
+  private[graft] def panelRecallOk(s: SparkSession, dir: String,
+      approx: DataFrame, floor: Double): DataFrame = {
+    import s.implicits._
+    Seq(panelRecallMean(s, dir, approx) >= floor).toDF("recall_ok")
   }
 
   def knnJoinLshSql: String = {

@@ -367,31 +367,40 @@ object TextAnalysis {
         .select(col("n_chars").cast("long").as("x"))
       val n = d.count()
       val ps = Seq(0.25, 0.5, 0.75)
-      val acc = 100 // ε = 1% rank error
-      val approx = d.agg(
-        percentile_approx(col("x"), typedLit(ps), lit(acc)).as("q"))
-        .collect()(0).getSeq[Long](0)
-      // the sketch value's true rank interval vs the ε-band around p·n
-      val rankCols = ps.indices.flatMap { i =>
-        Seq(sum(when(col("x") < approx(i), 1L).otherwise(0L)).as(s"lt$i"),
-          sum(when(col("x") <= approx(i), 1L).otherwise(0L)).as(s"le$i"))
+      // empty corpus: defined behavior, mirroring the oracle's
+      // zero-row aggregate (nulls + a vacuously-true gate), not an NPE
+      // on the null sketch row
+      if (n == 0)
+        Seq((Option.empty[Long], Option.empty[Long],
+          Option.empty[Long], true))
+          .toDF("q25_exact", "q50_exact", "q75_exact", "within_tol")
+      else {
+        val acc = 100 // ε = 1% rank error
+        val approx = d.agg(
+          percentile_approx(col("x"), typedLit(ps), lit(acc)).as("q"))
+          .collect()(0).getSeq[Long](0)
+        // the sketch value's true rank interval vs the ε-band around p·n
+        val rankCols = ps.indices.flatMap { i =>
+          Seq(sum(when(col("x") < approx(i), 1L).otherwise(0L)).as(s"lt$i"),
+            sum(when(col("x") <= approx(i), 1L).otherwise(0L)).as(s"le$i"))
+        }
+        val rr = d.agg(rankCols.head, rankCols.tail: _*).collect()(0)
+        val eps = math.ceil(n.toDouble / acc).toLong + 1
+        val ok = ps.indices.forall { i =>
+          val (lo, hi) = (rr.getLong(2 * i) + 1, rr.getLong(2 * i + 1))
+          val t = math.ceil(ps(i) * n).toLong
+          hi >= t - eps && lo <= t + eps
+        }
+        // exact side: value at rank ceil(p·n) — the deliberate global
+        // sort this gate exists to make unnecessary at scale
+        val targets = ps.map(p => math.ceil(p * n).toLong)
+        val w = Window.orderBy(col("x"))
+        val ex = d.withColumn("rn", row_number().over(w))
+          .filter(col("rn").isin(targets: _*))
+          .collect().map(r => r.getInt(1).toLong -> r.getLong(0)).toMap
+        Seq((ex(targets(0)), ex(targets(1)), ex(targets(2)), ok))
+          .toDF("q25_exact", "q50_exact", "q75_exact", "within_tol")
       }
-      val rr = d.agg(rankCols.head, rankCols.tail: _*).collect()(0)
-      val eps = math.ceil(n.toDouble / acc).toLong + 1
-      val ok = ps.indices.forall { i =>
-        val (lo, hi) = (rr.getLong(2 * i) + 1, rr.getLong(2 * i + 1))
-        val t = math.ceil(ps(i) * n).toLong
-        hi >= t - eps && lo <= t + eps
-      }
-      // exact side: value at rank ceil(p·n) — the deliberate global
-      // sort this gate exists to make unnecessary at scale
-      val targets = ps.map(p => math.ceil(p * n).toLong)
-      val w = Window.orderBy(col("x"))
-      val ex = d.withColumn("rn", row_number().over(w))
-        .filter(col("rn").isin(targets: _*))
-        .collect().map(r => r.getInt(1).toLong -> r.getLong(0)).toMap
-      Seq((ex(targets(0)), ex(targets(1)), ex(targets(2)), ok))
-        .toDF("q25_exact", "q50_exact", "q75_exact", "within_tol")
     },
       """WITH s AS (SELECT n_chars AS x,
         |    row_number() OVER (ORDER BY n_chars) AS rn,

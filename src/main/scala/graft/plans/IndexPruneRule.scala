@@ -90,8 +90,10 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (idx.isEmpty) return None
     val covered = idx.flatMap(_.files).map(Layout.canonPath).toSet & allFiles
     if (covered.isEmpty) return None
-    val memoKey = (Seq(kind, colName, sig) ++ idx.map(_.indexFile))
-      .mkString("\u0001")
+    // the sig is length-prefixed so it cannot bleed into the
+    // index-file list even if a key value contains the separator
+    val memoKey = (Seq(kind, colName, s"${sig.length}:$sig") ++
+      idx.map(_.indexFile)).mkString("\u0001")
     val hits = memoProbe(memoKey) {
       probing.set(true)
       try probeFn(idx.map(_.indexFile))
@@ -166,17 +168,26 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // holding matches for ITS conjunct), so their INTERSECTION is a
     // sound keep set for the conjunction — every applicable index
     // prunes, not just the first
+    // collision-free probe signatures: a mode tag plus length-prefixed
+    // values. A bare separator join would let an IN-list alias a
+    // prefix probe (IN ('pfx','abc') vs LIKE 'abc%') or a value
+    // containing the separator alias another list -- and a colliding
+    // memo key serves one probe's keep set for the other, an unsound
+    // prune
+    def psig(mode: String, vs: Seq[String]): String =
+      mode + vs.map(v => s"${v.length}:$v").mkString
     val keeps =
       contains.flatMap { case (c, q) =>
-        keepFor(c, "ngram", q, probe(_, q)) } ++
+        keepFor(c, "ngram", psig("has", Seq(q)), probe(_, q)) } ++
       keyEqs.flatMap { case (c, ks) =>
-        keepFor(c, "key", ks.mkString("\u0001"), keyProbe(_, ks)) } ++
+        keepFor(c, "key", psig("eq", ks), keyProbe(_, ks)) } ++
       keyPrefixes.flatMap { case (c, p) =>
-        keepFor(c, "key", "pfx\u0001" + p, keyPrefixProbe(_, p)) } ++
+        keepFor(c, "key", psig("pfx", Seq(p)), keyPrefixProbe(_, p)) } ++
       bloomEqs.flatMap { case (c, vs) =>
-        keepFor(c, "bloom", vs.mkString("\u0001"), bloomProbe(_, vs)) } ++
+        keepFor(c, "bloom", psig("eq", vs), bloomProbe(_, vs)) } ++
       integralBounds(preds).flatMap { case (c, lo, hi) =>
-        keepFor(c, "zonemap", lo + "_" + hi, zoneProbe(_, lo, hi)) }
+        keepFor(c, "zonemap", psig("zone", Seq(lo.toString, hi.toString)),
+          zoneProbe(_, lo, hi)) }
     if (keeps.isEmpty) return None
     val keep = keeps.reduce(_ & _)
     if (keep.size >= allFiles.size) return None // nothing pruned
@@ -206,8 +217,23 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def stableRowSet(p: LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     import org.apache.spark.sql.catalyst.plans.logical._
+    // Sum/Average only over EXACT numerics: a floating-point sum is
+    // merge-order-dependent, so a join key derived from sum(double)
+    // (e.g. cast to long) can land differently between the probe
+    // execution and the real one — pruning against the probed keys
+    // would silently drop join rows
+    def exactNumeric(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    }
     def orderInsensitive(f: AggregateFunction): Boolean = f match {
-      case _: Min | _: Max | _: Sum | _: Count | _: Average => true
+      case _: Min | _: Max | _: Count => true
+      case sm: Sum => exactNumeric(sm.child.dataType)
+      case av: Average => exactNumeric(av.child.dataType)
       case _ => false
     }
     def ok(n: LogicalPlan): Boolean = n match {
@@ -353,6 +379,10 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // coverage check FIRST: a small-side evaluation (localKeys' subplan
     // branch) runs a Spark job, so it must never fire for joins whose
     // lake side has no key/bloom index to prune with
+    // length-prefixed, like the Filter path's psig: a key value
+    // containing the separator must not alias another key list
+    def joinSig(keys: Seq[String]): String =
+      "join" + keys.map(k => s"${k.length}:$k").mkString
     def hasIndex(prefix: String, colName: String): Boolean =
       IndexStore.metadataRowsCached(spark, prefix).exists(r =>
         r.column == colName &&
@@ -370,9 +400,9 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           keys <- localKeys(localSide, localAttr)
           if keys.nonEmpty
           keep <- keepFor(prefix, allFiles, lakeAttr.name, "key",
-              keys.mkString("\u0001"), keyProbe(_, keys))
+              joinSig(keys), keyProbe(_, keys))
             .orElse(keepFor(prefix, allFiles, lakeAttr.name, "bloom",
-              keys.mkString("\u0001"), bloomProbe(_, keys)))
+              joinSig(keys), bloomProbe(_, keys)))
           if keep.size < allFiles.size
         } yield {
           val pruned = new InMemoryFileIndex(spark,

@@ -132,9 +132,18 @@ class KnnJoinSpec extends AnyFunSuite {
   }
 
   test("IVF panel recall clears its gate floor and beats the LSH panel") {
-    val r = graft.ops.Clustering.entries("knn_join_ivf_recall")
-      .fn(spark, sf).collect()(0)
-    assert(r.getBoolean(0), "IVF panel-mean recall fell below the alarm floor")
+    val ivf = Similarity.panelRecallMean(spark, sf,
+      graft.ops.Clustering.knnJoinIvf(spark, sf))
+    val lsh = Similarity.panelRecallMean(spark, sf,
+      Similarity.knnJoinLsh(spark, sf))
+    assert(ivf >= graft.ops.Clustering.IvfKnnRecallFloor,
+      s"IVF panel-mean recall $ivf fell below the alarm floor")
+    // the comparative claim the docs make (IVF's cell blocking recalls
+    // more of the true neighborhood than banded LSH at this scale) —
+    // previously only the gate boolean was asserted, so a regression
+    // below the LSH panel but above the floor went unnoticed
+    assert(ivf >= lsh,
+      s"IVF panel recall $ivf no longer beats the LSH panel's $lsh")
   }
 
   test("stored-cell (amortized) join: bounded lists, no self, gate green") {
