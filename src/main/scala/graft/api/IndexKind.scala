@@ -137,7 +137,7 @@ object IndexKind {
   private[graft] def readTagged(spark: SparkSession, paths: Seq[String],
       sub: String): DataFrame = {
     val first = s"${paths.head}/$sub"
-    val mtime = graft.core.Fs.dirVersion(spark, first)
+    val mtime = graft.core.Fs.dirSignature(spark, first)
     val schema = schemaCache.get(first) match {
       case Some((m, s)) if m == mtime => s
       case _ =>
@@ -153,7 +153,7 @@ object IndexKind {
 
   private[graft] def metaRows(spark: SparkSession,
       path: String): Seq[(Long, String, Long, Long)] = {
-    val mtime = graft.core.Fs.dirVersion(spark, s"$path/meta")
+    val mtime = graft.core.Fs.dirSignature(spark, s"$path/meta")
     cache.get(path) match {
       case Some((m, rows)) if m == mtime => rows
       case _ =>

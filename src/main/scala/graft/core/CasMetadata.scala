@@ -55,7 +55,10 @@ object CasMetadata {
   private def manifestPath(dir: String, v: Long): String =
     f"${logDir(dir)}/$v%020d.manifest"
 
-  private def fs(spark: SparkSession, p: String) = Fs.forPath(p)
+  // scheme-dispatched like every log protocol (the commit path has no
+  // SparkSession of its own; Fs.forPath resolves via the active
+  // session's conf when one exists)
+  private def fs(p: String) = Fs.forPath(p)
 
   /** Largest committed version, if any (one LIST). */
   def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
@@ -94,7 +97,7 @@ object CasMetadata {
 
   private def readManifest(spark: SparkSession,
       path: String): Seq[FullRow] = {
-    val f = fs(spark, path)
+    val f = fs(path)
     val in = f.open(new HPath(path))
     val text =
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
@@ -103,32 +106,49 @@ object CasMetadata {
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     // integrity trailer: the last line of every manifest this protocol
     // writes records the row count. [[Fs.createIfAbsent]] already makes
-    // manifests land atomically with their content, so a missing or
-    // mismatched trailer means real corruption (a truncated upload, an
-    // out-of-band writer) — and because manifests are cached forever as
-    // immutable, a torn read silently served as the table would drop
-    // every row on the next merge. Fail loudly instead.
-    require(lines.nonEmpty && lines.last.contains("\"__rows__\""), {
-      s"torn CAS manifest $path: no integrity trailer " +
-        s"(${lines.size} lines) — refusing to serve a possibly " +
-        "truncated metadata snapshot"
-    })
-    val declared = mapper.readTree(lines.last).get("__rows__").asLong()
-    val body = lines.dropRight(1)
-    require(body.size == declared,
-      s"torn CAS manifest $path: trailer declares $declared rows, " +
-        s"found ${body.size}")
+    // manifests land atomically with their content, so a MISMATCHED
+    // trailer means real corruption (a truncated upload, an out-of-band
+    // writer) — and because manifests are cached forever as immutable,
+    // a torn read silently served as the table would drop every row on
+    // the next merge. Fail loudly on mismatch; a manifest with NO
+    // trailer is a legacy snapshot written before the trailer existed
+    // and stays readable (its atomicity was already guaranteed by the
+    // create-if-absent landing) — refusing it would brick an existing
+    // lake's metadata on upgrade.
+    val body =
+      if (lines.nonEmpty && lines.last.contains("\"__rows__\"")) {
+        val declared = mapper.readTree(lines.last).get("__rows__").asLong()
+        val b = lines.dropRight(1)
+        require(b.size == declared,
+          s"torn CAS manifest $path: trailer declares $declared rows, " +
+            s"found ${b.size}")
+        b
+      } else lines
     body.map { line =>
-      val n = mapper.readTree(line)
+      // a body line that fails to parse (or misses fields) is the
+      // no-trailer corruption signature — report it as torn, never as
+      // a bare JSON error the caller might swallow
+      val n =
+        try mapper.readTree(line)
+        catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            throw new IllegalArgumentException(
+              s"torn CAS manifest $path: unparseable row", e)
+        }
+      def field(name: String): com.fasterxml.jackson.databind.JsonNode = {
+        val v = n.get(name)
+        require(v != null, s"torn CAS manifest $path: row missing '$name'")
+        v
+      }
       FullRow(
-        n.get("table_name").asText(),
-        n.get("column_name").asText(),
-        n.get("file_path").elements().asScala.map(_.asText()).toSeq,
-        n.get("record_counts").elements().asScala.map(_.asLong()).toSeq,
-        n.get("index_file").asText(),
-        n.get("index_type").asText(),
-        n.get("rows_indexed").asLong(),
-        n.get("index_timestamp").asLong())
+        field("table_name").asText(),
+        field("column_name").asText(),
+        field("file_path").elements().asScala.map(_.asText()).toSeq,
+        field("record_counts").elements().asScala.map(_.asLong()).toSeq,
+        field("index_file").asText(),
+        field("index_type").asText(),
+        field("rows_indexed").asLong(),
+        field("index_timestamp").asLong())
     }.toSeq
   }
 
@@ -197,16 +217,32 @@ object CasMetadata {
     val all = Fs.childNames(spark, logDir(dir))
     val names = all.filter(_.endsWith(".manifest")).toSeq.sorted
     val stale = names.dropRight(keep)
-    // also sweep staging leftovers of crashed committers (hidden
+    // also sweep staging leftovers of CRASHED committers (hidden
     // `.N.manifest.<uuid>.tmp` siblings on staged-rename schemes) —
-    // they were never published, so no reader can be holding them
+    // never published, so no reader holds them. Age-gated: a tmp
+    // younger than the horizon may belong to a commit in flight RIGHT
+    // NOW (write → rename is not atomic as a pair), and deleting it
+    // would fail a commit that lost no race. An hour dwarfs any real
+    // write-to-rename window; crashed leftovers are swept on the next
+    // vacuum after they age past it.
+    val horizon = System.currentTimeMillis() - OrphanTmpMinAgeMs
     val orphans = all.filter(n => n.startsWith(".") && n.endsWith(".tmp"))
+      .filter { n =>
+        val p = new HPath(s"${logDir(dir)}/$n")
+        try fs(p.toString).getFileStatus(p).getModificationTime < horizon
+        catch { case _: java.io.FileNotFoundException => false }
+      }
     (stale ++ orphans).foreach { n =>
       val p = new HPath(s"${logDir(dir)}/$n")
-      fs(spark, p.toString).delete(p, false)
+      fs(p.toString).delete(p, false)
     }
     stale.size
   }
+
+  /** Minimum age before [[vacuum]] treats a hidden staging file as a
+    * crashed committer's orphan rather than a commit in flight.
+    */
+  private[graft] val OrphanTmpMinAgeMs = 60L * 60 * 1000
 
   /** Drop rows whose index_file is in `indexFiles` (the delete half of
     * compaction's append-then-delete), same optimistic loop.

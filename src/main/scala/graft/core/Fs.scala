@@ -211,6 +211,43 @@ object Fs {
     else max
   }
 
+  /** Content signature for an index sub-directory — the CACHE KEY
+    * twin of [[dirVersion]]: an order-independent hash over every
+    * descendant file's (relative path, length, mtime). [[dirVersion]]
+    * alone (max mtime) misses a delete-and-rebuild that lands within
+    * the store's timestamp granularity (S3 LastModified and many local
+    * filesystems resolve to 1 s), which would leave a version-keyed
+    * cache serving the OLD index's data against the new one — cache
+    * keys must change whenever any file is added, removed, resized, or
+    * re-timestamped. Same single recursive LIST as [[dirVersion]];
+    * use that one only where the value's MEANING is an age
+    * (vacuum retention), this one everywhere a cache is keyed.
+    */
+  def dirSignature(spark: SparkSession, dir: String): Long = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(conf(spark))
+    val base = p.toUri.getPath
+    val it = fs.listFiles(p, true)
+    var sig = 0L
+    var any = false
+    while (it.hasNext) {
+      val s = it.next()
+      any = true
+      val rel = s.getPath.toUri.getPath.stripPrefix(base)
+      // order-independent combine (XOR of per-file mixes): listFiles
+      // order is unspecified across filesystems
+      var h = 1125899906842597L // prime seed
+      rel.foreach(c => h = h * 31 + c)
+      h = h * 31 + s.getLen
+      h = h * 31 + s.getModificationTime
+      // finalize per-file (splitmix-style) so XOR cannot cancel
+      // structured (path, len, mtime) deltas
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+      sig ^= h
+    }
+    if (!any) fs.getFileStatus(p).getModificationTime else sig
+  }
+
   /** Child statuses `(path, isDirectory, mtime)` of a directory; empty
     * if it is absent. One LIST call.
     */

@@ -119,8 +119,11 @@ object IcebergLog {
   }
 
   private def metadataJson(table: String) =
+    metadataJsonAt(table, currentVersion(table))
+
+  private def metadataJsonAt(table: String, version: Int) =
     mapper.readTree(Fs.readString(
-      s"${metaDir(table)}/v${currentVersion(table)}.metadata.json"))
+      s"${metaDir(table)}/v$version.metadata.json"))
 
   def snapshots(table: String): Seq[Long] =
     metadataJson(table).get("snapshots").elements().asScala
@@ -208,11 +211,16 @@ object IcebergLog {
       Files.createDirectories(Paths.get(metaDir(table)))
     else Fs.forPath(table).mkdirs(
       new org.apache.hadoop.fs.Path(metaDir(table)))
+    // resolve the version ONCE and derive everything from that one
+    // metadata read: re-listing inside metadataJson/liveFilesWithCounts
+    // would cost 2 extra LISTs per commit and could observe a racer's
+    // newer version, building this snapshot on state the claimed
+    // version number was never based on
     val versions = listVersions(table)
     val (version, prevLive, prevSnaps) =
       if (versions.nonEmpty) {
-        val meta = metadataJson(table)
-        (versions.max + 1, liveFilesWithCounts(table),
+        val meta = metadataJsonAt(table, versions.max)
+        (versions.max + 1, liveFilesWithCounts(table, meta),
           meta.get("snapshots").elements().asScala.toList)
       } else (1, Seq.empty[DataFile], List.empty[com.fasterxml.jackson.databind.JsonNode])
     val snapId = version.toLong
@@ -287,9 +295,12 @@ object IcebergLog {
     snapId
   }
 
-  /** Current live files WITH their manifest stats (for carry-forward). */
-  private def liveFilesWithCounts(table: String): Seq[DataFile] = {
-    val meta = metadataJson(table)
+  /** Current live files WITH their manifest stats (for carry-forward),
+    * resolved from an already-read metadata JSON (the commit path reads
+    * it exactly once).
+    */
+  private def liveFilesWithCounts(table: String,
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[DataFile] = {
     val target = meta.get("current-snapshot-id").asLong()
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == target).get

@@ -106,6 +106,23 @@ object IndexStore {
         r.getString(5), r.getLong(6), r.getLong(7)))
       .toSeq
 
+  /** Opaque version token of the lake's metadata table — changes on
+    * every commit (local: the swap-bumped mtime [[swapInMetadata]]
+    * keeps monotone; CAS: the latest manifest version, immutable once
+    * written). Any cache whose VALUE derives from the metadata state
+    * (e.g. the optimizer rule's probe memo) must fold this into its
+    * key, or a delete-and-rebuild of an index would keep serving the
+    * pre-rebuild answer.
+    */
+  def metadataVersionToken(spark: SparkSession, dir: String): String =
+    if (!isLocalRoot)
+      CasMetadata.latestVersion(spark, casBase(dir)).fold("none")(_.toString)
+    else {
+      val p = Paths.get(metadataPath(dir))
+      if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis.toString
+      else "none"
+    }
+
   def readMetadata(spark: SparkSession, dir: String): Option[DataFrame] = {
     if (!isLocalRoot) {
       val rows = CasMetadata.read(spark, casBase(dir))

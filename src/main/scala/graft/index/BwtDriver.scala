@@ -210,7 +210,7 @@ trait BwtDriver {
   // same-path rebuild must never serve stale chunks. Hadoop-FS stat so
   // a non-local index store versions correctly instead of throwing
   private def version(spark: SparkSession, path: String): Long =
-    graft.core.Fs.dirVersion(spark, s"$path/head")
+    graft.core.Fs.dirSignature(spark, s"$path/head")
 
   /** Stat every index's version ONCE for an operation; thread the map
     * through every step (saRangeMulti → fetchPostings → posting
@@ -250,7 +250,7 @@ trait BwtDriver {
     val h = loadHead(spark, path)
     // re-stat: never cache a head that was rebuilt since the operation
     // stat'd its version (see fetchChunks)
-    require(try graft.core.Fs.dirVersion(spark, s"$path/head") == v
+    require(try graft.core.Fs.dirSignature(spark, s"$path/head") == v
       catch { case _: Exception => false },
       s"index at $path changed during the operation — retry")
     synchronized { headCache.put(path, (v, h)); h }
@@ -291,7 +291,7 @@ trait BwtDriver {
     // residual window; its half-written chunk dir fails the read or
     // misses chunks, which the same require catches.)
     val stale = paths.filter(p =>
-      try graft.core.Fs.dirVersion(spark, s"$p/head") != vers(p)
+      try graft.core.Fs.dirSignature(spark, s"$p/head") != vers(p)
       catch { case _: Exception => true }).toSet
     synchronized {
       rows.foreach { r =>

@@ -111,7 +111,7 @@ object TokenFmIndex extends BwtDriver {
 
   def sampleOf(spark: SparkSession, path: String): Int =
     sampleAt(spark, path,
-      graft.core.Fs.dirVersion(spark, s"$path/head"))
+      graft.core.Fs.dirSignature(spark, s"$path/head"))
 
   /** Sample factor at a known head version — fails loudly when a
     * rebuild lands between the caller's version stat and the sidecar
@@ -127,7 +127,7 @@ object TokenFmIndex extends BwtDriver {
     val s =
       if (!graft.core.Fs.exists(spark, dir)) 1 // pre-sampling build
       else spark.read.parquet(dir).head().getInt(0)
-    require(try graft.core.Fs.dirVersion(spark, s"$path/head") == headVer
+    require(try graft.core.Fs.dirSignature(spark, s"$path/head") == headVer
       catch { case _: Exception => false },
       s"index at $path changed during the operation — retry")
     sampleCache.put(path, (headVer, s))

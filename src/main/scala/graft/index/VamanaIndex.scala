@@ -335,7 +335,7 @@ object VamanaIndex {
 
   private def headOf(spark: SparkSession,
       path: String): (Long, Array[(Long, Long, Array[Double])], Long) = {
-    val ver = graft.core.Fs.dirVersion(spark, s"$path/graph")
+    val ver = graft.core.Fs.dirSignature(spark, s"$path/graph")
     headCache.get(path) match {
       case Some(h @ (v, _, _)) if v == ver => h
       case _ =>

@@ -74,7 +74,7 @@ object VectorIndex {
   /** Driver-cached (centroid id, center) rows of one index. */
   private[graft] def centroidHead(spark: SparkSession,
       path: String): Array[(Int, Seq[Double])] = {
-    val mtime = graft.core.Fs.dirVersion(spark, s"$path/centroids")
+    val mtime = graft.core.Fs.dirSignature(spark, s"$path/centroids")
     centroidCache.get(path) match {
       case Some((m, rows)) if m == mtime => rows
       case _ =>
@@ -193,7 +193,7 @@ object VectorIndex {
     */
   private[graft] def requireCurrentFormat(spark: SparkSession,
       path: String): Unit = {
-    val mtime = graft.core.Fs.dirVersion(spark, s"$path/cells")
+    val mtime = graft.core.Fs.dirSignature(spark, s"$path/cells")
     val (_, ok, detail) = formatCache.get(path) match {
       case Some(v @ (m, _, _)) if m == mtime => v
       case _ =>
@@ -358,7 +358,7 @@ object VectorIndex {
 
   private[graft] def pqBooks(spark: SparkSession,
       path: String): Seq[(Int, Seq[Seq[Double]])] = {
-    val mtime = graft.core.Fs.dirVersion(spark, s"$path/pq")
+    val mtime = graft.core.Fs.dirSignature(spark, s"$path/pq")
     pqCache.get(path) match {
       case Some((m, rows)) if m == mtime => rows
       case _ =>
@@ -483,7 +483,11 @@ object VectorIndex {
       i -> Seq(i, nn)
     }.toMap
     val probeLit = typedLit(probes)
-    val vecs = s.read.parquet(s"$path/vecs")
+    // ONE read of the vecs table serves the candidate explode and both
+    // scoring sides of topKByCosine — re-planning it per use would
+    // triple the scan IO of the very table this join amortizes
+    val stored = s.read.parquet(s"$path/vecs")
+    val vecs = stored
       .select(explode(element_at(probeLit, col("centroid"))).as("cell"),
         col("vec_id"), col("v"))
     val a = vecs.select(col("cell"), col("vec_id").as("i"))
@@ -491,7 +495,7 @@ object VectorIndex {
     val cand = a.join(b, Seq("cell")).filter(col("i") =!= col("j"))
       .select("i", "j").distinct()
     graft.ops.Similarity.topKByCosine(s, cand,
-      s.read.parquet(s"$path/vecs").select("vec_id", "v"))
+      stored.select("vec_id", "v"))
   }
 
   def ensureBuilt(s: SparkSession, dir: String): String = {

@@ -90,8 +90,8 @@ object ZOrder {
     // (pathA, pathB, meta versions) and is memoized — two driver-side
     // collects per query would otherwise dominate small-query latency
     val vKey = (pathA, pathB,
-      graft.core.Fs.dirVersion(spark, s"$pathA/meta"),
-      graft.core.Fs.dirVersion(spark, s"$pathB/meta"))
+      graft.core.Fs.dirSignature(spark, s"$pathA/meta"),
+      graft.core.Fs.dirSignature(spark, s"$pathB/meta"))
     if (!uidGuardCache.contains(vKey)) {
       val fpA = meta.select("uid", "file_path").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet

@@ -92,7 +92,14 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (covered.isEmpty) return None
     // the sig is length-prefixed so it cannot bleed into the
     // index-file list even if a key value contains the separator
-    val memoKey = (Seq(kind, colName, s"${sig.length}:$sig") ++
+    // The metadata version token pins the memo to THIS commit of the
+    // metadata table: an index deleted and rebuilt in place (same
+    // indexFile paths, new coverage) must recommit metadata to become
+    // visible at all, which changes the token and retires the stale
+    // keep set immediately -- the TTL alone would serve it for up to a
+    // minute, silently pruning files the rebuilt index now covers.
+    val memoKey = (Seq(kind, colName, s"${sig.length}:$sig",
+      IndexStore.metadataVersionToken(spark, prefix)) ++
       idx.map(_.indexFile)).mkString("\u0001")
     val hits = memoProbe(memoKey) {
       probing.set(true)

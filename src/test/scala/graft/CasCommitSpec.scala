@@ -147,6 +147,51 @@ class CasCommitSpec extends AnyFunSuite {
       Set("idx1", "idx2"))
   }
 
+  test("legacy manifests without the integrity trailer stay readable") {
+    val d = dir("caslegacy")
+    // a snapshot written by the pre-trailer protocol: complete NDJSON
+    // rows, no __rows__ line. Refusing it would brick an existing
+    // lake's metadata on upgrade — it must read, and the next commit
+    // must merge on top of it (and write the trailer going forward)
+    val legacy =
+      "{\"table_name\":\"documents\",\"column_name\":\"text\"," +
+        "\"file_path\":[\"a.parquet\"],\"record_counts\":[10]," +
+        "\"index_file\":\"idx1\",\"index_type\":\"ngram\"," +
+        "\"rows_indexed\":10,\"index_timestamp\":0}\n"
+    assert(CasMetadata.tryClaim(spark, d, 1L, legacy))
+    assert(CasMetadata.read(spark, d) == Seq(row("idx1", "a.parquet")))
+    val v = CasMetadata.commit(spark, d, Seq(row("idx2", "b.parquet")))
+    assert(v == 2L)
+    assert(CasMetadata.read(spark, d).map(_.indexFile).toSet ==
+      Set("idx1", "idx2"))
+  }
+
+  test("vacuum spares a commit-in-flight staging file, sweeps aged ones") {
+    val d = "mock://" + TestSpark.tmpDir("casvactmp")
+    (1 to 3).foreach(i =>
+      CasMetadata.commit(spark, d, Seq(row(s"idx$i", s"$i.parquet"))))
+    val log = CasMetadata.logDir(d)
+    val fs = new org.apache.hadoop.fs.Path(log)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a FRESH staging tmp = a committer mid write-then-rename: vacuum
+    // must not delete it (deleting it would fail a commit that lost no
+    // race); an AGED one is a crashed committer's orphan and goes
+    val fresh = new org.apache.hadoop.fs.Path(log, ".00000000000000000004.manifest.aaaa.tmp")
+    val aged = new org.apache.hadoop.fs.Path(log, ".00000000000000000004.manifest.bbbb.tmp")
+    Seq(fresh, aged).foreach { p =>
+      val out = fs.create(p, true); out.write(1); out.close()
+    }
+    fs.setTimes(aged,
+      System.currentTimeMillis() - CasMetadata.OrphanTmpMinAgeMs - 60000, -1)
+    CasMetadata.vacuum(spark, d, keep = 1)
+    val left = graft.core.Fs.childNames(spark, log)
+    assert(left.contains(fresh.getName), s"in-flight tmp deleted: $left")
+    assert(!left.contains(aged.getName), s"aged orphan survived: $left")
+    // the live snapshot is intact
+    assert(CasMetadata.read(spark, d).map(_.indexFile).toSet ==
+      Set("idx1", "idx2", "idx3"))
+  }
+
   test("the norename scheme really rejects rename") {
     val p = new org.apache.hadoop.fs.Path(dir("casnorename") + "/x")
     val fs = p.getFileSystem(

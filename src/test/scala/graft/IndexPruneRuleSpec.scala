@@ -353,4 +353,44 @@ class IndexPruneRuleSpec extends AnyFunSuite {
     assert(q.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
     assert(scannedFiles(q) == 1)
   }
+
+  test("probe memo retires when the index is rebuilt in place") {
+    val dir = TestSpark.tmpDir("prunerebuild")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-rb-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    write("a", Seq(1L -> "needle here", 2L -> "filler"))
+    write("b", Seq(3L -> "nothing", 4L -> "still nothing"))
+    // binpackRows = 4 puts BOTH 2-row files in one group, so the
+    // rebuild below produces the SAME index path (group id = hash of
+    // the file list) — the adversarial delete-and-rebuild-in-place
+    // shape whose stale probe memo would otherwise survive the TTL
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.NgramKind, "text", binpackRows = 4)
+    IndexPruneRule.enable(spark)
+    val q1 = spark.read.parquet(dir)
+      .filter(lower(col("text")).contains("needle")).select("doc_id")
+    assert(q1.collect().map(_.getLong(0)).toSet == Set(1L)) // memoizes probe
+
+    // out-of-band rebuild: file b is REWRITTEN to contain the needle,
+    // the whole index store for this lake is dropped and rebuilt over
+    // the same file list (same index path), metadata recommitted
+    write("b", Seq(3L -> "a needle appears", 4L -> "still nothing"))
+    graft.core.Fs.deleteRec(spark,
+      s"${graft.core.IndexStore.root}/${graft.core.IndexStore.lakeId(dir)}")
+    lake.index(api.NgramKind, "text", binpackRows = 4)
+
+    // within the memo TTL: the metadata version token must retire the
+    // stale keep set, or b's new matching row would be silently pruned
+    val q2 = spark.read.parquet(dir)
+      .filter(lower(col("text")).contains("needle")).select("doc_id")
+    assert(q2.collect().map(_.getLong(0)).toSet == Set(1L, 3L),
+      "stale probe memo served after an in-place index rebuild")
+  }
 }
