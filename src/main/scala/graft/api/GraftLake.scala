@@ -125,6 +125,30 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     else res.orderBy(order.map(col): _*).limit(k)
   }
 
+  /** Observability: how a `search(kind, column)` WOULD route, with no
+    * data read — the structured twin of the reference's per-stage
+    * timing prints (indices/vector_index.py:158,189,
+    * indices/logcloud_index.py:50-90). One row of metadata-scale
+    * accounting: live file count, covering indexes after greedy
+    * max-coverage selection, the covered vs in-situ split the search
+    * plan will use, and covered-but-no-longer-live files (a vacuum /
+    * snapshot-drift signal). `covering_indexes = 0` or a large
+    * `insitu_files` is the answer to "why is this search a full
+    * scan"; `stale_covered_files > 0` says compaction is overdue.
+    */
+  def explainSearch(kind: IndexKind, column: String,
+      snapshot: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val live = backend.filesAt(snapshot).toSet
+    val cov = coverage(kind, column)
+    val covered = cov.flatMap(_._2).toSet
+    Seq((kind.name, column, live.size.toLong, cov.size.toLong,
+        (covered & live).size.toLong, (live -- covered).size.toLong,
+        (covered -- live).size.toLong))
+      .toDF("kind", "col_name", "live_files", "covering_indexes",
+        "covered_files", "insitu_files", "stale_covered_files")
+  }
+
   /** Merge this (kind, column)'s indexes whose covered rows fall below
     * the threshold, commit (append-then-delete), vacuum. Returns the
     * merged index path if a merge happened.

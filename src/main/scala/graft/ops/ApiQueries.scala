@@ -41,6 +41,21 @@ object ApiQueries {
     }, Bm25Index.oracleSql("documents", "text", "doc_id",
       SearchQueries.Bm25Query, SearchQueries.Bm25K)),
 
+    // search-routing observability: explainSearch's file accounting
+    // for a fully-covered kind (bm25 over 4 per-file indexes) and a
+    // never-indexed kind (all files route in-situ) — deterministic on
+    // the 4-way split fixture, literal oracle
+    "lake_api_explain" -> Q((s, dir) => {
+      val lake = docLake(s, dir)
+      lake.index(Bm25Kind("doc_id"), "text", binpackRows = 1)
+      lake.explainSearch(Bm25Kind("doc_id"), "text")
+        .unionByName(lake.explainSearch(KeyKind, "text"))
+    }, """SELECT * FROM (VALUES
+         |  ('bm25', 'text', 4::BIGINT, 4::BIGINT, 4::BIGINT, 0::BIGINT, 0::BIGINT),
+         |  ('key',  'text', 4::BIGINT, 0::BIGINT, 0::BIGINT, 4::BIGINT, 0::BIGINT))
+         |t(kind, col_name, live_files, covering_indexes, covered_files,
+         |  insitu_files, stale_covered_files)""".stripMargin),
+
     // key prefix search through the facade over per-file key indexes
     "lake_api_key" -> Q((s, dir) => {
       val lake = custLake(s, dir)

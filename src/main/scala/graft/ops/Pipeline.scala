@@ -577,6 +577,91 @@ object Pipeline {
       .groupBy("doc_id").agg(count_distinct(col("g")).as("n_shared"))
   }
 
+  /** Gram-level false-positive rate of the decontamination Bloom
+    * filter. A document is wrongly dropped if ANY of its G grams
+    * false-positives (≈ G·fpp), so the per-gram rate must be sized
+    * against typical document gram counts, not read as the doc-level
+    * rate: 1e-4 keeps the expected overkill ≈ 1% at G ≈ 100.
+    */
+  val DecontamBloomFpp = 1e-4
+
+  /** Doc-level overkill budget the bloom gate asserts: the share of
+    * exactly-clean documents the filter may additionally drop.
+    */
+  val DecontamOverkillBound = 0.05
+
+  /** SCALE variant of [[decontaminate]]: the benchmark gram set is
+    * compacted into a fixed-size Bloom filter instead of a broadcast
+    * set. The exact path broadcasts every distinct benchmark gram —
+    * unbounded as benchmark suites grow (billions of grams at 100 TB
+    * would blow any broadcast); the bloom is built by one mergeable
+    * distributed aggregation (`DataFrame.stat.bloomFilter`, fixed seed
+    * → deterministic bits) and stays a few hundred MB at ANY benchmark
+    * size at [[DecontamBloomFpp]]. Membership errs only one way: a
+    * benchmark gram is NEVER missed (no false negatives), so no
+    * contaminated document can survive — false positives just drop a
+    * bounded extra share of clean docs (training-data hygiene trades
+    * exactly this way in production).
+    *
+    * Gate-style entry (the corpus_distinct_sketch convention): the
+    * oracle-computable exact-kept count plus two booleans —
+    * `no_contaminated_kept` (the structural no-false-negative
+    * guarantee, asserted against the EXACT contaminated set) and
+    * `overkill_ok` (measured doc-level overkill within
+    * [[DecontamOverkillBound]]).
+    */
+  def decontaminateBloomGate(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    val grams = Dedup.shingleRows(d).withColumnRenamed("s", "g")
+    val bench = grams.filter(col("doc_id") % BenchMod === 0)
+      .select("g").distinct()
+    val nBench = bench.count()
+    val bloom = bench.stat.bloomFilter("g",
+      math.max(nBench, 1L), DecontamBloomFpp)
+    val bbl = s.sparkContext.broadcast(bloom)
+    // a UDF probe: Spark's codegen'd BloomFilterMightContain is
+    // internal to runtime join filters, and the probe sits behind a
+    // hash-agg anyway — the scan stays whole-stage either side of it
+    val might = udf((g: String) => g != null && bbl.value.mightContain(g))
+    val corpus = grams.filter(col("doc_id") % BenchMod =!= 0)
+    val bloomKept = corpus.groupBy("doc_id")
+      .agg(max(when(might(col("g")), 1).otherwise(0)).as("hit"))
+      .filter(col("hit") === 0).select("doc_id")
+    val exactContam = decontaminate(d).select("doc_id")
+    // every per-doc verdict in ONE pass over the (small) doc id sets
+    val r = corpus.select("doc_id").distinct()
+      .join(bloomKept.withColumn("bk", lit(1)), Seq("doc_id"), "left")
+      .join(exactContam.withColumn("ec", lit(1)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(coalesce(col("ec"), lit(0))).as("n_contam"),
+        sum(coalesce(col("bk"), lit(0))).as("n_bloom_kept"),
+        sum(when(col("bk") === 1 && col("ec") === 1, 1).otherwise(0))
+          .as("contaminated_kept"))
+      .head()
+    val nExactKept = r.getLong(0) - r.getLong(1)
+    val overkill = nExactKept - r.getLong(2)
+    Seq((nExactKept, r.getLong(3) == 0L,
+        overkill >= 0 && overkill.toDouble <= DecontamOverkillBound * nExactKept))
+      .toDF("n_exact_kept", "no_contaminated_kept", "overkill_ok")
+  }
+
+  private[graft] val decontamBloomSql = {
+    val km1 = DecontamN - 1
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i + $km1], ' ') for i in generate_series(1, len(toks) - $km1)])) AS g
+       |  FROM t WHERE len(toks) >= $DecontamN),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % $BenchMod = 0),
+       |corpus AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id % $BenchMod <> 0),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
+       |  WHERE doc_id % $BenchMod <> 0)
+       |SELECT (SELECT count(*) FROM corpus) - (SELECT count(*) FROM contaminated) AS n_exact_kept,
+       |  true AS no_contaminated_kept, true AS overkill_ok""".stripMargin
+  }
+
   private val decontamSql = {
     val km1 = DecontamN - 1
     s"""WITH t AS (
@@ -765,6 +850,11 @@ object Pipeline {
     "q_chunk_windows" -> Q((s, dir) => chunkWindows(docs(s, dir)), chunkSql),
 
     "text_decontaminate" -> Q(
-      (s, dir) => decontaminate(docs(s, dir)), decontamSql)
+      (s, dir) => decontaminate(docs(s, dir)), decontamSql),
+    // the 100 TB decontamination path: fixed-size bloomed benchmark
+    // set instead of an unbounded broadcast — gate-style oracle
+    "text_decontaminate_bloom" -> Q(
+      (s, dir) => decontaminateBloomGate(s, docs(s, dir)),
+      decontamBloomSql)
   )
 }

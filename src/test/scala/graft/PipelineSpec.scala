@@ -144,6 +144,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.keySet == Set(1L) && got(1L) >= 1L)
   }
 
+  test("bloom decontamination gate: planted contamination caught, clean kept") {
+    val spark = TestSpark.spark
+    val shared = "one two three four five"
+    // 1 bench doc, 1 planted-contaminated corpus doc, 20 clean corpus
+    // docs with disjoint vocabularies — at DecontamBloomFpp the filter
+    // must keep ≥ 95% of the clean ones and NEVER the contaminated one
+    val clean = (1 to 20).map(i =>
+      ((i * 10 + 1).toLong,
+        s"clean a$i b$i c$i d$i e$i f$i g$i h$i words here"))
+    val d = (Seq(
+      (0L, s"benchmark doc with $shared inside"),
+      (2L, s"corpus doc containing $shared too")) ++ clean)
+      .toDF("doc_id", "text")
+    val r = Pipeline.decontaminateBloomGate(spark, d).head()
+    assert(r.getLong(0) == 20L, s"n_exact_kept = ${r.getLong(0)}")
+    assert(r.getBoolean(1), "a contaminated doc survived the bloom")
+    assert(r.getBoolean(2), "bloom overkill exceeded the bound")
+  }
+
   test("spanDedup merges overlapping windows into maximal cross-doc spans") {
     // docs 1/2 share two DISJOINT 4-token spans (separated in each doc
     // by unique filler), doc 3 shares nothing, doc 4 repeats a span
