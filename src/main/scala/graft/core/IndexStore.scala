@@ -123,6 +123,15 @@ object IndexStore {
       else "none"
     }
 
+  /** Trim the CAS manifest log on non-local roots (readers only ever
+    * resolve the max, so a trailing window is always safe). No-op on
+    * local roots, whose metadata table is a single swapped object with
+    * no version history to trim.
+    */
+  def vacuumMetadataLog(spark: SparkSession, dir: String): Int =
+    if (isLocalRoot) 0
+    else CasMetadata.vacuum(spark, casBase(dir))
+
   def readMetadata(spark: SparkSession, dir: String): Option[DataFrame] = {
     if (!isLocalRoot) {
       val rows = CasMetadata.read(spark, casBase(dir))

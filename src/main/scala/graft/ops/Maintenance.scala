@@ -88,6 +88,10 @@ object Maintenance {
       .filter(s => now - (try graft.core.Fs.dirVersion(spark, s._1)
         catch { case _: Exception => s._3 }) >= retentionMs)
       .foreach(s => graft.core.Fs.deleteRec(spark, s._1))
+    // on CAS-backed roots the metadata table is a manifest LOG — trim
+    // superseded snapshots too (the `_metadata` guard above protects
+    // the log dir itself from the orphan sweep)
+    IndexStore.vacuumMetadataLog(spark, ns)
     referencedPaths.getOrElse(Seq.empty).sorted
   }
 

@@ -60,6 +60,18 @@ class SchemeRootSpec extends AnyFunSuite {
       assert(merged.isDefined)
       val kept = lake.vacuum()
       assert(kept == Seq(merged.get))
+      // vacuum also trims the CAS manifest log (5+ commits happened
+      // above; only a bounded trailing window may remain, and the live
+      // snapshot must still resolve — asserted by the searches below)
+      val manifests = java.nio.file.Files.list(caslog).iterator()
+      val nManifests = {
+        var n = 0
+        while (manifests.hasNext) {
+          if (manifests.next().getFileName.toString.endsWith(".manifest")) n += 1
+        }
+        n
+      }
+      assert(nManifests <= 3, s"CAS log not trimmed: $nManifests manifests")
       assert(searchIds("search") == Seq(1L, 3L, 5L))
       assert(searchIds("zone") == Seq(6L))
       assert(searchIds("nothing-here").isEmpty)
