@@ -73,7 +73,11 @@ object Tables {
     * cast (identity under the engine's UTC session timezone); plain
     * TimestampType passes through.
     */
-  private def normalizeTs(df: DataFrame): DataFrame =
+  // private[graft]: the streaming twin (streaming/EventStream.readEvents)
+  // must decode ts through THIS definition, or a batch-loader fix would
+  // silently break the stream/batch equivalence the streaming oracles
+  // assert
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -125,11 +125,14 @@ object Relational {
       val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
-      // selective broadcast filter FIRST: the BUILDING segment keeps
-      // ~1/5 of customers, so reducing orders before the big
-      // lineitem⋈orders shuffle shrinks its probe side ~5× (Catalyst
-      // won't reorder this without CBO stats)
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // selective customer filter FIRST: joining orders to the
+      // BUILDING segment (~1/5 of customers) before the big
+      // lineitem⋈orders shuffle shrinks its probe side ~5×. NO
+      // broadcast hint: the segment scales with the lake, and a forced
+      // broadcast would bypass autoBroadcastJoinThreshold and OOM at
+      // 100 TB (the q_anti_join hazard below) — AQE picks broadcast on
+      // its own whenever the filtered side actually fits
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .join(li, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(8, 4)) - dec4(col("l_discount"))))

@@ -36,14 +36,34 @@ object EventStream {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
+    // ONE ts-normalization definition for batch and stream: any change
+    // to the batch decode reaches the streaming twin automatically
+    graft.Tables.normalizeTs(raw)
   }
+
+  /** Documents as a stream, schema pinned from the batch reader —
+    * the shared source of every document-pipeline streaming entry.
+    */
+  private def readDocs(spark: SparkSession, dir: String): DataFrame = {
+    val staticDocs = graft.Tables.load(spark, dir, "documents")
+    spark.readStream
+      .schema(staticDocs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Stable, name-safe suffix for per-lake memory-sink query names.
+    * The previous `math.abs(dir.hashCode)` collided across dirs
+    * (32-bit string hashes) — the second stream would silently REPLACE
+    * the temp view a previous entry's returned DataFrame still reads —
+    * and mapped Int.MinValue to a '-'-bearing identifier spark.table
+    * cannot parse. lakeId is the repo's stable dir key.
+    */
+  private def sinkId(dir: String): String =
+    // lakeId keeps '.'/'-', which temp-view names reject — restrict to
+    // identifier characters (still injective enough: distinct dirs that
+    // collide here must differ ONLY in punctuation class)
+    graft.core.IndexStore.lakeId(dir).replaceAll("[^A-Za-z0-9_]", "_")
 
   /** Run the stream to completion into a memory sink, return the table. */
   private def runToMemory(out: DataFrame, name: String,
@@ -67,7 +87,7 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
     // complete mode rewrites the whole table each batch: multi-batch safe
-    runToMemory(stream, "graft_events_hourly_" + math.abs(dir.hashCode),
+    runToMemory(stream, "graft_events_hourly_" + sinkId(dir),
       "complete")
   }
 
@@ -107,7 +127,7 @@ object EventStream {
     // batch; the event count only ever grows, so the max-n row per user
     // IS the final state — keep exactly that one
     val table = runToMemory(out,
-      "graft_user_state_" + math.abs(dir.hashCode), "update")
+      "graft_user_state_" + sinkId(dir), "update")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n").desc)
     table.withColumn("__rn", row_number().over(w))
@@ -126,7 +146,7 @@ object EventStream {
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     // append mode emits each pair exactly once: multi-batch safe
-    runToMemory(stream, "graft_stream_dedup_" + math.abs(dir.hashCode),
+    runToMemory(stream, "graft_stream_dedup_" + sinkId(dir),
       "append")
   }
 
@@ -149,16 +169,12 @@ object EventStream {
       .select("doc_id").persist()
     try {
       contaminated.count() // materialize before the first trigger
-      val stream = spark.readStream
-        .schema(staticDocs.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      val out = graft.ops.Pipeline.gates(stream)
+      val out = graft.ops.Pipeline.gates(readDocs(spark, dir))
         .filter(col("doc_id") % graft.ops.Pipeline.BenchMod =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"))
       // stateless filters + anti join: append mode, multi-batch safe
-      runToMemory(out, "graft_doc_pipeline_" + math.abs(dir.hashCode),
+      runToMemory(out, "graft_doc_pipeline_" + sinkId(dir),
         "append")
     } finally contaminated.unpersist()
   }
@@ -171,14 +187,10 @@ object EventStream {
     * SQL: stream and batch scoring are the same arithmetic.
     */
   def classifierStream(spark: SparkSession, dir: String): DataFrame = {
-    val staticDocs = graft.Tables.load(spark, dir, "documents")
-    val stream = spark.readStream
-      .schema(staticDocs.schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
     val out = graft.ops.Classifier.scoreWithModel(spark, dir,
-      stream.filter(col("doc_id") % graft.ops.Classifier.TestMod === 0))
-    runToMemory(out, "graft_classifier_" + math.abs(dir.hashCode), "append")
+      readDocs(spark, dir)
+        .filter(col("doc_id") % graft.ops.Classifier.TestMod === 0))
+    runToMemory(out, "graft_classifier_" + sinkId(dir), "append")
   }
 
   def entries: Map[String, Q] = Map(
