@@ -158,8 +158,7 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     val m = metadata.getOrElse(return None)
     val collected = m
       .filter(col("column_name") === column && col("index_type") === kind.name)
-      .withColumn("rows", col("rows_indexed"))
-      .filter(col("rows") < threshold)
+      .filter(col("rows_indexed") < threshold)
       .select(col("index_file"), col("file_path"), col("record_counts"))
       .collect()
     // same physical-existence guard as coverage(): never merge a
@@ -168,20 +167,47 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     val presentIdx = graft.core.Fs.existing(spark,
       collected.map(_.getString(0)).toSeq)
     val small = collected.filter(r => presentIdx.contains(r.getString(0)))
-    if (small.length < 2) return None
-    val sorted = small.sortBy(_.getString(0))
+    // greedy max-coverage FIRST (the coverage() discipline): after a
+    // CRASHED compact both the part-indexes and their merged superset
+    // are committed, and merging parts WITH their superset would bake
+    // duplicate row-group coverage into the new index's meta — every
+    // search of those files would return rows twice, unfixable at
+    // search time. The greedy cover keeps the supersets; the dropped
+    // parts are pure redundancy, so their metadata rows are deleted
+    // here (repairing the crash) and vacuum reclaims their dirs.
+    val pairs = small.map(r =>
+      (r.getString(0), r.getSeq[String](1).toSet)).toSeq
+    val chosen = Maintenance.selectIndexes(
+      pairs.flatMap(_._2).toSet, pairs).toSet
+    val redundant = small.collect {
+      case r if !chosen.contains(r.getString(0)) => r.getString(0)
+    }
+    if (redundant.nonEmpty)
+      IndexStore.deleteMetadata(spark, prefix, redundant.toSeq)
+    val sorted = small.filter(r => chosen.contains(r.getString(0)))
+      .sortBy(_.getString(0))
+    if (sorted.length < 2) return None
     val mergedId = GraftLake.groupId(sorted.map(_.getString(0)).mkString("|"))
     val out = IndexStore.indexPath(prefix, s"${kindName(kind, column)}_m$mergedId")
     // fold pairwise merges (the reference's binary merge tree,
     // src/lava/merge.rs:17-205, collapses to a fold over parquet tables)
+    val tmps = Seq.newBuilder[String]
     var acc = sorted.head.getString(0)
     sorted.tail.zipWithIndex.foreach { case (r, i) =>
       val dst = if (i == sorted.length - 2) out
-        else IndexStore.indexPath(prefix,
-          s"${kindName(kind, column)}_tmp${mergedId}_$i")
+        else {
+          val t = IndexStore.indexPath(prefix,
+            s"${kindName(kind, column)}_tmp${mergedId}_$i")
+          tmps += t
+          t
+        }
       kind.merge(spark, acc, r.getString(0), dst)
       acc = dst
     }
+    // the intermediate pairwise results are provably dead once the
+    // fold completes — delete them NOW instead of letting n−2 full
+    // index copies sit out the 7-day vacuum retention
+    tmps.result().foreach(graft.core.Fs.deleteRec(spark, _))
     val allFiles = sorted.flatMap(_.getSeq[String](1)).toSeq
     val allCounts = sorted.flatMap(_.getSeq[Long](2)).toSeq
     IndexStore.commitMetadata(spark, prefix,

@@ -70,13 +70,38 @@ trait IndexKind {
     * (e.g. a snapshot predating every add) — the correct answer is an
     * EMPTY result, not a crash. Schema comes from the physically
     * present covered files (table-format removes are logical; the
-    * parquet objects remain until a data vacuum).
+    * parquet objects remain until a data vacuum), falling back to the
+    * in-situ files for lakes with NO covering index yet (a short-query
+    * early return on an unindexed lake must not require index
+    * metadata that does not exist).
     */
-  protected def emptyLike(spark: SparkSession,
-      paths: Seq[String]): DataFrame = {
-    val all = coveredFiles(spark, paths, None)
+  protected def emptyLike(spark: SparkSession, paths: Seq[String],
+      insitu: Seq[String] = Seq.empty): DataFrame = {
+    val all = (coveredFiles(spark, paths, None) ++ insitu).distinct
     require(all.nonEmpty, "no live files to search")
     spark.read.parquet(all: _*).limit(0)
+  }
+
+  /** The shared search tail of every filter kind: probe the covering
+    * indexes when any exist (`viaIndex` returning None = the cost
+    * switch chose brute), brute-refine the in-situ files, union — the
+    * both-empty case answered by ONE schema-stable empty frame.
+    * Extracted because eight hand-rolled copies of this block had
+    * already diverged once (a short-query early return that crashed on
+    * unindexed lakes); the guards live here exactly once.
+    */
+  protected def searchParts(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], covered: Seq[String],
+      viaIndex: () => Option[DataFrame],
+      refine: DataFrame => DataFrame): DataFrame = {
+    val parts =
+      (if (covered.isEmpty) Seq.empty
+       else Seq(viaIndex().getOrElse(
+         refine(spark.read.parquet(covered: _*))))) ++
+      (if (insituFiles.isEmpty) Seq.empty
+       else Seq(refine(spark.read.parquet(insituFiles: _*))))
+    if (parts.isEmpty) emptyLike(spark, paths, insituFiles)
+    else parts.reduce(_ unionByName _)
   }
 
   /** Uniform cost switch (reference: brute_force_threshold,
@@ -183,8 +208,6 @@ object NgramKind extends IndexKind {
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
     val q = graft.text.Text.sparkLower(query)
-    def brute(files: Seq[String]): DataFrame =
-      spark.read.parquet(files: _*).filter(lower(col(column)).contains(q))
     // metadata-sized; empty without a job when paths is empty
     val covered = coveredFiles(spark, paths, live)
 
@@ -216,13 +239,10 @@ object NgramKind extends IndexKind {
 
     // an empty live-restricted covered set (every indexed file removed,
     // or a snapshot predating all indexed files) must skip the indexed
-    // branch — brute([]) / readGroups' empty-schema path would throw
-    val parts =
-      (if (covered.isEmpty) Seq.empty
-       else Seq(viaIndex().getOrElse(brute(covered)))) ++
-      (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
-    if (parts.isEmpty) return emptyLike(spark, paths)
-    parts.reduce(_ unionByName _)
+    // branch — brute([]) / readGroups' empty-schema path would throw;
+    // searchParts holds that guard for every filter kind
+    searchParts(spark, paths, insituFiles, covered, () => viaIndex(),
+      d => d.filter(lower(col(column)).contains(q)))
   }
 }
 
@@ -325,14 +345,7 @@ object KeyKind extends IndexKind {
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }
 
-    // same empty-covered guard as NgramKind (ADVICE r2)
-    val parts =
-      (if (covered.isEmpty) Seq.empty
-       else Seq(viaIndex().getOrElse(
-         refine(spark.read.parquet(covered: _*))))) ++
-      (if (insituFiles.isEmpty) Seq.empty
-       else Seq(refine(spark.read.parquet(insituFiles: _*))))
-    if (parts.isEmpty) return emptyLike(spark, paths)
-    parts.reduce(_ unionByName _)
+    // same empty-covered guard as NgramKind (ADVICE r2), via searchParts
+    searchParts(spark, paths, insituFiles, covered, () => viaIndex(), refine)
   }
 }

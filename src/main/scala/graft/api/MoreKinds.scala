@@ -45,8 +45,8 @@ object LogCloudKind extends IndexKind {
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
-    def brute(files: Seq[String]): DataFrame =
-      spark.read.parquet(files: _*).filter(col(column).contains(query))
+    def refine(d: DataFrame): DataFrame =
+      d.filter(col(column).contains(query))
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
@@ -56,17 +56,10 @@ object LogCloudKind extends IndexKind {
         .select(col("idx"), col("line_id").as("uid"))
       val hits = collectHits(spark, paths, cands, live)
       if (bruteBeatsIndex(spark, paths, hits)) None
-      else Some(
-        Layout.readGroups(spark, hits, covered).drop("uid")
-          .filter(col(column).contains(query)))
+      else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }
 
-    val parts =
-      (if (covered.isEmpty) Seq.empty
-       else Seq(viaIndex().getOrElse(brute(covered)))) ++
-      (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
-    if (parts.isEmpty) return emptyLike(spark, paths)
-    parts.reduce(_ unionByName _)
+    searchParts(spark, paths, insituFiles, covered, () => viaIndex(), refine)
   }
 }
 
@@ -108,14 +101,7 @@ object TokenKind extends IndexKind {
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }
 
-    val parts =
-      (if (covered.isEmpty) Seq.empty
-       else Seq(viaIndex().getOrElse(refine(
-         spark.read.parquet(covered: _*))))) ++
-      (if (insituFiles.isEmpty) Seq.empty
-       else Seq(refine(spark.read.parquet(insituFiles: _*))))
-    if (parts.isEmpty) return emptyLike(spark, paths)
-    parts.reduce(_ unionByName _)
+    searchParts(spark, paths, insituFiles, covered, () => viaIndex(), refine)
   }
 }
 
@@ -156,14 +142,7 @@ object ZoneMapKind extends IndexKind {
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }
 
-    val parts =
-      (if (covered.isEmpty) Seq.empty
-       else Seq(viaIndex().getOrElse(
-         refine(spark.read.parquet(covered: _*))))) ++
-      (if (insituFiles.isEmpty) Seq.empty
-       else Seq(refine(spark.read.parquet(insituFiles: _*))))
-    if (parts.isEmpty) return emptyLike(spark, paths)
-    parts.reduce(_ unionByName _)
+    searchParts(spark, paths, insituFiles, covered, () => viaIndex(), refine)
   }
 }
 
@@ -200,14 +179,7 @@ object BloomKind extends IndexKind {
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }
 
-    val parts =
-      (if (covered.isEmpty) Seq.empty
-       else Seq(viaIndex().getOrElse(
-         refine(spark.read.parquet(covered: _*))))) ++
-      (if (insituFiles.isEmpty) Seq.empty
-       else Seq(refine(spark.read.parquet(insituFiles: _*))))
-    if (parts.isEmpty) return emptyLike(spark, paths)
-    parts.reduce(_ unionByName _)
+    searchParts(spark, paths, insituFiles, covered, () => viaIndex(), refine)
   }
 }
 
@@ -236,8 +208,14 @@ object MinHashKind extends IndexKind {
     val keys = graft.index.MinHashIndex.bandKeysOf(query)
     // a query shorter than ShingleK tokens has no shingles, hence no
     // signature and (by definition) no near-duplicates — return empty
-    // instead of falling through to verifyJaccard's nonEmpty require
-    if (keys.isEmpty) return emptyLike(spark, paths)
+    // instead of falling through to verifyJaccard's nonEmpty require.
+    // Schema falls back to the in-situ files (an UNINDEXED lake has no
+    // covered files to derive it from), and carries the `jac` column
+    // every non-empty result has — downstream selects must not fail
+    // only on short queries
+    if (keys.isEmpty)
+      return emptyLike(spark, paths, insituFiles)
+        .withColumn("jac", lit(0.0))
 
     def viaIndex(): Option[DataFrame] = {
       val cands = IndexKind.readTagged(spark, paths, "postings")
@@ -250,14 +228,12 @@ object MinHashKind extends IndexKind {
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
     }
 
-    val parts =
-      (if (covered.isEmpty) Seq.empty
-       else Seq(viaIndex().getOrElse(
-         refine(spark.read.parquet(covered: _*))))) ++
-      (if (insituFiles.isEmpty) Seq.empty
-       else Seq(refine(spark.read.parquet(insituFiles: _*))))
-    if (parts.isEmpty) return emptyLike(spark, paths)
-    parts.reduce(_ unionByName _)
+    // every non-empty result carries refine's `jac` column; give the
+    // both-empty frame the same schema so downstream selects never
+    // fail only on empty results
+    val res = searchParts(spark, paths, insituFiles, covered,
+      () => viaIndex(), refine)
+    if (res.columns.contains("jac")) res else res.withColumn("jac", lit(0.0))
   }
 }
 
@@ -539,8 +515,6 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
     val q = graft.text.Text.sparkLower(query)
-    def brute(files: Seq[String]): DataFrame =
-      spark.read.parquet(files: _*).filter(refinePred(column, q))
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
@@ -584,12 +558,8 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
           .filter(refinePred(column, q)))
     }
 
-    val parts =
-      (if (covered.isEmpty) Seq.empty
-       else Seq(viaIndex().getOrElse(brute(covered)))) ++
-      (if (insituFiles.isEmpty) Seq.empty else Seq(brute(insituFiles)))
-    if (parts.isEmpty) return emptyLike(spark, paths)
-    parts.reduce(_ unionByName _)
+    searchParts(spark, paths, insituFiles, covered, () => viaIndex(),
+      d => d.filter(refinePred(column, q)))
   }
 }
 

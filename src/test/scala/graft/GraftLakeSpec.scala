@@ -249,4 +249,68 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(ids("quick brown") == Seq(1L, 3L))
     assert(ids("dog") == Seq(3L, 4L))
   }
+
+  test("minhash short query on an UNINDEXED lake returns empty with jac") {
+    val dir = TestSpark.tmpDir("mhshort2")
+    val staging = TestSpark.tmpDir("stage-mhshort2")
+    Seq(1L -> "one two three four five six seven eight")
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$dir/a.parquet"))
+    // NO index() call: the lake is uncovered, so the short-query early
+    // return cannot derive its schema from covered files — it must fall
+    // back to the in-situ files instead of throwing, and carry the
+    // same `jac` column every non-empty result has
+    val res = GraftLake(spark, dir)
+      .search(graft.api.MinHashKind, "text", "too short", 10, Seq("doc_id"))
+    assert(res.count() == 0)
+    assert(res.columns.contains("doc_id") && res.columns.contains("jac"))
+  }
+
+  test("compact after a crashed prior compact does not duplicate coverage") {
+    val dir = TestSpark.tmpDir("apilake6")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage6-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "needle alpha", 2L -> "noise"))
+    write("b", Seq(3L -> "needle beta", 4L -> "other"))
+    val lake = GraftLake(spark, dir)
+    lake.index(NgramKind, "text", binpackRows = 1)
+    val parts = graft.core.IndexStore.metadataRowsCached(spark, dir)
+      .filter(_.indexType == NgramKind.name)
+    assert(parts.size == 2)
+    val merged = lake.compact(NgramKind, "text", threshold = 1000000)
+    assert(merged.isDefined)
+
+    // simulate the crash window: the merged superset committed but the
+    // parts' delete never ran — re-commit the part rows (their dirs
+    // still exist pre-vacuum)
+    parts.foreach { p =>
+      graft.core.IndexStore.commitMetadata(spark, dir,
+        graft.core.IndexStore.metadataRows(spark, dir, "text",
+          p.files, p.files.map(_ => 2L), p.indexFile, p.indexType, 2L))
+    }
+    assert(graft.core.IndexStore.metadataRowsCached(spark, dir)
+      .count(_.indexType == NgramKind.name) == 3)
+
+    // the next compact must NOT merge parts with their superset (that
+    // would bake duplicate coverage into one index forever) — it
+    // repairs the metadata instead: parts deleted, superset kept
+    assert(lake.compact(NgramKind, "text", threshold = 1000000).isEmpty)
+    val after = graft.core.IndexStore.metadataRowsCached(spark, dir)
+      .filter(_.indexType == NgramKind.name)
+    assert(after.map(_.indexFile) == Seq(merged.get), after.toString)
+
+    // and search returns each matching row exactly ONCE
+    val got = lake.search(NgramKind, "text", "needle", 100, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L), s"duplicated rows: $got")
+  }
 }
