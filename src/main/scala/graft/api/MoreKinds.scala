@@ -82,8 +82,12 @@ object TokenKind extends IndexKind {
       k: Int, live: Option[Set[String]] = None): DataFrame = {
     val qtoks = TokenIndex.tokensOf(query)
     val qnorm = " " + qtoks.mkString(" ") + " "
+    // token-less query = the empty token sequence = contained in every
+    // row (TokenIndex/BwtDriver convention): refine must pass all rows,
+    // not keep only token-less ones via the two-space normal form
     def refine(d: DataFrame): DataFrame =
-      d.filter(TokenIndex.normalForm(col(column)).contains(qnorm))
+      if (qtoks.isEmpty) d
+      else d.filter(TokenIndex.normalForm(col(column)).contains(qnorm))
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
@@ -558,8 +562,11 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
           .filter(refinePred(column, q)))
     }
 
+    // symbol-less query = empty pattern = contained in every row (the
+    // BwtDriver convention): token-mode's refinePred would otherwise
+    // keep only token-less ROWS via the two-space normal form
     searchParts(spark, paths, insituFiles, covered, () => viaIndex(),
-      d => d.filter(refinePred(column, q)))
+      d => if (!indexable(q)) d else d.filter(refinePred(column, q)))
   }
 }
 

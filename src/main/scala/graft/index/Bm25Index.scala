@@ -55,11 +55,17 @@ object Bm25Index {
       .withColumn("bucket", bucketOf(col("token")))
     tf.write.mode("overwrite").partitionBy("bucket")
       .option("compression", "zstd").parquet(s"$path/postings")
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl = Σtf per doc, derived from the ALREADY-WRITTEN postings
+    // table: re-deriving from `toks` would re-scan and re-tokenize the
+    // whole corpus (the build's dominant cost) a second and third time
+    // for docstats and the head
+    val dl = spark.read.parquet(s"$path/postings")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     dl.write.mode("overwrite").parquet(s"$path/docstats")
     // corpus head: one row — the broadcastable "cacheable metadata page"
-    // (reference: bm25.rs:171-173)
-    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // (reference: bm25.rs:171-173) — aggregated from the tiny docstats
+    spark.read.parquet(s"$path/docstats")
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()

@@ -441,19 +441,19 @@ trait BwtDriver {
     if (symbols(q).isEmpty)
       return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
     // one version for the whole operation: walk and slice must see the
-    // same build
+    // same build. Candidate resolution goes through the overridable
+    // [[candidateUids]] seam (None = a cost cap tripped → brute), so
+    // sample-aware encodings (TokenFmIndex) need no copy of this
+    // scaffold — the previous hand-rolled override had already drifted
+    // on the empty-query path.
     val vers = versionsOf(spark, Seq(path))
-    val (lo, hi) = saRangeMulti(spark, Seq(path), q, vers)(path)
-    // cost switch 1: a huge SA range means the pattern is unselective —
-    // the covered-files scan wins
-    if (hi - lo > Lake.BruteForceThreshold.toLong * ChunkSize) return brute()
-    postingSliceCapped(spark, path, lo, hi, Lake.BruteForceThreshold,
+    candidateUids(spark, path, q, Lake.BruteForceThreshold,
         vers(path)) match {
       case Some(uids)
           if uids.size < graft.api.IndexKind.metaRows(spark, path).size =>
         Layout.readHits(spark, meta, uids.toDF("uid"))
           .filter(refinePred(column, q))
-      case _ => brute() // cost switch 2: too many hits / all groups hit
+      case _ => brute() // cost caps / too many hits / all groups hit
     }
   }
 }

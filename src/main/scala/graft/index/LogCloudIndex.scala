@@ -72,10 +72,16 @@ object LogCloudIndex {
     })
   }
 
-  private val typeBitsCol = {
-    // same classification as a codegen-friendly column expression
+  private[graft] val typeBitsCol = {
+    // same classification as a codegen-friendly column expression.
+    // split(c, "") emits a TRAILING EMPTY string (limit -1 semantics);
+    // without the filter it hit otherwise(32) and set the 'other' bit
+    // on EVERY value — silently disabling the (type & qt) === qt prune
+    // for punctuation-free values (the refine kept results correct, but
+    // the type tier stopped discriminating, diverging from the
+    // driver-side typeBits twin above)
     (c: Column) =>
-      aggregate(split(c, ""), lit(0), (m, ch) =>
+      aggregate(filter(split(c, ""), _ =!= ""), lit(0), (m, ch) =>
         m.bitwiseOR(
           when(ch.rlike("[0-9]"), 1)
             .when(ch.rlike("[a-f]"), 2)

@@ -154,6 +154,17 @@ object MinHashIndex {
       queryText: String): DataFrame = {
     val keys = bandKeysOf(queryText)
     val meta = spark.read.parquet(s"$path/meta")
+    // a query shorter than K tokens has no shingles, hence no signature
+    // and by definition no near-duplicates: the correct result is an
+    // EMPTY frame with the normal result schema (lake rows + jac), not
+    // an empty.reduceLeft crash — the facade (MinHashKind) guards this
+    // the same way
+    if (keys.isEmpty) {
+      val files = meta.select("file_path").distinct()
+        .collect().map(_.getString(0)).toSeq
+      return spark.read.parquet(files: _*).limit(0)
+        .withColumn("uid", lit(-1L)).withColumn("jac", lit(0.0))
+    }
     val hits = spark.read.parquet(s"$path/postings")
       .filter(keys.map { case (b, k) =>
         col("band") === b && col("bkey") === k

@@ -198,38 +198,6 @@ object TokenFmIndex extends BwtDriver {
     build(spark, files, column, out, if (sa == sb) sa else 1)
   }
 
-  /** Search: sample == 1 delegates to the shared driver flow; a
-    * skip-sampled index probes one thinned residue pattern per offset
-    * (reference: search.rs:493-507) and unions the posting slices —
-    * a candidate SUPERSET by the alignment argument in [[build]] —
-    * then the full-query refine restores exactness.
-    */
-  override def search(spark: SparkSession, path: String, column: String,
-      query: String): org.apache.spark.sql.DataFrame = {
-    val vers = versionsOf(spark, Seq(path))
-    if (sampleAt(spark, path, vers(path)) == 1)
-      return super.search(spark, path, column, query)
-    import spark.implicits._
-    val q = graft.text.Text.sparkLower(query)
-    val meta = spark.read.parquet(s"$path/meta")
-    def covered: Seq[String] = meta.select("file_path").distinct()
-      .collect().map(_.getString(0)).toSeq
-    def brute(): org.apache.spark.sql.DataFrame =
-      spark.read.parquet(covered: _*)
-        .filter(refinePred(column, q))
-        .withColumn("uid", lit(-1L))
-    if (TokenIndex.tokensOf(q).isEmpty)
-      return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
-    candidateUids(spark, path, q, graft.core.Lake.BruteForceThreshold,
-        vers(path)) match {
-      case Some(uids)
-          if uids.size < graft.api.IndexKind.metaRows(spark, path).size =>
-        Layout.readHits(spark, meta, uids.toDF("uid"))
-          .filter(refinePred(column, q))
-      case _ => brute() // over cap, sub-sample-length, or no pruning value
-    }
-  }
-
   /** Chunk payload: SA-ordered token array (no join into one string —
     * token boundaries must survive), posting uids, cumulative counts.
     */

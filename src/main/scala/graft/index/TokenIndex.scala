@@ -88,7 +88,15 @@ object TokenIndex {
         .collect().map(_.getString(0)).toSeq
       refine(spark.read.parquet(files: _*)).withColumn("uid", lit(-1L))
     }
-    if (qtoks.isEmpty) return brute()
+    // a token-less query ("!!!") is the EMPTY token sequence — a
+    // sub-sequence of every row, so every covered row matches (the
+    // BwtDriver/TokenFmIndex convention; refining with the two-space
+    // normal form would instead keep only token-less ROWS)
+    if (qtoks.isEmpty) {
+      val files = meta.select("file_path").distinct()
+        .collect().map(_.getString(0)).toSeq
+      return spark.read.parquet(files: _*).withColumn("uid", lit(-1L))
+    }
     val qg = queryGrams(qtoks)
     val qbuckets = qg.map(bucketOfString).distinct
     val post = spark.read.parquet(s"$path/postings")

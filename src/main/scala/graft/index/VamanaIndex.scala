@@ -256,7 +256,7 @@ object VamanaIndex {
         if (cs.length == 1) Seq((b1, id, v))
         else Seq((b1, id, v), (b2, id, v))
       }
-    }
+    }.persist()
     // per-partition in-memory Vamana with halved degree
     // (reference: vamana.rs:541-552). k-means gives NO per-cell size
     // bound — a skewed corpus (millions of near-identical embeddings)
@@ -314,7 +314,7 @@ object VamanaIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
     Seq(n).toDF("n").coalesce(1).write.mode("overwrite")
       .parquet(s"$path/info")
-    parts.unpersist(); src.unpersist()
+    parts.unpersist(); assigned.unpersist(); src.unpersist()
   }
 
   // ---- driver-side beam search with batched fetches -----------------
@@ -343,6 +343,13 @@ object VamanaIndex {
           .map(r => (r.getLong(0), r.getLong(1),
             r.getSeq[Double](2).toArray))
         val n = spark.read.parquet(s"$path/info").head().getLong(0)
+        // re-stat before caching: an in-place rebuild completing
+        // between the stat and the reads would cache the NEW build's
+        // head under the OLD signature (the BwtDriver.headAt
+        // discipline; node fetches are already version-keyed)
+        require(try graft.core.Fs.dirSignature(spark, s"$path/graph") == ver
+          catch { case _: Exception => false },
+          s"index at $path changed during the operation — retry")
         val h = (ver, meds, n)
         headCache.put(path, h)
         h
@@ -378,6 +385,11 @@ object VamanaIndex {
         .map(r => r.getLong(0) ->
           Node(r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
         .toMap
+      // re-stat: never insert rows read AFTER an in-place rebuild under
+      // the pre-rebuild version key (see headOf)
+      require(try graft.core.Fs.dirSignature(spark, s"$path/graph") == ver
+        catch { case _: Exception => false },
+        s"index at $path changed during the operation — retry")
       nodeCache.synchronized {
         fetched.foreach { case (id, nd) =>
           nodeCache.put((path, ver, id), nd)

@@ -80,6 +80,14 @@ object VectorIndex {
       case _ =>
         val rows = spark.read.parquet(s"$path/centroids").collect()
           .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+        // re-stat: an in-place rebuild (ensureBuilt's format upgrade)
+        // completing between the stat and the read would cache the NEW
+        // build's head under the OLD signature — a later query would
+        // silently mix builds (the BwtDriver.headAt discipline)
+        require(try graft.core.Fs.dirSignature(spark,
+            s"$path/centroids") == mtime
+          catch { case _: Exception => false },
+          s"index at $path changed during the operation — retry")
         centroidCache.put(path, (mtime, rows))
         rows
     }
@@ -128,8 +136,11 @@ object VectorIndex {
     // not linear in probed rows — see knnJoinFromIndex / SCALE.md
     val model = new KMeans().setK(cells.getOrElse(numCentroids(n)))
       .setSeed(Seed).setMaxIter(MaxIter).fit(feat)
+    // cached: the cells and (storeVecs) vecs writes both consume this,
+    // and the n×K×dim prediction would otherwise run once per write
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("v"), col("prediction").as("centroid"))
+      .cache()
     // PQ codebooks: per-subspace KMeans over the vector slices
     // (reference trains a ProductQuantizer over raw vectors,
     // vector_index.py:52-56)
@@ -177,6 +188,7 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     books.map { case (m, cs) => (m, cs) }.toDF("sub", "codebook")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    assigned.unpersist()
     feat.unpersist()
   }
 
@@ -200,6 +212,10 @@ object VectorIndex {
         val fields = spark.read.parquet(s"$path/cells").schema.fieldNames.toSet
         val v = (mtime, !fields.contains("v") && fields.contains("vnorm"),
           fields.mkString(","))
+        // re-stat before caching (see centroidHead)
+        require(try graft.core.Fs.dirSignature(spark, s"$path/cells") == mtime
+          catch { case _: Exception => false },
+          s"index at $path changed during the operation — retry")
         formatCache.put(path, v)
         v
     }
@@ -367,6 +383,10 @@ object VectorIndex {
             r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](1)
               .map(_.toSeq).toSeq))
           .sortBy(_._1).toSeq
+        // re-stat before caching (see centroidHead)
+        require(try graft.core.Fs.dirSignature(spark, s"$path/pq") == mtime
+          catch { case _: Exception => false },
+          s"index at $path changed during the operation — retry")
         pqCache.put(path, (mtime, rows))
         rows
     }

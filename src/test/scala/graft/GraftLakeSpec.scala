@@ -248,6 +248,9 @@ class GraftLakeSpec extends AnyFunSuite {
     assert(lake.compact(TokenKind, "text", threshold = 1000000).isDefined)
     assert(ids("quick brown") == Seq(1L, 3L))
     assert(ids("dog") == Seq(3L, 4L))
+    // token-less query = the EMPTY token sequence, contained in every
+    // row (the BwtDriver convention) — not "rows with no tokens"
+    assert(ids("!!!") == Seq(1L, 2L, 3L, 4L))
   }
 
   test("minhash short query on an UNINDEXED lake returns empty with jac") {

@@ -107,4 +107,34 @@ class IndexSpec extends AnyFunSuite {
     assert(kept == grams.takeRight(10))
     assert(graft.text.QueryShaping.viableGrams(Seq("a", "b")) == Seq("a", "b"))
   }
+
+  test("standalone minhash search with a short query returns empty, not a crash") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "totally different words in this particular document"))
+      .toDF("doc_id", "text")
+    val files = mkLake(docs, "doc_id", 1)
+    val path = TestSpark.tmpDir("mhidx")
+    graft.index.MinHashIndex.build(spark, files, "text", path)
+    // fewer than ShingleK tokens -> no band keys: the standalone API
+    // must answer empty with the normal result schema (lake + jac),
+    // matching the facade guard, instead of empty.reduceLeft crashing
+    val res = graft.index.MinHashIndex.search(spark, path, "text", "too short")
+    assert(res.count() == 0)
+    assert(res.columns.contains("jac") && res.columns.contains("doc_id"))
+  }
+
+  test("standalone token search with a token-less query matches all rows") {
+    val docs = Seq((1L, "hello world"), (2L, "other text"))
+      .toDF("doc_id", "text")
+    val files = mkLake(docs, "doc_id", 1)
+    val path = TestSpark.tmpDir("tokidx")
+    graft.index.TokenIndex.build(spark, files, "text", path)
+    // "!!!" has no [a-z0-9] tokens = the empty token sequence, which is
+    // a sub-sequence of EVERY row (the BwtDriver convention) -- the
+    // previous two-space refine returned only token-less rows (none)
+    val got = graft.index.TokenIndex.search(spark, path, "text", "!!!")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
 }

@@ -20,6 +20,24 @@ class LogCloudSpec extends AnyFunSuite {
     assert(LogCloudIndex.typeBits("{\"k\":87}") == (1 | 16 | 32))
   }
 
+  test("build-side type column equals the driver bitmask (no phantom 32)") {
+    // split(c, "") emits a trailing empty string; unfiltered it set the
+    // 'other' bit on EVERY value, neutering the type prune for
+    // punctuation-free values — the column twin must match typeBits
+    // exactly, including values with no 'other' characters
+    val vals = Seq("123", "abc", "ABC", "XYZ", "xyz", "!?",
+      "deadbeef42", "{\"k\":87}", "Grz9", "a")
+    val got = vals.toDF("value")
+      .select(org.apache.spark.sql.functions.col("value"),
+        LogCloudIndex.typeBitsCol(
+          org.apache.spark.sql.functions.col("value")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    vals.foreach { v =>
+      assert(got(v) == LogCloudIndex.typeBits(v),
+        s"'$v': col=${got(v)} driver=${LogCloudIndex.typeBits(v)}")
+    }
+  }
+
   test("variable queries contain digits and no whitespace") {
     assert(LogCloudIndex.isVariableQuery("87"))
     assert(LogCloudIndex.isVariableQuery("piece219"))
