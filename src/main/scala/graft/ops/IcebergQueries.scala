@@ -24,21 +24,29 @@ object IcebergQueries {
 
   private val Query = IndexQueries.QueryStr // "merge merge"
 
+  /** Stage `df` as the single data file `table/data/name` — the one
+    * stage-write → move → cleanup implementation both fixture builders
+    * share (DeltaQueries.part is the Delta-shaped sibling).
+    */
+  private def part(s: SparkSession, table: String, name: String,
+      df: DataFrame): IcebergLog.DataFile = {
+    val stage = s"$table/_stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    Files.move(Paths.get(Lake.listFiles(stage).head),
+      Paths.get(s"$table/data/$name"))
+    IndexStore.deleteRec(Paths.get(stage))
+    IcebergLog.DataFile(s"$table/data/$name", df.count(),
+      Files.size(Paths.get(s"$table/data/$name")))
+  }
+
   def ensureIcebergDocs(s: SparkSession, dir: String): String = {
     val table = Lake.splitPath(dir, "iceberg_documents")
     IndexStore.synchronized {
       if (!Files.exists(Paths.get(table, "metadata"))) {
         Files.createDirectories(Paths.get(table, "data"))
         val docs = graft.Tables.load(s, dir, "documents")
-        def part(name: String, df: DataFrame): IcebergLog.DataFile = {
-          val stage = s"$table/_stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(stage)
-          Files.move(Paths.get(Lake.listFiles(stage).head),
-            Paths.get(s"$table/data/$name"))
-          IndexStore.deleteRec(Paths.get(stage))
-          IcebergLog.DataFile(s"$table/data/$name", df.count(),
-            Files.size(Paths.get(s"$table/data/$name")))
-        }
+        def part(name: String, df: DataFrame): IcebergLog.DataFile =
+          IcebergQueries.part(s, table, name, df)
         val adds1 = (0 to 1).map(m =>
           part(s"part-m$m.parquet", docs.filter(col("doc_id") % 4 === m)))
         val junk = part("junk.parquet",
@@ -70,15 +78,8 @@ object IcebergQueries {
       if (!Files.exists(Paths.get(table, "metadata"))) {
         Files.createDirectories(Paths.get(table, "data"))
         val docs = graft.Tables.load(s, dir, "documents")
-        def part(name: String, df: DataFrame): IcebergLog.DataFile = {
-          val stage = s"$table/_stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(stage)
-          Files.move(Paths.get(Lake.listFiles(stage).head),
-            Paths.get(s"$table/data/$name"))
-          IndexStore.deleteRec(Paths.get(stage))
-          IcebergLog.DataFile(s"$table/data/$name", df.count(),
-            Files.size(Paths.get(s"$table/data/$name")))
-        }
+        def part(name: String, df: DataFrame): IcebergLog.DataFile =
+          IcebergQueries.part(s, table, name, df)
         val now = System.currentTimeMillis()
         val day = 24L * 3600 * 1000
         val era1 = (0 to 1).map(m =>

@@ -23,21 +23,31 @@ object IndexQueries {
   private def lakeFiles(s: SparkSession, dir: String): Seq[String] =
     Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
 
+  /** Build one ngram index at `p` over `files` and commit its
+    * metadata rows under namespace `ns` — the ONE place the
+    * build → meta → per-file-counts → commitMetadata sequence lives
+    * (Maintenance's compaction shares it; drift between the two would
+    * make compacted-index metadata disagree with normally-built).
+    * Returns the per-file (path, rows) counts.
+    */
+  private[ops] def buildAndCommit(s: SparkSession, ns: String,
+      files: Seq[String], p: String): Seq[(String, Long)] = {
+    NgramIndex.build(s, files, Column, p)
+    val counts = s.read.parquet(s"$p/meta").groupBy("file_path")
+      .agg(sum("num_rows").as("n")).orderBy("file_path")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    IndexStore.commitMetadata(s, ns,
+      IndexStore.metadataRows(s, Table, Column,
+        counts.map(_._1), counts.map(_._2),
+        p, "ngram", counts.map(_._2).sum))
+    counts
+  }
+
   /** Build one ngram index over `files`, commit lake metadata. */
   private def buildIdx(s: SparkSession, dir: String, name: String,
       files: Seq[String]): String = {
     val p = IndexStore.indexPath(dir, name)
-    IndexStore.ensure(p) {
-      NgramIndex.build(s, files, Column, p)
-      val meta = s.read.parquet(s"$p/meta")
-      val counts = meta.groupBy("file_path")
-        .agg(sum("num_rows").as("n")).orderBy("file_path")
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      IndexStore.commitMetadata(s, dir,
-        IndexStore.metadataRows(s, Table, Column,
-          counts.map(_._1).toSeq, counts.map(_._2).toSeq,
-          p, "ngram", counts.map(_._2).sum))
-    }
+    IndexStore.ensure(p) { buildAndCommit(s, dir, files, p) }
     p
   }
 
@@ -60,9 +70,17 @@ object IndexQueries {
     }
     val p = IndexStore.indexPath(dir, "ngram_documents_text_paged")
     IndexStore.ensure(p) {
+      // save/RESTORE the prior granularity rather than unset: a caller
+      // (or concurrent build on this session) may have set it
+      // deliberately, and erasing it would silently flip THEIR build's
+      // granularity mid-flight
+      val prior = s.conf.getOption(Layout.GranularityKey)
       s.conf.set(Layout.GranularityKey, "page")
       try NgramIndex.build(s, Lake.listFiles(lake), Column, p)
-      finally s.conf.unset(Layout.GranularityKey)
+      finally prior match {
+        case Some(v) => s.conf.set(Layout.GranularityKey, v)
+        case None    => s.conf.unset(Layout.GranularityKey)
+      }
     }
     p
   }

@@ -115,16 +115,30 @@ object Maintenance {
       historyMs: Long, now: Long = System.currentTimeMillis(),
       fileTimeoutMs: Long = 0L): Seq[String] = {
     val snaps = graft.core.IcebergLog.snapshotsWithTimes(table)
+    // FAIL-SAFE (same stance as vacuum() above): a table with zero
+    // readable snapshots is indistinguishable from a wiped/unreadable
+    // metadata dir, and "every index is dead" is never the right
+    // reading of that state. Genuine orphan dirs still age out via the
+    // plain vacuum below.
+    if (snaps.isEmpty) return vacuum(spark, ns, fileTimeoutMs)
     val cutoff = now - historyMs
     val recent = snaps.filter(_._2 > cutoff)
     val live = if (recent.nonEmpty) recent else Seq(snaps.maxBy(_._2))
     val liveFiles = live.flatMap { case (id, _) =>
       graft.core.IcebergLog.liveFiles(table, Some(id))
     }.toSet
-    val dead = IndexStore.metadataRowsCached(spark, ns)
-      .filter(r => !r.files.exists(liveFiles.contains))
-      .map(_.indexFile)
-    if (dead.nonEmpty) IndexStore.deleteMetadata(spark, ns, dead)
+    // liveness compares BASENAMES, like vacuum(): metadata rows store
+    // the paths the builder saw, the manifest stores the committer's —
+    // scheme/authority qualification may differ while naming the same
+    // files, and a raw-string mismatch here would delete EVERY index
+    def baseName(p: String) = new org.apache.hadoop.fs.Path(p).getName
+    val liveNames = liveFiles.map(baseName)
+    if (liveNames.nonEmpty) {
+      val dead = IndexStore.metadataRowsCached(spark, ns)
+        .filter(r => !r.files.exists(f => liveNames.contains(baseName(f))))
+        .map(_.indexFile)
+      if (dead.nonEmpty) IndexStore.deleteMetadata(spark, ns, dead)
+    }
     vacuum(spark, ns, fileTimeoutMs)
   }
 
@@ -165,15 +179,7 @@ object Maintenance {
       val parts = Seq(files.take(2), files.drop(2)).zipWithIndex.map {
         case (fs, i) =>
           val p = IndexStore.indexPath(ns, s"ngram_part$i")
-          NgramIndex.build(s, fs, "text", p)
-          val meta = s.read.parquet(s"$p/meta")
-          val counts = meta.groupBy("file_path").agg(sum("num_rows").as("n"))
-            .orderBy("file_path").collect().map(r => (r.getString(0), r.getLong(1)))
-          IndexStore.commitMetadata(s, ns,
-            IndexStore.metadataRows(s, "documents", "text",
-              counts.map(_._1).toSeq, counts.map(_._2).toSeq, p, "ngram",
-              counts.map(_._2).sum))
-          (p, counts)
+          (p, IndexQueries.buildAndCommit(s, ns, fs, p))
       }
       // compaction plan: both part-indexes fall below the threshold →
       // binpack groups them together for one merge

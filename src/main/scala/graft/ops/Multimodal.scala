@@ -45,10 +45,13 @@ object Multimodal {
   object Md5StubDecoder extends MediaDecoder {
     def dims(payload: Column): (Column, Column) = (
       (octet_length(payload) % 64 + 1).cast("long"),
-      // `div` = truncating integer division (DuckDB's `//`); a plain
-      // double-divide + CAST differs across engines (DuckDB rounds
-      // casts, Spark truncates)
-      (expr(s"octet_length(payload) div 64") % 64 + 1).cast("long"))
+      // shiftright(x, 6) = truncating x div 64 for the non-negative
+      // octet_length (DuckDB's `// 64`); a plain double-divide + CAST
+      // differs across engines (DuckDB rounds casts, Spark truncates).
+      // Built from the PARAMETER — an expr("... payload ...") string
+      // would capture whatever column happens to be named `payload`
+      // at the call site instead of the one passed in
+      (shiftright(octet_length(payload), 6) % 64 + 1).cast("long"))
 
     def features(payload: Column, n: Int): Column = {
       val h = md5(payload)

@@ -253,7 +253,12 @@ object Pipeline {
           .as("dup_token_frac"),
         round(col("top_tok").cast("double") / col("n_tok"), 4)
           .as("top_token_frac"),
-        round(coalesce(col("top_bg"), lit(0L)).cast("double") * 2 / col("n_tok"), 4)
+        // fraction of the n−1 bigram SLOTS taken by the top bigram —
+        // a true ≤1 fraction. (Covered-token counting, top_bg*2/n_tok,
+        // exceeds 1 on overlapping runs like "a a a": the exact docs
+        // the metric exists to flag.)
+        round(coalesce(col("top_bg"), lit(0L)).cast("double") /
+            greatest(col("n_tok") - 1, lit(1)), 4)
           .as("top_bigram_frac"))
   }
 
@@ -274,7 +279,7 @@ object Pipeline {
       |SELECT b.doc_id,
       |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok, 4) AS dup_token_frac,
       |  round(CAST(top_tok AS DOUBLE) / n_tok, 4) AS top_token_frac,
-      |  round(CAST(coalesce(top_bg, 0) * 2 AS DOUBLE) / n_tok, 4) AS top_bigram_frac
+      |  round(CAST(coalesce(top_bg, 0) AS DOUBLE) / greatest(n_tok - 1, 1), 4) AS top_bigram_frac
       |FROM b JOIN m USING (doc_id)""".stripMargin
 
   // ---- deterministic stratified sampling (dataset mixing) ------------

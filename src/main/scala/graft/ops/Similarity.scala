@@ -180,7 +180,14 @@ object Similarity {
       .select(col("i"), col("j"), col("cos"))
   }
 
-  def embeddingDedupLshSql: String = {
+  /** The shared md5-hyperplane signature derivation (e → eq → h →
+    * dots → sigs → bands CTEs, then `cand` from the caller's pair
+    * filter) — the part that must stay bit-identical to
+    * [[lshCoefs]]/[[lshBands]], written ONCE so an update to the hash
+    * derivation or band math cannot reach one LSH oracle and not the
+    * other. Callers append their scoring tail.
+    */
+  private def lshCandCtes(pairFilter: String): String = {
     val nBands = LshBits / LshBandBits
     val mask = (1 << LshBandBits) - 1
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -199,8 +206,12 @@ object Similarity {
        |          FROM sigs, generate_series(0, ${nBands - 1}) g(k)),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
        |         FROM bands a JOIN bands b USING (k, band)
-       |         WHERE a.vec_id < b.vec_id)
-       |SELECT c.i, c.j,
+       |         WHERE $pairFilter)""".stripMargin
+  }
+
+  def embeddingDedupLshSql: String =
+    lshCandCtes("a.vec_id < b.vec_id") + "\n" +
+    s"""SELECT c.i, c.j,
        |  round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
        |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
        |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) AS cos
@@ -208,7 +219,6 @@ object Similarity {
        |WHERE round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
        |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
        |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) >= $DedupTau""".stripMargin
-  }
 
   // ---- KNN join (every vector → its top-k neighbors) -----------------
 
@@ -308,27 +318,9 @@ object Similarity {
     Seq(panelRecallMean(s, dir, approx) >= floor).toDF("recall_ok")
   }
 
-  def knnJoinLshSql: String = {
-    val nBands = LshBits / LshBandBits
-    val mask = (1 << LshBandBits) - 1
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |eq AS (SELECT vec_id, [CAST(round(x * $VecQuant) AS BIGINT) for x in v] AS vq FROM e),
-       |h AS (SELECT b, j,
-       |        CASE WHEN strpos('01234567', substr(md5(b::VARCHAR || ':' || j::VARCHAR), 1, 1)) > 0
-       |             THEN 1 ELSE -1 END AS c
-       |      FROM generate_series(0, ${LshBits - 1}) t(b),
-       |           generate_series(0, ${VecDim - 1}) s(j)),
-       |dots AS (SELECT eq.vec_id, h.b, sum(h.c * eq.vq[h.j + 1]) AS d
-       |         FROM eq CROSS JOIN h GROUP BY eq.vec_id, h.b),
-       |sigs AS (SELECT vec_id,
-       |           CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
-       |         FROM dots GROUP BY vec_id),
-       |bands AS (SELECT vec_id, k, (sig >> ($LshBandBits * k)) & $mask AS band
-       |          FROM sigs, generate_series(0, ${nBands - 1}) g(k)),
-       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-       |         FROM bands a JOIN bands b USING (k, band)
-       |         WHERE a.vec_id <> b.vec_id),
-       |sc AS (SELECT c.i, c.j,
+  def knnJoinLshSql: String =
+    lshCandCtes("a.vec_id <> b.vec_id") + ",\n" +
+    s"""sc AS (SELECT c.i, c.j,
        |  round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
        |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
        |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 6) AS cos
@@ -337,7 +329,6 @@ object Similarity {
        |         row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn
        |       FROM sc)
        |SELECT i, j, cos FROM rk WHERE rn <= $KnnJoinK""".stripMargin
-  }
 
   /** Exact top-k neighbors for the [[KnnPanelN]]-query panel: the
     * panel side is a broadcast (20 rows), never a cross product of the

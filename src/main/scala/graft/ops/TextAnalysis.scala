@@ -569,9 +569,16 @@ object TextAnalysis {
     // a pair-count aggregation over the vocab-sized symbol table with
     // the (tiny) argmax collected and pushed back as a literal replace.
     // Rounds are driver-sequenced like dedup_cc; `replace` is
-    // left-to-right non-overlapping in BOTH engines, which IS BPE's
-    // greedy merge order, so the oracle (the same rounds unrolled as
-    // CTEs) reproduces the merge table bit-for-bit.
+    // left-to-right non-overlapping in BOTH engines. Symbols are
+    // DOUBLE-space delimited (" a  b  c ") and the merge pattern
+    // carries one outer space per side (" a  b " → " ab "): each match
+    // consumes only one space of each boundary pair, so back-to-back
+    // occurrences ("a a a a" → "aa aa", not "aa a a") merge exactly
+    // like BPE's greedy left-to-right pass — with single-space
+    // delimiters the pattern's matches would SHARE the boundary space
+    // and every second adjacent occurrence would be skipped. The
+    // oracle (the same rounds unrolled as CTEs) reproduces the merge
+    // table bit-for-bit.
     "bpe_learn_merges" -> Q((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       // the ONE corpus-sized pass, persisted: each round's argmax
@@ -581,7 +588,7 @@ object TextAnalysis {
       val base = docs
         .select(explode(Text.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
-        .select(concat(lit(" "), concat_ws(" ", split(col("word"), "")),
+        .select(concat(lit(" "), concat_ws("  ", split(col("word"), "")),
           lit(" ")).as("sym"), col("freq"))
         .persist()
       var sym = base
@@ -600,9 +607,13 @@ object TextAnalysis {
           .orderBy(col("cnt").desc, col("pair")).limit(1)
           .collect()(0)
         val (pair, cnt) = (best.getString(0), best.getLong(1))
-        // pairs are [a-z0-9 ] by construction — literal-safe
+        // pairs are [a-z0-9 ] by construction — literal-safe; the
+        // pattern doubles the pair's internal space to match the
+        // symbol delimiter, the replacement's single spaces plus the
+        // unconsumed outer spaces restore it
         sym = sym.withColumn("sym",
-          expr(s"replace(sym, ' $pair ', ' ${pair.replace(" ", "")} ')"))
+          expr(s"replace(sym, ' ${pair.replace(" ", "  ")} ', " +
+            s"' ${pair.replace(" ", "")} ')"))
         (r, pair, cnt)
       }
       base.unpersist()
@@ -617,7 +628,7 @@ object TextAnalysis {
   private def bpeLearnSql: String = {
     val head =
       """WITH w0 AS (
-        |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym,
+        |  SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym,
         |    CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word
         |        FROM documents)
@@ -630,7 +641,7 @@ object TextAnalysis {
          |  GROUP BY pair),
          |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |w$r AS (SELECT replace(sym,
-         |    ' ' || (SELECT pair FROM b$r) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', '  ') FROM b$r) || ' ',
          |    ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS sym, freq
          |  FROM w${r - 1})""".stripMargin
     }

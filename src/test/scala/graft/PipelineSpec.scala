@@ -115,8 +115,20 @@ class PipelineSpec extends AnyFunSuite {
     val got = Pipeline.repetition(d).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .toMap
-    assert(got(1L) == ((0.75, 1.0, 1.5))) // 3 identical bigrams × 2 / 4 tokens
-    assert(got(2L) == ((0.0, 0.25, 0.5)))
+    // top bigram fills 3 of 3 bigram slots → exactly 1.0 (the
+    // covered-token formulation overshot to 1.5 on this overlap run)
+    assert(got(1L) == ((0.75, 1.0, 1.0)))
+    assert(got(2L) == ((0.0, 0.25, 0.3333))) // 1 of 3 slots
+  }
+
+  test("repetition's fractions never exceed 1 on overlapping runs") {
+    val d = Seq((1L, "a a a"), (2L, "x y x y x y x")).toDF("doc_id", "text")
+    val got = Pipeline.repetition(d).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    got.foreach { case (df, tf, bf) =>
+      assert(df >= 0 && df <= 1 && tf >= 0 && tf <= 1 && bf >= 0 && bf <= 1,
+        s"fraction out of [0,1]: ($df, $tf, $bf)")
+    }
   }
 
   test("chunkWindows tiles tokens with stride overlap and short tails") {
