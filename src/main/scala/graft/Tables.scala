@@ -86,15 +86,24 @@ object Tables {
       case _ => df
     }
 
-  /** Events loader: footer-dispatched timestamp decode. The legacy flag
-    * is only touched when the footer actually shows TIMESTAMP(NANOS)
-    * (a SESSION-level set by contract — the flag is consulted at scan
-    * time, so a scoped set/restore would race lazy execution; every
-    * nanos read in this engine goes through here).
+  /** The footer probe + legacy-flag arm, shared by the batch loader
+    * and the streaming source ([[graft.streaming.EventStream]]): any
+    * change to the decode dispatch reaches both through this one
+    * definition. The legacy flag is only touched when the footer
+    * actually shows TIMESTAMP(NANOS), and the set is SESSION-level by
+    * contract — the flag is consulted at scan time, so a scoped
+    * set/restore would race lazy execution; every nanos read in this
+    * engine goes through here.
     */
-  def loadEvents(spark: SparkSession, file: String): DataFrame = {
+  private[graft] def armTsDecode(spark: SparkSession, file: String): Unit =
     if (tsEncoding(spark, file) == TsNanosAsLong)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Events loader: footer-dispatched timestamp decode via
+    * [[armTsDecode]], result normalized to one TimestampType column.
+    */
+  def loadEvents(spark: SparkSession, file: String): DataFrame = {
+    armTsDecode(spark, file)
     normalizeTs(spark.read.parquet(file))
   }
 

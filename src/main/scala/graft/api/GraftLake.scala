@@ -88,14 +88,25 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       // via the ensure marker
       val id = GraftLake.groupId(group.mkString("|"))
       val p = IndexStore.indexPath(prefix, s"${kindName(kind, column)}_$id")
-      IndexStore.ensure(p) {
-        kind.build(spark, group, column, p)
-        val groupCounts = counts.filter(c => group.contains(c._1))
+      val groupCounts = counts.filter(c => group.contains(c._1))
+      // the metadata commit happens AFTER ensure() so the marker is
+      // already on disk when the row lands: a concurrent search's
+      // demote path classifies indexes by marker, and a committed row
+      // with no marker yet would read as "broken" and be deleted.
+      // The marker-without-row window this ordering opens instead is
+      // the one the re-commit below closes — which also self-heals a
+      // STALE marker whose row was deleted long ago (compact treats
+      // superseded parts as redundant; their dirs outlive the rows
+      // until vacuum). Without it, a regenerated group would no-op on
+      // the stale marker and its files would stay uncovered (silently
+      // brute-scanned) until the dir aged out.
+      IndexStore.ensure(p) { kind.build(spark, group, column, p) }
+      if (!IndexStore.metadataRowsCached(spark, prefix)
+          .exists(_.indexFile == p))
         IndexStore.commitMetadata(spark, prefix,
           IndexStore.metadataRows(spark, prefix, column,
             groupCounts.map(_._1).toSeq, groupCounts.map(_._2).toSeq,
             p, kind.name, groupCounts.map(_._2).sum))
-      }
       p
     }
   }
@@ -113,16 +124,46 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       snapshot: Option[Long] = None): DataFrame = {
     val live = backend.filesAt(snapshot).toSet
     val cov = coverage(kind, column)
-    val covered = cov.flatMap(_._2).toSet
-    val uncovered = (live -- covered).toSeq.sorted
-    if (cov.isEmpty && uncovered.isEmpty) return spark.emptyDataFrame
     // hit filtering only matters when coverage can exceed the live set
     val restrict =
       if (backend.canRemove || snapshot.nonEmpty) Some(live) else None
-    val res = kind.searchLake(spark, cov.map(_._1), uncovered, column,
-      query, k, restrict)
-    if (kind.ranked) res
-    else res.orderBy(order.map(col): _*).limit(k)
+    def attempt(c: Seq[(String, Seq[String])]): DataFrame = {
+      val uncovered = (live -- c.flatMap(_._2).toSet).toSeq.sorted
+      if (c.isEmpty && uncovered.isEmpty) {
+        // schema-stable empty result (the kind-level emptyLike
+        // contract): an empty-at-snapshot, not-yet-indexed lake must
+        // still answer with the RESULT's columns — table columns plus
+        // any ranking column the kind appends — so downstream
+        // .select/.orderBy resolve. The kind itself derives that
+        // schema: a zero-row in-situ probe over any historical file
+        // (removes are logical; the object outlives the live set).
+        // Only a lake with no files at ANY version has none to offer.
+        return backend.schemaFile match {
+          case None => spark.emptyDataFrame
+          case Some(f) =>
+            kind.searchLake(spark, Seq.empty, Seq(f), column, query, k)
+              .limit(0)
+        }
+      }
+      val res = kind.searchLake(spark, c.map(_._1), uncovered, column,
+        query, k, restrict)
+      if (kind.ranked) res
+      else res.orderBy(order.map(col): _*).limit(k)
+    }
+    try attempt(cov) catch {
+      case e: Exception if GraftLake.missingFileCause(e) =>
+        // a covering index dir lost children out of band (crashed
+        // vacuum mid-walk): coverage()'s batched existence check sees
+        // the dir, the probe crashes on the missing sub-table. Marker
+        // check decides integrity (build writes _GRAFT_DONE last,
+        // deleteRec removes it first): demote marker-less indexes to
+        // in-situ, drop their stale metadata rows so the files
+        // rebuild on the next index(), and retry ONCE.
+        val (healthy, broken) = cov.partition(c => IndexStore.isBuilt(c._1))
+        if (broken.isEmpty) throw e
+        IndexStore.deleteMetadata(spark, prefix, broken.map(_._1))
+        attempt(healthy)
+    }
   }
 
   /** Observability: how a `search(kind, column)` WOULD route, with no
@@ -231,4 +272,25 @@ object GraftLake {
   private[api] def groupId(name: String): String =
     java.util.UUID.nameUUIDFromBytes(name.getBytes("UTF-8"))
       .toString.replace("-", "").take(16)
+
+  /** True when `e`'s cause chain says a file/dir went missing —
+    * the signature of an index dir deleted out of band between
+    * coverage()'s existence check and the probe's read.
+    */
+  private[api] def missingFileCause(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 10) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getCondition != null &&
+              a.getCondition.contains("PATH_NOT_FOUND") => return true
+        case _ =>
+      }
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
+  }
 }

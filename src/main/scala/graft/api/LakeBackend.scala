@@ -28,6 +28,14 @@ trait LakeBackend {
     * with remove actions). Append-only backends skip hit-set filtering.
     */
   def canRemove: Boolean
+
+  /** ANY data file this lake has ever referenced, for deriving the
+    * table schema when the live set is empty (an empty-at-snapshot
+    * search must still answer with typed columns). Versioned backends
+    * look beyond the current version: removes are logical, the parquet
+    * objects remain until a data vacuum.
+    */
+  def schemaFile: Option[String] = files.headOption
 }
 
 /** Append-only directory of immutable parquet files
@@ -58,6 +66,12 @@ case class DeltaBackend(spark: SparkSession, table: String) extends LakeBackend 
   def filesAt(snapshot: Option[Long]): Seq[String] =
     DeltaLog.liveFiles(spark, table, snapshot)
   def canRemove: Boolean = true
+  // a fully emptied table still has files at earlier versions
+  override def schemaFile: Option[String] =
+    files.headOption.orElse(
+      DeltaLog.versions(table).sorted.reverse.iterator
+        .map(v => DeltaLog.liveFiles(spark, table, Some(v)))
+        .collectFirst { case fs if fs.nonEmpty => fs.head })
 }
 
 /** Iceberg table: live files from the snapshot's manifest tree, time
@@ -71,4 +85,10 @@ case class IcebergBackend(table: String) extends LakeBackend {
   def filesAt(snapshot: Option[Long]): Seq[String] =
     IcebergLog.liveFiles(table, snapshot)
   def canRemove: Boolean = true
+  // a fully emptied table still has files at earlier snapshots
+  override def schemaFile: Option[String] =
+    files.headOption.orElse(
+      IcebergLog.snapshotsWithTimes(table).sortBy(-_._2).iterator
+        .map { case (id, _) => IcebergLog.liveFiles(table, Some(id)) }
+        .collectFirst { case fs if fs.nonEmpty => fs.head })
 }

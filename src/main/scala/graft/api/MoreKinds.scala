@@ -83,10 +83,14 @@ object TokenKind extends IndexKind {
     val qtoks = TokenIndex.tokensOf(query)
     val qnorm = " " + qtoks.mkString(" ") + " "
     // token-less query = the empty token sequence = contained in every
-    // row (TokenIndex/BwtDriver convention): refine must pass all rows,
-    // not keep only token-less ones via the two-space normal form
+    // NON-NULL row (TokenIndex/BwtDriver convention): refine must pass
+    // those rows, not keep only token-less ones via the two-space
+    // normal form. NULL rows are excluded like every contains-based
+    // path (SQL: NULL contains anything is NULL) — without the filter
+    // this kind would diverge from NgramKind and the oracles on
+    // corpora with NULL text
     def refine(d: DataFrame): DataFrame =
-      if (qtoks.isEmpty) d
+      if (qtoks.isEmpty) d.filter(col(column).isNotNull)
       else d.filter(TokenIndex.normalForm(col(column)).contains(qnorm))
     val covered = coveredFiles(spark, paths, live)
 
@@ -423,8 +427,10 @@ case class VamanaKind(idCol: String, l: Int = Int.MaxValue,
     */
   def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
     val ma = spark.read.parquet(s"$a/meta")
-    val uidOff = ma.agg(max("uid")).collect()(0).getLong(0)
-    val rowOff = ma.agg(sum("num_rows")).collect()(0).getLong(0)
+    // one combined aggregate — separate max/sum jobs would each pay a
+    // full a/meta read on every compaction merge
+    val offs = ma.agg(max("uid"), sum("num_rows")).collect()(0)
+    val (uidOff, rowOff) = (offs.getLong(0), offs.getLong(1))
     val va = spark.read.parquet(s"$a/graph").select("vec_id", "v")
     val vb = spark.read.parquet(s"$b/graph")
       .select((col("vec_id") + rowOff).as("vec_id"), col("v"))
@@ -562,11 +568,13 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
           .filter(refinePred(column, q)))
     }
 
-    // symbol-less query = empty pattern = contained in every row (the
-    // BwtDriver convention): token-mode's refinePred would otherwise
-    // keep only token-less ROWS via the two-space normal form
+    // symbol-less query = empty pattern = contained in every NON-NULL
+    // row (the BwtDriver convention): token-mode's refinePred would
+    // otherwise keep only token-less ROWS via the two-space normal
+    // form. NULLs excluded, matching every contains-based path
     searchParts(spark, paths, insituFiles, covered, () => viaIndex(),
-      d => if (!indexable(q)) d else d.filter(refinePred(column, q)))
+      d => if (!indexable(q)) d.filter(col(column).isNotNull)
+        else d.filter(refinePred(column, q)))
   }
 }
 

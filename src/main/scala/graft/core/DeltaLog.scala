@@ -91,6 +91,17 @@ object DeltaLog {
     * wins within the replay order).
     */
   def liveFiles(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Seq[String] =
+    liveRawPaths(spark, table, asOf).map(resolvePath(table, _)).sorted
+
+  /** The live set in RAW log form — the exact strings add/remove
+    * matching uses. [[checkpoint]] stores these verbatim: a
+    * re-derived form (decode → relativize → re-encode) would change
+    * the string for spec-legal absolute-URI adds, and a later
+    * remove's raw string would no longer match the checkpointed add —
+    * the removed file would stay live forever.
+    */
+  private def liveRawPaths(spark: SparkSession, table: String,
       asOf: Option[Long] = None): Seq[String] = {
     val target = asOf.getOrElse(currentVersion(table))
     require(versions(table).contains(target) || checkpointVersions(table).contains(target),
@@ -113,7 +124,7 @@ object DeltaLog {
             if (node.has("remove")) live -= node.get("remove").get("path").asText()
           }
       }
-    live.toSeq.map(resolvePath(table, _)).sorted
+    live.toSeq.sorted
   }
 
   /** Resolve an add/remove path per the spec: paths are stored as
@@ -276,16 +287,12 @@ object DeltaLog {
     */
   def checkpoint(spark: SparkSession, table: String, version: Long): Unit = {
     import spark.implicits._
-    val files = liveFiles(spark, table, Some(version))
-    val tableCanon = Layout.canonPath(table)
-    // table-relative adds keep the relative form; absolute-URI adds
-    // (spec-legal) stay absolute — stripPrefix leaves them untouched.
-    // liveFiles returns DECODED paths; the checkpoint stores the log's
-    // percent-encoded form like commit does
-    val rel = files.map(f => encodePath(f.stripPrefix(tableCanon + "/")))
+    // RAW log-form paths, stored VERBATIM: replay-over-checkpoint
+    // matches removes against these same strings (see liveRawPaths)
+    val rel = liveRawPaths(spark, table, Some(version))
     // real file sizes where resolvable (readers use add.size for
     // planning); unreachable files record 0
-    val sizes = files.map(f =>
+    val sizes = rel.map(resolvePath(table, _)).map(f =>
       try hfs(f).getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
       catch { case _: Exception => 0L })
     // latest metaData/protocol at `version` (last one wins on replay)

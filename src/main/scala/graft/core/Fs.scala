@@ -260,10 +260,20 @@ object Fs {
     catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
-  /** Recursive delete through the path's filesystem (no-op if absent). */
+  /** Recursive delete through the path's filesystem (no-op if absent).
+    * The `_GRAFT_DONE` marker goes FIRST: build writes it last and
+    * delete removes it first, so marker-present ⇒ the dir is complete
+    * and not mid-deletion — the integrity probe search's
+    * demote-on-missing-file retry relies on.
+    */
   def deleteRec(spark: SparkSession, path: String): Unit = {
-    val p = new HPath(path)
-    p.getFileSystem(conf(spark)).delete(p, true)
+    val fs = new HPath(path).getFileSystem(conf(spark))
+    // an absent marker returns false (no throw); a REAL delete failure
+    // must propagate BEFORE any child is touched — swallowing it and
+    // deleting children would leave marker-present-but-broken, the one
+    // state the invariant promises cannot exist
+    fs.delete(new HPath(path, "_GRAFT_DONE"), false)
+    fs.delete(new HPath(path), true)
   }
 
   /** Child names of a directory (empty if the directory is absent).

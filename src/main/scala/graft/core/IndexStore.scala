@@ -27,10 +27,19 @@ object IndexStore {
     * switches the metadata table to the rename-free [[CasMetadata]]
     * protocol and every marker/stat/delete to the root's FileSystem.
     */
-  def root: String =
-    sys.props.get("graft.index.dir")
+  def root: String = {
+    val r = sys.props.get("graft.index.dir")
       .orElse(sys.env.get("GRAFT_INDEX_DIR"))
       .getOrElse("/root/repo/target/graft-idx")
+    // a file:-scheme root takes the java.nio local fast path, where
+    // Paths.get("file:/x/y") is a RELATIVE path with a literal "file:"
+    // first segment — markers/metadata swaps/deletes would silently
+    // target $CWD/file:/... Strip the scheme ONCE here so every
+    // derived path is plain; non-file schemes stay untouched (they go
+    // through the Hadoop FS branch).
+    if (r.startsWith("file:")) new org.apache.hadoop.fs.Path(r).toUri.getPath
+    else r
+  }
 
   private def isLocalRoot: Boolean = Fs.isLocalPath(root)
   private def hfs(p: String): org.apache.hadoop.fs.FileSystem =
@@ -46,7 +55,12 @@ object IndexStore {
   private def marker(path: String) = Paths.get(path, "_GRAFT_DONE")
 
   def isBuilt(path: String): Boolean =
-    if (isLocalRoot) Files.exists(marker(path))
+    // dispatch on the PATH's scheme, not the root's: ensure() also
+    // guards lake-side builds (Lake.ensureSplit), whose paths may
+    // carry a scheme while the index root is local (and vice versa) —
+    // a root-based dispatch would java.nio a "s3a:/..." string into a
+    // relative $CWD path
+    if (Fs.isLocalPath(path)) Files.exists(marker(path))
     else hfs(path).exists(new org.apache.hadoop.fs.Path(path, "_GRAFT_DONE"))
 
   // one monitor PER INDEX PATH: a build holds its lock for minutes of
@@ -66,7 +80,7 @@ object IndexStore {
     lock.synchronized {
       if (!isBuilt(path)) {
         build
-        if (isLocalRoot) {
+        if (Fs.isLocalPath(path)) {
           Files.createDirectories(Paths.get(path))
           Files.write(marker(path), Array.emptyByteArray)
         } else {
@@ -272,6 +286,9 @@ object IndexStore {
   def deleteRec(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
+      // marker first — same invariant as Fs.deleteRec (marker-present
+      // ⇒ dir complete, not mid-deletion)
+      Files.deleteIfExists(p.resolve("_GRAFT_DONE"))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
 

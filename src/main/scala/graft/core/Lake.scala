@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
-  def lakeRoot: String =
-    sys.env.getOrElse("GRAFT_LAKE_DIR", "/root/repo/target/graft-lake")
+  def lakeRoot: String = {
+    val r = sys.env.getOrElse("GRAFT_LAKE_DIR", "/root/repo/target/graft-lake")
+    // same scheme-strip as IndexStore.root: the java.nio call sites
+    // below (split spec read/write) mis-resolve a literal "file:/..."
+    // string as a relative path
+    if (r.startsWith("file:")) new org.apache.hadoop.fs.Path(r).toUri.getPath
+    else r
+  }
 
   /** The split lake directory for a testdata table — the ONE place the
     * path scheme lives (ensureSplit writes it, query entries read it).
@@ -36,16 +42,29 @@ object Lake {
       key: String, parts: Int): Seq[String] = {
     val path = splitPath(dir, table)
     val spec = s"$key|$parts"
+    // spec read/write through the scheme-dispatched helpers: on a
+    // scheme-carrying lake root a raw Paths.get("scheme:/...") is a
+    // RELATIVE path and the spec file would silently land in $CWD
+    def writeSpec(): Unit =
+      if (Fs.isLocalPath(path))
+        Files.writeString(Paths.get(path, "_GRAFT_SPLIT"), spec)
+      else Fs.writeBytes(s"$path/_GRAFT_SPLIT",
+        spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def specExists(): Boolean =
+      if (Fs.isLocalPath(path)) Files.exists(Paths.get(path, "_GRAFT_SPLIT"))
+      else Fs.forPath(path).exists(
+        new org.apache.hadoop.fs.Path(path, "_GRAFT_SPLIT"))
     IndexStore.ensure(path) {
       graft.Tables.load(spark, dir, table)
         .repartitionByRange(parts, col(key))
         .write.mode("overwrite").parquet(path)
-      Files.writeString(Paths.get(path, "_GRAFT_SPLIT"), spec)
+      writeSpec()
     }
-    val specPath = Paths.get(path, "_GRAFT_SPLIT")
     // dirs split before the spec file existed: adopt the caller's spec
-    if (!Files.exists(specPath)) Files.writeString(specPath, spec)
-    val stored = Files.readString(specPath)
+    if (!specExists()) writeSpec()
+    val stored =
+      if (Fs.isLocalPath(path)) Files.readString(Paths.get(path, "_GRAFT_SPLIT"))
+      else Fs.readString(s"$path/_GRAFT_SPLIT")
     require(stored == spec,
       s"$table at $dir is already split as '$stored' — a '$spec' split " +
         "of the same table needs its own lake dir")

@@ -89,13 +89,15 @@ object TokenIndex {
       refine(spark.read.parquet(files: _*)).withColumn("uid", lit(-1L))
     }
     // a token-less query ("!!!") is the EMPTY token sequence — a
-    // sub-sequence of every row, so every covered row matches (the
-    // BwtDriver/TokenFmIndex convention; refining with the two-space
-    // normal form would instead keep only token-less ROWS)
+    // sub-sequence of every NON-NULL row, so every covered non-null
+    // row matches (the BwtDriver/TokenFmIndex convention; refining
+    // with the two-space normal form would instead keep only
+    // token-less ROWS). NULLs excluded like every contains-based path
     if (qtoks.isEmpty) {
       val files = meta.select("file_path").distinct()
         .collect().map(_.getString(0)).toSeq
-      return spark.read.parquet(files: _*).withColumn("uid", lit(-1L))
+      return spark.read.parquet(files: _*)
+        .filter(col(column).isNotNull).withColumn("uid", lit(-1L))
     }
     val qg = queryGrams(qtoks)
     val qbuckets = qg.map(bucketOfString).distinct

@@ -29,8 +29,7 @@ object EventStream {
     */
   private def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val file = graft.Tables.path(dir, "events")
-    if (graft.Tables.tsEncoding(spark, file) == graft.Tables.TsNanosAsLong)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.armTsDecode(spark, file)
     val schema = spark.read.parquet(file).schema
     val raw = spark.readStream
       .schema(schema)

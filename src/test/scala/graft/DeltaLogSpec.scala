@@ -92,6 +92,25 @@ class DeltaLogSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("partitionValues").isNotNull).count() == 1)
   }
 
+  test("checkpoint stores raw add paths so later removes still match") {
+    val t = mkTable("delta_absuri")
+    val a = addFile(t, "a.parquet", Seq(1L -> "one"))
+    val abs = addFile(t, "abs.parquet", Seq(2L -> "two"))
+    // spec-legal absolute-URI add (e.g. after SHALLOW CLONE): the log
+    // stores it verbatim and replay matches add/remove on the RAW
+    // string — a checkpoint that re-derived (decoded + relativized)
+    // the path would never match the remove and the file would stay
+    // live forever
+    val absUri = s"file://$t/abs.parquet"
+    DeltaLog.commit(t, 0, Seq(a, DeltaLog.Add(absUri, abs.size)))
+    DeltaLog.checkpoint(spark, t, 0L)
+    DeltaLog.commit(t, 1, removes = Seq(absUri))
+    assert(DeltaLog.liveFiles(spark, t).map(_.split('/').last) ==
+      Seq("a.parquet"))
+    assert(DeltaLog.liveFiles(spark, t, Some(0L)).map(_.split('/').last) ==
+      Seq("a.parquet", "abs.parquet"))
+  }
+
   test("a lost commit race throws instead of clobbering") {
     val t = mkTable("delta3")
     val a = addFile(t, "a.parquet", Seq(1L -> "one"))

@@ -13,14 +13,15 @@ class GraftLakeSpec extends AnyFunSuite {
 
   private val lakeDir = TestSpark.tmpDir("apilake")
 
-  private def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+  private def writeFile(name: String, rows: Seq[(Long, String)],
+      dir: String = lakeDir): Unit = {
     val staging = TestSpark.tmpDir(s"stage-$name")
     rows.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(staging)
     val part = graft.core.Lake.listFiles(staging).head
     java.nio.file.Files.move(
       java.nio.file.Paths.get(part),
-      java.nio.file.Paths.get(s"$lakeDir/$name.parquet"))
+      java.nio.file.Paths.get(s"$dir/$name.parquet"))
   }
 
   private def allRows(): Seq[(Long, String)] =
@@ -165,6 +166,59 @@ class GraftLakeSpec extends AnyFunSuite {
     val res = NgramKind.searchLake(spark, Seq(idx), Seq.empty, "text",
       "row", 10, live = Some(Set.empty))
     assert(res.columns.contains("doc_id") && res.count() == 0)
+  }
+
+  test("degenerate queries agree across kinds on a NULL-bearing corpus") {
+    val dir = TestSpark.tmpDir("nulllake")
+    writeFile("n-a",
+      Seq(1L -> "alpha beta", 2L -> (null: String), 3L -> "gamma"), dir)
+    val lake = GraftLake(spark, dir)
+    def ids(kind: graft.api.IndexKind, q: String) =
+      lake.search(kind, "text", q, 100, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // the empty pattern matches every NON-NULL row — uniformly across
+    // char-mode (contains("")) and token-mode (empty token sequence)
+    // kinds, on the unindexed (in-situ brute) paths...
+    for (k <- Seq[graft.api.IndexKind](NgramKind, TokenKind,
+        graft.api.FmKind, graft.api.TokenFmKind))
+      assert(ids(k, "") == Seq(1L, 3L), s"unindexed ${k.name}")
+    // ...and a token-LESS (but non-empty) query is the same empty
+    // sequence for the token kinds: NULL rows must not sneak in
+    assert(ids(TokenKind, "!!!") == Seq(1L, 3L))
+    assert(ids(graft.api.TokenFmKind, "!!!") == Seq(1L, 3L))
+    // indexed paths answer identically
+    for (k <- Seq[graft.api.IndexKind](NgramKind, TokenKind,
+        graft.api.FmKind, graft.api.TokenFmKind)) {
+      lake.index(k, "text")
+      assert(ids(k, "") == Seq(1L, 3L), s"indexed ${k.name}")
+    }
+    assert(ids(TokenKind, "!!!") == Seq(1L, 3L))
+    assert(ids(graft.api.TokenFmKind, "!!!") == Seq(1L, 3L))
+  }
+
+  test("search demotes an index dir broken out of band and self-heals") {
+    val dir = TestSpark.tmpDir("brokenidx")
+    writeFile("bk-a", Seq(1L -> "needle in the hay", 2L -> "plain straw"), dir)
+    writeFile("bk-b", Seq(3L -> "another needle here", 4L -> "just grass"), dir)
+    val lake = GraftLake(spark, dir)
+    val built = lake.index(NgramKind, "text", binpackRows = 2)
+    assert(built.size == 2)
+    def ids() = lake.search(NgramKind, "text", "needle", 100, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids() == Seq(1L, 3L))
+    // crashed-vacuum simulation: marker gone (deleteRec removes it
+    // FIRST), a sub-table gone, dir still present — coverage()'s
+    // batched existence check alone would keep probing it
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(built.head, "_GRAFT_DONE"))
+    graft.core.IndexStore.deleteRec(
+      java.nio.file.Paths.get(built.head, "meta"))
+    // demote-not-crash: the broken index's files fall back to in-situ
+    assert(ids() == Seq(1L, 3L))
+    // and the stale metadata row was dropped, so the next incremental
+    // index() rebuilds exactly that group
+    assert(lake.index(NgramKind, "text", binpackRows = 2).size == 1)
+    assert(ids() == Seq(1L, 3L))
   }
 
   test("compact-window double coverage is deduplicated by greedy selection") {
