@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent ngram-index file pruning for contains-filters over
     // indexed lakes (SURVEY §7.4 stretch)
     ext.injectOptimizerRule(spark => new graft.plans.IndexPruneRule(spark))
+    // SQL-only surface for the lake facade: graft_search / graft_rank /
+    // graft_explain / graft_layout table functions
+    graft.plans.SqlTableFunctions.descriptors.foreach(ext.injectTableFunction)
   }
 }
 
@@ -54,6 +57,7 @@ object GraftExtensions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fp", winnowFromExprs, "built-in")
+    graft.plans.SqlTableFunctions.register(spark)
   }
 
   /** Column-API handle for the native expression. */

@@ -41,6 +41,19 @@ object ApiQueries {
     }, Bm25Index.oracleSql("documents", "text", "doc_id",
       SearchQueries.Bm25Query, SearchQueries.Bm25K)),
 
+    // the ranking path through the SQL-ONLY surface: graft_rank over
+    // the same per-file bm25 indexes must reproduce the facade's
+    // global-IDF scoring exactly (SqlTableFunctions)
+    "sql_tvf_rank" -> Q((s, dir) => {
+      val lake = docLake(s, dir)
+      lake.index(Bm25Kind("doc_id"), "text", binpackRows = 1)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_rank('${Lake.splitPath(dir, "documents")}', " +
+        s"'bm25', 'text', '${SearchQueries.Bm25Query}', " +
+        s"${SearchQueries.Bm25K}, 'doc_id')")
+    }, Bm25Index.oracleSql("documents", "text", "doc_id",
+      SearchQueries.Bm25Query, SearchQueries.Bm25K)),
+
     // search-routing observability: explainSearch's file accounting
     // for a fully-covered kind (bm25 over 4 per-file indexes) and a
     // never-indexed kind (all files route in-situ) — deterministic on

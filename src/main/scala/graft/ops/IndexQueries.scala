@@ -229,6 +229,19 @@ object IndexQueries {
         .select(col("doc_id"))
     }, bruteSql(QueryStr)),
 
+    // the same facade lifecycle through the SQL-ONLY surface: the
+    // graft_search table function (SqlTableFunctions) must answer
+    // exactly like the Scala lake.search it wraps — one statement a
+    // BI tool could issue, no Scala cell
+    "sql_tvf_search" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val prefix = Lake.splitPath(dir, Table)
+      graft.api.GraftLake(s, prefix).index(graft.api.NgramKind, Column)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT doc_id FROM graft_search('$prefix', 'ngram', " +
+        s"'$Column', '$QueryStr', 100000, 'doc_id') ORDER BY doc_id")
+    }, bruteSql(QueryStr)),
+
     // SURVEY §7.4 stretch, oracle-gated: a PLAIN spark.read.parquet +
     // contains filter — no graft API in the query — transparently
     // file-pruned by the Catalyst IndexPruneRule via the committed

@@ -1,0 +1,153 @@
+package graft.plans
+
+import graft.api._
+import graft.core.{Lake, Layout}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** SQL table functions over the lake facade — the surface a SQL-only
+  * user (a BI tool, a notebook with no Scala cell) needs to run the
+  * same index lifecycle the [[graft.api.GraftLake]] API exposes
+  * (reference top-level flow: backends/parquet.py
+  * `search_parquet_lake`, lifted into the Catalyst table-function
+  * registry via `SparkSessionExtensions.injectTableFunction`):
+  *
+  *   - `graft_search(dir, kind, column, query, k [, order_col])` —
+  *     filter kinds (ngram/token/fm/token_fm/wavelet/key/bloom/
+  *     zonemap/minhash/logcloud); rows of the lake table, indexed
+  *     probe + in-situ fill, refined then truncated to k.
+  *   - `graft_rank(dir, kind, column, query, k, id_col)` — ranking
+  *     kinds (bm25/vector/vamana); scored rows, ordered desc.
+  *   - `graft_explain(dir, kind, column)` — one routing-accounting row
+  *     ([[GraftLake.explainSearch]]) with no data read.
+  *   - `graft_layout(path)` — per-file footer layout rows
+  *     ([[Layout.scan]]; reference get_parquet_layout,
+  *     src/formats/parquet.rs:243-419).
+  *
+  * Arguments must be LITERALS (the winnow_fp discipline: table-function
+  * resolution runs before constant folding). The builder runs at
+  * ANALYSIS time, which is where the engine's index routing belongs —
+  * candidate probes are metadata-scale jobs and the returned plan scans
+  * only the pruned files, exactly like the Scala facade.
+  */
+object SqlTableFunctions {
+
+  /** Filter kinds addressable by SQL name. */
+  private val filterKinds: Map[String, IndexKind] = Map(
+    "ngram" -> NgramKind,
+    "token" -> TokenKind,
+    "fm" -> FmKind,
+    "token_fm" -> TokenFmKind,
+    "wavelet" -> WaveletKind,
+    "key" -> KeyKind,
+    "bloom" -> BloomKind,
+    "zonemap" -> ZoneMapKind,
+    "minhash" -> MinHashKind,
+    "logcloud" -> LogCloudKind)
+
+  /** Ranking kinds need the lake table's id column to score/decode. */
+  private def rankedKind(name: String, idCol: String): IndexKind =
+    name match {
+      case "bm25"   => Bm25Kind(idCol)
+      case "vector" => VectorKind(idCol)
+      case "vamana" => VamanaKind(idCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown ranking kind '$other' — one of: bm25, vector, vamana")
+    }
+
+  private def str(e: Expression, arg: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$arg must be a string LITERAL, got: $other")
+  }
+
+  private def int(e: Expression, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an integer LITERAL, got: $other")
+  }
+
+  /** The plan of a facade DataFrame: analysis of the OUTER query picks
+    * it up from here, so the TVF composes with any surrounding SQL
+    * (joins, CTEs, aggregation over the hits).
+    */
+  private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  private def searchBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 5 || args.size == 6,
+      "graft_search(dir, kind, column, query, k [, order_col])")
+    val spark = SparkSession.active
+    val kindName = str(args(1), "kind")
+    val kind = filterKinds.getOrElse(kindName,
+      throw new IllegalArgumentException(
+        s"unknown filter kind '$kindName' — one of: " +
+          filterKinds.keys.toSeq.sorted.mkString(", ") +
+          " (ranking kinds go through graft_rank)"))
+    val order = if (args.size == 6) Seq(str(args(5), "order_col")) else Seq.empty
+    planOf(GraftLake(spark, str(args(0), "dir")).search(
+      kind, str(args(2), "column"), str(args(3), "query"),
+      int(args(4), "k"), order))
+  }
+
+  private def rankBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 6,
+      "graft_rank(dir, kind, column, query, k, id_col)")
+    val spark = SparkSession.active
+    val kind = rankedKind(str(args(1), "kind"), str(args(5), "id_col"))
+    planOf(GraftLake(spark, str(args(0), "dir")).search(
+      kind, str(args(2), "column"), str(args(3), "query"),
+      int(args(4), "k")))
+  }
+
+  private def explainBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3 || args.size == 4,
+      "graft_explain(dir, kind, column [, id_col])")
+    val spark = SparkSession.active
+    val kindName = str(args(1), "kind")
+    val kind = filterKinds.getOrElse(kindName,
+      rankedKind(kindName,
+        if (args.size == 4) str(args(3), "id_col") else "doc_id"))
+    planOf(GraftLake(spark, str(args(0), "dir"))
+      .explainSearch(kind, str(args(2), "column")))
+  }
+
+  private def layoutBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "graft_layout(path)")
+    val spark = SparkSession.active
+    val path = str(args(0), "path")
+    val files =
+      if (path.endsWith(".parquet")) Seq(path) else Lake.listFiles(path)
+    planOf(Layout.scan(spark, files))
+  }
+
+  /** (name, builder) for every table function this engine exposes. */
+  private[graft] val all: Seq[(String, Seq[Expression] => LogicalPlan)] =
+    Seq(
+      "graft_search" -> (searchBuilder(_)),
+      "graft_rank" -> (rankBuilder(_)),
+      "graft_explain" -> (explainBuilder(_)),
+      "graft_layout" -> (layoutBuilder(_)))
+
+  /** injectTableFunction descriptors for [[graft.GraftExtensions]]. */
+  def descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] =
+    all.map { case (name, builder) =>
+      (new FunctionIdentifier(name),
+        new ExpressionInfo(SqlTableFunctions.getClass.getName, name),
+        builder)
+    }
+
+  /** Register on an existing session (idempotent; the
+    * `GraftExtensions.register` path for sessions built without the
+    * extensions config).
+    */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

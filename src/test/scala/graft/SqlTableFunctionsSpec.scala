@@ -1,0 +1,96 @@
+package graft
+
+import graft.api.{Bm25Kind, GraftLake, NgramKind}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-only surface: `graft_search` / `graft_rank` /
+  * `graft_explain` / `graft_layout` table functions must answer
+  * exactly like the Scala facade calls they wrap, and compose with
+  * surrounding SQL (the whole point of living in the table-function
+  * registry rather than a driver helper).
+  */
+class SqlTableFunctionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val lakeDir = TestSpark.tmpDir("sqltvf")
+
+  private def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+    val staging = TestSpark.tmpDir(s"sqltvf-stage-$name")
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$lakeDir/$name.parquet"))
+  }
+
+  writeFile("a", Seq(1L -> "alpha search engine", 2L -> "beta testing rig"))
+  writeFile("b", Seq(3L -> "gamma search index", 4L -> "delta rays"))
+  GraftExtensions.register(spark)
+  private val lake = GraftLake(spark, lakeDir)
+  lake.index(NgramKind, "text")
+  lake.index(Bm25Kind("doc_id"), "text")
+
+  test("graft_search matches the facade and composes with outer SQL") {
+    val viaSql = spark.sql(
+      s"SELECT doc_id FROM graft_search('$lakeDir', 'ngram', 'text', " +
+        "'search', 100, 'doc_id') ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = lake.search(NgramKind, "text", "search", 100, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(viaSql == viaApi && viaSql == Seq(1L, 3L))
+
+    // composes: aggregate over the TVF inside a larger statement
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM graft_search('$lakeDir', 'ngram', " +
+        "'text', 'search', 100, 'doc_id') WHERE doc_id > 1")
+      .head().getLong(0)
+    assert(n == 1L)
+
+    // joins against an ordinary table
+    val dim = Seq(1L -> "one", 3L -> "three").toDF("doc_id", "label")
+    dim.createOrReplaceTempView("sqltvf_dim")
+    val joined = spark.sql(
+      s"SELECT d.label FROM graft_search('$lakeDir', 'ngram', 'text', " +
+        "'search', 100, 'doc_id') h JOIN sqltvf_dim d USING (doc_id) " +
+        "ORDER BY d.label").collect().map(_.getString(0)).toSeq
+    assert(joined == Seq("one", "three"))
+  }
+
+  test("graft_rank scores like the facade bm25 search") {
+    val viaSql = spark.sql(
+      s"SELECT doc_id FROM graft_rank('$lakeDir', 'bm25', 'text', " +
+        "'search engine', 2, 'doc_id')")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = lake.search(Bm25Kind("doc_id"), "text", "search engine", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.head == 1L) // both terms hit doc 1
+  }
+
+  test("graft_explain reports routing without reading data") {
+    val row = spark.sql(
+      s"SELECT * FROM graft_explain('$lakeDir', 'ngram', 'text')").head()
+    assert(row.getAs[Long]("live_files") == 2L)
+    assert(row.getAs[Long]("covered_files") == 2L)
+    assert(row.getAs[Long]("insitu_files") == 0L)
+  }
+
+  test("graft_layout lists footer rows for the lake") {
+    val files = spark.sql(
+      s"SELECT DISTINCT file_path FROM graft_layout('$lakeDir')")
+      .collect().map(_.getString(0)).toSet
+    assert(files == graft.core.Lake.listFiles(lakeDir).toSet)
+  }
+
+  test("non-literal and unknown-kind arguments fail with clear messages") {
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_search('$lakeDir', upper('ngram'), 'text', " +
+        "'x', 10)").collect())
+    assert(e1.getMessage.contains("LITERAL"))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_search('$lakeDir', 'bm25', 'text', 'x', 10)")
+      .collect())
+    assert(e2.getMessage.contains("graft_rank"))
+  }
+}
