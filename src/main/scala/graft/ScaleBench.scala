@@ -38,15 +38,27 @@ object ScaleBench {
     // crash mid-generate (OOM at 10x scale is plausible) must not leave
     // a partial corpus that every later run silently benches against
     val doneMarker = java.nio.file.Paths.get(dir, "_SCALE_DONE")
+    // a crashed generation is recognized by the _SCALE_PARTIAL marker
+    // written BEFORE the first table lands — a pre-existing dir with
+    // NEITHER marker was never touched by this tool (a real dataset
+    // path the caller mistyped) and must never be deleted
+    val partialMarker = java.nio.file.Paths.get(dir, "_SCALE_PARTIAL")
     if (dir != srcDir && !java.nio.file.Files.exists(doneMarker)) {
       val d = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(d)) {
+        require(java.nio.file.Files.exists(partialMarker),
+          s"[scalebench] $dir exists but carries neither _SCALE_DONE " +
+            "nor _SCALE_PARTIAL — not a ScaleBench-generated corpus; " +
+            "refusing to delete it. Pass a fresh output path.")
         println(s"[scalebench] $dir exists without $doneMarker — " +
           "partial generation, rebuilding")
         graft.core.IndexStore.deleteRec(d)
       }
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.createFile(partialMarker)
       generate(spark, srcDir, dir, copies = 10)
       java.nio.file.Files.createFile(doneMarker)
+      java.nio.file.Files.deleteIfExists(partialMarker)
     }
 
     // JIT warm (cheap, does not touch the fixture caches under test)

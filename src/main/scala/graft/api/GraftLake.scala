@@ -231,24 +231,31 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     val mergedId = GraftLake.groupId(sorted.map(_.getString(0)).mkString("|"))
     val out = IndexStore.indexPath(prefix, s"${kindName(kind, column)}_m$mergedId")
     // fold pairwise merges (the reference's binary merge tree,
-    // src/lava/merge.rs:17-205, collapses to a fold over parquet tables)
-    val tmps = Seq.newBuilder[String]
-    var acc = sorted.head.getString(0)
-    sorted.tail.zipWithIndex.foreach { case (r, i) =>
-      val dst = if (i == sorted.length - 2) out
-        else {
-          val t = IndexStore.indexPath(prefix,
-            s"${kindName(kind, column)}_tmp${mergedId}_$i")
-          tmps += t
-          t
-        }
-      kind.merge(spark, acc, r.getString(0), dst)
-      acc = dst
+    // src/lava/merge.rs:17-205, collapses to a fold over parquet
+    // tables), under ensure() so the merged dir carries the
+    // _GRAFT_DONE marker every other build path writes — the
+    // missing-file self-heal in search() classifies index integrity
+    // by that marker, and a marker-less-but-healthy merge output
+    // would be demoted (metadata dropped) on the first retry
+    IndexStore.ensure(out) {
+      val tmps = Seq.newBuilder[String]
+      var acc = sorted.head.getString(0)
+      sorted.tail.zipWithIndex.foreach { case (r, i) =>
+        val dst = if (i == sorted.length - 2) out
+          else {
+            val t = IndexStore.indexPath(prefix,
+              s"${kindName(kind, column)}_tmp${mergedId}_$i")
+            tmps += t
+            t
+          }
+        kind.merge(spark, acc, r.getString(0), dst)
+        acc = dst
+      }
+      // the intermediate pairwise results are provably dead once the
+      // fold completes — delete them NOW instead of letting n−2 full
+      // index copies sit out the 7-day vacuum retention
+      tmps.result().foreach(graft.core.Fs.deleteRec(spark, _))
     }
-    // the intermediate pairwise results are provably dead once the
-    // fold completes — delete them NOW instead of letting n−2 full
-    // index copies sit out the 7-day vacuum retention
-    tmps.result().foreach(graft.core.Fs.deleteRec(spark, _))
     val allFiles = sorted.flatMap(_.getSeq[String](1)).toSeq
     val allCounts = sorted.flatMap(_.getSeq[Long](2)).toSeq
     IndexStore.commitMetadata(spark, prefix,

@@ -115,9 +115,24 @@ object CasMetadata {
     // and stays readable (its atomicity was already guaranteed by the
     // create-if-absent landing) — refusing it would brick an existing
     // lake's metadata on upgrade.
+    // trailer detection must PARSE the last line and check the field is
+    // actually present — a substring test would misread a legacy DATA
+    // row whose value happens to be "__rows__" as the trailer and brick
+    // the table (null field → NPE, or a bogus count → spurious torn
+    // error)
+    val trailerCount: Option[Long] =
+      if (lines.isEmpty) None
+      else try {
+        val n = mapper.readTree(lines.last)
+        if (n != null && n.isObject && n.has("__rows__"))
+          Some(n.get("__rows__").asLong())
+        else None
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException => None
+      }
     val body =
-      if (lines.nonEmpty && lines.last.contains("\"__rows__\"")) {
-        val declared = mapper.readTree(lines.last).get("__rows__").asLong()
+      if (trailerCount.isDefined) {
+        val declared = trailerCount.get
         val b = lines.dropRight(1)
         require(b.size == declared,
           s"torn CAS manifest $path: trailer declares $declared rows, " +

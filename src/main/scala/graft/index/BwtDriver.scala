@@ -438,8 +438,12 @@ trait BwtDriver {
     def brute(): DataFrame = spark.read.parquet(covered: _*)
       .filter(refinePred(column, q))
       .withColumn("uid", lit(-1L))
+    // symbol-less query = empty pattern = contained in every NON-NULL
+    // row; NULLs excluded like every contains-based path (the same
+    // convention the facade kinds apply — see MoreKinds' BwtKind)
     if (symbols(q).isEmpty)
-      return spark.read.parquet(covered: _*).withColumn("uid", lit(-1L))
+      return spark.read.parquet(covered: _*)
+        .filter(col(column).isNotNull).withColumn("uid", lit(-1L))
     // one version for the whole operation: walk and slice must see the
     // same build. Candidate resolution goes through the overridable
     // [[candidateUids]] seam (None = a cost cap tripped → brute), so

@@ -625,13 +625,20 @@ object Pipeline {
     val bench = grams.filter(col("doc_id") % BenchMod === 0)
       .select("g").distinct()
     val nBench = bench.count()
-    val bloom = bench.stat.bloomFilter("g",
-      math.max(nBench, 1L), DecontamBloomFpp)
-    val bbl = s.sparkContext.broadcast(bloom)
-    // a UDF probe: Spark's codegen'd BloomFilterMightContain is
-    // internal to runtime join filters, and the probe sits behind a
-    // hash-agg anyway — the scan stays whole-stage either side of it
-    val might = udf((g: String) => g != null && bbl.value.mightContain(g))
+    // an EMPTY benchmark gram set (no doc reaches the shingle length,
+    // or no benchmark doc at all) makes stat.bloomFilter return a null
+    // sketch — nothing is contaminated, so the probe is const-false
+    val might: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (nBench == 0) _ => lit(false)
+      else {
+        val bloom = bench.stat.bloomFilter("g", nBench, DecontamBloomFpp)
+        val bbl = s.sparkContext.broadcast(bloom)
+        // a UDF probe: Spark's codegen'd BloomFilterMightContain is
+        // internal to runtime join filters, and the probe sits behind a
+        // hash-agg anyway — the scan stays whole-stage either side of it
+        val u = udf((g: String) => g != null && bbl.value.mightContain(g))
+        c => u(c)
+      }
     val corpus = grams.filter(col("doc_id") % BenchMod =!= 0)
     val bloomKept = corpus.groupBy("doc_id")
       .agg(max(when(might(col("g")), 1).otherwise(0)).as("hit"))
@@ -641,11 +648,16 @@ object Pipeline {
     val r = corpus.select("doc_id").distinct()
       .join(bloomKept.withColumn("bk", lit(1)), Seq("doc_id"), "left")
       .join(exactContam.withColumn("ec", lit(1)), Seq("doc_id"), "left")
+      // outer coalesce: a corpus where NO doc reaches the shingle
+      // length has zero gram rows, and a groupless agg then returns
+      // count=0 with NULL sums — getLong would NPE while the oracle
+      // answers 0/true/true
       .agg(count(lit(1)).as("n_corpus"),
-        sum(coalesce(col("ec"), lit(0))).as("n_contam"),
-        sum(coalesce(col("bk"), lit(0))).as("n_bloom_kept"),
-        sum(when(col("bk") === 1 && col("ec") === 1, 1).otherwise(0))
-          .as("contaminated_kept"))
+        coalesce(sum(coalesce(col("ec"), lit(0))), lit(0L)).as("n_contam"),
+        coalesce(sum(coalesce(col("bk"), lit(0))), lit(0L))
+          .as("n_bloom_kept"),
+        coalesce(sum(when(col("bk") === 1 && col("ec") === 1, 1)
+          .otherwise(0)), lit(0L)).as("contaminated_kept"))
       .head()
     val nExactKept = r.getLong(0) - r.getLong(1)
     val overkill = nExactKept - r.getLong(2)

@@ -103,7 +103,14 @@ object ZOrder {
           s"lakes/snapshots (${fpA.size} vs ${fpB.size} meta rows, " +
           s"${(fpA diff fpB).size + (fpB diff fpA).size} disagreeing) — " +
           "their uid spaces cannot be joined")
-      uidGuardCache.put(vKey, ())
+      // re-stat before caching (the discipline of headOf/centroidHead/
+      // headAt): an in-place rebuild landing between the key stat and
+      // the collects — within mtime granularity it can even keep the
+      // SAME signature — would memoize a mixed-build validation; only
+      // cache when the dirs provably did not move under the read
+      if (graft.core.Fs.dirSignature(spark, s"$pathA/meta") == vKey._3 &&
+          graft.core.Fs.dirSignature(spark, s"$pathB/meta") == vKey._4)
+        uidGuardCache.put(vKey, ())
       // drop entries for superseded versions of the same pair (a
       // rebuild changes the dir version; the stale key never hits)
       uidGuardCache.keys.filter(k =>

@@ -329,26 +329,35 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
         if (thresh <= 0 || p.stats.sizeInBytes > thresh) return None
         if (!stableRowSet(p)) return None
-        probing.set(true)
-        try {
-          import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Limit, Project}
-          // distinct first: the probe needs the key SET, so a side with
-          // many rows over few keys still qualifies
-          val keyPlan = Limit(
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              MaxJoinProbeKeys + 1),
-            Distinct(Project(Seq(attr), p)))
-          val rows = spark.sessionState.executePlan(keyPlan)
-            .executedPlan.executeCollect()
-          if (rows.length > MaxJoinProbeKeys) None
-          else {
-            val dt = attr.dataType
-            Some(rows.toSeq.flatMap(r =>
-              if (r.isNullAt(0)) None
-              else Some(r.get(0, dt).toString)))
-          }
-        } catch { case scala.util.control.NonFatal(_) => None }
-        finally probing.set(false)
+        import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Limit, Project}
+        // distinct first: the probe needs the key SET, so a side with
+        // many rows over few keys still qualifies
+        val keyPlan = Limit(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            MaxJoinProbeKeys + 1),
+          Distinct(Project(Seq(attr), p)))
+        // memoized on the CANONICALIZED key plan (structural equality,
+        // not hash-only — a collision must be impossible, a colliding
+        // key set would prune unsoundly): re-optimization of a reused
+        // DataFrame re-enters this rule per action, and only the index
+        // probe downstream is memoized — without this memo the dim-side
+        // distinct-keys Spark job re-runs per action even when the
+        // probe then prunes nothing
+        memoKeys(keyPlan.canonicalized) {
+          probing.set(true)
+          try {
+            val rows = spark.sessionState.executePlan(keyPlan)
+              .executedPlan.executeCollect()
+            if (rows.length > MaxJoinProbeKeys) None
+            else {
+              val dt = attr.dataType
+              Some(rows.toSeq.flatMap(r =>
+                if (r.isNullAt(0)) None
+                else Some(r.get(0, dt).toString)))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+          finally probing.set(false)
+        }
       case _ => None
     }
 
@@ -612,6 +621,34 @@ object IndexPruneRule {
           e: java.util.Map.Entry[String, (Long, Set[String])]): Boolean =
         size > 256
     }
+
+  // memo for the join-DFP small-side key evaluation: keyed by the
+  // CANONICALIZED key plan object (structural equality — collision-free
+  // by construction), same TTL discipline as the probe memo. The value
+  // None ("side did not qualify / overflowed the cap") is cached too,
+  // so a non-qualifying dim side costs its Spark job at most once per
+  // TTL window.
+  private val keysMemo = new java.util.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      (Long, Option[Seq[String]])](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          (Long, Option[Seq[String]])]): Boolean = size > 64
+  }
+
+  private[plans] def memoKeys(
+      key: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)(
+      f: => Option[Seq[String]]): Option[Seq[String]] = {
+    val now = System.currentTimeMillis()
+    keysMemo.synchronized {
+      val hit = keysMemo.get(key)
+      if (hit != null && now - hit._1 < ProbeMemoTtlMs) return hit._2
+    }
+    val v = f
+    keysMemo.synchronized { keysMemo.put(key, (now, v)) }
+    v
+  }
 
   private[plans] def memoProbe(key: String)(f: => Set[String]): Set[String] = {
     val now = System.currentTimeMillis()

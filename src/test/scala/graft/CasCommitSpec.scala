@@ -166,6 +166,27 @@ class CasCommitSpec extends AnyFunSuite {
       Set("idx1", "idx2"))
   }
 
+  test("a legacy DATA row containing the literal __rows__ is not a trailer") {
+    val d = dir("caslookalike")
+    // pre-trailer snapshot whose LAST row carries the value "__rows__"
+    // in a string field: substring-matching the trailer would treat the
+    // row as the integrity trailer (null field -> NPE, or a spurious
+    // torn-manifest error); detection must PARSE and check the field
+    val lookalike =
+      "{\"table_name\":\"documents\",\"column_name\":\"text\"," +
+        "\"file_path\":[\"a.parquet\"],\"record_counts\":[10]," +
+        "\"index_file\":\"idx1\",\"index_type\":\"ngram\"," +
+        "\"rows_indexed\":10,\"index_timestamp\":0}\n" +
+      "{\"table_name\":\"documents\",\"column_name\":\"text\"," +
+        "\"file_path\":[\"b.parquet\"],\"record_counts\":[10]," +
+        "\"index_file\":\"idx2\",\"index_type\":\"__rows__\"," +
+        "\"rows_indexed\":10,\"index_timestamp\":0}\n"
+    assert(CasMetadata.tryClaim(spark, d, 1L, lookalike))
+    val rows = CasMetadata.read(spark, d)
+    assert(rows.size == 2)
+    assert(rows.map(_.indexType).toSet == Set("ngram", "__rows__"))
+  }
+
   test("vacuum spares a commit-in-flight staging file, sweeps aged ones") {
     val d = "mock://" + TestSpark.tmpDir("casvactmp")
     (1 to 3).foreach(i =>

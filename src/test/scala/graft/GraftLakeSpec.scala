@@ -56,6 +56,10 @@ class GraftLakeSpec extends AnyFunSuite {
     // compaction merges everything into one index, then vacuums
     val merged = lake.compact(NgramKind, "text", threshold = 1000000)
     assert(merged.isDefined)
+    // the merged dir must carry the _GRAFT_DONE marker: the missing-
+    // file self-heal classifies integrity by it, and a marker-less
+    // merge output would be demoted (metadata dropped) on first retry
+    assert(graft.core.IndexStore.isBuilt(merged.get))
     val kept = lake.vacuum()
     assert(kept == Seq(merged.get))
     assert(searchIds("search") == brute("search"))

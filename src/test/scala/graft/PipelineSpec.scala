@@ -175,6 +175,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getBoolean(2), "bloom overkill exceeded the bound")
   }
 
+  test("decontaminateBloomGate answers 0/true/true on a shingle-less corpus") {
+    // every doc is shorter than the 5-token shingle: zero gram rows,
+    // so the groupless agg sums are NULL — the gate must coalesce them
+    // (the oracle answers 0/true/true) instead of NPEing on getLong
+    val d = Seq((0L, "too short"), (1L, "also short"), (2L, "tiny"))
+      .toDF("doc_id", "text")
+    val r = Pipeline.decontaminateBloomGate(spark, d).head()
+    assert(r.getLong(0) == 0L)
+    assert(r.getBoolean(1) && r.getBoolean(2))
+  }
+
   test("spanDedup merges overlapping windows into maximal cross-doc spans") {
     // docs 1/2 share two DISJOINT 4-token spans (separated in each doc
     // by unique filler), doc 3 shares nothing, doc 4 repeats a span

@@ -90,6 +90,26 @@ class TokenFmIndexSpec extends AnyFunSuite {
     assert(all == Set(1L, 2L, 3L))
   }
 
+  test("standalone symbol-less search excludes NULL rows like the facade") {
+    // the empty pattern matches every NON-NULL row — the STANDALONE
+    // driver search must apply the same convention as the facade kinds
+    // (a NULL row sneaking in here was the one divergent path)
+    val rows = Seq((1L, "alpha beta"), (2L, null: String), (3L, "gamma"))
+    val (idx, _) = buildOver(rows, "tfm-nulls")
+    val ids = TokenFmIndex.search(spark, idx, "text", "!!!")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+    val fmDir = TestSpark.tmpDir("fm-nulls")
+    rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+      .parquet(s"$fmDir/data")
+    val fmFiles = new java.io.File(s"$fmDir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    graft.index.FmIndex.build(spark, fmFiles, "text", s"$fmDir/idx")
+    val fmAll = graft.index.FmIndex.search(spark, s"$fmDir/idx", "text", "")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fmAll == Set(1L, 3L))
+  }
+
   test("skip-sampled token BWT equals the oracle via residue probes") {
     val rows = corpus(50, 30, seed = 13)
     val dir = TestSpark.tmpDir("tfm-sampled")
