@@ -275,6 +275,21 @@ object GraftLake {
   def apply(spark: SparkSession, prefix: String): GraftLake =
     GraftLake(spark, PrefixBackend(prefix))
 
+  /** Backend auto-detection for path-only callers (the SQL
+    * table-function surface, where the caller has no Scala cell to
+    * pick a backend): a `_delta_log/` commit ⇒ Delta, versioned
+    * Iceberg metadata ⇒ Iceberg, else plain parquet prefix — the
+    * same dispatch the reference's top-level entry points perform per
+    * backend module (backends/delta.py, iceberg.py, parquet.py). The
+    * probes are two metadata-dir listings, no data read.
+    */
+  def auto(spark: SparkSession, dir: String): GraftLake =
+    if (graft.core.DeltaLog.versions(dir).nonEmpty)
+      GraftLake(spark, DeltaBackend(spark, dir))
+    else if (graft.core.IcebergLog.isIcebergTable(dir))
+      GraftLake(spark, IcebergBackend(dir))
+    else apply(spark, dir)
+
   /** Deterministic 64-bit group id (16 hex chars of the name-UUID md5). */
   private[api] def groupId(name: String): String =
     java.util.UUID.nameUUIDFromBytes(name.getBytes("UTF-8"))

@@ -111,6 +111,11 @@ object IcebergLog {
       case VersionRe(n) => n.toInt
     }.sorted
 
+  /** True when `table` has versioned Iceberg metadata — the
+    * backend-auto-detection probe ([[graft.api.GraftLake.auto]]).
+    */
+  def isIcebergTable(table: String): Boolean = listVersions(table).nonEmpty
+
   private def currentVersion(table: String): Int = {
     val vs = listVersions(table)
     require(vs.nonEmpty,

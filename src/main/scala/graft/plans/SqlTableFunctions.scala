@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *   - `graft_search(dir, kind, column, query, k [, order_col])` —
   *     filter kinds (ngram/token/fm/token_fm/wavelet/key/bloom/
   *     zonemap/minhash/logcloud); rows of the lake table, indexed
-  *     probe + in-situ fill, refined then truncated to k.
+  *     probe + in-situ fill, refined then truncated to k. The lake
+  *     backend is auto-detected from the dir ([[GraftLake.auto]]):
+  *     Delta log ⇒ Delta, Iceberg metadata ⇒ Iceberg, else plain
+  *     parquet prefix.
   *   - `graft_rank(dir, kind, column, query, k, id_col)` — ranking
   *     kinds (bm25/vector/vamana); scored rows, ordered desc.
   *   - `graft_explain(dir, kind, column)` — one routing-accounting row
@@ -88,7 +91,7 @@ object SqlTableFunctions {
           filterKinds.keys.toSeq.sorted.mkString(", ") +
           " (ranking kinds go through graft_rank)"))
     val order = if (args.size == 6) Seq(str(args(5), "order_col")) else Seq.empty
-    planOf(GraftLake(spark, str(args(0), "dir")).search(
+    planOf(GraftLake.auto(spark, str(args(0), "dir")).search(
       kind, str(args(2), "column"), str(args(3), "query"),
       int(args(4), "k"), order))
   }
@@ -98,7 +101,7 @@ object SqlTableFunctions {
       "graft_rank(dir, kind, column, query, k, id_col)")
     val spark = SparkSession.active
     val kind = rankedKind(str(args(1), "kind"), str(args(5), "id_col"))
-    planOf(GraftLake(spark, str(args(0), "dir")).search(
+    planOf(GraftLake.auto(spark, str(args(0), "dir")).search(
       kind, str(args(2), "column"), str(args(3), "query"),
       int(args(4), "k")))
   }
@@ -111,7 +114,7 @@ object SqlTableFunctions {
     val kind = filterKinds.getOrElse(kindName,
       rankedKind(kindName,
         if (args.size == 4) str(args(3), "id_col") else "doc_id"))
-    planOf(GraftLake(spark, str(args(0), "dir"))
+    planOf(GraftLake.auto(spark, str(args(0), "dir"))
       .explainSearch(kind, str(args(2), "column")))
   }
 

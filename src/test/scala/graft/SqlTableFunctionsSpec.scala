@@ -83,6 +83,31 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assert(files == graft.core.Lake.listFiles(lakeDir).toSet)
   }
 
+  test("graft_search auto-detects a Delta lake and honors its removes") {
+    import graft.core.DeltaLog
+    val t = TestSpark.tmpDir("sqltvf-delta")
+    def addFile(fname: String, rows: Seq[(Long, String)]): DeltaLog.Add = {
+      val stage = TestSpark.tmpDir(s"sqltvf-dstage-$fname")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(stage).head),
+        java.nio.file.Paths.get(s"$t/$fname"))
+      DeltaLog.Add(fname,
+        java.nio.file.Files.size(java.nio.file.Paths.get(s"$t/$fname")))
+    }
+    val a = addFile("a.parquet", Seq(1L -> "alpha search"))
+    val b = addFile("b.parquet", Seq(2L -> "beta search"))
+    DeltaLog.commit(t, 0, Seq(a, b))
+    DeltaLog.commit(t, 1, removes = Seq("a.parquet"))
+    // a PrefixBackend would scan BOTH parquet files and return doc 1;
+    // auto-detection must replay the Delta log and see only b.parquet
+    val ids = spark.sql(
+      s"SELECT doc_id FROM graft_search('$t', 'ngram', 'text', " +
+        "'search', 100, 'doc_id')").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L))
+  }
+
   test("non-literal and unknown-kind arguments fail with clear messages") {
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_search('$lakeDir', upper('ngram'), 'text', " +
