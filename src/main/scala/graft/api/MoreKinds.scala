@@ -288,6 +288,15 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
     // instead of crashing on the missing codes/vhead tables
     VectorIndex.requireCurrentFormat(spark, a)
     VectorIndex.requireCurrentFormat(spark, b)
+    // the format guard only sees the cells schema; the vhead sidecar is
+    // facade-specific (raw VectorIndex.build dirs lack it) and its read
+    // below would otherwise crash with a raw PATH_NOT_FOUND instead of
+    // the delete-and-rebuild diagnostic
+    for (p <- Seq(a, b))
+      require(graft.core.Fs.exists(spark, s"$p/vhead"),
+        s"vector index at $p lacks the vhead sidecar (built outside " +
+          "the VectorKind facade?); delete and rebuild it through the " +
+          "facade index() path")
     val offset = spark.read.parquet(s"$a/meta")
       .agg(max("uid")).collect()(0).getLong(0)
     val column = spark.read.parquet(s"$a/vhead").head().getString(0)

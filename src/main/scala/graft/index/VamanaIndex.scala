@@ -287,7 +287,9 @@ object VamanaIndex {
     parts.cache()
     // stitch: concat both copies' edge lists, dedup
     // (reference: vamana.rs:556-583)
-    val nFiles = math.max(1, (n / PartTarget).toInt)
+    // honor the caller's partTarget, like the build partitioning above
+    // (the constant would silently override a tuned physical layout)
+    val nFiles = math.max(1, (n / partTarget).toInt)
     parts.groupBy("vec_id")
       .agg(array_sort(array_distinct(flatten(collect_list("nbrs"))))
         .as("nbrs"))

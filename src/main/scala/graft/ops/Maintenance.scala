@@ -49,6 +49,12 @@ object Maintenance {
     */
   val DefaultRetentionMs: Long = 7L * 24 * 3600 * 1000
 
+  /** Tombstone file stamped inside an index dir by the first vacuum
+    * sweep that finds it unreferenced — its mtime is the start of the
+    * retention clock.
+    */
+  val UnreferencedMarker = "_GRAFT_UNREFERENCED"
+
   /** Vacuum: delete index directories not referenced by the metadata
     * table AND unmodified for at least `retentionMs`. Returns the
     * surviving referenced index paths.
@@ -79,15 +85,37 @@ object Maintenance {
     val referencedNames = referencedPaths.getOrElse(Seq.empty)
       .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
     val now = System.currentTimeMillis()
-    // age comes from the dir's CONTENT (max descendant file mtime,
-    // like the version caches) — directory status mtimes are synthetic
-    // on object stores
+    // retention measures time-since-UNREFERENCED, not build age: the
+    // first sweep that sees an unreferenced dir stamps a tombstone
+    // marker, and deletion happens only once the tombstone is
+    // retentionMs old. (Index dirs are immutable once built, so a
+    // build-age clock gives an index superseded by compact() ZERO
+    // grace the moment its metadata row is dropped — the in-flight
+    // readers the retention window exists to protect would crash.)
+    // A dir referenced again (in-place rebuild + re-commit) has its
+    // tombstone cleared. Per-dir FS errors SKIP the dir — the fail-
+    // safe direction is never delete-on-error.
     listing
       .filterNot(_._2.startsWith("_metadata"))
-      .filterNot(s => referencedNames.contains(s._2))
-      .filter(s => now - (try graft.core.Fs.dirVersion(spark, s._1)
-        catch { case _: Exception => s._3 }) >= retentionMs)
-      .foreach(s => graft.core.Fs.deleteRec(spark, s._1))
+      .foreach { s =>
+        val tomb = s"${s._1}/$UnreferencedMarker"
+        try {
+          if (referencedNames.contains(s._2)) {
+            if (graft.core.Fs.exists(spark, tomb))
+              graft.core.Fs.deleteRec(spark, tomb)
+          } else {
+            val since =
+              if (graft.core.Fs.exists(spark, tomb))
+                graft.core.Fs.mtime(spark, tomb)
+              else {
+                graft.core.Fs.writeBytes(tomb, Array.emptyByteArray)
+                now
+              }
+            if (now - since >= retentionMs)
+              graft.core.Fs.deleteRec(spark, s._1)
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     // on CAS-backed roots the metadata table is a manifest LOG — trim
     // superseded snapshots too (the `_metadata` guard above protects
     // the log dir itself from the orphan sweep)
@@ -119,8 +147,13 @@ object Maintenance {
     // readable snapshots is indistinguishable from a wiped/unreadable
     // metadata dir, and "every index is dead" is never the right
     // reading of that state. Genuine orphan dirs still age out via the
-    // plain vacuum below.
-    if (snaps.isEmpty) return vacuum(spark, ns, fileTimeoutMs)
+    // plain vacuum below — at NO LESS than the default retention: the
+    // caller's fileTimeoutMs (default 0) expresses trust in the
+    // snapshot-derived liveness we could not compute here, so an
+    // unreadable-metadata pass must never turn it into instant
+    // physical deletes of in-progress builds.
+    if (snaps.isEmpty)
+      return vacuum(spark, ns, math.max(fileTimeoutMs, DefaultRetentionMs))
     val cutoff = now - historyMs
     val recent = snaps.filter(_._2 > cutoff)
     val live = if (recent.nonEmpty) recent else Seq(snaps.maxBy(_._2))
@@ -133,9 +166,20 @@ object Maintenance {
     // files, and a raw-string mismatch here would delete EVERY index
     def baseName(p: String) = new org.apache.hadoop.fs.Path(p).getName
     val liveNames = liveFiles.map(baseName)
+    // scope the dead-row classification to THIS table's indexes: a
+    // namespace may hold metadata for several tables (MetaRow carries
+    // a table field, but it stores the builder's logical name, not
+    // this path), so a row is only a candidate when its covered files
+    // intersect the table's all-snapshot file set — an index over a
+    // DIFFERENT table misses the live set trivially and must not be
+    // classified dead against it
+    val allNames = snaps.flatMap { case (id, _) =>
+      graft.core.IcebergLog.liveFiles(table, Some(id))
+    }.map(baseName).toSet
     if (liveNames.nonEmpty) {
       val dead = IndexStore.metadataRowsCached(spark, ns)
-        .filter(r => !r.files.exists(f => liveNames.contains(baseName(f))))
+        .filter(r => r.files.exists(f => allNames.contains(baseName(f))) &&
+          !r.files.exists(f => liveNames.contains(baseName(f))))
         .map(_.indexFile)
       if (dead.nonEmpty) IndexStore.deleteMetadata(spark, ns, dead)
     }

@@ -31,6 +31,48 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir)))
   }
 
+  test("retention clock starts when UNREFERENCED, not at build time") {
+    val spark = TestSpark.spark
+    val ns = TestSpark.tmpDir("vacns2")
+    val idxDir = graft.core.IndexStore.indexPath(ns, "oldbuild")
+    val f = java.nio.file.Paths.get(idxDir, "part.parquet")
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.writeString(f, "x")
+    // a 30-day-old BUILD that just became unreferenced must get the
+    // full grace window (in-flight readers still hold its path) — the
+    // old build-age clock would delete it on this very first sweep
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 30L * 24 * 3600 * 1000)
+    java.nio.file.Files.setLastModifiedTime(f, old)
+    Maintenance.vacuum(spark, ns)
+    assert(java.nio.file.Files.exists(f.getParent))
+    val tomb = java.nio.file.Paths.get(idxDir, Maintenance.UnreferencedMarker)
+    assert(java.nio.file.Files.exists(tomb)) // clock started
+    // once the tombstone itself ages past retention, the dir dies
+    java.nio.file.Files.setLastModifiedTime(tomb, old)
+    Maintenance.vacuum(spark, ns)
+    assert(!java.nio.file.Files.exists(f.getParent))
+  }
+
+  test("a re-referenced dir has its tombstone cleared (clock reset)") {
+    val spark = TestSpark.spark
+    val ns = TestSpark.tmpDir("vacns3")
+    val idxDir = graft.core.IndexStore.indexPath(ns, "revived")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idxDir))
+    Maintenance.vacuum(spark, ns) // stamps the tombstone
+    val tomb = java.nio.file.Paths.get(idxDir, Maintenance.UnreferencedMarker)
+    assert(java.nio.file.Files.exists(tomb))
+    // the dir is committed again (an in-place rebuild): the next sweep
+    // must clear the tombstone so a LATER un-referencing restarts the
+    // clock instead of inheriting the stale one
+    graft.core.IndexStore.commitMetadata(spark, ns,
+      graft.core.IndexStore.metadataRows(spark, "documents", "text",
+        Seq("f1"), Seq(-1L), idxDir, "ngram", -1L))
+    Maintenance.vacuum(spark, ns)
+    assert(!java.nio.file.Files.exists(tomb))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idxDir)))
+  }
+
   test("greedy max-coverage index selection") {
     // reference: backends/delta.py:77-93
     val live = Set("f1", "f2", "f3", "f4", "f5")
