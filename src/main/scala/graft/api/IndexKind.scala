@@ -138,13 +138,15 @@ trait IndexKind {
 }
 
 object IndexKind {
-  // keep-latest-per-path: versioned keys would strand one dead entry
-  // per rebuild/vacuum cycle — unbounded growth in long sessions
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Seq[(Long, String, Long, Long)])]
+  // keep-latest-per-path (versioned keys would strand one dead entry
+  // per rebuild/vacuum cycle) AND LRU-bounded (compaction writes NEW
+  // dirs, so path churn under streaming maintenance would otherwise
+  // leak one dead entry per retired dir forever)
+  private val cache =
+    new graft.core.LruMap[String, (Long, Seq[(Long, String, Long, Long)])](512)
 
-  private val schemaCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, org.apache.spark.sql.types.StructType)]
+  private val schemaCache =
+    new graft.core.LruMap[String, (Long, org.apache.spark.sql.types.StructType)](512)
 
   /** Union scan of the same sub-table across several index dirs, each
     * row tagged with its index ordinal (`idx`). Every read pins the

@@ -558,7 +558,7 @@ abstract class BwtKind(driver: graft.index.BwtDriver) extends IndexKind {
       val slices = plain.map { p =>
         val (lo, hi) = ranges(p)
         driver.postingSliceCapped(spark, p, lo, hi, Lake.BruteForceThreshold,
-          vers(p))
+          Some(vers(p)))
       } ++ sampled.map { p =>
         driver.candidateUids(spark, p, q, Lake.BruteForceThreshold, vers(p))
       }

@@ -154,13 +154,18 @@ object DeltaLog {
   // shapes; a ':' later in a path segment does not match
   private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:/.*".r
 
-  private[core] def decodePath(p: String): String =
+  private[graft] def decodePath(p: String): String =
     try {
       if (SchemeRe.matches(p)) {
         val u = new java.net.URI(p)
         if (u.getScheme == "file") u.getPath
-        else new java.net.URI(u.getScheme, u.getAuthority, u.getPath,
-          null, null).toString
+        else {
+          // assemble from the DECODED parts by hand: the multi-arg URI
+          // constructor re-encodes the path, which would hand back the
+          // still-encoded (nonexistent) name for s3a://bucket/a%20b
+          val auth = Option(u.getAuthority).getOrElse("")
+          s"${u.getScheme}://$auth${u.getPath}"
+        }
       } else if (p.startsWith("/")) new java.net.URI(p).getPath
       else new java.net.URI("/" + p).getPath.substring(1)
     } catch { case _: java.net.URISyntaxException => p }
@@ -168,7 +173,7 @@ object DeltaLog {
   /** Percent-encode a path for the log (inverse of [[decodePath]]);
     * preserves '/' and any scheme://authority prefix.
     */
-  private[core] def encodePath(p: String): String =
+  private[graft] def encodePath(p: String): String =
     try {
       val i = p.indexOf("://")
       if (i >= 0) {

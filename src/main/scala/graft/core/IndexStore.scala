@@ -163,11 +163,12 @@ object IndexStore {
     * metadata loss (the build-once markers would otherwise block any
     * re-commit forever).
     */
-  private def recoverMetadata(dir: String): Unit = synchronized {
-    val target = Paths.get(metadataPath(dir))
-    val bak = Paths.get(metadataPath(dir) + "_old")
-    if (!Files.exists(target) && Files.exists(bak)) Files.move(bak, target)
-  }
+  private def recoverMetadata(dir: String): Unit =
+    metaLock(dir).synchronized {
+      val target = Paths.get(metadataPath(dir))
+      val bak = Paths.get(metadataPath(dir) + "_old")
+      if (!Files.exists(target) && Files.exists(bak)) Files.move(bak, target)
+    }
 
   /** One collected metadata row (the table is metadata-sized: one row
     * per index file — the reference keeps the same table driver-side).
@@ -220,8 +221,18 @@ object IndexStore {
   /** Append rows to the metadata table (overwrite-commit of the single
     * metadata object, as in the reference's plain-parquet backend).
     */
+  // per-LAKE metadata locks: commit/delete hold a lock across their
+  // read-merge-write (two same-dir committers must serialize), but a
+  // GLOBAL monitor here would stall every other lake's metadata reads
+  // for the duration of the commit's Spark write — the exact hazard
+  // the buildLocks comment forbids
+  private val metaLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def metaLock(dir: String): Object =
+    metaLocks.computeIfAbsent(metadataPath(dir), _ => new Object)
+
   def commitMetadata(spark: SparkSession, dir: String, rows: DataFrame): Unit =
-    synchronized {
+    metaLock(dir).synchronized {
       if (!isLocalRoot) {
         // object-store root: the rename-free create-if-absent protocol
         // (same idempotent index_file-replace merge, done CAS-side)
@@ -272,7 +283,7 @@ object IndexStore {
     * reference: backends/iceberg.py:469-479).
     */
   def deleteMetadata(spark: SparkSession, dir: String, indexFiles: Seq[String]): Unit =
-    synchronized {
+    metaLock(dir).synchronized {
       if (!isLocalRoot) {
         CasMetadata.deleteRows(spark, casBase(dir), indexFiles)
         return

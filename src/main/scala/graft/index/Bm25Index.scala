@@ -25,18 +25,13 @@ object Bm25Index {
 
   val K1 = 1.2
   val B = 0.75
-  val Buckets = 16
+  val Buckets = Bucketing.Buckets
   val Quant = 1000000L
 
   private def bucketOf(c: org.apache.spark.sql.Column) =
-    pmod(xxhash64(c), lit(Buckets))
+    Bucketing.bucketCol(c)
 
-  def bucketOfString(t: String): Int = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.unsafe.types.UTF8String
-    Math.floorMod(XxHash64Function.hash(UTF8String.fromString(t),
-      org.apache.spark.sql.types.StringType, 42L), Buckets.toLong).toInt
-  }
+  def bucketOfString(t: String): Int = Bucketing.bucketOfString(t)
 
   /** Build over a file group. `idCol` is the per-row document id column
     * (the reference scores page uids then rescores rows,
@@ -65,7 +60,8 @@ object Bm25Index {
     // corpus head: one row — the broadcastable "cacheable metadata page"
     // (reference: bm25.rs:171-173) — aggregated from the tiny docstats
     spark.read.parquet(s"$path/docstats")
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()
@@ -113,7 +109,25 @@ object Bm25Index {
     val post = graft.api.IndexKind.readTagged(spark, paths, "postings")
       .filter(col("bucket").isin(qbuckets: _*) && col("token").isin(qtoks: _*))
       .select(col("token"), col("doc_id"), col("tf"))
-    scoreWeighted(spark, post, dl, terms, k)
+    // corpus stats from the 1-row-per-index head tables (the
+    // "cacheable metadata page", reference bm25.rs:171-173): exact
+    // integer sums combine across covering indexes, so scores are
+    // bit-identical to the docstats aggregate while scanning
+    // paths.size rows instead of every doc. Heads written before the
+    // sum_dl column (or unreadable) fall back to the docstats job.
+    val stats =
+      try {
+        val h = graft.api.IndexKind.readTagged(spark, paths, "head")
+          .agg(count(lit(1)), count(col("sum_dl")),
+            sum(col("n_docs")), sum(col("sum_dl"))).collect()(0)
+        // EVERY covering index must contribute one complete head row —
+        // a mixed old/new-schema set reads the old heads' sum_dl as
+        // NULL and a bare sum would silently partial-sum the corpus
+        if (h.getLong(0) != paths.size.toLong || h.getLong(1) != h.getLong(0))
+          None
+        else Some((h.getLong(2), h.getLong(3)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    scoreWeighted(spark, post, dl, terms, k, stats)
   }
 
   /** Score pre-filtered query-token postings `(token, doc_id, tf)`
@@ -123,15 +137,22 @@ object Bm25Index {
     * backends/utils.py:249-275) — corpus stats stay global and exact.
     */
   def scoreWeighted(spark: SparkSession, post: DataFrame, dl: DataFrame,
-      terms: Seq[(String, Double)], k: Int): DataFrame = {
+      terms: Seq[(String, Double)], k: Int,
+      stats: Option[(Long, Long)] = None): DataFrame = {
     import spark.implicits._
-    val corpus = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("len")).collect()(0)
-    val nDocs = corpus.getLong(0)
+    // (n_docs, sum_dl) from the caller's head tables when available;
+    // otherwise one aggregate over docstats. Both are exact integer
+    // sums, so the score arithmetic is identical either way.
+    val (nDocs, sumDl) = stats.getOrElse {
+      val corpus =
+        dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("len")).collect()(0)
+      (corpus.getLong(0), if (corpus.isNullAt(1)) 0L else corpus.getLong(1))
+    }
     // empty corpus (all-NULL column, zero-row files): sum() is null and
     // avgdl would divide by zero — the correct top-k is empty
     if (nDocs == 0)
       return Seq.empty[(Long, Double)].toDF("doc_id", "score")
-    val avgdl = corpus.getLong(1).toDouble / nDocs
+    val avgdl = sumDl.toDouble / nDocs
     val weights = terms.toDF("token", "qw")
     val df = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // qw * idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), quantized
@@ -190,8 +211,10 @@ object Bm25Index {
         && col("doc_id").isin(topIds: _*))
       .select(col("uid"))
     val meta = spark.read.parquet(s"$path/meta")
+    // join on the CALLER's id column — the materialized lake rows have
+    // no "doc_id" unless that happens to be the lake's own column name
     graft.core.Layout.readHits(spark, meta, hitUids)
-      .join(broadcast(top.toDF("doc_id", "score")), Seq("doc_id"))
+      .join(broadcast(top.toDF(idCol, "score")), Seq(idCol))
   }
 
   /** Merge two BM25 indexes (compaction). The reference streams
@@ -210,7 +233,8 @@ object Bm25Index {
     val dl = spark.read.parquet(s"$a/docstats")
       .unionByName(spark.read.parquet(s"$b/docstats"))
     dl.write.mode("overwrite").parquet(s"$out/docstats")
-    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/head")
     spark.read.parquet(s"$a/meta").unionByName(
       spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))

@@ -146,11 +146,13 @@ trait BwtDriver {
     val pb = positions(spark, b).withColumn("uid", col("uid") + offset)
     val ranked = BwtMerge.interleave(spark, Seq(pa, pb), W, ChunkSize)
     writeChunks(spark, ranked, out)
+    // sidecars BEFORE head: head/ is the version anchor, so it lands
+    // last (see TokenFmIndex.build)
+    mergeSampleSidecar(spark, a, b, out)
     val meta = spark.read.parquet(s"$a/meta").unionByName(
       spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))
       .cache()
     FmIndex.writeCommon(spark, ranked, meta, column, out)
-    mergeSampleSidecar(spark, a, b, out)
   }
 
   /** Interleave-merge hook for build-time sidecars that must carry over
@@ -178,7 +180,13 @@ trait BwtDriver {
     val (lo, hi) = saRangeMultiSyms(spark, Seq(path), symbols(query),
       Map(path -> ver))(path)
     if (hi - lo > cap.toLong * ChunkSize) None
-    else postingSliceCapped(spark, path, lo, hi, cap, ver)
+    else {
+      // ONE batched chunk fetch for the whole range — the per-chunk
+      // fallback inside the slice would otherwise pay a Spark job per
+      // uncached chunk (up to ~cap x ChunkSize / ChunkSize jobs)
+      fetchRanges(spark, path, Seq((lo, hi)), ver)
+      postingSliceCapped(spark, path, lo, hi, cap, Some(ver))
+    }
   }
 
   // ---- code-point helpers --------------------------------------------
@@ -221,9 +229,10 @@ trait BwtDriver {
     paths.map(p => p -> version(spark, p)).toMap
 
   // keep-latest per path (versioned keys would strand a dead head per
-  // rebuild); chunk entries are bounded by the LRU below
-  private val headCache =
-    scala.collection.mutable.Map.empty[String, (Long, Head)]
+  // rebuild) and LRU-bounded at 256 paths (token-mode heads hold
+  // whole-vocabulary maps; path churn under streaming maintenance
+  // must not pin retired dirs' heads forever)
+  private val headCache = new graft.core.LruMap[String, (Long, Head)](256)
   // capacity invariant: must exceed the worst single batched fetch —
   // ≤ Lake.BruteForceThreshold range chunks (the SA-width cost switch
   // bounds the posting fetch) plus 2 boundary chunks per covering
@@ -304,7 +313,7 @@ trait BwtDriver {
     }
   }
 
-  private def chunkAt(spark: SparkSession, path: String, id: Long,
+  protected def chunkAt(spark: SparkSession, path: String, id: Long,
       v: Long): Chunk = {
     fetchChunks(spark, Map(path -> Seq(id)), Map(path -> v))
     val c = synchronized { chunkCache.get((path, v, id)) }
@@ -313,8 +322,12 @@ trait BwtDriver {
     c
   }
 
-  /** occurrences of `ch` in BWT[0, pos) */
-  private def rankAt(spark: SparkSession, path: String, h: Head, v: Long,
+  /** occurrences of `ch` in BWT[0, pos). Overridable: encodings whose
+    * alphabet is too large for per-chunk dense cum maps (the token
+    * encoding) resolve the cumulative term from a sparse side table
+    * instead of the chunk payload.
+    */
+  protected def rankAt(spark: SparkSession, path: String, h: Head, v: Long,
       ch: String, pos: Long): Long = {
     if (pos <= 0) return 0L
     if (pos >= h.n) return h.nBwt.getOrElse(ch, 0L)
@@ -322,6 +335,15 @@ trait BwtDriver {
     val c = chunkAt(spark, path, id, v)
     chunkCum(c, ch) + rankWithin(h, c, ch, (pos % ChunkSize).toInt)
   }
+
+  /** Per-step hook: prefetch whatever the encoding's [[rankAt]] needs
+    * for symbol `ch` at the given boundary chunks, batched across every
+    * index in ONE job. Default: nothing (dense encodings carry the cum
+    * in the chunk payload the step already fetched).
+    */
+  protected def prefetchCums(spark: SparkSession,
+      needs: Map[String, Seq[Long]], ch: String,
+      vers: Map[String, Long]): Unit = ()
 
   // ---- backward search ----------------------------------------------
 
@@ -354,6 +376,7 @@ trait BwtDriver {
         p -> Seq(lo, hi).filter(pos => pos > 0 && pos < h.n).map(_ / ChunkSize)
       }.filter(_._2.nonEmpty)
       fetchChunks(spark, needs, vers)
+      prefetchCums(spark, needs, c, vers)
       state = state.map { case (p, (lo, hi)) =>
         if (lo >= hi) p -> (lo, hi)
         else hs(p).cBefore.get(c) match {
@@ -380,9 +403,13 @@ trait BwtDriver {
     */
   def postingSliceCapped(spark: SparkSession, path: String,
       lo: Long, hi: Long, cap: Int,
-      atVersion: Long = -1L): Option[Seq[Long]] = {
+      atVersion: Option[Long] = None): Option[Seq[Long]] = {
+    // Option, not a -1 sentinel: dirSignature is an XOR-mixed 64-bit
+    // hash that is negative about half the time, and a sentinel test
+    // would silently drop the caller's threaded version there -- the
+    // walk and the slice could then straddle a same-path rebuild
     if (hi <= lo) return Some(Nil)
-    val v = if (atVersion >= 0) atVersion else version(spark, path)
+    val v = atVersion.getOrElse(version(spark, path))
     val ids = (lo / ChunkSize) to ((hi - 1) / ChunkSize)
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     ids.foreach { id =>
@@ -404,6 +431,20 @@ trait BwtDriver {
   def postingSlice(spark: SparkSession, path: String,
       lo: Long, hi: Long): Seq[Long] =
     postingSliceCapped(spark, path, lo, hi, Int.MaxValue).get
+
+  /** Batch-fetch the chunks covering several ranges of ONE index in a
+    * single job (the multi-residue probe shape); already-cached chunks
+    * are skipped.
+    */
+  protected[graft] def fetchRanges(spark: SparkSession, path: String,
+      ranges: Seq[(Long, Long)], ver: Long): Unit = {
+    val ids = ranges.flatMap { case (lo, hi) =>
+      if (hi <= lo) Seq.empty
+      else (lo / ChunkSize) to ((hi - 1) / ChunkSize)
+    }.distinct.sorted
+    if (ids.nonEmpty)
+      fetchChunks(spark, Map(path -> ids), Map(path -> ver))
+  }
 
   /** Batch-fetch the posting chunks covering every index's range in one
     * job, so subsequent postingSlice calls are cache hits.

@@ -164,9 +164,6 @@ object FmIndex extends BwtDriver {
     }
     val bwtOnly = (bwtTotals.keySet -- firstCounts.map(_._1).toSet).toSeq
       .sorted(utf8Ord).map(ch => (ch, -1L, 0L, bwtTotals(ch)))
-    (headRows ++ bwtOnly).toSeq
-      .toDF("ch", "c_before", "n_first", "n_bwt")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
     ranked.unpersist()
     // indexed column, needed by rebuild-on-merge (the merge signature is
     // column-agnostic, like every kind's)
@@ -174,6 +171,12 @@ object FmIndex extends BwtDriver {
       .write.mode("overwrite").parquet(s"$path/info")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()
+    // head/ LAST: it is the version anchor every driver cache keys on,
+    // so once its signature is observable every table of THIS build is
+    // already on disk (see TokenFmIndex.build)
+    (headRows ++ bwtOnly).toSeq
+      .toDF("ch", "c_before", "n_first", "n_bwt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
   }
 
   /** Build over a file group: suffix rows → bounded sort → SA rank →

@@ -33,10 +33,10 @@ import org.apache.spark.sql.functions._
 object NgramIndex {
 
   val N = 3
-  val Buckets = 16
+  val Buckets = Bucketing.Buckets
 
   private def bucketOf(c: org.apache.spark.sql.Column) =
-    pmod(xxhash64(c), lit(Buckets))
+    Bucketing.bucketCol(c)
 
   /** Driver-side twin of `bucketOf` (xxhash64 seed 42, same as the
     * `xxhash64` SQL function) so query grams map to partition values

@@ -88,11 +88,14 @@ object TokenFmIndex extends BwtDriver {
         element_at(padded, col("i") + 1).as("fc"))
     val ranked = FmIndex.rankSuffixes(spark, suf, ChunkSize)
     writeChunks(spark, ranked, path)
-    FmIndex.writeCommon(spark, ranked, meta, column, path)
-    // LAST: the sidecar must never describe a build whose BWT is not
-    // yet on disk (a search racing a same-path rebuild would pair one
-    // build's factor with the other build's chunks)
+    // tconf BEFORE head: head/ is the version anchor every cache keys
+    // on, so it must land LAST — once a head signature is observable,
+    // every sidecar of THAT build is already on disk. (The reverse
+    // order let a search racing a same-path rebuild stat the NEW head,
+    // read the OLD tconf, pass the head re-stat, and cache the stale
+    // factor under the new version — permanent silent false negatives.)
     writeSample(spark, path, sample)
+    FmIndex.writeCommon(spark, ranked, meta, column, path)
   }
 
   // sample factor sidecar, cached by (path, HEAD version): the factor
@@ -100,7 +103,7 @@ object TokenFmIndex extends BwtDriver {
   // ride the same version discipline as head/chunks — its own dir's
   // mtime would let a same-path rebuild pair mismatched halves
   private val sampleCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Int)]
+    new graft.core.LruMap[String, (Long, Int)](1024)
 
   private def writeSample(spark: SparkSession, path: String,
       sample: Int): Unit = {
@@ -166,8 +169,11 @@ object TokenFmIndex extends BwtDriver {
       saRangeMultiSyms(spark, Seq(path), rs, vers)(path))
     val width = ranges.map { case (lo, hi) => math.max(hi - lo, 0L) }.sum
     if (width > cap.toLong * ChunkSize) return None
+    // ONE batched chunk fetch across every residue's range (the slices
+    // below then hit the cache instead of paying a job per chunk)
+    fetchRanges(spark, path, ranges, ver)
     val slices = ranges.map { case (lo, hi) =>
-      postingSliceCapped(spark, path, lo, hi, cap, ver)
+      postingSliceCapped(spark, path, lo, hi, cap, Some(ver))
     }
     if (slices.contains(None)) None
     else {
@@ -199,57 +205,147 @@ object TokenFmIndex extends BwtDriver {
   }
 
   /** Chunk payload: SA-ordered token array (no join into one string —
-    * token boundaries must survive), posting uids, cumulative counts.
+    * token boundaries must survive) plus posting uids — NO per-chunk
+    * cum map. The char encodings carry a dense cum map per chunk
+    * (alphabet = code points, bounded); densified over a TOKEN alphabet
+    * that is chunks x |vocabulary| entries — quadratic blow-up at any
+    * real vocabulary (the driver testdata's 31-token vocab masked it).
+    * The cumulative term lives in `cums/` instead: ONE SPARSE row per
+    * (symbol, chunk-where-it-occurs), bucket-partitioned by symbol like
+    * every posting table, resolved at query time by a batched floor
+    * lookup ([[prefetchCums]]).
     */
   protected def writeChunks(spark: SparkSession,
-      ranked: org.apache.spark.sql.DataFrame, path: String): Unit =
+      ranked: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
     FmIndex.perChunkArrays(ranked)
-      .join(FmIndex.chunkCums(ranked), Seq("chunk"))
       .write.mode("overwrite").option("compression", "zstd")
-      .parquet(s"$path/tfm")
+      .parquet(s"$path/$chunkDir")
+    val counts = ranked.groupBy("chunk", "bwtc").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("cum",
+        coalesce(sum(col("n")).over(Window.partitionBy("bwtc")
+          .orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bucket", Bucketing.bucketCol(col("bwtc")))
+      .write.mode("overwrite").partitionBy("bucket")
+      .option("compression", "zstd").parquet(s"$path/cums")
+  }
 
-  /** Merge input with chunk-locally computed LF (see
-    * [[FmIndex.positions]]), token alphabet.
+  /** Merge input with LF computed by a per-symbol window over the
+    * decoded stream (one bwtc-partitioned shuffle, merge-time only) —
+    * the sparse format has no chunk-local cum to reuse.
     */
   protected def positions(spark: SparkSession,
       path: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val cB = spark.sparkContext.broadcast(loadHead(spark, path).cBefore)
-    spark.read.parquet(s"$path/tfm")
-      .select(col("chunk"), col("chars"), col("uids"), col("cum"))
-      .as[(Long, Seq[String], Seq[Long], Map[String, Long])]
-      .flatMap { case (chunk, chars, uids, cum) =>
-        val occ = scala.collection.mutable.HashMap.empty[String, Long]
-        chars.indices.map { k =>
-          val ch = chars(k)
-          val o = occ.getOrElse(ch, 0L)
-          occ.update(ch, o + 1)
-          (chunk * ChunkSize + k, ch, uids(k),
-            cB.value(ch) + cum.getOrElse(ch, 0L) + o)
-        }
-      }.toDF("pos", "bwtc", "uid", "lf")
+    import org.apache.spark.sql.expressions.Window
+    val decoded = spark.read.parquet(s"$path/$chunkDir")
+      .select(col("chunk"), col("chars"), col("uids"))
+      .as[(Long, Seq[String], Seq[Long])]
+      .flatMap { case (chunk, chars, uids) =>
+        chars.indices.map(k => (chunk * ChunkSize + k, chars(k), uids(k)))
+      }.toDF("pos", "bwtc", "uid")
+    val cb = spark.read.parquet(s"$path/head")
+      .filter(col("c_before") >= 0)
+      .select(col("ch").as("bwtc"), col("c_before"))
+    decoded.join(cb, Seq("bwtc"))
+      .withColumn("lf", col("c_before") - 1 +
+        row_number().over(Window.partitionBy("bwtc").orderBy("pos")))
+      .select(col("pos"), col("bwtc"), col("uid"), col("lf"))
   }
 
   // ---- BwtDriver: token-array chunk encoding -------------------------
 
-  protected case class TokChunk(toks: IndexedSeq[String],
-      cum: Map[String, Long], uids: Seq[Long])
+  protected case class TokChunk(toks: IndexedSeq[String], uids: Seq[Long])
   protected case class TokHead(cBefore: Map[String, Long],
       nBwt: Map[String, Long], n: Long) extends BwtHead
 
   protected type Chunk = TokChunk
   protected type Head = TokHead
 
-  protected def chunkDir: String = "tfm"
-  protected def chunkColumns: Seq[String] = Seq("chunk", "chars", "uids", "cum")
+  // "tfm2": the sparse-cums on-disk format. A v1 dir (dense "tfm")
+  // read through the facade raises PATH_NOT_FOUND, which the lake
+  // self-heal treats as a broken index: metadata row dropped, files
+  // demoted to in-situ, rebuilt in v2 on the next index()
+  protected def chunkDir: String = "tfm2"
+  protected def chunkColumns: Seq[String] = Seq("chunk", "chars", "uids")
 
   protected def decodeChunk(r: Row): TokChunk =
-    TokChunk(r.getSeq[String](1).toIndexedSeq,
-      r.getMap[String, Long](3).toMap, r.getSeq[Long](2).toIndexedSeq)
+    TokChunk(r.getSeq[String](1).toIndexedSeq, r.getSeq[Long](2).toIndexedSeq)
 
   protected def chunkUids(c: TokChunk): Seq[Long] = c.uids
-  protected def chunkCum(c: TokChunk, ch: String): Long =
-    c.cum.getOrElse(ch, 0L)
+  // never called: rankAt is overridden to resolve the cumulative term
+  // from the sparse side table
+  protected def chunkCum(c: TokChunk, ch: String): Long = 0L
+
+  // (path, headVer, symbol, chunk) -> occurrences before the chunk;
+  // values are longs, bounded LRU
+  private val cumCache =
+    new graft.core.LruMap[(String, Long, String, Long), Long](65536)
+
+  /** Batched floor lookup over the sparse `cums/` tables: ONE job per
+    * walk step resolves the cumulative term for symbol `ch` at every
+    * boundary chunk of every index. Sparse rows are (bwtc, chunk,
+    * cum-before, n) only where the symbol OCCURS; cum-before(id) =
+    * entry at the greatest chunk <= id (its own cum if chunk == id,
+    * else cum + n), or 0 with no entry.
+    */
+  override protected def prefetchCums(spark: SparkSession,
+      needs: Map[String, Seq[Long]], ch: String,
+      vers: Map[String, Long]): Unit = {
+    val missing = needs.toSeq.sortBy(_._1).map { case (p, ids) =>
+      p -> ids.distinct.sorted
+        .filterNot(id => cumCache.get((p, vers(p), ch, id)).isDefined)
+    }.filter(_._2.nonEmpty)
+    if (missing.isEmpty) return
+    val paths = missing.map(_._1)
+    val rows = graft.api.IndexKind.readTagged(spark, paths, "cums")
+      .filter(col("bucket") === Bucketing.bucketOfString(ch) &&
+        col("bwtc") === ch)
+    val aggs = missing.zipWithIndex.flatMap { case ((_, ids), i) =>
+      ids.map(id =>
+        max(when(col("idx") === i && col("chunk") <= id,
+          struct(col("chunk"), col("cum"), col("n")))))
+    }
+    val row = rows.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // re-stat (the fetchChunks discipline): never cache floors read
+    // across a same-path rebuild
+    missing.foreach { case (p, _) =>
+      require(try graft.core.Fs.dirSignature(spark, s"$p/head") == vers(p)
+        catch { case _: Exception => false },
+        s"index at $p changed during the operation — retry")
+    }
+    var k = 0
+    missing.foreach { case (p, ids) =>
+      ids.foreach { id =>
+        val s = row.getStruct(k); k += 1
+        val cum =
+          if (s == null) 0L
+          else if (s.getLong(0) == id) s.getLong(1)
+          else s.getLong(1) + s.getLong(2)
+        cumCache.put((p, vers(p), ch, id), cum)
+      }
+    }
+  }
+
+  /** Sparse-format rank: within-chunk scan from the fetched chunk, the
+    * cumulative term from the floor cache (filled by the walk's
+    * [[prefetchCums]]; a direct call — posting slices never need it —
+    * falls back to a one-path prefetch).
+    */
+  override protected def rankAt(spark: SparkSession, path: String,
+      h: TokHead, v: Long, ch: String, pos: Long): Long = {
+    if (pos <= 0) return 0L
+    if (pos >= h.n) return h.nBwt.getOrElse(ch, 0L)
+    val id = pos / ChunkSize
+    val c = chunkAt(spark, path, id, v)
+    val cum = cumCache.get((path, v, ch, id)).getOrElse {
+      prefetchCums(spark, Map(path -> Seq(id)), ch, Map(path -> v))
+      cumCache.get((path, v, ch, id)).getOrElse(0L)
+    }
+    cum + rankWithin(h, c, ch, (pos % ChunkSize).toInt)
+  }
 
   /** Linear scan of the chunk's token prefix — whole-token equality,
     * the token-alphabet rank primitive.

@@ -24,10 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object TokenIndex {
 
-  val Buckets = 16
+  val Buckets = Bucketing.Buckets
 
   private def bucketOf(c: org.apache.spark.sql.Column) =
-    pmod(xxhash64(c), lit(Buckets))
+    Bucketing.bucketCol(c)
 
   /** " t1 t2 ... tn " — token-normalized form used for refine. */
   def normalForm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -58,12 +58,7 @@ object TokenIndex {
     meta.unpersist()
   }
 
-  def bucketOfString(g: String): Int = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.unsafe.types.UTF8String
-    Math.floorMod(XxHash64Function.hash(UTF8String.fromString(g),
-      org.apache.spark.sql.types.StringType, 42L), Buckets.toLong).toInt
-  }
+  def bucketOfString(g: String): Int = Bucketing.bucketOfString(g)
 
   def tokensOf(query: String): Seq[String] =
     graft.text.Text.sparkLower(query)

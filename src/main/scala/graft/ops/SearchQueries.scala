@@ -426,7 +426,7 @@ object SearchQueries {
     // to identical semantics
     "substring_token_search_bwt" -> Q((s, dir) => {
       val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
-      val p = IndexStore.indexPath(dir, "tokenfm_documents_text")
+      val p = IndexStore.indexPath(dir, "tokenfm2_documents_text")
       IndexStore.ensure(p) { graft.index.TokenFmIndex.build(s, files, "text", p) }
       graft.index.TokenFmIndex.search(s, p, "text", "merge merge")
         .select(col("doc_id")).orderBy(col("doc_id"))
@@ -438,7 +438,7 @@ object SearchQueries {
     // exact containment semantics — same oracle as the full index
     "substring_token_search_sampled" -> Q((s, dir) => {
       val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
-      val p = IndexStore.indexPath(dir, "tokenfm_s2_documents_text")
+      val p = IndexStore.indexPath(dir, "tokenfm2_s2_documents_text")
       IndexStore.ensure(p) {
         graft.index.TokenFmIndex.build(s, files, "text", p, sample = 2)
       }

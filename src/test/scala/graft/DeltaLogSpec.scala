@@ -25,6 +25,22 @@ class DeltaLogSpec extends AnyFunSuite {
     DeltaLog.Add(fname, Files.size(Paths.get(s"$table/$fname")))
   }
 
+  test("decodePath decodes absolute non-file URIs, not just file:/relative") {
+    // the multi-arg URI constructor re-encodes getPath — a hand-rolled
+    // assembly must return the DECODED name for every scheme
+    assert(DeltaLog.decodePath("s3a://bucket/a%20b.parquet") ==
+      "s3a://bucket/a b.parquet")
+    assert(DeltaLog.decodePath("file:///t/a%20b.parquet") ==
+      "/t/a b.parquet")
+    assert(DeltaLog.decodePath("part-a%20b.parquet") == "part-a b.parquet")
+    assert(DeltaLog.decodePath("/t/a%25b.parquet") == "/t/a%b.parquet")
+    // non-conforming raw string (unencoded space): used as-is
+    assert(DeltaLog.decodePath("a b.parquet") == "a b.parquet")
+    // a ':' inside the first segment is not a scheme
+    assert(DeltaLog.decodePath("2024:01:01-x.parquet") ==
+      "2024:01:01-x.parquet")
+  }
+
   test("replay applies adds and removes in version order") {
     val t = mkTable("delta1")
     val a = addFile(t, "a.parquet", Seq(1L -> "one"))

@@ -90,6 +90,25 @@ class TokenFmIndexSpec extends AnyFunSuite {
     assert(all == Set(1L, 2L, 3L))
   }
 
+  test("token chunks carry no dense cum map; cums/ is occurrence-sparse") {
+    // chunks x |vocabulary| dense cum maps are a quadratic blow-up at
+    // any real vocabulary (the driver testdata's 31-token vocab masked
+    // it) — the v2 format must keep the chunk payload vocab-free and
+    // the side table sparse: one row per (symbol, chunk-where-it-occurs)
+    val rows = corpus(40, 25, seed = 7)
+    val (idx, data) = buildOver(rows, "tfm-sparse")
+    val chunkCols = spark.read.parquet(s"$idx/tfm2").schema.fieldNames.toSet
+    assert(chunkCols == Set("chunk", "chars", "uids"))
+    val cums = spark.read.parquet(s"$idx/cums")
+    // sparse bound: every row is a (symbol, chunk) the symbol occurs in,
+    // so row count <= total token positions (vs chunks x vocab dense)
+    val nPositions = spark.read.parquet(s"$idx/tfm2")
+      .selectExpr("sum(size(chars))").head().getLong(0)
+    assert(cums.count() <= nPositions)
+    // and the floor-lookup machinery answers exactly
+    assert(fmIds(idx, "alpha beta") == bruteIds(data, "alpha beta"))
+  }
+
   test("standalone symbol-less search excludes NULL rows like the facade") {
     // the empty pattern matches every NON-NULL row — the STANDALONE
     // driver search must apply the same convention as the facade kinds
