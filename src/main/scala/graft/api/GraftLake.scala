@@ -79,10 +79,16 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     val covered = coverage(kind, column).flatMap(_._2).toSet
     val todo = files.filterNot(covered)
     if (todo.isEmpty) return Seq.empty
-    val counts = Layout.scan(spark, todo)
+    val scanned = Layout.scan(spark, todo)
       .groupBy(col("file_path")).agg(sum(col("num_rows")).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    Maintenance.binpack(counts.toSeq, binpackRows).map { group =>
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // zero-row-group files emit no footer rows: without an explicit
+    // 0-count entry they would never join a group, so index() re-scans
+    // them forever and every search pays an in-situ part for them
+    val counted = scanned.map(_._1).toSet
+    val counts = (scanned.toSeq ++
+      todo.filterNot(f => counted.contains(f)).map(_ -> 0L)).sortBy(_._1)
+    Maintenance.binpack(counts, binpackRows).map { group =>
       // 64-bit id: an 8-hex (32-bit) truncation collides at ~1% per
       // 10k groups, and a collision permanently skips a group's build
       // via the ensure marker
@@ -123,13 +129,33 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       order: Seq[String] = Seq.empty,
       snapshot: Option[Long] = None): DataFrame = {
     val live = backend.filesAt(snapshot).toSet
-    val cov = coverage(kind, column)
+    val cov0 = coverage(kind, column)
+    // ranked kinds return a LAZY plan whose index-table reads execute
+    // after search() returns — the missing-file catch below can never
+    // fire for them, so a half-deleted index (crashed vacuum) would be
+    // a permanent per-action crash loop. Classify integrity by the
+    // _GRAFT_DONE marker UP FRONT instead (deleteRec removes the
+    // marker first, so a half-deleted dir is marker-less); every
+    // ranked-kind build path goes through ensure() and carries one.
+    val cov =
+      if (!kind.ranked) cov0
+      else {
+        val (healthy, broken) =
+          cov0.partition(c => IndexStore.isBuilt(c._1))
+        if (broken.nonEmpty)
+          IndexStore.deleteMetadata(spark, prefix, broken.map(_._1))
+        healthy
+      }
     // hit filtering only matters when coverage can exceed the live set
     val restrict =
       if (backend.canRemove || snapshot.nonEmpty) Some(live) else None
     def attempt(c: Seq[(String, Seq[String])]): DataFrame = {
       val uncovered = (live -- c.flatMap(_._2).toSet).toSeq.sorted
-      if (c.isEmpty && uncovered.isEmpty) {
+      // live.isEmpty: a snapshot predating every add must answer the
+      // schema-stable empty frame for EVERY kind — skipping into
+      // searchLake with restrict = Some(empty) trips bm25's
+      // stale-coverage guard into a misleading "re-index first" crash
+      if (live.isEmpty || (c.isEmpty && uncovered.isEmpty)) {
         // schema-stable empty result (the kind-level emptyLike
         // contract): an empty-at-snapshot, not-yet-indexed lake must
         // still answer with the RESULT's columns — table columns plus

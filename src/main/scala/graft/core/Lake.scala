@@ -54,14 +54,22 @@ object Lake {
       if (Fs.isLocalPath(path)) Files.exists(Paths.get(path, "_GRAFT_SPLIT"))
       else Fs.forPath(path).exists(
         new org.apache.hadoop.fs.Path(path, "_GRAFT_SPLIT"))
-    IndexStore.ensure(path) {
+    def buildSplit(): Unit = IndexStore.ensure(path) {
       graft.Tables.load(spark, dir, table)
         .repartitionByRange(parts, col(key))
         .write.mode("overwrite").parquet(path)
       writeSpec()
     }
-    // dirs split before the spec file existed: adopt the caller's spec
-    if (!specExists()) writeSpec()
+    buildSplit()
+    // a dir split before the spec file existed cannot PROVE its layout
+    // — rebuild under the caller's spec instead of adopting it blindly
+    // (stamping would satisfy every later require while possibly
+    // serving a different key/parts split). Split dirs are derived
+    // fixtures, so a rebuild is always safe.
+    if (!specExists()) {
+      Fs.deleteRec(spark, path)
+      buildSplit()
+    }
     val stored =
       if (Fs.isLocalPath(path)) Files.readString(Paths.get(path, "_GRAFT_SPLIT"))
       else Fs.readString(s"$path/_GRAFT_SPLIT")

@@ -75,7 +75,14 @@ object KeyIndex {
   private[graft] def prefixUpperBound(prefix: String): Option[String] = {
     if (prefix.isEmpty) return None // "%": unbounded range, refine restores exactness
     val c = prefix.last
-    if (c < '퟿') Some(prefix.init + (c + 1).toChar) else None
+    // c+1 must not land in the surrogate block [U+D800, U+DFFF]; both
+    // BMP ranges around it are valid bounds (code-point order = UTF-8
+    // order for every valid non-surrogate) — refusing the upper range
+    // would degrade fullwidth/CJK-compat/private-use prefixes to
+    // unbounded scans
+    if (c < '퟿' || ('' <= c && c < '￿'))
+      Some(prefix.init + (c + 1).toChar)
+    else None
   }
 
   /** Prefix lookup: range predicate [prefix, nextPrefix) — both bounds

@@ -50,7 +50,7 @@ object LogCloudIndex {
     * type groups with no more distinct values than this stay hot.
     */
   val OutlierThreshold = 1000L
-  val HawaiiBuckets = 16
+  val HawaiiBuckets = Bucketing.Buckets
   // reference timestamp validity window (logcloud_rex.rs:233-238):
   // [2000-01-01, 2050-01-01) UTC
   val MinValidTs = 946684800L
@@ -91,25 +91,26 @@ object LogCloudIndex {
             .otherwise(32)))
   }
 
-  private def bucketOf(c: Column) = pmod(xxhash64(c), lit(HawaiiBuckets))
+  // delegate to the ONE shared bucket hash (Bucketing) — a private
+  // copy here could drift from the build/probe pair every other
+  // bucketed posting table shares
+  private def bucketOf(c: Column) = Bucketing.bucketCol(c)
 
-  def bucketOfString(g: String): Int = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-    import org.apache.spark.unsafe.types.UTF8String
-    Math.floorMod(
-      XxHash64Function.hash(UTF8String.fromString(g),
-        org.apache.spark.sql.types.StringType, 42L), HawaiiBuckets.toLong).toInt
-  }
+  def bucketOfString(g: String): Int = Bucketing.bucketOfString(g)
 
   /** Build over (line_id, line). */
   def build(spark: SparkSession, lines: DataFrame, path: String): Unit = {
     // MAP-ONLY templating: each digit-bearing token (maximal non-space
     // run) becomes <V>; the in-order variable list is the same tokens.
     // No explode/window/collect_list — zero shuffles per line.
+    // cache: the per-line regex templating is the build's dominant
+    // map cost and THREE sinks consume this lineage (encoded write,
+    // templates groupBy, vars explode) — uncached it re-runs per sink
     val templated = lines.select(
       col("line_id"),
       regexp_replace(col("line"), VarToken, "<V>").as("template"),
       filter(split(col("line"), " "), t => t.rlike("[0-9]")).as("vars"))
+      .cache()
     templated
       .select(col("line_id"), md5(col("template")).as("template_id"),
         col("vars"))
@@ -124,6 +125,7 @@ object LogCloudIndex {
       .distinct()
       .withColumn("type", typeBitsCol(col("value")))
     writeVarTables(spark, vars, path)
+    templated.unpersist()
   }
 
   /** Split deduped (value, line_id, type) variable rows into the

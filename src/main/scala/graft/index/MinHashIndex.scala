@@ -160,9 +160,12 @@ object MinHashIndex {
     // an empty.reduceLeft crash — the facade (MinHashKind) guards this
     // the same way
     if (keys.isEmpty) {
-      val files = meta.select("file_path").distinct()
+      // schema only: ONE covered file suffices for the zero-row frame
+      // (listing every covered file here costs a whole-group listing
+      // job just to derive column names)
+      val one = meta.select("file_path").limit(1)
         .collect().map(_.getString(0)).toSeq
-      return spark.read.parquet(files: _*).limit(0)
+      return spark.read.parquet(one: _*).limit(0)
         .withColumn("uid", lit(-1L)).withColumn("jac", lit(0.0))
     }
     val hits = spark.read.parquet(s"$path/postings")

@@ -188,4 +188,23 @@ class DeltaLogSpec extends AnyFunSuite {
     // snapshot 0: junk live (in-situ probe), b not yet added (hit filter)
     assert(ids(Some(0L)) == Seq(-1L, 1L))
   }
+
+  test("search at a snapshot with an empty live set answers empty, all kinds") {
+    val t = mkTable("delta5")
+    val a = addFile(t, "a.parquet", Seq(1L -> "alpha search"))
+    DeltaLog.commit(t, 0, Seq(a))
+    DeltaLog.commit(t, 1, removes = Seq("a.parquet"))
+    val lake = GraftLake(spark, DeltaBackend(spark, t))
+    lake.index(NgramKind, "text")
+    lake.index(graft.api.Bm25Kind("doc_id"), "text")
+    // fully-emptied table: the correct answer is a schema-stable empty
+    // frame for EVERY kind — the ranked path used to trip bm25's
+    // stale-coverage guard into a "re-index first" crash
+    val ngram = lake.search(NgramKind, "text", "search", 10,
+      Seq("doc_id"), snapshot = Some(1L))
+    assert(ngram.columns.contains("doc_id") && ngram.count() == 0)
+    val bm25 = lake.search(graft.api.Bm25Kind("doc_id"), "text",
+      "search", 10, snapshot = Some(1L))
+    assert(bm25.count() == 0)
+  }
 }

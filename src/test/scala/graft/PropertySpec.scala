@@ -92,13 +92,16 @@ object PropertySpec extends Properties("graft") {
 
   private val prefixGen: Gen[String] =
     Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n,
-      Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('#', 'é', '中')))
+      Gen.frequency(8 -> Gen.alphaNumChar,
+        1 -> Gen.oneOf('#', 'é', '中', '\uFF22', '\uE000', '\uFFFE')))
       .map(_.mkString))
 
   property("prefixUpperBound brackets exactly the prefixed strings") =
     Prop.forAll(prefixGen, prefixGen) { (prefix, suffix) =>
       KeyIndex.prefixUpperBound(prefix) match {
-        case None => prefix.isEmpty || prefix.last >= '퟿'
+        case None => prefix.isEmpty ||
+          (prefix.last >= '\uD7FF' &&
+            (prefix.last < '\uE000' || prefix.last >= '\uFFFF'))
         case Some(hi) =>
           val inside = prefix + suffix
           // every prefixed string falls in [prefix, hi)
