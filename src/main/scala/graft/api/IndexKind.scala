@@ -248,6 +248,64 @@ object NgramKind extends IndexKind {
   }
 }
 
+/** Regex search over the SAME committed ngram indexes (name = "ngram":
+  * builds, coverage, compaction, vacuum are all shared with
+  * [[NgramKind]] — regex is a query MODE of the substring index, not a
+  * second index to maintain). The query string is a Java-regex pattern
+  * matched with contains semantics against `lower(column)`; the index
+  * is probed with the pattern's REQUIRED literal runs
+  * ([[graft.text.QueryShaping.requiredLiterals]]) and the exact rlike
+  * refine runs only over candidate row groups. Patterns with no
+  * required literal (top-level alternation, all-optional) take the
+  * scan-and-refine fallback; in-situ files always take the rlike scan.
+  */
+object NgramRegexKind extends IndexKind {
+
+  val name = "ngram"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = NgramIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    NgramIndex.merge(spark, a, b, out)
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    val covered = coveredFiles(spark, paths, live)
+    val lits = graft.text.QueryShaping.requiredLiterals(query)
+      .map(graft.text.Text.sparkLower).filter(_.nonEmpty)
+
+    def viaIndex(): Option[DataFrame] = {
+      if (lits.isEmpty) return None // nothing required: brute
+      // every literal's grams must all be present in a candidate row
+      // group (a matching row contains every literal); literals below
+      // the gram width probe their exact short gram
+      val qgrams = lits.flatMap { l =>
+        val cpg = graft.text.Text.cpGrams(l, NgramIndex.N)
+        if (cpg.nonEmpty) cpg else Seq(l)
+      }.distinct
+      val probeGrams = graft.text.QueryShaping.viableGrams(qgrams)
+      val qbuckets = probeGrams.map(NgramIndex.bucketOfString).distinct
+      val post = IndexKind.readTagged(spark, paths, "postings")
+        .filter(col("bucket").isin(qbuckets: _*) &&
+          col("gram").isin(probeGrams: _*))
+        .select(col("idx"), col("gram"), col("uid"))
+      val cands = post.groupBy(col("idx"), col("uid"))
+        .agg(countDistinct(col("gram")).as("ng"))
+        .filter(col("ng") === probeGrams.size)
+      val hits = collectHits(spark, paths, cands, live)
+      if (bruteBeatsIndex(spark, paths, hits)) None
+      else Some(
+        Layout.readGroups(spark, hits, covered).drop("uid")
+          .filter(lower(col(column)).rlike(query)))
+    }
+
+    searchParts(spark, paths, insituFiles, covered, () => viaIndex(),
+      d => d.filter(lower(col(column)).rlike(query)))
+  }
+}
+
 /** BM25 ranked full-text kind. `idCol` is the per-row document id.
   * Uncovered files are scored IN-SITU at query time (postings + doc
   * stats computed on the fly for the query tokens, reference fills from

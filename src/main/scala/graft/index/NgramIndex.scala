@@ -131,6 +131,60 @@ object NgramIndex {
       .filter(lower(col(column)).contains(q))
   }
 
+  /** Regex search against the same postings: probe the index for the
+    * pattern's REQUIRED literal runs
+    * ([[graft.text.QueryShaping.requiredLiterals]]), intersect their
+    * grams, regex-refine only the candidate row groups. This is the
+    * log-grep accelerant the LogCloud tier applies to templates,
+    * generalized to any indexed column: at 100 TB a regex that contains
+    * any 3-char literal reads only the row groups holding ALL its
+    * literals' grams instead of scanning the lake.
+    *
+    * `pattern` is matched against `lower(column)` (the postings are
+    * lowercased grams), Java-regex contains semantics — callers pass
+    * lowercase literals. Patterns with no required literal (top-level
+    * alternation, all-optional) take the documented scan-and-refine
+    * fallback: the index cannot bound them, exactness never depends on
+    * it.
+    */
+  def searchRegex(spark: SparkSession, path: String, column: String,
+      pattern: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+    def coveredScan(): DataFrame = {
+      val files = meta.select("file_path").distinct()
+        .collect().map(_.getString(0)).toSeq
+      spark.read.parquet(files: _*)
+        .filter(lower(col(column)).rlike(pattern))
+        .withColumn("uid", lit(-1L))
+    }
+    val lits = graft.text.QueryShaping.requiredLiterals(pattern)
+      .map(graft.text.Text.sparkLower).filter(_.nonEmpty)
+    if (lits.isEmpty) return coveredScan()
+    // every literal's grams must ALL be present in a candidate row
+    // group (a matching row contains every literal, so its group's gram
+    // set is a superset of every literal's grams); literals shorter
+    // than the gram width probe their exact short gram — one flat
+    // distinct gram set carries the conjunction
+    val qgrams = lits.flatMap { l =>
+      val cpg = graft.text.Text.cpGrams(l, N)
+      if (cpg.nonEmpty) cpg else Seq(l)
+    }.distinct
+    val probeGrams = graft.text.QueryShaping.viableGrams(qgrams)
+    val qbuckets = probeGrams.map(bucketOfString).distinct
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qbuckets: _*) &&
+        col("gram").isin(probeGrams: _*))
+    import spark.implicits._
+    val cands = post.groupBy("uid")
+      .agg(countDistinct(col("gram")).as("ng"))
+      .filter(col("ng") === probeGrams.size)
+      .select("uid").collect().map(_.getLong(0)).toSeq
+    if (cands.size > graft.core.Lake.BruteForceThreshold ||
+        cands.size >= meta.count()) return coveredScan()
+    Layout.readHits(spark, meta, cands.toDF("uid"))
+      .filter(lower(col(column)).rlike(pattern))
+  }
+
   /** Merge two indexes into one (compaction): second index's uids are
     * re-based past the first's (reference: merge re-bases uid offsets,
     * src/lava/merge.rs:17-205; metadata merge backends/utils.py:195-213).

@@ -31,6 +31,23 @@ object ZoneMapIndex {
     meta.unpersist()
   }
 
+  /** Metadata-only table stats from the zone map: min/max of the
+    * indexed column plus count(*), computed purely from the index
+    * tables (zones + meta sidecar) — zero lake data pages read. Exact
+    * because each zone's lo/hi is the engine-computed null-ignoring
+    * min/max of its row group (so min-of-lo / max-of-hi IS the
+    * column's min/max) and meta's num_rows counts every row, nulls
+    * included (the count(*) semantics). The 100 TB shape:
+    * dataset-card / planner stats answered from metadata-scale tables
+    * in milliseconds instead of a full-lake scan.
+    */
+  def statsAgg(spark: SparkSession, path: String): DataFrame = {
+    val zones = spark.read.parquet(s"$path/zones")
+    val meta = spark.read.parquet(s"$path/meta")
+    zones.agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .crossJoin(meta.agg(sum(col("num_rows")).cast("long").as("n")))
+  }
+
   /** Merge two zone-map indexes: union with `b`'s uids re-based past
     * `a`'s (same uid-offset protocol as every other kind).
     */

@@ -113,6 +113,14 @@ object IndexQueries {
   val ShortQueryStr = "qu"
   // 19 chars > FmIndex.W − 1: exercises the walk-cap + refine path
   val LongQueryStr = "stream vector spark"
+  // regex queries: syntax in the Java-regex ∩ RE2 common subset so the
+  // Spark rlike refine and the DuckDB regexp_matches oracle agree
+  val RegexQueryStr = "fast [a-z]+ table" // literals "fast ", " table"
+  val RegexGroupStr = "(slow|fast) scan" // group skipped; literal " scan"
+  val RegexAltStr = "slow|fast" // top-level alternation: no literal
+
+  private def regexSql(pat: String) =
+    s"SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '$pat') ORDER BY doc_id"
 
   private def fmIdx(s: SparkSession, dir: String): String = {
     val p = IndexStore.indexPath(dir, "fm_documents_text")
@@ -198,6 +206,34 @@ object IndexQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, bruteSql(ShortQueryStr)),
 
+    // regex over the substring index: probe the pattern's REQUIRED
+    // literal runs ("fast " and " table" here), intersect their grams,
+    // regex-refine only candidate row groups — the log-grep accelerant
+    // generalized to any indexed column
+    "substring_search_regex" -> Q((s, dir) => {
+      val p = fullIdx(s, dir)
+      NgramIndex.searchRegex(s, p, Column, RegexQueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, regexSql(RegexQueryStr)),
+
+    // literal extraction must skip the GROUP (its content is alternated
+    // — nothing inside is required) yet still prune by the literal
+    // outside it (" scan")
+    "substring_search_regex_group" -> Q((s, dir) => {
+      val p = fullIdx(s, dir)
+      NgramIndex.searchRegex(s, p, Column, RegexGroupStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, regexSql(RegexGroupStr)),
+
+    // top-level alternation: NO literal is required, so the index
+    // cannot bound the match — documented scan-and-refine fallback,
+    // exactness independent of pruning
+    "substring_search_regex_alt" -> Q((s, dir) => {
+      val p = fullIdx(s, dir)
+      NgramIndex.searchRegex(s, p, Column, RegexAltStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, regexSql(RegexAltStr)),
+
     // partial index coverage + in-situ probing of unindexed files
     // (reference: backends/utils.py:235-282)
     "substring_search_insitu" -> Q((s, dir) => {
@@ -217,6 +253,19 @@ object IndexQueries {
       NgramIndex.search(s, p, Column, QueryStr)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, bruteSql(QueryStr)),
+
+    // regex through the FULL facade lifecycle: same committed ngram
+    // index (regex is a query mode, not a second index), snapshot/
+    // self-heal/in-situ semantics inherited from the generic search
+    "lake_api_regex" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val prefix = Lake.splitPath(dir, Table)
+      val lake = graft.api.GraftLake(s, prefix)
+      lake.index(graft.api.NgramKind, Column)
+      lake.search(graft.api.NgramRegexKind, Column, RegexQueryStr,
+        100000, Seq("doc_id"))
+        .select(col("doc_id"))
+    }, regexSql(RegexQueryStr)),
 
     // the public facade end-to-end (index_parquet_lake /
     // search_parquet_lake equivalent): incremental index + K-fill search

@@ -36,6 +36,35 @@ object LayoutQueries {
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 1200 ORDER BY o_orderkey""".stripMargin),
 
+    // metadata-only table stats: min/max/count(*) answered from the
+    // zone-map index tables alone — zero lake data pages read (the
+    // dataset-card / planner-stats query a 100 TB lake cannot afford
+    // to scan for)
+    "zonemap_stats_agg" -> Q((s, dir) => {
+      val files = Lake.ensureSplit(s, dir, "orders", "o_orderkey", 4)
+      val p = IndexStore.indexPath(dir, "zonemap_orders_orderkey")
+      IndexStore.ensure(p) { ZoneMapIndex.build(s, files, "o_orderkey", p) }
+      ZoneMapIndex.statsAgg(s, p)
+    },
+      "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, count(*) AS n FROM orders"),
+
+    // the same stats through PLAIN Spark: read.parquet + agg, no graft
+    // API in the query — the Catalyst rule replaces the whole scan
+    // with a one-row LocalRelation computed from the committed zone
+    // map (full coverage required; StatsAggSpec pins that the scan
+    // really disappears)
+    "catalyst_stats_agg" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "orders", "o_orderkey", 4)
+      val prefix = Lake.splitPath(dir, "orders")
+      graft.api.GraftLake(s, prefix).index(graft.api.ZoneMapKind, "o_orderkey")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).agg(
+        min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi"),
+        count(lit(1)).as("n"))
+    },
+      "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, count(*) AS n FROM orders"),
+
     // SURVEY §7.4 stretch, range flavor: a PLAIN spark.read.parquet +
     // range filter — no graft API in the query — transparently
     // file-pruned by the Catalyst IndexPruneRule via the committed

@@ -50,6 +50,162 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         try rewriteJoin(j).getOrElse(j)
         catch { case scala.util.control.NonFatal(_) => j }
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        try rewriteAgg(a).getOrElse(a)
+        catch { case scala.util.control.NonFatal(_) => a }
+    }
+  }
+
+  /** Metadata-only aggregate answering: a global (no GROUP BY, no
+    * WHERE) `min(col)` / `max(col)` / `count(*)` over an eligible lake
+    * whose every file is covered by a zone-map index on that column is
+    * answered from the index tables alone — the scan node is replaced
+    * by a one-row LocalRelation, zero lake data pages read (Parquet's
+    * own footer-stats aggregate pushdown, lifted to the engine's index
+    * so it survives ANY file format and adds count). Exactness: each
+    * zone's lo/hi is the engine-computed null-ignoring min/max of its
+    * row group, meta num_rows counts every row (count(*) semantics);
+    * full coverage is required — a single uncovered file vetoes the
+    * rewrite (unlike filter pruning, there is no refine step here).
+    */
+  private def rewriteAgg(
+      a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project, SubqueryAlias}
+    if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.isEmpty)
+      return None
+    // only pass-through operators between the aggregate and the scan —
+    // a Filter would make zone min/max unsound (no refine exists here)
+    def relOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case l: LogicalRelation => Some(l)
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        relOf(pr.child)
+      case sa: SubqueryAlias => relOf(sa.child)
+      case _ => None
+    }
+    val l = relOf(a.child).getOrElse(return None)
+    val (_, prefix, allFiles) = eligible(l).getOrElse(return None)
+    if (allFiles.isEmpty) return None
+
+    sealed trait Need
+    case class MinOf(c: String) extends Need
+    case class MaxOf(c: String) extends Need
+    case object CountStar extends Need
+    val needs: Seq[Need] = a.aggregateExpressions.map {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Min(attr: AttributeReference)
+              if integralType(attr.dataType) => MinOf(attr.name)
+          case Max(attr: AttributeReference)
+              if integralType(attr.dataType) => MaxOf(attr.name)
+          case Count(Seq(Literal(v, _))) if v != null => CountStar
+          case _ => return None
+        }
+      case _ => return None
+    }
+    // one stats probe per referenced column; count(*) alone rides any
+    // fully-covering zone map
+    val cols = needs.collect {
+      case MinOf(c) => c
+      case MaxOf(c) => c
+    }.distinct
+    val statsByCol = cols.map(c => c -> zoneStats(prefix, allFiles, c)
+      .getOrElse(return None)).toMap
+    val countStat: Long =
+      if (!needs.contains(CountStar)) 0L
+      else {
+        val anyCol =
+          if (cols.nonEmpty) cols.head
+          else IndexStore.metadataRowsCached(spark, prefix)
+            .find(_.indexType == "zonemap").map(_.column)
+            .getOrElse(return None)
+        statsByCol.getOrElse(anyCol,
+          zoneStats(prefix, allFiles, anyCol).getOrElse(return None))._3
+      }
+    def asInternal(v: Option[Long],
+        dt: org.apache.spark.sql.types.DataType): Any = v match {
+      case None => null
+      case Some(x) => dt match {
+        case org.apache.spark.sql.types.ByteType => x.toByte
+        case org.apache.spark.sql.types.ShortType => x.toShort
+        case org.apache.spark.sql.types.IntegerType => x.toInt
+        case _ => x
+      }
+    }
+    val values = needs.zip(a.output).map {
+      case (MinOf(c), out) => asInternal(statsByCol(c)._1, out.dataType)
+      case (MaxOf(c), out) => asInternal(statsByCol(c)._2, out.dataType)
+      case (CountStar, _) => countStat
+    }
+    Some(LocalRelation(a.output,
+      Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))))
+  }
+
+  private def integralType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** (min, max, count) of `colName` over exactly `allFiles`, from the
+    * zone-map indexes covering them — None unless coverage is FULL.
+    * Each lake file's rows are attributed to ONE covering index (count
+    * must never double-count a file two compaction generations both
+    * cover); min/max come from the same owned zone rows. Memoized like
+    * every probe, keyed by the metadata commit token.
+    */
+  private def zoneStats(prefix: String, allFiles: Set[String],
+      colName: String): Option[(Option[Long], Option[Long], Long)] = {
+    val idx = IndexStore.metadataRowsCached(spark, prefix)
+      .filter(r => r.column == colName && r.indexType == "zonemap")
+    if (idx.isEmpty) return None
+    val covered = idx.flatMap(_.files).map(Layout.canonPath).toSet
+    if (!allFiles.subsetOf(covered)) return None
+    val paths = idx.map(_.indexFile)
+    val memoKey = (Seq("aggstats", colName,
+      IndexStore.metadataVersionToken(spark, prefix)) ++ paths ++
+      allFiles.toSeq.sorted).mkString("")
+    memoStats(memoKey) {
+      probing.set(true)
+      try {
+        // first covering index path owns each lake file
+        val owner = scala.collection.mutable.Map.empty[String, Int]
+        paths.zipWithIndex.foreach { case (p, i) =>
+          graft.api.IndexKind.metaRows(spark, p).foreach { r =>
+            val f = Layout.canonPath(r._2)
+            if (allFiles.contains(f) && !owner.contains(f)) owner(f) = i
+          }
+        }
+        val ownedUids: Map[Int, Set[Long]] = paths.indices.map { i =>
+          i -> graft.api.IndexKind.metaRows(spark, paths(i))
+            .filter(r => owner.get(Layout.canonPath(r._2)).contains(i))
+            .map(_._1).toSet
+        }.toMap
+        val n = paths.indices.map { i =>
+          graft.api.IndexKind.metaRows(spark, paths(i))
+            .filter(r => ownedUids(i).contains(r._1)).map(_._4).sum
+        }.sum
+        val zones = graft.api.IndexKind.readTagged(spark, paths, "zones")
+        if (!integralType(zones.schema("lo").dataType)) None
+        else {
+          // zone rows are metadata-scale (one per row group) — the
+          // same driver-collect stance as zoneProbe's candidate set
+          val rows = zones.select("idx", "uid", "lo", "hi").collect()
+            .filter(r => ownedUids(r.getInt(0)).contains(r.getLong(1)))
+          def longAt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+            if (r.isNullAt(i)) None
+            else Some(r.get(i).asInstanceOf[Number].longValue)
+          val los = rows.flatMap(longAt(_, 2))
+          val his = rows.flatMap(longAt(_, 3))
+          Some((los.minOption, his.maxOption, n))
+        }
+      } finally probing.set(false)
     }
   }
 
@@ -647,6 +803,29 @@ object IndexPruneRule {
     }
     val v = f
     keysMemo.synchronized { keysMemo.put(key, (now, v)) }
+    v
+  }
+
+  // memo for the zone-stats aggregate probe (same TTL discipline);
+  // None ("not fully covered / non-integral zones") is cached too
+  private val statsMemo = new java.util.LinkedHashMap[
+      String, (Long, Option[(Option[Long], Option[Long], Long)])](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[
+          String, (Long, Option[(Option[Long], Option[Long], Long)])]): Boolean =
+      size > 64
+  }
+
+  private[plans] def memoStats(key: String)(
+      f: => Option[(Option[Long], Option[Long], Long)]): Option[(Option[Long], Option[Long], Long)] = {
+    val now = System.currentTimeMillis()
+    statsMemo.synchronized {
+      val hit = statsMemo.get(key)
+      if (hit != null && now - hit._1 < ProbeMemoTtlMs) return hit._2
+    }
+    val v = f
+    statsMemo.synchronized { statsMemo.put(key, (now, v)) }
     v
   }
 

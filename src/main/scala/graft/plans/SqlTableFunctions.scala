@@ -41,6 +41,7 @@ object SqlTableFunctions {
   /** Filter kinds addressable by SQL name. */
   private val filterKinds: Map[String, IndexKind] = Map(
     "ngram" -> NgramKind,
+    "regex" -> NgramRegexKind,
     "token" -> TokenKind,
     "fm" -> FmKind,
     "token_fm" -> TokenFmKind,

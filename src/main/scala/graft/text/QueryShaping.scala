@@ -23,4 +23,100 @@ object QueryShaping {
     */
   def viableGrams(grams: Seq[String], limit: Int = DefaultGramLimit): Seq[String] =
     if (grams.size <= limit) grams else grams.takeRight(limit)
+
+  /** Maximal literal runs every match of `pattern` MUST contain —
+    * the prune keys that let a regex query ride the substring index
+    * (the log-grep accelerant: probe the index for the required
+    * literals, regex-refine only the candidate row groups).
+    *
+    * Conservative single-pass scan over Java-regex syntax. Any
+    * construct it does not fully model only WEAKENS the result toward
+    * fewer/shorter literals — a candidate SUPERSET, never unsound
+    * pruning:
+    *   - groups `(...)` are skipped whole (their content may be
+    *     optional or alternated, so nothing inside is required);
+    *   - classes `[...]`, `.`, class escapes (`\d` `\w` `\s` …,
+    *     upper-case negations, back-references) break the current run;
+    *   - `?` `*` `{m,n}` drop the preceding char from its run (it may
+    *     match zero times / a different count); `+` keeps it (at least
+    *     once) but ends the run (repeats may follow);
+    *   - escaped punctuation (`\.` `\+` …) is a literal char;
+    *   - a TOP-LEVEL `|` means no literal is required at all → `Nil`
+    *     (callers fall back to the scan-and-refine path).
+    */
+  def requiredLiterals(pattern: String): Seq[String] = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    def flush(dropLast: Boolean): Unit = {
+      if (dropLast && cur.nonEmpty) cur.setLength(cur.length - 1)
+      if (cur.nonEmpty) runs += cur.toString
+      cur.setLength(0)
+    }
+    val n = pattern.length
+    // consume one quantifier (incl. reluctant/possessive suffix)
+    def skipQuant(j0: Int): Int = {
+      var j = j0
+      if (j < n && (pattern(j) == '?' || pattern(j) == '*' ||
+          pattern(j) == '+')) j += 1
+      else if (j < n && pattern(j) == '{') {
+        while (j < n && pattern(j) != '}') j += 1
+        if (j < n) j += 1
+      } else return j0
+      if (j < n && (pattern(j) == '?' || pattern(j) == '+')) j += 1
+      j
+    }
+    var i = 0
+    while (i < n) {
+      pattern(i) match {
+        case '|' => return Nil // top-level alternation: nothing required
+        case '(' =>
+          var depth = 0; var inClass = false; var j = i
+          while (j < n && (depth > 0 || j == i)) {
+            pattern(j) match {
+              case '\\' => j += 1
+              case '[' if !inClass => inClass = true
+              case ']' if inClass => inClass = false
+              case '(' if !inClass => depth += 1
+              case ')' if !inClass => depth -= 1
+              case _ =>
+            }
+            j += 1
+          }
+          flush(dropLast = false)
+          i = skipQuant(j)
+        case '[' =>
+          var j = i + 1
+          if (j < n && pattern(j) == '^') j += 1
+          if (j < n && pattern(j) == ']') j += 1 // leading ] is literal
+          while (j < n && pattern(j) != ']') {
+            if (pattern(j) == '\\') j += 1
+            j += 1
+          }
+          flush(dropLast = false)
+          i = skipQuant(j + 1)
+        case '.' =>
+          flush(dropLast = false)
+          i = skipQuant(i + 1)
+        case '^' | '$' =>
+          flush(dropLast = false); i += 1
+        case '?' | '*' | '{' =>
+          flush(dropLast = true)
+          i = skipQuant(i)
+        case '+' =>
+          flush(dropLast = false)
+          i = skipQuant(i)
+        case '\\' =>
+          if (i + 1 >= n) { flush(dropLast = false); i += 1 }
+          else if (pattern(i + 1).isLetterOrDigit) {
+            // class escape / anchor / back-reference — not a literal
+            flush(dropLast = false)
+            i = skipQuant(i + 2)
+          } else { cur.append(pattern(i + 1)); i += 2 }
+        case c =>
+          cur.append(c); i += 1
+      }
+    }
+    flush(dropLast = false)
+    runs.toSeq
+  }
 }

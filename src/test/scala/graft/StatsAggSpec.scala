@@ -1,0 +1,101 @@
+package graft
+
+import graft.plans.IndexPruneRule
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-only aggregate answering: a global min/max/count over a
+  * fully zone-mapped lake is served from the index tables — the scan
+  * disappears from the plan. Negative cases pin when the rewrite must
+  * NOT fire (filter present, partial coverage, non-covered column).
+  */
+class StatsAggSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // global aggregates carry an Exchange, so AQE wraps the physical
+  // plan and hides FileSourceScanExec from collect — assert on the
+  // OPTIMIZED LOGICAL plan (the level the rewrite operates at): a
+  // rewritten query has no lake relation left at all
+  private def scansLake(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.nonEmpty
+
+  private def mkLake(dir: String, parts: Seq[(String, Seq[(Long, Long)])]): Unit = {
+    for ((name, rows) <- parts) {
+      val staging = TestSpark.tmpDir(s"stage-sa-$name")
+      rows.toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+  }
+
+  test("covered min/max/count answered without scanning the lake") {
+    val dir = TestSpark.tmpDir("aggzm")
+    mkLake(dir, Seq(
+      "a" -> Seq(5L -> 10L, 9L -> 11L),
+      "b" -> Seq(100L -> 12L, 150L -> 13L),
+      "c" -> Seq(900L -> 14L, 990L -> 15L)))
+    api.GraftLake(spark, dir).index(api.ZoneMapKind, "k", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+
+    val q = spark.read.parquet(dir).agg(
+      min(col("k")).as("lo"), max(col("k")).as("hi"),
+      count(lit(1)).as("n"))
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 990L, 6L)))
+    assert(!scansLake(q), "expected the scan replaced by stats")
+
+    // count(*) alone rides the same zone map
+    val c = spark.read.parquet(dir).agg(count(lit(1)).as("n"))
+    assert(c.collect()(0).getLong(0) == 6L && !scansLake(c))
+
+    // single-aggregate forms too
+    val m = spark.read.parquet(dir).agg(max(col("k")).as("hi"))
+    assert(m.collect()(0).getLong(0) == 990L && !scansLake(m))
+  }
+
+  test("rewrite does NOT fire with a filter, uncovered column, or partial coverage") {
+    val dir = TestSpark.tmpDir("aggzm2")
+    mkLake(dir, Seq(
+      "a" -> Seq(5L -> 10L, 9L -> 11L),
+      "b" -> Seq(100L -> 12L, 150L -> 13L)))
+    api.GraftLake(spark, dir).index(api.ZoneMapKind, "k", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+
+    // a WHERE makes zone min/max unsound — the scan must stay (the
+    // filter path may still prune files; correctness is what matters)
+    val f = spark.read.parquet(dir).filter(col("k") >= 100)
+      .agg(min(col("k")).as("lo"), count(lit(1)).as("n"))
+    val fr = f.collect()(0)
+    assert((fr.getLong(0), fr.getLong(1)) == ((100L, 2L)))
+
+    // v has no zone map: scan stays, result exact
+    val v = spark.read.parquet(dir).agg(min(col("v")).as("lo"))
+    assert(v.collect()(0).getLong(0) == 10L)
+    assert(scansLake(v), "uncovered column must not be rewritten")
+
+    // a new uncovered file vetoes the rewrite (full coverage required)
+    mkLake(dir, Seq("d" -> Seq(1L -> 9L)))
+    val q = spark.read.parquet(dir).agg(min(col("k")).as("lo"),
+      count(lit(1)).as("n"))
+    val qr = q.collect()(0)
+    assert((qr.getLong(0), qr.getLong(1)) == ((1L, 5L)))
+    assert(scansLake(q), "partial coverage must not be rewritten")
+  }
+
+  test("statsAgg answers from index tables and matches the data") {
+    val dir = TestSpark.tmpDir("aggzm3")
+    mkLake(dir, Seq(
+      "a" -> Seq(7L -> 1L, 3L -> 2L),
+      "b" -> Seq(42L -> 3L)))
+    val files = graft.core.Lake.listFiles(dir)
+    val idx = TestSpark.tmpDir("aggzm3-idx")
+    graft.index.ZoneMapIndex.build(spark, files, "k", idx)
+    val r = graft.index.ZoneMapIndex.statsAgg(spark, idx).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 42L, 3L)))
+  }
+}
