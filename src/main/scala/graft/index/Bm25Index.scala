@@ -138,7 +138,8 @@ object Bm25Index {
     */
   def scoreWeighted(spark: SparkSession, post: DataFrame, dl: DataFrame,
       terms: Seq[(String, Double)], k: Int,
-      stats: Option[(Long, Long)] = None): DataFrame = {
+      stats: Option[(Long, Long)] = None,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     // (n_docs, sum_dl) from the caller's head tables when available;
     // otherwise one aggregate over docstats. Both are exact integer
@@ -165,11 +166,60 @@ object Bm25Index {
         col("tf") * lit(K1 + 1) /
           (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
       .withColumn("cq", round(col("qw") * col("idf") * col("w") * Quant).cast("long"))
-    contrib.groupBy(col("doc_id"))
+    val scored = contrib.groupBy(col("doc_id"))
       .agg((sum(col("cq")).cast("double") / Quant).as("raw"))
       .select(col("doc_id"), round(col("raw"), 4).as("score"))
+    // restriction (e.g. phrase verification) gates WHICH docs are
+    // ranked, strictly BEFORE the top-k truncation — the true top-k of
+    // the filtered set, never "filter the top-k"
+    restrictTo.fold(scored)(r => scored.join(r, "doc_id"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Top-k BM25 among ONLY the documents containing `phrase` as a
+    * contiguous token sequence. Scale shape: candidate docs are the
+    * postings AND-intersection over the phrase's tokens (selective at
+    * any corpus size — a doc missing one token can never match),
+    * contiguity is verified by materializing ONLY candidate row groups,
+    * and scoring stays standard corpus-wide BM25 (df over all docs
+    * holding each token, corpus stats over all docs) — the phrase
+    * predicate gates WHICH docs are ranked, before truncation.
+    *
+    * `idCol`/`column` are the build's id and text columns (the
+    * verification reads the lake rows, which carry the lake's own
+    * column names).
+    */
+  def searchPhrase(spark: SparkSession, path: String, phrase: String,
+      k: Int, idCol: String, column: String,
+      tokenizer: Text.Tokenizer = Text.RegexTokenizer): DataFrame = {
+    import spark.implicits._
+    val seq = tokenizer.tokenizeQuery(phrase) // ordered, dups kept
+    val qtoks = seq.distinct
+    if (seq.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val qbuckets = qtoks.map(bucketOfString).distinct
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qbuckets: _*) &&
+        col("token").isin(qtoks: _*))
+    val candDocs = post.groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("nt"))
+      .filter(col("nt") === qtoks.size)
+      .select("doc_id")
+    // a phrase match necessarily holds every token, so candidates'
+    // row groups are the only ones verification has to read
+    val hitUids = post.join(candDocs, "doc_id").select("uid").distinct()
+    val meta = spark.read.parquet(s"$path/meta")
+    val rows = graft.core.Layout.readHits(spark, meta, hitUids)
+    // contiguity test on the NORMALIZED token stream (space-joined,
+    // space-padded), exactly reproducible in the oracle's SQL
+    val nf = concat(lit(" "),
+      concat_ws(" ", tokenizer.tokenize(col(column))), lit(" "))
+    val verified = rows.filter(nf.contains(" " + seq.mkString(" ") + " "))
+      .select(col(idCol).as("doc_id"))
+    val dl = spark.read.parquet(s"$path/docstats")
+    scoreWeighted(spark, post.select("token", "doc_id", "tf"), dl,
+      qtoks.map(_ -> 1.0), k, None, Some(verified))
   }
 
   /** Query-token postings + doc stats computed on the fly from raw lake
@@ -251,9 +301,28 @@ object Bm25Index {
     oracleSqlWeighted(table, column, idCol, qtoks.map(_ -> 1.0), k, tokenizer)
   }
 
+  /** Phrase-filtered oracle: the standard weighted pipeline with the
+    * ranked set restricted to docs whose normalized token stream
+    * contains the phrase contiguously (the same space-padded contains
+    * test [[searchPhrase]] runs Spark-side).
+    */
+  def oracleSqlPhrase(table: String, column: String, idCol: String,
+      phrase: String, k: Int,
+      tokenizer: Text.Tokenizer = Text.RegexTokenizer): String = {
+    val seq = tokenizer.tokenizeQuery(phrase)
+    val restrict =
+      s"""SELECT $idCol AS doc_id FROM (
+         |  SELECT $idCol, ' ' || array_to_string(${tokenizer.oracleListExpr(column)}, ' ') || ' ' AS nf
+         |  FROM $table) t
+         |WHERE contains(nf, ' ${seq.mkString(" ")} ')""".stripMargin
+    oracleSqlWeighted(table, column, idCol, seq.distinct.map(_ -> 1.0), k,
+      tokenizer, Some(restrict))
+  }
+
   def oracleSqlWeighted(table: String, column: String, idCol: String,
       terms: Seq[(String, Double)], k: Int,
-      tokenizer: Text.Tokenizer = Text.RegexTokenizer): String = {
+      tokenizer: Text.Tokenizer = Text.RegexTokenizer,
+      restrictSql: Option[String] = None): String = {
     val inList = terms.map { case (t, _) => s"'$t'" }.mkString(", ")
     val qwCase = "CASE " + terms.map { case (t, w) =>
       s"WHEN token = '$t' THEN $w"
@@ -276,7 +345,8 @@ object Bm25Index {
        |      * $Quant) AS BIGINT) AS cq
        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus c)
        |SELECT doc_id, round(CAST(sum(cq) AS DOUBLE) / $Quant, 4) AS score
-       |FROM contrib GROUP BY doc_id
+       |FROM contrib${restrictSql.fold("")(r => s"\nWHERE doc_id IN (\n$r\n)")}
+       |GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 }

@@ -12,6 +12,7 @@ object SearchQueries {
 
   val Bm25Query = "vector stream dup"
   val Bm25K = 10
+  val PhraseQuery = "vector stream" // 24 contiguous matches at sf0.01
   val ExpandedTerms: Seq[(String, Double)] =
     Seq("vector" -> 1.0, "stream" -> 1.0, "dup" -> 1.0,
       "batch" -> 0.25, "spark" -> 0.25)
@@ -344,6 +345,16 @@ object SearchQueries {
       val p = bm25Idx(s, dir)
       Bm25Index.search(s, p, Bm25Query, Bm25K)
     }, Bm25Index.oracleSql("documents", "text", "doc_id", Bm25Query, Bm25K)),
+
+    // phrase retrieval: top-k BM25 among ONLY the docs containing the
+    // phrase contiguously — postings AND-intersection selects
+    // candidates, contiguity verified on candidate row groups only,
+    // truncation strictly after verification
+    "bm25_phrase_search" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      Bm25Index.searchPhrase(s, p, PhraseQuery, Bm25K, "doc_id", "text")
+    }, Bm25Index.oracleSqlPhrase("documents", "text", "doc_id",
+      PhraseQuery, Bm25K)),
 
     // BM25 over the SUBWORD tokenizer (the reference parameterizes BM25
     // with a trained wordpiece, tokenizer_utils.rs:14-34): the index is

@@ -73,6 +73,31 @@ class IndexSpec extends AnyFunSuite {
     assert(!top.contains(5L))
   }
 
+  test("bm25 phrase search keeps only contiguous matches, ranked") {
+    val docs = Seq(
+      (1L, "spark shuffle join fast"), // phrase present
+      (2L, "join shuffle spark"), // all tokens, wrong order
+      (3L, "spark shuffle join join shuffle"), // phrase + extra terms
+      (4L, "shuffle join only"), // missing 'spark'
+      (5L, "unrelated")).toDF("doc_id", "text")
+    val files = mkLake(docs, "doc_id", 2)
+    val idx = TestSpark.tmpDir("bpidx")
+    Bm25Index.build(spark, files, "text", "doc_id", idx)
+    val got = Bm25Index
+      .searchPhrase(spark, idx, "spark shuffle join", 10, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L)) // 2 has the tokens but not the phrase
+    // absent phrase and empty phrase answer empty, not crash
+    assert(Bm25Index.searchPhrase(spark, idx, "join spark shuffle zzz",
+      10, "doc_id", "text").count() == 0)
+    assert(Bm25Index.searchPhrase(spark, idx, "", 10, "doc_id", "text")
+      .count() == 0)
+    // single-token phrase degrades to plain top-k of docs holding it
+    val one = Bm25Index.searchPhrase(spark, idx, "spark", 10,
+      "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(one == Set(1L, 2L, 3L))
+  }
+
   test("logcloud search equals contains-scan for variable and text queries") {
     val data = Seq(
       (1L, "error code 500 at node-7"), (2L, "ok code 200 at node-7"),
