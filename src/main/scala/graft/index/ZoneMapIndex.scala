@@ -23,8 +23,12 @@ object ZoneMapIndex {
       path: String): Unit = {
     val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     val data = Layout.withUid(spark, files, meta)
+    // nn = per-group NON-NULL count: min/max ignore nulls, so lo/hi
+    // alone cannot answer count(col) — nn completes the stats triple
+    // the aggregate rewrite serves (count(*) comes from meta num_rows)
     data.groupBy(col("uid"))
-      .agg(min(col(column)).as("lo"), max(col(column)).as("hi"))
+      .agg(min(col(column)).as("lo"), max(col(column)).as("hi"),
+        count(col(column)).as("nn"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/zones")
     meta.write.mode("overwrite").parquet(s"$path/meta")
@@ -54,8 +58,13 @@ object ZoneMapIndex {
   def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
     val offset = spark.read.parquet(s"$a/meta")
       .agg(max("uid")).collect()(0).getLong(0)
+    // allowMissingColumns: a pre-nn index merged with a current one
+    // carries NULL nn for the old rows — range search never reads nn,
+    // and the aggregate rewrite vetoes count(col) on NULL nn rather
+    // than miscounting
     spark.read.parquet(s"$a/zones").unionByName(
-      spark.read.parquet(s"$b/zones").withColumn("uid", col("uid") + offset))
+      spark.read.parquet(s"$b/zones").withColumn("uid", col("uid") + offset),
+      allowMissingColumns = true)
       .coalesce(1).write.mode("overwrite").parquet(s"$out/zones")
     spark.read.parquet(s"$a/meta").unionByName(
       spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))

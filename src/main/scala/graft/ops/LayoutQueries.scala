@@ -65,6 +65,23 @@ object LayoutQueries {
     },
       "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, count(*) AS n FROM orders"),
 
+    // string + count(col) flavor of the stats rewrite: string min/max
+    // use Spark's UTF8-byte order, count(col) rides the zone map's
+    // per-group non-null counts
+    "catalyst_stats_agg_str" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "orders", "o_orderkey", 4)
+      val prefix = Lake.splitPath(dir, "orders")
+      graft.api.GraftLake(s, prefix)
+        .index(graft.api.ZoneMapKind, "o_orderstatus")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).agg(
+        min(col("o_orderstatus")).as("lo"),
+        max(col("o_orderstatus")).as("hi"),
+        count(col("o_orderstatus")).as("nn"))
+    },
+      "SELECT min(o_orderstatus) AS lo, max(o_orderstatus) AS hi, " +
+        "count(o_orderstatus) AS nn FROM orders"),
+
     // SURVEY §7.4 stretch, range flavor: a PLAIN spark.read.parquet +
     // range filter — no graft API in the query — transparently
     // file-pruned by the Catalyst IndexPruneRule via the committed

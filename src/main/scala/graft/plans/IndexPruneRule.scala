@@ -57,16 +57,21 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** Metadata-only aggregate answering: a global (no GROUP BY, no
-    * WHERE) `min(col)` / `max(col)` / `count(*)` over an eligible lake
-    * whose every file is covered by a zone-map index on that column is
-    * answered from the index tables alone — the scan node is replaced
-    * by a one-row LocalRelation, zero lake data pages read (Parquet's
-    * own footer-stats aggregate pushdown, lifted to the engine's index
-    * so it survives ANY file format and adds count). Exactness: each
-    * zone's lo/hi is the engine-computed null-ignoring min/max of its
-    * row group, meta num_rows counts every row (count(*) semantics);
-    * full coverage is required — a single uncovered file vetoes the
-    * rewrite (unlike filter pruning, there is no refine step here).
+    * WHERE) `min(col)` / `max(col)` / `count(*)` / `count(col)` over an
+    * eligible lake whose every file is covered by a zone-map index on
+    * that column is answered from the index tables alone — the scan
+    * node is replaced by a one-row LocalRelation, zero lake data pages
+    * read (Parquet's own footer-stats aggregate pushdown, lifted to the
+    * engine's index so it survives ANY file format and adds counts).
+    * Exactness: each zone's lo/hi is the engine-computed null-ignoring
+    * min/max of its row group, meta num_rows counts every row (the
+    * count(*) semantics), the zone `nn` column counts non-null rows
+    * (the count(col) semantics — indexes built before nn existed veto
+    * count(col), never miscount it); full coverage is required — a
+    * single uncovered file vetoes the rewrite (unlike filter pruning,
+    * there is no refine step here). Integral and string columns
+    * qualify (string order is Spark's own UTF8 binary order, computed
+    * with UTF8String so supplementary characters compare identically).
     */
   private def rewriteAgg(
       a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Option[LogicalPlan] = {
@@ -92,16 +97,18 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     sealed trait Need
     case class MinOf(c: String) extends Need
     case class MaxOf(c: String) extends Need
+    case class CountCol(c: String) extends Need
     case object CountStar extends Need
     val needs: Seq[Need] = a.aggregateExpressions.map {
       case Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Min(attr: AttributeReference)
-              if integralType(attr.dataType) => MinOf(attr.name)
+              if statType(attr.dataType) => MinOf(attr.name)
           case Max(attr: AttributeReference)
-              if integralType(attr.dataType) => MaxOf(attr.name)
+              if statType(attr.dataType) => MaxOf(attr.name)
           case Count(Seq(Literal(v, _))) if v != null => CountStar
+          case Count(Seq(attr: AttributeReference)) => CountCol(attr.name)
           case _ => return None
         }
       case _ => return None
@@ -111,6 +118,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val cols = needs.collect {
       case MinOf(c) => c
       case MaxOf(c) => c
+      case CountCol(c) => c
     }.distinct
     val statsByCol = cols.map(c => c -> zoneStats(prefix, allFiles, c)
       .getOrElse(return None)).toMap
@@ -123,21 +131,26 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
             .find(_.indexType == "zonemap").map(_.column)
             .getOrElse(return None)
         statsByCol.getOrElse(anyCol,
-          zoneStats(prefix, allFiles, anyCol).getOrElse(return None))._3
+          zoneStats(prefix, allFiles, anyCol).getOrElse(return None)).n
       }
-    def asInternal(v: Option[Long],
+    def asInternal(v: Option[Any],
         dt: org.apache.spark.sql.types.DataType): Any = v match {
       case None => null
-      case Some(x) => dt match {
+      case Some(s: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case Some(x: Long) => dt match {
         case org.apache.spark.sql.types.ByteType => x.toByte
         case org.apache.spark.sql.types.ShortType => x.toShort
         case org.apache.spark.sql.types.IntegerType => x.toInt
         case _ => x
       }
+      case Some(other) => other
     }
     val values = needs.zip(a.output).map {
-      case (MinOf(c), out) => asInternal(statsByCol(c)._1, out.dataType)
-      case (MaxOf(c), out) => asInternal(statsByCol(c)._2, out.dataType)
+      case (MinOf(c), out) => asInternal(statsByCol(c).lo, out.dataType)
+      case (MaxOf(c), out) => asInternal(statsByCol(c).hi, out.dataType)
+      // pre-nn indexes carry no non-null counts: veto, never miscount
+      case (CountCol(c), _) => statsByCol(c).nn.getOrElse(return None)
       case (CountStar, _) => countStat
     }
     Some(LocalRelation(a.output,
@@ -153,15 +166,20 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => false
   }
 
-  /** (min, max, count) of `colName` over exactly `allFiles`, from the
-    * zone-map indexes covering them — None unless coverage is FULL.
-    * Each lake file's rows are attributed to ONE covering index (count
-    * must never double-count a file two compaction generations both
-    * cover); min/max come from the same owned zone rows. Memoized like
-    * every probe, keyed by the metadata commit token.
+  private def statType(
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    integralType(dt) || dt == StringType
+
+  /** (min, max, count(*), count-non-null) of `colName` over exactly
+    * `allFiles`, from the zone-map indexes covering them — None unless
+    * coverage is FULL. Each lake file's rows are attributed to ONE
+    * covering index (counts must never double-count a file two
+    * compaction generations both cover); min/max come from the same
+    * owned zone rows. Memoized like every probe, keyed by the metadata
+    * commit token.
     */
   private def zoneStats(prefix: String, allFiles: Set[String],
-      colName: String): Option[(Option[Long], Option[Long], Long)] = {
+      colName: String): Option[IndexPruneRule.ZStats] = {
     val idx = IndexStore.metadataRowsCached(spark, prefix)
       .filter(r => r.column == colName && r.indexType == "zonemap")
     if (idx.isEmpty) return None
@@ -192,18 +210,46 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
             .filter(r => ownedUids(i).contains(r._1)).map(_._4).sum
         }.sum
         val zones = graft.api.IndexKind.readTagged(spark, paths, "zones")
-        if (!integralType(zones.schema("lo").dataType)) None
+        val loType = zones.schema("lo").dataType
+        val hasNn = zones.schema.fieldNames.contains("nn")
+        if (!statType(loType)) None
         else {
           // zone rows are metadata-scale (one per row group) — the
           // same driver-collect stance as zoneProbe's candidate set
-          val rows = zones.select("idx", "uid", "lo", "hi").collect()
+          val sel = Seq("idx", "uid", "lo", "hi") ++
+            (if (hasNn) Seq("nn") else Seq.empty)
+          val rows = zones.select(sel.head, sel.tail: _*).collect()
             .filter(r => ownedUids(r.getInt(0)).contains(r.getLong(1)))
-          def longAt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+          def valAt(r: org.apache.spark.sql.Row, i: Int): Option[Any] =
             if (r.isNullAt(i)) None
-            else Some(r.get(i).asInstanceOf[Number].longValue)
-          val los = rows.flatMap(longAt(_, 2))
-          val his = rows.flatMap(longAt(_, 3))
-          Some((los.minOption, his.maxOption, n))
+            else r.get(i) match {
+              case num: Number => Some(num.longValue)
+              case other => Some(other)
+            }
+          // Spark's min/max over strings order by UTF8 BYTES — compare
+          // the same way, never by UTF-16 code units
+          implicit val anyOrd: Ordering[Any] = Ordering.fromLessThan {
+            case (x: Long, y: Long) => x < y
+            case (x: String, y: String) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(x)
+                .compareTo(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+            case _ => false
+          }
+          val los = rows.flatMap(valAt(_, 2))
+          val his = rows.flatMap(valAt(_, 3))
+          // any pre-nn zone row (or NULL nn from an
+          // allowMissingColumns merge) makes the non-null count
+          // unknowable → None, the caller vetoes count(col)
+          val nn =
+            if (!hasNn) None
+            else {
+              val vs = rows.map(r =>
+                if (r.isNullAt(sel.size - 1)) None
+                else Some(r.getLong(sel.size - 1)))
+              if (vs.exists(_.isEmpty)) None else Some(vs.flatten.sum)
+            }
+          Some(IndexPruneRule.ZStats(los.minOption, his.maxOption, n, nn))
         }
       } finally probing.set(false)
     }
@@ -806,19 +852,25 @@ object IndexPruneRule {
     v
   }
 
+  /** Column stats derived from a zone-map index: min/max (Long for
+    * integral zones, String for string zones), count(*) from meta
+    * num_rows, and the non-null count when every owned zone row
+    * carries the `nn` column.
+    */
+  private[plans] case class ZStats(lo: Option[Any], hi: Option[Any],
+      n: Long, nn: Option[Long])
+
   // memo for the zone-stats aggregate probe (same TTL discipline);
-  // None ("not fully covered / non-integral zones") is cached too
+  // None ("not fully covered / unsupported zone type") is cached too
   private val statsMemo = new java.util.LinkedHashMap[
-      String, (Long, Option[(Option[Long], Option[Long], Long)])](
-      16, 0.75f, true) {
+      String, (Long, Option[ZStats])](16, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[
-          String, (Long, Option[(Option[Long], Option[Long], Long)])]): Boolean =
+        e: java.util.Map.Entry[String, (Long, Option[ZStats])]): Boolean =
       size > 64
   }
 
   private[plans] def memoStats(key: String)(
-      f: => Option[(Option[Long], Option[Long], Long)]): Option[(Option[Long], Option[Long], Long)] = {
+      f: => Option[ZStats]): Option[ZStats] = {
     val now = System.currentTimeMillis()
     statsMemo.synchronized {
       val hit = statsMemo.get(key)

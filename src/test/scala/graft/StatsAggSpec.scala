@@ -87,6 +87,35 @@ class StatsAggSpec extends AnyFunSuite {
     assert(scansLake(q), "partial coverage must not be rewritten")
   }
 
+  test("string min/max and count(col) with nulls, metadata-only") {
+    val dir = TestSpark.tmpDir("aggzm4")
+    val rows = Seq(
+      (1L, "delta"), (2L, null), (3L, "alpha"),
+      (4L, "zulu"), (5L, null), (6L, "mike"))
+    for ((name, part) <- Seq("a" -> rows.take(3), "b" -> rows.drop(3))) {
+      val staging = TestSpark.tmpDir(s"stage-sa4-$name")
+      part.toDF("k", "s").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    api.GraftLake(spark, dir).index(api.ZoneMapKind, "s", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+    val q = spark.read.parquet(dir).agg(
+      min(col("s")).as("lo"), max(col("s")).as("hi"),
+      count(col("s")).as("nn"), count(lit(1)).as("n"))
+    val r = q.collect()(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      == (("alpha", "zulu", 4L, 6L)))
+    assert(!scansLake(q), "string stats must be metadata-only")
+    // count(DISTINCT s) must NOT be rewritten (zone map cannot know it)
+    val d = spark.read.parquet(dir)
+      .agg(countDistinct(col("s")).as("nd"))
+    assert(d.collect()(0).getLong(0) == 4L)
+    assert(scansLake(d), "distinct count must stay a scan")
+  }
+
   test("statsAgg answers from index tables and matches the data") {
     val dir = TestSpark.tmpDir("aggzm3")
     mkLake(dir, Seq(
