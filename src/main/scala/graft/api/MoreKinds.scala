@@ -137,14 +137,22 @@ object ZoneMapKind extends IndexKind {
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
     val (lo, hi) = parseRange(query)
-    def refine(d: DataFrame): DataFrame =
-      d.filter(col(column) >= lo && col(column) <= hi)
+    // bounds in the column's own type: numeric pass-through, TIMESTAMP
+    // columns read lo/hi as epoch micros, DATE as epoch days
+    def refine(d: DataFrame): DataFrame = {
+      val dt = d.schema(column).dataType
+      d.filter(col(column) >= ZoneMapIndex.boundExpr(dt, lo) &&
+        col(column) <= ZoneMapIndex.boundExpr(dt, hi))
+    }
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
-      val cands = IndexKind.readTagged(spark, paths, "zones")
+      val zones = IndexKind.readTagged(spark, paths, "zones")
         .select(col("idx"), col("uid"), col("lo"), col("hi"))
-        .filter(col("hi") >= lo && col("lo") <= hi) // overlap test
+      val dt = zones.schema("lo").dataType
+      val cands = zones
+        .filter(col("hi") >= ZoneMapIndex.boundExpr(dt, lo) &&
+          col("lo") <= ZoneMapIndex.boundExpr(dt, hi)) // overlap test
       val hits = collectHits(spark, paths, cands, live)
       if (bruteBeatsIndex(spark, paths, hits)) None
       else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))

@@ -39,8 +39,11 @@ object Lake {
     * layout.
     */
   def ensureSplit(spark: SparkSession, dir: String, table: String,
-      key: String, parts: Int): Seq[String] = {
-    val path = splitPath(dir, table)
+      key: String, parts: Int, alias: String = ""): Seq[String] = {
+    // `alias` names the split lake dir, so one source table can carry
+    // SEVERAL splits (e.g. events by event_id AND by ts) without the
+    // different-spec guard below firing across them
+    val path = splitPath(dir, if (alias.isEmpty) table else alias)
     val spec = s"$key|$parts"
     // spec read/write through the scheme-dispatched helpers: on a
     // scheme-carrying lake root a raw Paths.get("scheme:/...") is a

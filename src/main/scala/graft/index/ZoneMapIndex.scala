@@ -71,16 +71,34 @@ object ZoneMapIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
   }
 
+  /** Literal of `v` in the zone table's own type — numeric bounds pass
+    * through, TIMESTAMP zones read `v` as epoch micros and DATE zones
+    * as epoch days (the internal representations Catalyst folds
+    * time-typed literals to), so time-range queries prune exactly like
+    * integer ranges.
+    */
+  def boundExpr(dt: org.apache.spark.sql.types.DataType,
+      v: Long): org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.TimestampType => timestamp_micros(lit(v))
+    case org.apache.spark.sql.types.DateType =>
+      date_from_unix_date(lit(v).cast("int"))
+    case _ => lit(v)
+  }
+
   /** Range query [lo, hi]: prune to overlapping zones, selective read,
-    * refine.
+    * refine. For TIMESTAMP/DATE columns the bounds are epoch
+    * micros/days.
     */
   def searchRange(spark: SparkSession, path: String, column: String,
       lo: Long, hi: Long): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta")
-    val hits = spark.read.parquet(s"$path/zones")
-      .filter(col("hi") >= lo && col("lo") <= hi) // overlap test
+    val zones = spark.read.parquet(s"$path/zones")
+    val dt = zones.schema("lo").dataType
+    val (loE, hiE) = (boundExpr(dt, lo), boundExpr(dt, hi))
+    val hits = zones
+      .filter(col("hi") >= loE && col("lo") <= hiE) // overlap test
       .select("uid")
     Layout.readHits(spark, meta, hits)
-      .filter(col(column) >= lo && col(column) <= hi)
+      .filter(col(column) >= loE && col(column) <= hiE)
   }
 }

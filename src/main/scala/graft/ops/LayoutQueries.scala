@@ -65,6 +65,49 @@ object LayoutQueries {
     },
       "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, count(*) AS n FROM orders"),
 
+    // time-range pruning — THE log-lake access path: a PLAIN
+    // read.parquet + ts BETWEEN filter transparently file-pruned via a
+    // committed TIMESTAMP zone map (Catalyst folds the time literals
+    // to epoch micros; the probe compares them in the zone table's own
+    // type)
+    "catalyst_zonemap_prune_ts" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "events", "ts", 4, alias = "events_ts")
+      val prefix = Lake.splitPath(dir, "events_ts")
+      graft.api.GraftLake(s, prefix).index(graft.api.ZoneMapKind, "ts")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix)
+        .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+          col("ts") <= lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(col("event_id")).orderBy(col("event_id"))
+    },
+      """SELECT event_id FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+        |  AND TIMESTAMP '2024-01-03 00:00:00'
+        |ORDER BY event_id""".stripMargin),
+
+    // metadata-only time-domain stats: the retention/observability
+    // question ("what time range does this lake hold?") answered
+    // without reading a data page
+    "catalyst_stats_agg_ts" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "events", "ts", 4, alias = "events_ts")
+      val prefix = Lake.splitPath(dir, "events_ts")
+      graft.api.GraftLake(s, prefix).index(graft.api.ZoneMapKind, "ts")
+      graft.plans.IndexPruneRule.enable(s)
+      val agg = s.read.parquet(prefix).agg(
+        min(col("ts")).as("tlo"), max(col("ts")).as("thi"),
+        count(col("ts")).as("nn"))
+      // epoch-micros BIGINT projection: pandas re-reads parquet
+      // timestamps as ns and the driver's schema gate would flag the
+      // us/ns dtype split; the rewrite fires on the inner agg either
+      // way (the projection sits above it)
+      agg.select(unix_micros(col("tlo")).as("lo"),
+        unix_micros(col("thi")).as("hi"), col("nn"))
+    },
+      // CAST pins DuckDB to microsecond timestamps first (the raw
+      // parquet may be nanos-encoded; Spark's lake is micros)
+      "SELECT epoch_us(CAST(min(ts) AS TIMESTAMP)) AS lo, " +
+        "epoch_us(CAST(max(ts) AS TIMESTAMP)) AS hi, count(ts) AS nn FROM events"),
+
     // string + count(col) flavor of the stats rewrite: string min/max
     // use Spark's UTF8-byte order, count(col) rides the zone map's
     // per-group non-null counts

@@ -271,6 +271,18 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin),
 
+    // cube = all 2^d grouping sets in one pass — like rollup, one
+    // shuffle with partial aggregation, the expansion happens in the
+    // Expand operator before the shuffle (never d separate scans)
+    "q_cube" -> Q((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price")),
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin),
+
     // pivot = conditional aggregation: one shuffle on the grouping key,
     // the pivot values pinned explicitly (an unpinned pivot pays a
     // distinct-values job and is non-deterministic in column order)

@@ -142,6 +142,9 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         case org.apache.spark.sql.types.ByteType => x.toByte
         case org.apache.spark.sql.types.ShortType => x.toShort
         case org.apache.spark.sql.types.IntegerType => x.toInt
+        // DATE's internal form is an Int day count; TIMESTAMP stays
+        // the Long micros zoneStats normalized to
+        case org.apache.spark.sql.types.DateType => x.toInt
         case _ => x
       }
       case Some(other) => other
@@ -168,7 +171,9 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
 
   private def statType(
       dt: org.apache.spark.sql.types.DataType): Boolean =
-    integralType(dt) || dt == StringType
+    integralType(dt) || dt == StringType ||
+      dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.DateType
 
   /** (min, max, count(*), count-non-null) of `colName` over exactly
     * `allFiles`, from the zone-map indexes covering them — None unless
@@ -220,9 +225,21 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
             (if (hasNn) Seq("nn") else Seq.empty)
           val rows = zones.select(sel.head, sel.tail: _*).collect()
             .filter(r => ownedUids(r.getInt(0)).contains(r.getLong(1)))
+          // normalize time types to their internal Long/Int axis
+          // (epoch micros / days) so ordering and the LocalRelation
+          // row share one representation
+          import org.apache.spark.sql.catalyst.util.DateTimeUtils
           def valAt(r: org.apache.spark.sql.Row, i: Int): Option[Any] =
             if (r.isNullAt(i)) None
             else r.get(i) match {
+              case t: java.sql.Timestamp =>
+                Some(DateTimeUtils.fromJavaTimestamp(t))
+              case t: java.time.Instant =>
+                Some(DateTimeUtils.instantToMicros(t))
+              case d: java.sql.Date =>
+                Some(DateTimeUtils.fromJavaDate(d).toLong)
+              case d: java.time.LocalDate =>
+                Some(DateTimeUtils.localDateToDays(d).toLong)
               case num: Number => Some(num.longValue)
               case other => Some(other)
             }
@@ -688,12 +705,33 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     filesOf(paths, cands)
   }
 
+  /** STRICTLY integral literals. The dataType check matters: a
+    * TIMESTAMP literal's internal value is also a Long (micros), and
+    * letting it through would feed the bloom/key equality probes a
+    * micros string where the index hashed the external timestamp
+    * string — every probe would miss and covered files holding real
+    * matches would be pruned.
+    */
   private object IntLit {
     def unapply(e: Expression): Option[Long] = e match {
-      case Literal(v: Byte, _) => Some(v.toLong)
-      case Literal(v: Short, _) => Some(v.toLong)
-      case Literal(v: Int, _) => Some(v.toLong)
-      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Byte, org.apache.spark.sql.types.ByteType) => Some(v.toLong)
+      case Literal(v: Short, org.apache.spark.sql.types.ShortType) => Some(v.toLong)
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => Some(v.toLong)
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** Literals orderable on a Long axis — integral plus TIMESTAMP
+    * (epoch micros) and DATE (epoch days) internal forms. Consumed
+    * ONLY by the zone-map range path, whose probe compares in the zone
+    * table's own type via `ZoneMapIndex.boundExpr`.
+    */
+  private object RangeLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case IntLit(v) => Some(v)
+      case Literal(v: Long, org.apache.spark.sql.types.TimestampType) => Some(v)
+      case Literal(v: Int, org.apache.spark.sql.types.DateType) => Some(v.toLong)
       case _ => None
     }
   }
@@ -714,20 +752,20 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val order = Seq.newBuilder[String]
     preds.foreach { p =>
       p match {
-        case GreaterThanOrEqual(a: AttributeReference, IntLit(v)) => lo(a.name, v)
-        case GreaterThan(a: AttributeReference, IntLit(v)) =>
+        case GreaterThanOrEqual(a: AttributeReference, RangeLit(v)) => lo(a.name, v)
+        case GreaterThan(a: AttributeReference, RangeLit(v)) =>
           lo(a.name, if (v == Long.MaxValue) v else v + 1)
-        case LessThanOrEqual(a: AttributeReference, IntLit(v)) => hi(a.name, v)
-        case LessThan(a: AttributeReference, IntLit(v)) =>
+        case LessThanOrEqual(a: AttributeReference, RangeLit(v)) => hi(a.name, v)
+        case LessThan(a: AttributeReference, RangeLit(v)) =>
           hi(a.name, if (v == Long.MinValue) v else v - 1)
-        case EqualTo(a: AttributeReference, IntLit(v)) => lo(a.name, v); hi(a.name, v)
-        case GreaterThanOrEqual(IntLit(v), a: AttributeReference) => hi(a.name, v)
-        case GreaterThan(IntLit(v), a: AttributeReference) =>
+        case EqualTo(a: AttributeReference, RangeLit(v)) => lo(a.name, v); hi(a.name, v)
+        case GreaterThanOrEqual(RangeLit(v), a: AttributeReference) => hi(a.name, v)
+        case GreaterThan(RangeLit(v), a: AttributeReference) =>
           hi(a.name, if (v == Long.MinValue) v else v - 1)
-        case LessThanOrEqual(IntLit(v), a: AttributeReference) => lo(a.name, v)
-        case LessThan(IntLit(v), a: AttributeReference) =>
+        case LessThanOrEqual(RangeLit(v), a: AttributeReference) => lo(a.name, v)
+        case LessThan(RangeLit(v), a: AttributeReference) =>
           lo(a.name, if (v == Long.MaxValue) v else v + 1)
-        case EqualTo(IntLit(v), a: AttributeReference) => lo(a.name, v); hi(a.name, v)
+        case EqualTo(RangeLit(v), a: AttributeReference) => lo(a.name, v); hi(a.name, v)
         case _ => ()
       }
       p.references.foreach(r => order += r.name)
@@ -744,18 +782,27 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     */
   private def zoneProbe(paths: Seq[String], lo: Long, hi: Long): Set[String] = {
     val zones = graft.api.IndexKind.readTagged(spark, paths, "zones")
-    val integral = zones.schema("lo").dataType match {
+    // integral zones compare raw; TIMESTAMP/DATE zones read the bound
+    // as epoch micros/days — exactly the internal Long/Int Catalyst
+    // folds time-typed literals to, so `ts BETWEEN t1 AND t2` prunes
+    // like any integer range. Other types (string zones) return every
+    // covered file — "nothing pruned", plan untouched.
+    val comparable = zones.schema("lo").dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType => true
       case _ => false
     }
-    if (!integral)
+    if (!comparable)
       paths.flatMap(p => graft.api.IndexKind.metaRows(spark, p)
         .map(r => Layout.canonPath(r._2))).toSet
     else {
+      val dt = zones.schema("lo").dataType
+      val loE = graft.index.ZoneMapIndex.boundExpr(dt, lo)
+      val hiE = graft.index.ZoneMapIndex.boundExpr(dt, hi)
       // ONE tagged scan + collect across all covering indexes
       val cands = zones
-        .filter(col("hi") >= lo && col("lo") <= hi) // overlap test
+        .filter(col("hi") >= loE && col("lo") <= hiE) // overlap test
         .select("idx", "uid").collect()
         .map(r => (r.getInt(r.fieldIndex("idx")), r.getLong(r.fieldIndex("uid"))))
         .toSet

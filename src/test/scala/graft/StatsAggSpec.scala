@@ -116,6 +116,48 @@ class StatsAggSpec extends AnyFunSuite {
     assert(scansLake(d), "distinct count must stay a scan")
   }
 
+  test("timestamp zones: range prune + metadata-only min/max") {
+    import java.sql.Timestamp
+    val dir = TestSpark.tmpDir("aggzm5")
+    def ts(s: String) = Timestamp.valueOf(s)
+    val parts = Seq(
+      "a" -> Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 12:00:00"))),
+      "b" -> Seq((3L, ts("2024-01-05 00:00:00")), (4L, ts("2024-01-05 12:00:00"))),
+      "c" -> Seq((5L, ts("2024-01-09 00:00:00")), (6L, ts("2024-01-09 12:00:00"))))
+    for ((name, rows) <- parts) {
+      val staging = TestSpark.tmpDir(s"stage-sa5-$name")
+      rows.toDF("id", "t").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    api.GraftLake(spark, dir).index(api.ZoneMapKind, "t", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+    // time-range filter prunes to the one overlapping file
+    val q = spark.read.parquet(dir)
+      .filter(col("t") >= lit("2024-01-04 00:00:00").cast("timestamp") &&
+        col("t") <= lit("2024-01-06 00:00:00").cast("timestamp"))
+      .select("id")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }.sum
+    assert(scanned == 1, s"expected 1 file kept, scanned $scanned")
+    // min/max(ts) metadata-only
+    val m = spark.read.parquet(dir).agg(
+      min(col("t")).as("lo"), max(col("t")).as("hi"),
+      count(col("t")).as("nn"))
+    val r = m.collect()(0)
+    assert(r.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    assert(r.getTimestamp(1) == ts("2024-01-09 12:00:00"))
+    assert(r.getLong(2) == 6L)
+    assert(!scansLake(m), "timestamp stats must be metadata-only")
+  }
+
   test("statsAgg answers from index tables and matches the data") {
     val dir = TestSpark.tmpDir("aggzm3")
     mkLake(dir, Seq(
