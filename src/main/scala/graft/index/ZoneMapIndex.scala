@@ -25,10 +25,25 @@ object ZoneMapIndex {
     val data = Layout.withUid(spark, files, meta)
     // nn = per-group NON-NULL count: min/max ignore nulls, so lo/hi
     // alone cannot answer count(col) — nn completes the stats triple
-    // the aggregate rewrite serves (count(*) comes from meta num_rows)
+    // the aggregate rewrite serves (count(*) comes from meta num_rows).
+    // Integral columns also materialize s = per-group DECIMAL(38,0)
+    // sum (exact at any row count — a long-typed partial would wrap),
+    // completing sum(col) pushdown; float/string columns skip it (a
+    // decimal sum of doubles would not reproduce Spark's float fold)
+    val integral = data.schema(column).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val base = Seq(min(col(column)).as("lo"), max(col(column)).as("hi"),
+      count(col(column)).as("nn"))
+    val aggs = if (!integral) base else base :+
+      sum(col(column).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("s")
     data.groupBy(col("uid"))
-      .agg(min(col(column)).as("lo"), max(col(column)).as("hi"),
-        count(col(column)).as("nn"))
+      .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/zones")
     meta.write.mode("overwrite").parquet(s"$path/meta")

@@ -61,9 +61,12 @@ object LayoutQueries {
       s.read.parquet(prefix).agg(
         min(col("o_orderkey")).as("lo"),
         max(col("o_orderkey")).as("hi"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sm"))
     },
-      "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, count(*) AS n FROM orders"),
+      // DuckDB sums BIGINT into HUGEINT — cast back so the dtypes match
+      "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, " +
+        "count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sm FROM orders"),
 
     // time-range pruning — THE log-lake access path: a PLAIN
     // read.parquet + ts BETWEEN filter transparently file-pruned via a

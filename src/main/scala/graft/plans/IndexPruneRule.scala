@@ -76,7 +76,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def rewriteAgg(
       a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project, SubqueryAlias}
     if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.isEmpty)
       return None
@@ -98,6 +98,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     case class MinOf(c: String) extends Need
     case class MaxOf(c: String) extends Need
     case class CountCol(c: String) extends Need
+    case class SumOf(c: String) extends Need
     case object CountStar extends Need
     val needs: Seq[Need] = a.aggregateExpressions.map {
       case Alias(ae: AggregateExpression, _)
@@ -109,6 +110,11 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
               if statType(attr.dataType) => MaxOf(attr.name)
           case Count(Seq(Literal(v, _))) if v != null => CountStar
           case Count(Seq(attr: AttributeReference)) => CountCol(attr.name)
+          // any evalMode: on overflow the rewrite VETOES (the scan then
+          // reproduces Spark's own wrap/throw semantics exactly)
+          case su: Sum if su.child.isInstanceOf[AttributeReference] &&
+              integralType(su.child.dataType) =>
+            SumOf(su.child.asInstanceOf[AttributeReference].name)
           case _ => return None
         }
       case _ => return None
@@ -119,6 +125,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case MinOf(c) => c
       case MaxOf(c) => c
       case CountCol(c) => c
+      case SumOf(c) => c
     }.distinct
     val statsByCol = cols.map(c => c -> zoneStats(prefix, allFiles, c)
       .getOrElse(return None)).toMap
@@ -154,6 +161,15 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case (MaxOf(c), out) => asInternal(statsByCol(c).hi, out.dataType)
       // pre-nn indexes carry no non-null counts: veto, never miscount
       case (CountCol(c), _) => statsByCol(c).nn.getOrElse(return None)
+      // sum(integral) is LongType: a total past the Long domain would
+      // need Spark's own overflow behavior (wrap or ANSI throw) — veto
+      // and let the scan produce it
+      case (SumOf(c), out) =>
+        val tot = statsByCol(c).s.getOrElse(return None)
+        if (statsByCol(c).nn.contains(0L)) null // sum of no rows is NULL
+        else if (tot.isValidLong && out.dataType ==
+            org.apache.spark.sql.types.LongType) tot.toLong
+        else return None
       case (CountStar, _) => countStat
     }
     Some(LocalRelation(a.output,
@@ -217,12 +233,14 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         val zones = graft.api.IndexKind.readTagged(spark, paths, "zones")
         val loType = zones.schema("lo").dataType
         val hasNn = zones.schema.fieldNames.contains("nn")
+        val hasS = zones.schema.fieldNames.contains("s")
         if (!statType(loType)) None
         else {
           // zone rows are metadata-scale (one per row group) — the
           // same driver-collect stance as zoneProbe's candidate set
           val sel = Seq("idx", "uid", "lo", "hi") ++
-            (if (hasNn) Seq("nn") else Seq.empty)
+            (if (hasNn) Seq("nn") else Seq.empty) ++
+            (if (hasS) Seq("s") else Seq.empty)
           val rows = zones.select(sel.head, sel.tail: _*).collect()
             .filter(r => ownedUids(r.getInt(0)).contains(r.getLong(1)))
           // normalize time types to their internal Long/Int axis
@@ -258,15 +276,33 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           // any pre-nn zone row (or NULL nn from an
           // allowMissingColumns merge) makes the non-null count
           // unknowable → None, the caller vetoes count(col)
+          val nnAt = sel.indexOf("nn")
           val nn =
             if (!hasNn) None
             else {
               val vs = rows.map(r =>
-                if (r.isNullAt(sel.size - 1)) None
-                else Some(r.getLong(sel.size - 1)))
+                if (r.isNullAt(nnAt)) None else Some(r.getLong(nnAt)))
               if (vs.exists(_.isEmpty)) None else Some(vs.flatten.sum)
             }
-          Some(IndexPruneRule.ZStats(los.minOption, his.maxOption, n, nn))
+          val sAt = sel.indexOf("s")
+          // per-zone DECIMAL(38,0) sums. A NULL s is ambiguous: an
+          // all-NULL zone legitimately stores NULL (contributes zero,
+          // like Spark's null-skipping sum) but a pre-s row merged in
+          // via allowMissingColumns is UNKNOWABLE — nn disambiguates
+          // (0 non-null rows → legit; anything else → veto)
+          val sTot =
+            if (!hasS || !hasNn) None
+            else {
+              var acc = BigDecimal(0)
+              var ok = true
+              rows.foreach { r =>
+                if (!r.isNullAt(sAt)) acc += BigDecimal(r.getDecimal(sAt))
+                else if (r.isNullAt(nnAt) || r.getLong(nnAt) != 0L)
+                  ok = false
+              }
+              if (ok) Some(acc) else None
+            }
+          Some(IndexPruneRule.ZStats(los.minOption, his.maxOption, n, nn, sTot))
         }
       } finally probing.set(false)
     }
@@ -905,7 +941,7 @@ object IndexPruneRule {
     * carries the `nn` column.
     */
   private[plans] case class ZStats(lo: Option[Any], hi: Option[Any],
-      n: Long, nn: Option[Long])
+      n: Long, nn: Option[Long], s: Option[BigDecimal])
 
   // memo for the zone-stats aggregate probe (same TTL discipline);
   // None ("not fully covered / unsupported zone type") is cached too

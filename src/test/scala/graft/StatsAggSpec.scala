@@ -56,6 +56,10 @@ class StatsAggSpec extends AnyFunSuite {
     // single-aggregate forms too
     val m = spark.read.parquet(dir).agg(max(col("k")).as("hi"))
     assert(m.collect()(0).getLong(0) == 990L && !scansLake(m))
+
+    // sum(col) rides the zone map's per-group decimal sums
+    val sm = spark.read.parquet(dir).agg(sum(col("k")).as("s"))
+    assert(sm.collect()(0).getLong(0) == 2154L && !scansLake(sm))
   }
 
   test("rewrite does NOT fire with a filter, uncovered column, or partial coverage") {
