@@ -111,6 +111,22 @@ object LayoutQueries {
       "SELECT epoch_us(CAST(min(ts) AS TIMESTAMP)) AS lo, " +
         "epoch_us(CAST(max(ts) AS TIMESTAMP)) AS hi, count(ts) AS nn FROM events"),
 
+    // top-k pushdown: ORDER BY ts DESC LIMIT k (the "latest N events"
+    // query) scans only the row groups whose zones can hold a top-k
+    // value — the Sort+Limit refine keeps semantics exact
+    "catalyst_topk_prune" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "events", "ts", 4, alias = "events_ts")
+      val prefix = Lake.splitPath(dir, "events_ts")
+      graft.api.GraftLake(s, prefix).index(graft.api.ZoneMapKind, "ts")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix)
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(10)
+        .select(col("event_id"), col("event_type"))
+    },
+      """SELECT event_id, event_type FROM events
+        |ORDER BY ts DESC, event_id LIMIT 10""".stripMargin),
+
     // string + count(col) flavor of the stats rewrite: string min/max
     // use Spark's UTF8-byte order, count(col) rides the zone map's
     // per-group non-null counts

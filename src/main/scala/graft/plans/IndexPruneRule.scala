@@ -53,7 +53,159 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
         try rewriteAgg(a).getOrElse(a)
         catch { case scala.util.control.NonFatal(_) => a }
+      case lim: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit =>
+        try rewriteTopK(lim).getOrElse(lim)
+        catch { case scala.util.control.NonFatal(_) => lim }
     }
+  }
+
+  /** Top-k pushdown: `ORDER BY col DESC LIMIT k` (NULLS LAST) over a
+    * fully zone-mapped lake scans only the row groups that can hold a
+    * top-k value — the "latest N events" query every log lake serves.
+    *
+    * Threshold: sort the owned zones by `lo` DESC and accumulate their
+    * non-null counts until ≥ k; every value in those zones is ≥ its
+    * zone's lo, so at least k non-null values are ≥ t = the last-taken
+    * zone's lo — hence the kth-largest value is ≥ t, and every top-k
+    * row lives in a zone with hi ≥ t. Files whose zones all have
+    * hi < t are pruned; the Sort+Limit stays on top as the refine, so
+    * semantics are exactly the unpruned plan's. ASC mirrors with lo/hi
+    * swapped. Vetoes: fewer than k non-null values (NULLS would enter
+    * the result and zones do not locate them), unknown nn (pre-nn
+    * index), partial coverage, non-comparable zone type, NULLS FIRST.
+    */
+  private def rewriteTopK(
+      lim: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsLast, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Project, Sort, SubqueryAlias}
+    val (k, sort) = lim match {
+      case GlobalLimit(Literal(k: Int, org.apache.spark.sql.types.IntegerType),
+          LocalLimit(_, s: Sort)) if k > 0 => (k, s)
+      case _ => return None
+    }
+    // secondary sort columns are tie-breaks: the top-k rows' PRIMARY
+    // values are still the k largest primary values, so the threshold
+    // argument only needs the first key — the full Sort refine handles
+    // tie order exactly
+    val (attr, descending) = sort.order match {
+      case SortOrder(a: AttributeReference, dir, NullsLast, _) +: rest
+          if sort.global && statType(a.dataType) &&
+            a.dataType != StringType &&
+            rest.forall(_.child.deterministic) =>
+        (a, dir == Descending)
+      case _ => return None
+    }
+    // (Ascending only reaches here as asc_nulls_last — Spark's asc
+    // default is NULLS FIRST, which the NullsLast pattern rejects)
+    def relOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case l: LogicalRelation => Some(l)
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        relOf(pr.child)
+      case sa: SubqueryAlias => relOf(sa.child)
+      case _ => None
+    }
+    val l = relOf(sort.child).getOrElse(return None)
+    if (!l.output.exists(_.exprId == attr.exprId)) return None
+    val (fsRel, prefix, allFiles) = eligible(l).getOrElse(return None)
+    if (allFiles.isEmpty) return None
+    val keep = topKKeep(prefix, allFiles, attr.name, k, descending)
+      .getOrElse(return None)
+    if (keep.size >= allFiles.size) return None
+    val pruned = new InMemoryFileIndex(spark,
+      keep.toSeq.sorted.map(new Path(_)), Map.empty, Some(fsRel.dataSchema))
+    markPruned(pruned)
+    val newRel = fsRel.copy(location = pruned)(spark)
+    Some(lim.transform {
+      case rel: LogicalRelation if rel eq l => rel.copy(relation = newRel)
+    })
+  }
+
+  /** Files that can hold a top-k row of `colName` over exactly
+    * `allFiles` — None unless a zone map fully covers them with known
+    * per-zone non-null counts summing to ≥ k. Memoized like every
+    * probe.
+    */
+  private def topKKeep(prefix: String, allFiles: Set[String],
+      colName: String, k: Int, descending: Boolean): Option[Set[String]] = {
+    val idx = IndexStore.metadataRowsCached(spark, prefix)
+      .filter(r => r.column == colName && r.indexType == "zonemap")
+    if (idx.isEmpty) return None
+    val covered = idx.flatMap(_.files).map(Layout.canonPath).toSet
+    if (!allFiles.subsetOf(covered)) return None
+    val paths = idx.map(_.indexFile)
+    val memoKey = (Seq("topk", colName, k.toString, descending.toString,
+      IndexStore.metadataVersionToken(spark, prefix)) ++ paths ++
+      allFiles.toSeq.sorted).map(v => s"${v.length}:$v").mkString
+    // a veto inside the probe keeps ALL files (caller then leaves the
+    // plan untouched) — memoized the same as a real keep set
+    val keepSet = memoProbe(memoKey) {
+      probing.set(true)
+      try {
+        val owner = scala.collection.mutable.Map.empty[String, Int]
+        paths.zipWithIndex.foreach { case (p, i) =>
+          graft.api.IndexKind.metaRows(spark, p).foreach { r =>
+            val f = Layout.canonPath(r._2)
+            if (allFiles.contains(f) && !owner.contains(f)) owner(f) = i
+          }
+        }
+        val uidFile: Map[(Int, Long), String] = paths.indices.flatMap { i =>
+          graft.api.IndexKind.metaRows(spark, paths(i)).flatMap { r =>
+            val f = Layout.canonPath(r._2)
+            if (owner.get(f).contains(i)) Some((i, r._1) -> f) else None
+          }
+        }.toMap
+        val zones = graft.api.IndexKind.readTagged(spark, paths, "zones")
+        if (!zones.schema.fieldNames.contains("nn")) return Some(allFiles)
+        val loType = zones.schema("lo").dataType
+        val comparable = integralType(loType) ||
+          loType == org.apache.spark.sql.types.TimestampType ||
+          loType == org.apache.spark.sql.types.DateType
+        if (!comparable) return Some(allFiles)
+        import org.apache.spark.sql.catalyst.util.DateTimeUtils
+        def asLong(v: Any): Long = v match {
+          case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+          case t: java.time.Instant => DateTimeUtils.instantToMicros(t)
+          case d: java.sql.Date => DateTimeUtils.fromJavaDate(d).toLong
+          case d: java.time.LocalDate =>
+            DateTimeUtils.localDateToDays(d).toLong
+          case num: Number => num.longValue
+        }
+        val rows = zones.select("idx", "uid", "lo", "hi", "nn").collect()
+          .flatMap { r =>
+            uidFile.get((r.getInt(0), r.getLong(1))).map { f =>
+              // an all-NULL zone has NULL lo/hi and nn = 0 — it can
+              // never hold a top-k value under NULLS LAST (when enough
+              // non-nulls exist), so its bounds never matter; an
+              // unknown nn (pre-nn merge) aborts below
+              if (r.isNullAt(4)) return Some(allFiles)
+              val lo = if (r.isNullAt(2)) Long.MinValue else asLong(r.get(2))
+              val hi = if (r.isNullAt(3)) Long.MinValue else asLong(r.get(3))
+              (f, lo, hi, r.getLong(4))
+            }
+          }
+        if (rows.map(_._4).sum < k) return Some(allFiles) // NULLs enter
+        // best-first by the bound every zone value clears
+        val sorted =
+          if (descending) rows.sortBy(z => -z._2) // by lo desc
+          else rows.sortBy(z => if (z._4 == 0) Long.MaxValue else z._3) // hi asc
+        var acc = 0L
+        var t = 0L
+        val it = sorted.iterator
+        while (acc < k && it.hasNext) {
+          val z = it.next()
+          if (z._4 > 0) {
+            acc += z._4
+            t = if (descending) z._2 else z._3
+          }
+        }
+        val keep =
+          if (descending) rows.filter(z => z._4 > 0 && z._3 >= t)
+          else rows.filter(z => z._4 > 0 && z._2 <= t)
+        keep.map(_._1).toSet
+      } finally probing.set(false)
+    }
+    Some(keepSet)
   }
 
   /** Metadata-only aggregate answering: a global (no GROUP BY, no

@@ -162,6 +162,40 @@ class StatsAggSpec extends AnyFunSuite {
     assert(!scansLake(m), "timestamp stats must be metadata-only")
   }
 
+  test("top-k pushdown prunes to the row groups that can hold top-k") {
+    val dir = TestSpark.tmpDir("aggzm6")
+    mkLake(dir, Seq(
+      "a" -> Seq(5L -> 1L, 9L -> 2L),
+      "b" -> Seq(100L -> 3L, 150L -> 4L),
+      "c" -> Seq(900L -> 5L, 990L -> 6L)))
+    api.GraftLake(spark, dir).index(api.ZoneMapKind, "k", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+    def keptFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }.sum
+    // latest-2: only file c can hold them
+    val top = spark.read.parquet(dir).orderBy(col("k").desc).limit(2)
+      .select("k")
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(990L, 900L))
+    assert(keptFiles(top) == 1, "desc top-2 must scan one file")
+    // smallest-3 spills into the second file
+    val bot = spark.read.parquet(dir)
+      .orderBy(col("k").asc_nulls_last).limit(3).select("k")
+    assert(bot.collect().map(_.getLong(0)).toSeq == Seq(5L, 9L, 100L))
+    assert(keptFiles(bot) == 2, "asc top-3 must scan two files")
+    // k past the corpus: every file stays, result exact
+    val all = spark.read.parquet(dir).orderBy(col("k").desc).limit(100)
+    assert(all.count() == 6)
+    // default asc = NULLS FIRST: never rewritten (zones cannot place
+    // nulls first)
+    val nf = spark.read.parquet(dir).orderBy(col("k").asc).limit(2)
+    assert(keptFiles(nf) == 3, "NULLS FIRST must not be pruned")
+  }
+
   test("statsAgg answers from index tables and matches the data") {
     val dir = TestSpark.tmpDir("aggzm3")
     mkLake(dir, Seq(
