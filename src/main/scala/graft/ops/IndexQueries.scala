@@ -291,6 +291,21 @@ object IndexQueries {
         s"'$Column', '$QueryStr', 100000, 'doc_id') ORDER BY doc_id")
     }, bruteSql(QueryStr)),
 
+    // lake stats through the SQL-ONLY surface: one statement a BI tool
+    // could issue; with the zone map committed the aggregate is
+    // answered metadata-only, and an uncovered lake falls back to the
+    // scan with the same answer
+    "sql_tvf_stats" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "orders", "o_orderkey", 4)
+      val prefix = Lake.splitPath(dir, "orders")
+      graft.api.GraftLake(s, prefix)
+        .index(graft.api.ZoneMapKind, "o_orderkey")
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_stats('$prefix', 'o_orderkey')")
+    },
+      "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, " +
+        "count(*) AS n, count(o_orderkey) AS nn FROM orders"),
+
     // SURVEY §7.4 stretch, oracle-gated: a PLAIN spark.read.parquet +
     // contains filter — no graft API in the query — transparently
     // file-pruned by the Catalyst IndexPruneRule via the committed

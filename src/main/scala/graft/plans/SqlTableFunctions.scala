@@ -119,6 +119,22 @@ object SqlTableFunctions {
       .explainSearch(kind, str(args(2), "column")))
   }
 
+  private def statsBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2, "graft_stats(dir, column)")
+    val spark = SparkSession.active
+    val prefix = str(args(0), "dir")
+    val column = str(args(1), "column")
+    // the plain min/max/count(*)/count(col) aggregate over the lake —
+    // with the rule enabled the Aggregate rewrite answers it from the
+    // committed zone map without reading a data page; an uncovered
+    // lake falls back to the real scan, same answer
+    IndexPruneRule.enable(spark)
+    import org.apache.spark.sql.functions.{col => c, count, lit, max, min}
+    planOf(spark.read.parquet(prefix).agg(
+      min(c(column)).as("lo"), max(c(column)).as("hi"),
+      count(lit(1)).as("n"), count(c(column)).as("nn")))
+  }
+
   private def layoutBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1, "graft_layout(path)")
     val spark = SparkSession.active
@@ -134,6 +150,7 @@ object SqlTableFunctions {
       "graft_search" -> (searchBuilder(_)),
       "graft_rank" -> (rankBuilder(_)),
       "graft_explain" -> (explainBuilder(_)),
+      "graft_stats" -> (statsBuilder(_)),
       "graft_layout" -> (layoutBuilder(_)))
 
   /** injectTableFunction descriptors for [[graft.GraftExtensions]]. */

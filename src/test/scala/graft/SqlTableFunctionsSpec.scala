@@ -108,6 +108,20 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
     assert(ids == Seq(2L))
   }
 
+  test("graft_stats answers lake stats, metadata-only when covered") {
+    val dir = TestSpark.tmpDir("sqltvf-stats")
+    Seq((5L, "x"), (9L, "y"), (2L, null.asInstanceOf[String]))
+      .toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+    GraftLake(spark, dir).index(api.ZoneMapKind, "k")
+    val r = spark.sql(s"SELECT * FROM graft_stats('$dir', 'k')").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 9L, 3L, 3L)))
+    // uncovered column: same statement, real scan, same answer shape
+    val rv = spark.sql(s"SELECT * FROM graft_stats('$dir', 'v')").collect()(0)
+    assert((rv.getString(0), rv.getString(1), rv.getLong(2), rv.getLong(3))
+      == (("x", "y", 3L, 2L)))
+  }
+
   test("non-literal and unknown-kind arguments fail with clear messages") {
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_search('$lakeDir', upper('ngram'), 'text', " +
