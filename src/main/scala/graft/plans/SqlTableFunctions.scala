@@ -124,13 +124,31 @@ object SqlTableFunctions {
     val spark = SparkSession.active
     val prefix = str(args(0), "dir")
     val column = str(args(1), "column")
+    import org.apache.spark.sql.functions.{col => c, count, lit, max, min}
     // the plain min/max/count(*)/count(col) aggregate over the lake —
     // with the rule enabled the Aggregate rewrite answers it from the
     // committed zone map without reading a data page; an uncovered
-    // lake falls back to the real scan, same answer
-    IndexPruneRule.enable(spark)
-    import org.apache.spark.sql.functions.{col => c, count, lit, max, min}
-    planOf(spark.read.parquet(prefix).agg(
+    // lake falls back to the real scan, same answer. Versioned
+    // backends (Delta/Iceberg) scan their LIVE file set instead: a
+    // prefix read would count logically-removed files, and the rewrite
+    // never fires on a file-list read (multi-root), so semantics stay
+    // the table's
+    val lake = GraftLake.auto(spark, prefix)
+    val src =
+      if (!lake.backend.canRemove) {
+        IndexPruneRule.enable(spark)
+        spark.read.parquet(prefix)
+      } else {
+        val live = lake.backend.filesAt(None)
+        if (live.isEmpty)
+          // typed empty: schema from any historical file
+          lake.backend.schemaFile match {
+            case Some(f) => spark.read.parquet(f).limit(0)
+            case None => spark.emptyDataFrame
+          }
+        else spark.read.parquet(live: _*)
+      }
+    planOf(src.agg(
       min(c(column)).as("lo"), max(c(column)).as("hi"),
       count(lit(1)).as("n"), count(c(column)).as("nn")))
   }

@@ -106,6 +106,11 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       s"SELECT doc_id FROM graft_search('$t', 'ngram', 'text', " +
         "'search', 100, 'doc_id')").collect().map(_.getLong(0)).toSeq
     assert(ids == Seq(2L))
+    // graft_stats honors the removes too (a prefix scan would count
+    // the logically-removed doc 1)
+    val st = spark.sql(s"SELECT * FROM graft_stats('$t', 'doc_id')")
+      .collect()(0)
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) == ((2L, 2L, 1L)))
   }
 
   test("graft_stats answers lake stats, metadata-only when covered") {
