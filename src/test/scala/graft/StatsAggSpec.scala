@@ -196,6 +196,29 @@ class StatsAggSpec extends AnyFunSuite {
     assert(keptFiles(nf) == 3, "NULLS FIRST must not be pruned")
   }
 
+  test("stats and top-k rewrites stay exact across compaction") {
+    val dir = TestSpark.tmpDir("aggzm7")
+    mkLake(dir, Seq(
+      "a" -> Seq(5L -> 1L, 9L -> 2L),
+      "b" -> Seq(100L -> 3L, 150L -> 4L),
+      "c" -> Seq(900L -> 5L, 990L -> 6L)))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.ZoneMapKind, "k", binpackRows = 1) // one index per file
+    // merge the per-file generations into one (uids re-based)
+    lake.compact(api.ZoneMapKind, "k")
+    IndexPruneRule.enable(spark)
+    val q = spark.read.parquet(dir).agg(
+      min(col("k")).as("lo"), max(col("k")).as("hi"),
+      count(lit(1)).as("n"), sum(col("k")).as("s"))
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((5L, 990L, 6L, 2154L)))
+    assert(!scansLake(q), "merged zone map must still answer stats")
+    val top = spark.read.parquet(dir).orderBy(col("k").desc).limit(2)
+      .select("k")
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(990L, 900L))
+  }
+
   test("statsAgg answers from index tables and matches the data") {
     val dir = TestSpark.tmpDir("aggzm3")
     mkLake(dir, Seq(
