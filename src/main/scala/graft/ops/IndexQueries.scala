@@ -306,6 +306,20 @@ object IndexQueries {
       "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, " +
         "count(*) AS n, count(o_orderkey) AS nn FROM orders"),
 
+    // regex flavor of the transparent Catalyst pruning: a PLAIN
+    // read.parquet + rlike filter — the rule extracts the pattern's
+    // required literals, probes their grams through the committed
+    // ngram index, and the rlike refine keeps semantics exact
+    "catalyst_regex_prune" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val prefix = Lake.splitPath(dir, Table)
+      graft.api.GraftLake(s, prefix).index(graft.api.NgramKind, Column)
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix)
+        .filter(lower(col(Column)).rlike(RegexQueryStr))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, regexSql(RegexQueryStr)),
+
     // SURVEY §7.4 stretch, oracle-gated: a PLAIN spark.read.parquet +
     // contains filter — no graft API in the query — transparently
     // file-pruned by the Catalyst IndexPruneRule via the committed

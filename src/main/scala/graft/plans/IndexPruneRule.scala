@@ -531,6 +531,23 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case Contains(Lower(a: AttributeReference), Literal(q, StringType))
           if q != null && q.toString.nonEmpty => (a.name, q.toString)
     }
+    // rlike-predicates: a regex match forces the pattern's REQUIRED
+    // literal runs to appear in the row, so their lowercased grams
+    // must all be in a candidate row group — same superset discipline
+    // as contains (case-sensitive match ⇒ lowercase grams present).
+    // Patterns with no required literal collect nothing (no prune).
+    val regexes = preds.collect {
+      case org.apache.spark.sql.catalyst.expressions.RLike(
+          a: AttributeReference, Literal(p, StringType)) if p != null =>
+        (a.name, p.toString)
+      case org.apache.spark.sql.catalyst.expressions.RLike(
+          Lower(a: AttributeReference), Literal(p, StringType))
+          if p != null => (a.name, p.toString)
+    }.flatMap { case (c, p) =>
+      val lits = graft.text.QueryShaping.requiredLiterals(p)
+        .map(graft.text.Text.sparkLower).filter(_.nonEmpty)
+      if (lits.isEmpty) None else Some((c, p, lits))
+    }
     // exact/IN-list string predicates → key index (case-exact, like
     // the predicate itself; keys are stored raw at build)
     val keyEqs = preds.collect {
@@ -593,6 +610,9 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val keeps =
       contains.flatMap { case (c, q) =>
         keepFor(c, "ngram", psig("has", Seq(q)), probe(_, q)) } ++
+      regexes.flatMap { case (c, p, lits) =>
+        keepFor(c, "ngram", psig("re", Seq(p)),
+          probeGrams(_, litGrams(lits))) } ++
       keyEqs.flatMap { case (c, ks) =>
         keepFor(c, "key", psig("eq", ks), keyProbe(_, ks)) } ++
       keyPrefixes.flatMap { case (c, p) =>
@@ -1010,6 +1030,24 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       if (cpg.nonEmpty) graft.text.QueryShaping.viableGrams(cpg.distinct)
       else Seq(q)
     }
+    probeGrams(paths, qgrams)
+  }
+
+  /** Grams of a set of required literals (each literal's code-point
+    * windows; literals below the gram width probe their exact short
+    * gram), capped by the query-shaping limit.
+    */
+  private def litGrams(lits: Seq[String]): Seq[String] =
+    graft.text.QueryShaping.viableGrams(lits.flatMap { l =>
+      val cpg = graft.text.Text.cpGrams(l, NgramIndex.N)
+      if (cpg.nonEmpty) cpg else Seq(l)
+    }.distinct)
+
+  /** Files of the covering indexes whose gram postings contain EVERY
+    * gram in `qgrams` (shared by the contains and rlike probes).
+    */
+  private def probeGrams(paths: Seq[String],
+      qgrams: Seq[String]): Set[String] = {
     val qbuckets = qgrams.map(NgramIndex.bucketOfString).distinct
     // ONE tagged scan + intersection across all covering indexes
     val cands = graft.api.IndexKind.readTagged(spark, paths, "postings")

@@ -97,6 +97,46 @@ class RegexSearchSpec extends AnyFunSuite {
     assert(viaSql == brute("fast [a-z]+ table"))
   }
 
+  test("Catalyst rlike pruning scans only candidate files, stays exact") {
+    val dir = TestSpark.tmpDir("reprune")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-re-$name")
+      rows.toDF("id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(1L -> "fast red table row", 2L -> "plain row"))
+    write("b", Seq(3L -> "nothing here", 4L -> "still nothing"))
+    write("c", Seq(5L -> "a Fast blue table", 6L -> "filler"))
+    api.GraftLake(spark, dir).index(api.NgramKind, "text", binpackRows = 1)
+    graft.plans.IndexPruneRule.enable(spark)
+    def kept(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }.sum
+    // lowercased-column rlike: b has no candidate grams → pruned
+    val q = spark.read.parquet(dir)
+      .filter(lower(col("text")).rlike("fast [a-z]+ table"))
+      .select("id")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    assert(kept(q) == 2, "no-candidate file must be pruned")
+    // case-sensitive rlike on the RAW column: the lowercased-gram
+    // probe is a sound superset; the refine keeps only true matches
+    val cs = spark.read.parquet(dir)
+      .filter(col("text").rlike("Fast [a-z]+ table")).select("id")
+    assert(cs.collect().map(_.getLong(0)).toSet == Set(5L))
+    // no required literal → no prune, still exact
+    val alt = spark.read.parquet(dir)
+      .filter(lower(col("text")).rlike("red|blue")).select("id")
+    assert(alt.collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    assert(kept(alt) == 3, "literal-free pattern must not prune")
+  }
+
   test("searchRegex equals plain regex scan, pruned and fallback") {
     val words = Seq("fast", "slow", "table", "scan", "merge", "row")
     val rows = (0L until 300L).map { i =>
