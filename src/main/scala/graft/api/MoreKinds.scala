@@ -204,6 +204,60 @@ object BloomKind extends IndexKind {
   * clears τ — dedup-at-ingest through the facade (banded MinHash
   * postings prune, exact Jaccard verifies; graft.index.MinHashIndex).
   */
+/** Typo-tolerant token kind (graft.index.FuzzyIndex): SymSpell
+  * deletion-neighborhood probe over every covering index in one
+  * tagged scan, per-token candidate intersection at row-group
+  * granularity, exact levenshtein refine. The refine predicate is
+  * [[graft.index.FuzzyIndex.refinePredicate]] — shared with the
+  * standalone index so facade and direct paths cannot diverge.
+  */
+object FuzzyKind extends IndexKind {
+
+  val name = "fuzzy"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit =
+    graft.index.FuzzyIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    graft.index.FuzzyIndex.merge(spark, a, b, out)
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    import graft.index.FuzzyIndex
+    val qtoks = graft.text.Text.RegexTokenizer.tokenizeQuery(query)
+    val covered = coveredFiles(spark, paths, live)
+    // an empty token stream defines no fuzzy predicate: defined empty
+    // result, the MinHashKind short-query convention
+    if (qtoks.isEmpty) return emptyLike(spark, paths, insituFiles)
+    def refine(d: DataFrame): DataFrame =
+      d.filter(FuzzyIndex.refinePredicate(column, qtoks))
+
+    def viaIndex(): Option[DataFrame] = {
+      import spark.implicits._
+      val probes = qtoks.zipWithIndex.flatMap { case (q, i) =>
+        FuzzyIndex.variantsOf(q).map(v => (v, i))
+      }.distinct
+      val qbuckets = probes
+        .map(p => graft.index.NgramIndex.bucketOfString(p._1)).distinct
+      val cands = IndexKind.readTagged(spark, paths, "postings")
+        .filter(col("bucket").isin(qbuckets: _*) &&
+          col("variant").isin(probes.map(_._1).distinct: _*))
+        .join(broadcast(probes.toDF("variant", "tok")), Seq("variant"))
+        .groupBy(col("idx"), col("uid"))
+        .agg(countDistinct(col("tok")).as("nt"))
+        .filter(col("nt") === qtoks.size)
+      val hits = collectHits(spark, paths, cands, live)
+      if (bruteBeatsIndex(spark, paths, hits)) None
+      else Some(refine(Layout.readGroups(spark, hits, covered).drop("uid")))
+    }
+
+    searchParts(spark, paths, insituFiles, covered, () => viaIndex(),
+      refine)
+  }
+}
+
 object MinHashKind extends IndexKind {
 
   val name = "minhash"

@@ -200,6 +200,18 @@ object ApiQueries {
         .select(col("doc_id"), col("jac"))
     }, Dedup.minhashLookupSql),
 
+    // typo-tolerant search through the FULL facade: per-file fuzzy
+    // indexes → compact (uid-offset union) → deletion-neighborhood
+    // probe + levenshtein refine over the merged index
+    "lake_api_fuzzy" -> Q((s, dir) => {
+      val lake = docLake(s, dir)
+      lake.index(graft.api.FuzzyKind, "text", binpackRows = 1)
+      lake.compact(graft.api.FuzzyKind, "text", threshold = 1000000L)
+      lake.search(graft.api.FuzzyKind, "text", IndexQueries.FuzzyQueryStr,
+          1000000, Seq("doc_id"))
+        .select(col("doc_id"))
+    }, IndexQueries.fuzzySqlPublic(IndexQueries.FuzzyQueryStr)),
+
     // bloom equality lookups through the FULL facade: per-file
     // indexes → compact (pure uid-offset union, no rehash) →
     // multi-index probe + exact refine

@@ -122,6 +122,50 @@ object IndexQueries {
   private def regexSql(pat: String) =
     s"SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '$pat') ORDER BY doc_id"
 
+  // fuzzy (typo-tolerant) queries: each token within edit distance 1 of
+  // a corpus token; the oracle recomputes the same levenshtein predicate
+  val FuzzyQueryStr = "vektor" // "vector" at distance 1 (substitution)
+  val FuzzyMultiStr = "slowe scann" // "slow"+insert, "scan"+insert
+
+  /** fuzzySql shared with the facade entry (ApiQueries). */
+  private[graft] def fuzzySqlPublic(q: String): String = fuzzySql(q)
+
+  private def fuzzySql(q: String) = {
+    val preds = graft.text.Text.RegexTokenizer.tokenizeQuery(q)
+      .map(t => s"len(list_filter(toks, t -> levenshtein(t, '$t') <= " +
+        s"${graft.index.FuzzyIndex.MaxDist})) > 0")
+      .mkString(" AND ")
+    "SELECT doc_id FROM (SELECT doc_id, " +
+      graft.text.Text.RegexTokenizer.oracleListExpr("text") +
+      s" AS toks FROM documents) x WHERE $preds ORDER BY doc_id"
+  }
+
+  private def fuzzyIdx(s: SparkSession, dir: String): String = {
+    val p = IndexStore.indexPath(dir, "fuzzy_documents_text")
+    IndexStore.ensure(p) {
+      graft.index.FuzzyIndex.build(s, lakeFiles(s, dir), Column, p)
+    }
+    p
+  }
+
+  /** Merged fuzzy index over the two lake quarters (compaction path). */
+  private def fuzzyMergedIdx(s: SparkSession, dir: String): String = {
+    val files = lakeFiles(s, dir)
+    def part(which: Int): String = {
+      val p = IndexStore.indexPath(dir, s"fuzzy_documents_text_q$which")
+      IndexStore.ensure(p) {
+        graft.index.FuzzyIndex.build(s,
+          files.slice(2 * which, 2 * which + 2), Column, p)
+      }
+      p
+    }
+    val p = IndexStore.indexPath(dir, "fuzzy_documents_text_merged")
+    IndexStore.ensure(p) {
+      graft.index.FuzzyIndex.merge(s, part(0), part(1), p)
+    }
+    p
+  }
+
   private def fmIdx(s: SparkSession, dir: String): String = {
     val p = IndexStore.indexPath(dir, "fm_documents_text")
     IndexStore.ensure(p) { FmIndex.build(s, lakeFiles(s, dir), Column, p) }
@@ -233,6 +277,33 @@ object IndexQueries {
       NgramIndex.searchRegex(s, p, Column, RegexAltStr)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, regexSql(RegexAltStr)),
+
+    // typo-tolerant lookup: SymSpell deletion-neighborhood probe →
+    // candidate row groups → selective read → levenshtein refine
+    // (graft.index.FuzzyIndex — the one lexical query shape the gram/
+    // FM indexes cannot bound)
+    "fuzzy_token_search" -> Q((s, dir) => {
+      val p = fuzzyIdx(s, dir)
+      graft.index.FuzzyIndex.search(s, p, Column, FuzzyQueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, fuzzySql(FuzzyQueryStr)),
+
+    // multi-token fuzzy AND: every query token must have a near-match
+    // in the same row (per-token neighborhoods intersected at the
+    // row-group level before the read)
+    "fuzzy_token_search_multi" -> Q((s, dir) => {
+      val p = fuzzyIdx(s, dir)
+      graft.index.FuzzyIndex.search(s, p, Column, FuzzyMultiStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, fuzzySql(FuzzyMultiStr)),
+
+    // compaction merge of two fuzzy part-indexes: search(merge(a,b))
+    // must equal the brute predicate over a∪b
+    "fuzzy_token_search_merged" -> Q((s, dir) => {
+      val p = fuzzyMergedIdx(s, dir)
+      graft.index.FuzzyIndex.search(s, p, Column, FuzzyQueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, fuzzySql(FuzzyQueryStr)),
 
     // partial index coverage + in-situ probing of unindexed files
     // (reference: backends/utils.py:235-282)

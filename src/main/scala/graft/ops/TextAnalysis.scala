@@ -426,6 +426,84 @@ object TextAnalysis {
         |  true AS within_tol
         |FROM s""".stripMargin),
 
+    // mergeable heavy-hitters sketch (Misra–Gries 1982) completing the
+    // sketch family (distinct → HLL, quantiles → GK, frequencies → MG):
+    // per-partition bounded state of m counters — the one genuinely
+    // per-partition imperative summary in the engine, hence the one
+    // mapPartitions — merged by summing per-token partials, which keeps
+    // the mergeable-summaries bound (Agarwal et al. 2012): estimates
+    // never overcount and undercount by ≤ N/m total. At 100 TB the
+    // sketch is a map-only pass plus a ≤ m·partitions-row shuffle; the
+    // exact side (a full token groupBy) exists only as the gate
+    // baseline, persisted once per lake dir like the other sketch
+    // truths. Gate: every token with true count ≥ 2N/m is reported,
+    // every report is within the N/m undercount band; the exact top
+    // token anchors the hash to corpus ground truth.
+    "corpus_heavy_hitters_sketch" -> Q((s, dir) => {
+      import s.implicits._
+      val m = 64
+      def toks = Tables.load(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("t")).as[String]
+      val store = graft.core.IndexStore.indexPath(dir, "hh_truth")
+      graft.core.IndexStore.ensure(store) {
+        toks.groupBy("t").count()
+          .coalesce(1).write.mode("overwrite").parquet(s"$store/t")
+      }
+      val exact = s.read.parquet(s"$store/t").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = exact.values.sum
+      if (exact.isEmpty)
+        // empty corpus: the oracle's empty-scalar-subquery NULLs +
+        // vacuously-true gates, not a head-of-empty crash
+        Seq((Option.empty[String], Option.empty[Long], 0L, true, true))
+          .toDF("top_token", "top_count", "n_heavy",
+            "contains_all", "bounds_ok")
+      else {
+        val partials = toks.mapPartitions { it =>
+          val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { t =>
+            if (cnt.contains(t) || cnt.size < m)
+              cnt.update(t, cnt.getOrElse(t, 0L) + 1L)
+            else {
+              // unseen token, counters full: decrement ALL (the MG
+              // step) — O(m) but amortized O(1), each sweep consumes
+              // m+1 arrivals
+              val snap = cnt.toArray
+              cnt.clear()
+              snap.foreach { case (k, v) =>
+                if (v > 1L) cnt.update(k, v - 1L)
+              }
+            }
+          }
+          cnt.iterator
+        }.toDF("t", "est")
+        val merged = partials.groupBy("t").agg(sum("est").as("est"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val band = n / m // max total undercount across merged partials
+        val containsAll = exact.iterator
+          .filter { case (_, c) => c * m >= 2 * n }
+          .forall { case (t, _) => merged.contains(t) }
+        val boundsOk = merged.forall { case (t, e) =>
+          val tr = exact.getOrElse(t, 0L)
+          e <= tr && tr - e <= band
+        }
+        val (topT, topC) =
+          exact.toSeq.sortBy { case (t, c) => (-c, t) }.head
+        val nHeavy = exact.count { case (_, c) => c * m >= 2 * n }.toLong
+        Seq((Option(topT), Option(topC), nHeavy, containsAll, boundsOk))
+          .toDF("top_token", "top_count", "n_heavy",
+            "contains_all", "bounds_ok")
+      }
+    },
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t FROM documents),
+        |c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+        |SELECT
+        |  (SELECT t FROM c ORDER BY cnt DESC, t LIMIT 1) AS top_token,
+        |  (SELECT cnt FROM c ORDER BY cnt DESC, t LIMIT 1) AS top_count,
+        |  (SELECT count(*) FROM c, tot WHERE cnt * 64 >= 2 * n) AS n_heavy,
+        |  true AS contains_all, true AS bounds_ok""".stripMargin),
+
     // per-document lexical diversity: type-token ratio + hapax count
     // (tokens occurring exactly once in the doc). ONE shuffle: docs are
     // repartitioned by doc_id BEFORE exploding (the shuffle carries each

@@ -50,6 +50,7 @@ object SqlTableFunctions {
     "bloom" -> BloomKind,
     "zonemap" -> ZoneMapKind,
     "minhash" -> MinHashKind,
+    "fuzzy" -> FuzzyKind,
     "logcloud" -> LogCloudKind)
 
   /** Ranking kinds need the lake table's id column to score/decode. */

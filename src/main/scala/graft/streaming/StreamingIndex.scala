@@ -113,6 +113,16 @@ object StreamingIndex {
         .select(col("doc_id"), col("jac")).orderBy("doc_id")
     }, graft.ops.Dedup.minhashLookupSql),
 
+    // continuous typo-tolerant ingest: per-batch fuzzy (SymSpell
+    // deletion-neighborhood) indexes; the kind's multi-index probe +
+    // levenshtein refine must equal the brute predicate regardless of
+    // the file→batch split
+    "streaming_index_search_fuzzy" -> Q((s, dir) =>
+      search(s, dir, graft.ops.IndexQueries.FuzzyQueryStr,
+        graft.api.FuzzyKind).orderBy("doc_id"),
+      graft.ops.IndexQueries.fuzzySqlPublic(
+        graft.ops.IndexQueries.FuzzyQueryStr)),
+
     // continuous-ingest ANN: the stream maintains per-batch IVF
     // indexes over the embeddings table; the kind's multi-index
     // searchLake (probe-everything default = exact) must equal the
