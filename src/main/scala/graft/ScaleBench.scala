@@ -134,6 +134,48 @@ object ScaleBench {
         graft.index.Bm25Index.searchPhrase(spark, idx("bm25"),
           "vector stream", 10, "doc_id", "text").count()
       }),
+      // deletion-neighborhood build: linear in TOKEN INSTANCES ×
+      // (avg token length + 1); one explode→distinct shuffle like
+      // ngram_build
+      "fuzzy_build" -> (() =>
+        graft.core.IndexStore.ensure(idx("fuzzy")) {
+          graft.index.FuzzyIndex.build(spark, docFiles, "text",
+            idx("fuzzy"))
+        }),
+      // typo probe + levenshtein refine over candidates only — should
+      // track the near-token selectivity, not corpus size
+      "fuzzy_search" -> (() => {
+        graft.core.IndexStore.ensure(idx("fuzzy")) {
+          graft.index.FuzzyIndex.build(spark, docFiles, "text",
+            idx("fuzzy"))
+        }
+        graft.index.FuzzyIndex.search(spark, idx("fuzzy"), "text",
+          "vektor").count()
+      }),
+      // MG sketch: map-only bounded counters + one tiny merge groupBy;
+      // wall time should track the token scan, not vocab size
+      "heavy_hitters" -> (() => {
+        import spark.implicits._
+        val m = 64
+        Tables.load(spark, dir, "documents")
+          .select(explode(graft.text.Text.tokens(col("text"))).as("t"))
+          .as[String]
+          .mapPartitions { it =>
+            val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+            it.foreach { t =>
+              if (cnt.contains(t) || cnt.size < m)
+                cnt.update(t, cnt.getOrElse(t, 0L) + 1L)
+              else {
+                val snap = cnt.toArray
+                cnt.clear()
+                snap.foreach { case (k, v) =>
+                  if (v > 1L) cnt.update(k, v - 1L) }
+              }
+            }
+            cnt.iterator
+          }.toDF("t", "est")
+          .groupBy("t").agg(sum("est")).count()
+      }),
       "zonemap_build" -> (() =>
         graft.index.ZoneMapIndex.build(spark, docFiles, "n_chars",
           idx("zm"))),

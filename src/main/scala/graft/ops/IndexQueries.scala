@@ -278,6 +278,37 @@ object IndexQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, regexSql(RegexAltStr)),
 
+    // result snippets: the search-engine highlight surface — a fixed
+    // context window around the FIRST match, computed map-only on the
+    // index-pruned hits (locate + substring stay in codegen; the
+    // oracle recomputes the identical window in SQL)
+    "substring_search_snippet" -> Q((s, dir) => {
+      val p = fullIdx(s, dir)
+      val q = QueryStr
+      val pos = locate(q, lower(col("text")))
+      NgramIndex.search(s, p, Column, q)
+        .select(col("doc_id"),
+          col("text").substr(greatest(lit(1), pos - 20),
+            lit(40 + q.length)).as("snippet"))
+        .orderBy(col("doc_id"))
+    }, s"""SELECT doc_id,
+          |  substring(text, greatest(1, position('$QueryStr' IN lower(text)) - 20), ${40 + QueryStr.length}) AS snippet
+          |FROM documents WHERE contains(lower(text), '$QueryStr')
+          |ORDER BY doc_id""".stripMargin),
+
+    // faceted search: hit counts per (source, lang) — the index prunes
+    // the read, ONE partial-agg shuffle facets the hits; at 100 TB the
+    // aggregation input is the candidate row groups, never the lake
+    "substring_search_facets" -> Q((s, dir) => {
+      val p = fullIdx(s, dir)
+      NgramIndex.search(s, p, Column, QueryStr)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("source"), col("lang"))
+    }, s"""SELECT source, lang, count(*) AS n_hits FROM documents
+          |WHERE contains(lower(text), '$QueryStr')
+          |GROUP BY source, lang ORDER BY source, lang""".stripMargin),
+
     // typo-tolerant lookup: SymSpell deletion-neighborhood probe →
     // candidate row groups → selective read → levenshtein refine
     // (graft.index.FuzzyIndex — the one lexical query shape the gram/
