@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * puts one string inside the other's neighborhood. So indexing every
   * token's neighborhood and probing the query's neighborhood yields a
   * candidate SUPERSET (some distance-2 pairs slip in), and the
-  * mandatory refine — Spark's codegen'd `levenshtein` inside
+  * mandatory refine — Spark's built-in `levenshtein` inside
   * `exists()` over the token array — restores exactness, the same
   * FP discipline as every other index kind (reference:
   * src/lava/substring/search.rs:78-85 never truncates pre-refine).
@@ -57,7 +57,7 @@ object FuzzyIndex {
     * empty-string variant (required: two distinct 1-char tokens meet
     * only at ""), deduped per row by `array_distinct`.
     */
-  private def variantsCol(t: Column): Column = array_distinct(concat(
+  private[graft] def variantsCol(t: Column): Column = array_distinct(concat(
     array(t),
     transform(sequence(lit(0), length(t) - 1), i =>
       concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t))))))
@@ -83,6 +83,27 @@ object FuzzyIndex {
       .parquet(s"$path/postings")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()
+  }
+
+  /** Driver-side levenshtein (classic DP; both strings are short
+    * tokens) — the refine for driver-scale candidate sets, e.g. the
+    * BM25 fuzzy-expansion vocabulary probe.
+    */
+  def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    var i = 1
+    while (i <= a.length) {
+      var j = 1
+      while (j <= b.length) {
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        j += 1
+      }
+      i += 1
+    }
+    d(a.length)(b.length)
   }
 
   /** The exact predicate the index accelerates: row's token array holds,

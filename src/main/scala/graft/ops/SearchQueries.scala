@@ -164,6 +164,111 @@ object SearchQueries {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  // ---- fuzzy (typo-tolerant) query expansion -------------------------
+
+  val FuzzyBm25Query = "vektor stream" // one typo'd term, one exact
+  /** Weight of a distance-1 expansion term (exact matches weigh 1.0) —
+    * the Elasticsearch-style fuzziness discount, kept as a fixed
+    * constant so both engines compute identical CASE weights.
+    */
+  val FuzzyExpandWeight = 0.5
+
+  /** SymSpell vocab-variant artifact: (variant, token, bucket) rows for
+    * the corpus vocabulary's deletion neighborhoods, persisted once per
+    * lake dir (the vocabEmbeddings staleness contract). At 100 TB the
+    * vocabulary — and so this table — is bounded by distinct tokens,
+    * not corpus size, and an expansion probe reads ≤ Σ(|q|+1) variant
+    * buckets of it.
+    */
+  def fuzzyVocab(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val p = IndexStore.indexPath(dir, "fuzzy_vocab")
+    IndexStore.ensure(p) {
+      graft.Tables.load(s, dir, "documents")
+        .select(explode(graft.text.Text.tokens(col("text"))).as("token"))
+        .distinct()
+        .select(col("token"),
+          explode(graft.index.FuzzyIndex.variantsCol(col("token")))
+            .as("variant"))
+        .withColumn("bucket",
+          graft.index.Bucketing.bucketCol(col("variant")))
+        .write.mode("overwrite").partitionBy("bucket")
+        .option("compression", "zstd").parquet(s"$p/table")
+    }
+    s.read.parquet(s"$p/table")
+  }
+
+  /** Typo-tolerant expansion: every vocabulary token within edit
+    * distance 1 of a query token, weighted 1.0 (exact) /
+    * [[FuzzyExpandWeight]] (distance 1), max over query tokens. The
+    * probe is a variant-equality point lookup against [[fuzzyVocab]]
+    * (candidates are a lev ≤ 2 superset by the deletion-neighborhood
+    * lemma), refined by the driver-side DP levenshtein — candidate
+    * sets are vocabulary-scale slices, never corpus rows.
+    */
+  def expandTermsFuzzy(s: SparkSession, dir: String,
+      qtoks: Seq[String]): Seq[(String, Double)] = {
+    if (qtoks.isEmpty) return Seq.empty
+    val probes = qtoks.flatMap(graft.index.FuzzyIndex.variantsOf).distinct
+    val qbuckets = probes
+      .map(graft.index.NgramIndex.bucketOfString).distinct
+    val cands = fuzzyVocab(s, dir)
+      .filter(col("bucket").isin(qbuckets: _*) &&
+        col("variant").isin(probes: _*))
+      .select("token").distinct()
+      .collect().map(_.getString(0))
+    cands.flatMap { t =>
+      val ws = qtoks.flatMap { q =>
+        if (t == q) Some(1.0)
+        else if (graft.index.FuzzyIndex.lev(t, q) <= 1)
+          Some(FuzzyExpandWeight)
+        else None
+      }
+      if (ws.isEmpty) None else Some(t -> ws.max)
+    }.sortBy(_._1).toSeq
+  }
+
+  /** The fuzzy expansion + weighted scoring in ANSI SQL: the oracle
+    * recomputes the expansion independently (DuckDB levenshtein over
+    * the vocabulary CTE) rather than trusting the Spark-side term
+    * list — the [[oracleSqlExpandedEmbed]] discipline.
+    */
+  def oracleSqlFuzzy(query: String, k: Int): String = {
+    import Bm25Index.{B, K1, Quant}
+    val qtoks = graft.text.Text.RegexTokenizer.tokenizeQuery(query).distinct
+    val qvals = qtoks.map(q => s"('$q')").mkString(", ")
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |  FROM documents),
+       |expterms AS (
+       |  SELECT token,
+       |    max(CASE WHEN token = qs.q THEN 1.0 ELSE $FuzzyExpandWeight END) AS qw
+       |  FROM vocab CROSS JOIN (VALUES $qvals) qs(q)
+       |  WHERE levenshtein(token, qs.q) <= 1
+       |  GROUP BY token),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       |       WHERE token IN (SELECT token FROM expterms) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      e.qw *
+       |      ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |      (tf.tf * ${K1 + 1} / (tf.tf + $K1 * (${1 - B} + $B * dl.dl / c.avgdl)))
+       |      * $Quant) AS BIGINT) AS cq
+       |  FROM tf JOIN df USING (token) JOIN expterms e USING (token)
+       |       JOIN dl USING (doc_id) CROSS JOIN corpus c)
+       |SELECT doc_id, round(CAST(sum(cq) AS DOUBLE) / $Quant, 4) AS score
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   // ---- hybrid retrieval (RRF fusion) ---------------------------------
 
   val HybridN = 20          // per-arm candidate depth (deeper than final k)
@@ -395,6 +500,48 @@ object SearchQueries {
       val p = bm25Idx(s, dir)
       Bm25Index.searchWeighted(s, p, ExpandedTerms, Bm25K)
     }, Bm25Index.oracleSqlWeighted("documents", "text", "doc_id", ExpandedTerms, Bm25K)),
+
+    // typo-tolerant RANKED search (Elasticsearch fuzziness=1 shape):
+    // query tokens expand to their lev<=1 vocabulary neighbors via the
+    // SymSpell variant probe, then the standard weighted-BM25 plan
+    // ranks — the oracle recomputes the expansion with DuckDB's own
+    // levenshtein, so Spark's probe+refine is independently checked
+    "bm25_search_fuzzy" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      val qtoks = graft.text.Text.RegexTokenizer
+        .tokenizeQuery(FuzzyBm25Query).distinct
+      Bm25Index.searchWeighted(s, p,
+        expandTermsFuzzy(s, dir, qtoks), Bm25K)
+    }, oracleSqlFuzzy(FuzzyBm25Query, Bm25K)),
+
+    // spell-correction suggestions (the SymSpell end-user surface):
+    // lev<=1 vocabulary neighbors of the typo'd token ranked by corpus
+    // frequency — candidates from the variant probe, frequencies
+    // SERVED FROM THE BM25 INDEX (Σtf over the token's postings
+    // bucket), so no corpus rescan at suggestion time
+    "fuzzy_suggest" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      val q = "vektor"
+      val cands = expandTermsFuzzy(s, dir, Seq(q)).map(_._1)
+      if (cands.isEmpty)
+        s.range(0).select(lit("").as("token"), lit(0L).as("freq"))
+          .limit(0)
+      else {
+        val qbuckets = cands
+          .map(graft.index.Bm25Index.bucketOfString).distinct
+        s.read.parquet(s"$p/postings")
+          .filter(col("bucket").isin(qbuckets: _*) &&
+            col("token").isin(cands: _*))
+          .groupBy(col("token")).agg(sum(col("tf")).as("freq"))
+          .orderBy(col("freq").desc, col("token"))
+      }
+    },
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS freq FROM toks
+        |WHERE levenshtein(token, 'vektor') <= 1
+        |GROUP BY token ORDER BY freq DESC, token""".stripMargin),
 
     // token-mode substring search: token-sequence containment semantics
     "substring_token_search" -> Q((s, dir) => {

@@ -118,6 +118,26 @@ class FuzzyIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("probe plan: bucket partition pruning + pushed variant filter") {
+    val files = mkLake(corpus, 3)
+    val idx = TestSpark.tmpDir("fuzzy-idx-plan")
+    FuzzyIndex.build(spark, files, "text", idx)
+    val probeVars = FuzzyIndex.variantsOf("quock")
+    val qbuckets = probeVars
+      .map(graft.index.NgramIndex.bucketOfString).distinct
+    val post = spark.read.parquet(s"$idx/postings")
+      .filter(col("bucket").isin(qbuckets: _*) &&
+        col("variant").isin(probeVars: _*))
+    val p = post.queryExecution.executedPlan.toString
+    // at 100 TB the postings table is corpus-sized: the probe MUST
+    // reach the scan as a bucket partition filter (≤ |q|+1 partitions
+    // read) and a pushed variant predicate (row-group min/max skip)
+    assert("PartitionFilters: \\[.*bucket".r.findFirstIn(p).isDefined,
+      s"probe lost bucket partition pruning:\n$p")
+    assert(p.contains("PushedFilters: [In(variant"),
+      s"probe variants not pushed to the scan:\n$p")
+  }
+
   test("probe prunes: candidate row groups only, not a full scan") {
     // rows that cannot match the query token must not be read: build a
     // lake whose second file shares no near-tokens with the query, then
