@@ -1,0 +1,129 @@
+package graft.index
+
+import graft.core.Layout
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Boolean substring queries over the gram index: AND / OR / NOT trees
+  * of case-insensitive contains terms, evaluated as candidate-set
+  * ALGEBRA at row-group granularity before a single selective read.
+  *
+  * The reference's search surface is single-predicate (one literal per
+  * probe, reference: src/lava/substring/search.rs:446-530); production
+  * log/corpus queries compose predicates. The index bound composes
+  * soundly:
+  *   - Term(t): row groups holding ALL grams of t (the existing probe);
+  *   - And(a, b): intersection of the children's candidate sets — a row
+  *     matching both sides must sit in both sets;
+  *   - Or(a, b): union;
+  *   - Not(a): the index CANNOT bound a negation — the child's
+  *     candidates say where `a` MAY hold, not where it must fail — so
+  *     Not contributes the universe, and pruning survives only through
+  *     And-siblings (the common `x AND NOT y` shape scans only x's
+  *     candidates).
+  * Every set is a candidate SUPERSET; the single combined refine
+  * predicate restores exactness (the index FP discipline, reference:
+  * src/lava/substring/search.rs:78-85).
+  *
+  * At 100 TB: one posting probe per DISTINCT term (each ≤ |grams|
+  * bucket partitions), driver-side set algebra on row-group ordinals
+  * (metadata-scale), ONE selective read of the final set.
+  */
+object BoolSearch {
+
+  sealed trait Bq
+  final case class Term(q: String) extends Bq
+  final case class And(cs: Seq[Bq]) extends Bq
+  final case class Or(cs: Seq[Bq]) extends Bq
+  final case class Not(c: Bq) extends Bq
+
+  /** The exact predicate of a query tree against `column`. */
+  def predicate(column: String, q: Bq): Column = q match {
+    case Term(t) =>
+      lower(col(column)).contains(graft.text.Text.sparkLower(t))
+    case And(cs) => cs.map(predicate(column, _)).reduce(_ && _)
+    case Or(cs)  => cs.map(predicate(column, _)).reduce(_ || _)
+    case Not(c)  => !predicate(column, c)
+  }
+
+  /** DuckDB twin of [[predicate]] for oracle SQL. */
+  def oraclePredicate(column: String, q: Bq): String = q match {
+    case Term(t) =>
+      s"contains(lower($column), '${graft.text.Text.sparkLower(t)}')"
+    case And(cs) =>
+      cs.map(oraclePredicate(column, _)).mkString("(", " AND ", ")")
+    case Or(cs) =>
+      cs.map(oraclePredicate(column, _)).mkString("(", " OR ", ")")
+    case Not(c) => s"(NOT ${oraclePredicate(column, c)})"
+  }
+
+  /** Candidate row-group set of the tree: None = universe (no bound).
+    * `termCands` resolves one term's candidates (memoized per distinct
+    * term by the caller).
+    */
+  private def cands(q: Bq,
+      termCands: String => Option[Set[Long]]): Option[Set[Long]] = q match {
+    case Term(t) => termCands(t)
+    case And(cs) =>
+      val bounds = cs.flatMap(c => cands(c, termCands))
+      if (bounds.isEmpty) None else Some(bounds.reduce(_ intersect _))
+    case Or(cs) =>
+      val all = cs.map(c => cands(c, termCands))
+      if (all.exists(_.isEmpty)) None // one unbounded arm unbounds the OR
+      else Some(all.flatten.reduce(_ union _))
+    case Not(_) => None
+  }
+
+  /** Search one gram index with a boolean tree: probe each distinct
+    * term once, combine candidate sets, ONE selective read, combined
+    * refine. Returns matching lake rows (all columns + uid).
+    */
+  def search(spark: SparkSession, path: String, column: String,
+      query: Bq): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta")
+    def coveredFiles: Seq[String] = meta.select("file_path").distinct()
+      .collect().map(_.getString(0)).toSeq
+    def coveredScan(): DataFrame =
+      spark.read.parquet(coveredFiles: _*)
+        .filter(predicate(column, query))
+        .withColumn("uid", lit(-1L))
+
+    // one probe per distinct term, memoized — a term appearing in
+    // several branches (e.g. (a AND b) OR (a AND c)) probes once
+    val memo = scala.collection.mutable.Map.empty[String, Option[Set[Long]]]
+    def termCands(t: String): Option[Set[Long]] = memo.getOrElseUpdate(t, {
+      val q = graft.text.Text.sparkLower(t)
+      if (q.isEmpty) None // contains("") = every row: no bound
+      else {
+        val qgrams = {
+          val cpg = graft.text.Text.cpGrams(q, NgramIndex.N)
+          if (cpg.nonEmpty)
+            graft.text.QueryShaping.viableGrams(cpg.distinct)
+          else Seq(q)
+        }
+        val qbuckets = qgrams.map(NgramIndex.bucketOfString).distinct
+        Some(spark.read.parquet(s"$path/postings")
+          .filter(col("bucket").isin(qbuckets: _*) &&
+            col("gram").isin(qgrams: _*))
+          .groupBy("uid")
+          .agg(countDistinct(col("gram")).as("ng"))
+          .filter(col("ng") === qgrams.size)
+          .select("uid").collect().map(_.getLong(0)).toSet)
+      }
+    })
+
+    cands(query, termCands) match {
+      case None => coveredScan()
+      case Some(set) =>
+        val hitList = set.toSeq.sorted
+        if (hitList.size > graft.core.Lake.BruteForceThreshold ||
+            hitList.size >= meta.count()) coveredScan()
+        else if (hitList.isEmpty)
+          spark.read.parquet(coveredFiles: _*)
+            .withColumn("uid", lit(-1L)).filter(lit(false))
+        else Layout.readHits(spark, meta, hitList.toDF("uid"))
+          .filter(predicate(column, query))
+    }
+  }
+}

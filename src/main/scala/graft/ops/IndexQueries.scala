@@ -278,6 +278,52 @@ object IndexQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, regexSql(RegexAltStr)),
 
+    // boolean queries over the SAME committed gram index: candidate-set
+    // algebra at row-group granularity (And=∩, Or=∪, Not=universe —
+    // pruning survives through And-siblings), one selective read, one
+    // combined refine (graft.index.BoolSearch)
+    "substring_search_bool_or" -> Q((s, dir) => {
+      import graft.index.BoolSearch._
+      val p = fullIdx(s, dir)
+      val q = Or(Seq(Term("slow scan"), Term("fast scan")))
+      graft.index.BoolSearch.search(s, p, Column, q)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, {
+      import graft.index.BoolSearch._
+      val q = Or(Seq(Term("slow scan"), Term("fast scan")))
+      s"SELECT doc_id FROM documents WHERE ${oraclePredicate("text", q)} ORDER BY doc_id"
+    }),
+
+    // x AND NOT y: the negation cannot prune, the conjunction still
+    // scans only x's candidate row groups
+    "substring_search_bool_not" -> Q((s, dir) => {
+      import graft.index.BoolSearch._
+      val p = fullIdx(s, dir)
+      val q = And(Seq(Term(QueryStr), Not(Term("vector"))))
+      graft.index.BoolSearch.search(s, p, Column, q)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, {
+      import graft.index.BoolSearch._
+      val q = And(Seq(Term(QueryStr), Not(Term("vector"))))
+      s"SELECT doc_id FROM documents WHERE ${oraclePredicate("text", q)} ORDER BY doc_id"
+    }),
+
+    // nested tree: (a OR b) AND NOT c — candidates = union of the OR
+    // arms, still bounded
+    "substring_search_bool_nested" -> Q((s, dir) => {
+      import graft.index.BoolSearch._
+      val p = fullIdx(s, dir)
+      val q = And(Seq(Or(Seq(Term("slow scan"), Term("fast scan"))),
+        Not(Term("window"))))
+      graft.index.BoolSearch.search(s, p, Column, q)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, {
+      import graft.index.BoolSearch._
+      val q = And(Seq(Or(Seq(Term("slow scan"), Term("fast scan"))),
+        Not(Term("window"))))
+      s"SELECT doc_id FROM documents WHERE ${oraclePredicate("text", q)} ORDER BY doc_id"
+    }),
+
     // result snippets: the search-engine highlight surface — a fixed
     // context window around the FIRST match, computed map-only on the
     // index-pruned hits (locate + substring stay in codegen; the
