@@ -306,6 +306,76 @@ object NgramRegexKind extends IndexKind {
   }
 }
 
+/** Boolean-query mode of the SAME committed ngram indexes (name =
+  * "ngram", like [[NgramRegexKind]] — builds, coverage, compaction and
+  * vacuum are shared; boolean is a query MODE, not a second index).
+  * The query string is the [[graft.text.BoolQueryParser]] surface
+  * (`"fast scan" OR slow AND NOT vector`); candidates compose by the
+  * [[graft.index.BoolSearch]] set algebra over (idx, uid) pairs across
+  * every covering index, one selective read, one combined refine.
+  * In-situ files always take the full predicate scan.
+  */
+object BoolNgramKind extends IndexKind {
+
+  val name = "ngram"
+
+  def build(spark: SparkSession, files: Seq[String], column: String,
+      path: String): Unit = NgramIndex.build(spark, files, column, path)
+
+  def merge(spark: SparkSession, a: String, b: String, out: String): Unit =
+    NgramIndex.merge(spark, a, b, out)
+
+  def searchLake(spark: SparkSession, paths: Seq[String],
+      insituFiles: Seq[String], column: String, query: String,
+      k: Int, live: Option[Set[String]] = None): DataFrame = {
+    import graft.index.BoolSearch
+    val tree = graft.text.BoolQueryParser.parse(query)
+    val covered = coveredFiles(spark, paths, live)
+    def refine(d: DataFrame): DataFrame =
+      d.filter(BoolSearch.predicate(column, tree))
+
+    def viaIndex(): Option[DataFrame] = {
+      import spark.implicits._
+      val memo =
+        scala.collection.mutable.Map.empty[String, Option[Set[(Int, Long)]]]
+      def termCands(t: String): Option[Set[(Int, Long)]] =
+        memo.getOrElseUpdate(t, {
+          val q = graft.text.Text.sparkLower(t)
+          if (q.isEmpty) None // contains("") = every row: no bound
+          else {
+            val qgrams = {
+              val cpg = graft.text.Text.cpGrams(q, NgramIndex.N)
+              if (cpg.nonEmpty)
+                graft.text.QueryShaping.viableGrams(cpg.distinct)
+              else Seq(q)
+            }
+            val qbuckets = qgrams.map(NgramIndex.bucketOfString).distinct
+            Some(IndexKind.readTagged(spark, paths, "postings")
+              .filter(col("bucket").isin(qbuckets: _*) &&
+                col("gram").isin(qgrams: _*))
+              .groupBy(col("idx"), col("uid"))
+              .agg(countDistinct(col("gram")).as("ng"))
+              .filter(col("ng") === qgrams.size)
+              .select("idx", "uid").collect()
+              .map(r => (r.getInt(0), r.getLong(1))).toSet)
+          }
+        })
+      BoolSearch.cands(tree, termCands) match {
+        case None => None // unbounded tree: brute covered scan
+        case Some(set) =>
+          val hits = collectHits(spark, paths,
+            set.toSeq.toDF("idx", "uid"), live)
+          if (bruteBeatsIndex(spark, paths, hits)) None
+          else Some(refine(
+            Layout.readGroups(spark, hits, covered).drop("uid")))
+      }
+    }
+
+    searchParts(spark, paths, insituFiles, covered, () => viaIndex(),
+      refine)
+  }
+}
+
 /** BM25 ranked full-text kind. `idCol` is the per-row document id.
   * Uncovered files are scored IN-SITU at query time (postings + doc
   * stats computed on the fly for the query tokens, reference fills from

@@ -57,12 +57,14 @@ object BoolSearch {
     case Not(c) => s"(NOT ${oraclePredicate(column, c)})"
   }
 
-  /** Candidate row-group set of the tree: None = universe (no bound).
+  /** Candidate-set algebra of the tree: None = universe (no bound).
     * `termCands` resolves one term's candidates (memoized per distinct
-    * term by the caller).
+    * term by the caller). Generic over the candidate id type — the
+    * single-index path uses uid ordinals, the multi-index facade kind
+    * uses (idx, uid) pairs.
     */
-  private def cands(q: Bq,
-      termCands: String => Option[Set[Long]]): Option[Set[Long]] = q match {
+  def cands[A](q: Bq,
+      termCands: String => Option[Set[A]]): Option[Set[A]] = q match {
     case Term(t) => termCands(t)
     case And(cs) =>
       val bounds = cs.flatMap(c => cands(c, termCands))

@@ -415,6 +415,27 @@ object IndexQueries {
         .select(col("doc_id"))
     }, regexSql(RegexQueryStr)),
 
+    // boolean query mode through the FULL facade + the SQL-ONLY
+    // surface: same committed ngram indexes (boolean is a query mode,
+    // like regex), query-string parser → set algebra across covering
+    // indexes → combined refine; one statement a BI tool could issue
+    "lake_api_bool" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val prefix = Lake.splitPath(dir, Table)
+      val lake = graft.api.GraftLake(s, prefix)
+      lake.index(graft.api.NgramKind, Column)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT doc_id FROM graft_search('$prefix', 'bool', " +
+        s"""'$Column', '"slow scan" OR "fast scan" AND NOT window', """ +
+        s"100000, 'doc_id') ORDER BY doc_id")
+    }, {
+      import graft.index.BoolSearch._
+      // OR binds loosest: a OR (b AND NOT c)
+      val q = Or(Seq(Term("slow scan"),
+        And(Seq(Term("fast scan"), Not(Term("window"))))))
+      s"SELECT doc_id FROM documents WHERE ${oraclePredicate("text", q)} ORDER BY doc_id"
+    }),
+
     // the public facade end-to-end (index_parquet_lake /
     // search_parquet_lake equivalent): incremental index + K-fill search
     "lake_api_search" -> Q((s, dir) => {

@@ -42,6 +42,7 @@ object SqlTableFunctions {
   private val filterKinds: Map[String, IndexKind] = Map(
     "ngram" -> NgramKind,
     "regex" -> NgramRegexKind,
+    "bool" -> BoolNgramKind,
     "token" -> TokenKind,
     "fm" -> FmKind,
     "token_fm" -> TokenFmKind,

@@ -68,6 +68,47 @@ class BoolSearchSpec extends AnyFunSuite {
     assert(r1 == r2 && r1.nonEmpty)
   }
 
+  test("query-string parser: precedence, quotes, parens, escapes") {
+    import graft.text.BoolQueryParser.parse
+    assert(parse("a") == Term("a"))
+    // NOT > AND > OR
+    assert(parse("a OR b AND NOT c") ==
+      Or(Seq(Term("a"), And(Seq(Term("b"), Not(Term("c")))))))
+    assert(parse("(a OR b) AND c") ==
+      And(Seq(Or(Seq(Term("a"), Term("b"))), Term("c"))))
+    assert(parse("\"fast scan\" AND NOT \"slow (scan)\"") ==
+      And(Seq(Term("fast scan"), Not(Term("slow (scan)")))))
+    assert(parse("\"say \\\"hi\\\"\"") == Term("say \"hi\""))
+    // lower-case operator words are search TERMS; adjacency is
+    // implicit AND
+    assert(parse("black and white") ==
+      And(Seq(Term("black"), Term("and"), Term("white"))))
+    assert(parse("quick \"brown fox\"") ==
+      And(Seq(Term("quick"), Term("brown fox"))))
+    assert(intercept[IllegalArgumentException] {
+      parse("(a OR b")
+    }.getMessage.contains("missing ')'"))
+  }
+
+  test("facade boolean kind equals the brute predicate incl. in-situ") {
+    import graft.api.BoolNgramKind
+    val dir = TestSpark.tmpDir("bool-facade-lake")
+    corpus.toDF("doc_id", "text")
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+    val files = graft.core.Lake.listFiles(dir)
+    // index only 2 of 3 files; the third routes in-situ
+    val idx = TestSpark.tmpDir("bool-facade-idx")
+    NgramIndex.build(spark, files.take(2), "text", idx)
+    val qs = "\"five\" AND NOT box"
+    val got = BoolNgramKind.searchLake(spark, Seq(idx), files.drop(2),
+        "text", qs, Int.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val tree = graft.text.BoolQueryParser.parse(qs)
+    val want = corpus.filter(c => evalBq(c._2, tree)).map(_._1).toSet
+    assert(got == want)
+  }
+
   test("oracle predicate mirrors the Spark predicate shape") {
     val q = And(Seq(Or(Seq(Term("A b"), Term("c"))), Not(Term("d"))))
     assert(BoolSearch.oraclePredicate("text", q) ==
