@@ -503,6 +503,21 @@ object IndexQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, bruteSql(QueryStr)),
 
+    // disjunction flavor: a PLAIN read + OR-of-contains filter is
+    // transparently pruned to the UNION of the arms' keep sets
+    "catalyst_or_prune" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val prefix = Lake.splitPath(dir, Table)
+      graft.api.GraftLake(s, prefix).index(graft.api.NgramKind, Column)
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix)
+        .filter(lower(col(Column)).contains("slow scan") ||
+          lower(col(Column)).contains("fast scan"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, "SELECT doc_id FROM documents WHERE " +
+       "contains(lower(text), 'slow scan') OR contains(lower(text), 'fast scan') " +
+       "ORDER BY doc_id"),
+
     // SURVEY §7.4 stretch, point-lookup flavor: a PLAIN
     // spark.read.parquet + equality/IN filter — no graft API in the
     // query — transparently file-pruned by the Catalyst IndexPruneRule

@@ -524,6 +524,14 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         probeFn: Seq[String] => Set[String]): Option[Set[String]] =
       this.keepFor(prefix, allFiles, colName, kind, sig, probeFn)
 
+    // one conjunction level's keep sets (each individually sound for
+    // its conjunct). Defined as a function so DISJUNCTIONS recurse:
+    // keep(a OR b) = keep(a) ∪ keep(b) — sound iff EVERY arm is
+    // bounded (one unbounded arm unbounds the OR); keep of an arm is
+    // the intersection of its own conjuncts' keeps, and nested Or
+    // inside an arm recurses through the same collector.
+    def conjKeeps(preds: Seq[Expression]): Seq[Set[String]] = {
+
     // contains-predicates over a plain column (bare or lower())
     val contains = preds.collect {
       case Contains(a: AttributeReference, Literal(q, StringType))
@@ -607,7 +615,19 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // prune
     def psig(mode: String, vs: Seq[String]): String =
       mode + vs.map(v => s"${v.length}:$v").mkString
-    val keeps =
+    // disjunctive conjuncts: every arm must be bounded for the union
+    // to bound the OR; each arm is itself a conjunction (recursion
+    // handles nesting to any depth)
+    val orKeeps = preds.collect {
+      case or: org.apache.spark.sql.catalyst.expressions.Or =>
+        val arms = splitDisjunctivePredicates(or)
+        val armKeeps = arms.map { arm =>
+          val ks = conjKeeps(splitConjunctivePredicates(arm))
+          if (ks.isEmpty) None else Some(ks.reduce(_ & _))
+        }
+        if (armKeeps.exists(_.isEmpty)) None
+        else Some(armKeeps.flatten.reduce(_ | _))
+    }.flatten
       contains.flatMap { case (c, q) =>
         keepFor(c, "ngram", psig("has", Seq(q)), probe(_, q)) } ++
       regexes.flatMap { case (c, p, lits) =>
@@ -621,7 +641,11 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         keepFor(c, "bloom", psig("eq", vs), bloomProbe(_, vs)) } ++
       integralBounds(preds).flatMap { case (c, lo, hi) =>
         keepFor(c, "zonemap", psig("zone", Seq(lo.toString, hi.toString)),
-          zoneProbe(_, lo, hi)) }
+          zoneProbe(_, lo, hi)) } ++
+      orKeeps
+    } // end conjKeeps
+
+    val keeps = conjKeeps(preds)
     if (keeps.isEmpty) return None
     val keep = keeps.reduce(_ & _)
     if (keep.size >= allFiles.size) return None // nothing pruned

@@ -332,6 +332,62 @@ class IndexPruneRuleSpec extends AnyFunSuite {
       "expected BOTH indexes to prune (intersection of keep sets)")
   }
 
+  test("disjunctions prune by the UNION of arm keep sets") {
+    val dir = TestSpark.tmpDir("pruneor")
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"stage-or-$name")
+      rows.toDF("k", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    write("a", Seq(10L -> "alpha needle", 11L -> "filler"))
+    write("b", Seq(20L -> "beta thimble", 21L -> "filler"))
+    write("c", Seq(30L -> "nothing", 31L -> "also nothing"))
+    val lake = api.GraftLake(spark, dir)
+    lake.index(api.NgramKind, "text", binpackRows = 1)
+    lake.index(api.ZoneMapKind, "k", binpackRows = 1)
+    IndexPruneRule.enable(spark)
+
+    // needle keeps {a}, thimble keeps {b} → OR scans {a, b}, prunes c
+    val q = spark.read.parquet(dir)
+      .filter(lower(col("text")).contains("needle") ||
+        lower(col("text")).contains("thimble"))
+    assert(q.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 20L))
+    assert(scannedFiles(q) == 2,
+      "expected the no-arm-hit file to be pruned from the OR")
+
+    // an arm over an UNINDEXED bound (k range has a zone map, but the
+    // text arm uses an unindexable expression) unbounds the OR — every
+    // file kept, results still exact
+    val unb = spark.read.parquet(dir)
+      .filter(col("k") <= 15 || length(col("text")) > 1000)
+    assert(unb.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 11L))
+    assert(scannedFiles(unb) == 3, "one unbounded arm must keep all files")
+
+    // mixed-kind arms: text-contains arm ∪ zone-range arm
+    val mixed = spark.read.parquet(dir)
+      .filter(lower(col("text")).contains("thimble") ||
+        (col("k") >= 0 && col("k") <= 15))
+    assert(mixed.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 11L, 20L))
+    assert(scannedFiles(mixed) == 2,
+      "expected union of the contains-arm and zone-arm keep sets")
+
+    // nested: (needle OR thimble) AND k <= 15 → OR-union {a,b} ∩ zone
+    // keep {a} = {a}
+    val nested = spark.read.parquet(dir)
+      .filter((lower(col("text")).contains("needle") ||
+        lower(col("text")).contains("thimble")) && col("k") <= 15)
+    assert(nested.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(10L))
+    assert(scannedFiles(nested) == 1,
+      "expected OR-union intersected with the zone keep set")
+  }
+
   test("case-sensitive contains prunes soundly (superset candidates)") {
     val dir = TestSpark.tmpDir("prunelake3")
     def write(name: String, rows: Seq[(Long, String)]): Unit = {
