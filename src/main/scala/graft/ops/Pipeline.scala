@@ -304,6 +304,36 @@ object Pipeline {
         element_at(typedLit(SampleRates.toMap), col("lang")))
   }
 
+  /** Per-source document cap (web-corpus "domain capping"): keep the
+    * top [[SourceCap]] documents of each source by quality proxy
+    * (n_chars desc, doc_id asc tie-break — fully deterministic). One
+    * hash shuffle on source + a per-source window; the window state is
+    * one counter per partition-local source run. A single dominant
+    * source concentrates its rows in one partition — at 100 TB cap
+    * FIRST with a coarse per-file pre-filter (zone maps on a
+    * quality column bound how many rows can clear the cap) or raise
+    * parallelism on the source key; the cap result itself is bounded
+    * at cap × |sources| rows regardless of corpus size.
+    */
+  val SourceCap = 5
+
+  def sourceCap(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    d.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceCap)
+      .drop("rk")
+  }
+
+  private def sourceCapSql: String =
+    s"""SELECT doc_id, source, n_chars FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= $SourceCap""".stripMargin
+
   private def sampleSql: String = {
     val cases = SampleRates.map { case (l, p) => s"WHEN '$l' THEN $p" }
       .mkString(" ")
@@ -851,6 +881,11 @@ object Pipeline {
 
     "q_sample_stratified" -> Q(
       (s, dir) => sampleStratified(docs(s, dir)), sampleSql),
+
+    // domain capping: top-N docs per source by quality proxy, the
+    // CommonCrawl-style per-domain bound (result ≤ cap × |sources|
+    // rows at any corpus size)
+    "q_source_cap" -> Q((s, dir) => sourceCap(docs(s, dir)), sourceCapSql),
 
     // domain-reweighted training-mix assembly: per-source token budgets
     // hit greedily in deterministic md5 order
