@@ -152,6 +152,19 @@ object ScaleBench {
         graft.index.FuzzyIndex.search(spark, idx("fuzzy"), "text",
           "vektor").count()
       }),
+      // boolean OR-tree over the gram index: per-term probes + one
+      // selective read of the union — should track arm selectivity,
+      // not corpus size
+      "bool_search" -> (() => {
+        graft.core.IndexStore.ensure(idx("ngram")) {
+          graft.index.NgramIndex.build(spark, docFiles, "text",
+            idx("ngram"))
+        }
+        import graft.index.BoolSearch._
+        graft.index.BoolSearch.search(spark, idx("ngram"), "text",
+          And(Seq(Or(Seq(Term("slow scan"), Term("fast scan"))),
+            Not(Term("window"))))).count()
+      }),
       // MG sketch: map-only bounded counters + one tiny merge groupBy;
       // wall time should track the token scan, not vocab size
       "heavy_hitters" -> (() => {

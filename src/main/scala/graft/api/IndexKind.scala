@@ -336,30 +336,38 @@ object BoolNgramKind extends IndexKind {
 
     def viaIndex(): Option[DataFrame] = {
       import spark.implicits._
-      val memo =
-        scala.collection.mutable.Map.empty[String, Option[Set[(Int, Long)]]]
-      def termCands(t: String): Option[Set[(Int, Long)]] =
-        memo.getOrElseUpdate(t, {
-          val q = graft.text.Text.sparkLower(t)
-          if (q.isEmpty) None // contains("") = every row: no bound
-          else {
-            val qgrams = {
-              val cpg = graft.text.Text.cpGrams(q, NgramIndex.N)
-              if (cpg.nonEmpty)
-                graft.text.QueryShaping.viableGrams(cpg.distinct)
-              else Seq(q)
-            }
-            val qbuckets = qgrams.map(NgramIndex.bucketOfString).distinct
-            Some(IndexKind.readTagged(spark, paths, "postings")
-              .filter(col("bucket").isin(qbuckets: _*) &&
-                col("gram").isin(qgrams: _*))
-              .groupBy(col("idx"), col("uid"))
-              .agg(countDistinct(col("gram")).as("ng"))
-              .filter(col("ng") === qgrams.size)
-              .select("idx", "uid").collect()
-              .map(r => (r.getInt(0), r.getLong(1))).toSet)
+      // ONE batched probe for every distinct term across every
+      // covering index (gram→term tagged postings; N terms never pay
+      // N Spark jobs)
+      val termGrams: Map[String, Seq[String]] = BoolSearch.termsOf(tree)
+        .toSeq.flatMap(t => BoolSearch.gramsOf(t).map(t -> _)).toMap
+      val perTerm: Map[String, Set[(Int, Long)]] =
+        if (termGrams.isEmpty) Map.empty
+        else {
+          val pairs = termGrams.toSeq.flatMap { case (t, gs) =>
+            gs.map(g => (g, t))
           }
-        })
+          val allGrams = pairs.map(_._1).distinct
+          val qbuckets = allGrams.map(NgramIndex.bucketOfString).distinct
+          IndexKind.readTagged(spark, paths, "postings")
+            .filter(col("bucket").isin(qbuckets: _*) &&
+              col("gram").isin(allGrams: _*))
+            .join(broadcast(pairs.toDF("gram", "term")), Seq("gram"))
+            .groupBy(col("term"), col("idx"), col("uid"))
+            .agg(countDistinct(col("gram")).as("ng"))
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (t, rows) =>
+              t -> rows
+                .filter(_.getLong(3) == termGrams(t).size.toLong)
+                .map(r => (r.getInt(1), r.getLong(2))).toSet
+            }
+        }
+      def termCands(t: String): Option[Set[(Int, Long)]] = {
+        val q = graft.text.Text.sparkLower(t)
+        if (q.isEmpty) None // contains("") = every row: no bound
+        else Some(perTerm.getOrElse(q, Set.empty))
+      }
       BoolSearch.cands(tree, termCands) match {
         case None => None // unbounded tree: brute covered scan
         case Some(set) =>

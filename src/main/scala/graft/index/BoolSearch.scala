@@ -76,8 +76,30 @@ object BoolSearch {
     case Not(_) => None
   }
 
-  /** Search one gram index with a boolean tree: probe each distinct
-    * term once, combine candidate sets, ONE selective read, combined
+  /** Distinct terms of a tree (the probe unit). */
+  def termsOf(q: Bq): Set[String] = q match {
+    case Term(t) => Set(graft.text.Text.sparkLower(t))
+    case And(cs) => cs.flatMap(termsOf).toSet
+    case Or(cs)  => cs.flatMap(termsOf).toSet
+    case Not(c)  => termsOf(c)
+  }
+
+  /** The grams one lowercased term must intersect (short terms probe
+    * their exact 1/2-gram; empty terms have no bound → None).
+    */
+  def gramsOf(q: String): Option[Seq[String]] =
+    if (q.isEmpty) None
+    else {
+      val cpg = graft.text.Text.cpGrams(q, NgramIndex.N)
+      Some(
+        if (cpg.nonEmpty) graft.text.QueryShaping.viableGrams(cpg.distinct)
+        else Seq(q))
+    }
+
+  /** Search one gram index with a boolean tree: ONE batched probe job
+    * resolves every distinct term's candidate set (gram→term tagged
+    * postings, per-(term, uid) gram-count intersection — N terms never
+    * pay N Spark jobs), then set algebra, ONE selective read, combined
     * refine. Returns matching lake rows (all columns + uid).
     */
   def search(spark: SparkSession, path: String, column: String,
@@ -91,29 +113,34 @@ object BoolSearch {
         .filter(predicate(column, query))
         .withColumn("uid", lit(-1L))
 
-    // one probe per distinct term, memoized — a term appearing in
-    // several branches (e.g. (a AND b) OR (a AND c)) probes once
-    val memo = scala.collection.mutable.Map.empty[String, Option[Set[Long]]]
-    def termCands(t: String): Option[Set[Long]] = memo.getOrElseUpdate(t, {
+    val termGrams: Map[String, Seq[String]] =
+      termsOf(query).toSeq.flatMap(t => gramsOf(t).map(t -> _)).toMap
+    val perTerm: Map[String, Set[Long]] =
+      if (termGrams.isEmpty) Map.empty
+      else {
+        val pairs = termGrams.toSeq.flatMap { case (t, gs) =>
+          gs.map(g => (g, t))
+        }
+        val allGrams = pairs.map(_._1).distinct
+        val qbuckets = allGrams.map(NgramIndex.bucketOfString).distinct
+        spark.read.parquet(s"$path/postings")
+          .filter(col("bucket").isin(qbuckets: _*) &&
+            col("gram").isin(allGrams: _*))
+          .join(broadcast(pairs.toDF("gram", "term")), Seq("gram"))
+          .groupBy(col("term"), col("uid"))
+          .agg(countDistinct(col("gram")).as("ng"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (t, rows) =>
+            t -> rows.filter(_.getLong(2) == termGrams(t).size.toLong)
+              .map(_.getLong(1)).toSet
+          }
+      }
+    def termCands(t: String): Option[Set[Long]] = {
       val q = graft.text.Text.sparkLower(t)
       if (q.isEmpty) None // contains("") = every row: no bound
-      else {
-        val qgrams = {
-          val cpg = graft.text.Text.cpGrams(q, NgramIndex.N)
-          if (cpg.nonEmpty)
-            graft.text.QueryShaping.viableGrams(cpg.distinct)
-          else Seq(q)
-        }
-        val qbuckets = qgrams.map(NgramIndex.bucketOfString).distinct
-        Some(spark.read.parquet(s"$path/postings")
-          .filter(col("bucket").isin(qbuckets: _*) &&
-            col("gram").isin(qgrams: _*))
-          .groupBy("uid")
-          .agg(countDistinct(col("gram")).as("ng"))
-          .filter(col("ng") === qgrams.size)
-          .select("uid").collect().map(_.getLong(0)).toSet)
-      }
-    })
+      else Some(perTerm.getOrElse(q, Set.empty))
+    }
 
     cands(query, termCands) match {
       case None => coveredScan()

@@ -113,6 +113,19 @@ object StreamingIndex {
         .select(col("doc_id"), col("jac")).orderBy("doc_id")
     }, graft.ops.Dedup.minhashLookupSql),
 
+    // boolean query MODE over the SAME stream-maintained ngram
+    // indexes (kind name "ngram" → shared fixture; BoolNgramKind is a
+    // query mode, not a second maintenance loop)
+    "streaming_index_search_bool" -> Q((s, dir) =>
+      search(s, dir, s""""slow scan" OR "fast scan" AND NOT window""",
+        graft.api.BoolNgramKind).orderBy("doc_id"),
+      {
+        import graft.index.BoolSearch._
+        val q = Or(Seq(Term("slow scan"),
+          And(Seq(Term("fast scan"), Not(Term("window"))))))
+        s"SELECT doc_id FROM documents WHERE ${oraclePredicate("text", q)} ORDER BY doc_id"
+      }),
+
     // continuous typo-tolerant ingest: per-batch fuzzy (SymSpell
     // deletion-neighborhood) indexes; the kind's multi-index probe +
     // levenshtein refine must equal the brute predicate regardless of
