@@ -134,6 +134,62 @@ object Pipeline {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Quality-preferring dedup apply: keeper = the LONGEST member of
+    * each near-dup cluster (tie: min id) instead of min-id — what a
+    * real pipeline ships when duplicates differ in completeness (a
+    * truncated crawl of the same page should lose to the full one).
+    * Fixture: documents ∪ truncated low-id copies, so the min-id rule
+    * would WRONGLY keep the truncated copy — this entry proves the
+    * keeper policy is what decides. Same shape as [[dedupApply]]: one
+    * minhash pass + O(diameter) CC + a per-cluster window (the window
+    * partitions by cluster label — cluster sizes are near-dup clique
+    * sizes, bounded after exact dedup, so no global sort exists).
+    */
+  def dedupApplyBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.select((col("doc_id") - 200000).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest(length(col("text")) - 10, lit(0))).as("text")))
+    val fx = Dedup.ensureMinhashFixtureFor(s, dir,
+      "dedup_apply_best_fixture", corpus)
+    val labels = connectedComponents(
+      Dedup.ensurePairsFor(s, fx, None).select(col("i"), col("j")))
+      .withColumnRenamed("id", "doc_id")
+    val lab = corpus.join(labels, Seq("doc_id"), "left")
+      .withColumn("cl", coalesce(col("cluster"), col("doc_id")))
+    val w = Window.partitionBy(col("cl"))
+      .orderBy(length(col("text")).desc, col("doc_id"))
+    lab.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  private def dedupApplyBestSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT doc_id, text FROM documents
+       |           UNION ALL SELECT doc_id - 200000,
+       |             substring(text, 1, greatest(length(text) - 10, 0))
+       |           FROM documents),
+       |pairs AS (
+       |${Dedup.minhashSqlImpl(None, source = "corpus")}
+       |),
+       |sym AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id),
+       |labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |lab AS (SELECT c.doc_id, c.text,
+       |          coalesce(l.cluster, c.doc_id) AS cl
+       |        FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id)
+       |SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY cl ORDER BY length(text) DESC, doc_id) AS rk
+       |  FROM lab) t
+       |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   /** The PRODUCTION dedup composition at 100 TB — all three stages the
     * scale docs prescribe, in their load-bearing order:
     *   1. exact dedup (one hash groupBy) collapses identical-text mass
@@ -864,6 +920,11 @@ object Pipeline {
     // cluster, singletons keep themselves) — the dedup pipeline's
     // actual output table
     "dedup_apply" -> Q((s, dir) => dedupApply(s, dir), dedupApplySql),
+
+    // keeper POLICY matters: longest-member-wins over a fixture where
+    // min-id would wrongly keep the truncated copy
+    "dedup_apply_best" -> Q(
+      (s, dir) => dedupApplyBest(s, dir), dedupApplyBestSql),
 
     // the full production composition: exact collapse → CAPPED LSH on
     // survivors → CC → keepers, each stage's oracle fragment already

@@ -90,6 +90,25 @@ class BoolSearchSpec extends AnyFunSuite {
     }.getMessage.contains("missing ')'"))
   }
 
+  test("parser fuzz: random inputs parse or reject cleanly, never crash") {
+    val rnd = new scala.util.Random(7)
+    val chars = "ab (\")\\ANDORT\t"
+    var parsed = 0
+    for (_ <- 1 to 2000) {
+      val s = (1 to rnd.nextInt(24))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString
+      try {
+        val t = graft.text.BoolQueryParser.parse(s)
+        parsed += 1
+        // a parsed tree must be evaluable
+        evalBq("some text", t)
+      } catch {
+        case _: IllegalArgumentException => () // clean reject
+      }
+    }
+    assert(parsed > 0, "fuzz never produced a parseable input")
+  }
+
   test("facade boolean kind equals the brute predicate incl. in-situ") {
     import graft.api.BoolNgramKind
     val dir = TestSpark.tmpDir("bool-facade-lake")
