@@ -543,6 +543,23 @@ object SearchQueries {
         |WHERE levenshtein(token, 'vektor') <= 1
         |GROUP BY token ORDER BY freq DESC, token""".stripMargin),
 
+    // spell suggestions through the SQL-ONLY surface: graft_suggest
+    // over the facade-committed per-file bm25 indexes (multi-index Σtf)
+    "sql_tvf_suggest" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      val lake = graft.api.GraftLake(s, prefix)
+      lake.index(graft.api.Bm25Kind("doc_id"), "text", binpackRows = 1)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_suggest('$prefix', 'text', 'vektor')")
+    },
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS freq FROM toks
+        |WHERE levenshtein(token, 'vektor') <= 1
+        |GROUP BY token ORDER BY freq DESC, token""".stripMargin),
+
     // token-mode substring search: token-sequence containment semantics
     "substring_token_search" -> Q((s, dir) => {
       val files = Lake.ensureSplit(s, dir, "documents", "doc_id", 4)

@@ -16,14 +16,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * registry via `SparkSessionExtensions.injectTableFunction`):
   *
   *   - `graft_search(dir, kind, column, query, k [, order_col])` —
-  *     filter kinds (ngram/token/fm/token_fm/wavelet/key/bloom/
-  *     zonemap/minhash/logcloud); rows of the lake table, indexed
+  *     filter kinds (ngram/regex/bool/token/fm/token_fm/wavelet/key/
+  *     bloom/zonemap/minhash/fuzzy/logcloud); rows of the lake table, indexed
   *     probe + in-situ fill, refined then truncated to k. The lake
   *     backend is auto-detected from the dir ([[GraftLake.auto]]):
   *     Delta log ⇒ Delta, Iceberg metadata ⇒ Iceberg, else plain
   *     parquet prefix.
   *   - `graft_rank(dir, kind, column, query, k, id_col)` — ranking
   *     kinds (bm25/vector/vamana); scored rows, ordered desc.
+  *   - `graft_suggest(dir, column, term)` — spell-correction
+  *     suggestions: lev ≤ 1 vocabulary neighbors of `term` ranked by
+  *     frequency, served from the committed bm25 postings.
   *   - `graft_explain(dir, kind, column)` — one routing-accounting row
   *     ([[GraftLake.explainSearch]]) with no data read.
   *   - `graft_layout(path)` — per-file footer layout rows
@@ -155,6 +158,42 @@ object SqlTableFunctions {
       count(lit(1)).as("n"), count(c(column)).as("nn")))
   }
 
+  /** `graft_suggest(dir, column, term)` — spell-correction
+    * suggestions: corpus tokens within edit distance
+    * [[graft.index.FuzzyIndex.MaxDist]] of `term`, ranked by
+    * frequency. Frequencies come from the lake's committed bm25
+    * postings (Σtf — no corpus rescan; a length-band filter prunes
+    * the token dictionary before the levenshtein test); an
+    * un-bm25-indexed lake falls back to one tokenize scan.
+    */
+  private def suggestBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3, "graft_suggest(dir, column, term)")
+    val spark = SparkSession.active
+    val dir = str(args(0), "dir")
+    val column = str(args(1), "column")
+    val term = graft.text.Text.sparkLower(str(args(2), "term"))
+    import org.apache.spark.sql.functions._
+    val paths = graft.core.IndexStore.metadataRowsCached(spark, dir)
+      .filter(r => r.column == column && r.indexType == "bm25")
+      .map(_.indexFile).distinct
+    val toks =
+      if (paths.nonEmpty)
+        IndexKind.readTagged(spark, paths, "postings")
+          .select(col("token"), col("tf").cast("long").as("tf"))
+      else
+        spark.read.parquet(Lake.listFiles(dir): _*)
+          .select(explode(graft.text.Text.tokens(col(column))).as("token"))
+          .withColumn("tf", lit(1L))
+    planOf(toks
+      .filter(length(col("token"))
+        .between(term.length - graft.index.FuzzyIndex.MaxDist,
+          term.length + graft.index.FuzzyIndex.MaxDist))
+      .filter(levenshtein(col("token"), lit(term)) <=
+        graft.index.FuzzyIndex.MaxDist)
+      .groupBy(col("token")).agg(sum(col("tf")).as("freq"))
+      .orderBy(col("freq").desc, col("token")))
+  }
+
   private def layoutBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1, "graft_layout(path)")
     val spark = SparkSession.active
@@ -171,6 +210,7 @@ object SqlTableFunctions {
       "graft_rank" -> (rankBuilder(_)),
       "graft_explain" -> (explainBuilder(_)),
       "graft_stats" -> (statsBuilder(_)),
+      "graft_suggest" -> (suggestBuilder(_)),
       "graft_layout" -> (layoutBuilder(_)))
 
   /** injectTableFunction descriptors for [[graft.GraftExtensions]]. */
