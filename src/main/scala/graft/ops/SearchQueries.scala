@@ -543,6 +543,42 @@ object SearchQueries {
         |WHERE levenshtein(token, 'vektor') <= 1
         |GROUP BY token ORDER BY freq DESC, token""".stripMargin),
 
+    // proximity search (the IR NEAR operator): both terms within
+    // ProxWindow token positions of each other. Candidates are
+    // index-served (docs whose bm25 postings hold BOTH tokens —
+    // bucket-pruned AND-intersection); the position test runs only on
+    // candidates, as a nested exists over the two position lists.
+    // Positions are 0-based here, 1-based in the oracle — only
+    // DIFFERENCES enter the predicate, so the shift cancels.
+    "token_proximity_search" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      val (t1, t2, w) = ("vector", "stream", 3)
+      val qb = Seq(t1, t2).map(Bm25Index.bucketOfString).distinct
+      val cands = s.read.parquet(s"$p/postings")
+        .filter(col("bucket").isin(qb: _*) && col("token").isin(t1, t2))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("token")).as("nt"))
+        .filter(col("nt") === 2).select("doc_id")
+      def posOf(term: String) = filter(
+        transform(col("tk"), (t, i) =>
+          when(t === term, i).otherwise(lit(-1))),
+        x => x >= 0)
+      graft.Tables.load(s, dir, "documents").join(cands, "doc_id")
+        .withColumn("tk", graft.text.Text.tokens(col("text")))
+        .withColumn("l1", posOf(t1)).withColumn("l2", posOf(t2))
+        .filter(exists(col("l1"), p1 =>
+          exists(col("l2"), p2 => abs(p1 - p2) <= w)))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+      """SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    [i for i in generate_series(1, len(tk)) if tk[i] = 'vector'] AS l1,
+        |    [i for i in generate_series(1, len(tk)) if tk[i] = 'stream'] AS l2
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+        |        FROM documents) x) y
+        |WHERE len(list_filter(l1, p1 -> len(list_filter(l2, p2 -> abs(p1 - p2) <= 3)) > 0)) > 0
+        |ORDER BY doc_id""".stripMargin),
+
     // spell suggestions through the SQL-ONLY surface: graft_suggest
     // over the facade-committed per-file bm25 indexes (multi-index Σtf)
     "sql_tvf_suggest" -> Q((s, dir) => {
