@@ -543,6 +543,35 @@ object SearchQueries {
         |WHERE levenshtein(token, 'vektor') <= 1
         |GROUP BY token ORDER BY freq DESC, token""".stripMargin),
 
+    // the composed SERP shape: ranked top-k + a context snippet per
+    // hit — ranking from the index, snippet map-only on the K result
+    // rows (never the corpus); docs without the snippet term (ranked
+    // in by other query terms) carry an empty snippet
+    "bm25_search_snippets" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      val q0 = "vector"
+      val pos = locate(q0, lower(col("text")))
+      Bm25Index.search(s, p, Bm25Query, Bm25K)
+        .join(graft.Tables.load(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("score"),
+          when(pos > 0,
+            col("text").substr(greatest(lit(1), pos - 20),
+              lit(40 + q0.length)))
+            .otherwise(lit("")).as("snippet"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }, {
+      val inner = Bm25Index.oracleSql("documents", "text", "doc_id",
+        Bm25Query, Bm25K)
+      s"""SELECT r.doc_id, r.score,
+         |  CASE WHEN position('vector' IN lower(d.text)) > 0
+         |       THEN substring(d.text, greatest(1, position('vector' IN lower(d.text)) - 20), ${40 + "vector".length})
+         |       ELSE '' END AS snippet
+         |FROM (
+         |$inner
+         |) r JOIN documents d USING (doc_id)
+         |ORDER BY r.score DESC, r.doc_id""".stripMargin
+    }),
+
     // proximity search (the IR NEAR operator): both terms within
     // ProxWindow token positions of each other. Candidates are
     // index-served (docs whose bm25 postings hold BOTH tokens —
