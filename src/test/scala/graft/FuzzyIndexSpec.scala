@@ -118,6 +118,22 @@ class FuzzyIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("facade kind: partial coverage (in-situ fill) + empty query") {
+    import graft.api.FuzzyKind
+    val files = mkLake(corpus, 3)
+    val idx = TestSpark.tmpDir("fuzzy-facade-idx")
+    FuzzyIndex.build(spark, files.take(2), "text", idx)
+    // indexed 2 of 3 files; the third routes through the brute refine
+    val got = FuzzyKind.searchLake(spark, Seq(idx), files.drop(2),
+        "text", "quock", Int.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == brute("quock"))
+    // empty token stream: defined empty result, not a crash
+    val empty = FuzzyKind.searchLake(spark, Seq(idx), files.drop(2),
+      "text", "...", Int.MaxValue)
+    assert(empty.count() == 0)
+  }
+
   test("probe plan: bucket partition pruning + pushed variant filter") {
     val files = mkLake(corpus, 3)
     val idx = TestSpark.tmpDir("fuzzy-idx-plan")
