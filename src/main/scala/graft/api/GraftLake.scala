@@ -216,6 +216,31 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
         "covered_files", "insitu_files", "stale_covered_files")
   }
 
+  /** The search-box entry point: route a raw query string to the right
+    * mode by its SHAPE ([[graft.text.QueryShaping.routeOf]]) — quoted
+    * phrases / operator words → boolean tree over the committed ngram
+    * indexes, regex metacharacters → literal-probed regex, otherwise
+    * exact contains — and when an exact search finds NOTHING, retry
+    * typo-tolerant (the "did you mean" fallback; FuzzyKind serves from
+    * a fuzzy index when one is committed, in-situ brute otherwise).
+    * Every route shares the one search lifecycle (coverage, snapshot,
+    * in-situ fill, refine-then-truncate).
+    */
+  def smartSearch(column: String, query: String, k: Int,
+      order: Seq[String] = Seq.empty,
+      snapshot: Option[Long] = None): DataFrame =
+    graft.text.QueryShaping.routeOf(query) match {
+      case "bool" =>
+        search(BoolNgramKind, column, query, k, order, snapshot)
+      case "regex" =>
+        search(NgramRegexKind, column,
+          graft.text.Text.sparkLower(query), k, order, snapshot)
+      case _ =>
+        val exact = search(NgramKind, column, query, k, order, snapshot)
+        if (exact.limit(1).count() > 0) exact
+        else search(FuzzyKind, column, query, k, order, snapshot)
+    }
+
   /** Merge this (kind, column)'s indexes whose covered rows fall below
     * the threshold, commit (append-then-delete), vacuum. Returns the
     * merged index path if a merge happened.

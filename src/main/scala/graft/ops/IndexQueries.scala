@@ -436,6 +436,39 @@ object IndexQueries {
       s"SELECT doc_id FROM documents WHERE ${oraclePredicate("text", q)} ORDER BY doc_id"
     }),
 
+    // the search-box entry point: one raw string, mode chosen by shape
+    // (GraftLake.smartSearch). Three entries pin the three routes plus
+    // the empty→fuzzy fallback, each against the routed mode's oracle
+    "lake_api_smart_bool" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val lake = graft.api.GraftLake(s, Lake.splitPath(dir, Table))
+      lake.index(graft.api.NgramKind, Column)
+      lake.smartSearch(Column, "\"slow scan\" OR \"fast scan\"",
+          1000000, Seq("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, "SELECT doc_id FROM documents WHERE " +
+       "contains(lower(text), 'slow scan') OR contains(lower(text), 'fast scan') " +
+       "ORDER BY doc_id"),
+
+    "lake_api_smart_regex" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val lake = graft.api.GraftLake(s, Lake.splitPath(dir, Table))
+      lake.index(graft.api.NgramKind, Column)
+      lake.smartSearch(Column, RegexQueryStr, 1000000, Seq("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, regexSql(RegexQueryStr)),
+
+    // exact route finds nothing for the typo'd token → the router
+    // retries typo-tolerant (FuzzyKind, in-situ brute here: no fuzzy
+    // index committed on this lake)
+    "lake_api_smart_fuzzy" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val lake = graft.api.GraftLake(s, Lake.splitPath(dir, Table))
+      lake.index(graft.api.NgramKind, Column)
+      lake.smartSearch(Column, FuzzyQueryStr, 1000000, Seq("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, fuzzySql(FuzzyQueryStr)),
+
     // the public facade end-to-end (index_parquet_lake /
     // search_parquet_lake equivalent): incremental index + K-fill search
     "lake_api_search" -> Q((s, dir) => {
@@ -459,6 +492,20 @@ object IndexQueries {
       s.sql(s"SELECT doc_id FROM graft_search('$prefix', 'ngram', " +
         s"'$Column', '$QueryStr', 100000, 'doc_id') ORDER BY doc_id")
     }, bruteSql(QueryStr)),
+
+    // TVF composability: graft_search is a TABLE — plain SQL aggregates
+    // over it (facets in one BI statement, no Scala API)
+    "sql_tvf_search_agg" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val prefix = Lake.splitPath(dir, Table)
+      graft.api.GraftLake(s, prefix).index(graft.api.NgramKind, Column)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT source, lang, count(*) AS n_hits " +
+        s"FROM graft_search('$prefix', 'ngram', '$Column', '$QueryStr', " +
+        s"1000000, 'doc_id') GROUP BY source, lang ORDER BY source, lang")
+    }, s"""SELECT source, lang, count(*) AS n_hits FROM documents
+          |WHERE contains(lower(text), '$QueryStr')
+          |GROUP BY source, lang ORDER BY source, lang""".stripMargin),
 
     // lake stats through the SQL-ONLY surface: one statement a BI tool
     // could issue; with the zone map committed the aggregate is

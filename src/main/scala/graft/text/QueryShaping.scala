@@ -119,4 +119,24 @@ object QueryShaping {
     flush(dropLast = false)
     runs.toSeq
   }
+
+  /** Shape-based routing of a raw search-box string to a query MODE:
+    *   - "bool"  — contains a quoted phrase or a stand-alone upper-case
+    *     operator word (AND/OR/NOT; lower-case stays a plain term, the
+    *     [[BoolQueryParser]] convention);
+    *   - "regex" — contains a regex metacharacter beyond '.' (a bare
+    *     dot in prose should stay a literal contains) AND compiles;
+    *   - "exact" — everything else (plain contains; callers may retry
+    *     typo-tolerant when exact finds nothing).
+    * Deterministic and purely lexical — the runtime fuzzy fallback is
+    * the caller's decision because it depends on RESULTS, not shape.
+    */
+  def routeOf(q: String): String = {
+    val boolOp = "(^|\\s)(AND|OR|NOT)(\\s|$)".r
+    if (q.contains('"') || boolOp.findFirstIn(q).isDefined) "bool"
+    else if (q.exists(c => "[](){}|*+?^$\\".indexOf(c.toInt) >= 0) &&
+      scala.util.Try(java.util.regex.Pattern.compile(q)).isSuccess)
+      "regex"
+    else "exact"
+  }
 }

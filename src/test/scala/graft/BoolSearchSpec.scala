@@ -90,6 +90,19 @@ class BoolSearchSpec extends AnyFunSuite {
     }.getMessage.contains("missing ')'"))
   }
 
+  test("routeOf: shape-based mode detection") {
+    import graft.text.QueryShaping.routeOf
+    assert(routeOf("plain words here") == "exact")
+    assert(routeOf("a AND b") == "bool")
+    assert(routeOf("NOT x") == "bool")
+    assert(routeOf("\"a phrase\"") == "bool")
+    assert(routeOf("black and white") == "exact") // lower-case = terms
+    assert(routeOf("ANDROID phones") == "exact") // not stand-alone
+    assert(routeOf("fast [a-z]+ table") == "regex")
+    assert(routeOf("version 3.14") == "exact") // bare dot stays literal
+    assert(routeOf("broken [regex") == "exact") // non-compiling → literal
+  }
+
   test("parser fuzz: random inputs parse or reject cleanly, never crash") {
     val rnd = new scala.util.Random(7)
     val chars = "ab (\")\\ANDORT\t"
