@@ -78,6 +78,8 @@ object ScaleBench {
     val ops: Seq[(String, () => Any)] = Seq(
       "minhash_pairs" -> (() =>
         graft.ops.Dedup.minhashPairsPersisted(spark, dir, None).count()),
+      "dedup_apply_best" -> (() =>
+        graft.ops.Pipeline.dedupApplyBest(spark, dir).count()),
       "dedup_apply" -> (() =>
         graft.ops.Pipeline.dedupApply(spark, dir).count()),
       "simhash_pairs" -> (() =>
