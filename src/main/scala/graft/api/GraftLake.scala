@@ -52,9 +52,19 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     * The facade only ever creates disjoint groups and superset merges,
     * so the greedy cover is exact deduplication here.
     */
-  private def coverage(kind: IndexKind, column: String): Seq[(String, Seq[String])] = {
+  private def coverage(kind: IndexKind, column: String): Seq[(String, Seq[String])] =
+    coverageByName(kind.name, column)
+
+  /** [[coverage]] keyed by kind NAME — for metadata-scale consumers
+    * outside the facade (graft_suggest) that must share search()'s
+    * routing discipline (greedy dedup of the compaction overlap
+    * window, physical-existence demotion) without an [[IndexKind]]
+    * instance in hand.
+    */
+  private[graft] def coverageByName(kindName: String,
+      column: String): Seq[(String, Seq[String])] = {
     val all = IndexStore.metadataRowsCached(spark, prefix)
-      .filter(r => r.column == column && r.indexType == kind.name)
+      .filter(r => r.column == column && r.indexType == kindName)
       .map(r => (r.indexFile, r.files.map(Layout.canonPath)))
     // metadata and physical state can disagree (a dir deleted out of
     // band, a vacuum racing a commit): a row whose index is GONE must
@@ -217,28 +227,42 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
   }
 
   /** The search-box entry point: route a raw query string to the right
-    * mode by its SHAPE ([[graft.text.QueryShaping.routeOf]]) — quoted
+    * mode by its SHAPE ([[graft.text.QueryShaping.route]]) — quoted
     * phrases / operator words → boolean tree over the committed ngram
-    * indexes, regex metacharacters → literal-probed regex, otherwise
-    * exact contains — and when an exact search finds NOTHING, retry
-    * typo-tolerant (the "did you mean" fallback; FuzzyKind serves from
-    * a fuzzy index when one is committed, in-situ brute otherwise).
-    * Every route shares the one search lifecycle (coverage, snapshot,
-    * in-situ fill, refine-then-truncate).
+    * indexes (an UNPARSEABLE bool shape — unbalanced quote, trailing
+    * operator — degrades to exact, like the regex compile guard), regex
+    * metacharacters → literal-probed regex with the ORIGINAL pattern
+    * (lowercasing a pattern flips `\W`→`\w`; the refine lowers the
+    * column, never the pattern), a FULLY-quoted query → exact contains
+    * of the inner text (the escape for literal operator words:
+    * `"TO BE OR NOT TO BE"`), otherwise exact contains — and when an
+    * exact search finds NOTHING, retry typo-tolerant (the "did you
+    * mean" fallback; FuzzyKind serves from a fuzzy index when one is
+    * committed, in-situ brute otherwise). Every route shares the one
+    * search lifecycle (coverage, snapshot, in-situ fill,
+    * refine-then-truncate).
+    *
+    * Single-pass on the exact route: the result is ≤ k rows by
+    * construction, so it is materialized ONCE (driver-local) and the
+    * emptiness routing decided on those rows — the caller's action
+    * replays a LocalTableScan, never the whole probe + selective read
+    * + refine a second time (pinned by JobCountSpec).
     */
   def smartSearch(column: String, query: String, k: Int,
       order: Seq[String] = Seq.empty,
       snapshot: Option[Long] = None): DataFrame =
-    graft.text.QueryShaping.routeOf(query) match {
-      case "bool" =>
-        search(BoolNgramKind, column, query, k, order, snapshot)
-      case "regex" =>
-        search(NgramRegexKind, column,
-          graft.text.Text.sparkLower(query), k, order, snapshot)
-      case _ =>
-        val exact = search(NgramKind, column, query, k, order, snapshot)
-        if (exact.limit(1).count() > 0) exact
-        else search(FuzzyKind, column, query, k, order, snapshot)
+    graft.text.QueryShaping.route(query) match {
+      case ("bool", q) =>
+        search(BoolNgramKind, column, q, k, order, snapshot)
+      case ("regex", q) =>
+        search(NgramRegexKind, column, q, k, order, snapshot)
+      case (_, q) =>
+        val exact = search(NgramKind, column, q, k, order, snapshot)
+        val rows = exact.collect()
+        if (rows.nonEmpty)
+          spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), exact.schema)
+        else search(FuzzyKind, column, q, k, order, snapshot)
     }
 
   /** Merge this (kind, column)'s indexes whose covered rows fall below

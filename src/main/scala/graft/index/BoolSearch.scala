@@ -46,10 +46,15 @@ object BoolSearch {
     case Not(c)  => !predicate(column, c)
   }
 
-  /** DuckDB twin of [[predicate]] for oracle SQL. */
+  /** DuckDB twin of [[predicate]] for oracle SQL. Single quotes in a
+    * term are doubled (SQL literal escaping) so a term like `don't`
+    * renders valid SQL instead of silently constraining which terms
+    * oracle entries can use.
+    */
   def oraclePredicate(column: String, q: Bq): String = q match {
     case Term(t) =>
-      s"contains(lower($column), '${graft.text.Text.sparkLower(t)}')"
+      val lit = graft.text.Text.sparkLower(t).replace("'", "''")
+      s"contains(lower($column), '$lit')"
     case And(cs) =>
       cs.map(oraclePredicate(column, _)).mkString("(", " AND ", ")")
     case Or(cs) =>
@@ -106,8 +111,13 @@ object BoolSearch {
       query: Bq): DataFrame = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta")
-    def coveredFiles: Seq[String] = meta.select("file_path").distinct()
-      .collect().map(_.getString(0)).toSeq
+    // ONE metadata collect serves both the covered-file list and the
+    // row-group total the brute-vs-index decision needs — these were
+    // two separate jobs on the same metadata-scale frame per search
+    lazy val metaFilesRaw: Array[String] =
+      meta.select("file_path").collect().map(_.getString(0))
+    lazy val coveredFiles: Seq[String] = metaFilesRaw.distinct.toSeq
+    lazy val metaRows: Long = metaFilesRaw.length.toLong
     def coveredScan(): DataFrame =
       spark.read.parquet(coveredFiles: _*)
         .filter(predicate(column, query))
@@ -147,7 +157,7 @@ object BoolSearch {
       case Some(set) =>
         val hitList = set.toSeq.sorted
         if (hitList.size > graft.core.Lake.BruteForceThreshold ||
-            hitList.size >= meta.count()) coveredScan()
+            hitList.size >= metaRows) coveredScan()
         else if (hitList.isEmpty)
           spark.read.parquet(coveredFiles: _*)
             .withColumn("uid", lit(-1L)).filter(lit(false))

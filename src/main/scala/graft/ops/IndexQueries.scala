@@ -132,6 +132,7 @@ object IndexQueries {
 
   private def fuzzySql(q: String) = {
     val preds = graft.text.Text.RegexTokenizer.tokenizeQuery(q)
+      .map(_.replace("'", "''")) // SQL-literal escape (see oraclePredicate)
       .map(t => s"len(list_filter(toks, t -> levenshtein(t, '$t') <= " +
         s"${graft.index.FuzzyIndex.MaxDist})) > 0")
       .mkString(" AND ")

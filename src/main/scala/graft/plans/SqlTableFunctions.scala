@@ -173,15 +173,34 @@ object SqlTableFunctions {
     val column = str(args(1), "column")
     val term = graft.text.Text.sparkLower(str(args(2), "term"))
     import org.apache.spark.sql.functions._
-    val paths = graft.core.IndexStore.metadataRowsCached(spark, dir)
-      .filter(r => r.column == column && r.indexType == "bm25")
-      .map(_.indexFile).distinct
+    import spark.implicits._
+    // snapshot/backend-aware routing, shared with search(): the lake's
+    // LIVE file set (Delta/Iceberg removes are logical — a raw prefix
+    // listing would count removed-but-unvacuumed files), and the
+    // greedily-selected bm25 indexes (overlapping coverage during the
+    // compaction append-then-delete window must not double-count
+    // suggestion frequencies)
+    val lake = GraftLake.auto(spark, dir)
+    val live = lake.backend.files.toSet
+    val paths = lake.coverageByName("bm25", column).map(_._1)
     val toks =
-      if (paths.nonEmpty)
+      if (paths.nonEmpty) {
+        // (idx, uid) units whose covering file is live — metadata-scale
+        // (driver-cached metaRows), broadcast semi-join onto postings
+        val liveUids = paths.zipWithIndex.flatMap { case (p, i) =>
+          IndexKind.metaRows(spark, p).collect {
+            case (uid, f, _, _) if live.contains(f) => (i, uid)
+          }
+        }
         IndexKind.readTagged(spark, paths, "postings")
+          .join(org.apache.spark.sql.functions.broadcast(
+            liveUids.toDF("idx", "uid")), Seq("idx", "uid"), "left_semi")
           .select(col("token"), col("tf").cast("long").as("tf"))
+      } else if (live.isEmpty)
+        spark.emptyDataFrame.select(lit("").as("token"), lit(1L).as("tf"))
+          .limit(0)
       else
-        spark.read.parquet(Lake.listFiles(dir): _*)
+        spark.read.parquet(live.toSeq.sorted: _*)
           .select(explode(graft.text.Text.tokens(col(column))).as("token"))
           .withColumn("tf", lit(1L))
     planOf(toks

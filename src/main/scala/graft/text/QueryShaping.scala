@@ -139,4 +139,36 @@ object QueryShaping {
       "regex"
     else "exact"
   }
+
+  /** [[routeOf]] with the search-box ESCAPE and degradation rules the
+    * raw lexical router can't carry — returns (mode, effective query):
+    *   - a query that is entirely ONE quoted phrase
+    *     (`"TO BE OR NOT TO BE"`) means exact-contains of the INNER
+    *     text: quoting is how a user escapes operator words and regex
+    *     metacharacters, so the quotes route exact and are stripped
+    *     (lower-case operators were already literal — this closes the
+    *     upper-case hole);
+    *   - a bool-shaped query that does NOT parse (unbalanced quote like
+    *     `5'6" tall`, trailing operator like `x AND`) is raw prose, not
+    *     a malformed boolean program — it degrades to exact with the
+    *     original string, mirroring routeOf's regex compile guard;
+    *   - every other query keeps routeOf's mode, string unchanged (the
+    *     regex mode passes the ORIGINAL pattern — lowercasing a pattern
+    *     flips escape classes, `\W`→`\w`; the refine lowers the COLUMN,
+    *     never the pattern).
+    * Invariant (RoutingFuzzSpec): the routed result is always ⊆ the
+    * union of the individual mode results for the same string.
+    */
+  def route(q: String): (String, String) = {
+    val t = q.trim
+    val inner = t.drop(1).dropRight(1)
+    if (t.length >= 2 && t.head == '"' && t.last == '"' &&
+        !inner.contains('"')) ("exact", inner)
+    else routeOf(q) match {
+      case "bool"
+          if scala.util.Try(BoolQueryParser.parse(q)).isFailure =>
+        ("exact", q)
+      case m => (m, q)
+    }
+  }
 }

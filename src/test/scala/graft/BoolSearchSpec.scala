@@ -103,6 +103,28 @@ class BoolSearchSpec extends AnyFunSuite {
     assert(routeOf("broken [regex") == "exact") // non-compiling → literal
   }
 
+  test("route: quoting escape + degradation rules (the search-box contract)") {
+    import graft.text.QueryShaping.route
+    // a FULLY-quoted query is the escape hatch: exact contains of the
+    // inner text, operator words and metacharacters literal
+    assert(route("\"TO BE OR NOT TO BE\"") == ("exact", "TO BE OR NOT TO BE"))
+    assert(route("\"a AND b\"") == ("exact", "a AND b"))
+    assert(route("\"fast [a-z]+\"") == ("exact", "fast [a-z]+"))
+    assert(route("  \"padded phrase\"  ") == ("exact", "padded phrase"))
+    // two quoted phrases are NOT a single escape — still boolean
+    assert(route("\"slow scan\" OR \"fast scan\"")._1 == "bool")
+    assert(route("\"a phrase\" extra")._1 == "bool")
+    // bool-shaped but UNPARSEABLE input is raw prose → exact, original
+    // string (mirrors the regex compile guard)
+    assert(route("5'6\" tall") == ("exact", "5'6\" tall"))
+    assert(route("x AND") == ("exact", "x AND"))
+    assert(route("(a OR b") == ("exact", "(a OR b"))
+    // regex keeps the ORIGINAL pattern — never lowercased (\W vs \w)
+    assert(route("fast \\W+ scan") == ("regex", "fast \\W+ scan"))
+    assert(route("plain words") == ("exact", "plain words"))
+    assert(route("a AND b") == ("bool", "a AND b"))
+  }
+
   test("parser fuzz: random inputs parse or reject cleanly, never crash") {
     val rnd = new scala.util.Random(7)
     val chars = "ab (\")\\ANDORT\t"

@@ -131,6 +131,19 @@ class KnnJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted-cells join is row-identical to fresh clustering at the same K") {
+    // the production amortization (clustering once per corpus, join
+    // per call) must not change a single neighbor row — same cell
+    // definition, same deterministic k-means, only the artifact differs
+    val ev = Similarity.embeddings(spark, sf)
+    val k = math.max(8L, ev.count() / 625L).toInt
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = keyset(graft.ops.Clustering.knnJoinIvfFrom(spark, ev, None, k))
+    val stored = keyset(graft.ops.Clustering.knnJoinIvfPersisted(spark, sf, k))
+    assert(stored == fresh && fresh.nonEmpty)
+  }
+
   test("IVF panel recall clears its gate floor and beats the LSH panel") {
     val ivf = Similarity.panelRecallMean(spark, sf,
       graft.ops.Clustering.knnJoinIvf(spark, sf))

@@ -91,6 +91,28 @@ class JobCountSpec extends AnyFunSuite {
     assert(j5 == j1, s"jobs grew with batch size: 1 query → $j1, 5 → $j5")
   }
 
+  test("smartSearch exact route is single-pass: same jobs as search(NgramKind)") {
+    // the search-box entry point used to run the full probe + selective
+    // read + refine TWICE on its most common path (an emptiness test
+    // via limit(1).count(), then the caller re-executing the un-cached
+    // plan); this pins the fix — the exact route materializes its ≤ k
+    // rows once, so consuming smartSearch costs exactly the jobs of
+    // consuming search(NgramKind, ...) directly
+    val lake = mkLake("jobs-smart-4", 4, NgramKind)
+    searchJobs(lake, NgramKind, "sm-warm") // warm driver meta caches
+    jobs("sm-warm-smart") {
+      lake.smartSearch("text", "needle thread", 1000, Seq("doc_id")).collect()
+    }
+    val direct = searchJobs(lake, NgramKind, "sm-meas-direct")
+    val smart = jobs("sm-meas-smart") {
+      val ids = lake.smartSearch("text", "needle thread", 1000, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 3L), "wrong results")
+    }
+    assert(smart == direct,
+      s"smartSearch exact route re-executes: direct=$direct smart=$smart")
+  }
+
   test("fm search jobs do not grow with covering-index count") {
     val small = mkLake("jobs-fm-2", 2, FmKind)
     val big = mkLake("jobs-fm-8", 8, FmKind)
