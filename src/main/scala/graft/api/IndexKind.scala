@@ -463,15 +463,31 @@ object KeyKind extends IndexKind {
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
     val prefixMode = query.endsWith("%")
-    val key = if (prefixMode) query.dropRight(1) else query
+    // the key table's own schema says whether this column was indexed
+    // in canonical hex form (BinaryType source) — footer-only check,
+    // uniform across paths (one column has one type)
+    val keysAll =
+      if (paths.isEmpty) None
+      else Some(IndexKind.readTagged(spark, paths, "keys"))
+    val hexMode = keysAll.exists(
+      _.columns.contains(KeyIndex.HexKeyCol)) ||
+      (paths.isEmpty && insituFiles.nonEmpty &&
+        spark.read.parquet(insituFiles.head).schema.fields.exists(f =>
+          f.name == column &&
+            f.dataType == org.apache.spark.sql.types.BinaryType))
+    val kc = if (hexMode) KeyIndex.HexKeyCol else "key"
+    val key0 = if (prefixMode) query.dropRight(1) else query
+    val key = if (hexMode) key0.toUpperCase else key0
+    def keyed: org.apache.spark.sql.Column =
+      if (hexMode) hex(col(column)) else col(column)
     def refine(d: DataFrame): DataFrame =
-      if (prefixMode) d.filter(col(column).startsWith(key))
-      else d.filter(col(column) === key)
+      if (prefixMode) d.filter(keyed.startsWith(key))
+      else d.filter(keyed === key)
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
-      val keys = IndexKind.readTagged(spark, paths, "keys")
-        .select(col("idx"), col("key"), col("uid"))
+      val keys = keysAll.get
+        .select(col("idx"), col(kc).as("key"), col("uid"))
       val ranged =
         if (!prefixMode) keys.filter(col("key") === key)
         else KeyIndex.prefixUpperBound(key) match {

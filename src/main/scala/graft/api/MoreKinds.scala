@@ -182,13 +182,26 @@ object BloomKind extends IndexKind {
   def searchLake(spark: SparkSession, paths: Seq[String],
       insituFiles: Seq[String], column: String, query: String,
       k: Int, live: Option[Set[String]] = None): DataFrame = {
+    // BinaryType columns are hashed/probed/refined in canonical hex
+    // form — the blooms table's own schema carries the marker
+    // (footer-only check; uniform: one column has one type)
+    val bloomsAll =
+      if (paths.isEmpty) None
+      else Some(IndexKind.readTagged(spark, paths, "blooms"))
+    val hexMode = bloomsAll.exists(graft.index.BloomIndex.isHexForm) ||
+      (paths.isEmpty && insituFiles.nonEmpty &&
+        spark.read.parquet(insituFiles.head).schema.fields.exists(f =>
+          f.name == column &&
+            f.dataType == org.apache.spark.sql.types.BinaryType))
+    val q = if (hexMode) query.toUpperCase else query
     def refine(d: DataFrame): DataFrame =
-      d.filter(col(column).cast("string") === query)
+      if (hexMode) d.filter(hex(col(column)) === q)
+      else d.filter(col(column).cast("string") === q)
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
-      val cands = IndexKind.readTagged(spark, paths, "blooms")
-        .filter(graft.index.BloomIndex.probe(query))
+      val cands = bloomsAll.get
+        .filter(graft.index.BloomIndex.probe(q))
         .select(col("idx"), col("uid"))
       val hits = collectHits(spark, paths, cands, live)
       if (bruteBeatsIndex(spark, paths, hits)) None

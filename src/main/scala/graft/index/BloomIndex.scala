@@ -86,9 +86,19 @@ object BloomIndex {
     val mDf = meta.select(col("uid"),
       greatest(lit(64L), (ceil(col("num_rows") * BitsPerRow / 64.0) * 64)
         .cast("long")).as("m"))
-    val data = Layout.withUid(spark, files, meta)
+    val raw = Layout.withUid(spark, files, meta)
+    // a BinaryType column's hashed string form is its CANONICAL HEX
+    // (cast-to-string UTF-8-decodes arbitrary bytes — lossy, and the
+    // driver-side probe could never reproduce it); the `hex_form`
+    // marker column records the choice in the table's own schema so
+    // probes and refines branch on a footer-only check
+    val isBin = raw.schema(column).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val strForm =
+      if (isBin) hex(col(column)) else col(column).cast("string")
+    val data = raw
       .filter(col(column).isNotNull)
-      .select(col("uid"), md5(col(column).cast("string")).as("h"))
+      .select(col("uid"), md5(strForm).as("h"))
       .join(broadcast(mDf), Seq("uid"))
       .withColumn("h1", conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
       .withColumn("h2",
@@ -106,7 +116,15 @@ object BloomIndex {
       .groupBy(col("uid"), col("m"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
         .as("words"))
+      .transform(d =>
+        if (isBin) d.withColumn("hex_form", lit(true)) else d)
   }
+
+  /** True when `blooms` was built over a BinaryType column (its values
+    * hashed in canonical hex form) — footer-only schema check.
+    */
+  private[graft] def isHexForm(blooms: DataFrame): Boolean =
+    blooms.columns.contains("hex_form")
 
   /** Merge two bloom indexes: pure uid-offset union — filters are
     * per-unit, so compaction never rehashes data (same uid-offset
@@ -129,15 +147,21 @@ object BloomIndex {
   def search(spark: SparkSession, path: String, column: String,
       value: String): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta")
-    val hits = spark.read.parquet(s"$path/blooms")
-      .filter(probe(value)).select("uid")
-    Layout.readHits(spark, meta, hits)
-      .filter(col(column).cast("string") === value)
+    val blooms = spark.read.parquet(s"$path/blooms")
+    val hexMode = isHexForm(blooms)
+    val v = if (hexMode) value.toUpperCase else value
+    val hits = blooms.filter(probe(v)).select("uid")
+    val rows = Layout.readHits(spark, meta, hits)
+    if (hexMode) rows.filter(hex(col(column)) === v)
+    else rows.filter(col(column).cast("string") === v)
   }
 
   /** Candidate uids for `value` — exposed for pruning-effect tests. */
   def candidateUids(spark: SparkSession, path: String,
-      value: String): Seq[Long] =
-    spark.read.parquet(s"$path/blooms").filter(probe(value))
+      value: String): Seq[Long] = {
+    val blooms = spark.read.parquet(s"$path/blooms")
+    val v = if (isHexForm(blooms)) value.toUpperCase else value
+    blooms.filter(probe(v))
       .select("uid").collect().map(_.getLong(0)).toSeq
+  }
 }

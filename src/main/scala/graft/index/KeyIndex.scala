@@ -21,28 +21,54 @@ import org.apache.spark.sql.functions._
   */
 object KeyIndex {
 
+  /** A BinaryType key column is indexed in its CANONICAL HEX form
+    * (uppercase, Spark's `hex()`), stored under the column name
+    * `key_hex` — the key table's own schema carries the encoding, so
+    * every search path (standalone, facade, merge) branches on a
+    * footer-only check with no lake schema peek (reference indexes
+    * both str and binary columns, indices/index_interface.py:12,
+    * backends/utils.py:65). Probes supply the hex form; case is
+    * normalized at probe time.
+    */
+  private[graft] val HexKeyCol = "key_hex"
+
+  private[graft] def keyColOf(columns: Seq[String]): String =
+    if (columns.contains(HexKeyCol)) HexKeyCol else "key"
+
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String, parts: Int = 8): Unit = {
     val meta = Layout.buildMeta(spark, files, Some(column)).cache()
     val data = Layout.withUid(spark, files, meta)
-    data.select(col(column).as("key"), col("uid"))
-      .repartitionByRange(parts, col("key"))
-      .sortWithinPartitions(col("key"))
+    val isBin = data.schema(column).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val (keyExpr, keyName) =
+      if (isBin) (hex(col(column)), HexKeyCol) else (col(column), "key")
+    data.select(keyExpr.as(keyName), col("uid"))
+      .repartitionByRange(parts, col(keyName))
+      .sortWithinPartitions(col(keyName))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$path/keys")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()
   }
 
-  /** Exact-match lookup → matching lake rows (all columns + uid). */
+  /** Exact-match lookup → matching lake rows (all columns + uid). A
+    * `key_hex` index (BinaryType column) is probed with the key's hex
+    * form, case-normalized; the refine compares `hex(column)`.
+    */
   def searchExact(spark: SparkSession, path: String, column: String,
       key: String): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta")
-    val hits = spark.read.parquet(s"$path/keys")
-      .filter(col("key") === key) // pushed filter → row-group pruning
+    val keys = spark.read.parquet(s"$path/keys")
+    val kc = keyColOf(keys.columns.toSeq)
+    val hexMode = kc == HexKeyCol
+    val probe = if (hexMode) key.toUpperCase else key
+    val hits = keys
+      .filter(col(kc) === probe) // pushed filter → row-group pruning
       .select("uid").distinct()
-    Layout.readHits(spark, meta, hits)
-      .filter(col(column) === key) // refine (FP discipline)
+    val rows = Layout.readHits(spark, meta, hits)
+    if (hexMode) rows.filter(hex(col(column)) === probe) // FP discipline
+    else rows.filter(col(column) === probe)
   }
 
   /** Merge two key indexes: union + global re-sort (the reference
@@ -54,10 +80,12 @@ object KeyIndex {
       parts: Int = 8): Unit = {
     val offset = spark.read.parquet(s"$a/meta")
       .agg(max("uid")).collect()(0).getLong(0)
-    spark.read.parquet(s"$a/keys").unionByName(
+    val aKeys = spark.read.parquet(s"$a/keys")
+    val kc = keyColOf(aKeys.columns.toSeq) // same (kind, column) ⇒ same mode
+    aKeys.unionByName(
       spark.read.parquet(s"$b/keys").withColumn("uid", col("uid") + offset))
-      .repartitionByRange(parts, col("key"))
-      .sortWithinPartitions(col("key"))
+      .repartitionByRange(parts, col(kc))
+      .sortWithinPartitions(col(kc))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$out/keys")
     spark.read.parquet(s"$a/meta").unionByName(
@@ -91,14 +119,21 @@ object KeyIndex {
   def searchPrefix(spark: SparkSession, path: String, column: String,
       prefix: String): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta")
-    val ranged = spark.read.parquet(s"$path/keys")
-      .filter(col("key") >= prefix)
-    val bounded = prefixUpperBound(prefix) match {
-      case Some(hi) => ranged.filter(col("key") < hi)
+    val keys = spark.read.parquet(s"$path/keys")
+    val kc = keyColOf(keys.columns.toSeq)
+    val hexMode = kc == HexKeyCol
+    // a hex prefix may be ODD-length (half a byte) — the hex string
+    // range still bounds it exactly, one more reason the hex FORM is
+    // the indexed key rather than the raw bytes
+    val p = if (hexMode) prefix.toUpperCase else prefix
+    val ranged = keys.filter(col(kc) >= p)
+    val bounded = prefixUpperBound(p) match {
+      case Some(hi) => ranged.filter(col(kc) < hi)
       case None     => ranged // mandatory refine still restores exactness
     }
     val hits = bounded.select("uid").distinct()
-    Layout.readHits(spark, meta, hits)
-      .filter(col(column).startsWith(prefix))
+    val rows = Layout.readHits(spark, meta, hits)
+    if (hexMode) rows.filter(hex(col(column)).startsWith(p))
+    else rows.filter(col(column).startsWith(p))
   }
 }

@@ -445,6 +445,28 @@ object SearchQueries {
     p
   }
 
+  /** Derived lake with a BinaryType key column (`bkey` = the UTF-8
+    * bytes of c_name) — the reference indexes binary columns alongside
+    * str (indices/index_interface.py:12, backends/utils.py:65); built
+    * once, shared by the binary key/bloom entries. Returns the lake
+    * prefix.
+    */
+  private def binaryLake(s: SparkSession, dir: String): String = {
+    val p = IndexStore.indexPath(dir, "binlake_customer")
+    IndexStore.ensure(p) {
+      graft.Tables.load(s, dir, "customer")
+        .withColumn("bkey", encode(col("c_name"), "UTF-8"))
+        .repartitionByRange(4, col("c_custkey"))
+        .write.mode("overwrite").parquet(s"$p/t")
+    }
+    s"$p/t"
+  }
+
+  /** Canonical probe form for a binary key: uppercase hex of the bytes. */
+  private def hexOf(sv: String): String =
+    sv.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"$b%02X").mkString
+
   def entries: Map[String, Q] = Map(
     "bm25_search" -> Q((s, dir) => {
       val p = bm25Idx(s, dir)
@@ -712,6 +734,32 @@ object SearchQueries {
       KeyIndex.searchExact(s, p, "c_name", "Customer#000000042")
         .select(col("c_custkey"), col("c_name"))
     }, "SELECT c_custkey, c_name FROM customer WHERE c_name = 'Customer#000000042'"),
+
+    // BinaryType key column through the FULL facade: the key table is
+    // built in canonical hex form (KeyIndex.HexKeyCol schema marker),
+    // probed with the hex of the wanted bytes, refined on hex(column)
+    "key_search_binary" -> Q((s, dir) => {
+      val prefix = binaryLake(s, dir)
+      val lake = graft.api.GraftLake(s, prefix)
+      lake.index(graft.api.KeyKind, "bkey")
+      lake.search(graft.api.KeyKind, "bkey",
+          hexOf("Customer#000000042"), 100, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, "SELECT c_custkey, c_name FROM customer " +
+       "WHERE c_name = 'Customer#000000042' ORDER BY c_custkey"),
+
+    // same fixture through the Bloom kind (map-only build over binary)
+    "bloom_search_binary" -> Q((s, dir) => {
+      val prefix = binaryLake(s, dir)
+      val lake = graft.api.GraftLake(s, prefix)
+      lake.index(graft.api.BloomKind, "bkey")
+      lake.search(graft.api.BloomKind, "bkey",
+          hexOf("Customer#000000042"), 100, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, "SELECT c_custkey, c_name FROM customer " +
+       "WHERE c_name = 'Customer#000000042' ORDER BY c_custkey"),
 
     "key_prefix_search" -> Q((s, dir) => {
       val p = keyIdx(s, dir)
