@@ -92,6 +92,35 @@ object ScaleBench {
         }),
       "fm_build" -> (() =>
         graft.index.FmIndex.build(spark, docFiles, "text", idx("fm"))),
+      // the PRODUCTION FM build shape: the corpus split into files and
+      // bin-packed into ~5000-row groups (reference
+      // binpack_row_threshold flow, backends/iceberg.py:139-158), one
+      // FM index per group — per-group cost is bounded by the pack
+      // threshold, so TOTAL build time should scale ~linearly with the
+      // corpus (vs the single-group fm_build's super-linear suffix
+      // sort). sf0.1 packs into 1 group, sf1 into ~10.
+      "fm_build_binpacked" -> (() => {
+        graft.core.Lake.ensureSplit(spark, dir, "documents", "doc_id",
+          32, alias = "documents_fm32")
+        val lake = graft.api.GraftLake(spark,
+          graft.core.Lake.splitPath(dir, "documents_fm32"))
+        lake.index(graft.api.FmKind, "text", binpackRows = 5000)
+      }),
+      // search-equivalence across the group set: the multi-group lake
+      // answers exactly the brute predicate (the facade's covering
+      // union), pinned here so the scale row can cite it
+      "fm_search_binpacked" -> (() => {
+        val prefix = graft.core.Lake.splitPath(dir, "documents_fm32")
+        val lake = graft.api.GraftLake(spark, prefix)
+        val got = lake.search(graft.api.FmKind, "text", "slow scan",
+          1000000, Seq("doc_id")).count()
+        val want = spark.read
+          .parquet(graft.core.Lake.listFiles(prefix): _*)
+          .filter(lower(col("text")).contains("slow scan")).count()
+        require(got == want,
+          s"binpacked FM search mismatch: $got vs brute $want")
+        got
+      }),
       "token_fm_build" -> (() =>
         graft.index.TokenFmIndex.build(spark, docFiles, "text",
           idx("tokfm"))),

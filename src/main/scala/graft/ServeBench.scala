@@ -2,20 +2,28 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** ANN serving-latency micro-bench: per-query latency of the three
-  * vector serving paths over the 20-query recall panel, against the
-  * indexes the correctness entries build —
+/** Serving-latency micro-bench: per-query latency of the point-lookup
+  * serving paths against the indexes the correctness entries build —
   *
+  * ANN (20-query recall panel):
   *   - `ivf_probe`    — IVF half-cells probe ([[graft.index.VectorIndex.search]])
   *   - `vamana_spark` — graph beam + Spark rerank ([[graft.index.VamanaIndex.search]])
   *   - `vamana_fast`  — graph beam + driver rerank, warm node cache
   *                      ([[graft.index.VamanaIndex.searchFast]]) — the
   *                      zero-Spark-jobs steady-state serving shape
   *
+  * Lexical (20-query corpus-derived panels), each as the Spark path
+  * AND its warm twin ([[graft.index.Serve]], bit-identical results
+  * pinned by ServeSpec):
+  *   - `bm25_spark` / `bm25_warm`   — top-k ranked lookup
+  *   - `ngram_spark` / `ngram_warm` — exact-contains point lookup
+  *   - `key_spark` / `key_warm`     — exact key lookup
+  *
   * Prints one JSON line with mean/min per-query seconds per path
   * (panel pass 2 of 2, pass 1 warms JIT + caches). Feeds the SCALE.md
   * serving-latency table; correctness of every path is pinned by the
-  * CORRECTNESS entries and VamanaSpec's bit-identical fast-path test.
+  * CORRECTNESS entries, VamanaSpec's bit-identical fast-path test, and
+  * ServeSpec's bit-identical lexical fast-path tests.
   */
 object ServeBench {
   def main(args: Array[String]): Unit = {
@@ -34,25 +42,81 @@ object ServeBench {
     val np = graft.index.VectorIndex.probeCount(spark, ivf)
     val panel = graft.index.VectorIndex.queryPanel(spark, sfDir, 20)
 
-    def lat(f: Seq[Double] => Unit): (Double, Double) = {
+    // ---- lexical fixtures (ensure-gated, shared with Verify runs) ----
+    import graft.core.{IndexStore, Lake}
+    val docFiles = Lake.ensureSplit(spark, sfDir, "documents", "doc_id", 4)
+    val custFiles = Lake.ensureSplit(spark, sfDir, "customer", "c_custkey", 4)
+    val bm25P = IndexStore.indexPath(sfDir, "bm25_documents_text")
+    IndexStore.ensure(bm25P) {
+      graft.index.Bm25Index.build(spark, docFiles, "text", "doc_id", bm25P)
+    }
+    // substring serving is measured over customer NAMES: the synthetic
+    // documents table is ~40 template words over a 30-word vocabulary,
+    // so every 3-gram bag exists in every retrieval unit and a
+    // substring lookup is a scan at ANY tier — names' digit tails are
+    // the selective point-lookup shape the serving path exists for
+    val ngramP = IndexStore.indexPath(sfDir, "serve_ngram_customer_name")
+    IndexStore.ensure(ngramP) {
+      graft.index.NgramIndex.build(spark, custFiles, "c_name", ngramP)
+    }
+    val keyP = IndexStore.indexPath(sfDir, "key_customer_name")
+    IndexStore.ensure(keyP) {
+      graft.index.KeyIndex.build(spark, custFiles, "c_name", keyP)
+    }
+
+    // corpus-derived query panels (deterministic samples)
+    val texts = Tables.load(spark, sfDir, "documents")
+      .orderBy("doc_id").select("text").limit(400).collect()
+      .map(_.getString(0))
+    val sampled = texts.zipWithIndex.collect {
+      case (t, i) if i % 20 == 0 && t.length > 40 => t
+    }.take(20).toSeq
+    val bm25Panel = sampled.map(_.split("\\s+").filter(_.length > 3)
+      .slice(2, 4).mkString(" ")).filter(_.nonEmpty)
+    val keyPanel = Tables.load(spark, sfDir, "customer")
+      .orderBy("c_custkey").select("c_name").limit(400).collect()
+      .zipWithIndex.collect { case (r, i) if i % 20 == 0 => r.getString(0) }
+      .take(20).toSeq
+    val ngramPanel = keyPanel.map(_.takeRight(12)) // selective digit tails
+
+    def lat[A](panel: Seq[A], f: A => Unit): (Double, Double) = {
       val ts = panel.map { q =>
         val t0 = System.nanoTime(); f(q); (System.nanoTime() - t0) / 1e9
       }
       (ts.sum / ts.size, ts.min)
     }
-    val paths = Seq[(String, Seq[Double] => Unit)](
-      "ivf_probe" -> (q =>
-        graft.index.VectorIndex.search(spark, ivf, q, k, np).collect()),
-      "vamana_spark" -> (q =>
-        graft.index.VamanaIndex.search(spark, vam, q, k).collect()),
-      "vamana_fast" -> (q =>
-        graft.index.VamanaIndex.searchFast(spark, vam, q, k).collect()))
 
-    paths.foreach { case (_, f) => lat(f) } // pass 1: warm
-    val out = paths.map { case (name, f) =>
-      val (mean, min) = lat(f) // pass 2: timed
-      f""""$name":{"mean_s":$mean%.4f,"min_s":$min%.4f}"""
-    }
+    val vecPaths = Seq[(String, Seq[Seq[Double]], Seq[Double] => Unit)](
+      ("ivf_probe", panel, q =>
+        graft.index.VectorIndex.search(spark, ivf, q, k, np).collect()),
+      ("vamana_spark", panel, q =>
+        graft.index.VamanaIndex.search(spark, vam, q, k).collect()),
+      ("vamana_fast", panel, q =>
+        graft.index.VamanaIndex.searchFast(spark, vam, q, k).collect()))
+    val strPaths = Seq[(String, Seq[String], String => Unit)](
+      ("bm25_spark", bm25Panel, q =>
+        graft.index.Bm25Index.search(spark, bm25P, q, 10).collect()),
+      ("bm25_warm", bm25Panel, q =>
+        graft.index.Serve.bm25(spark, bm25P, q, 10).collect()),
+      ("ngram_spark", ngramPanel, q =>
+        graft.index.NgramIndex.search(spark, ngramP, "c_name", q).collect()),
+      ("ngram_warm", ngramPanel, q =>
+        graft.index.Serve.ngram(spark, ngramP, "c_name", q).collect()),
+      ("key_spark", keyPanel, q =>
+        graft.index.KeyIndex.searchExact(spark, keyP, "c_name", q).collect()),
+      ("key_warm", keyPanel, q =>
+        graft.index.Serve.keyExact(spark, keyP, "c_name", q).collect()))
+
+    vecPaths.foreach { case (_, p, f) => lat(p, f) } // pass 1: warm
+    strPaths.foreach { case (_, p, f) => lat(p, f) }
+    val out =
+      vecPaths.map { case (name, p, f) =>
+        val (mean, min) = lat(p, f) // pass 2: timed
+        f""""$name":{"mean_s":$mean%.4f,"min_s":$min%.4f}"""
+      } ++ strPaths.map { case (name, p, f) =>
+        val (mean, min) = lat(p, f)
+        f""""$name":{"mean_s":$mean%.4f,"min_s":$min%.4f}"""
+      }
     println(s"""{"metric":"ann_serving_latency","sf":"$sfDir",${out.mkString(",")}}""")
     spark.stop()
   }

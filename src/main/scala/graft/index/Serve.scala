@@ -1,0 +1,410 @@
+package graft.index
+
+import graft.core.{Fs, Lake, Layout}
+import graft.text.Text
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Warm serving tier for the LEXICAL kinds — the
+  * [[VamanaIndex.searchFast]] discipline (driver-side compute over
+  * version-keyed LRU caches, ONE batched point-lookup Spark job per
+  * cache miss, ZERO jobs in the warm steady state) applied to
+  * bm25 / ngram / key single-query lookups.
+  *
+  * Spark is the right engine for builds, merges, and analytical
+  * scans; an interactive search box issuing one ~millisecond-scale
+  * point lookup should not pay scheduler latency per query once its
+  * working set (postings slices, key tables, hit row groups) is warm.
+  * The per-index tables this tier caches are BOUNDED in production by
+  * the facade's bin-packing (reference binpack_row_threshold flow,
+  * backends/iceberg.py:139-158): one index group covers ~10k rows, so
+  * whole-slice caching per index is the same budget as the BwtDriver
+  * chunk cache. Oversized tables (standalone mega-builds) fall back to
+  * the Spark path — results are identical either way, which is the
+  * tier's contract: every method returns BIT-IDENTICAL rows to its
+  * Spark twin (pinned by ServeSpec), it only changes where the work
+  * runs.
+  *
+  * Caches are keyed by the index dir's content signature (the
+  * [[VamanaIndex]] / BwtDriver version discipline): an in-place
+  * rebuild changes the signature, and a re-stat after every fetch
+  * refuses to cache rows read across a racing rebuild.
+  */
+object Serve {
+
+  // ---- bounded caches (driver memory budget, LRU access order) -----
+
+  private def lru[K, V](max: Int) =
+    new java.util.LinkedHashMap[K, V](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[K, V]): Boolean = size() > max
+    }
+
+  /** Whole tables are only cached when the index covers at most this
+    * many rows (the facade's default binpack threshold, with slack).
+    */
+  private val MaxServeRows = 1000000L
+
+  private val gramCache = lru[(String, Long, String), Array[Long]](16384)
+  private val tokenCache =
+    lru[(String, Long, String), Array[(Long, Long)]](16384)
+  private val dlCache = lru[(String, Long), Map[Long, Long]](8)
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (Long, Long)]
+  private val keysCache =
+    lru[(String, Long), (String, Array[(String, Long)])](16)
+  private val rowsCache = lru[(String, Long, Long), Array[Row]](4096)
+  private val rowSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), StructType]
+
+  /** Test/diagnostic hook: drop every cached slice. */
+  private[graft] def clearCaches(): Unit = {
+    gramCache.synchronized(gramCache.clear())
+    tokenCache.synchronized(tokenCache.clear())
+    dlCache.synchronized(dlCache.clear())
+    statsCache.clear()
+    keysCache.synchronized(keysCache.clear())
+    rowsCache.synchronized(rowsCache.clear())
+    rowSchemaCache.clear()
+  }
+
+  /** One version signal per index: the meta sidecar dir's content
+    * signature. The postings/keys tables can be bucket-partitioned
+    * into hundreds of files — walking them per point lookup would
+    * dominate warm latency — while meta is small, and every build path
+    * (re)writes it, so a rebuild moves this signature too (the index
+    * dirs themselves are immutable under the facade's ensure/compact
+    * lifecycle; in-place rebuild detection is best-effort, as in
+    * [[VamanaIndex]]).
+    */
+  private def verOf(spark: SparkSession, path: String): Long =
+    Fs.dirSignature(spark, s"$path/meta")
+
+  private def restat(spark: SparkSession, dir: String, ver: Long): Unit =
+    require(try Fs.dirSignature(spark, dir) == ver
+      catch { case _: Exception => false },
+      s"index at $dir changed during the operation — retry")
+
+  private def localDf(spark: SparkSession, rows: Seq[Row],
+      schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  /** Spark's `round(_, scale)` on doubles (BigDecimal.decimal, i.e.
+    * valueOf, HALF_UP) — replicated exactly so driver scores match the
+    * distributed plan bit for bit.
+    */
+  private def halfUp(v: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def totalRows(spark: SparkSession, path: String): Long =
+    graft.api.IndexKind.metaRows(spark, path).map(_._4).sum
+
+  // ---- shared hit-row-group cache (the materialization tail) -------
+
+  /** Rows of the hit row groups, from the LRU cache; ONE
+    * [[Layout.readGroups]] job fetches every missing uid. Returns the
+    * rows in uid order plus the lake schema (+uid).
+    */
+  private def rowsOf(spark: SparkSession, path: String,
+      uids: Seq[Long]): (Seq[Row], StructType) = {
+    val ver = verOf(spark, path)
+    val metaByUid = graft.api.IndexKind.metaRows(spark, path)
+      .map(r => r._1 -> r).toMap
+    val wanted = uids.distinct.sorted
+    val hits: Map[Long, Array[Row]] = rowsCache.synchronized {
+      wanted.flatMap { u =>
+        Option(rowsCache.get((path, ver, u))).map(u -> _)
+      }.toMap
+    }
+    val missing = wanted.filterNot(hits.contains)
+    val fetched: Map[Long, Array[Row]] =
+      if (missing.isEmpty) Map.empty[Long, Array[Row]]
+      else {
+        val hitMeta = missing.flatMap(metaByUid.get)
+          .map { case (u, f, rs, n) => (f, u, rs, n) }
+        val covered = metaByUid.values.map(_._2).toSeq.distinct.sorted
+        val df = Layout.readGroups(spark, hitMeta, covered)
+        val uidIdx = df.schema.fieldIndex("uid")
+        val got = df.collect().groupBy(_.getLong(uidIdx))
+        restat(spark, s"$path/meta", ver)
+        // a hit uid whose row group holds zero surviving rows still
+        // caches an EMPTY slice — negative entries stop re-fetching
+        val all: Seq[(Long, Array[Row])] =
+          missing.map(u => u -> got.getOrElse(u, Array.empty[Row]))
+        rowsCache.synchronized {
+          all.foreach { case (u, rs) => rowsCache.put((path, ver, u), rs) }
+        }
+        all.toMap
+      }
+    val schema = rowSchemaCache.get((path, ver)) match {
+      case Some(s) => s
+      case None =>
+        val s = fetched.values.flatten.headOption
+          .orElse(hits.values.flatten.headOption) match {
+          case Some(r) => r.schema
+          case None =>
+            // nothing materialized yet: lake schema (+uid) from a
+            // covered file footer — a driver read, not a Spark job
+            val f = metaByUid.values.map(_._2).toSeq.distinct.sorted
+            spark.read.parquet(f.head).schema.add("uid",
+              org.apache.spark.sql.types.LongType)
+        }
+        rowSchemaCache.put((path, ver), s)
+        s
+    }
+    val assembled: Seq[Row] = wanted.flatMap { u =>
+      val rs: Array[Row] = hits.getOrElse(u, fetched(u))
+      rs.toSeq
+    }
+    (assembled, schema)
+  }
+
+  // ---- ngram: exact-contains point lookup ---------------------------
+
+  /** Warm twin of [[NgramIndex.search]] — same rows, driver-served.
+    * Queries the cost switch would brute-scan (huge candidate sets)
+    * delegate to the Spark path: a covered-files scan is exactly what
+    * the serving tier must NOT hold in driver memory.
+    */
+  def ngram(spark: SparkSession, path: String, column: String,
+      query: String): DataFrame = {
+    val q = Text.sparkLower(query)
+    if (q.isEmpty) return NgramIndex.search(spark, path, column, query)
+    val qgrams = {
+      val cpg = Text.cpGrams(q, NgramIndex.N)
+      if (cpg.nonEmpty) graft.text.QueryShaping.viableGrams(cpg.distinct)
+      else Seq(q)
+    }
+    val slices = gramSlices(spark, path, qgrams)
+    val cands = qgrams.map(g => slices(g).toSet).reduce(_ intersect _)
+      .toSeq.sorted
+    if (cands.size > Lake.BruteForceThreshold ||
+        cands.size >= graft.api.IndexKind.metaRows(spark, path).size)
+      return NgramIndex.search(spark, path, column, query)
+    val (rows, schema) = rowsOf(spark, path, cands)
+    val ci = schema.fieldIndex(column)
+    localDf(spark, rows.filter(r =>
+      !r.isNullAt(ci) && Text.sparkLower(r.getString(ci)).contains(q)),
+      schema)
+  }
+
+  /** Per-gram posting slices (uid arrays), one fetch job for every
+    * missing gram; absent grams cache an empty slice.
+    */
+  private def gramSlices(spark: SparkSession, path: String,
+      grams: Seq[String]): Map[String, Array[Long]] = {
+    val ver = verOf(spark, path)
+    val hits = gramCache.synchronized {
+      grams.flatMap { g =>
+        Option(gramCache.get((path, ver, g))).map(g -> _)
+      }.toMap
+    }
+    val missing = grams.filterNot(hits.contains)
+    if (missing.isEmpty) hits
+    else {
+      val buckets = missing.map(NgramIndex.bucketOfString).distinct
+      val got = spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("gram").isin(missing: _*))
+        .select("gram", "uid").collect()
+        .groupBy(_.getString(0))
+        .map { case (g, rs) => g -> rs.map(_.getLong(1)).distinct }
+      restat(spark, s"$path/meta", ver)
+      val all = missing.map(g => g -> got.getOrElse(g, Array.empty[Long]))
+      gramCache.synchronized {
+        all.foreach { case (g, u) => gramCache.put((path, ver, g), u) }
+      }
+      hits ++ all
+    }
+  }
+
+  // ---- key: exact point lookup --------------------------------------
+
+  /** Warm twin of [[KeyIndex.searchExact]] — same rows, driver-served.
+    * The whole (key, uid) table of one index group is cached (bounded
+    * by the facade's bin-packing); oversized tables fall back to the
+    * Spark path.
+    */
+  def keyExact(spark: SparkSession, path: String, column: String,
+      key: String): DataFrame = {
+    keysOf(spark, path) match {
+      case None => KeyIndex.searchExact(spark, path, column, key)
+      case Some((kc, pairs)) =>
+        val hexMode = kc == KeyIndex.HexKeyCol
+        val probe = if (hexMode) key.toUpperCase else key
+        val uids = equalRange(pairs, probe).map(_._2).distinct
+        val (rows, schema) = rowsOf(spark, path, uids)
+        val ci = schema.fieldIndex(column)
+        val matched = rows.filter { r =>
+          if (r.isNullAt(ci)) false
+          else if (hexMode)
+            r.getAs[Array[Byte]](ci).map(b => f"$b%02X").mkString == probe
+          else r.get(ci) == probe
+        }
+        localDf(spark, matched, schema)
+    }
+  }
+
+  /** Sorted (key, uid) table of one key index, or None past the cache
+    * budget. One collect job on miss.
+    */
+  private def keysOf(spark: SparkSession,
+      path: String): Option[(String, Array[(String, Long)])] = {
+    if (totalRows(spark, path) > MaxServeRows) return None
+    val ver = verOf(spark, path)
+    keysCache.synchronized(Option(keysCache.get((path, ver)))) match {
+      case Some(t) => Some(t)
+      case None =>
+        val df = spark.read.parquet(s"$path/keys")
+        val kc = KeyIndex.keyColOf(df.columns.toSeq)
+        val pairs = df.select(col(kc), col("uid")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        restat(spark, s"$path/meta", ver)
+        keysCache.synchronized(keysCache.put((path, ver), (kc, pairs)))
+        Some((kc, pairs))
+    }
+  }
+
+  /** All pairs with key == probe in a key-sorted array (binary search
+    * for the lower bound, linear scan of the equal run).
+    */
+  private def equalRange(pairs: Array[(String, Long)],
+      probe: String): Seq[(String, Long)] = {
+    var lo = 0; var hi = pairs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (pairs(mid)._1 < probe) lo = mid + 1 else hi = mid
+    }
+    val out = Seq.newBuilder[(String, Long)]
+    var i = lo
+    while (i < pairs.length && pairs(i)._1 == probe) { out += pairs(i); i += 1 }
+    out.result()
+  }
+
+  // ---- bm25: top-k ranked lookup -------------------------------------
+
+  /** Warm twin of [[Bm25Index.search]] — bit-identical (doc_id, score)
+    * rows: the quantized integer-sum scoring is order-independent, and
+    * every floating-point step replicates the Catalyst expression tree
+    * exactly (same association, same HALF_UP rounding).
+    */
+  def bm25(spark: SparkSession, path: String, query: String,
+      k: Int): DataFrame =
+    bm25Weighted(spark, Seq(path),
+      Text.RegexTokenizer.tokenizeQuery(query).distinct.map(_ -> 1.0), k)
+
+  /** Warm twin of [[Bm25Index.searchWeightedMany]]: global corpus
+    * stats summed across the covering indexes' head rows, df summed
+    * across per-index token slices — the same global-IDF argument.
+    */
+  def bm25Weighted(spark: SparkSession, paths: Seq[String],
+      terms: Seq[(String, Double)], k: Int): DataFrame = {
+    import spark.implicits._
+    // dl tables past the budget → Spark path (identical result)
+    if (paths.exists(p => totalRows(spark, p) > MaxServeRows))
+      return Bm25Index.searchWeightedMany(spark, paths, terms, k)
+    val qtoks = terms.map(_._1)
+    val perPath = paths.map(p => p -> tokenSlices(spark, p, qtoks)).toMap
+    val stats = paths.map(statsOf(spark, _))
+    val (nDocs, sumDl) = (stats.map(_._1).sum, stats.map(_._2).sum)
+    if (nDocs == 0)
+      return Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val avgdl = sumDl.toDouble / nDocs
+    val df: Map[String, Long] = qtoks.map(t =>
+      t -> paths.map(p => perPath(p)(t).length.toLong).sum).toMap
+    val acc = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (p <- paths) {
+      val dl = dlOf(spark, p)
+      for ((t, qw) <- terms; if df(t) > 0L) {
+        val idf = math.log(
+          (nDocs.toDouble - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        perPath(p)(t).foreach { case (doc, tf) =>
+          val w = tf * (Bm25Index.K1 + 1) /
+            (tf + Bm25Index.K1 *
+              (1 - Bm25Index.B + Bm25Index.B * dl(doc) / avgdl))
+          val cq = halfUp(qw * idf * w * Bm25Index.Quant, 0).toLong
+          acc.update(doc, acc.getOrElse(doc, 0L) + cq)
+        }
+      }
+    }
+    acc.toSeq
+      .map { case (doc, s) => (doc, halfUp(s.toDouble / Bm25Index.Quant, 4)) }
+      .sortBy { case (doc, s) => (-s, doc) }
+      .take(k)
+      .toDF("doc_id", "score")
+  }
+
+  /** Per-token posting slices `(doc_id, tf)`, one fetch job per path
+    * for the missing tokens; absent tokens cache empty.
+    */
+  private def tokenSlices(spark: SparkSession, path: String,
+      toks: Seq[String]): Map[String, Array[(Long, Long)]] = {
+    val ver = verOf(spark, path)
+    val hits = tokenCache.synchronized {
+      toks.flatMap { t =>
+        Option(tokenCache.get((path, ver, t))).map(t -> _)
+      }.toMap
+    }
+    val missing = toks.filterNot(hits.contains)
+    if (missing.isEmpty) hits
+    else {
+      val buckets = missing.map(Bm25Index.bucketOfString).distinct
+      val got = spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("token").isin(missing: _*))
+        .select("token", "doc_id", "tf").collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rs) =>
+          t -> rs.map(r => (r.getLong(1), r.getLong(2)))
+        }
+      restat(spark, s"$path/meta", ver)
+      val all = missing.map(t =>
+        t -> got.getOrElse(t, Array.empty[(Long, Long)]))
+      tokenCache.synchronized {
+        all.foreach { case (t, s) => tokenCache.put((path, ver, t), s) }
+      }
+      hits ++ all
+    }
+  }
+
+  /** (n_docs, sum_dl) of one index — head row when complete, docstats
+    * aggregate otherwise (the searchWeightedMany fallback), cached.
+    */
+  private def statsOf(spark: SparkSession, path: String): (Long, Long) = {
+    val ver = verOf(spark, path)
+    statsCache.getOrElseUpdate((path, ver), {
+      val fromHead =
+        try {
+          val rows = spark.read.parquet(s"$path/head")
+            .select("n_docs", "sum_dl").collect()
+          if (rows.length == 1 && !rows(0).isNullAt(0) && !rows(0).isNullAt(1))
+            Some((rows(0).getLong(0), rows(0).getLong(1)))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      fromHead.getOrElse {
+        val r = spark.read.parquet(s"$path/docstats")
+          .agg(count(lit(1)), sum(col("dl"))).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+    })
+  }
+
+  /** Whole dl map of one index (bounded by the MaxServeRows guard the
+    * callers enforce), cached per content version.
+    */
+  private def dlOf(spark: SparkSession, path: String): Map[Long, Long] = {
+    val ver = verOf(spark, path)
+    dlCache.synchronized(Option(dlCache.get((path, ver)))) match {
+      case Some(m) => m
+      case None =>
+        val m = spark.read.parquet(s"$path/docstats")
+          .select("doc_id", "dl").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        restat(spark, s"$path/meta", ver)
+        dlCache.synchronized(dlCache.put((path, ver), m))
+        m
+    }
+  }
+}

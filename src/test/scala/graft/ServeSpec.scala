@@ -1,0 +1,142 @@
+package graft
+
+import graft.index.{Bm25Index, KeyIndex, NgramIndex, Serve}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The warm serving tier's contract ([[graft.index.Serve]]): every
+  * fast path returns BIT-IDENTICAL rows to its Spark twin, and a warm
+  * repeat of the same query runs ZERO Spark jobs (the
+  * VamanaSpec/searchFast discipline extended to the lexical kinds).
+  */
+class ServeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // range partitioning confines the needle to the FIRST file, so the
+  // ngram lookup hits a strict subset of row groups (the index path,
+  // not the everything-hit brute delegate)
+  private val corpus = (1L to 60L).map { i =>
+    val extra =
+      if (i <= 4L) " needle thread fabric"
+      else if (i % 7 == 0) " vector stream pipeline"
+      else " plain filler body"
+    i -> (s"doc $i${extra} tail token${i % 11}")
+  }
+
+  private lazy val lakeDir: String = {
+    val dir = TestSpark.tmpDir("serve-lake")
+    corpus.toDF("doc_id", "text")
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    s"$dir/t"
+  }
+  private def files = graft.core.Lake.listFiles(lakeDir)
+
+  private lazy val ngramIdx: String = {
+    val p = TestSpark.tmpDir("serve-ngram")
+    NgramIndex.build(spark, files, "text", p); p
+  }
+  private lazy val bm25Idx: String = {
+    val p = TestSpark.tmpDir("serve-bm25")
+    Bm25Index.build(spark, files, "text", "doc_id", p); p
+  }
+  private lazy val keyIdx: String = {
+    val p = TestSpark.tmpDir("serve-key")
+    KeyIndex.build(spark, files, "text", p); p
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def jobs(group: String)(f: => Unit): Int = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try f finally sc.clearJobGroup()
+    sc.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  test("ngram fast path: bit-identical rows, zero jobs when warm") {
+    val q = "needle thread"
+    val viaSpark = rowSet(NgramIndex.search(spark, ngramIdx, "text", q))
+    Serve.clearCaches()
+    val cold = rowSet(Serve.ngram(spark, ngramIdx, "text", q))
+    assert(cold == viaSpark && cold.nonEmpty)
+    val j = jobs("serve-ngram-warm") {
+      assert(rowSet(Serve.ngram(spark, ngramIdx, "text", q)) == viaSpark)
+    }
+    assert(j == 0, s"warm ngram lookup ran $j Spark jobs")
+  }
+
+  test("bm25 fast path: bit-identical (doc_id, score), zero jobs when warm") {
+    val q = "vector stream"
+    val viaSpark = Bm25Index.search(spark, bm25Idx, q, 10).collect().toSeq
+    Serve.clearCaches()
+    val cold = Serve.bm25(spark, bm25Idx, q, 10).collect().toSeq
+    assert(cold == viaSpark && cold.nonEmpty) // ordered AND score-exact
+    val j = jobs("serve-bm25-warm") {
+      assert(Serve.bm25(spark, bm25Idx, q, 10).collect().toSeq == viaSpark)
+    }
+    assert(j == 0, s"warm bm25 lookup ran $j Spark jobs")
+  }
+
+  test("bm25 fast path across SEVERAL covering indexes (global IDF)") {
+    val a = TestSpark.tmpDir("serve-bm25a")
+    val b = TestSpark.tmpDir("serve-bm25b")
+    Bm25Index.build(spark, files.take(1), "text", "doc_id", a)
+    Bm25Index.build(spark, files.drop(1), "text", "doc_id", b)
+    val terms = Seq("vector" -> 1.0, "stream" -> 1.0, "filler" -> 0.25)
+    val viaSpark = Bm25Index
+      .searchWeightedMany(spark, Seq(a, b), terms, 10).collect().toSeq
+    Serve.clearCaches()
+    val fast = Serve.bm25Weighted(spark, Seq(a, b), terms, 10)
+      .collect().toSeq
+    assert(fast == viaSpark && fast.nonEmpty)
+  }
+
+  test("key fast path: bit-identical rows, zero jobs when warm") {
+    val key = corpus(23)._2 // exact full-text key
+    val viaSpark = rowSet(KeyIndex.searchExact(spark, keyIdx, "text", key))
+    Serve.clearCaches()
+    val cold = rowSet(Serve.keyExact(spark, keyIdx, "text", key))
+    assert(cold == viaSpark && cold.nonEmpty)
+    val j = jobs("serve-key-warm") {
+      assert(rowSet(Serve.keyExact(spark, keyIdx, "text", key)) == viaSpark)
+    }
+    assert(j == 0, s"warm key lookup ran $j Spark jobs")
+  }
+
+  test("key fast path over a BINARY key column") {
+    val dir = TestSpark.tmpDir("serve-binkey")
+    (1L to 30L).map(i => (i, f"k-$i%03d"))
+      .toDF("id", "sval")
+      .withColumn("bkey", encode(col("sval"), "UTF-8"))
+      .repartitionByRange(2, col("id"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val idx = TestSpark.tmpDir("serve-binkey-idx")
+    KeyIndex.build(spark, graft.core.Lake.listFiles(s"$dir/t"), "bkey", idx)
+    val probe = "k-017".getBytes("UTF-8").map(b => f"$b%02X").mkString
+    val viaSpark = KeyIndex.searchExact(spark, idx, "bkey", probe)
+      .select("id").collect().map(_.getLong(0)).toSet
+    Serve.clearCaches()
+    val fast = Serve.keyExact(spark, idx, "bkey", probe)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(fast == viaSpark && fast == Set(17L))
+  }
+
+  test("absent probes answer empty without error (negative caching)") {
+    // collect(), not count(): a count aggregate schedules a job even
+    // over a LocalTableScan, which would mis-measure the serving tier
+    def n(df: org.apache.spark.sql.DataFrame) = df.collect().length
+    Serve.clearCaches()
+    assert(n(Serve.ngram(spark, ngramIdx, "text", "zzzzqqq")) == 0)
+    assert(n(Serve.bm25(spark, bm25Idx, "zzzzqqq", 10)) == 0)
+    assert(n(Serve.keyExact(spark, keyIdx, "text", "no such key")) == 0)
+    // …and a warm repeat of the absent probe is also zero jobs
+    val j = jobs("serve-neg-warm") {
+      assert(n(Serve.ngram(spark, ngramIdx, "text", "zzzzqqq")) == 0)
+      assert(n(Serve.keyExact(spark, keyIdx, "text", "no such key")) == 0)
+    }
+    assert(j == 0, s"warm negative probes ran $j Spark jobs")
+  }
+}
