@@ -233,19 +233,21 @@ object ScaleBench {
         graft.index.ZoneMapIndex.statsAgg(spark, idx("zm")).count()
       }),
       // the IVF knn join in its PRODUCTION shape: cells scale with n
-      // (reference's n/10k rule, here n/625 to keep per-cell membership
-      // ~1250 at both SFs). The K∝n k-means is the super-linear part,
-      // so it is the PREP op (persisted once per corpus); the join
-      // itself reads the stored assignment and is linear in n
+      // (reference's n/10k rule, here n/250 so per-cell MEMBERSHIP is
+      // ~500 at BOTH SFs — with probe=2 assignment, membership is
+      // n·2/K, and a constant membership is what makes candidate pairs
+      // scale linearly with n). The K∝n k-means is the super-linear
+      // part, so it is the PREP op (persisted once per corpus); the
+      // join itself reads the stored assignment and is linear in n
       "knn_ivf_cells_prep" -> (() => {
         val n = graft.ops.Similarity.embeddings(spark, dir).count()
-        val k = math.max(8L, n / 625L).toInt
+        val k = math.max(8L, n / 250L).toInt
         graft.ops.Clustering.ensureCellsAt(spark, dir, k,
           s"knn_ivf_cells_$k")
       }),
       "knn_join_ivf" -> (() => {
         val n = graft.ops.Similarity.embeddings(spark, dir).count()
-        val k = math.max(8L, n / 625L).toInt
+        val k = math.max(8L, n / 250L).toInt
         graft.ops.Clustering.knnJoinIvfPersisted(spark, dir, k).count()
       }),
       // build a join-tuned IVF index once (timed as the prep op:

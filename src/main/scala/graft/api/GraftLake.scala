@@ -258,11 +258,20 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
         search(NgramRegexKind, column, q, k, order, snapshot)
       case (_, q) =>
         val exact = search(NgramKind, column, q, k, order, snapshot)
-        val rows = exact.collect()
-        if (rows.nonEmpty)
-          spark.createDataFrame(
-            java.util.Arrays.asList(rows: _*), exact.schema)
-        else search(FuzzyKind, column, q, k, order, snapshot)
+        if (k <= GraftLake.SmartMaterializeMaxK) {
+          val rows = exact.collect()
+          if (rows.nonEmpty)
+            spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), exact.schema)
+          else search(FuzzyKind, column, q, k, order, snapshot)
+        } else {
+          // analytical-sized k: a driver materialization of k rows is
+          // the thing the no-data-scale-collect stance forbids, so the
+          // lazy plan is returned and only the emptiness probe is paid
+          // twice (the search-box regime — small k — stays single-pass)
+          if (exact.limit(1).count() > 0) exact
+          else search(FuzzyKind, column, q, k, order, snapshot)
+        }
     }
 
   /** Merge this (kind, column)'s indexes whose covered rows fall below
@@ -346,6 +355,13 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
 }
 
 object GraftLake {
+
+  /** smartSearch localizes its exact-route result (≤ k rows) on the
+    * driver so the caller's action never re-runs the search — bounded
+    * here because a driver collect must stay out of data scale; an
+    * analytical-sized k keeps the lazy plan instead.
+    */
+  val SmartMaterializeMaxK = 65536
   /** Plain-parquet prefix lake (the reference's parquet backend). */
   def apply(spark: SparkSession, prefix: String): GraftLake =
     GraftLake(spark, PrefixBackend(prefix))

@@ -224,6 +224,16 @@ object Fs {
     * (vacuum retention), this one everywhere a cache is keyed.
     */
   def dirSignature(spark: SparkSession, dir: String): Long = {
+    // local fast path: Hadoop's LocalFileSystem listing loads per-file
+    // permission info through a forked process (~20 ms even for a
+    // 5-file dir), and this signature keys EVERY driver cache — it is
+    // on the latency path of every warm search. java.nio walks the
+    // same tree in ~0.1 ms with identical change-detection semantics
+    // (relative path, length, mtime per descendant file). Signature
+    // VALUES differ from the Hadoop form (checksum shadows are
+    // included here) — that is a one-time cache miss, never a stale
+    // hit, since each deployment hashes consistently with itself.
+    if (isLocalPath(dir)) return localDirSignature(dir)
     val p = new HPath(dir)
     val fs = p.getFileSystem(conf(spark))
     val base = p.toUri.getPath
@@ -246,6 +256,49 @@ object Fs {
       sig ^= h
     }
     if (!any) fs.getFileStatus(p).getModificationTime else sig
+  }
+
+  /** [[dirSignature]] over java.nio for plain local paths (same hash
+    * construction; scheme-less `file:` forms are normalized by the
+    * HPath round-trip). Throws like the Hadoop form on a missing dir.
+    */
+  private def localDirSignature(dir: String): Long = {
+    val base = java.nio.file.Paths.get(
+      if (dir.startsWith("file:")) new HPath(dir).toUri.getPath else dir)
+    var sig = 0L
+    var any = false
+    // missing dir must throw what the Hadoop form throws — callers
+    // (the search self-heal demote path) classify on
+    // java.io.FileNotFoundException, which nio's NoSuchFileException
+    // is NOT a subclass of
+    val stream =
+      try java.nio.file.Files.walk(base)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          throw new java.io.FileNotFoundException(e.getFile)
+      }
+    try {
+      stream.forEach { f =>
+        // a file vanishing mid-walk (racing delete) reads as absent —
+        // the signature changes either way, never throws
+        val attrs =
+          try java.nio.file.Files.readAttributes(f,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          catch { case _: java.nio.file.NoSuchFileException => null }
+        if (attrs != null && attrs.isRegularFile) {
+          any = true
+          val rel = f.toString.stripPrefix(base.toString)
+          var h = 1125899906842597L // prime seed
+          rel.foreach(c => h = h * 31 + c)
+          h = h * 31 + attrs.size()
+          h = h * 31 + attrs.lastModifiedTime().toMillis
+          h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+          sig ^= h
+        }
+      }
+    } finally stream.close()
+    if (!any) java.nio.file.Files.getLastModifiedTime(base).toMillis
+    else sig
   }
 
   /** Child statuses `(path, isDirectory, mtime)` of a directory; empty
@@ -283,6 +336,20 @@ object Fs {
     * validate their index dirs.
     */
   def childNames(spark: SparkSession, dir: String): Set[String] = {
+    // local fast path (the dirSignature argument: this LIST runs on
+    // every facade search through coverage()'s existence filter)
+    if (isLocalPath(dir)) {
+      val base = java.nio.file.Paths.get(
+        if (dir.startsWith("file:")) new HPath(dir).toUri.getPath else dir)
+      val s =
+        try java.nio.file.Files.list(base)
+        catch { case _: java.io.IOException => return Set.empty }
+      try {
+        val out = Set.newBuilder[String]
+        s.forEach(p => out += p.getFileName.toString)
+        return out.result()
+      } finally s.close()
+    }
     val p = new HPath(dir)
     val fs = p.getFileSystem(conf(spark))
     try fs.listStatus(p).map(_.getPath.getName).toSet

@@ -200,6 +200,16 @@ object IndexQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, bruteSql(QueryStr)),
 
+    // the warm serving tier (graft.index.Serve: driver-cached posting
+    // slices + hit row groups, zero-job steady state) answers the SAME
+    // oracle as the Spark path — ServeSpec pins bit-identity in-engine,
+    // this entry re-checks it against DuckDB
+    "substring_search_served" -> Q((s, dir) => {
+      val p = fullIdx(s, dir)
+      graft.index.Serve.ngram(s, p, Column, QueryStr)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, bruteSql(QueryStr)),
+
     // top-K truncation strictly after refine (reference: search.rs:78-85)
     "substring_search_topk" -> Q((s, dir) => {
       val p = fullIdx(s, dir)
@@ -450,6 +460,17 @@ object IndexQueries {
     }, "SELECT doc_id FROM documents WHERE " +
        "contains(lower(text), 'slow scan') OR contains(lower(text), 'fast scan') " +
        "ORDER BY doc_id"),
+
+    // the quoting ESCAPE (QueryShaping.route): a FULLY-quoted query
+    // routes exact with the inner text — quotes are how a search box
+    // escapes operator words and metacharacters
+    "lake_api_smart_quoted" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val lake = graft.api.GraftLake(s, Lake.splitPath(dir, Table))
+      lake.index(graft.api.NgramKind, Column)
+      lake.smartSearch(Column, "\"slow scan\"", 1000000, Seq("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, "SELECT doc_id FROM documents WHERE contains(lower(text), 'slow scan') ORDER BY doc_id"),
 
     "lake_api_smart_regex" -> Q((s, dir) => {
       Lake.ensureSplit(s, dir, Table, "doc_id", Parts)

@@ -729,6 +729,19 @@ object SearchQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, tokenOracle("vector")),
 
+    // warm serving tier twins (graft.index.Serve): the driver-served
+    // bm25/key lookups must answer the SAME DuckDB oracles as their
+    // Spark paths — scoring arithmetic replicated bit-for-bit
+    "bm25_search_served" -> Q((s, dir) =>
+      graft.index.Serve.bm25(s, bm25Idx(s, dir), Bm25Query, Bm25K),
+      Bm25Index.oracleSql("documents", "text", "doc_id", Bm25Query, Bm25K)),
+
+    "key_search_served" -> Q((s, dir) => {
+      val p = keyIdx(s, dir)
+      graft.index.Serve.keyExact(s, p, "c_name", "Customer#000000042")
+        .select(col("c_custkey"), col("c_name"))
+    }, "SELECT c_custkey, c_name FROM customer WHERE c_name = 'Customer#000000042'"),
+
     "key_search" -> Q((s, dir) => {
       val p = keyIdx(s, dir)
       KeyIndex.searchExact(s, p, "c_name", "Customer#000000042")

@@ -127,6 +127,49 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       == (("x", "y", 3L, 2L)))
   }
 
+  test("graft_suggest does not double-count in the compaction overlap window") {
+    // frequencies served from the bm25 postings, routed through the
+    // same greedy max-coverage selection as search(): after a CRASHED
+    // compact both the part-indexes and their merged superset are
+    // committed, and summing tf across every registered index would
+    // inflate every suggestion's frequency
+    import graft.core.IndexStore
+    val dir = TestSpark.tmpDir("sqltvf-suggest")
+    def one(name: String, rows: Seq[(Long, String)]): String = {
+      val staging = TestSpark.tmpDir(s"sqltvf-sg-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val dst = s"$dir/$name.parquet"
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(dst))
+      dst
+    }
+    val fa = one("a", Seq(10L -> "search the search logs"))
+    val fb = one("b", Seq(11L -> "search the metrics"))
+    def commitBm25(name: String, files: Seq[String]): Unit = {
+      val p = IndexStore.indexPath(dir, name)
+      IndexStore.ensure(p) {
+        graft.index.Bm25Index.build(spark, files, "text", "doc_id", p)
+      }
+      IndexStore.commitMetadata(spark, dir,
+        IndexStore.metadataRows(spark, "t", "text", files,
+          files.map(_ => 1L), p, "bm25", files.size.toLong))
+    }
+    def freq(): Long = spark.sql(
+      s"SELECT freq FROM graft_suggest('$dir', 'text', 'searc') " +
+        "WHERE token = 'search'").collect()(0).getLong(0)
+    // the merged superset alone
+    commitBm25("bm25_all", Seq(fa, fb))
+    val clean = freq()
+    assert(clean == 3L, s"expected tf('search')=3, got $clean")
+    // crash window: the superseded parts land BESIDE the superset
+    commitBm25("bm25_p0", Seq(fa))
+    commitBm25("bm25_p1", Seq(fb))
+    assert(freq() == clean,
+      "overlapping coverage double-counted suggestion frequencies")
+  }
+
   test("non-literal and unknown-kind arguments fail with clear messages") {
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_search('$lakeDir', upper('ngram'), 'text', " +
