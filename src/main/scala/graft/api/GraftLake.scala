@@ -256,23 +256,64 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
         search(BoolNgramKind, column, q, k, order, snapshot)
       case ("regex", q) =>
         search(NgramRegexKind, column, q, k, order, snapshot)
-      case (_, q) =>
-        val exact = search(NgramKind, column, q, k, order, snapshot)
-        if (k <= GraftLake.SmartMaterializeMaxK) {
+      case (_, q) => exactRoute(column, q, k, order, snapshot)
+    }
+
+  /** smartSearch's exact route. In the search-box regime (small k) the
+    * result is materialized ONCE and the fuzzy fallback decided on the
+    * rows; when the lake's shape allows it — one covering ngram index,
+    * zero in-situ files, no snapshot/version restriction, selective
+    * lookup — the rows come from the WARM SERVING TIER
+    * ([[graft.index.Serve]]) with zero Spark jobs in the steady state
+    * (pinned by JobCountSpec), the facade's orderBy+limit tail applied
+    * driver-side. Identical rows on every path.
+    */
+  private def exactRoute(column: String, q: String, k: Int,
+      order: Seq[String], snapshot: Option[Long]): DataFrame = {
+    if (k <= GraftLake.SmartMaterializeMaxK) {
+      val served =
+        if (snapshot.nonEmpty) None else serveExact(column, q)
+      served match {
+        case Some((rows, schema)) if rows.nonEmpty =>
+          val out = graft.index.Serve.orderLimit(rows, schema, order, k)
+          spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+        case Some(_) =>
+          search(FuzzyKind, column, q, k, order, snapshot)
+        case None =>
+          val exact = search(NgramKind, column, q, k, order, snapshot)
           val rows = exact.collect()
           if (rows.nonEmpty)
             spark.createDataFrame(
               java.util.Arrays.asList(rows: _*), exact.schema)
           else search(FuzzyKind, column, q, k, order, snapshot)
-        } else {
-          // analytical-sized k: a driver materialization of k rows is
-          // the thing the no-data-scale-collect stance forbids, so the
-          // lazy plan is returned and only the emptiness probe is paid
-          // twice (the search-box regime — small k — stays single-pass)
-          if (exact.limit(1).count() > 0) exact
-          else search(FuzzyKind, column, q, k, order, snapshot)
-        }
+      }
+    } else {
+      // analytical-sized k: a driver materialization of k rows is
+      // the thing the no-data-scale-collect stance forbids, so the
+      // lazy plan is returned and only the emptiness probe is paid
+      // twice (the search-box regime — small k — stays single-pass)
+      val exact = search(NgramKind, column, q, k, order, snapshot)
+      if (exact.limit(1).count() > 0) exact
+      else search(FuzzyKind, column, q, k, order, snapshot)
     }
+  }
+
+  /** The warm-servable precondition + lookup: exactly ONE covering
+    * ngram index over every live file (no in-situ part, no versioned
+    * backend whose live set could shrink), and the lookup selective
+    * enough for the tier. None otherwise — the caller takes the
+    * ordinary Spark plan, same rows.
+    */
+  private def serveExact(column: String, query: String)
+      : Option[(Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)] = {
+    if (backend.canRemove) return None
+    val cov = coverageByName("ngram", column)
+    if (cov.size != 1) return None
+    val covered = cov.head._2.toSet
+    if (files.exists(f => !covered.contains(f))) return None
+    graft.index.Serve.ngramRows(spark, cov.head._1, column, query)
+  }
 
   /** Merge this (kind, column)'s indexes whose covered rows fall below
     * the threshold, commit (append-then-delete), vacuum. Returns the

@@ -169,9 +169,22 @@ object Serve {
     * the serving tier must NOT hold in driver memory.
     */
   def ngram(spark: SparkSession, path: String, column: String,
-      query: String): DataFrame = {
+      query: String): DataFrame =
+    ngramRows(spark, path, column, query) match {
+      case Some((rows, schema)) => localDf(spark, rows, schema)
+      case None => NgramIndex.search(spark, path, column, query)
+    }
+
+  /** The driver half of [[ngram]]: the matching rows + schema when the
+    * lookup is servable (selective candidates), None when the cost
+    * switch says scan (the caller's Spark path). Exposed so facade
+    * consumers ([[graft.api.GraftLake.smartSearch]]) can apply their
+    * own driver-side ordering/truncation without re-entering Spark.
+    */
+  private[graft] def ngramRows(spark: SparkSession, path: String,
+      column: String, query: String): Option[(Seq[Row], StructType)] = {
     val q = Text.sparkLower(query)
-    if (q.isEmpty) return NgramIndex.search(spark, path, column, query)
+    if (q.isEmpty) return None
     val qgrams = {
       val cpg = Text.cpGrams(q, NgramIndex.N)
       if (cpg.nonEmpty) graft.text.QueryShaping.viableGrams(cpg.distinct)
@@ -182,12 +195,37 @@ object Serve {
       .toSeq.sorted
     if (cands.size > Lake.BruteForceThreshold ||
         cands.size >= graft.api.IndexKind.metaRows(spark, path).size)
-      return NgramIndex.search(spark, path, column, query)
+      return None
     val (rows, schema) = rowsOf(spark, path, cands)
     val ci = schema.fieldIndex(column)
-    localDf(spark, rows.filter(r =>
+    Some((rows.filter(r =>
       !r.isNullAt(ci) && Text.sparkLower(r.getString(ci)).contains(q)),
-      schema)
+      schema))
+  }
+
+  /** Spark `orderBy(cols)` (ascending, nulls first) + `limit(k)`
+    * replicated on local rows — the facade's refine-then-truncate tail
+    * without re-entering Spark.
+    */
+  private[graft] def orderLimit(rows: Seq[Row], schema: StructType,
+      order: Seq[String], k: Int): Seq[Row] = {
+    val idx = order.map(schema.fieldIndex)
+    val ord = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        for (i <- idx) {
+          val (an, bn) = (a.isNullAt(i), b.isNullAt(i))
+          if (an && !bn) return -1
+          if (!an && bn) return 1
+          if (!an && !bn) {
+            val c = a.get(i).asInstanceOf[Comparable[Any]]
+              .compareTo(b.get(i))
+            if (c != 0) return c
+          }
+        }
+        0
+      }
+    }
+    (if (order.isEmpty) rows else rows.sorted(ord)).take(k)
   }
 
   /** Per-gram posting slices (uid arrays), one fetch job for every

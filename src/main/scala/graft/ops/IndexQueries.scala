@@ -461,6 +461,18 @@ object IndexQueries {
        "contains(lower(text), 'slow scan') OR contains(lower(text), 'fast scan') " +
        "ORDER BY doc_id"),
 
+    // search-box k (≤ SmartMaterializeMaxK): the exact route rides the
+    // WARM SERVING TIER when the lake has one covering index (zero
+    // Spark jobs steady-state, JobCountSpec) — same rows, same oracle
+    "lake_api_smart_served" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val lake = graft.api.GraftLake(s, Lake.splitPath(dir, Table))
+      lake.index(graft.api.NgramKind, Column)
+      lake.smartSearch(Column, QueryStr, 1000, Seq("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, "SELECT doc_id FROM documents WHERE contains(lower(text), '" +
+       QueryStr + "') ORDER BY doc_id LIMIT 1000"),
+
     // the quoting ESCAPE (QueryShaping.route): a FULLY-quoted query
     // routes exact with the inner text — quotes are how a search box
     // escapes operator words and metacharacters

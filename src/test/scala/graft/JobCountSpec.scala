@@ -113,6 +113,28 @@ class JobCountSpec extends AnyFunSuite {
       s"smartSearch exact route re-executes: direct=$direct smart=$smart")
   }
 
+  test("smartSearch serves warm from the driver tier: ZERO jobs on a single-index lake") {
+    // the search-box steady state: ONE covering ngram index over
+    // SEVERAL files (default binpack), needle confined to the first —
+    // the exact route rides graft.index.Serve and a warm repeat costs
+    // no Spark jobs at all
+    val dir = TestSpark.tmpDir("jobs-smart-serve")
+    val docs = (1L to 48L).map { i =>
+      i -> s"row $i body ${if (i <= 3) "needle thread" else "plain filler"}"
+    }
+    docs.toDF("doc_id", "text")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val lake = GraftLake(spark, s"$dir/t")
+    assert(lake.index(NgramKind, "text").size == 1, "want ONE index group")
+    def ids(): Set[Long] =
+      lake.smartSearch("text", "needle thread", 1000, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids() == Set(1L, 2L, 3L)) // cold: pays the fetch jobs once
+    val j = jobs("sm-serve-warm") { assert(ids() == Set(1L, 2L, 3L)) }
+    assert(j == 0, s"warm smartSearch ran $j Spark jobs")
+  }
+
   test("fm search jobs do not grow with covering-index count") {
     val small = mkLake("jobs-fm-2", 2, FmKind)
     val big = mkLake("jobs-fm-8", 8, FmKind)
