@@ -78,6 +78,17 @@ object ServeBench {
       .zipWithIndex.collect { case (r, i) if i % 20 == 0 => r.getString(0) }
       .take(20).toSeq
     val ngramPanel = keyPanel.map(_.takeRight(12)) // selective digit tails
+    val suggestPanel = bm25Panel.map(_.split(" ").head)
+      .filter(_.length > 3).map(t => t.dropRight(1) + "x") // 1-edit typos
+
+    import org.apache.spark.sql.functions._
+    def suggestSpark(q: String): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(s"$bm25P/postings")
+        .select(col("token"), col("tf").cast("long").as("tf"))
+        .filter(length(col("token")).between(q.length - 1, q.length + 1))
+        .filter(levenshtein(col("token"), lit(q)) <= 1)
+        .groupBy(col("token")).agg(sum(col("tf")).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
 
     def lat[A](panel: Seq[A], f: A => Unit): (Double, Double) = {
       val ts = panel.map { q =>
@@ -105,7 +116,10 @@ object ServeBench {
       ("key_spark", keyPanel, q =>
         graft.index.KeyIndex.searchExact(spark, keyP, "c_name", q).collect()),
       ("key_warm", keyPanel, q =>
-        graft.index.Serve.keyExact(spark, keyP, "c_name", q).collect()))
+        graft.index.Serve.keyExact(spark, keyP, "c_name", q).collect()),
+      ("suggest_spark", suggestPanel, q => suggestSpark(q).collect()),
+      ("suggest_warm", suggestPanel, q =>
+        graft.index.Serve.suggest(spark, bm25P, q).collect()))
 
     vecPaths.foreach { case (_, p, f) => lat(p, f) } // pass 1: warm
     strPaths.foreach { case (_, p, f) => lat(p, f) }

@@ -67,6 +67,7 @@ object Serve {
     keysCache.synchronized(keysCache.clear())
     rowsCache.synchronized(rowsCache.clear())
     rowSchemaCache.clear()
+    vocabCache.synchronized(vocabCache.clear())
   }
 
   /** One version signal per index: the meta sidecar dir's content
@@ -372,6 +373,87 @@ object Serve {
       .sortBy { case (doc, s) => (-s, doc) }
       .take(k)
       .toDF("doc_id", "score")
+  }
+
+  // ---- suggest: typo-tolerant vocabulary lookup ----------------------
+
+  private val vocabCache =
+    lru[(String, Long), Array[(String, Long)]](8)
+
+  /** Warm twin of the `graft_suggest` TVF over ONE bm25 index (the
+    * per-keystroke "did you mean" surface): corpus tokens within
+    * [[FuzzyIndex.MaxDist]] edits of `term`, ranked by Σtf frequency.
+    * The whole (token, Σtf) vocabulary of the index is cached
+    * (vocabulary ≤ postings rows, and postings are bounded by the
+    * facade's bin-packing — the [[bm25Weighted]] budget argument);
+    * oversized indexes fall back to the equivalent Spark plan. Same
+    * length-band + levenshtein semantics, same (freq desc, token)
+    * order.
+    */
+  def suggest(spark: SparkSession, path: String, term0: String,
+      maxDist: Int = FuzzyIndex.MaxDist): DataFrame = {
+    import spark.implicits._
+    val term = Text.sparkLower(term0)
+    def sparkPlan(): DataFrame =
+      spark.read.parquet(s"$path/postings")
+        .select(col("token"), col("tf").cast("long").as("tf"))
+        .filter(length(col("token"))
+          .between(term.length - maxDist, term.length + maxDist))
+        .filter(levenshtein(col("token"), lit(term)) <= maxDist)
+        .groupBy(col("token")).agg(sum(col("tf")).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+    if (totalRows(spark, path) > MaxServeRows) return sparkPlan()
+    val ver = verOf(spark, path)
+    val vocab =
+      vocabCache.synchronized(Option(vocabCache.get((path, ver)))) match {
+        case Some(v) => v
+        case None =>
+          val v = spark.read.parquet(s"$path/postings")
+            .groupBy(col("token"))
+            .agg(sum(col("tf").cast("long")).as("freq"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          restat(spark, s"$path/meta", ver)
+          vocabCache.synchronized(vocabCache.put((path, ver), v))
+          v
+      }
+    // band bounds mirror the TVF exactly: Spark `length()` counts code
+    // points on the token side, the Scala builder used the term's Java
+    // length for the bounds — replicated as-is for bit-identity
+    vocab.iterator
+      .filter { case (t, _) =>
+        val n = t.codePointCount(0, t.length)
+        n >= term.length - maxDist && n <= term.length + maxDist &&
+          levDistance(t, term) <= maxDist
+      }
+      .toSeq.sortBy { case (t, f) => (-f, t) }
+      .toDF("token", "freq")
+  }
+
+  /** Spark's `levenshtein` (standard DP edit distance over CODE
+    * POINTS — UTF8String semantics), driver-side.
+    */
+  private[graft] def levDistance(as: String, bs: String): Int = {
+    val a = as.codePoints().toArray
+    val b = bs.codePoints().toArray
+    val (n, m) = (a.length, b.length)
+    if (n == 0) return m
+    if (m == 0) return n
+    var prev = Array.tabulate(m + 1)(identity)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var j = 1
+      while (j <= m) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
   }
 
   /** Per-token posting slices `(doc_id, tf)`, one fetch job per path

@@ -124,6 +124,42 @@ class ServeSpec extends AnyFunSuite {
     assert(fast == viaSpark && fast == Set(17L))
   }
 
+  test("suggest fast path: bit-identical rows, zero jobs when warm") {
+    import org.apache.spark.sql.functions.{col, length, levenshtein, lit, sum}
+    val term = "vektor" // distance 1 from "vector"
+    val viaSpark = spark.read.parquet(s"$bm25Idx/postings")
+      .select(col("token"), col("tf").cast("long").as("tf"))
+      .filter(length(col("token")).between(term.length - 1, term.length + 1))
+      .filter(levenshtein(col("token"), lit(term)) <= 1)
+      .groupBy(col("token")).agg(sum(col("tf")).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .collect().toSeq
+    Serve.clearCaches()
+    val cold = Serve.suggest(spark, bm25Idx, term).collect().toSeq
+    assert(cold == viaSpark && cold.nonEmpty)
+    val j = jobs("serve-suggest-warm") {
+      assert(Serve.suggest(spark, bm25Idx, term).collect().toSeq == viaSpark)
+    }
+    assert(j == 0, s"warm suggest ran $j Spark jobs")
+  }
+
+  test("levDistance matches Spark's levenshtein on random strings") {
+    import org.apache.spark.sql.functions.{levenshtein, lit}
+    val rnd = new scala.util.Random(17)
+    val alpha = "abcde"
+    val pairs = (1 to 60).map { _ =>
+      def s() = (0 until rnd.nextInt(8))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (s(), s())
+    }
+    val viaSpark = pairs.toDF("a", "b")
+      .select(levenshtein(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    val viaDriver = pairs.map { case (a, b) => Serve.levDistance(a, b) }
+    assert(viaDriver == viaSpark)
+  }
+
   test("absent probes answer empty without error (negative caching)") {
     // collect(), not count(): a count aggregate schedules a job even
     // over a LocalTableScan, which would mis-measure the serving tier
