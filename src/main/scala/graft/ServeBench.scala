@@ -63,6 +63,10 @@ object ServeBench {
     IndexStore.ensure(keyP) {
       graft.index.KeyIndex.build(spark, custFiles, "c_name", keyP)
     }
+    val fuzzyP = IndexStore.indexPath(sfDir, "serve_fuzzy_customer_name")
+    IndexStore.ensure(fuzzyP) {
+      graft.index.FuzzyIndex.build(spark, custFiles, "c_name", fuzzyP)
+    }
 
     // corpus-derived query panels (deterministic samples)
     val texts = Tables.load(spark, sfDir, "documents")
@@ -119,7 +123,15 @@ object ServeBench {
         graft.index.Serve.keyExact(spark, keyP, "c_name", q).collect()),
       ("suggest_spark", suggestPanel, q => suggestSpark(q).collect()),
       ("suggest_warm", suggestPanel, q =>
-        graft.index.Serve.suggest(spark, bm25P, q).collect()))
+        graft.index.Serve.suggest(spark, bm25P, q).collect()),
+      // typo-tolerant lookup on the selective id-token panel (the
+      // customer-name digit tokens; a 1-sub typo per query)
+      ("fuzzy_spark", keyPanel.map(_.split("#")(1).dropRight(1) + "x"),
+        (q: String) => graft.index.FuzzyIndex
+          .search(spark, fuzzyP, "c_name", q).collect()),
+      ("fuzzy_warm", keyPanel.map(_.split("#")(1).dropRight(1) + "x"),
+        (q: String) => graft.index.Serve
+          .fuzzy(spark, fuzzyP, "c_name", q).collect()))
 
     vecPaths.foreach { case (_, p, f) => lat(p, f) } // pass 1: warm
     strPaths.foreach { case (_, p, f) => lat(p, f) }

@@ -278,14 +278,14 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
           val out = graft.index.Serve.orderLimit(rows, schema, order, k)
           spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
         case Some(_) =>
-          search(FuzzyKind, column, q, k, order, snapshot)
+          fuzzyFallback(column, q, k, order, snapshot)
         case None =>
           val exact = search(NgramKind, column, q, k, order, snapshot)
           val rows = exact.collect()
           if (rows.nonEmpty)
             spark.createDataFrame(
               java.util.Arrays.asList(rows: _*), exact.schema)
-          else search(FuzzyKind, column, q, k, order, snapshot)
+          else fuzzyFallback(column, q, k, order, snapshot)
       }
     } else {
       // analytical-sized k: a driver materialization of k rows is
@@ -298,22 +298,46 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     }
   }
 
-  /** The warm-servable precondition + lookup: exactly ONE covering
-    * ngram index over every live file (no in-situ part, no versioned
-    * backend whose live set could shrink), and the lookup selective
-    * enough for the tier. None otherwise — the caller takes the
+  /** smartSearch's typo-tolerant fallback: warm-served from a single
+    * covering fuzzy index when the lake shape allows (the
+    * [[servablePath]] preconditions), the Spark FuzzyKind plan
+    * otherwise — which also covers the no-fuzzy-index in-situ brute.
+    */
+  private def fuzzyFallback(column: String, q: String, k: Int,
+      order: Seq[String], snapshot: Option[Long]): DataFrame = {
+    val served =
+      if (snapshot.nonEmpty || k > GraftLake.SmartMaterializeMaxK) None
+      else servablePath(graft.api.FuzzyKind.name, column)
+        .flatMap(p => graft.index.Serve.fuzzyRows(spark, p, column, q))
+    served match {
+      case Some((rows, schema)) =>
+        val out = graft.index.Serve.orderLimit(rows, schema, order, k)
+        spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+      case None => search(FuzzyKind, column, q, k, order, snapshot)
+    }
+  }
+
+  /** The warm-servable precondition: exactly ONE covering index of
+    * `kindName` over every live file (no in-situ part, no versioned
+    * backend whose live set could shrink). The serving tier itself
+    * still declines non-selective lookups — the caller then takes the
     * ordinary Spark plan, same rows.
     */
-  private def serveExact(column: String, query: String)
-      : Option[(Seq[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType)] = {
+  private def servablePath(kindName: String,
+      column: String): Option[String] = {
     if (backend.canRemove) return None
-    val cov = coverageByName("ngram", column)
+    val cov = coverageByName(kindName, column)
     if (cov.size != 1) return None
     val covered = cov.head._2.toSet
     if (files.exists(f => !covered.contains(f))) return None
-    graft.index.Serve.ngramRows(spark, cov.head._1, column, query)
+    Some(cov.head._1)
   }
+
+  private def serveExact(column: String, query: String)
+      : Option[(Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)] =
+    servablePath("ngram", column)
+      .flatMap(p => graft.index.Serve.ngramRows(spark, p, column, query))
 
   /** Merge this (kind, column)'s indexes whose covered rows fall below
     * the threshold, commit (append-then-delete), vacuum. Returns the

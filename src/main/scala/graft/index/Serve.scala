@@ -68,6 +68,7 @@ object Serve {
     rowsCache.synchronized(rowsCache.clear())
     rowSchemaCache.clear()
     vocabCache.synchronized(vocabCache.clear())
+    variantCache.synchronized(variantCache.clear())
   }
 
   /** One version signal per index: the meta sidecar dir's content
@@ -254,6 +255,79 @@ object Serve {
       val all = missing.map(g => g -> got.getOrElse(g, Array.empty[Long]))
       gramCache.synchronized {
         all.foreach { case (g, u) => gramCache.put((path, ver, g), u) }
+      }
+      hits ++ all
+    }
+  }
+
+  // ---- fuzzy: typo-tolerant point lookup -----------------------------
+
+  private val variantCache =
+    lru[(String, Long, String), Array[Long]](16384)
+
+  /** Warm twin of [[FuzzyIndex.search]] — same rows, driver-served. */
+  def fuzzy(spark: SparkSession, path: String, column: String,
+      query: String): DataFrame =
+    fuzzyRows(spark, path, column, query) match {
+      case Some((rows, schema)) => localDf(spark, rows, schema)
+      case None => FuzzyIndex.search(spark, path, column, query)
+    }
+
+  /** The driver half of [[fuzzy]]: deletion-neighborhood probe over
+    * cached variant slices, per-token row-group candidate
+    * intersection, the [[FuzzyIndex.refinePredicate]] semantics
+    * replicated driver-side (same tokenizer twin, same code-point
+    * levenshtein). None when the lookup is not servable (empty query,
+    * non-selective candidates) — the caller's Spark path.
+    */
+  private[graft] def fuzzyRows(spark: SparkSession, path: String,
+      column: String, query: String): Option[(Seq[Row], StructType)] = {
+    val qtoks = Text.RegexTokenizer.tokenizeQuery(query)
+    if (qtoks.isEmpty) return None
+    val byTok: Seq[Seq[String]] = qtoks.map(FuzzyIndex.variantsOf)
+    val slices = variantSlices(spark, path, byTok.flatten.distinct)
+    val perTok = byTok.map(vs =>
+      vs.iterator.flatMap(v => slices(v)).toSet)
+    val cands = perTok.reduce(_ intersect _).toSeq.sorted
+    if (cands.size > Lake.BruteForceThreshold ||
+        cands.size >= graft.api.IndexKind.metaRows(spark, path).size)
+      return None
+    val (rows, schema) = rowsOf(spark, path, cands)
+    val ci = schema.fieldIndex(column)
+    Some((rows.filter { r =>
+      !r.isNullAt(ci) && {
+        val toks = Text.RegexTokenizer.tokenizeQuery(r.getString(ci))
+        qtoks.forall(q =>
+          toks.exists(t => levDistance(t, q) <= FuzzyIndex.MaxDist))
+      }
+    }, schema))
+  }
+
+  /** Per-variant posting slices (uid arrays) — the fuzzy analogue of
+    * [[gramSlices]]; absent variants cache empty.
+    */
+  private def variantSlices(spark: SparkSession, path: String,
+      variants: Seq[String]): Map[String, Array[Long]] = {
+    val ver = verOf(spark, path)
+    val hits = variantCache.synchronized {
+      variants.flatMap { v =>
+        Option(variantCache.get((path, ver, v))).map(v -> _)
+      }.toMap
+    }
+    val missing = variants.filterNot(hits.contains)
+    if (missing.isEmpty) hits
+    else {
+      val buckets = missing.map(NgramIndex.bucketOfString).distinct
+      val got = spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("variant").isin(missing: _*))
+        .select("variant", "uid").collect()
+        .groupBy(_.getString(0))
+        .map { case (v, rs) => v -> rs.map(_.getLong(1)).distinct }
+      restat(spark, s"$path/meta", ver)
+      val all = missing.map(v => v -> got.getOrElse(v, Array.empty[Long]))
+      variantCache.synchronized {
+        all.foreach { case (v, u) => variantCache.put((path, ver, v), u) }
       }
       hits ++ all
     }

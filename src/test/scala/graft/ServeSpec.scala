@@ -124,6 +124,44 @@ class ServeSpec extends AnyFunSuite {
     assert(fast == viaSpark && fast == Set(17L))
   }
 
+  private lazy val fuzzyIdx: String = {
+    val p = TestSpark.tmpDir("serve-fuzzy")
+    graft.index.FuzzyIndex.build(spark, files, "text", p); p
+  }
+
+  test("fuzzy fast path: bit-identical rows, zero jobs when warm") {
+    val q = "needlz threid" // both tokens 1 SUBSTITUTION from corpus tokens
+    val viaSpark = rowSet(
+      graft.index.FuzzyIndex.search(spark, fuzzyIdx, "text", q))
+    Serve.clearCaches()
+    val cold = rowSet(Serve.fuzzy(spark, fuzzyIdx, "text", q))
+    assert(cold == viaSpark && cold.nonEmpty)
+    val j = jobs("serve-fuzzy-warm") {
+      assert(rowSet(Serve.fuzzy(spark, fuzzyIdx, "text", q)) == viaSpark)
+    }
+    assert(j == 0, s"warm fuzzy lookup ran $j Spark jobs")
+  }
+
+  test("smartSearch fuzzy fallback serves warm on a fully-indexed lake") {
+    // exact finds nothing for the typo → the did-you-mean fallback —
+    // with BOTH kinds each covered by one index, the whole search box
+    // answers with zero Spark jobs warm
+    val dir = TestSpark.tmpDir("serve-smart-fuzzy")
+    corpus.toDF("doc_id", "text")
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val lake = graft.api.GraftLake(spark, s"$dir/t")
+    lake.index(graft.api.NgramKind, "text")
+    lake.index(graft.api.FuzzyKind, "text")
+    def ids(): Set[Long] =
+      lake.smartSearch("text", "needlz", 100, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = corpus.filter(_._2.contains("needle")).map(_._1).toSet
+    assert(ids() == want && want.nonEmpty) // cold
+    val j = jobs("smart-fuzzy-warm") { assert(ids() == want) }
+    assert(j == 0, s"warm smartSearch fuzzy fallback ran $j Spark jobs")
+  }
+
   test("suggest fast path: bit-identical rows, zero jobs when warm") {
     import org.apache.spark.sql.functions.{col, length, levenshtein, lit, sum}
     val term = "vektor" // distance 1 from "vector"
