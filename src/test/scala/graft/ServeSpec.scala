@@ -198,6 +198,31 @@ class ServeSpec extends AnyFunSuite {
     assert(viaDriver == viaSpark)
   }
 
+  test("version keys invalidate on rebuild: no stale serving") {
+    // the tier's safety property: an in-place rebuild (new meta
+    // signature) must flip every cache key — a warm server must never
+    // answer from the OLD index's slices against the new corpus
+    val dir = TestSpark.tmpDir("serve-rebuild")
+    def writeCorpus(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .repartitionByRange(2, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/t")
+    val idx = TestSpark.tmpDir("serve-rebuild-idx")
+    writeCorpus(Seq(1L -> "old needle body", 2L -> "plain filler"))
+    NgramIndex.build(spark, graft.core.Lake.listFiles(s"$dir/t"), "text", idx)
+    def served(): Set[Long] =
+      Serve.ngram(spark, idx, "text", "needle")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served() == Set(1L))
+    assert(served() == Set(1L)) // warm
+    // rebuild in place over a DIFFERENT corpus
+    writeCorpus(Seq(1L -> "plain filler", 2L -> "plain filler",
+      3L -> "new needle home", 4L -> "needle again"))
+    NgramIndex.build(spark, graft.core.Lake.listFiles(s"$dir/t"), "text", idx)
+    assert(served() == Set(3L, 4L),
+      "warm server answered from the pre-rebuild caches")
+  }
+
   test("absent probes answer empty without error (negative caching)") {
     // collect(), not count(): a count aggregate schedules a job even
     // over a LocalTableScan, which would mis-measure the serving tier
