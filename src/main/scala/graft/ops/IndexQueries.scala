@@ -461,6 +461,21 @@ object IndexQueries {
        "contains(lower(text), 'slow scan') OR contains(lower(text), 'fast scan') " +
        "ORDER BY doc_id"),
 
+    // the search box through the SQL-ONLY surface: graft_smart wraps
+    // smartSearch (shape routing + quoting escape + fuzzy fallback) —
+    // one statement a BI tool could issue
+    "sql_tvf_smart" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val prefix = Lake.splitPath(dir, Table)
+      graft.api.GraftLake(s, prefix).index(graft.api.NgramKind, Column)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT doc_id FROM graft_smart('$prefix', '$Column', " +
+        s"""'"slow scan" OR "fast scan"', 1000000, 'doc_id') """ +
+        "ORDER BY doc_id")
+    }, "SELECT doc_id FROM documents WHERE " +
+       "contains(lower(text), 'slow scan') OR contains(lower(text), 'fast scan') " +
+       "ORDER BY doc_id"),
+
     // search-box k (≤ SmartMaterializeMaxK): the exact route rides the
     // WARM SERVING TIER when the lake has one covering index (zero
     // Spark jobs steady-state, JobCountSpec) — same rows, same oracle

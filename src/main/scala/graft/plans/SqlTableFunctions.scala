@@ -102,6 +102,22 @@ object SqlTableFunctions {
       int(args(4), "k"), order))
   }
 
+  /** `graft_smart(dir, column, query, k [, order_col])` — the raw
+    * search-box entry point for SQL-only users: shape-routed
+    * ([[graft.text.QueryShaping.route]]) exact/bool/regex with the
+    * quoting escape and the empty→fuzzy fallback, warm-served when the
+    * lake allows ([[GraftLake.smartSearch]]).
+    */
+  private def smartBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4 || args.size == 5,
+      "graft_smart(dir, column, query, k [, order_col])")
+    val spark = SparkSession.active
+    val order = if (args.size == 5) Seq(str(args(4), "order_col")) else Seq.empty
+    planOf(GraftLake.auto(spark, str(args(0), "dir")).smartSearch(
+      str(args(1), "column"), str(args(2), "query"),
+      int(args(3), "k"), order))
+  }
+
   private def rankBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 6,
       "graft_rank(dir, kind, column, query, k, id_col)")
@@ -226,6 +242,7 @@ object SqlTableFunctions {
   private[graft] val all: Seq[(String, Seq[Expression] => LogicalPlan)] =
     Seq(
       "graft_search" -> (searchBuilder(_)),
+      "graft_smart" -> (smartBuilder(_)),
       "graft_rank" -> (rankBuilder(_)),
       "graft_explain" -> (explainBuilder(_)),
       "graft_stats" -> (statsBuilder(_)),

@@ -127,6 +127,19 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       == (("x", "y", 3L, 2L)))
   }
 
+  test("graft_smart routes like the Scala smartSearch on every shape") {
+    def viaSql(q: String): Set[Long] = spark.sql(
+      s"SELECT doc_id FROM graft_smart('$lakeDir', 'text', '$q', 100, " +
+        "'doc_id')").collect().map(_.getLong(0)).toSet
+    def viaApi(q: String): Set[Long] =
+      lake.smartSearch("text", q, 100, Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (q <- Seq("search", "alpha OR gamma", "\"search engine\"",
+        "se[a-z]+ch", "serch")) // exact, bool, quoted escape, regex, fuzzy
+      assert(viaSql(q) == viaApi(q), s"graft_smart diverged on <$q>")
+    assert(viaSql("alpha OR gamma") == Set(1L, 3L))
+  }
+
   test("graft_suggest does not double-count in the compaction overlap window") {
     // frequencies served from the bm25 postings, routed through the
     // same greedy max-coverage selection as search(): after a CRASHED
