@@ -94,6 +94,15 @@ object ServeBench {
         .groupBy(col("token")).agg(sum(col("tf")).as("freq"))
         .orderBy(col("freq").desc, col("token"))
 
+    // panels are derived through data-dependent filters — an unusual
+    // SF dir must fail with a clear message, not empty.min
+    Seq("bm25" -> bm25Panel, "ngram" -> ngramPanel, "key" -> keyPanel,
+        "suggest" -> suggestPanel).foreach { case (n, p) =>
+      require(p.nonEmpty, s"[servebench] empty $n panel for $sfDir")
+    }
+    require(keyPanel.forall(_.contains('#')),
+      s"[servebench] keyPanel names lack '#' (fuzzy panel derivation)")
+
     def lat[A](panel: Seq[A], f: A => Unit): (Double, Double) = {
       val ts = panel.map { q =>
         val t0 = System.nanoTime(); f(q); (System.nanoTime() - t0) / 1e9

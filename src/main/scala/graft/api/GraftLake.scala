@@ -255,7 +255,12 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       case ("bool", q) =>
         search(BoolNgramKind, column, q, k, order, snapshot)
       case ("regex", q) =>
-        search(NgramRegexKind, column, q, k, order, snapshot)
+        // the refine matches against lower(column): simple patterns
+        // are lowered whole (case-insensitive search-box semantics),
+        // escape-carrying ones pass verbatim — lowercasing them flips
+        // \W→\w / breaks \Q…\E (QueryShaping.smartRegexForm)
+        search(NgramRegexKind, column,
+          graft.text.QueryShaping.smartRegexForm(q), k, order, snapshot)
       case (_, q) => exactRoute(column, q, k, order, snapshot)
     }
 
@@ -274,12 +279,13 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       val served =
         if (snapshot.nonEmpty) None else serveExact(column, q)
       served match {
-        case Some((rows, schema)) if rows.nonEmpty =>
+        case Some((rows, schema)) if rows.nonEmpty &&
+            graft.index.Serve.orderServable(schema, order) =>
           val out = graft.index.Serve.orderLimit(rows, schema, order, k)
           spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
-        case Some(_) =>
+        case Some((rows, _)) if rows.isEmpty =>
           fuzzyFallback(column, q, k, order, snapshot)
-        case None =>
+        case _ =>
           val exact = search(NgramKind, column, q, k, order, snapshot)
           val rows = exact.collect()
           if (rows.nonEmpty)
@@ -310,10 +316,11 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       else servablePath(graft.api.FuzzyKind.name, column)
         .flatMap(p => graft.index.Serve.fuzzyRows(spark, p, column, q))
     served match {
-      case Some((rows, schema)) =>
+      case Some((rows, schema))
+          if graft.index.Serve.orderServable(schema, order) =>
         val out = graft.index.Serve.orderLimit(rows, schema, order, k)
         spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
-      case None => search(FuzzyKind, column, q, k, order, snapshot)
+      case _ => search(FuzzyKind, column, q, k, order, snapshot)
     }
   }
 
@@ -423,10 +430,12 @@ object GraftLake {
 
   /** smartSearch localizes its exact-route result (≤ k rows) on the
     * driver so the caller's action never re-runs the search — bounded
-    * here because a driver collect must stay out of data scale; an
+    * here because a driver collect must stay out of data scale (the
+    * bound is a ROW count; at ~100 KB/row the worst case is ~1 GB,
+    * the same exposure as any collect of a search-box page); an
     * analytical-sized k keeps the lazy plan instead.
     */
-  val SmartMaterializeMaxK = 65536
+  val SmartMaterializeMaxK = 10000
   /** Plain-parquet prefix lake (the reference's parquet backend). */
   def apply(spark: SparkSession, prefix: String): GraftLake =
     GraftLake(spark, PrefixBackend(prefix))

@@ -341,9 +341,17 @@ object Fs {
     if (isLocalPath(dir)) {
       val base = java.nio.file.Paths.get(
         if (dir.startsWith("file:")) new HPath(dir).toUri.getPath else dir)
+      // exception parity with the Hadoop branch: ONLY absence reads as
+      // empty (a transient AccessDenied must propagate, not silently
+      // demote every covering index to a brute scan); listing a FILE
+      // answers the file itself, like Hadoop listStatus
       val s =
         try java.nio.file.Files.list(base)
-        catch { case _: java.io.IOException => return Set.empty }
+        catch {
+          case _: java.nio.file.NoSuchFileException => return Set.empty
+          case _: java.nio.file.NotDirectoryException =>
+            return Set(base.getFileName.toString)
+        }
       try {
         val out = Set.newBuilder[String]
         s.forEach(p => out += p.getFileName.toString)

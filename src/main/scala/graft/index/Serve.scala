@@ -50,23 +50,24 @@ object Serve {
   private val tokenCache =
     lru[(String, Long, String), Array[(Long, Long)]](16384)
   private val dlCache = lru[(String, Long), Map[Long, Long]](8)
-  private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), (Long, Long)]
+  // version-keyed entries must be EVICTABLE too: rebuilds/compactions
+  // retire (path, oldVer) keys forever, and an unbounded map would
+  // leak one dead entry per rebuild for the serving driver's lifetime
+  private val statsCache = lru[(String, Long), (Long, Long)](1024)
   private val keysCache =
     lru[(String, Long), (String, Array[(String, Long)])](16)
   private val rowsCache = lru[(String, Long, Long), Array[Row]](4096)
-  private val rowSchemaCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), StructType]
+  private val rowSchemaCache = lru[(String, Long), StructType](1024)
 
   /** Test/diagnostic hook: drop every cached slice. */
   private[graft] def clearCaches(): Unit = {
     gramCache.synchronized(gramCache.clear())
     tokenCache.synchronized(tokenCache.clear())
     dlCache.synchronized(dlCache.clear())
-    statsCache.clear()
+    statsCache.synchronized(statsCache.clear())
     keysCache.synchronized(keysCache.clear())
     rowsCache.synchronized(rowsCache.clear())
-    rowSchemaCache.clear()
+    rowSchemaCache.synchronized(rowSchemaCache.clear())
     vocabCache.synchronized(vocabCache.clear())
     variantCache.synchronized(variantCache.clear())
   }
@@ -140,7 +141,8 @@ object Serve {
         }
         all.toMap
       }
-    val schema = rowSchemaCache.get((path, ver)) match {
+    val schema = rowSchemaCache.synchronized(
+        Option(rowSchemaCache.get((path, ver)))) match {
       case Some(s) => s
       case None =>
         val s = fetched.values.flatten.headOption
@@ -153,7 +155,7 @@ object Serve {
             spark.read.parquet(f.head).schema.add("uid",
               org.apache.spark.sql.types.LongType)
         }
-        rowSchemaCache.put((path, ver), s)
+        rowSchemaCache.synchronized(rowSchemaCache.put((path, ver), s))
         s
     }
     val assembled: Seq[Row] = wanted.flatMap { u =>
@@ -185,6 +187,10 @@ object Serve {
     */
   private[graft] def ngramRows(spark: SparkSession, path: String,
       column: String, query: String): Option[(Seq[Row], StructType)] = {
+    // the documented oversized-table fallback applies here too: the
+    // hit ROW GROUPS this path pins in rowsCache belong to the lake,
+    // and only the binpack-bounded budget keeps that driver-safe
+    if (totalRows(spark, path) > MaxServeRows) return None
     val q = Text.sparkLower(query)
     if (q.isEmpty) return None
     val qgrams = {
@@ -207,11 +213,32 @@ object Serve {
 
   /** Spark `orderBy(cols)` (ascending, nulls first) + `limit(k)`
     * replicated on local rows — the facade's refine-then-truncate tail
-    * without re-entering Spark.
+    * without re-entering Spark. Strings and binaries compare in
+    * Spark's order (unsigned UTF-8 / byte lexicographic — Java's
+    * UTF-16 `compareTo` diverges around supplementary characters);
+    * other atomic values are Comparable. Callers gate non-atomic
+    * order columns to the Spark path ([[orderServable]]).
     */
   private[graft] def orderLimit(rows: Seq[Row], schema: StructType,
       order: Seq[String], k: Int): Seq[Row] = {
     val idx = order.map(schema.fieldIndex)
+    def bytesCmp(x: Array[Byte], y: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    def cmpVal(x: Any, y: Any): Int = (x, y) match {
+      case (a: String, b: String) =>
+        bytesCmp(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case (a: Array[Byte], b: Array[Byte]) => bytesCmp(a, b)
+      case (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
     val ord = new Ordering[Row] {
       def compare(a: Row, b: Row): Int = {
         for (i <- idx) {
@@ -219,8 +246,7 @@ object Serve {
           if (an && !bn) return -1
           if (!an && bn) return 1
           if (!an && !bn) {
-            val c = a.get(i).asInstanceOf[Comparable[Any]]
-              .compareTo(b.get(i))
+            val c = cmpVal(a.get(i), b.get(i))
             if (c != 0) return c
           }
         }
@@ -228,6 +254,23 @@ object Serve {
       }
     }
     (if (order.isEmpty) rows else rows.sorted(ord)).take(k)
+  }
+
+  /** True when every order column exists with an atomic scalar type —
+    * the driver sort's supported domain; arrays/structs/maps (and any
+    * type we have not verified Spark-order parity for) take the Spark
+    * path.
+    */
+  private[graft] def orderServable(schema: StructType,
+      order: Seq[String]): Boolean = {
+    import org.apache.spark.sql.types._
+    order.forall(c => schema.find(_.name == c).exists(_.dataType match {
+      case StringType | BinaryType | BooleanType | ByteType |
+           ShortType | IntegerType | LongType | FloatType | DoubleType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }))
   }
 
   /** Per-gram posting slices (uid arrays), one fetch job for every
@@ -282,6 +325,7 @@ object Serve {
     */
   private[graft] def fuzzyRows(spark: SparkSession, path: String,
       column: String, query: String): Option[(Seq[Row], StructType)] = {
+    if (totalRows(spark, path) > MaxServeRows) return None // see ngramRows
     val qtoks = Text.RegexTokenizer.tokenizeQuery(query)
     if (qtoks.isEmpty) return None
     val byTok: Seq[Seq[String]] = qtoks.map(FuzzyIndex.variantsOf)
@@ -568,21 +612,31 @@ object Serve {
     */
   private def statsOf(spark: SparkSession, path: String): (Long, Long) = {
     val ver = verOf(spark, path)
-    statsCache.getOrElseUpdate((path, ver), {
-      val fromHead =
-        try {
-          val rows = spark.read.parquet(s"$path/head")
-            .select("n_docs", "sum_dl").collect()
-          if (rows.length == 1 && !rows(0).isNullAt(0) && !rows(0).isNullAt(1))
-            Some((rows(0).getLong(0), rows(0).getLong(1)))
-          else None
-        } catch { case scala.util.control.NonFatal(_) => None }
-      fromHead.getOrElse {
-        val r = spark.read.parquet(s"$path/docstats")
-          .agg(count(lit(1)), sum(col("dl"))).collect()(0)
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-    })
+    statsCache.synchronized(Option(statsCache.get((path, ver)))) match {
+      case Some(s) => s
+      case None =>
+        val fromHead =
+          try {
+            val rows = spark.read.parquet(s"$path/head")
+              .select("n_docs", "sum_dl").collect()
+            if (rows.length == 1 && !rows(0).isNullAt(0) &&
+                !rows(0).isNullAt(1))
+              Some((rows(0).getLong(0), rows(0).getLong(1)))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        val s = fromHead.getOrElse {
+          val r = spark.read.parquet(s"$path/docstats")
+            .agg(count(lit(1)), sum(col("dl"))).collect()(0)
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+        // the same refuse-to-cache-across-a-rebuild re-stat every
+        // other fetch path applies — without it a racing rebuild
+        // would poison (path, oldVer) with the NEW corpus stats and
+        // warm scoring would silently mix old postings with new IDF
+        restat(spark, s"$path/meta", ver)
+        statsCache.synchronized(statsCache.put((path, ver), s))
+        s
+    }
   }
 
   /** Whole dl map of one index (bounded by the MaxServeRows guard the

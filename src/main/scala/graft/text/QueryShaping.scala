@@ -159,6 +159,18 @@ object QueryShaping {
     * Invariant (RoutingFuzzSpec): the routed result is always ⊆ the
     * union of the individual mode results for the same string.
     */
+  /** The pattern form smartSearch's regex route matches against
+    * `lower(column)`: patterns with NO escape/flag constructs (no
+    * backslash, no `(?`) are safely lowercased whole — `Customer#00[0-9]`
+    * keeps matching the lowered column, and classes like `[A-Z]` lower
+    * to the intended `[a-z]` — while patterns carrying escapes or
+    * inline flags pass VERBATIM: lowercasing there flips escape
+    * classes (`\W`→`\w`) or invalidates `\Q…\E`. Advanced patterns
+    * with uppercase literals should carry `(?i)` themselves.
+    */
+  def smartRegexForm(p: String): String =
+    if (p.contains('\\') || p.contains("(?")) p else Text.sparkLower(p)
+
   def route(q: String): (String, String) = {
     val t = q.trim
     val inner = t.drop(1).dropRight(1)

@@ -125,6 +125,17 @@ class BoolSearchSpec extends AnyFunSuite {
     assert(route("a AND b") == ("bool", "a AND b"))
   }
 
+  test("smartRegexForm: simple patterns lower whole, escape-bearing pass verbatim") {
+    import graft.text.QueryShaping.smartRegexForm
+    // the refine matches lower(column): uppercase literals in SIMPLE
+    // patterns must not silently return zero rows
+    assert(smartRegexForm("Customer#00000004[0-9]") == "customer#00000004[0-9]")
+    assert(smartRegexForm("fast [A-Z]+ scan") == "fast [a-z]+ scan")
+    // lowercasing would flip \W→\w / break \Q…\E — verbatim
+    assert(smartRegexForm("fast \\W+ Scan") == "fast \\W+ Scan")
+    assert(smartRegexForm("(?i)FAST [a-z]+") == "(?i)FAST [a-z]+")
+  }
+
   test("parser fuzz: random inputs parse or reject cleanly, never crash") {
     val rnd = new scala.util.Random(7)
     val chars = "ab (\")\\ANDORT\t"

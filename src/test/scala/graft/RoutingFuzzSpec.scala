@@ -73,6 +73,16 @@ class RoutingFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("uppercase literals in a simple regex still match (lowered whole)") {
+    // the refine runs against lower(column); a simple uppercase
+    // pattern must not silently return zero rows
+    val got = ids(lake.smartSearch("text", "QUICK [a-z]+", 1000,
+      Seq("doc_id")))
+    val want = ids(lake.search(NgramRegexKind, "text", "quick [a-z]+",
+      1000, Seq("doc_id")))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("fully-quoted escape equals the bool single-phrase rows") {
     val inner = "TO BE OR NOT TO BE"
     val viaSmart = ids(lake.smartSearch("text", s""""$inner"""", 1000,
