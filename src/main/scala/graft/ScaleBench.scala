@@ -257,7 +257,17 @@ object ScaleBench {
       "knn_join_from_index" -> (() => {
         ensureJoinIndex(spark, dir, idx("ivfknn"))
         graft.index.VectorIndex.knnJoinFromIndex(spark, idx("ivfknn")).count()
-      }))
+      }),
+      // 1-bit candidate generation + exact rerank: candidate set is
+      // n/10, so the rerank input grows linearly while the Hamming scan
+      // is one XOR+popcount per vector — near-linear end to end
+      "knn_binary" -> (() =>
+        graft.ops.BinaryQuant.knnBinary(spark, dir).count()),
+      // Count-Min grid: map-side-combined groupBy into d×w cells — the
+      // shuffle is ≤ d·w·partitions rows at ANY corpus size
+      "countmin_sketch" -> (() =>
+        graft.ops.TextAnalysis.entries("corpus_countmin_sketch")
+          .fn(spark, dir).count()))
 
     // optional op filter: second arg = comma-separated op names
     val selected =

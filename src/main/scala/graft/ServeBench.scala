@@ -153,6 +153,39 @@ object ServeBench {
         f""""$name":{"mean_s":$mean%.4f,"min_s":$min%.4f}"""
       }
     println(s"""{"metric":"ann_serving_latency","sf":"$sfDir",${out.mkString(",")}}""")
+
+    // sustained throughput of the warm tier: T driver threads hammer
+    // the zero-job serving paths concurrently (the caches are
+    // lock-guarded; contention is part of the number). This is the
+    // search-box capacity figure — a single driver JVM's QPS ceiling
+    // before the deployment needs replica serving processes.
+    def qps[A](panel: Seq[A], f: A => Unit,
+        threads: Int = 8, iters: Int = 200): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { ti =>
+        val th = new Thread(() => {
+          var i = 0
+          while (i < iters) { f(panel((ti + i) % panel.size)); i += 1 }
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (threads.toLong * iters) / ((System.nanoTime() - t0) / 1e9)
+    }
+    val qpsPaths = Seq[(String, () => Double)](
+      ("bm25_warm_qps", () => qps[String](bm25Panel, q =>
+        graft.index.Serve.bm25(spark, bm25P, q, 10).collect())),
+      ("ngram_warm_qps", () => qps[String](ngramPanel, q =>
+        graft.index.Serve.ngram(spark, ngramP, "c_name", q).collect())),
+      ("key_warm_qps", () => qps[String](keyPanel, q =>
+        graft.index.Serve.keyExact(spark, keyP, "c_name", q).collect())),
+      ("vamana_fast_qps", () => qps[Seq[Double]](panel, q =>
+        graft.index.VamanaIndex.searchFast(spark, vam, q, k).collect())))
+    val qout = qpsPaths.map { case (name, f) =>
+      f() // pass 1: warm the contended paths under concurrency
+      f""""$name":${f()}%.1f"""
+    }
+    println(s"""{"metric":"warm_serving_qps","sf":"$sfDir","threads":8,${qout.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -17,12 +17,14 @@ object SparkEntry {
       graft.ops.SearchQueries.entries ++
       graft.ops.Dedup.entries ++
       graft.ops.Similarity.entries ++
+      graft.ops.BinaryQuant.entries ++
       graft.ops.Clustering.entries ++
       graft.ops.Classifier.entries ++
       graft.index.VectorIndex.entries ++
       graft.index.VamanaIndex.entries ++
       graft.index.LogCloudIndex.entries ++
       graft.ops.Maintenance.entries ++
+      graft.ops.Advisor.entries ++
       graft.ops.ApiQueries.entries ++
       graft.ops.DeltaQueries.entries ++
       graft.ops.IcebergQueries.entries ++

@@ -571,6 +571,18 @@ object IndexQueries {
       "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, " +
         "count(*) AS n, count(o_orderkey) AS nn FROM orders"),
 
+    // the index advisor through the SQL-ONLY surface: per-column kind
+    // recommendation over a split lake in one statement (the DBA's
+    // "what should I index here?" query)
+    "sql_tvf_advise" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts)
+      val prefix = Lake.splitPath(dir, Table)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_advise('$prefix')")
+    }, graft.ops.Advisor.adviseSql("documents", Seq(
+      "doc_id" -> "int", "text" -> "string", "lang" -> "string",
+      "source" -> "string", "n_chars" -> "int"))),
+
     // regex flavor of the transparent Catalyst pruning: a PLAIN
     // read.parquet + rlike filter — the rule extracts the pattern's
     // required literals, probes their grams through the committed

@@ -35,6 +35,11 @@ object Multimodal {
       * (1-based) — video decode stand-in.
       */
     def frameFingerprint(payload: Column, off: Column, len: Int): Column
+    /** Downsample the payload to ~`targetN` samples (the image-resize /
+      * audio-downsample stand-in): nearest-neighbor = every stride-th
+      * unit, stride = max(1, len div targetN).
+      */
+    def resize(payload: Column, targetN: Int): Column
   }
 
   /** STUB decoder: deterministic, engine-reproducible stand-ins (the
@@ -62,6 +67,13 @@ object Multimodal {
 
     def frameFingerprint(payload: Column, off: Column, len: Int): Column =
       md5(substring(payload, off, lit(len)))
+
+    def resize(payload: Column, targetN: Int): Column = {
+      val stride = greatest(lit(1),
+        (length(payload) / lit(targetN)).cast("int"))
+      aggregate(sequence(lit(1), length(payload), stride), lit(""),
+        (acc, i) => concat(acc, payload.substr(i, lit(1))))
+    }
   }
 
   /** The decoder every entry runs through (swap point for real codecs). */
@@ -95,6 +107,22 @@ object Multimodal {
       """SELECT doc_id, j - 1 AS feat_idx,
         |  round((strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1) / 15.0, 4) AS value
         |FROM documents, generate_series(1, 8) g(j)""".stripMargin),
+
+    // resize (nearest-neighbor downsample) through the decoder seam:
+    // stride-sampled payload to ~64 samples per row — the image
+    // thumbnail / audio downsample plumbing (map-only, column-pruned;
+    // a real codec swaps the sampling for pixel-space interpolation)
+    "multimodal_resize" -> Q((s, dir) => {
+      val resized = decoder.resize(col("text"), 64)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(resized).cast("long").as("n_samples"),
+          md5(resized).as("fp"))
+    },
+      """SELECT doc_id,
+        |  len([substr(text, i, 1) for i in generate_series(1, length(text), greatest(1, length(text) // 64))])::BIGINT AS n_samples,
+        |  md5(list_aggregate([substr(text, i, 1) for i in generate_series(1, length(text), greatest(1, length(text) // 64))], 'string_agg', '')) AS fp
+        |FROM documents""".stripMargin),
 
     // frame sampling through the decoder seam: 3 evenly-spaced
     // fixed-width "frames" per payload — payload slicing + per-frame

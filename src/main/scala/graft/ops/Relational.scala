@@ -283,6 +283,22 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin),
 
+    // explicit grouping sets (the general form rollup/cube specialize):
+    // same single-pass Expand-then-shuffle plan, but only the requested
+    // sets are expanded — (status) and (priority) here, never the
+    // combined fine-grained set a cube would pay for
+    "q_grouping_sets" -> Q((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price")),
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin),
+
     // pivot = conditional aggregation: one shuffle on the grouping key,
     // the pivot values pinned explicitly (an unpinned pivot pays a
     // distinct-values job and is non-deterministic in column order)

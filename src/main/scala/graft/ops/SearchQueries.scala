@@ -172,6 +172,7 @@ object SearchQueries {
     * constant so both engines compute identical CASE weights.
     */
   val FuzzyExpandWeight = 0.5
+  val WildcardPrefix = "s" // expands to 6 vocab terms in the fixture
 
   /** SymSpell vocab-variant artifact: (variant, token, bucket) rows for
     * the corpus vocabulary's deletion neighborhoods, persisted once per
@@ -246,6 +247,56 @@ object SearchQueries {
        |  FROM vocab CROSS JOIN (VALUES $qvals) qs(q)
        |  WHERE levenshtein(token, qs.q) <= 1
        |  GROUP BY token),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       |       WHERE token IN (SELECT token FROM expterms) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      e.qw *
+       |      ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |      (tf.tf * ${K1 + 1} / (tf.tf + $K1 * (${1 - B} + $B * dl.dl / c.avgdl)))
+       |      * $Quant) AS BIGINT) AS cq
+       |  FROM tf JOIN df USING (token) JOIN expterms e USING (token)
+       |       JOIN dl USING (doc_id) CROSS JOIN corpus c)
+       |SELECT doc_id, round(CAST(sum(cq) AS DOUBLE) / $Quant, 4) AS score
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Wildcard (prefix*) expansion: every vocabulary token starting with
+    * the prefix, weight 1.0, then the standard weighted-BM25 plan. The
+    * probe is a `startsWith` scan of the postings' token column —
+    * vocabulary-scale (never corpus rows), with StringStartsWith pushed
+    * to the parquet scan. Lucene's PrefixQuery shape on the engine's
+    * own index.
+    */
+  def expandTermsPrefix(s: SparkSession, dir: String,
+      prefix: String): Seq[(String, Double)] = {
+    val p = bm25Idx(s, dir)
+    s.read.parquet(s"$p/postings")
+      .filter(col("token").startsWith(prefix))
+      .select("token").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq.map(_ -> 1.0)
+  }
+
+  /** The prefix expansion + weighted scoring in ANSI SQL — the oracle
+    * recomputes the expansion independently (LIKE over the vocabulary
+    * CTE), the [[oracleSqlFuzzy]] discipline.
+    */
+  def oracleSqlPrefix(prefix: String, k: Int): String = {
+    import Bm25Index.{B, K1, Quant}
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |  FROM documents),
+       |expterms AS (
+       |  SELECT token, 1.0 AS qw FROM vocab WHERE token LIKE '$prefix%'),
        |toks AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
@@ -535,6 +586,17 @@ object SearchQueries {
       Bm25Index.searchWeighted(s, p,
         expandTermsFuzzy(s, dir, qtoks), Bm25K)
     }, oracleSqlFuzzy(FuzzyBm25Query, Bm25K)),
+
+    // wildcard (prefix*) RANKED search — Lucene PrefixQuery shape:
+    // query tokens expand to every vocabulary token with the prefix
+    // (postings-table probe, never a corpus scan), then the standard
+    // weighted-BM25 plan ranks; the oracle recomputes the expansion
+    // with its own LIKE over the vocabulary
+    "token_wildcard_search" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      Bm25Index.searchWeighted(s, p,
+        expandTermsPrefix(s, dir, WildcardPrefix), Bm25K)
+    }, oracleSqlPrefix(WildcardPrefix, Bm25K)),
 
     // spell-correction suggestions (the SymSpell end-user surface):
     // lev<=1 vocabulary neighbors of the typo'd token ranked by corpus

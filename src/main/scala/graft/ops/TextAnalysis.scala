@@ -504,6 +504,58 @@ object TextAnalysis {
         |  (SELECT count(*) FROM c, tot WHERE cnt * 64 >= 2 * n) AS n_heavy,
         |  true AS contains_all, true AS bounds_ok""".stripMargin),
 
+    // Count-Min sketch (Cormode/Muthukrishnan 2005): d×w counter grid,
+    // est(t) = min_j grid[j][h_j(t)]. The sketch IS one map-side-
+    // combinable groupBy over (row, cell) — constant d·w merged size
+    // regardless of corpus scale, the point-frequency twin of the MG
+    // heavy-hitters sketch (MG answers "which tokens are heavy", CMS
+    // answers "how often is THIS token", e.g. per-token df service
+    // without shipping the vocabulary). Gated against the exact counts:
+    // CMS never undercounts (each cell ≥ the token's true count by
+    // construction), and the max overcount must stay within the 2n/w
+    // collision band. Truth collect is vocabulary-scale (the gate
+    // harness, not the production read path — production queries the
+    // d·w grid directly).
+    "corpus_countmin_sketch" -> Q((s, dir) => {
+      import s.implicits._
+      val (d, w) = (4, 256)
+      def toks = Tables.load(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("t"))
+      val grid = toks
+        .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col("t"))
+        .withColumn("cell", pmod(xxhash64(col("j"), col("t")), lit(w)))
+        .groupBy("j", "cell").agg(count(lit(1)).as("c"))
+      val truth = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      if (truth.isEmpty)
+        Seq((Option.empty[String], Option.empty[Long], true, true))
+          .toDF("top_token", "top_count", "never_under", "band_ok")
+      else {
+        val est = truth
+          .select(col("t"), col("cnt"),
+            explode(sequence(lit(0), lit(d - 1))).as("j"))
+          .withColumn("cell", pmod(xxhash64(col("j"), col("t")), lit(w)))
+          .join(grid, Seq("j", "cell"))
+          .groupBy("t", "cnt").agg(min(col("c")).as("est"))
+        val row = est.agg(
+          min(col("est") - col("cnt")).as("under"),
+          max(col("est") - col("cnt")).as("over"),
+          sum(col("cnt")).as("n")).collect()(0)
+        val (under, over, n) =
+          (row.getLong(0), row.getLong(1), row.getLong(2))
+        val top = truth.orderBy(col("cnt").desc, col("t")).limit(1)
+          .collect()(0)
+        Seq((Option(top.getString(0)), Option(top.getLong(1)),
+          under >= 0L, over <= 2L * n / w))
+          .toDF("top_token", "top_count", "never_under", "band_ok")
+      }
+    },
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS t FROM documents),
+        |c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t)
+        |SELECT
+        |  (SELECT t FROM c ORDER BY cnt DESC, t LIMIT 1) AS top_token,
+        |  (SELECT cnt FROM c ORDER BY cnt DESC, t LIMIT 1) AS top_count,
+        |  true AS never_under, true AS band_ok""".stripMargin),
+
     // per-document lexical diversity: type-token ratio + hapax count
     // (tokens occurring exactly once in the doc). ONE shuffle: docs are
     // repartitioned by doc_id BEFORE exploding (the shuffle carries each

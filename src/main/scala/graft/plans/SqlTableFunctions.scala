@@ -229,6 +229,24 @@ object SqlTableFunctions {
       .orderBy(col("freq").desc, col("token")))
   }
 
+  /** `graft_advise(path)` — the index advisor from SQL: per-column kind
+    * recommendation over a lake prefix (live file set — Delta/Iceberg
+    * removes are logical) or a single parquet file.
+    */
+  private def adviseBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "graft_advise(path)")
+    val spark = SparkSession.active
+    val path = str(args(0), "path")
+    val df =
+      if (path.endsWith(".parquet")) spark.read.parquet(path)
+      else {
+        val live = GraftLake.auto(spark, path).backend.files
+        require(live.nonEmpty, s"graft_advise: no live files under $path")
+        spark.read.parquet(live.sorted: _*)
+      }
+    planOf(graft.ops.Advisor.advise(spark, df))
+  }
+
   private def layoutBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1, "graft_layout(path)")
     val spark = SparkSession.active
@@ -247,6 +265,7 @@ object SqlTableFunctions {
       "graft_explain" -> (explainBuilder(_)),
       "graft_stats" -> (statsBuilder(_)),
       "graft_suggest" -> (suggestBuilder(_)),
+      "graft_advise" -> (adviseBuilder(_)),
       "graft_layout" -> (layoutBuilder(_)))
 
   /** injectTableFunction descriptors for [[graft.GraftExtensions]]. */

@@ -19,6 +19,7 @@ class QueryParitySpec extends AnyFunSuite {
       graft.ops.Relational.entries, graft.ops.TextAnalysis.entries,
       graft.ops.IndexQueries.entries, graft.ops.SearchQueries.entries,
       graft.ops.Dedup.entries, graft.ops.Similarity.entries,
+      graft.ops.BinaryQuant.entries, graft.ops.Advisor.entries,
       graft.ops.Clustering.entries, graft.ops.Classifier.entries,
       graft.index.VectorIndex.entries,
       graft.index.VamanaIndex.entries, graft.index.LogCloudIndex.entries,
