@@ -84,6 +84,10 @@ object ServeBench {
     val ngramPanel = keyPanel.map(_.takeRight(12)) // selective digit tails
     val suggestPanel = bm25Panel.map(_.split(" ").head)
       .filter(_.length > 3).map(t => t.dropRight(1) + "x") // 1-edit typos
+    // 2-char prefixes of bm25 panel terms: each expands to >=1 vocab
+    // token, so the wildcard path does real expansion + scoring work
+    val wildcardPanel = bm25Panel.map(_.split(" ").head)
+      .filter(_.length > 3).map(_.take(2)).distinct
 
     import org.apache.spark.sql.functions._
     def suggestSpark(q: String): org.apache.spark.sql.DataFrame =
@@ -140,7 +144,17 @@ object ServeBench {
           .search(spark, fuzzyP, "c_name", q).collect()),
       ("fuzzy_warm", keyPanel.map(_.split("#")(1).dropRight(1) + "x"),
         (q: String) => graft.index.Serve
-          .fuzzy(spark, fuzzyP, "c_name", q).collect()))
+          .fuzzy(spark, fuzzyP, "c_name", q).collect()),
+      ("wildcard_spark", wildcardPanel, (q: String) => {
+        val terms = spark.read.parquet(s"$bm25P/postings")
+          .filter(col("token").startsWith(q))
+          .select("token").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        graft.index.Bm25Index.searchWeighted(spark, bm25P,
+          terms.map(_ -> 1.0), 10).collect()
+      }),
+      ("wildcard_warm", wildcardPanel, (q: String) =>
+        graft.index.Serve.wildcard(spark, bm25P, q, 10).collect()))
 
     vecPaths.foreach { case (_, p, f) => lat(p, f) } // pass 1: warm
     strPaths.foreach { case (_, p, f) => lat(p, f) }
@@ -180,7 +194,9 @@ object ServeBench {
       ("key_warm_qps", () => qps[String](keyPanel, q =>
         graft.index.Serve.keyExact(spark, keyP, "c_name", q).collect())),
       ("vamana_fast_qps", () => qps[Seq[Double]](panel, q =>
-        graft.index.VamanaIndex.searchFast(spark, vam, q, k).collect())))
+        graft.index.VamanaIndex.searchFast(spark, vam, q, k).collect())),
+      ("wildcard_warm_qps", () => qps[String](wildcardPanel, q =>
+        graft.index.Serve.wildcard(spark, bm25P, q, 10).collect())))
     val qout = qpsPaths.map { case (name, f) =>
       f() // pass 1: warm the contended paths under concurrency
       f""""$name":${f()}%.1f"""

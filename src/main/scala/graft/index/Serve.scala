@@ -521,19 +521,7 @@ object Serve {
         .groupBy(col("token")).agg(sum(col("tf")).as("freq"))
         .orderBy(col("freq").desc, col("token"))
     if (totalRows(spark, path) > MaxServeRows) return sparkPlan()
-    val ver = verOf(spark, path)
-    val vocab =
-      vocabCache.synchronized(Option(vocabCache.get((path, ver)))) match {
-        case Some(v) => v
-        case None =>
-          val v = spark.read.parquet(s"$path/postings")
-            .groupBy(col("token"))
-            .agg(sum(col("tf").cast("long")).as("freq"))
-            .collect().map(r => (r.getString(0), r.getLong(1)))
-          restat(spark, s"$path/meta", ver)
-          vocabCache.synchronized(vocabCache.put((path, ver), v))
-          v
-      }
+    val vocab = vocabOf(spark, path)
     // band bounds mirror the TVF exactly: Spark `length()` counts code
     // points on the token side, the Scala builder used the term's Java
     // length for the bounds — replicated as-is for bit-identity
@@ -545,6 +533,48 @@ object Serve {
       }
       .toSeq.sortBy { case (t, f) => (-f, t) }
       .toDF("token", "freq")
+  }
+
+  /** The cached (token, Σtf) vocabulary of one bm25 index — shared by
+    * the suggest and wildcard warm paths (callers must have checked the
+    * [[MaxServeRows]] budget).
+    */
+  private def vocabOf(spark: SparkSession,
+      path: String): Array[(String, Long)] = {
+    val ver = verOf(spark, path)
+    vocabCache.synchronized(Option(vocabCache.get((path, ver)))) match {
+      case Some(v) => v
+      case None =>
+        val v = spark.read.parquet(s"$path/postings")
+          .groupBy(col("token"))
+          .agg(sum(col("tf").cast("long")).as("freq"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        restat(spark, s"$path/meta", ver)
+        vocabCache.synchronized(vocabCache.put((path, ver), v))
+        v
+    }
+  }
+
+  /** Warm twin of the wildcard (prefix*) ranked search
+    * ([[graft.ops.SearchQueries.expandTermsPrefix]] + weighted BM25):
+    * the prefix expands against the cached vocabulary — same
+    * distinct+sorted term list as the postings `startsWith` scan — and
+    * scoring rides [[bm25Weighted]], so the result is bit-identical to
+    * the Spark path by the same argument as [[bm25]]. Oversized indexes
+    * fall back inside bm25Weighted; an empty expansion answers the
+    * schema-stable empty frame.
+    */
+  def wildcard(spark: SparkSession, path: String, prefix: String,
+      k: Int): DataFrame = {
+    val terms =
+      if (totalRows(spark, path) > MaxServeRows)
+        spark.read.parquet(s"$path/postings")
+          .filter(col("token").startsWith(prefix))
+          .select("token").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+      else vocabOf(spark, path).iterator.map(_._1)
+        .filter(_.startsWith(prefix)).toSeq.sorted
+    bm25Weighted(spark, Seq(path), terms.map(_ -> 1.0), k)
   }
 
   /** Spark's `levenshtein` (standard DP edit distance over CODE

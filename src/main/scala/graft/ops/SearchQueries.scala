@@ -798,6 +798,12 @@ object SearchQueries {
       graft.index.Serve.bm25(s, bm25Idx(s, dir), Bm25Query, Bm25K),
       Bm25Index.oracleSql("documents", "text", "doc_id", Bm25Query, Bm25K)),
 
+    // the wildcard warm path against the SAME independent oracle as the
+    // Spark path (ServeSpec pins bit-identity and the zero-job repeat)
+    "token_wildcard_served" -> Q((s, dir) =>
+      graft.index.Serve.wildcard(s, bm25Idx(s, dir), WildcardPrefix, Bm25K),
+      oracleSqlPrefix(WildcardPrefix, Bm25K)),
+
     "key_search_served" -> Q((s, dir) => {
       val p = keyIdx(s, dir)
       graft.index.Serve.keyExact(s, p, "c_name", "Customer#000000042")

@@ -94,6 +94,30 @@ class ServeSpec extends AnyFunSuite {
     assert(fast == viaSpark && fast.nonEmpty)
   }
 
+  test("wildcard fast path: bit-identical ranked rows, zero jobs warm") {
+    // prefix expands to several vocab tokens (vector, ...): the warm
+    // expansion must equal the postings startsWith scan, and scoring
+    // rides the bm25Weighted identity
+    val prefix = "t"
+    def sparkTerms = spark.read.parquet(s"$bm25Idx/postings")
+      .filter(col("token").startsWith(prefix))
+      .select("token").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val viaSpark = Bm25Index.searchWeightedMany(spark, Seq(bm25Idx),
+      sparkTerms.map(_ -> 1.0), 10).collect().toSeq
+    assert(sparkTerms.size > 1, "fixture prefix should multi-expand")
+    Serve.clearCaches()
+    val cold = Serve.wildcard(spark, bm25Idx, prefix, 10).collect().toSeq
+    assert(cold == viaSpark && cold.nonEmpty)
+    val j = jobs("serve-wildcard-warm") {
+      assert(Serve.wildcard(spark, bm25Idx, prefix, 10)
+        .collect().toSeq == viaSpark)
+    }
+    assert(j == 0, s"warm wildcard lookup ran $j Spark jobs")
+    // no-match prefix: schema-stable empty, still zero jobs warm
+    assert(Serve.wildcard(spark, bm25Idx, "zzzq", 10).collect().isEmpty)
+  }
+
   test("key fast path: bit-identical rows, zero jobs when warm") {
     val key = corpus(23)._2 // exact full-text key
     val viaSpark = rowSet(KeyIndex.searchExact(spark, keyIdx, "text", key))
