@@ -219,6 +219,25 @@ object LayoutQueries {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (42, 137) " +
         "ORDER BY c_custkey"),
 
+    // materialized-view matching: a PLAIN read.parquet + GROUP BY over
+    // a fully agg-indexed lake is answered from the committed per-
+    // (row-group, key) partials — zero lake data pages (the per-source
+    // dashboard query at 100 TB); GroupAggSpec pins the scan really
+    // disappears and every veto keeps the scan's exact semantics
+    "catalyst_group_agg" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix, "source", "n_chars")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), count(col("n_chars")).as("nn"),
+          sum(col("n_chars")).as("sm"))
+        .orderBy(col("source"))
+    },
+      """SELECT source, count(*) AS n, count(n_chars) AS nn,
+        |  CAST(sum(n_chars) AS BIGINT) AS sm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
     // Z-order clustering (OPTIMIZE ZORDER analog): one range shuffle
     // on the Morton interleave gives BOTH columns row-group locality;
     // a 2-D range query prunes by the INTERSECTION of two zone maps,

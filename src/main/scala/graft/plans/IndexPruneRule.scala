@@ -51,7 +51,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         try rewriteJoin(j).getOrElse(j)
         catch { case scala.util.control.NonFatal(_) => j }
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        try rewriteAgg(a).getOrElse(a)
+        try rewriteAgg(a).orElse(rewriteGroupAgg(a)).getOrElse(a)
         catch { case scala.util.control.NonFatal(_) => a }
       case lim: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit =>
         try rewriteTopK(lim).getOrElse(lim)
@@ -326,6 +326,156 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     Some(LocalRelation(a.output,
       Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))))
+  }
+
+  /** Grouped flavor of [[rewriteAgg]] — materialized-view matching:
+    * `GROUP BY key → count(*)/count(m)/sum(m)` over a lake fully
+    * covered by [[graft.index.AggIndex]] partials is answered from the
+    * index tables (zero lake data pages). The per-(row-group, key)
+    * cells combine by summation (associativity of count/sum — the same
+    * partial aggregation Spark performs map-side, persisted), so the
+    * rewrite is exact. Vetoes mirror rewriteAgg (pass-through operators
+    * only, full coverage, no distinct/filtered aggs, Long-overflow on
+    * sum) plus: more than one grouping column, a measure column the
+    * index was not built for, unsupported key type, and a group-count
+    * budget ([[IndexPruneRule.MaxGroups]]) — the result becomes a
+    * driver-built LocalRelation, sound only while ndv(key) is the
+    * low-cardinality dimension an aggregate index is worth building
+    * for.
+    */
+  private def rewriteGroupAgg(
+      a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project, SubqueryAlias}
+    val g = a.groupingExpressions match {
+      case Seq(attr: AttributeReference) if statType(attr.dataType) => attr
+      case _ => return None
+    }
+    if (a.aggregateExpressions.isEmpty) return None
+    def relOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case l: LogicalRelation => Some(l)
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        relOf(pr.child)
+      case sa: SubqueryAlias => relOf(sa.child)
+      case _ => None
+    }
+    val l = relOf(a.child).getOrElse(return None)
+    val (_, prefix, allFiles) = eligible(l).getOrElse(return None)
+    if (allFiles.isEmpty) return None
+
+    sealed trait Need
+    case object KeyOut extends Need
+    case object CountStar extends Need
+    case class CountM(c: String) extends Need
+    case class SumM(c: String) extends Need
+    val needs: Seq[Need] = a.aggregateExpressions.map {
+      case ar: AttributeReference if ar.exprId == g.exprId => KeyOut
+      case Alias(ar: AttributeReference, _) if ar.exprId == g.exprId =>
+        KeyOut
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) if v != null => CountStar
+          case Count(Seq(attr: AttributeReference)) => CountM(attr.name)
+          case su: Sum if su.child.isInstanceOf[AttributeReference] &&
+              integralType(su.child.dataType) =>
+            SumM(su.child.asInstanceOf[AttributeReference].name)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val measures = needs.collect {
+      case CountM(c) => c
+      case SumM(c) => c
+    }.distinct
+    if (measures.size > 1) return None
+
+    val idx = IndexStore.metadataRowsCached(spark, prefix)
+      .filter(r => r.column == g.name && r.indexType == "aggindex")
+    if (idx.isEmpty) return None
+    val covered = idx.flatMap(_.files).map(Layout.canonPath).toSet
+    if (!allFiles.subsetOf(covered)) return None
+    val paths = idx.map(_.indexFile)
+    val memoKey = (Seq("groupagg", g.name, measures.mkString(","),
+      IndexStore.metadataVersionToken(spark, prefix)) ++ paths ++
+      allFiles.toSeq.sorted).mkString("")
+    val rows = IndexPruneRule.memoGroups(memoKey) {
+      probing.set(true)
+      try {
+        // every chosen index must carry the referenced measure
+        if (measures.nonEmpty && paths.exists(p =>
+            graft.index.AggIndex.spec(spark, p)._2 != measures.head))
+          None
+        else {
+          // first covering index path owns each lake file (the
+          // zoneStats anti-double-count discipline)
+          val owner = scala.collection.mutable.Map.empty[String, Int]
+          paths.zipWithIndex.foreach { case (p, i) =>
+            graft.api.IndexKind.metaRows(spark, p).foreach { r =>
+              val f = Layout.canonPath(r._2)
+              if (allFiles.contains(f) && !owner.contains(f)) owner(f) = i
+            }
+          }
+          val ownedPairs = paths.indices.flatMap { i =>
+            graft.api.IndexKind.metaRows(spark, paths(i))
+              .filter(r => owner.get(Layout.canonPath(r._2)).contains(i))
+              .map(r => (i, r._1))
+          }
+          import spark.implicits._
+          val cells = graft.api.IndexKind
+            .readTagged(spark, paths, "groups")
+            .join(org.apache.spark.sql.functions.broadcast(
+              ownedPairs.toDF("idx", "uid")), Seq("idx", "uid"),
+              "left_semi")
+            .groupBy(org.apache.spark.sql.functions.col("key"))
+            .agg(
+              org.apache.spark.sql.functions
+                .sum("n").cast("long").as("n"),
+              org.apache.spark.sql.functions
+                .sum("nn").cast("long").as("nn"),
+              org.apache.spark.sql.functions.sum("s").as("s"))
+            .limit(IndexPruneRule.MaxGroups + 1)
+            .collect()
+          if (cells.length > IndexPruneRule.MaxGroups) None
+          else Some(cells.toSeq.map { r =>
+            IndexPruneRule.GRow(
+              if (r.isNullAt(0)) null else r.get(0),
+              r.getLong(1), r.getLong(2),
+              if (r.isNullAt(3)) None else Some(BigDecimal(r.getDecimal(3))))
+          })
+        }
+      } finally probing.set(false)
+    }.getOrElse(return None)
+
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    def keyInternal(v: Any): Any = v match {
+      case null => null
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant => DateTimeUtils.instantToMicros(t)
+      case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
+      case d: java.time.LocalDate => DateTimeUtils.localDateToDays(d)
+      case other => other
+    }
+    val out = rows.map { gr =>
+      val values = needs.zip(a.output).map {
+        case (KeyOut, _) => keyInternal(gr.key)
+        case (CountStar, _) => gr.n
+        case (CountM(_), _) => gr.nn
+        case (SumM(_), outAttr) =>
+          gr.s match {
+            case None => null // all-NULL measure group: Spark's sum is NULL
+            case Some(tot)
+                if tot.isValidLong && outAttr.dataType ==
+                  org.apache.spark.sql.types.LongType => tot.toLong
+            case _ => return None // overflow / non-Long: let the scan decide
+          }
+      }
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)
+    }
+    Some(LocalRelation(a.output, out))
   }
 
   private def integralType(
@@ -1175,6 +1325,40 @@ object IndexPruneRule {
     }
     val v = f
     statsMemo.synchronized { statsMemo.put(key, (now, v)) }
+    v
+  }
+
+  /** One combined group of the agg-index probe: key in EXTERNAL form
+    * (String/Long/ts — converted to internal at row build), count(*),
+    * count(measure), sum(measure) as exact decimal (None = all-NULL
+    * measure group).
+    */
+  private[plans] case class GRow(key: Any, n: Long, nn: Long,
+      s: Option[BigDecimal])
+
+  /** Group-count budget for the agg-index rewrite: past this the
+    * LocalRelation stops being metadata-scale and the scan wins.
+    */
+  private[plans] val MaxGroups = 100000
+
+  // memo for the grouped-aggregate probe (same TTL discipline);
+  // None ("not covered / over budget / wrong measure") is cached too
+  private val groupsMemo = new java.util.LinkedHashMap[
+      String, (Long, Option[Seq[GRow]])](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, (Long, Option[Seq[GRow]])]): Boolean =
+      size > 64
+  }
+
+  private[plans] def memoGroups(key: String)(
+      f: => Option[Seq[GRow]]): Option[Seq[GRow]] = {
+    val now = System.currentTimeMillis()
+    groupsMemo.synchronized {
+      val hit = groupsMemo.get(key)
+      if (hit != null && now - hit._1 < ProbeMemoTtlMs) return hit._2
+    }
+    val v = f
+    groupsMemo.synchronized { groupsMemo.put(key, (now, v)) }
     v
   }
 

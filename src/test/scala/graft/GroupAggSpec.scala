@@ -1,0 +1,131 @@
+package graft
+
+import graft.index.AggIndex
+import graft.plans.IndexPruneRule
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized-view matching ([[graft.index.AggIndex]] + the grouped
+  * Aggregate rewrite): `GROUP BY key` count/sum over a fully covered
+  * lake is answered from the committed partials — the scan disappears.
+  * Negative cases pin every veto as semantics-preserving.
+  */
+class GroupAggSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scansLake(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.nonEmpty
+
+  // (key, measure) rows incl. NULL keys and NULL measures
+  private def mkLake(dir: String,
+      parts: Seq[(String, Seq[(String, java.lang.Long)])]): Unit = {
+    for ((name, rows) <- parts) {
+      val staging = TestSpark.tmpDir(s"stage-ga-$name")
+      rows.toDF("src", "m").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+  }
+
+  private lazy val dir: String = {
+    val d = TestSpark.tmpDir("gagg")
+    mkLake(d, Seq(
+      "a" -> Seq(("red", 10L), ("red", null), ("blue", 5L)),
+      "b" -> Seq(("red", 7L), (null, 3L), ("green", null))))
+    AggIndex.ensureRegistered(spark, d, "src", "m")
+    IndexPruneRule.enable(spark)
+    d
+  }
+
+  test("grouped count/sum answered without scanning the lake") {
+    val q = spark.read.parquet(dir).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), count(col("m")).as("nn"),
+        sum(col("m")).as("sm"))
+      .orderBy(col("src"))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (null, 1L, 1L, 3L), ("blue", 1L, 1L, 5L),
+      ("green", 1L, 0L, null), ("red", 3L, 2L, 17L)))
+    assert(!scansLake(q), "expected the grouped agg served from the index")
+  }
+
+  test("rewrite result equals the raw scan exactly") {
+    val raw = spark.read.parquet(dir)
+      .where(lit(true)) // a filter blocks the rewrite → true scan plan
+      .groupBy(col("src")).agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
+      .orderBy(col("src")).collect().toSeq
+    val idx = spark.read.parquet(dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
+      .orderBy(col("src")).collect().toSeq
+    assert(raw.map(_.toString) == idx.map(_.toString))
+  }
+
+  test("vetoes keep the scan: filter, wrong measure, multi-key, distinct") {
+    val f = spark.read.parquet(dir).filter(col("m") > 0)
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+    assert(scansLake(f), "filter must veto (partials carry no predicate)")
+    val w = spark.read.parquet(dir).groupBy(col("src"))
+      .agg(sum(col("src").cast("long")).as("x"))
+    assert(scansLake(w), "non-attribute measure expression must veto")
+    val m2 = spark.read.parquet(dir).groupBy(col("src"), col("m"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansLake(m2), "multi-key grouping must veto")
+    val d = spark.read.parquet(dir).groupBy(col("src"))
+      .agg(countDistinct(col("m")).as("nd"))
+    assert(scansLake(d), "distinct aggregate must veto")
+  }
+
+  test("a measure the index was not built for vetoes") {
+    val d4 = TestSpark.tmpDir("gagg4")
+    val staging = TestSpark.tmpDir("stage-ga4")
+    Seq(("red", 1L, 100L), ("blue", 2L, 200L)).toDF("src", "m", "other")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$d4/a.parquet"))
+    AggIndex.ensureRegistered(spark, d4, "src", "m")
+    val q = spark.read.parquet(d4).groupBy(col("src"))
+      .agg(sum(col("other")).as("so"))
+    assert(scansLake(q), "sum over a non-indexed measure must veto")
+    assert(q.orderBy(col("src")).collect().map(_.getLong(1)).toSeq ==
+      Seq(200L, 100L))
+    // count(*)-only rides the index regardless of measure
+    val c = spark.read.parquet(d4).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scansLake(c), "count(*) needs no measure and must rewrite")
+  }
+
+  test("partial coverage vetoes: a new uncovered file keeps the scan") {
+    val d2 = TestSpark.tmpDir("gagg2")
+    mkLake(d2, Seq("a" -> Seq(("red", 1L))))
+    AggIndex.ensureRegistered(spark, d2, "src", "m")
+    mkLake(d2, Seq("b" -> Seq(("red", 100L)))) // appended AFTER the index
+    val q = spark.read.parquet(d2).groupBy(col("src"))
+      .agg(sum(col("m")).as("sm"))
+    assert(scansLake(q), "uncovered append must veto")
+    assert(q.collect()(0).getLong(1) == 101L, "and the scan sees all rows")
+  }
+
+  test("merge: uid re-offset union answers the whole corpus") {
+    val d3 = TestSpark.tmpDir("gagg3")
+    mkLake(d3, Seq(
+      "a" -> Seq(("x", 1L), ("y", 2L)),
+      "b" -> Seq(("x", 10L), ("z", null))))
+    val files = graft.core.Lake.listFiles(d3)
+    val (pa, pb, pm) = (TestSpark.tmpDir("ga-a"), TestSpark.tmpDir("ga-b"),
+      TestSpark.tmpDir("ga-m"))
+    AggIndex.build(spark, files.take(1), "src", "m", pa)
+    AggIndex.build(spark, files.drop(1), "src", "m", pb)
+    AggIndex.merge(spark, pa, pb, pm)
+    val got = AggIndex.groupStats(spark, pm)
+      .orderBy(col("key")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("x", 2L, 2L), ("y", 1L, 1L), ("z", 1L, 0L)))
+  }
+}
