@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Grouped-aggregate index (materialized-view matching, the BI "cube"
   * slice): per (row group, key) partials of
-  * `GROUP BY key → count(*), count(measure), sum(measure)`.
+  * `GROUP BY key → count(*), count(m), sum(m), min(m), max(m)`.
   *
   * The zone map answers GLOBAL stats queries metadata-only
   * ([[ZoneMapIndex.statsAgg]] + the Aggregate rewrite); this kind
@@ -42,7 +42,9 @@ object AggIndex {
       .agg(count(lit(1)).as("n"),
         count(col(measureCol)).as("nn"),
         sum(col(measureCol)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+        min(col(measureCol)).as("lo"),
+        max(col(measureCol)).as("hi"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/groups")
     Seq((keyCol, measureCol)).toDF("key_col", "measure_col")
@@ -81,6 +83,14 @@ object AggIndex {
     IndexStore.ensure(p) {
       build(spark, Lake.listFiles(prefix), keyCol, measureCol, p)
     }
+    // self-heal a pre-lo/hi generation of the cells table: rebuild in
+    // place (metadata row, if any, stays valid — same coverage)
+    if (!spark.read.parquet(s"$p/groups").schema.fieldNames.contains("lo")) {
+      IndexStore.deleteRec(java.nio.file.Paths.get(p))
+      IndexStore.ensure(p) {
+        build(spark, Lake.listFiles(prefix), keyCol, measureCol, p)
+      }
+    }
     if (!IndexStore.metadataRowsCached(spark, prefix)
         .exists(_.indexFile == p)) {
       val fc = spark.read.parquet(s"$p/meta")
@@ -108,5 +118,6 @@ object AggIndex {
       .groupBy(col("key"))
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("nn")).cast("long").as("nn"),
-        sum(col("s")).as("s"))
+        sum(col("s")).as("s"),
+        min(col("lo")).as("lo"), max(col("hi")).as("hi"))
 }

@@ -231,11 +231,13 @@ object LayoutQueries {
       graft.plans.IndexPruneRule.enable(s)
       s.read.parquet(prefix).groupBy(col("source"))
         .agg(count(lit(1)).as("n"), count(col("n_chars")).as("nn"),
-          sum(col("n_chars")).as("sm"))
+          sum(col("n_chars")).as("sm"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
         .orderBy(col("source"))
     },
       """SELECT source, count(*) AS n, count(n_chars) AS nn,
-        |  CAST(sum(n_chars) AS BIGINT) AS sm
+        |  CAST(sum(n_chars) AS BIGINT) AS sm,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
     // Z-order clustering (OPTIMIZE ZORDER analog): one range shuffle

@@ -329,7 +329,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** Grouped flavor of [[rewriteAgg]] — materialized-view matching:
-    * `GROUP BY key → count(*)/count(m)/sum(m)` over a lake fully
+    * `GROUP BY key → count(*)/count(m)/sum(m)/min(m)/max(m)` over a lake fully
     * covered by [[graft.index.AggIndex]] partials is answered from the
     * index tables (zero lake data pages). The per-(row-group, key)
     * cells combine by summation (associativity of count/sum — the same
@@ -370,6 +370,8 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     case object CountStar extends Need
     case class CountM(c: String) extends Need
     case class SumM(c: String) extends Need
+    case class MinM(c: String) extends Need
+    case class MaxM(c: String) extends Need
     val needs: Seq[Need] = a.aggregateExpressions.map {
       case ar: AttributeReference if ar.exprId == g.exprId => KeyOut
       case Alias(ar: AttributeReference, _) if ar.exprId == g.exprId =>
@@ -382,6 +384,12 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           case su: Sum if su.child.isInstanceOf[AttributeReference] &&
               integralType(su.child.dataType) =>
             SumM(su.child.asInstanceOf[AttributeReference].name)
+          case org.apache.spark.sql.catalyst.expressions.aggregate
+              .Min(attr: AttributeReference)
+              if statType(attr.dataType) => MinM(attr.name)
+          case org.apache.spark.sql.catalyst.expressions.aggregate
+              .Max(attr: AttributeReference)
+              if statType(attr.dataType) => MaxM(attr.name)
           case _ => return None
         }
       case _ => return None
@@ -389,6 +397,8 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val measures = needs.collect {
       case CountM(c) => c
       case SumM(c) => c
+      case MinM(c) => c
+      case MaxM(c) => c
     }.distinct
     if (measures.size > 1) return None
 
@@ -424,27 +434,38 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
               .map(r => (i, r._1))
           }
           import spark.implicits._
-          val cells = graft.api.IndexKind
-            .readTagged(spark, paths, "groups")
-            .join(org.apache.spark.sql.functions.broadcast(
-              ownedPairs.toDF("idx", "uid")), Seq("idx", "uid"),
-              "left_semi")
-            .groupBy(org.apache.spark.sql.functions.col("key"))
-            .agg(
-              org.apache.spark.sql.functions
-                .sum("n").cast("long").as("n"),
-              org.apache.spark.sql.functions
-                .sum("nn").cast("long").as("nn"),
-              org.apache.spark.sql.functions.sum("s").as("s"))
-            .limit(IndexPruneRule.MaxGroups + 1)
-            .collect()
-          if (cells.length > IndexPruneRule.MaxGroups) None
-          else Some(cells.toSeq.map { r =>
-            IndexPruneRule.GRow(
-              if (r.isNullAt(0)) null else r.get(0),
-              r.getLong(1), r.getLong(2),
-              if (r.isNullAt(3)) None else Some(BigDecimal(r.getDecimal(3))))
-          })
+          val tagged = graft.api.IndexKind.readTagged(spark, paths, "groups")
+          // a pre-lo/hi cells generation cannot serve min/max — veto
+          // and let the scan answer (ensureRegistered self-heals it)
+          if (!tagged.schema.fieldNames.contains("lo") &&
+              needs.exists(n => n.isInstanceOf[MinM] || n.isInstanceOf[MaxM]))
+            None
+          else {
+            val hasBounds = tagged.schema.fieldNames.contains("lo")
+            val fns = org.apache.spark.sql.functions
+            val baseAggs = Seq(
+              fns.sum("n").cast("long").as("n"),
+              fns.sum("nn").cast("long").as("nn"),
+              fns.sum("s").as("s"))
+            val aggs = if (!hasBounds) baseAggs else baseAggs ++
+              Seq(fns.min("lo").as("lo"), fns.max("hi").as("hi"))
+            val cells = tagged
+              .join(fns.broadcast(ownedPairs.toDF("idx", "uid")),
+                Seq("idx", "uid"), "left_semi")
+              .groupBy(fns.col("key"))
+              .agg(aggs.head, aggs.tail: _*)
+              .limit(IndexPruneRule.MaxGroups + 1)
+              .collect()
+            if (cells.length > IndexPruneRule.MaxGroups) None
+            else Some(cells.toSeq.map { r =>
+              IndexPruneRule.GRow(
+                if (r.isNullAt(0)) null else r.get(0),
+                r.getLong(1), r.getLong(2),
+                if (r.isNullAt(3)) None else Some(BigDecimal(r.getDecimal(3))),
+                if (!hasBounds || r.isNullAt(4)) None else Some(r.get(4)),
+                if (!hasBounds || r.isNullAt(5)) None else Some(r.get(5)))
+            })
+          }
         }
       } finally probing.set(false)
     }.getOrElse(return None)
@@ -472,6 +493,8 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
                   org.apache.spark.sql.types.LongType => tot.toLong
             case _ => return None // overflow / non-Long: let the scan decide
           }
+        case (MinM(_), _) => gr.lo.map(keyInternal).orNull
+        case (MaxM(_), _) => gr.hi.map(keyInternal).orNull
       }
       org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)
     }
@@ -1334,7 +1357,7 @@ object IndexPruneRule {
     * measure group).
     */
   private[plans] case class GRow(key: Any, n: Long, nn: Long,
-      s: Option[BigDecimal])
+      s: Option[BigDecimal], lo: Option[Any], hi: Option[Any])
 
   /** Group-count budget for the agg-index rewrite: past this the
     * LocalRelation stops being metadata-scale and the scan wins.

@@ -42,16 +42,20 @@ class GroupAggSpec extends AnyFunSuite {
     d
   }
 
-  test("grouped count/sum answered without scanning the lake") {
+  test("grouped count/sum/min/max answered without scanning the lake") {
     val q = spark.read.parquet(dir).groupBy(col("src"))
       .agg(count(lit(1)).as("n"), count(col("m")).as("nn"),
-        sum(col("m")).as("sm"))
+        sum(col("m")).as("sm"), min(col("m")).as("lo"),
+        max(col("m")).as("hi"))
       .orderBy(col("src"))
+    def optL(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.getLong(i)
     val got = q.collect().map(r => (r.getString(0), r.getLong(1),
-      r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3)))
+      r.getLong(2), optL(r, 3), optL(r, 4), optL(r, 5)))
     assert(got.toSeq == Seq(
-      (null, 1L, 1L, 3L), ("blue", 1L, 1L, 5L),
-      ("green", 1L, 0L, null), ("red", 3L, 2L, 17L)))
+      (null, 1L, 1L, 3L, 3L, 3L), ("blue", 1L, 1L, 5L, 5L, 5L),
+      ("green", 1L, 0L, null, null, null),
+      ("red", 3L, 2L, 17L, 7L, 10L)))
     assert(!scansLake(q), "expected the grouped agg served from the index")
   }
 
@@ -110,6 +114,31 @@ class GroupAggSpec extends AnyFunSuite {
       .agg(sum(col("m")).as("sm"))
     assert(scansLake(q), "uncovered append must veto")
     assert(q.collect()(0).getLong(1) == 101L, "and the scan sees all rows")
+  }
+
+  test("incremental coverage: two part-indexes combine exactly") {
+    val d5 = TestSpark.tmpDir("gagg5")
+    mkLake(d5, Seq("a" -> Seq(("x", 1L), ("y", 2L))))
+    val pa = AggIndex.ensureRegistered(spark, d5, "src", "m")
+    // append a file, index ONLY it, register the second coverage row
+    mkLake(d5, Seq("b" -> Seq(("x", 10L), ("z", 4L))))
+    val newFile = graft.core.Lake.listFiles(d5).filterNot(f =>
+      spark.read.parquet(s"$pa/meta").select("file_path")
+        .collect().map(_.getString(0)).contains(f))
+    val pb = graft.core.IndexStore.indexPath(d5, "agg_src_m_part2")
+    graft.core.IndexStore.ensure(pb) {
+      AggIndex.build(spark, newFile, "src", "m", pb)
+    }
+    graft.core.IndexStore.commitMetadata(spark, d5,
+      graft.core.IndexStore.metadataRows(spark, d5, "src",
+        newFile, Seq(2L), pb, "aggindex", 2L))
+    val q = spark.read.parquet(d5).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
+      .orderBy(col("src"))
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("x", 2L, 11L), ("y", 1L, 2L), ("z", 1L, 4L)))
+    assert(!scansLake(q), "combined part-index coverage must rewrite")
   }
 
   test("merge: uid re-offset union answers the whole corpus") {
