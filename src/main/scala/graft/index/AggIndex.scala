@@ -38,11 +38,24 @@ object AggIndex {
     import spark.implicits._
     val meta = Layout.buildMeta(spark, files, Some(keyCol)).cache()
     val data = Layout.withUid(spark, files, meta)
+    // exact decimal sums only for integral measures (the ZoneMapIndex
+    // rule): a time/string measure stores NULL s — min/max/count still
+    // serve, and the rewrite's sum path never fires (integralType gate)
+    val integral = data.schema(measureCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val sCol =
+      if (integral) sum(col(measureCol)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      else lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 0))
     data.groupBy(col("uid"), col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"),
         count(col(measureCol)).as("nn"),
-        sum(col(measureCol)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+        sCol.as("s"),
         min(col(measureCol)).as("lo"),
         max(col(measureCol)).as("hi"))
       .coalesce(1)

@@ -240,6 +240,27 @@ object LayoutQueries {
         |  min(n_chars) AS lo, max(n_chars) AS hi
         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
+    // timestamp flavor: per-event-type time ranges (the observability
+    // "first/last seen per type" query) served from the committed
+    // partials — min/max combine in TimestampType, the projection above
+    // the aggregate converts to epoch micros only for the oracle dtype
+    "catalyst_group_agg_ts" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "events", "ts", 4, alias = "events_ts")
+      val prefix = Lake.splitPath(dir, "events_ts")
+      graft.index.AggIndex.ensureRegistered(s, prefix, "event_type", "ts")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("tlo"),
+          max(col("ts")).as("thi"))
+        .select(col("event_type"), col("n"),
+          unix_micros(col("tlo")).as("lo"), unix_micros(col("thi")).as("hi"))
+        .orderBy(col("event_type"))
+    },
+      """SELECT event_type, count(*) AS n,
+        |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS lo,
+        |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS hi
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // Z-order clustering (OPTIMIZE ZORDER analog): one range shuffle
     // on the Morton interleave gives BOTH columns row-group locality;
     // a 2-D range query prunes by the INTERSECTION of two zone maps,

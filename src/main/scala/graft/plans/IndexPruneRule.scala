@@ -366,35 +366,51 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (allFiles.isEmpty) return None
 
     sealed trait Need
-    case object KeyOut extends Need
     case object CountStar extends Need
     case class CountM(c: String) extends Need
     case class SumM(c: String) extends Need
     case class MinM(c: String) extends Need
     case class MaxM(c: String) extends Need
-    val needs: Seq[Need] = a.aggregateExpressions.map {
-      case ar: AttributeReference if ar.exprId == g.exprId => KeyOut
-      case Alias(ar: AttributeReference, _) if ar.exprId == g.exprId =>
-        KeyOut
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Count(Seq(Literal(v, _))) if v != null => CountStar
-          case Count(Seq(attr: AttributeReference)) => CountM(attr.name)
-          case su: Sum if su.child.isInstanceOf[AttributeReference] &&
-              integralType(su.child.dataType) =>
-            SumM(su.child.asInstanceOf[AttributeReference].name)
-          case org.apache.spark.sql.catalyst.expressions.aggregate
-              .Min(attr: AttributeReference)
-              if statType(attr.dataType) => MinM(attr.name)
-          case org.apache.spark.sql.catalyst.expressions.aggregate
-              .Max(attr: AttributeReference)
-              if statType(attr.dataType) => MaxM(attr.name)
-          case _ => return None
-        }
-      case _ => return None
+    def classify(ae: AggregateExpression): Option[Need] = {
+      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) if v != null => Some(CountStar)
+        case Count(Seq(attr: AttributeReference)) => Some(CountM(attr.name))
+        case su: Sum if su.child.isInstanceOf[AttributeReference] &&
+            integralType(su.child.dataType) =>
+          Some(SumM(su.child.asInstanceOf[AttributeReference].name))
+        case org.apache.spark.sql.catalyst.expressions.aggregate
+            .Min(attr: AttributeReference)
+            if statType(attr.dataType) => Some(MinM(attr.name))
+        case org.apache.spark.sql.catalyst.expressions.aggregate
+            .Max(attr: AttributeReference)
+            if statType(attr.dataType) => Some(MaxM(attr.name))
+        case _ => None
+      }
     }
-    val measures = needs.collect {
+    // AggregateExpressions may sit under deterministic scalar wrappers
+    // (a collapsed Project: unix_micros(min(ts)), round(sum(x)/n), …) —
+    // classify every one found, and require that what remains around
+    // them references only the grouping attribute
+    val found = scala.collection.mutable.ArrayBuffer
+      .empty[(AggregateExpression, Need)]
+    a.aggregateExpressions.foreach { e =>
+      if (!e.deterministic) return None
+      e.foreach {
+        case ae: AggregateExpression =>
+          if (found.forall(_._1.canonicalized != ae.canonicalized))
+            found += ((ae, classify(ae).getOrElse(return None)))
+        case _ =>
+      }
+      val stripped = e.transform {
+        case ae: AggregateExpression => Literal(null, ae.dataType)
+      }
+      if (!stripped.references.subsetOf(
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(g)))
+        return None
+    }
+    val distinctAggs = found.toSeq
+    val measures = distinctAggs.map(_._2).collect {
       case CountM(c) => c
       case SumM(c) => c
       case MinM(c) => c
@@ -438,7 +454,8 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           // a pre-lo/hi cells generation cannot serve min/max — veto
           // and let the scan answer (ensureRegistered self-heals it)
           if (!tagged.schema.fieldNames.contains("lo") &&
-              needs.exists(n => n.isInstanceOf[MinM] || n.isInstanceOf[MaxM]))
+              distinctAggs.exists(n =>
+                n._2.isInstanceOf[MinM] || n._2.isInstanceOf[MaxM]))
             None
           else {
             val hasBounds = tagged.schema.fieldNames.contains("lo")
@@ -480,25 +497,41 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case d: java.time.LocalDate => DateTimeUtils.localDateToDays(d)
       case other => other
     }
+    // LocalRelation carries the grouping attribute (exprId preserved)
+    // plus one synthetic attribute per distinct AggregateExpression; a
+    // Project on top re-applies any scalar wrappers, so the rewritten
+    // plan's output attributes are exactly the Aggregate's
+    val aggAttrs = distinctAggs.zipWithIndex.map { case ((ae, _), i) =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        s"_ga$i", ae.dataType, ae.nullable)()
+    }
     val out = rows.map { gr =>
-      val values = needs.zip(a.output).map {
-        case (KeyOut, _) => keyInternal(gr.key)
-        case (CountStar, _) => gr.n
-        case (CountM(_), _) => gr.nn
-        case (SumM(_), outAttr) =>
-          gr.s match {
-            case None => null // all-NULL measure group: Spark's sum is NULL
-            case Some(tot)
-                if tot.isValidLong && outAttr.dataType ==
-                  org.apache.spark.sql.types.LongType => tot.toLong
-            case _ => return None // overflow / non-Long: let the scan decide
-          }
-        case (MinM(_), _) => gr.lo.map(keyInternal).orNull
-        case (MaxM(_), _) => gr.hi.map(keyInternal).orNull
+      val values = keyInternal(gr.key) +: distinctAggs.zip(aggAttrs).map {
+        case (((ae, need)), _) => need match {
+          case CountStar => gr.n
+          case CountM(_) => gr.nn
+          case SumM(_) =>
+            gr.s match {
+              case None => null // all-NULL measure group: sum is NULL
+              case Some(tot)
+                  if tot.isValidLong && ae.dataType ==
+                    org.apache.spark.sql.types.LongType => tot.toLong
+              case _ => return None // overflow / non-Long: scan decides
+            }
+          case MinM(_) => gr.lo.map(keyInternal).orNull
+          case MaxM(_) => gr.hi.map(keyInternal).orNull
+        }
       }
       org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)
     }
-    Some(LocalRelation(a.output, out))
+    val replaced = a.aggregateExpressions.map { e =>
+      e.transform {
+        case ae: AggregateExpression =>
+          aggAttrs(distinctAggs.indexWhere(
+            _._1.canonicalized == ae.canonicalized))
+      }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
+    }
+    Some(Project(replaced, LocalRelation(g +: aggAttrs, out)))
   }
 
   private def integralType(

@@ -141,6 +141,37 @@ class GroupAggSpec extends AnyFunSuite {
     assert(!scansLake(q), "combined part-index coverage must rewrite")
   }
 
+  test("timestamp measure: min/max serve, a projection above survives") {
+    val d6 = TestSpark.tmpDir("gagg6")
+    val staging = TestSpark.tmpDir("stage-ga6")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(("click", ts("2024-01-01 10:00:00")),
+      ("click", ts("2024-01-03 10:00:00")),
+      ("view", ts("2024-01-02 09:00:00")))
+      .toDF("et", "ts").coalesce(1).write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$d6/a.parquet"))
+    AggIndex.ensureRegistered(spark, d6, "et", "ts")
+    val q = spark.read.parquet(d6).groupBy(col("et"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("tlo"),
+        max(col("ts")).as("thi"))
+      .select(col("et"), col("n"), unix_micros(col("tlo")).as("lo"),
+        unix_micros(col("thi")).as("hi"))
+      .orderBy(col("et"))
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(got.toSeq == Seq(
+      ("click", 2L, us("2024-01-01 10:00:00"), us("2024-01-03 10:00:00")),
+      ("view", 1L, us("2024-01-02 09:00:00"), us("2024-01-02 09:00:00"))))
+    assert(!scansLake(q), "ts-measure grouped agg must serve from index")
+    // sum over the time measure must veto (no decimal sums stored)
+    val sq = spark.read.parquet(d6).groupBy(col("et"))
+      .agg(sum(unix_micros(col("ts"))).as("x"))
+    assert(scansLake(sq))
+  }
+
   test("merge: uid re-offset union answers the whole corpus") {
     val d3 = TestSpark.tmpDir("gagg3")
     mkLake(d3, Seq(
