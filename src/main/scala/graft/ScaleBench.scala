@@ -258,6 +258,16 @@ object ScaleBench {
         ensureJoinIndex(spark, dir, idx("ivfknn"))
         graft.index.VectorIndex.knnJoinFromIndex(spark, idx("ivfknn")).count()
       }),
+      // materialized-view partials: one map-side-combined groupBy over
+      // (uid, key) — build should track the scan, the query stays flat
+      // (reads ndv x row-groups cells, never the lake)
+      "aggindex_build" -> (() =>
+        graft.core.IndexStore.ensure(idx("aggidx")) {
+          graft.index.AggIndex.build(spark, docFiles, "source",
+            "n_chars", idx("aggidx"))
+        }),
+      "aggindex_group_query" -> (() =>
+        graft.index.AggIndex.groupStats(spark, idx("aggidx")).count()),
       // 1-bit candidate generation + exact rerank: candidate set is
       // n/10, so the rerank input grows linearly while the Hamming scan
       // is one XOR+popcount per vector — near-linear end to end
