@@ -231,9 +231,10 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     * phrases / operator words → boolean tree over the committed ngram
     * indexes (an UNPARSEABLE bool shape — unbalanced quote, trailing
     * operator — degrades to exact, like the regex compile guard), regex
-    * metacharacters → literal-probed regex with the ORIGINAL pattern
-    * (lowercasing a pattern flips `\W`→`\w`; the refine lowers the
-    * column, never the pattern), a FULLY-quoted query → exact contains
+    * metacharacters → literal-probed regex with literal characters
+    * lowercased and every construct preserved
+    * ([[graft.text.QueryShaping.smartRegexForm]] — the refine matches
+    * `lower(column)`), a FULLY-quoted query → exact contains
     * of the inner text (the escape for literal operator words:
     * `"TO BE OR NOT TO BE"`), otherwise exact contains — and when an
     * exact search finds NOTHING, retry typo-tolerant (the "did you
@@ -255,10 +256,9 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
       case ("bool", q) =>
         search(BoolNgramKind, column, q, k, order, snapshot)
       case ("regex", q) =>
-        // the refine matches against lower(column): simple patterns
-        // are lowered whole (case-insensitive search-box semantics),
-        // escape-carrying ones pass verbatim — lowercasing them flips
-        // \W→\w / breaks \Q…\E (QueryShaping.smartRegexForm)
+        // the refine matches against lower(column): literal characters
+        // lower (case-insensitive search-box semantics), regex
+        // constructs survive verbatim (QueryShaping.smartRegexForm)
         search(NgramRegexKind, column,
           graft.text.QueryShaping.smartRegexForm(q), k, order, snapshot)
       case (_, q) => exactRoute(column, q, k, order, snapshot)

@@ -464,13 +464,20 @@ object KeyKind extends IndexKind {
       k: Int, live: Option[Set[String]] = None): DataFrame = {
     val prefixMode = query.endsWith("%")
     // the key table's own schema says whether this column was indexed
-    // in canonical hex form (BinaryType source) — footer-only check,
-    // uniform across paths (one column has one type)
+    // in canonical hex form (BinaryType source). Checked per PATH
+    // footer: readTagged forces the first path's schema onto all of
+    // them, so a mixed key/key_hex generation set would silently read
+    // the other generation's key column as NULL and drop its hits —
+    // mixed sets demote to the brute covered scan instead (correct,
+    // just unpruned, until compaction unifies the generations)
+    val keyCols =
+      paths.map(p => KeyIndex.keyColOf(
+        spark.read.parquet(s"$p/keys").columns.toSeq)).distinct
+    val mixedGenerations = keyCols.size > 1
     val keysAll =
-      if (paths.isEmpty) None
+      if (paths.isEmpty || mixedGenerations) None
       else Some(IndexKind.readTagged(spark, paths, "keys"))
-    val hexMode = keysAll.exists(
-      _.columns.contains(KeyIndex.HexKeyCol)) ||
+    val hexMode = keyCols.contains(KeyIndex.HexKeyCol) ||
       (paths.isEmpty && insituFiles.nonEmpty &&
         spark.read.parquet(insituFiles.head).schema.fields.exists(f =>
           f.name == column &&
@@ -486,6 +493,7 @@ object KeyKind extends IndexKind {
     val covered = coveredFiles(spark, paths, live)
 
     def viaIndex(): Option[DataFrame] = {
+      if (keysAll.isEmpty) return None // mixed generations: brute scan
       val keys = keysAll.get
         .select(col("idx"), col(kc).as("key"), col("uid"))
       val ranged =

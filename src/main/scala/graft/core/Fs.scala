@@ -296,8 +296,23 @@ object Fs {
           sig ^= h
         }
       }
+    } catch {
+      // a directory entry vanishing mid-iteration (racing delete of
+      // the tree itself) surfaces as UncheckedIOException-wrapped
+      // NoSuchFileException from the walk stream — the Hadoop branch
+      // throws FileNotFoundException there, and callers' self-heal
+      // demote classifies on exactly that type
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+        throw new java.io.FileNotFoundException(
+          e.getCause.asInstanceOf[java.nio.file.NoSuchFileException].getFile)
     } finally stream.close()
-    if (!any) java.nio.file.Files.getLastModifiedTime(base).toMillis
+    if (!any)
+      try java.nio.file.Files.getLastModifiedTime(base).toMillis
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          throw new java.io.FileNotFoundException(e.getFile)
+      }
     else sig
   }
 

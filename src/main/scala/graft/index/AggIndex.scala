@@ -97,9 +97,14 @@ object AggIndex {
       build(spark, Lake.listFiles(prefix), keyCol, measureCol, p)
     }
     // self-heal a pre-lo/hi generation of the cells table: rebuild in
-    // place (metadata row, if any, stays valid — same coverage)
+    // place (metadata row, if any, stays valid — same coverage). Delete
+    // through the PATH's own filesystem — a java.nio delete is a silent
+    // no-op on s3://-style index roots, which would pin the stale
+    // generation (and the min/max veto) forever
     if (!spark.read.parquet(s"$p/groups").schema.fieldNames.contains("lo")) {
-      IndexStore.deleteRec(java.nio.file.Paths.get(p))
+      if (graft.core.Fs.isLocalPath(p))
+        IndexStore.deleteRec(java.nio.file.Paths.get(p))
+      else graft.core.Fs.deleteRec(spark, p)
       IndexStore.ensure(p) {
         build(spark, Lake.listFiles(prefix), keyCol, measureCol, p)
       }

@@ -416,6 +416,11 @@ object Serve {
       case None =>
         val df = spark.read.parquet(s"$path/keys")
         val kc = KeyIndex.keyColOf(df.columns.toSeq)
+        // non-string key columns (a key index over a numeric id) are
+        // not servable by the string-sorted warm table — fall back to
+        // the Spark path instead of ClassCastException-ing
+        if (df.schema(kc).dataType !=
+            org.apache.spark.sql.types.StringType) return None
         val pairs = df.select(col(kc), col("uid")).collect()
           .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
         restat(spark, s"$path/meta", ver)

@@ -435,30 +435,23 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
             graft.index.AggIndex.spec(spark, p)._2 != measures.head))
           None
         else {
-          // first covering index path owns each lake file (the
-          // zoneStats anti-double-count discipline)
-          val owner = scala.collection.mutable.Map.empty[String, Int]
-          paths.zipWithIndex.foreach { case (p, i) =>
-            graft.api.IndexKind.metaRows(spark, p).foreach { r =>
-              val f = Layout.canonPath(r._2)
-              if (allFiles.contains(f) && !owner.contains(f)) owner(f) = i
-            }
-          }
-          val ownedPairs = paths.indices.flatMap { i =>
-            graft.api.IndexKind.metaRows(spark, paths(i))
-              .filter(r => owner.get(Layout.canonPath(r._2)).contains(i))
-              .map(r => (i, r._1))
-          }
+          val ownedPairs = ownedUidPairs(paths, allFiles)
           import spark.implicits._
           val tagged = graft.api.IndexKind.readTagged(spark, paths, "groups")
-          // a pre-lo/hi cells generation cannot serve min/max — veto
-          // and let the scan answer (ensureRegistered self-heals it)
-          if (!tagged.schema.fieldNames.contains("lo") &&
+          // a pre-lo/hi cells generation cannot serve min/max — and the
+          // check must inspect EVERY path's own footer: readTagged
+          // forces the first path's schema onto all of them, so a
+          // mixed-generation set would silently read the old cells'
+          // lo/hi as NULL and return wrong extremes. Veto unless every
+          // covering index carries bounds (ensureRegistered self-heals)
+          val hasBounds = paths.forall(p =>
+            spark.read.parquet(s"$p/groups").schema
+              .fieldNames.contains("lo"))
+          if (!hasBounds &&
               distinctAggs.exists(n =>
                 n._2.isInstanceOf[MinM] || n._2.isInstanceOf[MaxM]))
             None
           else {
-            val hasBounds = tagged.schema.fieldNames.contains("lo")
             val fns = org.apache.spark.sql.functions
             val baseAggs = Seq(
               fns.sum("n").cast("long").as("n"),
@@ -571,19 +564,11 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     memoStats(memoKey) {
       probing.set(true)
       try {
-        // first covering index path owns each lake file
-        val owner = scala.collection.mutable.Map.empty[String, Int]
-        paths.zipWithIndex.foreach { case (p, i) =>
-          graft.api.IndexKind.metaRows(spark, p).foreach { r =>
-            val f = Layout.canonPath(r._2)
-            if (allFiles.contains(f) && !owner.contains(f)) owner(f) = i
-          }
-        }
-        val ownedUids: Map[Int, Set[Long]] = paths.indices.map { i =>
-          i -> graft.api.IndexKind.metaRows(spark, paths(i))
-            .filter(r => owner.get(Layout.canonPath(r._2)).contains(i))
-            .map(_._1).toSet
-        }.toMap
+        val pairs = ownedUidPairs(paths, allFiles)
+        val ownedUids: Map[Int, Set[Long]] =
+          pairs.groupBy(_._1).map { case (i, ps) =>
+            i -> ps.map(_._2).toSet
+          }.withDefaultValue(Set.empty)
         val n = paths.indices.map { i =>
           graft.api.IndexKind.metaRows(spark, paths(i))
             .filter(r => ownedUids(i).contains(r._1)).map(_._4).sum
@@ -663,6 +648,28 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           Some(IndexPruneRule.ZStats(los.minOption, his.maxOption, n, nn, sTot))
         }
       } finally probing.set(false)
+    }
+  }
+
+  /** (index-ordinal, uid) pairs under the anti-double-count discipline
+    * shared by every index-served aggregate probe: the FIRST covering
+    * index path owns each lake file, and only the owner's uids count —
+    * overlapping coverage during the compaction append-then-delete
+    * window must never count a file's rows twice.
+    */
+  private def ownedUidPairs(paths: Seq[String],
+      allFiles: Set[String]): Seq[(Int, Long)] = {
+    val owner = scala.collection.mutable.Map.empty[String, Int]
+    paths.zipWithIndex.foreach { case (p, i) =>
+      graft.api.IndexKind.metaRows(spark, p).foreach { r =>
+        val f = Layout.canonPath(r._2)
+        if (allFiles.contains(f) && !owner.contains(f)) owner(f) = i
+      }
+    }
+    paths.indices.flatMap { i =>
+      graft.api.IndexKind.metaRows(spark, paths(i))
+        .filter(r => owner.get(Layout.canonPath(r._2)).contains(i))
+        .map(r => (i, r._1))
     }
   }
 

@@ -153,23 +153,72 @@ object QueryShaping {
     *     a malformed boolean program — it degrades to exact with the
     *     original string, mirroring routeOf's regex compile guard;
     *   - every other query keeps routeOf's mode, string unchanged (the
-    *     regex mode passes the ORIGINAL pattern — lowercasing a pattern
-    *     flips escape classes, `\W`→`\w`; the refine lowers the COLUMN,
-    *     never the pattern).
+    *     regex mode's literal-only lowercasing happens later, in
+    *     [[smartRegexForm]] — route() itself never rewrites the
+    *     pattern).
     * Invariant (RoutingFuzzSpec): the routed result is always ⊆ the
     * union of the individual mode results for the same string.
     */
   /** The pattern form smartSearch's regex route matches against
-    * `lower(column)`: patterns with NO escape/flag constructs (no
-    * backslash, no `(?`) are safely lowercased whole — `Customer#00[0-9]`
-    * keeps matching the lowered column, and classes like `[A-Z]` lower
-    * to the intended `[a-z]` — while patterns carrying escapes or
-    * inline flags pass VERBATIM: lowercasing there flips escape
-    * classes (`\W`→`\w`) or invalidates `\Q…\E`. Advanced patterns
-    * with uppercase literals should carry `(?i)` themselves.
+    * `lower(column)`: LITERAL characters are lowercased — so
+    * `Customer#\d+` finds customer rows on the lowered column — while
+    * every regex construct survives untouched: escape pairs (`\W`
+    * must not become `\w`), `\Q…\E` markers (content inside IS
+    * literal and lowers), inline group prefixes after `(?` (flags,
+    * names, lookaround markers, copied verbatim through their closing
+    * `:`/`)`/`=`/`!`/`>`), `\p{…}`/`\P{…}` property names, and
+    * `\k<…>` backreference names. Character-class content lowers
+    * (`[A-Z]` → the intended `[a-z]`, matching the simple-pattern
+    * behavior). If the transform ever produced a non-compiling form
+    * for a compiling input, the original passes verbatim — never
+    * worse than the pre-transform behavior.
     */
-  def smartRegexForm(p: String): String =
-    if (p.contains('\\') || p.contains("(?")) p else Text.sparkLower(p)
+  def smartRegexForm(p: String): String = {
+    if (!p.contains('\\') && !p.contains("(?")) return Text.sparkLower(p)
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = {
+      out.append(Text.sparkLower(lit.toString)); lit.setLength(0)
+    }
+    def copyThrough(i0: Int, stops: String): Int = {
+      var i = i0
+      while (i < p.length && stops.indexOf(p.charAt(i)) < 0) {
+        out.append(p.charAt(i)); i += 1
+      }
+      if (i < p.length) { out.append(p.charAt(i)); i += 1 }
+      i
+    }
+    var i = 0
+    var inQ = false
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (inQ) {
+        if (c == '\\' && i + 1 < p.length && p.charAt(i + 1) == 'E') {
+          flush(); out.append("\\E"); i += 2; inQ = false
+        } else { lit.append(c); i += 1 }
+      } else if (c == '\\' && i + 1 < p.length) {
+        val e = p.charAt(i + 1)
+        flush()
+        if (e == 'Q') { out.append("\\Q"); inQ = true; i += 2 }
+        else {
+          out.append(c).append(e); i += 2
+          // verbatim tails whose case is load-bearing: \p{Lu} / \P{Lu}
+          // property names, \k<Name> backreference names
+          if ((e == 'p' || e == 'P') && i < p.length && p.charAt(i) == '{')
+            i = copyThrough(i, "}")
+          else if (e == 'k' && i < p.length && p.charAt(i) == '<')
+            i = copyThrough(i, ">")
+        }
+      } else if (c == '(' && i + 1 < p.length && p.charAt(i + 1) == '?') {
+        flush(); out.append("(?"); i = copyThrough(i + 2, ":)=!>")
+      } else { lit.append(c); i += 1 }
+    }
+    flush()
+    val form = out.toString
+    if (scala.util.Try(java.util.regex.Pattern.compile(form)).isSuccess)
+      form
+    else p
+  }
 
   def route(q: String): (String, String) = {
     val t = q.trim

@@ -132,8 +132,13 @@ class BoolSearchSpec extends AnyFunSuite {
     assert(smartRegexForm("Customer#00000004[0-9]") == "customer#00000004[0-9]")
     assert(smartRegexForm("fast [A-Z]+ scan") == "fast [a-z]+ scan")
     // lowercasing would flip \W→\w / break \Q…\E — verbatim
-    assert(smartRegexForm("fast \\W+ Scan") == "fast \\W+ Scan")
-    assert(smartRegexForm("(?i)FAST [a-z]+") == "(?i)FAST [a-z]+")
+    // escape-bearing patterns: literals lower, constructs survive
+    assert(smartRegexForm("fast \\W+ Scan") == "fast \\W+ scan")
+    assert(smartRegexForm("(?i)FAST [a-z]+") == "(?i)fast [a-z]+")
+    assert(smartRegexForm("Customer#\\d+") == "customer#\\d+")
+    assert(smartRegexForm("\\QHello.World\\E") == "\\Qhello.world\\E")
+    assert(smartRegexForm("\\p{Lu}AB[C-Z]\\d") == "\\p{Lu}ab[c-z]\\d")
+    assert(smartRegexForm("(?<Name>AB)\\k<Name>") == "(?<Name>ab)\\k<Name>")
   }
 
   test("parser fuzz: random inputs parse or reject cleanly, never crash") {
