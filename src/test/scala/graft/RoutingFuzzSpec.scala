@@ -83,6 +83,35 @@ class RoutingFuzzSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("smartRegexForm fuzz: compiling input -> compiling output, " +
+      "escape-bearing uppercase literals match") {
+    import graft.text.QueryShaping.smartRegexForm
+    val rnd = new scala.util.Random(20260816L)
+    val frags = Seq("Quick", "BROWN", "fox", "\\d+", "\\W", "[A-Z]+",
+      "[a-z]{1,3}", "(?i)", "(?:X|y)", "\\Q.Lit\\E", ".", "*", "+", "?",
+      "|", "(", ")", "\\p{Lower}", "#", " ", "\\", "5")
+    var checked = 0
+    (1 to 400).foreach { _ =>
+      val p = Seq.fill(1 + rnd.nextInt(6))(
+        frags(rnd.nextInt(frags.size))).mkString
+      if (scala.util.Try(java.util.regex.Pattern.compile(p)).isSuccess) {
+        checked += 1
+        val f = smartRegexForm(p)
+        assert(
+          scala.util.Try(java.util.regex.Pattern.compile(f)).isSuccess,
+          s"transform broke a compiling pattern: '$p' -> '$f'")
+      }
+    }
+    assert(checked > 100, s"fuzz generated too few compiling patterns")
+    // the class of pattern the r8 verbatim rule silently zeroed:
+    // escape-bearing with uppercase literals now matches lower(column)
+    val got = ids(lake.smartSearch("text", "QUICK \\w+", 1000,
+      Seq("doc_id")))
+    val want = ids(lake.search(NgramRegexKind, "text", "quick \\w+",
+      1000, Seq("doc_id")))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("fully-quoted escape equals the bool single-phrase rows") {
     val inner = "TO BE OR NOT TO BE"
     val viaSmart = ids(lake.smartSearch("text", s""""$inner"""", 1000,
