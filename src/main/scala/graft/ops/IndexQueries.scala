@@ -583,6 +583,14 @@ object IndexQueries {
       "doc_id" -> "int", "text" -> "string", "lang" -> "string",
       "source" -> "string", "n_chars" -> "int"))),
 
+    // the production dedup composition through the SQL-ONLY surface:
+    // one statement returns the surviving corpus ids (exact collapse →
+    // capped LSH → connected components → keepers)
+    "sql_tvf_dedup" -> Q((s, dir) => {
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_dedup('$dir')")
+    }, graft.ops.Pipeline.dedupProductionSql),
+
     // regex flavor of the transparent Catalyst pruning: a PLAIN
     // read.parquet + rlike filter — the rule extracts the pattern's
     // required literals, probes their grams through the committed

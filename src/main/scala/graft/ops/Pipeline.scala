@@ -223,7 +223,7 @@ object Pipeline {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
-  private def dedupProductionSql: String =
+  private[graft] def dedupProductionSql: String =
     s"""WITH RECURSIVE
        |corpus AS (SELECT doc_id, text FROM documents
        |           UNION ALL SELECT doc_id + 100000, text FROM documents),

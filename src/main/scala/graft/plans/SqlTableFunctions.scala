@@ -247,6 +247,17 @@ object SqlTableFunctions {
     planOf(graft.ops.Advisor.advise(spark, df))
   }
 
+  /** `graft_dedup(dir)` — the production dedup composition (exact
+    * collapse → capped-LSH pairs → connected components → keepers)
+    * from one SQL statement: returns the SURVIVING doc_ids of the
+    * lake's documents table.
+    */
+  private def dedupBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "graft_dedup(dir)")
+    planOf(graft.ops.Pipeline.dedupProduction(
+      SparkSession.active, str(args(0), "dir")))
+  }
+
   private def layoutBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1, "graft_layout(path)")
     val spark = SparkSession.active
@@ -266,6 +277,7 @@ object SqlTableFunctions {
       "graft_stats" -> (statsBuilder(_)),
       "graft_suggest" -> (suggestBuilder(_)),
       "graft_advise" -> (adviseBuilder(_)),
+      "graft_dedup" -> (dedupBuilder(_)),
       "graft_layout" -> (layoutBuilder(_)))
 
   /** injectTableFunction descriptors for [[graft.GraftExtensions]]. */
