@@ -276,32 +276,49 @@ object Serve {
   /** Per-gram posting slices (uid arrays), one fetch job for every
     * missing gram; absent grams cache an empty slice.
     */
-  private def gramSlices(spark: SparkSession, path: String,
-      grams: Seq[String]): Map[String, Array[Long]] = {
+  /** Shared fetch-or-cache for per-term posting slices: the gram /
+    * variant / token caches all follow ONE discipline — look up under
+    * the content version, batch every miss into one bucket-pruned
+    * fetch job, cache absent terms as empty (negative caching), and
+    * refuse to cache across a rebuild (the restat). Parameterized by
+    * the postings term column, the projected value columns, the bucket
+    * function, and the per-row decoder.
+    */
+  private def termSlices[V](spark: SparkSession, path: String,
+      terms: Seq[String],
+      cache: java.util.LinkedHashMap[(String, Long, String), Array[V]],
+      termCol: String, valueCols: Seq[String], bucketOf: String => Int,
+      decode: Row => V, post: Array[V] => Array[V])(
+      implicit ct: scala.reflect.ClassTag[V]): Map[String, Array[V]] = {
     val ver = verOf(spark, path)
-    val hits = gramCache.synchronized {
-      grams.flatMap { g =>
-        Option(gramCache.get((path, ver, g))).map(g -> _)
+    val hits = cache.synchronized {
+      terms.flatMap { t =>
+        Option(cache.get((path, ver, t))).map(t -> _)
       }.toMap
     }
-    val missing = grams.filterNot(hits.contains)
+    val missing = terms.filterNot(hits.contains)
     if (missing.isEmpty) hits
     else {
-      val buckets = missing.map(NgramIndex.bucketOfString).distinct
+      val buckets = missing.map(bucketOf).distinct
       val got = spark.read.parquet(s"$path/postings")
         .filter(col("bucket").isin(buckets: _*) &&
-          col("gram").isin(missing: _*))
-        .select("gram", "uid").collect()
+          col(termCol).isin(missing: _*))
+        .select(termCol, valueCols: _*).collect()
         .groupBy(_.getString(0))
-        .map { case (g, rs) => g -> rs.map(_.getLong(1)).distinct }
+        .map { case (t, rs) => t -> post(rs.map(decode).toArray) }
       restat(spark, s"$path/meta", ver)
-      val all = missing.map(g => g -> got.getOrElse(g, Array.empty[Long]))
-      gramCache.synchronized {
-        all.foreach { case (g, u) => gramCache.put((path, ver, g), u) }
+      val all = missing.map(t => t -> got.getOrElse(t, Array.empty[V]))
+      cache.synchronized {
+        all.foreach { case (t, v) => cache.put((path, ver, t), v) }
       }
       hits ++ all
     }
   }
+
+  private def gramSlices(spark: SparkSession, path: String,
+      grams: Seq[String]): Map[String, Array[Long]] =
+    termSlices[Long](spark, path, grams, gramCache, "gram", Seq("uid"),
+      NgramIndex.bucketOfString, _.getLong(1), _.distinct)
 
   // ---- fuzzy: typo-tolerant point lookup -----------------------------
 
@@ -351,31 +368,9 @@ object Serve {
     * [[gramSlices]]; absent variants cache empty.
     */
   private def variantSlices(spark: SparkSession, path: String,
-      variants: Seq[String]): Map[String, Array[Long]] = {
-    val ver = verOf(spark, path)
-    val hits = variantCache.synchronized {
-      variants.flatMap { v =>
-        Option(variantCache.get((path, ver, v))).map(v -> _)
-      }.toMap
-    }
-    val missing = variants.filterNot(hits.contains)
-    if (missing.isEmpty) hits
-    else {
-      val buckets = missing.map(NgramIndex.bucketOfString).distinct
-      val got = spark.read.parquet(s"$path/postings")
-        .filter(col("bucket").isin(buckets: _*) &&
-          col("variant").isin(missing: _*))
-        .select("variant", "uid").collect()
-        .groupBy(_.getString(0))
-        .map { case (v, rs) => v -> rs.map(_.getLong(1)).distinct }
-      restat(spark, s"$path/meta", ver)
-      val all = missing.map(v => v -> got.getOrElse(v, Array.empty[Long]))
-      variantCache.synchronized {
-        all.foreach { case (v, u) => variantCache.put((path, ver, v), u) }
-      }
-      hits ++ all
-    }
-  }
+      variants: Seq[String]): Map[String, Array[Long]] =
+    termSlices[Long](spark, path, variants, variantCache, "variant",
+      Seq("uid"), NgramIndex.bucketOfString, _.getLong(1), _.distinct)
 
   // ---- key: exact point lookup --------------------------------------
 
@@ -613,34 +608,10 @@ object Serve {
     * for the missing tokens; absent tokens cache empty.
     */
   private def tokenSlices(spark: SparkSession, path: String,
-      toks: Seq[String]): Map[String, Array[(Long, Long)]] = {
-    val ver = verOf(spark, path)
-    val hits = tokenCache.synchronized {
-      toks.flatMap { t =>
-        Option(tokenCache.get((path, ver, t))).map(t -> _)
-      }.toMap
-    }
-    val missing = toks.filterNot(hits.contains)
-    if (missing.isEmpty) hits
-    else {
-      val buckets = missing.map(Bm25Index.bucketOfString).distinct
-      val got = spark.read.parquet(s"$path/postings")
-        .filter(col("bucket").isin(buckets: _*) &&
-          col("token").isin(missing: _*))
-        .select("token", "doc_id", "tf").collect()
-        .groupBy(_.getString(0))
-        .map { case (t, rs) =>
-          t -> rs.map(r => (r.getLong(1), r.getLong(2)))
-        }
-      restat(spark, s"$path/meta", ver)
-      val all = missing.map(t =>
-        t -> got.getOrElse(t, Array.empty[(Long, Long)]))
-      tokenCache.synchronized {
-        all.foreach { case (t, s) => tokenCache.put((path, ver, t), s) }
-      }
-      hits ++ all
-    }
-  }
+      toks: Seq[String]): Map[String, Array[(Long, Long)]] =
+    termSlices[(Long, Long)](spark, path, toks, tokenCache, "token",
+      Seq("doc_id", "tf"), Bm25Index.bucketOfString,
+      r => (r.getLong(1), r.getLong(2)), identity)
 
   /** (n_docs, sum_dl) of one index — head row when complete, docstats
     * aggregate otherwise (the searchWeightedMany fallback), cached.
