@@ -148,6 +148,25 @@ object IndexKind {
   private val schemaCache =
     new graft.core.LruMap[String, (Long, org.apache.spark.sql.types.StructType)](512)
 
+  // per-path key-column name (key vs key_hex), keyed by the keys dir
+  // signature — same rationale as schemaCache: without it every KeyKind
+  // search pays one eager footer-read job PER covering path at plan
+  // time, growing with compaction history
+  private val keyColCache = new graft.core.LruMap[String, (Long, String)](512)
+
+  private[graft] def keyColCached(spark: SparkSession, path: String): String = {
+    val dir = s"$path/keys"
+    val sig = graft.core.Fs.dirSignature(spark, dir)
+    keyColCache.get(dir) match {
+      case Some((m, c)) if m == sig => c
+      case _ =>
+        val c = graft.index.KeyIndex.keyColOf(
+          spark.read.parquet(dir).columns.toSeq)
+        keyColCache.put(dir, (sig, c))
+        c
+    }
+  }
+
   /** Union scan of the same sub-table across several index dirs, each
     * row tagged with its index ordinal (`idx`). Every read pins the
     * sub-table's schema (driver-cached from the first index, keyed by
@@ -469,10 +488,10 @@ object KeyKind extends IndexKind {
     // them, so a mixed key/key_hex generation set would silently read
     // the other generation's key column as NULL and drop its hits —
     // mixed sets demote to the brute covered scan instead (correct,
-    // just unpruned, until compaction unifies the generations)
+    // just unpruned, until compaction unifies the generations).
+    // Cached per keys-dir signature so warm searches stay footer-free.
     val keyCols =
-      paths.map(p => KeyIndex.keyColOf(
-        spark.read.parquet(s"$p/keys").columns.toSeq)).distinct
+      paths.map(p => IndexKind.keyColCached(spark, p)).distinct
     val mixedGenerations = keyCols.size > 1
     val keysAll =
       if (paths.isEmpty || mixedGenerations) None

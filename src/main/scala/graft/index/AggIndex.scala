@@ -1,27 +1,45 @@
 package graft.index
 
 import graft.core.Layout
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Grouped-aggregate index (materialized-view matching, the BI "cube"
-  * slice): per (row group, key) partials of
-  * `GROUP BY key → count(*), count(m), sum(m), min(m), max(m)`.
+  * slice): per (row group, key-tuple) partials of
+  * `GROUP BY k0[, k1…] → count(*), count(m), sum(m), min(m), max(m)`
+  * for EVERY requested measure, all from one build pass.
   *
   * The zone map answers GLOBAL stats queries metadata-only
   * ([[ZoneMapIndex.statsAgg]] + the Aggregate rewrite); this kind
-  * extends the same contract to single-key grouped aggregates — the
-  * per-source / per-tenant / per-day dashboard query a 100 TB lake
-  * cannot afford to rescan. Partials are mergeable by construction
-  * (counts and DECIMAL(38,0) sums add), so compaction is the standard
-  * uid re-offset union and the index table stays
-  * ndv(key) × row-groups — metadata-scale whenever the key is the
-  * low-cardinality dimension an aggregate index is worth building for
-  * (the Catalyst rewrite VETOES past a row budget instead of serving a
-  * data-scale collect).
+  * extends the same contract to grouped aggregates — the per-source /
+  * per-tenant / per-day dashboard query a 100 TB lake cannot afford to
+  * rescan. Partials are mergeable by construction (counts and
+  * DECIMAL(38,0) sums add), so compaction is the standard uid re-offset
+  * union and the index table stays ndv(keys) × row-groups —
+  * metadata-scale whenever the key tuple is the low-cardinality
+  * dimension an aggregate index is worth building for (the Catalyst
+  * rewrite VETOES past a row budget instead of serving a data-scale
+  * collect).
+  *
+  * Multi-measure rationale: a real dashboard key carries several
+  * measures (revenue, quantity, latency). One index per (key, measure)
+  * pair multiplies builds AND whole-lake scans by the measure count —
+  * storing all measures' cells side by side in ONE groups table costs
+  * one extra column quartet per measure and nothing at query time
+  * (column pruning drops the unreferenced quartets at the scan).
+  *
+  * On-disk v2 layout:
+  *   groups: uid, k0..k{K-1}, n, then per measure j: nn{j}, s{j},
+  *           lo{j}, hi{j} (lo/hi in the measure's own type; s NULL for
+  *           non-integral measures — the rewrite's sum path never fires
+  *           for those, integralType gate)
+  *   spec:   key_cols array<string>, measure_cols array<string>
+  * A v1 single-pair index (groups: uid, key, n, nn, s[, lo, hi]; spec:
+  * key_col, measure_col) is still readable everywhere and self-heals to
+  * v2 on the next [[ensureRegistered]].
   *
   * Exactness argument: every row of a covered file lands in exactly one
-  * (uid, key) cell; count(*) sums cells, count(measure) sums the
+  * (uid, key-tuple) cell; count(*) sums cells, count(measure) sums the
   * non-null cell counts, sum(measure) sums exact decimal cell sums —
   * each equal to the scan's answer by associativity of the underlying
   * aggregates (the same partial-aggregation Spark itself performs
@@ -29,55 +47,70 @@ import org.apache.spark.sql.functions._
   */
 object AggIndex {
 
-  /** Build over `files`: groups table (uid, key, n, nn, s) + spec
-    * (key/measure column names, consulted by the Catalyst matcher) +
-    * the standard meta sidecar.
-    */
-  def build(spark: SparkSession, files: Seq[String], keyCol: String,
-      measureCol: String, path: String): Unit = {
-    import spark.implicits._
-    val meta = Layout.buildMeta(spark, files, Some(keyCol)).cache()
-    val data = Layout.withUid(spark, files, meta)
-    // exact decimal sums only for integral measures (the ZoneMapIndex
-    // rule): a time/string measure stores NULL s — min/max/count still
-    // serve, and the rewrite's sum path never fires (integralType gate)
-    val integral = data.schema(measureCol).dataType match {
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    val sCol =
-      if (integral) sum(col(measureCol)
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-      else lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    data.groupBy(col("uid"), col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n"),
-        count(col(measureCol)).as("nn"),
-        sCol.as("s"),
-        min(col(measureCol)).as("lo"),
-        max(col(measureCol)).as("hi"))
-      .coalesce(1)
+
+  /** Build over `files`: one pass computes every measure's quartet.
+    * The reduce-side aggregation stays parallel (32-way); only the
+    * WRITE is repartitioned to one file — `coalesce(1)` here would
+    * collapse the aggregation itself into a single task.
+    */
+  def build(spark: SparkSession, files: Seq[String], keyCols: Seq[String],
+      measureCols: Seq[String], path: String): Unit = {
+    import spark.implicits._
+    require(keyCols.nonEmpty && keyCols.distinct == keyCols,
+      s"bad key columns: $keyCols")
+    require(measureCols.nonEmpty && measureCols.distinct == measureCols,
+      s"bad measure columns: $measureCols")
+    val meta = Layout.buildMeta(spark, files, Some(keyCols.head)).cache()
+    val data = Layout.withUid(spark, files, meta)
+    val aggs: Seq[Column] = count(lit(1)).as("n") +:
+      measureCols.zipWithIndex.flatMap { case (m, j) =>
+        val sCol =
+          if (integral(data.schema(m).dataType))
+            sum(col(m).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          else lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        Seq(count(col(m)).as(s"nn$j"), sCol.as(s"s$j"),
+          min(col(m)).as(s"lo$j"), max(col(m)).as(s"hi$j"))
+      }
+    val outCols: Seq[Column] = col("uid") +:
+      (keyCols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") } ++
+        (col("n") +: measureCols.indices.flatMap(j =>
+          Seq(col(s"nn$j"), col(s"s$j"), col(s"lo$j"), col(s"hi$j")))))
+    data.groupBy(col("uid") +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(outCols: _*)
+      .repartition(1)
       .write.mode("overwrite").parquet(s"$path/groups")
-    Seq((keyCol, measureCol)).toDF("key_col", "measure_col")
+    Seq((keyCols, measureCols)).toDF("key_cols", "measure_cols")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/spec")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()
   }
 
+  /** Single-pair convenience (the v1 API shape). */
+  def build(spark: SparkSession, files: Seq[String], keyCol: String,
+      measureCol: String, path: String): Unit =
+    build(spark, files, Seq(keyCol), Seq(measureCol), path)
+
   /** Merge two agg indexes: `b`'s uids re-based past `a`'s — cells stay
-    * disjoint by (uid, key), so the union IS the merged partial set.
+    * disjoint by (uid, keys), so the union IS the merged partial set.
     */
   def merge(spark: SparkSession, a: String, b: String, out: String): Unit = {
-    require(spec(spark, a) == spec(spark, b),
-      s"agg indexes disagree on (key, measure): $a vs $b")
+    require(specV2(spark, a) == specV2(spark, b),
+      s"agg indexes disagree on (keys, measures): $a vs $b")
     val offset = spark.read.parquet(s"$a/meta")
       .agg(max("uid")).collect()(0).getLong(0)
     spark.read.parquet(s"$a/groups").unionByName(
       spark.read.parquet(s"$b/groups")
         .withColumn("uid", col("uid") + offset))
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/groups")
+      .repartition(1).write.mode("overwrite").parquet(s"$out/groups")
     spark.read.parquet(s"$a/spec")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/spec")
     spark.read.parquet(s"$a/meta").unionByName(
@@ -86,27 +119,29 @@ object AggIndex {
   }
 
   /** Build over a lake prefix (idempotent) and commit the coverage
-    * metadata row (indexType "aggindex") that makes the Catalyst
-    * grouped-aggregate rewrite discover it. Returns the index path.
+    * metadata row (indexType "aggindex", column = sorted key cols
+    * joined by "," — for one key that is just the key name, so v1
+    * registrations keep matching). Returns the index path.
     */
   def ensureRegistered(spark: SparkSession, prefix: String,
-      keyCol: String, measureCol: String): String = {
+      keyCols: Seq[String], measureCols: Seq[String]): String = {
     import graft.core.{IndexStore, Lake}
-    val p = IndexStore.indexPath(prefix, s"agg_${keyCol}_$measureCol")
+    val p = IndexStore.indexPath(prefix,
+      s"agg_${(keyCols ++ measureCols).mkString("_")}")
     IndexStore.ensure(p) {
-      build(spark, Lake.listFiles(prefix), keyCol, measureCol, p)
+      build(spark, Lake.listFiles(prefix), keyCols, measureCols, p)
     }
-    // self-heal a pre-lo/hi generation of the cells table: rebuild in
-    // place (metadata row, if any, stays valid — same coverage). Delete
-    // through the PATH's own filesystem — a java.nio delete is a silent
-    // no-op on s3://-style index roots, which would pin the stale
-    // generation (and the min/max veto) forever
-    if (!spark.read.parquet(s"$p/groups").schema.fieldNames.contains("lo")) {
+    // self-heal a pre-v2 generation (v1 single-pair cells, with or
+    // without lo/hi): rebuild in place (metadata row, if any, stays
+    // valid — same coverage). Delete through the PATH's own
+    // filesystem — a java.nio delete is a silent no-op on s3://-style
+    // index roots, which would pin the stale generation forever
+    if (!spark.read.parquet(s"$p/groups").schema.fieldNames.contains("k0")) {
       if (graft.core.Fs.isLocalPath(p))
         IndexStore.deleteRec(java.nio.file.Paths.get(p))
       else graft.core.Fs.deleteRec(spark, p)
       IndexStore.ensure(p) {
-        build(spark, Lake.listFiles(prefix), keyCol, measureCol, p)
+        build(spark, Lake.listFiles(prefix), keyCols, measureCols, p)
       }
     }
     if (!IndexStore.metadataRowsCached(spark, prefix)
@@ -116,26 +151,96 @@ object AggIndex {
         .agg(sum(col("num_rows")).cast("long").as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       IndexStore.commitMetadata(spark, prefix,
-        IndexStore.metadataRows(spark, prefix, keyCol,
+        IndexStore.metadataRows(spark, prefix,
+          keyCols.sorted.mkString(","),
           fc.map(_._1), fc.map(_._2), p, "aggindex", fc.map(_._2).sum))
     }
     p
   }
 
-  /** (key_col, measure_col) the index was built for. */
+  def ensureRegistered(spark: SparkSession, prefix: String,
+      keyCol: String, measureCol: String): String =
+    ensureRegistered(spark, prefix, Seq(keyCol), Seq(measureCol))
+
+  /** (key_cols, measure_cols) the index was built for — reads both the
+    * v2 array spec and the v1 single-pair spec. Driver-cached by the
+    * spec dir's signature so plan-time consultation is footer-free on
+    * warm paths.
+    */
+  def specV2(spark: SparkSession, path: String): (Seq[String], Seq[String]) = {
+    val dir = s"$path/spec"
+    val sig = graft.core.Fs.dirSignature(spark, dir)
+    specCache.get(dir) match {
+      case Some((m, v)) if m == sig => v
+      case _ =>
+        val df = spark.read.parquet(dir)
+        val r = df.collect()(0)
+        val v =
+          if (df.schema.fieldNames.contains("key_cols"))
+            (r.getSeq[String](df.schema.fieldIndex("key_cols")).toList,
+              r.getSeq[String](df.schema.fieldIndex("measure_cols")).toList)
+          else (List(r.getString(0)), List(r.getString(1)))
+        specCache.put(dir, (sig, v))
+        v
+    }
+  }
+
+  private val specCache =
+    new graft.core.LruMap[String, (Long, (Seq[String], Seq[String]))](512)
+
+  /** Whether the groups table at `path` is the v2 layout (k0 et al.) —
+    * cached with the same discipline as [[specV2]].
+    */
+  private[graft] def isV2(spark: SparkSession, path: String): Boolean = {
+    val dir = s"$path/groups"
+    val sig = graft.core.Fs.dirSignature(spark, dir)
+    v2Cache.get(dir) match {
+      case Some((m, v)) if m == sig => v
+      case _ =>
+        val v = spark.read.parquet(dir).schema.fieldNames.contains("k0")
+        v2Cache.put(dir, (sig, v))
+        v
+    }
+  }
+
+  private val v2Cache = new graft.core.LruMap[String, (Long, Boolean)](512)
+
+  /** First (key_col, measure_col) — v1 compatibility accessor. */
   def spec(spark: SparkSession, path: String): (String, String) = {
-    val r = spark.read.parquet(s"$path/spec").collect()(0)
-    (r.getString(0), r.getString(1))
+    val (k, m) = specV2(spark, path)
+    (k.head, m.head)
   }
 
   /** The grouped aggregate served FROM the index tables (zero lake data
-    * pages): the direct-call twin of the Catalyst rewrite.
+    * pages): the direct-call twin of the Catalyst rewrite. Single-key /
+    * single-measure indexes keep the v1 output names (key, n, nn, s,
+    * lo, hi); wider indexes name keys by their source columns and
+    * measures as nn_col / s_col / lo_col / hi_col.
     */
-  def groupStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/groups")
-      .groupBy(col("key"))
-      .agg(sum(col("n")).cast("long").as("n"),
-        sum(col("nn")).cast("long").as("nn"),
-        sum(col("s")).as("s"),
-        min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+  def groupStats(spark: SparkSession, path: String): DataFrame = {
+    val g = spark.read.parquet(s"$path/groups")
+    if (!g.columns.contains("k0")) // v1 cells
+      return g.groupBy(col("key"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("nn")).cast("long").as("nn"),
+          sum(col("s")).as("s"),
+          min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    val (kcols, mcols) = specV2(spark, path)
+    val single = mcols.size == 1
+    def mName(suffix: String, m: String) =
+      if (single) suffix else s"${suffix}_$m"
+    val keyNames = kcols.indices.map(i =>
+      if (kcols.size == 1) "key" else kcols(i))
+    val renamed = kcols.indices.foldLeft(g) { (d, i) =>
+      d.withColumnRenamed(s"k$i", keyNames(i))
+    }
+    val aggs = sum(col("n")).cast("long").as("n") +:
+      mcols.zipWithIndex.flatMap { case (m, j) =>
+        Seq(sum(col(s"nn$j")).cast("long").as(mName("nn", m)),
+          sum(col(s"s$j")).as(mName("s", m)),
+          min(col(s"lo$j")).as(mName("lo", m)),
+          max(col(s"hi$j")).as(mName("hi", m)))
+      }
+    renamed.groupBy(keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

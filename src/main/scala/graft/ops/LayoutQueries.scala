@@ -261,6 +261,47 @@ object LayoutQueries {
         |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS hi
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // multi-measure flavor: ONE index build pass stores every
+    // measure's (nn, s, lo, hi) quartet side by side — a dashboard key
+    // with d measures costs one lake scan, not d (the narrowest
+    // qualifying spec wins when several agg indexes share the key)
+    "catalyst_group_agg_measures" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix,
+        Seq("source"), Seq("n_chars", "doc_id"))
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sc"), max(col("n_chars")).as("hc"),
+          sum(col("doc_id")).as("sd"), min(col("doc_id")).as("ld"))
+        .orderBy(col("source"))
+    },
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sc, max(n_chars) AS hc,
+        |  CAST(sum(doc_id) AS BIGINT) AS sd, min(doc_id) AS ld
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // composite-key flavor: GROUP BY k1, k2 served from one index
+    // whose cells key on the (k1, k2) tuple — grouping order in the
+    // query is independent of the spec's key order
+    "catalyst_group_agg_2key" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix,
+        Seq("source", "lang"), Seq("n_chars"))
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sm"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        .orderBy(col("lang"), col("source"))
+    },
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sm,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin),
+
     // Z-order clustering (OPTIMIZE ZORDER analog): one range shuffle
     // on the Morton interleave gives BOTH columns row-group locality;
     // a 2-D range query prunes by the INTERSECTION of two zone maps,

@@ -71,8 +71,12 @@ object Multimodal {
     def resize(payload: Column, targetN: Int): Column = {
       val stride = greatest(lit(1),
         (length(payload) / lit(targetN)).cast("int"))
-      aggregate(sequence(lit(1), length(payload), stride), lit(""),
-        (acc, i) => concat(acc, payload.substr(i, lit(1))))
+      // sequence(1, 0, 1) throws "illegal sequence boundaries" on an
+      // empty payload where DuckDB's generate_series yields [] — guard
+      // so one empty document can't fail the whole query
+      when(length(payload) === 0, lit("")).otherwise(
+        aggregate(sequence(lit(1), length(payload), stride), lit(""),
+          (acc, i) => concat(acc, payload.substr(i, lit(1)))))
     }
   }
 

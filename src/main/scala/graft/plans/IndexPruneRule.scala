@@ -336,20 +336,28 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     * partial aggregation Spark performs map-side, persisted), so the
     * rewrite is exact. Vetoes mirror rewriteAgg (pass-through operators
     * only, full coverage, no distinct/filtered aggs, Long-overflow on
-    * sum) plus: more than one grouping column, a measure column the
-    * index was not built for, unsupported key type, and a group-count
-    * budget ([[IndexPruneRule.MaxGroups]]) — the result becomes a
-    * driver-built LocalRelation, sound only while ndv(key) is the
-    * low-cardinality dimension an aggregate index is worth building
-    * for.
+    * sum) plus: a grouping key set no index was built for, a measure
+    * column outside the index's spec, unsupported key type, and a
+    * group-count budget ([[IndexPruneRule.MaxGroups]]) — the result
+    * becomes a driver-built LocalRelation, sound only while ndv(keys)
+    * is the low-cardinality dimension an aggregate index is worth
+    * building for. Multi-measure and multi-key GROUP BYs serve from
+    * ONE index whose spec matches (the probe fetches every spec
+    * measure, so different queries share the memoized cells).
     */
   private def rewriteGroupAgg(
       a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project, SubqueryAlias}
-    val g = a.groupingExpressions match {
-      case Seq(attr: AttributeReference) if statType(attr.dataType) => attr
+    val gAttrs: Seq[AttributeReference] = a.groupingExpressions match {
+      case s if s.nonEmpty && s.forall {
+            case ar: AttributeReference => statType(ar.dataType)
+            case _ => false
+          } =>
+        val attrs = s.map(_.asInstanceOf[AttributeReference])
+        if (attrs.map(_.name).distinct.size != attrs.size) return None
+        attrs
       case _ => return None
     }
     if (a.aggregateExpressions.isEmpty) return None
@@ -406,7 +414,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         case ae: AggregateExpression => Literal(null, ae.dataType)
       }
       if (!stripped.references.subsetOf(
-          org.apache.spark.sql.catalyst.expressions.AttributeSet(g)))
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(gAttrs)))
         return None
     }
     val distinctAggs = found.toSeq
@@ -416,66 +424,78 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case MinM(c) => c
       case MaxM(c) => c
     }.distinct
-    if (measures.size > 1) return None
 
+    // discovery key: sorted key columns joined by "," (one key → the
+    // bare column name, so v1 registrations keep matching)
+    val keySetName = gAttrs.map(_.name).sorted.mkString(",")
     val idx = IndexStore.metadataRowsCached(spark, prefix)
-      .filter(r => r.column == g.name && r.indexType == "aggindex")
+      .filter(r => r.column == keySetName && r.indexType == "aggindex")
     if (idx.isEmpty) return None
-    val covered = idx.flatMap(_.files).map(Layout.canonPath).toSet
-    if (!allFiles.subsetOf(covered)) return None
-    val paths = idx.map(_.indexFile)
-    val memoKey = (Seq("groupagg", g.name, measures.mkString(","),
+    // a prefix can carry SEVERAL agg indexes on the same key set
+    // (different measure lists, or part-indexes of one spec). The
+    // chosen set must share ONE spec — cell column ordinals must line
+    // up across readTagged's pinned schema — group by exactly this
+    // query's key set, carry every referenced measure, and cover all
+    // files; among qualifying specs pick the narrowest measure list
+    // (smallest cells), deterministically
+    val bySpec = idx.groupBy(r =>
+      graft.index.AggIndex.specV2(spark, r.indexFile))
+    val candidates = bySpec.toSeq.filter { case ((kc, mc), rows) =>
+      kc.toSet == gAttrs.map(_.name).toSet &&
+        measures.forall(mc.contains) &&
+        allFiles.subsetOf(
+          rows.flatMap(_.files).map(Layout.canonPath).toSet)
+    }.sortBy { case ((_, mc), _) => (mc.size, mc.mkString(",")) }
+    if (candidates.isEmpty) return None
+    val ((kcols, mcols), chosen) = candidates.head
+    val paths = chosen.map(_.indexFile)
+    // the probe fetches ALL spec measures (bounded by the spec, never
+    // the query), so the memoized rows are query-independent — the
+    // memo key need not encode which agg kinds this query wants
+    val memoKey = (Seq("groupagg2", keySetName,
       IndexStore.metadataVersionToken(spark, prefix)) ++ paths ++
-      allFiles.toSeq.sorted).mkString("")
+      allFiles.toSeq.sorted).map(v => s"${v.length}:$v").mkString
     val rows = IndexPruneRule.memoGroups(memoKey) {
       probing.set(true)
       try {
-        // every chosen index must carry the referenced measure
-        if (measures.nonEmpty && paths.exists(p =>
-            graft.index.AggIndex.spec(spark, p)._2 != measures.head))
-          None
+        // v1 single-pair cells (or a mixed v1/v2 set) cannot be read
+        // under one pinned schema — veto; ensureRegistered self-heals
+        // old generations to v2 on next registration
+        if (!paths.forall(p => graft.index.AggIndex.isV2(spark, p))) None
         else {
           val ownedPairs = ownedUidPairs(paths, allFiles)
           import spark.implicits._
           val tagged = graft.api.IndexKind.readTagged(spark, paths, "groups")
-          // a pre-lo/hi cells generation cannot serve min/max — and the
-          // check must inspect EVERY path's own footer: readTagged
-          // forces the first path's schema onto all of them, so a
-          // mixed-generation set would silently read the old cells'
-          // lo/hi as NULL and return wrong extremes. Veto unless every
-          // covering index carries bounds (ensureRegistered self-heals)
-          val hasBounds = paths.forall(p =>
-            spark.read.parquet(s"$p/groups").schema
-              .fieldNames.contains("lo"))
-          if (!hasBounds &&
-              distinctAggs.exists(n =>
-                n._2.isInstanceOf[MinM] || n._2.isInstanceOf[MaxM]))
-            None
-          else {
-            val fns = org.apache.spark.sql.functions
-            val baseAggs = Seq(
-              fns.sum("n").cast("long").as("n"),
-              fns.sum("nn").cast("long").as("nn"),
-              fns.sum("s").as("s"))
-            val aggs = if (!hasBounds) baseAggs else baseAggs ++
-              Seq(fns.min("lo").as("lo"), fns.max("hi").as("hi"))
-            val cells = tagged
-              .join(fns.broadcast(ownedPairs.toDF("idx", "uid")),
-                Seq("idx", "uid"), "left_semi")
-              .groupBy(fns.col("key"))
-              .agg(aggs.head, aggs.tail: _*)
-              .limit(IndexPruneRule.MaxGroups + 1)
-              .collect()
-            if (cells.length > IndexPruneRule.MaxGroups) None
-            else Some(cells.toSeq.map { r =>
-              IndexPruneRule.GRow(
-                if (r.isNullAt(0)) null else r.get(0),
-                r.getLong(1), r.getLong(2),
-                if (r.isNullAt(3)) None else Some(BigDecimal(r.getDecimal(3))),
-                if (!hasBounds || r.isNullAt(4)) None else Some(r.get(4)),
-                if (!hasBounds || r.isNullAt(5)) None else Some(r.get(5)))
-            })
-          }
+          val fns = org.apache.spark.sql.functions
+          val K = kcols.size
+          val aggs = fns.sum("n").cast("long").as("n") +:
+            mcols.indices.flatMap(j => Seq(
+              fns.sum(s"nn$j").cast("long").as(s"nn$j"),
+              fns.sum(s"s$j").as(s"s$j"),
+              fns.min(s"lo$j").as(s"lo$j"),
+              fns.max(s"hi$j").as(s"hi$j")))
+          val cells = tagged
+            .join(fns.broadcast(ownedPairs.toDF("idx", "uid")),
+              Seq("idx", "uid"), "left_semi")
+            .groupBy(kcols.indices.map(i => fns.col(s"k$i")): _*)
+            .agg(aggs.head, aggs.tail: _*)
+            .limit(IndexPruneRule.MaxGroups + 1)
+            .collect()
+          if (cells.length > IndexPruneRule.MaxGroups) None
+          else Some(cells.toSeq.map { r =>
+            val keys = (0 until K).map(i =>
+              if (r.isNullAt(i)) null else r.get(i))
+            val ms = mcols.zipWithIndex.map { case (m, j) =>
+              val o = K + 1 + j * 4
+              m -> IndexPruneRule.MStat(
+                r.getLong(o),
+                if (r.isNullAt(o + 1)) None
+                else Some(BigDecimal(r.getDecimal(o + 1))),
+                if (r.isNullAt(o + 2)) None else Some(r.get(o + 2)),
+                if (r.isNullAt(o + 3)) None else Some(r.get(o + 3)))
+            }.toMap
+            IndexPruneRule.GRow(keys, r.getLong(K), ms)
+          })
         }
       } finally probing.set(false)
     }.getOrElse(return None)
@@ -490,7 +510,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case d: java.time.LocalDate => DateTimeUtils.localDateToDays(d)
       case other => other
     }
-    // LocalRelation carries the grouping attribute (exprId preserved)
+    // LocalRelation carries the grouping attributes (exprIds preserved)
     // plus one synthetic attribute per distinct AggregateExpression; a
     // Project on top re-applies any scalar wrappers, so the rewritten
     // plan's output attributes are exactly the Aggregate's
@@ -498,24 +518,37 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         s"_ga$i", ae.dataType, ae.nullable)()
     }
+    // probe rows carry keys in SPEC order; emit them in the QUERY's
+    // grouping order
+    val kIdx = gAttrs.map(ga => kcols.indexOf(ga.name))
     val out = rows.map { gr =>
-      val values = keyInternal(gr.key) +: distinctAggs.zip(aggAttrs).map {
+      val keyVals = kIdx.map(i => keyInternal(gr.keys(i)))
+      val aggVals = distinctAggs.zip(aggAttrs).map {
         case (((ae, need)), _) => need match {
           case CountStar => gr.n
-          case CountM(_) => gr.nn
-          case SumM(_) =>
-            gr.s match {
+          case CountM(c) => gr.ms(c).nn
+          case SumM(c) =>
+            gr.ms(c).s match {
               case None => null // all-NULL measure group: sum is NULL
               case Some(tot)
                   if tot.isValidLong && ae.dataType ==
                     org.apache.spark.sql.types.LongType => tot.toLong
               case _ => return None // overflow / non-Long: scan decides
             }
-          case MinM(_) => gr.lo.map(keyInternal).orNull
-          case MaxM(_) => gr.hi.map(keyInternal).orNull
+          // nn==0 legitimately yields NULL min/max; nn>0 with missing
+          // bounds would mean a malformed cell table — veto, never
+          // fabricate extremes
+          case MinM(c) =>
+            val st = gr.ms(c)
+            if (st.nn > 0 && st.lo.isEmpty) return None
+            st.lo.map(keyInternal).orNull
+          case MaxM(c) =>
+            val st = gr.ms(c)
+            if (st.nn > 0 && st.hi.isEmpty) return None
+            st.hi.map(keyInternal).orNull
         }
       }
-      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(keyVals ++ aggVals)
     }
     val replaced = a.aggregateExpressions.map { e =>
       e.transform {
@@ -524,7 +557,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
             _._1.canonicalized == ae.canonicalized))
       }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
     }
-    Some(Project(replaced, LocalRelation(g +: aggAttrs, out)))
+    Some(Project(replaced, LocalRelation(gAttrs ++ aggAttrs, out)))
   }
 
   private def integralType(
@@ -560,7 +593,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val paths = idx.map(_.indexFile)
     val memoKey = (Seq("aggstats", colName,
       IndexStore.metadataVersionToken(spark, prefix)) ++ paths ++
-      allFiles.toSeq.sorted).mkString("")
+      allFiles.toSeq.sorted).map(v => s"${v.length}:$v").mkString
     memoStats(memoKey) {
       probing.set(true)
       try {
@@ -1391,13 +1424,20 @@ object IndexPruneRule {
     v
   }
 
-  /** One combined group of the agg-index probe: key in EXTERNAL form
-    * (String/Long/ts — converted to internal at row build), count(*),
-    * count(measure), sum(measure) as exact decimal (None = all-NULL
-    * measure group).
+  /** Combined per-measure stats of one group: count(measure),
+    * sum(measure) as exact decimal (None = all-NULL measure group),
+    * min/max in EXTERNAL form (converted to internal at row build).
     */
-  private[plans] case class GRow(key: Any, n: Long, nn: Long,
-      s: Option[BigDecimal], lo: Option[Any], hi: Option[Any])
+  private[plans] case class MStat(nn: Long, s: Option[BigDecimal],
+      lo: Option[Any], hi: Option[Any])
+
+  /** One combined group of the agg-index probe: key tuple in EXTERNAL
+    * form (spec key-column order), count(*), and every spec measure's
+    * [[MStat]] by column name — query-independent, so the memo can be
+    * shared across queries needing different aggregate kinds.
+    */
+  private[plans] case class GRow(keys: Seq[Any], n: Long,
+      ms: Map[String, MStat])
 
   /** Group-count budget for the agg-index rewrite: past this the
     * LocalRelation stops being metadata-scale and the scan wins.

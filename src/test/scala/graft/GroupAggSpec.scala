@@ -172,6 +172,76 @@ class GroupAggSpec extends AnyFunSuite {
     assert(scansLake(sq))
   }
 
+  // (src, reg, m, w) lake with NULLs in both measures
+  private def mkLake3(dir: String, name: String,
+      rows: Seq[(String, String, java.lang.Long, java.lang.Long)]): Unit = {
+    val staging = TestSpark.tmpDir(s"stage-ga3c-$name")
+    rows.toDF("src", "reg", "m", "w").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$dir/$name.parquet"))
+  }
+
+  test("multi-measure: both measures served from ONE index, no scan") {
+    val d7 = TestSpark.tmpDir("gagg7")
+    mkLake3(d7, "a", Seq(("red", "eu", 1L, 100L), ("red", "us", 2L, null),
+      ("blue", "eu", null, 300L)))
+    AggIndex.ensureRegistered(spark, d7, Seq("src"), Seq("m", "w"))
+    val q = spark.read.parquet(d7).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        count(col("w")).as("nw"), min(col("w")).as("lw"),
+        max(col("m")).as("hm"))
+      .orderBy(col("src"))
+    def optL(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.getLong(i)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+      optL(r, 2), r.getLong(3), optL(r, 4), optL(r, 5)))
+    assert(got.toSeq == Seq(
+      ("blue", 1L, null, 1L, 300L, null),
+      ("red", 2L, 3L, 1L, 100L, 2L)))
+    assert(!scansLake(q), "both measures must serve from the one index")
+  }
+
+  test("two-key grouping served; query key order independent of spec") {
+    val d8 = TestSpark.tmpDir("gagg8")
+    mkLake3(d8, "a", Seq(("red", "eu", 1L, 1L), ("red", "eu", 4L, 1L),
+      ("red", "us", 2L, 1L), ("blue", "eu", 8L, 1L)))
+    mkLake3(d8, "b", Seq(("red", "eu", 16L, 1L), ("blue", "us", null, 1L)))
+    AggIndex.ensureRegistered(spark, d8, Seq("src", "reg"), Seq("m"))
+    // grouping order (reg, src) is the REVERSE of the spec's key order
+    val q = spark.read.parquet(d8).groupBy(col("reg"), col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
+      .orderBy(col("reg"), col("src"))
+    val got = q.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("eu", "blue", 1L, 8L), ("eu", "red", 3L, 21L),
+      ("us", "blue", 1L, null), ("us", "red", 1L, 2L)))
+    assert(!scansLake(q), "composite-key grouping must serve from index")
+    // single-key GROUP BY src has no matching key-set index here → scan
+    val s1 = spark.read.parquet(d8).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansLake(s1), "key-set mismatch must veto")
+  }
+
+  test("coexisting specs on one prefix: narrowest qualifying spec serves") {
+    val d9 = TestSpark.tmpDir("gagg9")
+    mkLake3(d9, "a", Seq(("red", "eu", 1L, 10L), ("blue", "us", 2L, 20L)))
+    AggIndex.ensureRegistered(spark, d9, Seq("src"), Seq("m"))
+    AggIndex.ensureRegistered(spark, d9, Seq("src"), Seq("m", "w"))
+    val narrow = spark.read.parquet(d9).groupBy(col("src"))
+      .agg(sum(col("m")).as("sm")).orderBy(col("src"))
+    assert(!scansLake(narrow))
+    assert(narrow.collect().map(_.getLong(1)).toSeq == Seq(2L, 1L))
+    val wide = spark.read.parquet(d9).groupBy(col("src"))
+      .agg(sum(col("m")).as("sm"), max(col("w")).as("hw"))
+      .orderBy(col("src"))
+    assert(!scansLake(wide), "w must route to the two-measure spec")
+    assert(wide.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 20L), (1L, 10L)))
+  }
+
   test("merge: uid re-offset union answers the whole corpus") {
     val d3 = TestSpark.tmpDir("gagg3")
     mkLake(d3, Seq(
