@@ -33,43 +33,129 @@ import org.apache.spark.sql.types.StructType
   */
 object Serve {
 
-  // ---- bounded caches (driver memory budget, LRU access order) -----
+  // ---- byte-accounted caches (ONE shared driver budget) ------------
 
-  private def lru[K, V](max: Int) =
-    new java.util.LinkedHashMap[K, V](256, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[K, V]): Boolean = size() > max
+  /** The serving driver's real budget is BYTES, not entry counts: a
+    * 1M-entry boxed map and a 40-byte stats pair are not the same
+    * "one entry". Every serve cache charges an estimated payload size
+    * against one global budget; inserts that push past it evict the
+    * globally-least-recently-used entries ACROSS caches (fat posting
+    * slices can't starve the key tables invisibly, and vice versa).
+    * Estimates are deliberately coarse (+object-header slack) — the
+    * point is the order of magnitude, enforced, instead of an exact
+    * count nobody bounds.
+    */
+  private[graft] object Budget {
+    @volatile private[graft] var MaxServeBytes: Long = 256L << 20
+    private val used = new java.util.concurrent.atomic.AtomicLong(0)
+    private val clock = new java.util.concurrent.atomic.AtomicLong(0)
+    private val caches =
+      scala.collection.mutable.ArrayBuffer.empty[BudgetedCache[_, _]]
+    private[Serve] def register(c: BudgetedCache[_, _]): Unit =
+      synchronized { caches += c }
+    private[Serve] def charge(delta: Long): Unit = used.addAndGet(delta)
+    private[Serve] def tick(): Long = clock.incrementAndGet()
+    private[graft] def usedBytes: Long = used.get
+    /** Evict globally-LRU entries until within budget. */
+    private[Serve] def reclaim(): Unit = synchronized {
+      while (used.get > MaxServeBytes) {
+        val victim = caches.minBy(_.eldestTick)
+        if (victim.eldestTick == Long.MaxValue) return // all empty
+        victim.evictEldest()
+      }
     }
+  }
+
+  /** One serve cache under the shared [[Budget]]: per-cache LRU order
+    * (access-ordered LinkedHashMap), globally byte-bounded — the
+    * global reclaim picks whichever cache holds the oldest entry.
+    * Values are immutable slices, so eviction during use is safe.
+    */
+  private final class BudgetedCache[K, V](sizeOf: V => Long) {
+    private final class E(var tick: Long, val bytes: Long, val v: V)
+    private val m = new java.util.LinkedHashMap[K, E](256, 0.75f, true)
+    Budget.register(this)
+    def get(k: K): Option[V] = m.synchronized {
+      Option(m.get(k)).map { e => e.tick = Budget.tick(); e.v }
+    }
+    def put(k: K, v: V): Unit = {
+      val bytes = sizeOf(v) + 64 // key + entry overhead slack
+      m.synchronized {
+        Option(m.remove(k)).foreach(e => Budget.charge(-e.bytes))
+        m.put(k, new E(Budget.tick(), bytes, v))
+        Budget.charge(bytes)
+      }
+      Budget.reclaim()
+    }
+    def eldestTick: Long = m.synchronized {
+      val it = m.values().iterator()
+      if (it.hasNext) it.next().tick else Long.MaxValue
+    }
+    def evictEldest(): Unit = m.synchronized {
+      val it = m.entrySet().iterator()
+      if (it.hasNext) { Budget.charge(-it.next().getValue.bytes); it.remove() }
+    }
+    def clear(): Unit = m.synchronized {
+      m.values().forEach(e => Budget.charge(-e.bytes))
+      m.clear()
+    }
+  }
+
+  // coarse per-payload byte estimators (array header 16, String ~2B/char
+  // + 40 object overhead, boxed pair ~48)
+  private def strBytes(s: String): Long = 40L + 2L * s.length
+  private def longsBytes(a: Array[Long]): Long = 16L + 8L * a.length
+  private def pairsBytes(a: Array[(Long, Long)]): Long = 16L + 48L * a.length
+  private def rowBytes(r: Row): Long = {
+    var b = 64L
+    var i = 0
+    while (i < r.length) {
+      b += (if (r.isNullAt(i)) 8L else r.get(i) match {
+        case s: String => strBytes(s)
+        case a: Array[Byte] => 16L + a.length
+        case a: scala.collection.Seq[_] => 48L + 16L * a.length
+        case _ => 16L
+      })
+      i += 1
+    }
+    b
+  }
 
   /** Whole tables are only cached when the index covers at most this
     * many rows (the facade's default binpack threshold, with slack).
     */
   private val MaxServeRows = 1000000L
 
-  private val gramCache = lru[(String, Long, String), Array[Long]](16384)
+  private val gramCache =
+    new BudgetedCache[(String, Long, String), Array[Long]](longsBytes)
   private val tokenCache =
-    lru[(String, Long, String), Array[(Long, Long)]](16384)
-  private val dlCache = lru[(String, Long), Map[Long, Long]](8)
-  // version-keyed entries must be EVICTABLE too: rebuilds/compactions
-  // retire (path, oldVer) keys forever, and an unbounded map would
-  // leak one dead entry per rebuild for the serving driver's lifetime
-  private val statsCache = lru[(String, Long), (Long, Long)](1024)
+    new BudgetedCache[(String, Long, String), Array[(Long, Long)]](pairsBytes)
+  // dl tables as SORTED PRIMITIVE ARRAYS: a boxed Map[Long, Long] costs
+  // ~10× the 16 bytes/doc the payload needs, and 8 cached 1M-doc maps
+  // ate ~1 GB of driver heap under the old entry-count bound
+  private val dlCache = new BudgetedCache[(String, Long), LongLongSorted](
+    t => 48L + 16L * t.keys.length)
+  private val statsCache =
+    new BudgetedCache[(String, Long), (Long, Long)](_ => 48L)
   private val keysCache =
-    lru[(String, Long), (String, Array[(String, Long)])](16)
-  private val rowsCache = lru[(String, Long, Long), Array[Row]](4096)
-  private val rowSchemaCache = lru[(String, Long), StructType](1024)
+    new BudgetedCache[(String, Long), (String, Array[(String, Long)])](
+      t => 16L + t._2.iterator.map(p => 24L + strBytes(p._1)).sum)
+  private val rowsCache = new BudgetedCache[(String, Long, Long), Array[Row]](
+    a => 16L + a.iterator.map(rowBytes).sum)
+  private val rowSchemaCache = new BudgetedCache[(String, Long), StructType](
+    s => 256L + 64L * s.size)
 
   /** Test/diagnostic hook: drop every cached slice. */
   private[graft] def clearCaches(): Unit = {
-    gramCache.synchronized(gramCache.clear())
-    tokenCache.synchronized(tokenCache.clear())
-    dlCache.synchronized(dlCache.clear())
-    statsCache.synchronized(statsCache.clear())
-    keysCache.synchronized(keysCache.clear())
-    rowsCache.synchronized(rowsCache.clear())
-    rowSchemaCache.synchronized(rowSchemaCache.clear())
-    vocabCache.synchronized(vocabCache.clear())
-    variantCache.synchronized(variantCache.clear())
+    gramCache.clear()
+    tokenCache.clear()
+    dlCache.clear()
+    statsCache.clear()
+    keysCache.clear()
+    rowsCache.clear()
+    rowSchemaCache.clear()
+    vocabCache.clear()
+    variantCache.clear()
   }
 
   /** One version signal per index: the meta sidecar dir's content
@@ -116,11 +202,8 @@ object Serve {
     val metaByUid = graft.api.IndexKind.metaRows(spark, path)
       .map(r => r._1 -> r).toMap
     val wanted = uids.distinct.sorted
-    val hits: Map[Long, Array[Row]] = rowsCache.synchronized {
-      wanted.flatMap { u =>
-        Option(rowsCache.get((path, ver, u))).map(u -> _)
-      }.toMap
-    }
+    val hits: Map[Long, Array[Row]] =
+      wanted.flatMap(u => rowsCache.get((path, ver, u)).map(u -> _)).toMap
     val missing = wanted.filterNot(hits.contains)
     val fetched: Map[Long, Array[Row]] =
       if (missing.isEmpty) Map.empty[Long, Array[Row]]
@@ -136,13 +219,10 @@ object Serve {
         // caches an EMPTY slice — negative entries stop re-fetching
         val all: Seq[(Long, Array[Row])] =
           missing.map(u => u -> got.getOrElse(u, Array.empty[Row]))
-        rowsCache.synchronized {
-          all.foreach { case (u, rs) => rowsCache.put((path, ver, u), rs) }
-        }
+        all.foreach { case (u, rs) => rowsCache.put((path, ver, u), rs) }
         all.toMap
       }
-    val schema = rowSchemaCache.synchronized(
-        Option(rowSchemaCache.get((path, ver)))) match {
+    val schema = rowSchemaCache.get((path, ver)) match {
       case Some(s) => s
       case None =>
         val s = fetched.values.flatten.headOption
@@ -155,7 +235,7 @@ object Serve {
             spark.read.parquet(f.head).schema.add("uid",
               org.apache.spark.sql.types.LongType)
         }
-        rowSchemaCache.synchronized(rowSchemaCache.put((path, ver), s))
+        rowSchemaCache.put((path, ver), s)
         s
     }
     val assembled: Seq[Row] = wanted.flatMap { u =>
@@ -286,16 +366,12 @@ object Serve {
     */
   private def termSlices[V](spark: SparkSession, path: String,
       terms: Seq[String],
-      cache: java.util.LinkedHashMap[(String, Long, String), Array[V]],
+      cache: BudgetedCache[(String, Long, String), Array[V]],
       termCol: String, valueCols: Seq[String], bucketOf: String => Int,
       decode: Row => V, post: Array[V] => Array[V])(
       implicit ct: scala.reflect.ClassTag[V]): Map[String, Array[V]] = {
     val ver = verOf(spark, path)
-    val hits = cache.synchronized {
-      terms.flatMap { t =>
-        Option(cache.get((path, ver, t))).map(t -> _)
-      }.toMap
-    }
+    val hits = terms.flatMap(t => cache.get((path, ver, t)).map(t -> _)).toMap
     val missing = terms.filterNot(hits.contains)
     if (missing.isEmpty) hits
     else {
@@ -308,9 +384,7 @@ object Serve {
         .map { case (t, rs) => t -> post(rs.map(decode).toArray) }
       restat(spark, s"$path/meta", ver)
       val all = missing.map(t => t -> got.getOrElse(t, Array.empty[V]))
-      cache.synchronized {
-        all.foreach { case (t, v) => cache.put((path, ver, t), v) }
-      }
+      all.foreach { case (t, v) => cache.put((path, ver, t), v) }
       hits ++ all
     }
   }
@@ -323,7 +397,7 @@ object Serve {
   // ---- fuzzy: typo-tolerant point lookup -----------------------------
 
   private val variantCache =
-    lru[(String, Long, String), Array[Long]](16384)
+    new BudgetedCache[(String, Long, String), Array[Long]](longsBytes)
 
   /** Warm twin of [[FuzzyIndex.search]] — same rows, driver-served. */
   def fuzzy(spark: SparkSession, path: String, column: String,
@@ -406,7 +480,7 @@ object Serve {
       path: String): Option[(String, Array[(String, Long)])] = {
     if (totalRows(spark, path) > MaxServeRows) return None
     val ver = verOf(spark, path)
-    keysCache.synchronized(Option(keysCache.get((path, ver)))) match {
+    keysCache.get((path, ver)) match {
       case Some(t) => Some(t)
       case None =>
         val df = spark.read.parquet(s"$path/keys")
@@ -419,7 +493,7 @@ object Serve {
         val pairs = df.select(col(kc), col("uid")).collect()
           .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
         restat(spark, s"$path/meta", ver)
-        keysCache.synchronized(keysCache.put((path, ver), (kc, pairs)))
+        keysCache.put((path, ver), (kc, pairs))
         Some((kc, pairs))
     }
   }
@@ -496,7 +570,8 @@ object Serve {
   // ---- suggest: typo-tolerant vocabulary lookup ----------------------
 
   private val vocabCache =
-    lru[(String, Long), Array[(String, Long)]](8)
+    new BudgetedCache[(String, Long), Array[(String, Long)]](
+      a => 16L + a.iterator.map(p => 24L + strBytes(p._1)).sum)
 
   /** Warm twin of the `graft_suggest` TVF over ONE bm25 index (the
     * per-keystroke "did you mean" surface): corpus tokens within
@@ -542,7 +617,7 @@ object Serve {
   private def vocabOf(spark: SparkSession,
       path: String): Array[(String, Long)] = {
     val ver = verOf(spark, path)
-    vocabCache.synchronized(Option(vocabCache.get((path, ver)))) match {
+    vocabCache.get((path, ver)) match {
       case Some(v) => v
       case None =>
         val v = spark.read.parquet(s"$path/postings")
@@ -550,7 +625,7 @@ object Serve {
           .agg(sum(col("tf").cast("long")).as("freq"))
           .collect().map(r => (r.getString(0), r.getLong(1)))
         restat(spark, s"$path/meta", ver)
-        vocabCache.synchronized(vocabCache.put((path, ver), v))
+        vocabCache.put((path, ver), v)
         v
     }
   }
@@ -618,7 +693,7 @@ object Serve {
     */
   private def statsOf(spark: SparkSession, path: String): (Long, Long) = {
     val ver = verOf(spark, path)
-    statsCache.synchronized(Option(statsCache.get((path, ver)))) match {
+    statsCache.get((path, ver)) match {
       case Some(s) => s
       case None =>
         val fromHead =
@@ -640,25 +715,41 @@ object Serve {
         // would poison (path, oldVer) with the NEW corpus stats and
         // warm scoring would silently mix old postings with new IDF
         restat(spark, s"$path/meta", ver)
-        statsCache.synchronized(statsCache.put((path, ver), s))
+        statsCache.put((path, ver), s)
         s
     }
   }
 
-  /** Whole dl map of one index (bounded by the MaxServeRows guard the
-    * callers enforce), cached per content version.
+  /** Whole dl table of one index (bounded by the MaxServeRows guard
+    * the callers enforce) as sorted primitive arrays, cached per
+    * content version — ~16 bytes/doc where a boxed Map[Long, Long]
+    * costs ~10×.
     */
-  private def dlOf(spark: SparkSession, path: String): Map[Long, Long] = {
+  private def dlOf(spark: SparkSession, path: String): LongLongSorted = {
     val ver = verOf(spark, path)
-    dlCache.synchronized(Option(dlCache.get((path, ver)))) match {
+    dlCache.get((path, ver)) match {
       case Some(m) => m
       case None =>
-        val m = spark.read.parquet(s"$path/docstats")
+        val rows = spark.read.parquet(s"$path/docstats")
           .select("doc_id", "dl").collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val m = new LongLongSorted(rows.map(_._1), rows.map(_._2))
         restat(spark, s"$path/meta", ver)
-        dlCache.synchronized(dlCache.put((path, ver), m))
+        dlCache.put((path, ver), m)
         m
+    }
+  }
+
+  /** Immutable long→long lookup over parallel sorted primitive arrays
+    * (binary search) — the unboxed dl table. Missing keys throw, same
+    * as the Map it replaced.
+    */
+  private[graft] final class LongLongSorted(
+      val keys: Array[Long], val vals: Array[Long]) {
+    def apply(k: Long): Long = {
+      val i = java.util.Arrays.binarySearch(keys, k)
+      if (i < 0) throw new NoSuchElementException(s"doc $k")
+      vals(i)
     }
   }
 }

@@ -262,4 +262,38 @@ class ServeSpec extends AnyFunSuite {
     }
     assert(j == 0, s"warm negative probes ran $j Spark jobs")
   }
+
+  test("byte budget: oversized inserts evict across caches, results stay exact") {
+    val q = "vector stream"
+    val viaSpark = Bm25Index.search(spark, bm25Idx, q, 10).collect().toSeq
+    val saved = Serve.Budget.MaxServeBytes
+    try {
+      Serve.clearCaches()
+      assert(Serve.Budget.usedBytes == 0L,
+        s"cleared caches must release every byte, got ${Serve.Budget.usedBytes}")
+      // a budget far below one key table / dl table forces eviction on
+      // every insert — the tier must stay CORRECT (Spark-path-identical
+      // rows), just cold
+      Serve.Budget.MaxServeBytes = 2048L
+      assert(Serve.bm25(spark, bm25Idx, q, 10).collect().toSeq == viaSpark)
+      assert(rowSet(Serve.keyExact(spark, keyIdx, "text", corpus(3)._2)) ==
+        rowSet(KeyIndex.searchExact(spark, keyIdx, "text", corpus(3)._2)))
+      assert(Serve.Budget.usedBytes <= 2048L,
+        s"budget enforced by BYTES: used ${Serve.Budget.usedBytes} > 2048")
+      // restore a real budget: the same lookups warm up again and the
+      // byte account tracks the cached payloads
+      Serve.Budget.MaxServeBytes = saved
+      assert(Serve.bm25(spark, bm25Idx, q, 10).collect().toSeq == viaSpark)
+      val used = Serve.Budget.usedBytes
+      assert(used > 2048L && used <= saved,
+        s"warm caches must hold accounted bytes, got $used")
+      val j = jobs("serve-budget-warm") {
+        assert(Serve.bm25(spark, bm25Idx, q, 10).collect().toSeq == viaSpark)
+      }
+      assert(j == 0, s"warm post-budget lookup ran $j Spark jobs")
+    } finally {
+      Serve.Budget.MaxServeBytes = saved
+      Serve.clearCaches()
+    }
+  }
 }
