@@ -294,13 +294,27 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
           else fuzzyFallback(column, q, k, order, snapshot)
       }
     } else {
-      // analytical-sized k: a driver materialization of k rows is
-      // the thing the no-data-scale-collect stance forbids, so the
-      // lazy plan is returned and only the emptiness probe is paid
-      // twice (the search-box regime — small k — stays single-pass)
+      // analytical-sized k: a driver materialization of k rows is the
+      // thing the no-data-scale-collect stance forbids, so the lazy
+      // plan is returned. The fuzzy fallback routes on the probe's
+      // DRIVER-LOCAL candidate count (already collected building the
+      // plan): zero candidate row groups over a fully-covered lake
+      // PROVES the refined result is empty — single-pass, no second
+      // Spark action; a non-zero count returns the exact plan (the
+      // analytical regime wants exact-contains semantics, not a silent
+      // typo-widened result set, so a refine that happens to strike
+      // out stands as empty). Only when emptiness is not
+      // driver-decidable (in-situ part, brute cost switch) does one
+      // limit(1) action decide the route, as before.
+      IndexKind.lastProbe.remove()
       val exact = search(NgramKind, column, q, k, order, snapshot)
-      if (exact.limit(1).count() > 0) exact
-      else search(FuzzyKind, column, q, k, order, snapshot)
+      IndexKind.lastProbe.get() match {
+        case Some(0L) => search(FuzzyKind, column, q, k, order, snapshot)
+        case Some(_) => exact
+        case None =>
+          if (exact.limit(1).count() > 0) exact
+          else search(FuzzyKind, column, q, k, order, snapshot)
+      }
     }
   }
 

@@ -138,6 +138,19 @@ trait IndexKind {
 }
 
 object IndexKind {
+  /** Driver-local signal of the last NgramKind searchLake on this
+    * thread: Some(hitRowGroups) when the index route decided the plan
+    * over a fully-covered lake (then hits == 0 PROVES the refined
+    * result is empty — the refine only filters candidate rows), None
+    * when emptiness is not driver-decidable (in-situ part, brute cost
+    * switch, empty-coverage early returns). Lets the facade's
+    * analytical-k smartSearch route its fuzzy fallback without a
+    * second Spark action.
+    */
+  private[graft] val lastProbe = new ThreadLocal[Option[Long]] {
+    override def initialValue(): Option[Long] = None
+  }
+
   // keep-latest-per-path (versioned keys would strand one dead entry
   // per rebuild/vacuum cycle) AND LRU-bounded (compaction writes NEW
   // dirs, so path churn under streaming maintenance would otherwise
@@ -231,6 +244,7 @@ object NgramKind extends IndexKind {
     val q = graft.text.Text.sparkLower(query)
     // metadata-sized; empty without a job when paths is empty
     val covered = coveredFiles(spark, paths, live)
+    var probedHits: Option[Long] = None
 
     def viaIndex(): Option[DataFrame] = {
       if (q.isEmpty) return None // contains("") = every row: brute
@@ -253,17 +267,24 @@ object NgramKind extends IndexKind {
       val hits = collectHits(spark, paths, cands, live)
       // ONE global cost switch over the whole lake's hit count
       if (bruteBeatsIndex(spark, paths, hits)) None
-      else Some(
-        Layout.readGroups(spark, hits, covered).drop("uid")
-          .filter(lower(col(column)).contains(q)))
+      else {
+        probedHits = Some(hits.size.toLong)
+        Some(
+          Layout.readGroups(spark, hits, covered).drop("uid")
+            .filter(lower(col(column)).contains(q)))
+      }
     }
 
     // an empty live-restricted covered set (every indexed file removed,
     // or a snapshot predating all indexed files) must skip the indexed
     // branch — brute([]) / readGroups' empty-schema path would throw;
     // searchParts holds that guard for every filter kind
-    searchParts(spark, paths, insituFiles, covered, () => viaIndex(),
-      d => d.filter(lower(col(column)).contains(q)))
+    val res = searchParts(spark, paths, insituFiles, covered,
+      () => viaIndex(), d => d.filter(lower(col(column)).contains(q)))
+    // the driver-local emptiness signal is only valid when the index
+    // route decided the WHOLE plan (no in-situ part to scan)
+    IndexKind.lastProbe.set(if (insituFiles.isEmpty) probedHits else None)
+    res
   }
 }
 

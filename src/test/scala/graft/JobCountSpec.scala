@@ -113,6 +113,39 @@ class JobCountSpec extends AnyFunSuite {
       s"smartSearch exact route re-executes: direct=$direct smart=$smart")
   }
 
+  test("analytical-k smartSearch is single-pass: routes on the driver-local probe") {
+    // k past SmartMaterializeMaxK forbids driver materialization, so
+    // the route used to pay a limit(1).count() action (full probe +
+    // selective read + refine) BEFORE the caller's own action re-ran
+    // the un-cached plan. Now the fuzzy-fallback decision rides the
+    // candidate count the probe already collected building the plan:
+    // consuming analytical-k smartSearch costs exactly the jobs of
+    // consuming search(NgramKind, ...) directly
+    val lake = mkLake("jobs-smart-bigk", 4, NgramKind)
+    val bigK = graft.api.GraftLake.SmartMaterializeMaxK + 1
+    def run(group: String, f: () => org.apache.spark.sql.DataFrame): Int =
+      jobs(group) {
+        val ids = f().select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(ids == Set(1L, 2L, 3L), "wrong results")
+      }
+    // warm driver meta caches on both routes
+    run("sm-bigk-warm-d", () =>
+      lake.search(NgramKind, "text", "needle thread", bigK, Seq("doc_id")))
+    run("sm-bigk-warm-s", () =>
+      lake.smartSearch("text", "needle thread", bigK, Seq("doc_id")))
+    val direct = run("sm-bigk-direct", () =>
+      lake.search(NgramKind, "text", "needle thread", bigK, Seq("doc_id")))
+    val smart = run("sm-bigk-smart", () =>
+      lake.smartSearch("text", "needle thread", bigK, Seq("doc_id")))
+    assert(smart == direct,
+      s"analytical-k smartSearch double-probes: direct=$direct smart=$smart")
+    // and the single-pass routing still finds the fuzzy fallback when
+    // the index PROVES exact-emptiness (zero candidate row groups)
+    val fb = lake.smartSearch("text", "neadle thread", bigK, Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fb == Set(1L, 2L, 3L), "certain-empty route must fall to fuzzy")
+  }
+
   test("smartSearch serves warm from the driver tier: ZERO jobs on a single-index lake") {
     // the search-box steady state: ONE covering ngram index over
     // SEVERAL files (default binpack), needle confined to the first —
