@@ -63,8 +63,62 @@ object Bm25Index {
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
         sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/head")
+    writeRvocab(spark, path)
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()
+  }
+
+  /** Reversed-vocabulary sidecar (Lucene ReversedWildcardFilter shape):
+    * one (rtoken, token) row per distinct vocabulary token, SORTED by
+    * rtoken, so a leading-wildcard expansion (`*fix`) becomes a pushed
+    * StringStartsWith scan over rtoken with row-group min/max pruning —
+    * O(matching terms) instead of an O(vocabulary) endsWith walk.
+    * Vocabulary-scale (distinct tokens, never corpus rows), derived
+    * from the already-written postings.
+    */
+  private def writeRvocab(spark: SparkSession, path: String): Unit =
+    spark.read.parquet(s"$path/postings")
+      .select(col("token")).distinct()
+      .select(reverse(col("token")).as("rtoken"), col("token"))
+      .repartition(1).sortWithinPartitions(col("rtoken"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$path/rvocab")
+
+  /** Vocabulary tokens matching a single-`*` wildcard split into
+    * (prefix, suffix) — SQL-LIKE `pre%suf` semantics (non-overlapping:
+    * token length must fit both halves). Prefix-only probes ride the
+    * pushed startsWith scan of the postings token column; any suffix
+    * probes the rvocab sidecar (pushed startsWith over rtoken), with an
+    * endsWith postings walk as the fallback for pre-sidecar indexes —
+    * identical term sets either way.
+    */
+  def expandWildcard(spark: SparkSession, path: String,
+      pre: String, suf: String): Seq[String] = {
+    val toks =
+      if (suf.isEmpty)
+        spark.read.parquet(s"$path/postings")
+          .filter(col("token").startsWith(pre))
+          .select("token").distinct()
+          .collect().map(_.getString(0))
+      else {
+        val rs = suf.reverse
+        val viaSidecar =
+          try {
+            val df = spark.read.parquet(s"$path/rvocab")
+              .filter(col("rtoken").startsWith(rs))
+            Some((if (pre.isEmpty) df
+              else df.filter(col("token").startsWith(pre)))
+              .select("token").collect().map(_.getString(0)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        viaSidecar.getOrElse {
+          val df = spark.read.parquet(s"$path/postings")
+            .filter(col("token").endsWith(suf))
+          (if (pre.isEmpty) df else df.filter(col("token").startsWith(pre)))
+            .select("token").distinct()
+            .collect().map(_.getString(0))
+        }
+      }
+    toks.filter(_.length >= pre.length + suf.length).distinct.sorted.toSeq
   }
 
   /** Top-k search. IDF is computed over the whole index at query time
@@ -286,6 +340,7 @@ object Bm25Index {
     dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
         sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/head")
+    writeRvocab(spark, out)
     spark.read.parquet(s"$a/meta").unionByName(
       spark.read.parquet(s"$b/meta").withColumn("uid", col("uid") + offset))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")

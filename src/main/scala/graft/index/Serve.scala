@@ -640,15 +640,29 @@ object Serve {
     * schema-stable empty frame.
     */
   def wildcard(spark: SparkSession, path: String, prefix: String,
+      k: Int): DataFrame =
+    wildcardPattern(spark, path, prefix + "*", k)
+
+  /** General single-`*` warm wildcard (`pre*`, `*suf`, `pre*suf` — SQL
+    * LIKE `pre%suf` semantics): the expansion filters the SAME cached
+    * vocabulary, so suffix and infix ride the identical machinery;
+    * oversized indexes expand through [[Bm25Index.expandWildcard]]
+    * (rvocab sidecar) and score through the bm25Weighted fallback —
+    * same term set, same rows.
+    */
+  def wildcardPattern(spark: SparkSession, path: String, pattern: String,
       k: Int): DataFrame = {
+    val i = pattern.indexOf('*')
+    require(i >= 0 && pattern.indexOf('*', i + 1) < 0,
+      s"single-* wildcard expected: $pattern")
+    val (pre, suf) = (pattern.take(i), pattern.drop(i + 1))
     val terms =
       if (totalRows(spark, path) > MaxServeRows)
-        spark.read.parquet(s"$path/postings")
-          .filter(col("token").startsWith(prefix))
-          .select("token").distinct()
-          .collect().map(_.getString(0)).sorted.toSeq
+        Bm25Index.expandWildcard(spark, path, pre, suf)
       else vocabOf(spark, path).iterator.map(_._1)
-        .filter(_.startsWith(prefix)).toSeq.sorted
+        .filter(t => t.startsWith(pre) && t.endsWith(suf) &&
+          t.length >= pre.length + suf.length)
+        .toSeq.sorted
     bm25Weighted(spark, Seq(path), terms.map(_ -> 1.0), k)
   }
 

@@ -173,6 +173,8 @@ object SearchQueries {
     */
   val FuzzyExpandWeight = 0.5
   val WildcardPrefix = "s" // expands to 6 vocab terms in the fixture
+  val WildcardSuffix = "*er" // customer, filter, order
+  val WildcardInfix = "t*e"  // table, the
 
   /** SymSpell vocab-variant artifact: (variant, token, bucket) rows for
     * the corpus vocabulary's deletion neighborhoods, persisted once per
@@ -284,6 +286,57 @@ object SearchQueries {
       .filter(col("token").startsWith(prefix))
       .select("token").distinct()
       .collect().map(_.getString(0)).sorted.toSeq.map(_ -> 1.0)
+  }
+
+  /** Single-`*` wildcard expansion (`pre*`, `*suf`, `pre*suf`), SQL
+    * LIKE `pre%suf` semantics: suffix terms probe the bm25 index's
+    * REVERSED-vocabulary sidecar (pushed startsWith over the
+    * rtoken-sorted rvocab — Lucene's ReversedWildcardFilter trick),
+    * infix intersects the prefix and suffix conditions in the same
+    * scan, with the non-overlap length rule LIKE implies. Weight 1.0
+    * per term, then the standard weighted-BM25 plan.
+    */
+  def expandTermsWildcard(s: SparkSession, dir: String,
+      pattern: String): Seq[(String, Double)] = {
+    val i = pattern.indexOf('*')
+    require(i >= 0 && pattern.indexOf('*', i + 1) < 0,
+      s"single-* wildcard expected: $pattern")
+    graft.index.Bm25Index.expandWildcard(s, bm25Idx(s, dir),
+      pattern.take(i), pattern.drop(i + 1)).map(_ -> 1.0)
+  }
+
+  /** Wildcard oracle: [[oracleSqlPrefix]] with an arbitrary LIKE
+    * pattern over the vocabulary CTE — DuckDB recomputes the expansion
+    * independently of the rvocab probe.
+    */
+  def oracleSqlLike(like: String, k: Int): String = {
+    import Bm25Index.{B, K1, Quant}
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |  FROM documents),
+       |expterms AS (
+       |  SELECT token, 1.0 AS qw FROM vocab WHERE token LIKE '$like'),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS token
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       |       WHERE token IN (SELECT token FROM expterms) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(
+       |      e.qw *
+       |      ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |      (tf.tf * ${K1 + 1} / (tf.tf + $K1 * (${1 - B} + $B * dl.dl / c.avgdl)))
+       |      * $Quant) AS BIGINT) AS cq
+       |  FROM tf JOIN df USING (token) JOIN expterms e USING (token)
+       |       JOIN dl USING (doc_id) CROSS JOIN corpus c)
+       |SELECT doc_id, round(CAST(sum(cq) AS DOUBLE) / $Quant, 4) AS score
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
   /** The prefix expansion + weighted scoring in ANSI SQL — the oracle
@@ -598,6 +651,24 @@ object SearchQueries {
         expandTermsPrefix(s, dir, WildcardPrefix), Bm25K)
     }, oracleSqlPrefix(WildcardPrefix, Bm25K)),
 
+    // leading wildcard (*fix) — the expansion probes the rvocab
+    // sidecar: reverse the suffix, pushed startsWith over the
+    // rtoken-sorted table (Lucene ReversedWildcardFilter), never an
+    // O(vocabulary) endsWith walk
+    "token_wildcard_suffix" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      Bm25Index.searchWeighted(s, p,
+        expandTermsWildcard(s, dir, WildcardSuffix), Bm25K)
+    }, oracleSqlLike("%er", Bm25K)),
+
+    // infix wildcard (t*e) — prefix ∩ suffix term intersection in one
+    // sidecar scan, with LIKE's non-overlap length rule
+    "token_wildcard_infix" -> Q((s, dir) => {
+      val p = bm25Idx(s, dir)
+      Bm25Index.searchWeighted(s, p,
+        expandTermsWildcard(s, dir, WildcardInfix), Bm25K)
+    }, oracleSqlLike("t%e", Bm25K)),
+
     // spell-correction suggestions (the SymSpell end-user surface):
     // lev<=1 vocabulary neighbors of the typo'd token ranked by corpus
     // frequency — candidates from the variant probe, frequencies
@@ -803,6 +874,18 @@ object SearchQueries {
     "token_wildcard_served" -> Q((s, dir) =>
       graft.index.Serve.wildcard(s, bm25Idx(s, dir), WildcardPrefix, Bm25K),
       oracleSqlPrefix(WildcardPrefix, Bm25K)),
+
+    // suffix/infix warm twins: the same cached vocabulary serves every
+    // single-* shape, each against its own independent LIKE oracle
+    "token_wildcard_suffix_served" -> Q((s, dir) =>
+      graft.index.Serve.wildcardPattern(s, bm25Idx(s, dir),
+        WildcardSuffix, Bm25K),
+      oracleSqlLike("%er", Bm25K)),
+
+    "token_wildcard_infix_served" -> Q((s, dir) =>
+      graft.index.Serve.wildcardPattern(s, bm25Idx(s, dir),
+        WildcardInfix, Bm25K),
+      oracleSqlLike("t%e", Bm25K)),
 
     "key_search_served" -> Q((s, dir) => {
       val p = keyIdx(s, dir)

@@ -118,6 +118,34 @@ class ServeSpec extends AnyFunSuite {
     assert(Serve.wildcard(spark, bm25Idx, "zzzq", 10).collect().isEmpty)
   }
 
+  test("suffix/infix wildcard: sidecar expansion == vocab scan, warm zero jobs") {
+    // the rvocab probe (Spark path) and the cached-vocab filter (warm
+    // path) must expand to the SAME term set for every single-* shape,
+    // and scoring rides the bm25Weighted identity
+    for (pattern <- Seq("*d", "s*m", "th*ad", "*zzq")) {
+      val i = pattern.indexOf('*')
+      val (pre, suf) = (pattern.take(i), pattern.drop(i + 1))
+      val terms = Bm25Index.expandWildcard(spark, bm25Idx, pre, suf)
+      // independent check: brute endsWith/startsWith over the postings
+      val brute = spark.read.parquet(s"$bm25Idx/postings")
+        .select("token").distinct().collect().map(_.getString(0))
+        .filter(t => t.startsWith(pre) && t.endsWith(suf) &&
+          t.length >= pre.length + suf.length).sorted.toSeq
+      assert(terms == brute, s"expansion mismatch for $pattern")
+      val viaSpark = Bm25Index.searchWeightedMany(spark, Seq(bm25Idx),
+        terms.map(_ -> 1.0), 10).collect().toSeq
+      Serve.clearCaches()
+      val cold =
+        Serve.wildcardPattern(spark, bm25Idx, pattern, 10).collect().toSeq
+      assert(cold == viaSpark, s"cold serve mismatch for $pattern")
+      val j = jobs(s"serve-wild-$pattern") {
+        assert(Serve.wildcardPattern(spark, bm25Idx, pattern, 10)
+          .collect().toSeq == viaSpark)
+      }
+      assert(j == 0, s"warm $pattern lookup ran $j Spark jobs")
+    }
+  }
+
   test("key fast path: bit-identical rows, zero jobs when warm") {
     val key = corpus(23)._2 // exact full-text key
     val viaSpark = rowSet(KeyIndex.searchExact(spark, keyIdx, "text", key))
