@@ -556,6 +556,53 @@ object IndexQueries {
           |WHERE contains(lower(text), '$QueryStr')
           |GROUP BY source, lang ORDER BY source, lang""".stripMargin),
 
+    // the BUILD half of the lifecycle from SQL alone: graft_index
+    // bin-packs and indexes the uncovered files at analysis time
+    // (idempotent — a covered lake no-ops), then the very same SQL
+    // session searches through the indexes it just built; the DuckDB
+    // brute oracle checks the result independently
+    "sql_tvf_index" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts, alias = "docs_sqli")
+      val prefix = Lake.splitPath(dir, "docs_sqli")
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_index('$prefix', 'ngram', '$Column')")
+        .collect()
+      s.sql(s"SELECT doc_id FROM graft_search('$prefix', 'ngram', " +
+        s"'$Column', '$QueryStr', 100000, 'doc_id') ORDER BY doc_id")
+    }, bruteSql(QueryStr)),
+
+    // build-small → compact → search, all from SQL: binpack_rows=1
+    // leaves one index per file, graft_compact merges them under the
+    // generic merge driver (append-then-delete metadata commit), and
+    // the post-compaction search must answer identically
+    "sql_tvf_compact" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts, alias = "docs_sqlc")
+      val prefix = Lake.splitPath(dir, "docs_sqlc")
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_index('$prefix', 'ngram', '$Column', 1)")
+        .collect()
+      s.sql(s"SELECT * FROM graft_compact('$prefix', 'ngram', '$Column')")
+        .collect()
+      s.sql(s"SELECT doc_id FROM graft_search('$prefix', 'ngram', " +
+        s"'$Column', '$QueryStr', 100000, 'doc_id') ORDER BY doc_id")
+    }, bruteSql(QueryStr)),
+
+    // the full lifecycle: build-small → compact → vacuum(0 days)
+    // deletes the retired pre-compaction dirs immediately — and the
+    // search still answers from the surviving merged index
+    "sql_tvf_vacuum" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, Table, "doc_id", Parts, alias = "docs_sqlv")
+      val prefix = Lake.splitPath(dir, "docs_sqlv")
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_index('$prefix', 'ngram', '$Column', 1)")
+        .collect()
+      s.sql(s"SELECT * FROM graft_compact('$prefix', 'ngram', '$Column')")
+        .collect()
+      s.sql(s"SELECT * FROM graft_vacuum('$prefix', 0)").collect()
+      s.sql(s"SELECT doc_id FROM graft_search('$prefix', 'ngram', " +
+        s"'$Column', '$QueryStr', 100000, 'doc_id') ORDER BY doc_id")
+    }, bruteSql(QueryStr)),
+
     // lake stats through the SQL-ONLY surface: one statement a BI tool
     // could issue; with the zone map committed the aggregate is
     // answered metadata-only, and an uncovered lake falls back to the

@@ -258,6 +258,92 @@ object SqlTableFunctions {
       SparkSession.active, str(args(0), "dir")))
   }
 
+  // ---- maintenance lifecycle (build / compact / vacuum) --------------
+  //
+  // These TVFs run their side effect when the statement is ANALYZED
+  // (the same point the search TVFs run their metadata probes) and
+  // return status rows. All three are idempotent — a covered lake
+  // no-ops graft_index, a single surviving index no-ops graft_compact,
+  // nothing-past-retention no-ops graft_vacuum — so re-analysis of the
+  // same statement is safe. Together with graft_search they close the
+  // SQL-only lifecycle the reference drives from Python
+  // (backends/parquet.py index/compact/vacuum).
+
+  private def lifecycleRows(spark: SparkSession,
+      rows: Seq[(String, String)]): LogicalPlan = {
+    import spark.implicits._
+    planOf(rows.toDF("op", "detail"))
+  }
+
+  /** `graft_index(dir, kind, column [, binpack_rows [, id_col]])` —
+    * index every not-yet-covered live file, bin-packed; one status row
+    * per index built.
+    */
+  private def indexBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 3 && args.size <= 5,
+      "graft_index(dir, kind, column [, binpack_rows [, id_col]])")
+    val spark = SparkSession.active
+    val kindName = str(args(1), "kind")
+    val idCol = if (args.size == 5) str(args(4), "id_col") else "doc_id"
+    val kind = filterKinds.getOrElse(kindName, rankedKind(kindName, idCol))
+    val binpack =
+      if (args.size >= 4) int(args(3), "binpack_rows").toLong else 10000L
+    val built = GraftLake.auto(spark, str(args(0), "dir"))
+      .index(kind, str(args(2), "column"), binpack)
+    lifecycleRows(spark,
+      if (built.isEmpty) Seq(("noop", "lake already covered"))
+      else built.map("indexed" -> _))
+  }
+
+  /** `graft_compact(dir, kind, column [, threshold])` — merge this
+    * (kind, column)'s under-threshold indexes into one
+    * ([[GraftLake.compact]]: generic merge driver + append-then-delete
+    * metadata commit + vacuum of retired dirs past retention).
+    */
+  private def compactBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3 || args.size == 4,
+      "graft_compact(dir, kind, column [, threshold])")
+    val spark = SparkSession.active
+    val kindName = str(args(1), "kind")
+    val kind = filterKinds.getOrElse(kindName, rankedKind(kindName, "doc_id"))
+    val thr = if (args.size == 4) int(args(3), "threshold").toLong else 10000L
+    val merged = GraftLake.auto(spark, str(args(0), "dir"))
+      .compact(kind, str(args(2), "column"), thr)
+    lifecycleRows(spark, merged match {
+      case Some(p) => Seq(("compacted", p))
+      case None => Seq(("noop", "nothing under threshold"))
+    })
+  }
+
+  /** `graft_vacuum(dir [, retention_days])` — delete unreferenced index
+    * dirs whose tombstone is older than the retention; one "vacuumed"
+    * status row per dir actually deleted (the facade call returns the
+    * SURVIVORS, so deletions are observed as a before/after listing
+    * diff of the lake's index root), then one "live" row per surviving
+    * referenced index.
+    */
+  private def vacuumBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1 || args.size == 2,
+      "graft_vacuum(dir [, retention_days])")
+    val spark = SparkSession.active
+    val dir = str(args(0), "dir")
+    val ms =
+      if (args.size == 2) int(args(1), "retention_days").toLong * 86400000L
+      else graft.ops.Maintenance.DefaultRetentionMs
+    val root = s"${graft.core.IndexStore.root}/" +
+      graft.core.IndexStore.lakeId(dir)
+    def dirs(): Set[String] =
+      try graft.core.Fs.childStats(spark, root)
+        .filter(_._2).map(_._1).toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+    val before = dirs()
+    val live = GraftLake.auto(spark, dir).vacuum(ms)
+    val deleted = (before -- dirs()).toSeq.sorted
+    lifecycleRows(spark,
+      (if (deleted.isEmpty) Seq(("noop", "nothing past retention"))
+       else deleted.map("vacuumed" -> _)) ++ live.map("live" -> _))
+  }
+
   private def layoutBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1, "graft_layout(path)")
     val spark = SparkSession.active
@@ -278,6 +364,9 @@ object SqlTableFunctions {
       "graft_suggest" -> (suggestBuilder(_)),
       "graft_advise" -> (adviseBuilder(_)),
       "graft_dedup" -> (dedupBuilder(_)),
+      "graft_index" -> (indexBuilder(_)),
+      "graft_compact" -> (compactBuilder(_)),
+      "graft_vacuum" -> (vacuumBuilder(_)),
       "graft_layout" -> (layoutBuilder(_)))
 
   /** injectTableFunction descriptors for [[graft.GraftExtensions]]. */

@@ -183,6 +183,55 @@ class SqlTableFunctionsSpec extends AnyFunSuite {
       "overlapping coverage double-counted suggestion frequencies")
   }
 
+  test("graft_index/compact/vacuum run the whole lifecycle from SQL") {
+    val d = TestSpark.tmpDir("sqltvf-life")
+    def put(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = TestSpark.tmpDir(s"sqltvf-life-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$d/$name.parquet"))
+    }
+    put("a", Seq(1L -> "needle alpha", 2L -> "filler"))
+    put("b", Seq(3L -> "needle beta", 4L -> "filler"))
+    def search(): Seq[Long] = spark.sql(
+      s"SELECT doc_id FROM graft_search('$d', 'ngram', 'text', " +
+        "'needle', 100, 'doc_id') ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    def covIdx(): Seq[String] =
+      GraftLake(spark, d).coverageByName("ngram", "text").map(_._1)
+    // build one index per file from SQL
+    val built = spark.sql(
+      s"SELECT * FROM graft_index('$d', 'ngram', 'text', 1)").collect()
+    assert(built.length == 2 && built.forall(_.getString(0) == "indexed"))
+    assert(covIdx().size == 2 && search() == Seq(1L, 3L))
+    // idempotent: a covered lake no-ops
+    val again = spark.sql(
+      s"SELECT * FROM graft_index('$d', 'ngram', 'text', 1)").collect()
+    assert(again.map(_.getString(0)).toSeq == Seq("noop"))
+    // compact the two part-indexes into one, still from SQL
+    val compacted = spark.sql(
+      s"SELECT * FROM graft_compact('$d', 'ngram', 'text')").collect()
+    assert(compacted.map(_.getString(0)).toSeq == Seq("compacted"))
+    assert(covIdx().size == 1 && search() == Seq(1L, 3L))
+    // vacuum(0 days) deletes the retired pre-compaction dirs and
+    // reports the surviving merged index as live
+    val vacuumed = spark.sql(
+      s"SELECT * FROM graft_vacuum('$d', 0)").collect()
+    assert(vacuumed.count(_.getString(0) == "vacuumed") == 2,
+      "both retired dirs must be deleted: " +
+        vacuumed.map(r => s"${r.getString(0)}=${r.getString(1)}")
+          .mkString(", "))
+    assert(vacuumed.count(_.getString(0) == "live") == 1)
+    assert(search() == Seq(1L, 3L))
+    // and a second vacuum finds nothing more to delete
+    val v2 = spark.sql(s"SELECT * FROM graft_vacuum('$d', 0)").collect()
+    assert(v2.map(_.getString(0)).count(_ == "vacuumed") == 0,
+      "second vacuum deleted: " + v2.map(_.getString(1)).mkString(", "))
+    assert(search() == Seq(1L, 3L))
+  }
+
   test("non-literal and unknown-kind arguments fail with clear messages") {
     val e1 = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_search('$lakeDir', upper('ngram'), 'text', " +
