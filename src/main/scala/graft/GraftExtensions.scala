@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSim, WinnowFp}
+import graft.functions.{CosineSim, FloatVecDecode, WinnowFp}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.winnowFromExprs(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("float_vec"),
+      new ExpressionInfo(classOf[FloatVecDecode].getName, "float_vec"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecDecode(children.head)))
     // transparent ngram-index file pruning for contains-filters over
     // indexed lakes (SURVEY §7.4 stretch)
     ext.injectOptimizerRule(spark => new graft.plans.IndexPruneRule(spark))
@@ -57,6 +62,8 @@ object GraftExtensions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fp", winnowFromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vec", children => FloatVecDecode(children.head), "built-in")
     graft.plans.SqlTableFunctions.register(spark)
   }
 
@@ -67,6 +74,12 @@ object GraftExtensions {
     // route through the registry so we never touch private Column
     // constructors; the planner substitutes the expression directly
     org.apache.spark.sql.functions.call_udf("cosine_sim", a, b)
+  }
+
+  /** Column-API handle for the float32-blob decode expression. */
+  def floatVec(spark: SparkSession, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("float_vec", b)
   }
 
   /** Column-API handle for the winnowing-fingerprint expression. */

@@ -151,6 +151,21 @@ object IndexKind {
     override def initialValue(): Option[Long] = None
   }
 
+  /** The embedding column as array<double>: ArrayType casts (exact for
+    * float sources), BinaryType decodes the reference's on-disk shape
+    * — fixed-width little-endian float32 blobs, dimension inferred
+    * from the byte width (reference indices/vector_index.py:42-48) —
+    * so a reference-shaped lake indexes without a manual cast, and
+    * both shapes of the same vectors score bit-identically.
+    */
+  private[graft] def vecAsDoubles(spark: SparkSession,
+      df: DataFrame, column: String): org.apache.spark.sql.Column =
+    df.schema(column).dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        graft.GraftExtensions.floatVec(spark, col(column))
+      case _ => col(column).cast("array<double>")
+    }
+
   // keep-latest-per-path (versioned keys would strand one dead entry
   // per rebuild/vacuum cycle) AND LRU-bounded (compaction writes NEW
   // dirs, so path churn under streaming maintenance would otherwise

@@ -344,9 +344,9 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
     val meta = Layout.buildMeta(spark, files, Some(column)).cache()
-    val emb = Layout.withUid(spark, files, meta)
-      .select(col("uid").as("vec_id"),
-        col(column).cast("array<double>").as("v"))
+    val data = Layout.withUid(spark, files, meta)
+    val emb = data.select(col("uid").as("vec_id"),
+      IndexKind.vecAsDoubles(spark, data, column).as("v"))
     VectorIndex.build(spark, emb, path, storeVecs = false)
     // tiny head recording the indexed column: merge re-reads the lake
     // (the index holds no vectors), so it must know which column to
@@ -381,9 +381,9 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
     val files = meta.select("file_path").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     // re-extract vectors from the lake (the index stores codes only)
-    val emb = Layout.withUid(spark, files, meta)
-      .select(col("uid").as("vec_id"),
-        col(column).cast("array<double>").as("v"))
+    val data = Layout.withUid(spark, files, meta)
+    val emb = data.select(col("uid").as("vec_id"),
+      IndexKind.vecAsDoubles(spark, data, column).as("v"))
     VectorIndex.build(spark, emb, out, storeVecs = false)
     import spark.implicits._
     Seq(column).toDF("column").coalesce(1)
@@ -460,7 +460,7 @@ case class VectorKind(idCol: String, nprobe: Int = Int.MaxValue,
       else parts.reduce(_ unionByName _)
     base
       .withColumn("cos", round(graft.GraftExtensions.cosineSim(spark,
-        col(column).cast("array<double>"), qc), 6))
+        IndexKind.vecAsDoubles(spark, base, column), qc), 6))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -494,9 +494,9 @@ case class VamanaKind(idCol: String, l: Int = Int.MaxValue,
   def build(spark: SparkSession, files: Seq[String], column: String,
       path: String): Unit = {
     val meta = Layout.buildMeta(spark, files, Some(column)).cache()
-    val emb = Layout.withRowId(spark, files, meta)
-      .select(col("rid").as("vec_id"),
-        col(column).cast("array<double>").as("v"))
+    val data = Layout.withRowId(spark, files, meta)
+    val emb = data.select(col("rid").as("vec_id"),
+      IndexKind.vecAsDoubles(spark, data, column).as("v"))
     VamanaIndex.build(spark, emb, path)
     meta.write.mode("overwrite").parquet(s"$path/meta")
     meta.unpersist()
@@ -569,7 +569,7 @@ case class VamanaKind(idCol: String, l: Int = Int.MaxValue,
       else parts.reduce(_ unionByName _)
     base
       .withColumn("cos", round(graft.GraftExtensions.cosineSim(spark,
-        col(column).cast("array<double>"), qc), 6))
+        IndexKind.vecAsDoubles(spark, base, column), qc), 6))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -120,6 +120,34 @@ object ApiQueries {
         .select(col("vec_id"), col("cos"))
     }, Similarity.knnSql),
 
+    // the reference's on-disk embedding shape: a BINARY column of
+    // packed little-endian float32 (indices/vector_index.py:42-48) —
+    // the kind decodes it natively (FloatVecDecode, dimension inferred
+    // from the byte width), so a reference-shaped lake indexes,
+    // compacts, and searches with NO manual cast; float→double is
+    // exact, so the same brute-cosine oracle as lake_api_vector gates
+    // the scores bit-for-bit
+    "similarity_ivf_binarycol" -> Q((s, dir) => {
+      val prefix = IndexStore.indexPath(dir, "lake_embeddings_binary")
+      IndexStore.ensure(prefix) {
+        val enc = udf((v: Seq[Float]) =>
+          graft.functions.FloatVecDecode.encode(v.map(_.toDouble)))
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), enc(col("embedding")).as("embedding"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(prefix)
+      }
+      val lake = GraftLake(s, prefix)
+      val kind = VectorKind("vec_id")
+      lake.index(kind, "embedding", binpackRows = 1)
+      lake.compact(kind, "embedding", threshold = 1000000L)
+      val q = Similarity.embeddings(s, dir)
+        .filter(col("vec_id") === Similarity.QueryVecId)
+        .select(col("v")).collect()(0).getSeq[Double](0)
+      lake.search(kind, "embedding", q.mkString(","), Similarity.K)
+        .select(col("vec_id"), col("cos"))
+    }, Similarity.knnSql),
+
     // the Vamana graph kind through the same lifecycle: per-file graph
     // indexes → compact (rebuild over the stored vectors, uids
     // re-offset) → beam search per covering index. The exact
