@@ -268,6 +268,14 @@ object ScaleBench {
         }),
       "aggindex_group_query" -> (() =>
         graft.index.AggIndex.groupStats(spark, idx("aggidx")).count()),
+      // the multi-measure claim: d measures from ONE pass should cost
+      // ~the single-measure build (same scan + groupBy, one extra
+      // column quartet per measure), not d builds
+      "aggindex_build_2m" -> (() =>
+        graft.core.IndexStore.ensure(idx("aggidx2m")) {
+          graft.index.AggIndex.build(spark, docFiles, Seq("source"),
+            Seq("n_chars", "doc_id"), idx("aggidx2m"))
+        }),
       // 1-bit candidate generation + exact rerank: candidate set is
       // n/10, so the rerank input grows linearly while the Hamming scan
       // is one XOR+popcount per vector — near-linear end to end
