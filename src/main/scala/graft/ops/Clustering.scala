@@ -25,6 +25,18 @@ object Clustering {
   // ---- deterministic k-means over integer-quantized embeddings -------
 
   val K = 8
+
+  /** Cells-per-corpus for the oracle-exact paths: K below the pivot
+    * (every current SF — 2k vectors / 250 = 8 = K, so sf0.01 and sf0.1
+    * results are bit-unchanged), n/250 past it — bounded ~250-vector
+    * cell membership makes the within-cell pair join LINEAR in n
+    * instead of quadratic (the fixed-K shape measured 89× at 10× data;
+    * the K∝n persisted path measured 7.4×). The DuckDB oracles derive
+    * the SAME count from the same table (`greatest(K, count//250)`),
+    * so hash-equality holds at every scale.
+    */
+  private def scaledCells(e: DataFrame): Int =
+    math.max(K.toLong, e.count() / 250L).toInt
   /** Quantization step for k-means arithmetic (same as Similarity's LSH
     * quantizer): round(x * 1e6) per dimension.
     */
@@ -103,10 +115,23 @@ object Clustering {
     * [[kmeansSql]] (rn = 1 assignment) and the IVF knn join's oracle
     * (rn ≤ probe multi-assignment).
     */
-  private def kmeansCtes: String = {
+  /** Shared deterministic-k-means CTEs. `scaledC0` picks the seed
+    * count: the knn-join oracle matches the Spark side's
+    * [[scaledCells]] (K below the pivot, n/250 past it — identical at
+    * every current SF); the kmeans/semantic oracles keep the fixed K
+    * the inline entry uses (K∝n would make the per-call ASSIGNMENT
+    * n×K = quadratic — the join path amortizes that as the persisted
+    * prep instead, and at 100 TB semantic dedup blocks on the IVF
+    * index's stored cells, not a per-call kmeans).
+    */
+  private def kmeansCtes(scaledC0: Boolean = false): String = {
     val dim = Similarity.VecDim
+    val seedBound =
+      if (scaledC0) s"(SELECT greatest($K, count(*) // 250) FROM e)"
+      else s"$K"
     s"""e AS (SELECT vec_id, [CAST(round(x * $Quant) AS BIGINT) for x in embedding::DOUBLE[]] AS q FROM embeddings),
-       |c0 AS (SELECT vec_id AS k, q FROM e WHERE vec_id < $K),
+       |c0 AS (SELECT vec_id AS k, q FROM e
+       |       WHERE vec_id < $seedBound),
        |d1 AS (SELECT e.vec_id, c0.k,
        |         list_sum([(e.q[i] - c0.q[i]) * (e.q[i] - c0.q[i]) for i in generate_series(1, $dim)]) AS dist
        |       FROM e CROSS JOIN c0),
@@ -124,7 +149,7 @@ object Clustering {
   }
 
   private def kmeansSql: String =
-    s"""WITH $kmeansCtes
+    s"""WITH ${kmeansCtes()}
        |SELECT vec_id, cluster FROM (
        |  SELECT vec_id, k AS cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d2) t
        |WHERE rn = 1""".stripMargin
@@ -239,8 +264,13 @@ object Clustering {
     assignTop(e, recompute(assign(e, init)), IvfProbe)
   }
 
-  private def ensureCells(s: SparkSession, dir: String): String =
-    ensureCellsAt(s, dir, K, "knn_ivf_cells")
+  private def ensureCells(s: SparkSession, dir: String): String = {
+    val k = scaledCells(Similarity.embeddings(s, dir))
+    // artifact name carries the cell count (same naming as the
+    // production knnJoinIvfPersisted) so a corpus growing past the
+    // pivot never reuses a stale fixed-K assignment
+    ensureCellsAt(s, dir, k, s"knn_ivf_cells_$k")
+  }
 
   /** Persist the deterministic cell assignment at an explicit cell
     * count (ensure-gated, once per (corpus, cell count)) — the prep
@@ -306,7 +336,7 @@ object Clustering {
   }
 
   private def knnJoinIvfSql: String =
-    s"""WITH $kmeansCtes,
+    s"""WITH ${kmeansCtes(scaledC0 = true)},
        |a2 AS (SELECT vec_id, k AS cell FROM (
        |         SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d2) t
        |       WHERE rn <= $IvfProbe),
