@@ -276,6 +276,11 @@ object ScaleBench {
           graft.index.AggIndex.build(spark, docFiles, Seq("source"),
             Seq("n_chars", "doc_id"), idx("aggidx2m"))
         }),
+      // the production LSH join: band width scales with n so bucket
+      // occupancy stays ~LshTargetBucket — the fixed-width oracle
+      // shape is quadratic in occupancy (64x at 10x data measured)
+      "knn_join_lsh_scaled" -> (() =>
+        graft.ops.Similarity.knnJoinLshScaled(spark, dir).count()),
       // 1-bit candidate generation + exact rerank: candidate set is
       // n/10, so the rerank input grows linearly while the Hamming scan
       // is one XOR+popcount per vector — near-linear end to end

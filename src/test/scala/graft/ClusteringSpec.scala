@@ -52,4 +52,16 @@ class ClusteringSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scaled LSH knn join equals the fixed shape below the width pivot") {
+    // n = 200 here: bits = max(LshBandBits, ceil(log2(200/256))) ==
+    // LshBandBits and no bucket nears the skew cap, so the production
+    // path must return EXACTLY the oracle entry's rows — the width
+    // scaling only engages past the pivot
+    val fixed = graft.ops.Similarity.knnJoinLsh(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val scaled = graft.ops.Similarity.knnJoinLshScaled(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(fixed.nonEmpty && scaled == fixed)
+  }
 }
