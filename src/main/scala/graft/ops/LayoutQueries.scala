@@ -302,6 +302,48 @@ object LayoutQueries {
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin),
 
+    // key-only WHERE served from the same cells: every row of a cell
+    // shares the full key tuple, so the predicate evaluates per cell
+    // (Catalyst's own eval — scan semantics for =, IN, LIKE, null
+    // handling) and the grouping re-combines the survivors — the
+    // filtered dashboard query, still zero lake pages
+    "catalyst_group_agg_filtered" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix,
+        Seq("source", "lang"), Seq("n_chars"))
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sm"),
+          max(col("n_chars")).as("hi"))
+        .orderBy(col("source"))
+    },
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sm, max(n_chars) AS hi
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY source ORDER BY source""".stripMargin),
+
+    // grouping by a SUBSET of the spec keys: the (source, lang) cells
+    // re-combine driver-side into per-lang groups (exact by
+    // associativity) — one composite index serves GROUP BY source,
+    // GROUP BY lang, and GROUP BY both
+    "catalyst_group_agg_keysubset" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix,
+        Seq("source", "lang"), Seq("n_chars"))
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sm"),
+          min(col("n_chars")).as("lo"))
+        .orderBy(col("lang"))
+    },
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sm, min(n_chars) AS lo
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
     // Z-order clustering (OPTIMIZE ZORDER analog): one range shuffle
     // on the Morton interleave gives BOTH columns row-group locality;
     // a 2-D range query prunes by the INTERSECTION of two zone maps,

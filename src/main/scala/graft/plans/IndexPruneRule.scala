@@ -343,7 +343,14 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     * is the low-cardinality dimension an aggregate index is worth
     * building for. Multi-measure and multi-key GROUP BYs serve from
     * ONE index whose spec matches (the probe fetches every spec
-    * measure, so different queries share the memoized cells).
+    * measure, so different queries share the memoized cells). A spec
+    * also serves GROUP BYs over a SUBSET of its keys (cells re-combine
+    * driver-side — exact by associativity) and filters whose
+    * predicates reference only spec key columns (every row of a cell
+    * shares the full key tuple, so the predicate evaluates per cell —
+    * Catalyst's own eval, exact scan semantics): one (source, lang)
+    * index answers GROUP BY source; GROUP BY lang; GROUP BY both; and
+    * any of those under WHERE source = … / lang IN … / LIKE … .
     */
   private def rewriteGroupAgg(
       a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Option[LogicalPlan] = {
@@ -361,17 +368,32 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => return None
     }
     if (a.aggregateExpressions.isEmpty) return None
+    // Filters whose predicates reference ONLY the index's key columns
+    // are exactly representable on the cells (every row of a cell
+    // shares the full key tuple), so they don't veto — they are
+    // captured here and evaluated per cell below. Any other filter
+    // still vetoes (partials carry no row-level predicate).
+    var conds = List.empty[org.apache.spark.sql.catalyst.expressions.Expression]
     def relOf(p: LogicalPlan): Option[LogicalRelation] = p match {
       case l: LogicalRelation => Some(l)
       case pr: Project
           if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
         relOf(pr.child)
       case sa: SubqueryAlias => relOf(sa.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        if (!f.condition.deterministic) return None
+        conds ::= f.condition
+        relOf(f.child)
       case _ => None
     }
     val l = relOf(a.child).getOrElse(return None)
     val (_, prefix, allFiles) = eligible(l).getOrElse(return None)
     if (allFiles.isEmpty) return None
+    // subqueries can't eval driver-side; bail early
+    if (conds.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+      return None
+    val filterKeyNames = conds.flatMap(_.references.toSeq.map(_.name)).distinct
 
     sealed trait Need
     case object CountStar extends Need
@@ -425,34 +447,38 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case MaxM(c) => c
     }.distinct
 
-    // discovery key: sorted key columns joined by "," (one key → the
-    // bare column name, so v1 registrations keep matching)
-    val keySetName = gAttrs.map(_.name).sorted.mkString(",")
+    // a prefix can carry SEVERAL agg indexes (different key tuples,
+    // different measure lists, part-indexes of one spec). The chosen
+    // set must share ONE spec — cell column ordinals must line up
+    // across readTagged's pinned schema — whose key tuple COVERS the
+    // grouping attrs AND every filter-referenced column (cells group
+    // by the full spec tuple, so re-aggregating a subset and
+    // evaluating key-only predicates per cell are both exact), carry
+    // every referenced measure, and cover all files. Among qualifying
+    // specs pick the narrowest keys then measures (smallest cells),
+    // deterministically.
+    val neededKeys = (gAttrs.map(_.name) ++ filterKeyNames).toSet
     val idx = IndexStore.metadataRowsCached(spark, prefix)
-      .filter(r => r.column == keySetName && r.indexType == "aggindex")
+      .filter(_.indexType == "aggindex")
     if (idx.isEmpty) return None
-    // a prefix can carry SEVERAL agg indexes on the same key set
-    // (different measure lists, or part-indexes of one spec). The
-    // chosen set must share ONE spec — cell column ordinals must line
-    // up across readTagged's pinned schema — group by exactly this
-    // query's key set, carry every referenced measure, and cover all
-    // files; among qualifying specs pick the narrowest measure list
-    // (smallest cells), deterministically
     val bySpec = idx.groupBy(r =>
       graft.index.AggIndex.specV2(spark, r.indexFile))
     val candidates = bySpec.toSeq.filter { case ((kc, mc), rows) =>
-      kc.toSet == gAttrs.map(_.name).toSet &&
+      neededKeys.subsetOf(kc.toSet) &&
         measures.forall(mc.contains) &&
         allFiles.subsetOf(
           rows.flatMap(_.files).map(Layout.canonPath).toSet)
-    }.sortBy { case ((_, mc), _) => (mc.size, mc.mkString(",")) }
+    }.sortBy { case ((kc, mc), _) =>
+      (kc.size, mc.size, kc.mkString(","), mc.mkString(","))
+    }
     if (candidates.isEmpty) return None
     val ((kcols, mcols), chosen) = candidates.head
     val paths = chosen.map(_.indexFile)
-    // the probe fetches ALL spec measures (bounded by the spec, never
-    // the query), so the memoized rows are query-independent — the
-    // memo key need not encode which agg kinds this query wants
-    val memoKey = (Seq("groupagg2", keySetName,
+    // the probe fetches ALL spec measures over the FULL spec key tuple
+    // (bounded by the spec, never the query), so the memoized rows are
+    // query-independent — filters and subset groupings combine them
+    // driver-side below, and the memo key need not encode either
+    val memoKey = (Seq("groupagg2", kcols.mkString(","),
       IndexStore.metadataVersionToken(spark, prefix)) ++ paths ++
       allFiles.toSeq.sorted).map(v => s"${v.length}:$v").mkString
     val rows = IndexPruneRule.memoGroups(memoKey) {
@@ -510,6 +536,67 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case d: java.time.LocalDate => DateTimeUtils.localDateToDays(d)
       case other => other
     }
+    // key-only predicates run over the ≤ MaxGroups cells with
+    // Catalyst's OWN eval (bound against the relation's key
+    // attributes), so =, IN, LIKE, ranges, AND/OR and null handling
+    // are exactly the scan's semantics
+    val kept =
+      if (conds.isEmpty) rows
+      else {
+        // every spec key must be a stat-typed relation column for the
+        // external→internal conversion to be faithful
+        val bindAttrs = kcols.map(kc =>
+          l.output.find(at => at.name == kc && statType(at.dataType))
+            .getOrElse(return None))
+        val bound = conds.map(c =>
+          org.apache.spark.sql.catalyst.expressions.BindReferences
+            .bindReference(c,
+              org.apache.spark.sql.catalyst.expressions
+                .AttributeSeq(bindAttrs)))
+        rows.filter { gr =>
+          val row = org.apache.spark.sql.catalyst.InternalRow
+            .fromSeq(gr.keys.map(keyInternal))
+          bound.forall(_.eval(row) == true)
+        }
+      }
+    // grouping by a SUBSET of the spec keys (or any grouping after a
+    // filter) re-combines the surviving cells driver-side — counts and
+    // decimal sums add, bounds take min/max in Spark's own ordering
+    // (UTF-8 bytes for strings, Comparable otherwise, both matching
+    // the scan's aggregate semantics)
+    def cmpExternal(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) =>
+        val (bx, by) = (x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var i = 0
+        val n = math.min(bx.length, by.length)
+        while (i < n) {
+          val c = (bx(i) & 0xff) - (by(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        bx.length - by.length
+      case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    val kIdx = gAttrs.map(ga => kcols.indexOf(ga.name))
+    val combined: Seq[IndexPruneRule.GRow] =
+      kept.groupBy(gr => kIdx.map(i => gr.keys(i))).map {
+        case (keys, grs) =>
+          val ms = mcols.map { m =>
+            val sts = grs.map(_.ms(m))
+            val sums = sts.flatMap(_.s)
+            val los = sts.flatMap(_.lo)
+            val his = sts.flatMap(_.hi)
+            m -> IndexPruneRule.MStat(
+              sts.map(_.nn).sum,
+              if (sums.isEmpty) None else Some(sums.sum),
+              if (los.isEmpty) None else Some(los.reduce((a, b) =>
+                if (cmpExternal(a, b) <= 0) a else b)),
+              if (his.isEmpty) None else Some(his.reduce((a, b) =>
+                if (cmpExternal(a, b) >= 0) a else b)))
+          }.toMap
+          IndexPruneRule.GRow(keys, grs.map(_.n).sum, ms)
+      }.toSeq
     // LocalRelation carries the grouping attributes (exprIds preserved)
     // plus one synthetic attribute per distinct AggregateExpression; a
     // Project on top re-applies any scalar wrappers, so the rewritten
@@ -518,11 +605,8 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         s"_ga$i", ae.dataType, ae.nullable)()
     }
-    // probe rows carry keys in SPEC order; emit them in the QUERY's
-    // grouping order
-    val kIdx = gAttrs.map(ga => kcols.indexOf(ga.name))
-    val out = rows.map { gr =>
-      val keyVals = kIdx.map(i => keyInternal(gr.keys(i)))
+    val out = combined.map { gr =>
+      val keyVals = gr.keys.map(keyInternal)
       val aggVals = distinctAggs.zip(aggAttrs).map {
         case (((ae, need)), _) => need match {
           case CountStar => gr.n

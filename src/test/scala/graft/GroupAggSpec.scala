@@ -188,6 +188,7 @@ class GroupAggSpec extends AnyFunSuite {
     mkLake3(d7, "a", Seq(("red", "eu", 1L, 100L), ("red", "us", 2L, null),
       ("blue", "eu", null, 300L)))
     AggIndex.ensureRegistered(spark, d7, Seq("src"), Seq("m", "w"))
+    IndexPruneRule.enable(spark)
     val q = spark.read.parquet(d7).groupBy(col("src"))
       .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
         count(col("w")).as("nw"), min(col("w")).as("lw"),
@@ -209,6 +210,7 @@ class GroupAggSpec extends AnyFunSuite {
       ("red", "us", 2L, 1L), ("blue", "eu", 8L, 1L)))
     mkLake3(d8, "b", Seq(("red", "eu", 16L, 1L), ("blue", "us", null, 1L)))
     AggIndex.ensureRegistered(spark, d8, Seq("src", "reg"), Seq("m"))
+    IndexPruneRule.enable(spark)
     // grouping order (reg, src) is the REVERSE of the spec's key order
     val q = spark.read.parquet(d8).groupBy(col("reg"), col("src"))
       .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
@@ -219,10 +221,63 @@ class GroupAggSpec extends AnyFunSuite {
       ("eu", "blue", 1L, 8L), ("eu", "red", 3L, 21L),
       ("us", "blue", 1L, null), ("us", "red", 1L, 2L)))
     assert(!scansLake(q), "composite-key grouping must serve from index")
-    // single-key GROUP BY src has no matching key-set index here → scan
+    // grouping by a SUBSET of the spec keys also serves: cells
+    // re-combine driver-side (exact by associativity)
     val s1 = spark.read.parquet(d8).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
+      .orderBy(col("src"))
+    val g1 = s1.collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(g1.toSeq == Seq(("blue", 2L, 8L), ("red", 4L, 23L)))
+    assert(!scansLake(s1), "subset-key grouping must serve from index")
+    // …but a key the spec does not carry still vetoes
+    val s2 = spark.read.parquet(d8).groupBy(col("w"))
       .agg(count(lit(1)).as("n"))
-    assert(scansLake(s1), "key-set mismatch must veto")
+    assert(scansLake(s2), "non-spec key must veto")
+  }
+
+  test("key-only filters evaluate on the cells; others still veto") {
+    val dA = TestSpark.tmpDir("gaggA")
+    mkLake3(dA, "a", Seq(("red", "eu", 1L, 9L), ("red", "eu", 4L, 9L),
+      ("red", "us", 2L, 9L), ("blue", "eu", 8L, 9L), (null, "eu", 32L, 9L)))
+    mkLake3(dA, "b", Seq(("red", "eu", 16L, 9L), ("blue", "us", null, 9L)))
+    AggIndex.ensureRegistered(spark, dA, Seq("src", "reg"), Seq("m"))
+    IndexPruneRule.enable(spark)
+    // WHERE on a NON-grouped spec key: filter runs per cell, grouping
+    // re-combines the survivors — Catalyst eval semantics (null key
+    // rows drop under src <> 'blue' like the scan drops them)
+    val q = spark.read.parquet(dA)
+      .filter(col("reg") === "eu" && col("src").isNotNull)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .orderBy(col("src"))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("blue", 1L, 8L, 8L, 8L),
+      ("red", 3L, 21L, 1L, 16L)))
+    assert(!scansLake(q), "key-only filter must serve from the cells")
+    // exactness against the true scan (filter on m blocks the rewrite)
+    val raw = spark.read.parquet(dA).where(col("w") === 9L)
+      .filter(col("reg") === "eu" && col("src").isNotNull)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .orderBy(col("src")).collect().toSeq
+    assert(scansLake(spark.read.parquet(dA).where(col("w") === 9L)
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))))
+    assert(raw.map(_.toString) == q.collect().map(_.toString).toSeq)
+    // IN / LIKE shapes ride the same eval
+    val q2 = spark.read.parquet(dA)
+      .filter(col("src").isin("red", "green") && col("reg").like("e%"))
+      .groupBy(col("reg")).agg(count(lit(1)).as("n"))
+    assert(!scansLake(q2))
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("eu", 3L)))
+    // a filter referencing a MEASURE column still vetoes
+    val v = spark.read.parquet(dA).filter(col("m") > 0)
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+    assert(scansLake(v), "measure filter must veto")
   }
 
   test("coexisting specs on one prefix: narrowest qualifying spec serves") {
@@ -230,6 +285,7 @@ class GroupAggSpec extends AnyFunSuite {
     mkLake3(d9, "a", Seq(("red", "eu", 1L, 10L), ("blue", "us", 2L, 20L)))
     AggIndex.ensureRegistered(spark, d9, Seq("src"), Seq("m"))
     AggIndex.ensureRegistered(spark, d9, Seq("src"), Seq("m", "w"))
+    IndexPruneRule.enable(spark)
     val narrow = spark.read.parquet(d9).groupBy(col("src"))
       .agg(sum(col("m")).as("sm")).orderBy(col("src"))
     assert(!scansLake(narrow))
