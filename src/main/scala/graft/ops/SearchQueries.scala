@@ -875,6 +875,19 @@ object SearchQueries {
       graft.index.Serve.wildcard(s, bm25Idx(s, dir), WildcardPrefix, Bm25K),
       oracleSqlPrefix(WildcardPrefix, Bm25K)),
 
+    // the ranked wildcard through the SQL-ONLY surface: one statement
+    // builds nothing (coverage pre-built), expands *er against the
+    // rvocab sidecar, and ranks — checked against the same independent
+    // LIKE oracle as the Scala path
+    "sql_tvf_wildcard" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.api.GraftLake(s, prefix)
+        .index(graft.api.Bm25Kind("doc_id"), "text")
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_wildcard('$prefix', 'text', '*er', $Bm25K)")
+    }, oracleSqlLike("%er", Bm25K)),
+
     // suffix/infix warm twins: the same cached vocabulary serves every
     // single-* shape, each against its own independent LIKE oracle
     "token_wildcard_suffix_served" -> Q((s, dir) =>

@@ -258,6 +258,34 @@ object SqlTableFunctions {
       SparkSession.active, str(args(0), "dir")))
   }
 
+  /** `graft_wildcard(dir, column, pattern, k)` — ranked single-`*`
+    * wildcard search (`pre*`, `*suf`, `pre*suf`) over the lake's
+    * committed bm25 indexes: the pattern expands against each index's
+    * vocabulary (rvocab sidecar for suffix shapes — a pushed
+    * startsWith over the reversed tokens, never an O(vocabulary)
+    * endsWith walk), then the standard weighted-BM25 plan scores with
+    * GLOBAL corpus stats across the covering indexes.
+    */
+  private def wildcardBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 4, "graft_wildcard(dir, column, pattern, k)")
+    val spark = SparkSession.active
+    val column = str(args(1), "column")
+    val pattern = str(args(2), "pattern")
+    val i = pattern.indexOf('*')
+    require(i >= 0 && pattern.indexOf('*', i + 1) < 0,
+      s"single-* wildcard expected: $pattern")
+    val lake = GraftLake.auto(spark, str(args(0), "dir"))
+    val paths = lake.coverageByName("bm25", column).map(_._1)
+    require(paths.nonEmpty,
+      s"graft_wildcard: no bm25 index covers column '$column' — run " +
+        s"graft_index(dir, 'bm25', '$column') first")
+    val terms = paths.flatMap(p => graft.index.Bm25Index
+        .expandWildcard(spark, p, pattern.take(i), pattern.drop(i + 1)))
+      .distinct.sorted
+    planOf(graft.index.Bm25Index.searchWeightedMany(
+      spark, paths, terms.map(_ -> 1.0), int(args(3), "k")))
+  }
+
   // ---- maintenance lifecycle (build / compact / vacuum) --------------
   //
   // These TVFs run their side effect when the statement is ANALYZED
@@ -364,6 +392,7 @@ object SqlTableFunctions {
       "graft_suggest" -> (suggestBuilder(_)),
       "graft_advise" -> (adviseBuilder(_)),
       "graft_dedup" -> (dedupBuilder(_)),
+      "graft_wildcard" -> (wildcardBuilder(_)),
       "graft_index" -> (indexBuilder(_)),
       "graft_compact" -> (compactBuilder(_)),
       "graft_vacuum" -> (vacuumBuilder(_)),
