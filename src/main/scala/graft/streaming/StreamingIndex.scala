@@ -154,6 +154,52 @@ object StreamingIndex {
       kind.searchLake(s, paths, Seq.empty, "embedding", q.mkString(","),
         graft.ops.Similarity.K)
         .select(col("vec_id"), col("cos"))
-    }, graft.ops.Similarity.knnSql)
+    }, graft.ops.Similarity.knnSql),
+
+    // continuous BI: the stream maintains per-batch grouped-aggregate
+    // partials ([[graft.index.AggIndex]]) — cells are mergeable by
+    // construction, so the per-batch indexes fold by plain union and
+    // the dashboard slice stays current under ingest with no full-lake
+    // rebuild; the combined stats must equal the batch GROUP BY no
+    // matter how files landed in batches
+    "streaming_agg_index" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val root = IndexStore.indexPath(dir, "aggindex_stream")
+      IndexStore.ensure(root) {
+        val stream = s.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", BatchFiles)
+          .parquet(Lake.splitPath(dir, "documents"))
+          .select(col("_metadata.file_path").as("f"))
+        val q = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/_ckpt")
+          .foreachBatch { (batch: Dataset[Row], id: Long) =>
+            val newFiles = batch.distinct().collect()
+              .map(r => Layout.canonPath(r.getString(0))).toSeq.sorted
+            if (newFiles.nonEmpty)
+              graft.index.AggIndex.build(s, newFiles, Seq("source"),
+                Seq("n_chars"), s"$root/b$id")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val paths = graft.core.Fs.childStats(s, root)
+        .collect { case (p, true, _)
+            if p.split('/').last.startsWith("b") => p }
+        .sorted
+      paths.map(p => graft.index.AggIndex.groupStats(s, p))
+        .reduce(_ unionByName _)
+        .groupBy(col("key"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("nn")).cast("long").as("nn"),
+          sum(col("s")).cast("long").as("sm"),
+          min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+        .withColumnRenamed("key", "source")
+        .orderBy(col("source"))
+    },
+      """SELECT source, count(*) AS n, count(n_chars) AS nn,
+        |  CAST(sum(n_chars) AS BIGINT) AS sm,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
   )
 }
