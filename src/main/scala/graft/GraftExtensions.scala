@@ -27,7 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_vec"),
       new ExpressionInfo(classOf[FloatVecDecode].getName, "float_vec"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FloatVecDecode(children.head)))
+        GraftExtensions.floatVecFromExprs(children)))
     // transparent ngram-index file pruning for contains-filters over
     // indexed lakes (SURVEY §7.4 stretch)
     ext.injectOptimizerRule(spark => new graft.plans.IndexPruneRule(spark))
@@ -63,7 +63,7 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fp", winnowFromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vec", children => FloatVecDecode(children.head), "built-in")
+      "float_vec", floatVecFromExprs, "built-in")
     graft.plans.SqlTableFunctions.register(spark)
   }
 
@@ -74,6 +74,16 @@ object GraftExtensions {
     // route through the registry so we never touch private Column
     // constructors; the planner substitutes the expression directly
     org.apache.spark.sql.functions.call_udf("cosine_sim", a, b)
+  }
+
+  // arity checked here (the winnowFromExprs discipline): extra args
+  // silently ignored would produce plausible-looking wrong results
+  private[graft] def floatVecFromExprs(
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : FloatVecDecode = {
+    require(children.size == 1,
+      s"float_vec(blob) takes exactly one argument, got ${children.size}")
+    FloatVecDecode(children.head)
   }
 
   /** Column-API handle for the float32-blob decode expression. */

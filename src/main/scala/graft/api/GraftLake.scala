@@ -239,9 +239,14 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     * `"TO BE OR NOT TO BE"`), otherwise exact contains — and when an
     * exact search finds NOTHING, retry typo-tolerant (the "did you
     * mean" fallback; FuzzyKind serves from a fuzzy index when one is
-    * committed, in-situ brute otherwise). Every route shares the one
-    * search lifecycle (coverage, snapshot, in-situ fill,
-    * refine-then-truncate).
+    * committed, in-situ brute otherwise — in the analytical-k regime,
+    * k > [[GraftLake.SmartMaterializeMaxK]], the fallback fires on
+    * INDEX-certain emptiness: zero candidate row groups over a fully
+    * covered lake; a candidate set whose refine strikes out stands as
+    * the exact empty result, since silently widening an analytical
+    * query to typo matches is the wrong trade there). Every route
+    * shares the one search lifecycle (coverage, snapshot, in-situ
+    * fill, refine-then-truncate).
     *
     * Single-pass on the exact route: the result is ≤ k rows by
     * construction, so it is materialized ONCE (driver-local) and the

@@ -126,8 +126,22 @@ object AggIndex {
   def ensureRegistered(spark: SparkSession, prefix: String,
       keyCols: Seq[String], measureCols: Seq[String]): String = {
     import graft.core.{IndexStore, Lake}
-    val p = IndexStore.indexPath(prefix,
-      s"agg_${(keyCols ++ measureCols).mkString("_")}")
+    // the single-pair name keeps its v1 form (existing artifacts stay
+    // valid); wider specs append the arity and a hash of the EXACT
+    // split — a plain '_' join would alias (Seq("a","b"),Seq("c")) with
+    // (Seq("a"),Seq("b","c")) (and any underscore-bearing column name),
+    // and the second ensure would silently return the first's index
+    val name =
+      if (keyCols.size == 1 && measureCols.size == 1)
+        s"agg_${keyCols.head}_${measureCols.head}"
+      else {
+        val sig = ((keyCols.map(c => s"${c.length}:$c") :+ "#") ++
+          measureCols.map(c => s"${c.length}:$c")).mkString("|").hashCode
+        s"agg_${(keyCols ++ measureCols).mkString("_")}" +
+          s"_k${keyCols.size}m${measureCols.size}" +
+          f"h${sig & 0xffffffffL}%08x"
+      }
+    val p = IndexStore.indexPath(prefix, name)
     IndexStore.ensure(p) {
       build(spark, Lake.listFiles(prefix), keyCols, measureCols, p)
     }

@@ -56,8 +56,15 @@ object Serve {
     private[Serve] def charge(delta: Long): Unit = used.addAndGet(delta)
     private[Serve] def tick(): Long = clock.incrementAndGet()
     private[graft] def usedBytes: Long = used.get
-    /** Evict globally-LRU entries until within budget. */
-    private[Serve] def reclaim(): Unit = synchronized {
+    /** Evict globally-LRU entries until within budget. The lock-free
+      * under-budget check keeps the common path from serializing every
+      * insert across all caches on this one monitor.
+      */
+    private[Serve] def reclaim(): Unit = {
+      if (used.get <= MaxServeBytes) return
+      reclaimLocked()
+    }
+    private def reclaimLocked(): Unit = synchronized {
       while (used.get > MaxServeBytes) {
         val victim = caches.minBy(_.eldestTick)
         if (victim.eldestTick == Long.MaxValue) return // all empty
@@ -641,7 +648,12 @@ object Serve {
     */
   def wildcard(spark: SparkSession, path: String, prefix: String,
       k: Int): DataFrame =
-    wildcardPattern(spark, path, prefix + "*", k)
+    // tokens are [a-z0-9]: a literal '*' inside the prefix can never
+    // match — preserve the pre-pattern graceful-empty behavior instead
+    // of tripping wildcardPattern's single-star contract
+    if (prefix.contains('*'))
+      bm25Weighted(spark, Seq(path), Seq.empty, k)
+    else wildcardPattern(spark, path, prefix + "*", k)
 
   /** General single-`*` warm wildcard (`pre*`, `*suf`, `pre*suf` — SQL
     * LIKE `pre%suf` semantics): the expansion filters the SAME cached

@@ -35,8 +35,23 @@ object Clustering {
     * the SAME count from the same table (`greatest(K, count//250)`),
     * so hash-equality holds at every scale.
     */
-  private def scaledCells(e: DataFrame): Int =
-    math.max(K.toLong, e.count() / 250L).toInt
+  private def scaledCells(n: Long): Int =
+    math.max(K.toLong, n / 250L).toInt
+
+  // the corpus count behind scaledCells, cached by the dir's content
+  // signature — without it every warm knn-ivf invocation would pay a
+  // full embeddings scan action just to derive the artifact NAME
+  private val embCountCache = new graft.core.LruMap[String, (Long, Long)](64)
+  private def embCount(s: SparkSession, dir: String): Long = {
+    val sig = graft.core.Fs.dirSignature(s, dir)
+    embCountCache.get(dir) match {
+      case Some((m, n)) if m == sig => n
+      case _ =>
+        val n = Similarity.embeddings(s, dir).count()
+        embCountCache.put(dir, (sig, n))
+        n
+    }
+  }
   /** Quantization step for k-means arithmetic (same as Similarity's LSH
     * quantizer): round(x * 1e6) per dimension.
     */
@@ -265,7 +280,7 @@ object Clustering {
   }
 
   private def ensureCells(s: SparkSession, dir: String): String = {
-    val k = scaledCells(Similarity.embeddings(s, dir))
+    val k = scaledCells(embCount(s, dir))
     // artifact name carries the cell count (same naming as the
     // production knnJoinIvfPersisted) so a corpus growing past the
     // pivot never reuses a stale fixed-K assignment

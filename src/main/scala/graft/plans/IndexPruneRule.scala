@@ -458,8 +458,14 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // specs pick the narrowest keys then measures (smallest cells),
     // deterministically.
     val neededKeys = (gAttrs.map(_.name) ++ filterKeyNames).toSet
+    // cheap prefilter on the metadata row's column field (the sorted
+    // key list) BEFORE touching any spec file: without it every
+    // Aggregate planned over the prefix would pay one dir-listing per
+    // registered agg index (a remote LIST on object-store roots) even
+    // for key sets that can never match
     val idx = IndexStore.metadataRowsCached(spark, prefix)
-      .filter(_.indexType == "aggindex")
+      .filter(r => r.indexType == "aggindex" &&
+        neededKeys.subsetOf(r.column.split(',').toSet))
     if (idx.isEmpty) return None
     val bySpec = idx.groupBy(r =>
       graft.index.AggIndex.specV2(spark, r.indexFile))
