@@ -344,6 +344,24 @@ object LayoutQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sm, min(n_chars) AS lo
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // HAVING: the post-aggregation filter sits ABOVE the Aggregate, so
+    // the rewrite fires underneath and the predicate evaluates over
+    // the LocalRelation rows — SQL's filtered-dashboard tail for free
+    "catalyst_group_agg_having" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix, "source", "n_chars")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sm"))
+        .filter(col("sm") >= col("n") * 299) // above-avg-doc sources
+        .orderBy(col("source"))
+    },
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sm
+        |FROM documents GROUP BY source
+        |HAVING sum(n_chars) >= count(*) * 299
+        |ORDER BY source""".stripMargin),
+
     // Z-order clustering (OPTIMIZE ZORDER analog): one range shuffle
     // on the Morton interleave gives BOTH columns row-group locality;
     // a 2-D range query prunes by the INTERSECTION of two zone maps,

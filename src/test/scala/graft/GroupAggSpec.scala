@@ -298,6 +298,20 @@ class GroupAggSpec extends AnyFunSuite {
       Seq((2L, 20L), (1L, 10L)))
   }
 
+  test("HAVING evaluates above the rewritten aggregate: still no scan") {
+    // a post-aggregation filter sits ABOVE the Aggregate node, so the
+    // rewrite fires underneath it and the HAVING predicate runs over
+    // the LocalRelation rows — the filtered-dashboard shape end to end
+    val q = spark.read.parquet(dir).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
+      .filter(col("n") > 1)
+      .orderBy(col("src"))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2)))
+    assert(got.toSeq == Seq(("red", 3L, 17L)))
+    assert(!scansLake(q), "HAVING must not block the rewrite")
+  }
+
   test("merge: uid re-offset union answers the whole corpus") {
     val d3 = TestSpark.tmpDir("gagg3")
     mkLake(d3, Seq(
