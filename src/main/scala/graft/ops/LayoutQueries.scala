@@ -362,6 +362,27 @@ object LayoutQueries {
         |HAVING sum(n_chars) >= count(*) * 299
         |ORDER BY source""".stripMargin),
 
+    // the same rewrite from PURE SQL (the BI-tool statement): a
+    // spark.sql GROUP BY over parquet.`prefix` plans to the identical
+    // Aggregate-over-relation shape, so the materialized-view matching
+    // is transparent to SQL-only users — no TVF, no Scala
+    "catalyst_group_agg_sql" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix,
+        Seq("source", "lang"), Seq("n_chars"))
+      graft.plans.IndexPruneRule.enable(s)
+      s.sql(s"""SELECT source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS sm, max(n_chars) AS hi
+        |FROM parquet.`$prefix`
+        |WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin)
+    },
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sm, max(n_chars) AS hi
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin),
+
     // Z-order clustering (OPTIMIZE ZORDER analog): one range shuffle
     // on the Morton interleave gives BOTH columns row-group locality;
     // a 2-D range query prunes by the INTERSECTION of two zone maps,

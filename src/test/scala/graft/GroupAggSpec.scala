@@ -312,6 +312,17 @@ class GroupAggSpec extends AnyFunSuite {
     assert(!scansLake(q), "HAVING must not block the rewrite")
   }
 
+  test("pure-SQL GROUP BY over parquet.`dir` rides the same rewrite") {
+    val q = spark.sql(
+      s"SELECT src, count(*) AS n, sum(m) AS sm FROM parquet.`$dir` " +
+        "GROUP BY src ORDER BY src")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(got.toSeq == Seq((null, 1L, 3L), ("blue", 1L, 5L),
+      ("green", 1L, null), ("red", 3L, 17L)))
+    assert(!scansLake(q), "SQL statement must serve from the index")
+  }
+
   test("merge: uid re-offset union answers the whole corpus") {
     val d3 = TestSpark.tmpDir("gagg3")
     mkLake(d3, Seq(
