@@ -383,6 +383,25 @@ object LayoutQueries {
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin),
 
+    // the filtered KPI tile: a GLOBAL aggregate under a key-only WHERE
+    // — cells combine into the one row (the always-one-row contract
+    // holds even when the filter kills every cell), zero lake pages
+    "catalyst_stats_agg_filtered" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix,
+        Seq("source", "lang"), Seq("n_chars"))
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).filter(col("lang") === "zh")
+        .agg(count(lit(1)).as("n"), count(col("n_chars")).as("nn"),
+          sum(col("n_chars")).as("sm"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    },
+      """SELECT count(*) AS n, count(n_chars) AS nn,
+        |  CAST(sum(n_chars) AS BIGINT) AS sm,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents WHERE lang = 'zh'""".stripMargin),
+
     // Z-order clustering (OPTIMIZE ZORDER analog): one range shuffle
     // on the Morton interleave gives BOTH columns row-group locality;
     // a 2-D range query prunes by the INTERSECTION of two zone maps,

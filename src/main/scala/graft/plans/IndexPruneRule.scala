@@ -357,8 +357,13 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project, SubqueryAlias}
+    // empty grouping is admitted too — the filtered KPI tile
+    // (`WHERE key = … SELECT count(*), sum(m)`): cells combine into
+    // ONE row, with the empty-grouping always-one-row contract handled
+    // below ([[rewriteAgg]]'s zone-map arm owns the unfiltered global
+    // case first; this arm serves what it vetoes)
     val gAttrs: Seq[AttributeReference] = a.groupingExpressions match {
-      case s if s.nonEmpty && s.forall {
+      case s if s.forall {
             case ar: AttributeReference => statType(ar.dataType)
             case _ => false
           } =>
@@ -585,7 +590,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
     }
     val kIdx = gAttrs.map(ga => kcols.indexOf(ga.name))
-    val combined: Seq[IndexPruneRule.GRow] =
+    val combined0: Seq[IndexPruneRule.GRow] =
       kept.groupBy(gr => kIdx.map(i => gr.keys(i))).map {
         case (keys, grs) =>
           val ms = mcols.map { m =>
@@ -603,6 +608,15 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
           }.toMap
           IndexPruneRule.GRow(keys, grs.map(_.n).sum, ms)
       }.toSeq
+    // the empty-grouping contract: a global aggregate returns exactly
+    // ONE row even when the filter kills every cell — count 0, sums
+    // and bounds NULL (what the scan's Aggregate produces over zero
+    // input rows)
+    val combined =
+      if (gAttrs.nonEmpty || combined0.nonEmpty) combined0
+      else Seq(IndexPruneRule.GRow(Nil, 0L,
+        mcols.map(m => m -> IndexPruneRule.MStat(0L, None, None, None))
+          .toMap))
     // LocalRelation carries the grouping attributes (exprIds preserved)
     // plus one synthetic attribute per distinct AggregateExpression; a
     // Project on top re-applies any scalar wrappers, so the rewritten

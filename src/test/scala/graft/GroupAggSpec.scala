@@ -278,6 +278,23 @@ class GroupAggSpec extends AnyFunSuite {
     val v = spark.read.parquet(dA).filter(col("m") > 0)
       .groupBy(col("src")).agg(count(lit(1)).as("n"))
     assert(scansLake(v), "measure filter must veto")
+    // the filtered KPI tile: EMPTY grouping under a key-only WHERE —
+    // one row, served from the cells
+    val kpi = spark.read.parquet(dA).filter(col("reg") === "eu")
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        min(col("m")).as("lo"))
+    val kr = kpi.collect()(0)
+    assert((kr.getLong(0), kr.getLong(1), kr.getLong(2)) == (5L, 61L, 1L))
+    assert(!scansLake(kpi), "filtered global agg must serve from cells")
+    // …and the always-one-row contract when the filter kills every
+    // cell: count 0, sum/min NULL — exactly the scan's answer
+    val dead = spark.read.parquet(dA).filter(col("reg") === "nope")
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        min(col("m")).as("lo"))
+    val dr = dead.collect()
+    assert(dr.length == 1 && dr(0).getLong(0) == 0L &&
+      dr(0).isNullAt(1) && dr(0).isNullAt(2))
+    assert(!scansLake(dead), "empty-result KPI must still serve")
   }
 
   test("coexisting specs on one prefix: narrowest qualifying spec serves") {
