@@ -244,9 +244,19 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
     * INDEX-certain emptiness: zero candidate row groups over a fully
     * covered lake; a candidate set whose refine strikes out stands as
     * the exact empty result, since silently widening an analytical
-    * query to typo matches is the wrong trade there). Every route
-    * shares the one search lifecycle (coverage, snapshot, in-situ
-    * fill, refine-then-truncate).
+    * query to typo matches is the wrong trade there).
+    *
+    * CONTRACT NOTE — the fuzzy fallback is therefore REGIME-DEPENDENT
+    * at the [[GraftLake.SmartMaterializeMaxK]] boundary: a query whose
+    * index probe finds candidate row groups but whose refine matches
+    * nothing returns typo-tolerant matches at k ≤ the boundary
+    * (materialized emptiness routes to fuzzy) and the exact EMPTY
+    * result above it (emptiness there is only acted on when the INDEX
+    * proves it — the analytical regime never pays a second Spark pass,
+    * and never silently widens). Callers that want fuzzy semantics at
+    * analytical k should call `search(FuzzyKind, ...)` explicitly.
+    * Every route shares the one search lifecycle (coverage, snapshot,
+    * in-situ fill, refine-then-truncate).
     *
     * Single-pass on the exact route: the result is ≤ k rows by
     * construction, so it is materialized ONCE (driver-local) and the

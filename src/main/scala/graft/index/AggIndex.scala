@@ -70,20 +70,28 @@ object AggIndex {
       s"bad measure columns: $measureCols")
     val meta = Layout.buildMeta(spark, files, Some(keyCols.head)).cache()
     val data = Layout.withUid(spark, files, meta)
+    // project keys/measures under internal names FIRST: a source key
+    // column literally named "n" (or "nn0"…) would otherwise be
+    // ambiguous against the aggregate aliases in the post-agg select
+    val proj = data.select(col("uid") +:
+      (keyCols.zipWithIndex.map { case (c, i) => col(c).as(s"__gk$i") } ++
+        measureCols.zipWithIndex.map { case (m, j) =>
+          col(m).as(s"__gm$j") }): _*)
     val aggs: Seq[Column] = count(lit(1)).as("n") +:
       measureCols.zipWithIndex.flatMap { case (m, j) =>
         val sCol =
           if (integral(data.schema(m).dataType))
-            sum(col(m).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            sum(col(s"__gm$j")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           else lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 0))
-        Seq(count(col(m)).as(s"nn$j"), sCol.as(s"s$j"),
-          min(col(m)).as(s"lo$j"), max(col(m)).as(s"hi$j"))
+        Seq(count(col(s"__gm$j")).as(s"nn$j"), sCol.as(s"s$j"),
+          min(col(s"__gm$j")).as(s"lo$j"), max(col(s"__gm$j")).as(s"hi$j"))
       }
     val outCols: Seq[Column] = col("uid") +:
-      (keyCols.zipWithIndex.map { case (c, i) => col(c).as(s"k$i") } ++
+      (keyCols.indices.map(i => col(s"__gk$i").as(s"k$i")) ++
         (col("n") +: measureCols.indices.flatMap(j =>
           Seq(col(s"nn$j"), col(s"s$j"), col(s"lo$j"), col(s"hi$j")))))
-    data.groupBy(col("uid") +: keyCols.map(col): _*)
+    proj.groupBy(col("uid") +: keyCols.indices.map(i => col(s"__gk$i")): _*)
       .agg(aggs.head, aggs.tail: _*)
       .select(outCols: _*)
       .repartition(1)
@@ -123,9 +131,34 @@ object AggIndex {
     * joined by "," — for one key that is just the key name, so v1
     * registrations keep matching). Returns the index path.
     */
+  /** Reject specs whose key column names collide with the reserved
+    * aggregate output aliases of [[groupStats]] (`n`, and `nn/s/lo/hi`
+    * — suffixed `_<measure>` for multi-measure specs): the grouped
+    * result would otherwise carry duplicate column names and every
+    * downstream select would be ambiguous. Validated at registration
+    * (fail fast, before anything is built) and again at read (an
+    * artifact written by an older build still can't produce an
+    * ambiguous frame).
+    */
+  private def validateNames(keyCols: Seq[String],
+      measureCols: Seq[String]): Unit = {
+    val reserved =
+      if (measureCols.size == 1) Set("n", "nn", "s", "lo", "hi")
+      else Set("n") ++ measureCols.flatMap(m =>
+        Seq(s"nn_$m", s"s_$m", s"lo_$m", s"hi_$m"))
+    val keyNames =
+      if (keyCols.size == 1) Seq("key") else keyCols
+    val bad = keyNames.filter(reserved.contains)
+    require(bad.isEmpty,
+      s"agg index key column(s) ${bad.mkString(", ")} collide with " +
+        s"reserved aggregate aliases ${reserved.toSeq.sorted.mkString(", ")}" +
+        "; rename the key column or use a different spec")
+  }
+
   def ensureRegistered(spark: SparkSession, prefix: String,
       keyCols: Seq[String], measureCols: Seq[String]): String = {
     import graft.core.{IndexStore, Lake}
+    validateNames(keyCols, measureCols)
     // the single-pair name keeps its v1 form (existing artifacts stay
     // valid); wider specs append the arity and a hash of the EXACT
     // split — a plain '_' join would alias (Seq("a","b"),Seq("c")) with
@@ -135,11 +168,18 @@ object AggIndex {
       if (keyCols.size == 1 && measureCols.size == 1)
         s"agg_${keyCols.head}_${measureCols.head}"
       else {
-        val sig = ((keyCols.map(c => s"${c.length}:$c") :+ "#") ++
-          measureCols.map(c => s"${c.length}:$c")).mkString("|").hashCode
+        // 64-bit SHA-256 prefix of the length-prefixed split: a 32-bit
+        // String.hashCode could collide across same-arity specs whose
+        // columns share an underscore join, silently aliasing two
+        // different indexes onto one path (the second ensure would
+        // return the first's artifact and never build)
+        val sigSrc = ((keyCols.map(c => s"${c.length}:$c") :+ "#") ++
+          measureCols.map(c => s"${c.length}:$c")).mkString("|")
+        val sig = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(sigSrc.getBytes("UTF-8")).take(8)
+          .map(b => f"${b & 0xff}%02x").mkString
         s"agg_${(keyCols ++ measureCols).mkString("_")}" +
-          s"_k${keyCols.size}m${measureCols.size}" +
-          f"h${sig & 0xffffffffL}%08x"
+          s"_k${keyCols.size}m${measureCols.size}h$sig"
       }
     val p = IndexStore.indexPath(prefix, name)
     IndexStore.ensure(p) {
@@ -240,6 +280,7 @@ object AggIndex {
           sum(col("s")).as("s"),
           min(col("lo")).as("lo"), max(col("hi")).as("hi"))
     val (kcols, mcols) = specV2(spark, path)
+    validateNames(kcols, mcols)
     val single = mcols.size == 1
     def mName(suffix: String, m: String) =
       if (single) suffix else s"${suffix}_$m"

@@ -78,7 +78,7 @@ object Serve {
     * global reclaim picks whichever cache holds the oldest entry.
     * Values are immutable slices, so eviction during use is safe.
     */
-  private final class BudgetedCache[K, V](sizeOf: V => Long) {
+  private[graft] final class BudgetedCache[K, V](sizeOf: V => Long) {
     private final class E(var tick: Long, val bytes: Long, val v: V)
     private val m = new java.util.LinkedHashMap[K, E](256, 0.75f, true)
     Budget.register(this)
@@ -87,6 +87,13 @@ object Serve {
     }
     def put(k: K, v: V): Unit = {
       val bytes = sizeOf(v) + 64 // key + entry overhead slack
+      // admission check: a payload near the WHOLE budget would be
+      // inserted, then reclaim() would evict every other cache and
+      // finally the entry itself — oversized values would thrash the
+      // warm tier on every access while never actually being served
+      // from cache. Such a value is simply not cacheable here; callers
+      // fall through to their cold path.
+      if (bytes > Budget.MaxServeBytes / 4) return
       m.synchronized {
         Option(m.remove(k)).foreach(e => Budget.charge(-e.bytes))
         m.put(k, new E(Budget.tick(), bytes, v))
@@ -153,6 +160,14 @@ object Serve {
     s => 256L + 64L * s.size)
 
   /** Test/diagnostic hook: drop every cached slice. */
+  /** Test seam: a fresh string cache under the shared [[Budget]] —
+    * lets the spec pin admission/eviction semantics without
+    * reflection. Registered like any other serve cache; the caller
+    * clears it when done.
+    */
+  private[graft] def testCache(): BudgetedCache[String, String] =
+    new BudgetedCache[String, String](strBytes)
+
   private[graft] def clearCaches(): Unit = {
     gramCache.clear()
     tokenCache.clear()

@@ -489,17 +489,22 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // (bounded by the spec, never the query), so the memoized rows are
     // query-independent — filters and subset groupings combine them
     // driver-side below, and the memo key need not encode either
+    // v1 single-pair cells (or a mixed v1/v2 set) cannot be read under
+    // one pinned schema — veto BEFORE the memo: isV2 is itself cached
+    // by the groups dir's signature, so this check is footer-free on
+    // warm paths, and keeping the veto out of the memo means an
+    // in-place self-heal to v2 (which changes nothing in the memo key
+    // — not the metadata version, not the paths) unblocks the rewrite
+    // immediately instead of pinning the scan fallback for the TTL
+    if (!paths.forall(p => graft.index.AggIndex.isV2(spark, p)))
+      return None
     val memoKey = (Seq("groupagg2", kcols.mkString(","),
       IndexStore.metadataVersionToken(spark, prefix)) ++ paths ++
       allFiles.toSeq.sorted).map(v => s"${v.length}:$v").mkString
     val rows = IndexPruneRule.memoGroups(memoKey) {
       probing.set(true)
       try {
-        // v1 single-pair cells (or a mixed v1/v2 set) cannot be read
-        // under one pinned schema — veto; ensureRegistered self-heals
-        // old generations to v2 on next registration
-        if (!paths.forall(p => graft.index.AggIndex.isV2(spark, p))) None
-        else {
+        {
           val ownedPairs = ownedUidPairs(paths, allFiles)
           import spark.implicits._
           val tagged = graft.api.IndexKind.readTagged(spark, paths, "groups")

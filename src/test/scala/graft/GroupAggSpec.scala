@@ -340,6 +340,41 @@ class GroupAggSpec extends AnyFunSuite {
     assert(!scansLake(q), "SQL statement must serve from the index")
   }
 
+  test("key names colliding with aggregate aliases are rejected at registration") {
+    def lake(tag: String, cols: Seq[String]): String = {
+      val d = TestSpark.tmpDir(s"gagg-$tag")
+      val staging = TestSpark.tmpDir(s"stage-ga-$tag")
+      Seq(("red", "a", 1L, 2L)).toDF(cols: _*).coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+        java.nio.file.Paths.get(s"$d/a.parquet"))
+      d
+    }
+    // multi-key output uses raw source key names: a key literally
+    // named "n" would duplicate the count alias → rejected up front
+    val d1 = lake("collide1", Seq("n", "g", "m", "w"))
+    val ex = intercept[IllegalArgumentException] {
+      AggIndex.ensureRegistered(spark, d1, Seq("n", "g"), Seq("m", "w"))
+    }
+    assert(ex.getMessage.contains("reserved aggregate aliases"))
+    // a key named like a measure alias ("s_m") is equally rejected
+    val d2 = lake("collide2", Seq("s_m", "g", "m", "w"))
+    intercept[IllegalArgumentException] {
+      AggIndex.ensureRegistered(spark, d2, Seq("s_m", "g"), Seq("m", "w"))
+    }
+    // SINGLE-key specs output the key as "key", so a source key named
+    // "n" is legal — and the build must not trip on its own aggregate
+    // alias (col("n") ambiguity in the post-agg projection)
+    val d3 = lake("collide3", Seq("n", "g", "m", "w"))
+    val p = AggIndex.ensureRegistered(spark, d3, Seq("n"), Seq("m", "w"))
+    val got = AggIndex.groupStats(spark, p).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[String]("key") == "red" && r.getAs[Long]("n") == 1L &&
+      r.getAs[Long]("nn_m") == 1L && r.getAs[Long]("nn_w") == 1L)
+  }
+
   test("merge: uid re-offset union answers the whole corpus") {
     val d3 = TestSpark.tmpDir("gagg3")
     mkLake(d3, Seq(

@@ -291,6 +291,30 @@ class ServeSpec extends AnyFunSuite {
     assert(j == 0, s"warm negative probes ran $j Spark jobs")
   }
 
+  test("admission: a payload above a quarter of the budget is refused, warm entries survive") {
+    val saved = Serve.Budget.MaxServeBytes
+    val c = Serve.testCache()
+    try {
+      Serve.Budget.MaxServeBytes = 4096L
+      c.put("small", "x" * 100) // ~304 bytes, admitted
+      assert(c.get("small").isDefined)
+      val before = Serve.Budget.usedBytes
+      // ~4104 bytes > 1024 = budget/4: refused outright — without the
+      // admission check this insert would evict every other cache's
+      // entries (and then itself), thrashing the warm tier
+      c.put("huge", "y" * 2000)
+      assert(c.get("huge").isEmpty, "oversized payload must not be admitted")
+      assert(c.get("small").isDefined,
+        "an oversized insert must not evict warm entries")
+      assert(Serve.Budget.usedBytes == before,
+        "a refused insert must not change the byte account")
+    } finally {
+      c.clear()
+      Serve.Budget.MaxServeBytes = saved
+      Serve.clearCaches()
+    }
+  }
+
   test("byte budget: oversized inserts evict across caches, results stay exact") {
     val q = "vector stream"
     val viaSpark = Bm25Index.search(spark, bm25Idx, q, 10).collect().toSeq
