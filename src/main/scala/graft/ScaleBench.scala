@@ -281,6 +281,16 @@ object ScaleBench {
       // shape is quadratic in occupancy (64x at 10x data measured)
       "knn_join_lsh_scaled" -> (() =>
         graft.ops.Similarity.knnJoinLshScaled(spark, dir).count()),
+      // the production LSH dedup: same scaled width + skew cap (the
+      // fixed-width oracle shape measured 41x at 10x data)
+      "dedup_embedding_lsh_scaled" -> (() =>
+        graft.ops.Similarity.embeddingDedupLshScaled(spark, dir).count()),
+      // SemDeDup over the PERSISTED scaled cells: the clustering is
+      // the amortized prep (knn_ivf_cells_prep); the dedup itself is
+      // the bounded within-cell pair join (the per-call fixed-K shape
+      // measured 8.8x at 10x data, 60s if K were scaled inline)
+      "dedup_semantic_indexed" -> (() =>
+        graft.ops.Clustering.semanticDedupIndexed(spark, dir).count()),
       // 1-bit candidate generation + exact rerank: candidate set is
       // n/10, so the rerank input grows linearly while the Hamming scan
       // is one XOR+popcount per vector — near-linear end to end

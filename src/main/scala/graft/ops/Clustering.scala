@@ -209,6 +209,54 @@ object Clustering {
        |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
        |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) >= ${Similarity.DedupTau}""".stripMargin
 
+  /** SemDeDup over the STORED IVF cells — the production composition
+    * of [[semanticDedup]]: blocking reads the persisted cell
+    * assignments ([[ensureCellsAt]], the same artifact the IVF knn
+    * join and dedup_knn_graph amortize their clustering through)
+    * instead of running a per-call fixed-K k-means. Cells derive as
+    * max(K, n/250), so membership stays ~250 vectors at ANY corpus
+    * size: the within-cell pair join is linear in n, and the
+    * clustering cost is paid ONCE per corpus, not once per dedup run
+    * (the per-call shape measured 8.8× at 10× data; K∝n inline would
+    * make the n×K assignment itself quadratic — SCALE.md). Vectors are
+    * [[IvfProbe]]-way multi-assigned, so near-boundary duplicates are
+    * not lost to a cell edge (strictly higher recall than the
+    * single-assignment twin); pairs sharing two cells dedup through
+    * the DISTINCT. Emits (i, j, cos ≥ τ), i < j.
+    */
+  def semanticDedupIndexed(s: SparkSession, dir: String): DataFrame = {
+    val cells = s.read.parquet(s"${ensureCells(s, dir)}/cells")
+    val cand = cells.select(col("vec_id").as("i"), col("cell"))
+      .join(cells.select(col("vec_id").as("j"), col("cell")), Seq("cell"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val e = Similarity.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
+    cand.join(a, Seq("i")).join(b, Seq("j"))
+      .withColumn("cos",
+        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 4))
+      .filter(col("cos") >= Similarity.DedupTau)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
+  private def semanticIndexedSql: String =
+    s"""WITH ${kmeansCtes(scaledC0 = true)},
+       |a2 AS (SELECT vec_id, k AS cell FROM (
+       |         SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d2) t
+       |       WHERE rn <= $IvfProbe),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |         FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT c.i, c.j,
+       |  round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) AS cos
+       |FROM cand c JOIN ev a ON a.vec_id = c.i JOIN ev b ON b.vec_id = c.j
+       |WHERE round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) >= ${Similarity.DedupTau}""".stripMargin
+
   // ---- IVF-cell KNN join (the production neighbor graph) -------------
 
   /** Cells probed per vector in the IVF knn join (multi-assignment:
@@ -468,6 +516,10 @@ object Clustering {
     // SemDeDup: k-means cells as dedup blocks (deterministic clustering
     // ⇒ the oracle reproduces the identical blocking)
     "dedup_semantic" -> Q((s, dir) => semanticDedup(s, dir), semanticSql),
+    // the production composition: SemDeDup blocked on the PERSISTED
+    // scaled IVF cells (clustering amortized once per corpus)
+    "dedup_semantic_indexed" -> Q(
+      (s, dir) => semanticDedupIndexed(s, dir), semanticIndexedSql),
     "similarity_knn_join" -> Q((s, dir) => knnJoin(s, dir), knnJoinSql),
     "embed_quantize_int8" -> Q((s, dir) => quantizeInt8(s, dir), quantizeSql),
     // all-corpus neighbor graph, IVF-cell-blocked (production path;

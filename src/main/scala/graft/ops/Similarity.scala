@@ -182,16 +182,14 @@ object Similarity {
       .select(col("i"), col("j"), col("cos"))
   }
 
-  /** The shared md5-hyperplane signature derivation (e → eq → h →
-    * dots → sigs → bands CTEs, then `cand` from the caller's pair
-    * filter) — the part that must stay bit-identical to
-    * [[lshCoefs]]/[[lshBands]], written ONCE so an update to the hash
-    * derivation or band math cannot reach one LSH oracle and not the
-    * other. Callers append their scoring tail.
+  /** The md5-hyperplane SIGNATURE derivation (e → eq → h → dots →
+    * sigs CTEs) — the part that must stay bit-identical to
+    * [[lshCoefs]], written ONCE so an update to the hash derivation
+    * cannot reach one LSH oracle and not the other. [[lshCandCtes]]
+    * (fixed-width bands) and [[lshScaledCandCtes]] (width-scaled
+    * bands + skew cap) append their band math and pair filter.
     */
-  private def lshCandCtes(pairFilter: String): String = {
-    val nBands = LshBits / LshBandBits
-    val mask = (1 << LshBandBits) - 1
+  private def lshSigCtes: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |eq AS (SELECT vec_id, [CAST(round(x * $VecQuant) AS BIGINT) for x in v] AS vq FROM e),
        |h AS (SELECT b, j,
@@ -203,13 +201,41 @@ object Similarity {
        |         FROM eq CROSS JOIN h GROUP BY eq.vec_id, h.b),
        |sigs AS (SELECT vec_id,
        |           CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
-       |         FROM dots GROUP BY vec_id),
-       |bands AS (SELECT vec_id, k, (sig >> ($LshBandBits * k)) & $mask AS band
+       |         FROM dots GROUP BY vec_id)""".stripMargin
+
+  /** Fixed-width band + candidate CTEs over [[lshSigCtes]]. */
+  private def lshCandCtes(pairFilter: String): String = {
+    val nBands = LshBits / LshBandBits
+    val mask = (1 << LshBandBits) - 1
+    lshSigCtes + ",\n" +
+    s"""bands AS (SELECT vec_id, k, (sig >> ($LshBandBits * k)) & $mask AS band
        |          FROM sigs, generate_series(0, ${nBands - 1}) g(k)),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
        |         FROM bands a JOIN bands b USING (k, band)
        |         WHERE $pairFilter)""".stripMargin
   }
+
+  /** Width-SCALED band + candidate CTEs over [[lshSigCtes]]: band bits
+    * derive from the corpus count with the same integer rule as
+    * [[scaledBandBits]] (smallest b in [LshBandBits, LshBits] with
+    * targetBucket·2^b ≥ n), and buckets past `cap` members are dropped
+    * before pairing — the DuckDB mirror of the production sizing, so
+    * the scaled entries hash-match at every scale, not only below the
+    * pivot.
+    */
+  private def lshScaledCandCtes(pairFilter: String, cap: Int): String =
+    lshSigCtes + ",\n" +
+    s"""pb AS (SELECT coalesce(min(b), $LshBits) AS bits
+       |       FROM generate_series($LshBandBits, $LshBits) t(b)
+       |       WHERE ($LshTargetBucket::BIGINT << b) >= (SELECT count(*) FROM e)),
+       |bands AS (SELECT vec_id, k, (sig >> (pb.bits * k)) & ((1::BIGINT << pb.bits) - 1) AS band
+       |          FROM sigs, pb, generate_series(0, ${LshBits - 1}) g(k)
+       |          WHERE k < $LshBits // pb.bits),
+       |small AS (SELECT k, band FROM bands GROUP BY k, band HAVING count(*) <= $cap),
+       |kept AS (SELECT b.vec_id, b.k, b.band FROM bands b JOIN small USING (k, band)),
+       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |         FROM kept a JOIN kept b USING (k, band)
+       |         WHERE $pairFilter)""".stripMargin
 
   def embeddingDedupLshSql: String =
     lshCandCtes("a.vec_id < b.vec_id") + "\n" +
@@ -272,8 +298,25 @@ object Similarity {
     topKByCosine(s, cand, e)
   }
 
-  /** Band-bucket occupancy target of the scaled LSH join. */
+  /** Band-bucket occupancy target of the scaled LSH paths. */
   val LshTargetBucket = 256
+
+  /** Band width for a corpus of `n` vectors: the smallest b in
+    * [[[LshBandBits]], [[LshBits]]] with [[LshTargetBucket]]·2^b ≥ n,
+    * so expected bucket occupancy (n/2^b) stays ≤ the target. Pure
+    * integer arithmetic — equal to
+    * max(LshBandBits, ⌈log2(n/target)⌉) capped at LshBits, but exactly
+    * reproducible in SQL with no float-log ULP hazard at power-of-two
+    * boundaries ([[lshScaledCandCtes]] derives the same b the same
+    * way). Below the pivot (n ≤ target·2^LshBandBits) this is
+    * LshBandBits, making every scaled path bit-identical to its
+    * fixed-width twin there.
+    */
+  private[graft] def scaledBandBits(n: Long): Int = {
+    var b = LshBandBits
+    while (b < LshBits && (LshTargetBucket.toLong << b) < n) b += 1
+    b
+  }
 
   /** The PRODUCTION shape of [[knnJoinLsh]], the sizing rule above made
     * executable: band width grows with the corpus —
@@ -292,24 +335,83 @@ object Similarity {
     * pairs.
     */
   def knnJoinLshScaled(s: SparkSession, dir: String,
-      cap: Int = 4096): DataFrame = {
+      cap: Int = LshBucketCap): DataFrame =
+    topKByCosine(s, lshScaledCand(s, dir, cap, directed = true),
+      embeddings(s, dir))
+
+  /** Skew cap of the scaled LSH paths (see [[knnJoinLshScaled]]). */
+  val LshBucketCap = 4096
+
+  /** Width-scaled, skew-capped LSH candidate pairs — the shared
+    * candidate half of [[knnJoinLshScaled]] and
+    * [[embeddingDedupLshScaled]] (`directed` keeps (i,j) AND (j,i) for
+    * per-left-row top-k; undirected keeps i < j for dedup pairs).
+    */
+  private def lshScaledCand(s: SparkSession, dir: String, cap: Int,
+      directed: Boolean): DataFrame = {
     val e = embeddings(s, dir)
-    val n = e.count()
-    val bits = math.min(LshBits, math.max(LshBandBits,
-      math.ceil(math.log(math.max(1.0, n.toDouble / LshTargetBucket)) /
-        math.log(2.0)).toInt))
+    val bits = scaledBandBits(e.count())
     val banded = lshBandsAt(e, bits)
     val small = banded.groupBy(col("k"), col("band"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
       .select("k", "band")
     val kept = banded.join(small, Seq("k", "band"), "left_semi")
-    val cand = kept.select(col("vec_id").as("i"), col("k"), col("band"))
+    val pair = if (directed) col("i") =!= col("j") else col("i") < col("j")
+    kept.select(col("vec_id").as("i"), col("k"), col("band"))
       .join(kept.select(col("vec_id").as("j"), col("k"), col("band")),
         Seq("k", "band"))
-      .filter(col("i") =!= col("j"))
+      .filter(pair)
       .select("i", "j").distinct()
-    topKByCosine(s, cand, e)
   }
+
+  /** The PRODUCTION shape of [[embeddingDedupLsh]]: the same
+    * md5-derived sign signatures, but band width grows with the corpus
+    * ([[scaledBandBits]] — bucket occupancy pinned ~[[LshTargetBucket]])
+    * and buckets past the skew cap are excluded (near-identical
+    * cliques belong to exact dedup; the [[graft.ops.Dedup.BucketCap]]
+    * argument) — so the candidate join stays bounded at ANY n, where
+    * the fixed-width twin measured 41× at 10× data. Below the pivot
+    * (every current SF) the result is IDENTICAL to
+    * [[embeddingDedupLsh]]; past it, wider bands trade recall along
+    * the standard LSH S-curve. The DuckDB oracle derives the same
+    * width from the same table, so the entry hash-matches at every
+    * scale, not only below the pivot.
+    */
+  def embeddingDedupLshScaled(s: SparkSession, dir: String,
+      cap: Int = LshBucketCap): DataFrame = {
+    val e = embeddings(s, dir)
+    val cand = lshScaledCand(s, dir, cap, directed = false)
+    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
+    cand.join(a, Seq("i")).join(b, Seq("j"))
+      .withColumn("cos",
+        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 4))
+      .filter(col("cos") >= DedupTau)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
+  def embeddingDedupLshScaledSql: String =
+    lshScaledCandCtes("a.vec_id < b.vec_id", LshBucketCap) + "\n" +
+    s"""SELECT c.i, c.j,
+       |  round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) AS cos
+       |FROM cand c JOIN e a ON a.vec_id = c.i JOIN e b ON b.vec_id = c.j
+       |WHERE round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) >= $DedupTau""".stripMargin
+
+  def knnJoinLshScaledSql: String =
+    lshScaledCandCtes("a.vec_id <> b.vec_id", LshBucketCap) + ",\n" +
+    s"""sc AS (SELECT c.i, c.j,
+       |  round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
+       |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
+       |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 6) AS cos
+       |  FROM cand c JOIN e a ON a.vec_id = c.i JOIN e b ON b.vec_id = c.j),
+       |rk AS (SELECT i, j, cos,
+       |         row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn
+       |       FROM sc)
+       |SELECT i, j, cos FROM rk WHERE rn <= $KnnJoinK""".stripMargin
 
   /** Score (i, j) candidate pairs with the exact cosine over `ev`
     * (vec_id, v) and keep each LEFT row's [[KnnJoinK]] strongest — the
@@ -402,6 +504,15 @@ object Similarity {
     // LSH/IVF cell, not a label)
     "dedup_embedding_lsh" -> Q(
       (s, dir) => embeddingDedupLsh(s, dir), embeddingDedupLshSql),
+    // the production shape: band width scaled to the corpus count +
+    // skew cap, oracle-derived the same way (hash-matches at ANY n)
+    "dedup_embedding_lsh_scaled" -> Q(
+      (s, dir) => embeddingDedupLshScaled(s, dir),
+      embeddingDedupLshScaledSql),
+    // the production KNN-join shape, promoted from ScaleBench-only to
+    // a DuckDB-gated entry (same scaled width + cap in both engines)
+    "knn_join_lsh_scaled" -> Q(
+      (s, dir) => knnJoinLshScaled(s, dir), knnJoinLshScaledSql),
     // KNN join, hash-matched: the LSH candidate set is md5-derived so
     // the oracle reproduces it exactly (approximate vs the TRUE
     // neighbors, deterministic vs the oracle)

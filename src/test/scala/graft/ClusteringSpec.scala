@@ -64,4 +64,34 @@ class ClusteringSpec extends AnyFunSuite {
       .map(_.toString).sorted.toSeq
     assert(fixed.nonEmpty && scaled == fixed)
   }
+
+  test("scaled LSH embedding dedup equals the fixed shape below the pivot") {
+    val fixed = graft.ops.Similarity.embeddingDedupLsh(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val scaled = graft.ops.Similarity.embeddingDedupLshScaled(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fixed.nonEmpty && scaled == fixed)
+  }
+
+  test("scaledBandBits: integer width rule, capped at the signature") {
+    import graft.ops.Similarity.scaledBandBits
+    assert(scaledBandBits(500L) == 4)   // below pivot: floor width
+    assert(scaledBandBits(4096L) == 4)  // 256·2^4 == 4096: still 4
+    assert(scaledBandBits(4097L) == 5)  // first n past the pivot
+    assert(scaledBandBits(20000L) == 7) // sf1-scale corpus
+    assert(scaledBandBits(Long.MaxValue / 4) == 16) // signature cap
+  }
+
+  test("indexed SemDeDup: multi-assigned cells superset the per-call blocks") {
+    // the persisted cells derive from the SAME deterministic k-means
+    // (scaled count == K below the pivot), with IvfProbe-way
+    // multi-assignment — so every pair semanticDedup finds inside its
+    // single-assignment blocks must also be found by the indexed
+    // composition (near-boundary pairs are the extras it adds)
+    val perCall = Clustering.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = Clustering.semanticDedupIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(perCall.nonEmpty && perCall.subsetOf(indexed))
+  }
 }
