@@ -314,18 +314,94 @@ object Clustering {
     * the same amortization the production path gets from the IVF
     * index's stored cells ([[graft.index.VectorIndex.knnJoinFromIndex]]).
     */
+  /** Nearest-centroid assignment against a centroid TABLE `(ck, cq)` —
+    * the distributed twin of [[assign]]: a broadcast join +
+    * map-side-combined `min_by` instead of an array literal, so no
+    * centroid set is ever collected to the driver (the literal form
+    * stays for the fixed-K oracle twin, whose K is a constant; the
+    * scaled production path has numCells = n/250 centroids — a
+    * driver collect there grows linearly with the corpus). Integer
+    * distance arithmetic and the (dist, ck) tie-break are identical
+    * to the literal form, so assignments are bit-equal. The n×K
+    * distance evaluations are inherent to k-means (MLlib computes the
+    * same); map-side combine reduces the shuffle to one row per
+    * vector.
+    */
+  private def assignDf(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy("vec_id")
+      .agg(min_by(col("ck"), struct(col("dist"), col("ck"))).as("cluster"))
+
+  /** Top-`p` nearest centroids per vector against a centroid table —
+    * distributed twin of [[assignTop]] (same n×K explode + per-vector
+    * window shape, centroids broadcast instead of collected).
+    */
+  private def assignTopDf(e: DataFrame, cents: DataFrame,
+      p: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("ck"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= p)
+      .select(col("vec_id"), col("ck").as("cell"))
+  }
+
+  /** Distributed centroid update — the [[recompute]] integer mean as a
+    * table: per-(cluster, dim) mean, re-assembled into dim-ordered
+    * arrays with a deterministic struct sort (never collected).
+    */
+  private def recomputeDf(assigned: DataFrame, e: DataFrame): DataFrame =
+    assigned.join(e, Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("q")).as(Seq("i", "qd")))
+      .groupBy("cluster", "i")
+      .agg(sum("qd").as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr(s"((s + n * $Off) div n) - $Off"))
+      .groupBy("cluster")
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("m")))),
+        x => x.getField("m")).as("cq"))
+      .select(col("cluster").as("ck"), col("cq"))
+
   /** THE deterministic cell-assignment definition (quantized input,
     * vec_id < numCells init, one Lloyd round, [[IvfProbe]]-way
     * top-probe assignment) — shared by the persisted artifact
     * ([[ensureCells]]) and the fresh path ([[knnJoinIvfFrom]]); a
     * change here reaches both, so the persisted cells can never
     * silently diverge from what the bench/oracle path computes.
+    * Fully distributed: seeds are a FILTER of the corpus (vec_id <
+    * numCells) broadcast as a table, never a driver collect — with
+    * numCells = n/250 a collected init would grow linearly with the
+    * corpus (ClusteringSpec pins bit-equality with the literal-form
+    * twin at the fixture SF).
     */
   private def cellAssignments(e: DataFrame, numCells: Int = K): DataFrame = {
+    val seeds = e.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("ck"), col("q").as("cq"))
+    assignTopDf(e, recomputeDf(assignDf(e, seeds), e), IvfProbe)
+  }
+
+  /** The literal-centroid twin of [[cellAssignments]] — the pre-r11
+    * collect-based form, kept PRIVATE to the spec that pins the
+    * distributed path bit-equal to it.
+    */
+  private[graft] def cellAssignmentsLiteral(ev: DataFrame,
+      numCells: Int): DataFrame = {
+    val e = quantize(ev)
     val init = e.filter(col("vec_id") < numCells).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
     assignTop(e, recompute(assign(e, init)), IvfProbe)
   }
+
+  /** Spec seam: the distributed cell assignment over a raw embeddings
+    * frame (vec_id, v).
+    */
+  private[graft] def cellAssignmentsOf(ev: DataFrame,
+      numCells: Int): DataFrame = cellAssignments(quantize(ev), numCells)
 
   private def ensureCells(s: SparkSession, dir: String): String = {
     val k = scaledCells(embCount(s, dir))

@@ -82,6 +82,19 @@ class ClusteringSpec extends AnyFunSuite {
     assert(scaledBandBits(Long.MaxValue / 4) == 16) // signature cap
   }
 
+  test("distributed cell assignment is bit-equal to the literal-centroid twin") {
+    // the production path broadcasts seed/centroid TABLES (no driver
+    // collect grows with n/250); same integer distances and (dist, k)
+    // tie-breaks must reproduce the literal-centroid form exactly —
+    // at a non-default cell count, so the scaled regime is what's pinned
+    val ev = graft.ops.Similarity.embeddings(spark, sf)
+    val dist = Clustering.cellAssignmentsOf(ev, 16).collect()
+      .map(_.toString).sorted.toSeq
+    val lit = Clustering.cellAssignmentsLiteral(ev, 16).collect()
+      .map(_.toString).sorted.toSeq
+    assert(dist.nonEmpty && dist == lit)
+  }
+
   test("indexed SemDeDup: multi-assigned cells superset the per-call blocks") {
     // the persisted cells derive from the SAME deterministic k-means
     // (scaled count == K below the pivot), with IvfProbe-way
