@@ -383,6 +383,33 @@ object LayoutQueries {
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin),
 
+    // expression grouping keys: the calendar-rollup BI tile — GROUP BY
+    // date_trunc('month', d) / year(d) over a DATE-keyed index (the
+    // bounded-ndv key production tiles are built on). Every row of a
+    // cell shares its key value, so the derived expression is constant
+    // per cell: it evaluates driver-side with Catalyst's own eval
+    // (timezone semantics included) and the ~ndv(day) cells re-combine
+    // into months/years — zero lake pages at any corpus size
+    "catalyst_group_agg_datetrunc" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "orders", "o_orderkey", 4)
+      val prefix = Lake.splitPath(dir, "orders")
+      graft.index.AggIndex.ensureRegistered(s, prefix,
+        "o_orderdate", "o_custkey")
+      graft.plans.IndexPruneRule.enable(s)
+      s.sql(s"""SELECT unix_micros(date_trunc('MONTH', o_orderdate)) AS mth,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sc
+        |FROM parquet.`$prefix`
+        |GROUP BY date_trunc('MONTH', o_orderdate), year(o_orderdate)
+        |ORDER BY mth""".stripMargin)
+    },
+      """SELECT epoch_us(date_trunc('month', o_orderdate)) AS mth,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sc
+        |FROM orders
+        |GROUP BY date_trunc('month', o_orderdate), year(o_orderdate)
+        |ORDER BY mth""".stripMargin),
+
     // the filtered KPI tile: a GLOBAL aggregate under a key-only WHERE
     // — cells combine into the one row (the always-one-row contract
     // holds even when the filter kills every cell), zero lake pages

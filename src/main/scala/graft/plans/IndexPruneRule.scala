@@ -351,6 +351,13 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     * Catalyst's own eval, exact scan semantics): one (source, lang)
     * index answers GROUP BY source; GROUP BY lang; GROUP BY both; and
     * any of those under WHERE source = … / lang IN … / LIKE … .
+    * Grouping by a deterministic EXPRESSION over key columns — GROUP
+    * BY year(ts), date_trunc('month', d), substring(src, 1, 2) — is
+    * admitted the same way: a key-derived expression is constant per
+    * cell, so it evaluates driver-side (Catalyst eval again, resolved
+    * through the optimizer's PullOutGroupingExpressions project
+    * aliases) and the cells re-combine under the evaluated values —
+    * the calendar-rollup BI tile over a date-keyed index.
     */
   private def rewriteGroupAgg(
       a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Option[LogicalPlan] = {
@@ -362,16 +369,40 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // ONE row, with the empty-grouping always-one-row contract handled
     // below ([[rewriteAgg]]'s zone-map arm owns the unfiltered global
     // case first; this arm serves what it vetoes)
-    val gAttrs: Seq[AttributeReference] = a.groupingExpressions match {
-      case s if s.forall {
-            case ar: AttributeReference => statType(ar.dataType)
-            case _ => false
-          } =>
-        val attrs = s.map(_.asInstanceOf[AttributeReference])
-        if (attrs.map(_.name).distinct.size != attrs.size) return None
-        attrs
-      case _ => return None
+    // grouping keys: bare stat-typed key attributes, OR any
+    // deterministic scalar expression over key attributes (the BI-tile
+    // shapes — GROUP BY date_trunc('day', ts), year(ts),
+    // substring(src, 1, 2)). Every row of a cell shares the full key
+    // tuple, so a key-derived expression is CONSTANT per cell: it
+    // evaluates driver-side with Catalyst's own eval (the same
+    // discipline as the key-only filter below — timezone, null and
+    // overflow semantics are exactly the scan's) and cells re-combine
+    // under the evaluated values like any key-subset grouping.
+    val gExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      a.groupingExpressions
+    if (gExprs.exists(g =>
+        g.exists(_.isInstanceOf[AggregateExpression]) ||
+        !groupOutType(g.dataType)))
+      return None
+    if (gExprs.map(_.canonicalized).distinct.size != gExprs.size)
+      return None
+    val bareGAttrs = gExprs.collect { case ar: AttributeReference => ar }
+    // output attributes: bare key attrs keep their exprIds (references
+    // in the aggregate list resolve unchanged); derived expressions
+    // get a synthetic attribute that the output Project substitutes in
+    // by canonical equality
+    val outGAttrs: Seq[AttributeReference] = gExprs.zipWithIndex.map {
+      case (ar: AttributeReference, _) => ar
+      case (g, i) =>
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          s"_gk$i", g.dataType, g.nullable)()
     }
+    val gkSubst: Map[org.apache.spark.sql.catalyst.expressions.Expression,
+        AttributeReference] =
+      gExprs.zip(outGAttrs).collect {
+        case (g, at) if !g.isInstanceOf[AttributeReference] =>
+          (g.canonicalized, at)
+      }.toMap
     if (a.aggregateExpressions.isEmpty) return None
     // Filters whose predicates reference ONLY the index's key columns
     // are exactly representable on the cells (every row of a cell
@@ -379,10 +410,46 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // captured here and evaluated per cell below. Any other filter
     // still vetoes (partials carry no row-level predicate).
     var conds = List.empty[org.apache.spark.sql.catalyst.expressions.Expression]
+    // alias substitutions collected from intervening Projects: the
+    // optimizer's PullOutGroupingExpressions rewrites GROUP BY year(ts)
+    // into `Aggregate [_groupingexpression], Project
+    // [year(ts) AS _groupingexpression]` BEFORE this rule runs, so the
+    // derived key lives below the Aggregate as a project alias —
+    // resolve grouping/filter expressions through these mappings back
+    // to relation columns (composed transitively for stacked Projects)
+    var subst = Map.empty[Long,
+      org.apache.spark.sql.catalyst.expressions.Expression]
+    def applySubst(
+        e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = {
+      var cur = e
+      var rounds = 0
+      var changed = true
+      while (changed && rounds < 32) { // aliases are acyclic; belt+braces
+        val next = cur.transformUp {
+          case ar: AttributeReference if subst.contains(ar.exprId.id) =>
+            subst(ar.exprId.id)
+        }
+        changed = !next.fastEquals(cur)
+        cur = next
+        rounds += 1
+      }
+      cur
+    }
     def relOf(p: LogicalPlan): Option[LogicalRelation] = p match {
       case l: LogicalRelation => Some(l)
-      case pr: Project
-          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      case pr: Project if pr.projectList.forall {
+            case _: AttributeReference => true
+            case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+              al.child.deterministic &&
+                !al.child.exists(_.isInstanceOf[AggregateExpression])
+            case _ => false
+          } =>
+        pr.projectList.foreach {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+            subst += (al.exprId.id -> al.child)
+          case _ =>
+        }
         relOf(pr.child)
       case sa: SubqueryAlias => relOf(sa.child)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
@@ -394,11 +461,21 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     val l = relOf(a.child).getOrElse(return None)
     val (_, prefix, allFiles) = eligible(l).getOrElse(return None)
     if (allFiles.isEmpty) return None
+    conds = conds.map(applySubst)
     // subqueries can't eval driver-side; bail early
     if (conds.exists(_.exists(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
       return None
     val filterKeyNames = conds.flatMap(_.references.toSeq.map(_.name)).distinct
+    // grouping expressions resolved through the project aliases down
+    // to relation columns — what actually evaluates over the cell keys
+    val gResolved = gExprs.map(applySubst)
+    if (gResolved.exists(g => !g.deterministic ||
+        g.exists(_.isInstanceOf[AggregateExpression]) ||
+        g.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) ||
+        !g.references.forall(r => statType(r.dataType))))
+      return None
 
     sealed trait Need
     case object CountStar extends Need
@@ -437,11 +514,17 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
             found += ((ae, classify(ae).getOrElse(return None)))
         case _ =>
       }
+      // after masking aggregate calls and (canonical) grouping
+      // expressions, what remains may reference only BARE grouping
+      // attributes — a residual reference means the output needs
+      // row-level values the cells can't provide
       val stripped = e.transform {
         case ae: AggregateExpression => Literal(null, ae.dataType)
+        case ex if gkSubst.contains(ex.canonicalized) =>
+          Literal(null, ex.dataType)
       }
       if (!stripped.references.subsetOf(
-          org.apache.spark.sql.catalyst.expressions.AttributeSet(gAttrs)))
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(bareGAttrs)))
         return None
     }
     val distinctAggs = found.toSeq
@@ -462,7 +545,8 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // every referenced measure, and cover all files. Among qualifying
     // specs pick the narrowest keys then measures (smallest cells),
     // deterministically.
-    val neededKeys = (gAttrs.map(_.name) ++ filterKeyNames).toSet
+    val neededKeys = (gResolved.flatMap(_.references.toSeq.map(_.name)) ++
+      filterKeyNames).toSet
     // cheap prefilter on the metadata row's column field (the sorted
     // key list) BEFORE touching any spec file: without it every
     // Aggregate planned over the prefix would pay one dir-listing per
@@ -552,29 +636,36 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case d: java.time.LocalDate => DateTimeUtils.localDateToDays(d)
       case other => other
     }
-    // key-only predicates run over the ≤ MaxGroups cells with
-    // Catalyst's OWN eval (bound against the relation's key
-    // attributes), so =, IN, LIKE, ranges, AND/OR and null handling
-    // are exactly the scan's semantics
-    val kept =
-      if (conds.isEmpty) rows
-      else {
-        // every spec key must be a stat-typed relation column for the
-        // external→internal conversion to be faithful
-        val bindAttrs = kcols.map(kc =>
-          l.output.find(at => at.name == kc && statType(at.dataType))
-            .getOrElse(return None))
-        val bound = conds.map(c =>
-          org.apache.spark.sql.catalyst.expressions.BindReferences
-            .bindReference(c,
-              org.apache.spark.sql.catalyst.expressions
-                .AttributeSeq(bindAttrs)))
-        rows.filter { gr =>
-          val row = org.apache.spark.sql.catalyst.InternalRow
-            .fromSeq(gr.keys.map(keyInternal))
-          bound.forall(_.eval(row) == true)
-        }
-      }
+    // key-only predicates AND grouping expressions run over the
+    // ≤ MaxGroups cells with Catalyst's OWN eval (bound against the
+    // relation's key attributes), so =, IN, LIKE, ranges, AND/OR,
+    // date_trunc/year timezone handling and null semantics are exactly
+    // the scan's. Every REFERENCED spec key must be a stat-typed
+    // relation column for the external→internal conversion to be
+    // faithful; unreferenced keys only occupy their binding position.
+    val bindAttrs = kcols.map(kc =>
+      l.output.find(at => at.name == kc).getOrElse(return None))
+    if (!bindAttrs.forall(at =>
+        !neededKeys(at.name) || statType(at.dataType)))
+      return None
+    val attrSeq =
+      org.apache.spark.sql.catalyst.expressions.AttributeSeq(bindAttrs)
+    val bound = conds.map(c =>
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(c, attrSeq))
+    val gBound = gResolved.map(g =>
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(g, attrSeq))
+    // (internal grouping values, cell) pairs for the survivors — for a
+    // bare key attribute the eval IS keyInternal(value), so attr and
+    // expression keys share one path
+    val evald: Seq[(Seq[Any], IndexPruneRule.GRow)] = rows.flatMap { gr =>
+      val row = org.apache.spark.sql.catalyst.InternalRow
+        .fromSeq(gr.keys.map(keyInternal))
+      if (bound.forall(_.eval(row) == true))
+        Some((gBound.map(_.eval(row)), gr))
+      else None
+    }
     // grouping by a SUBSET of the spec keys (or any grouping after a
     // filter) re-combines the surviving cells driver-side — counts and
     // decimal sums add, bounds take min/max in Spark's own ordering
@@ -594,10 +685,10 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         bx.length - by.length
       case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
     }
-    val kIdx = gAttrs.map(ga => kcols.indexOf(ga.name))
     val combined0: Seq[IndexPruneRule.GRow] =
-      kept.groupBy(gr => kIdx.map(i => gr.keys(i))).map {
-        case (keys, grs) =>
+      evald.groupBy(_._1).map {
+        case (keys, pairs) =>
+          val grs = pairs.map(_._2)
           val ms = mcols.map { m =>
             val sts = grs.map(_.ms(m))
             val sums = sts.flatMap(_.s)
@@ -618,7 +709,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // and bounds NULL (what the scan's Aggregate produces over zero
     // input rows)
     val combined =
-      if (gAttrs.nonEmpty || combined0.nonEmpty) combined0
+      if (gExprs.nonEmpty || combined0.nonEmpty) combined0
       else Seq(IndexPruneRule.GRow(Nil, 0L,
         mcols.map(m => m -> IndexPruneRule.MStat(0L, None, None, None))
           .toMap))
@@ -631,7 +722,8 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         s"_ga$i", ae.dataType, ae.nullable)()
     }
     val out = combined.map { gr =>
-      val keyVals = gr.keys.map(keyInternal)
+      // grouping values are ALREADY internal (Catalyst eval results)
+      val keyVals = gr.keys
       val aggVals = distinctAggs.zip(aggAttrs).map {
         case (((ae, need)), _) => need match {
           case CountStar => gr.n
@@ -664,9 +756,11 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         case ae: AggregateExpression =>
           aggAttrs(distinctAggs.indexWhere(
             _._1.canonicalized == ae.canonicalized))
+        case ex if gkSubst.contains(ex.canonicalized) =>
+          gkSubst(ex.canonicalized)
       }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
     }
-    Some(Project(replaced, LocalRelation(gAttrs ++ aggAttrs, out)))
+    Some(Project(replaced, LocalRelation(outGAttrs ++ aggAttrs, out)))
   }
 
   private def integralType(
@@ -683,6 +777,17 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     integralType(dt) || dt == StringType ||
       dt == org.apache.spark.sql.types.TimestampType ||
       dt == org.apache.spark.sql.types.DateType
+
+  /** Types a derived grouping expression may produce: scalar values
+    * whose internal forms have well-defined equality for the
+    * driver-side cell grouping (structs/arrays/maps veto).
+    */
+  private def groupOutType(
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    statType(dt) || dt == org.apache.spark.sql.types.BooleanType ||
+      dt == org.apache.spark.sql.types.DoubleType ||
+      dt == org.apache.spark.sql.types.FloatType ||
+      dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
 
   /** (min, max, count(*), count-non-null) of `colName` over exactly
     * `allFiles`, from the zone-map indexes covering them — None unless

@@ -340,6 +340,49 @@ class GroupAggSpec extends AnyFunSuite {
     assert(!scansLake(q), "SQL statement must serve from the index")
   }
 
+  test("derived grouping keys (year/date_trunc) serve from cells, no scan") {
+    val d = TestSpark.tmpDir("gagg-dt")
+    val staging = TestSpark.tmpDir("stage-ga-dt")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((ts("2024-01-05 00:00:00"), 1L), (ts("2024-01-20 00:00:00"), 2L),
+      (ts("2024-02-03 00:00:00"), 3L), (ts("2025-02-03 00:00:00"), 4L))
+      .toDF("ts", "m").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$d/a.parquet"))
+    AggIndex.ensureRegistered(spark, d, "ts", "m")
+    IndexPruneRule.enable(spark)
+    val q = spark.sql(
+      s"""SELECT CAST(year(ts) AS BIGINT) AS y, count(*) AS n, sum(m) AS sm
+         |FROM parquet.`$d` GROUP BY year(ts) ORDER BY y""".stripMargin)
+    assert(!scansLake(q), "year(key) grouping must serve from the index")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((2024L, 3L, 6L), (2025L, 1L, 4L)))
+    val qm = spark.sql(
+      s"""SELECT date_trunc('MONTH', ts) AS mth, count(*) AS n
+         |FROM parquet.`$d` GROUP BY date_trunc('MONTH', ts)
+         |ORDER BY mth""".stripMargin)
+    assert(!scansLake(qm), "date_trunc grouping must serve from the index")
+    assert(qm.collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      .toSeq == Seq(("2024-01-01 00:00:00.0", 2L),
+        ("2024-02-01 00:00:00.0", 1L), ("2025-02-01 00:00:00.0", 1L)))
+    // mixed bare + derived keys under a key-only WHERE, still no scan
+    val qx = spark.sql(
+      s"""SELECT CAST(year(ts) AS BIGINT) AS y, count(*) AS n
+         |FROM parquet.`$d` WHERE ts >= timestamp'2024-01-10 00:00:00'
+         |GROUP BY year(ts) ORDER BY y""".stripMargin)
+    assert(!scansLake(qx))
+    assert(qx.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2024L, 2L), (2025L, 1L)))
+    // an expression over a NON-key column vetoes: the scan stays and
+    // semantics are untouched
+    val qv = spark.sql(
+      s"""SELECT CAST(m AS INT) AS g, count(*) AS n
+         |FROM parquet.`$d` GROUP BY CAST(m AS INT) ORDER BY g""".stripMargin)
+    assert(scansLake(qv), "non-key-derived grouping must keep the scan")
+  }
+
   test("key names colliding with aggregate aliases are rejected at registration") {
     def lake(tag: String, cols: Seq[String]): String = {
       val d = TestSpark.tmpDir(s"gagg-$tag")
