@@ -157,6 +157,27 @@ object Layout {
     * column's page boundaries, exactly like the reference's per-column
     * page map. Row-group granularity ignores it.
     */
+  /** Run `body` with the layout granularity pinned to `page`,
+    * saving/RESTORING the prior setting (a caller — or a concurrent
+    * build on this session — may have set it deliberately; unsetting
+    * would silently flip THEIR build's granularity mid-flight). The
+    * shared fixture seam for every kind's page-granular build: any
+    * index built through [[buildMeta]] inside `body` maps uids to the
+    * indexed column's DATA PAGES, so [[readHits]] materializes page
+    * row ranges instead of whole row groups — rows-read-per-hit stays
+    * bounded by page size no matter how many rows a compacted
+    * row group packs.
+    */
+  def withPageGranularity[T](spark: SparkSession)(body: => T): T = {
+    val prior = spark.conf.getOption(GranularityKey)
+    spark.conf.set(GranularityKey, "page")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(GranularityKey, v)
+      case None    => spark.conf.unset(GranularityKey)
+    }
+  }
+
   def buildMeta(spark: SparkSession, files: Seq[String],
       column: Option[String] = None): DataFrame = {
     import spark.implicits._
@@ -285,10 +306,32 @@ object Layout {
     val data = spark.read.parquet(hitFiles: _*)
       .withColumn("__file", canonPath(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
+    // literal hit-range PREFILTER before the uid join (hitMeta is
+    // driver-side and bounded by the cost switches): callers compose
+    // refine/verify predicates above this frame, and the optimizer
+    // pushes any data-side-only predicate below the broadcast join —
+    // without this innermost filter, an expensive verify expression
+    // (exact Jaccard, regex refine) would evaluate on EVERY row of the
+    // hit files instead of the hit ranges. CombineFilters keeps the
+    // innermost condition FIRST in the combined And, so short-circuit
+    // evaluation bounds the expensive expression to in-range rows —
+    // this is what makes page-granular retrieval bound VERIFY COMPUTE,
+    // not just rows-kept accounting. Skipped for huge hit lists (the
+    // codegen'd disjunction would dwarf the saving; such reads are
+    // near-full-scan anyway — and the cost switches route those to the
+    // brute path long before).
+    val prefiltered =
+      if (hitMeta.size > 512) data
+      else data.filter(hitMeta.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (f, rs) =>
+          (col("__file") === f) && rs.map(r =>
+            col("__pos") >= r._3 && col("__pos") < (r._3 + r._4))
+            .reduce(_ || _)
+      }.reduce(_ || _))
     val m = hitMeta.toDF("__file", "uid", "row_start", "num_rows")
       .select(col("__file"), col("uid"), col("row_start"),
         (col("row_start") + col("num_rows")).as("row_end"))
-    data.join(broadcast(m), Seq("__file"))
+    prefiltered.join(broadcast(m), Seq("__file"))
       .filter(col("__pos") >= col("row_start") && col("__pos") < col("row_end"))
       .drop("__file", "__pos", "row_start", "row_end")
   }

@@ -135,6 +135,18 @@ object MinHashIndex {
     val shArr = array_distinct(expr(
       s"transform(sequence(0, size(__toks) - $K), " +
         s"i -> concat_ws(' ', slice(__toks, i + 1, $K)))"))
+    // the τ filter is wrapped in a nondeterministic-MARKED identity
+    // (semantically pure — the marker only pins plan position): a
+    // deterministic predicate here gets pushed below the selective
+    // read's uid join into the scan's Filter, where whole-stage
+    // codegen's subexpression elimination evaluates the hoisted
+    // shingle/intersect machinery on EVERY row of the hit files
+    // BEFORE the row-range short-circuit can reject them — measured
+    // 3.9 s vs 0.2 s at sf0.1 (~1 ms/row × all rows vs hit rows). With
+    // the verify pinned above the join, the expensive expression runs
+    // only on materialized in-range rows — which is the entire point
+    // of row-group/page-granular retrieval.
+    val keep = udf((ok: Boolean) => ok).asNondeterministic()
     rows
       .withColumn("__toks", Text.tokens(col(column)))
       .filter(size(col("__toks")) >= K)
@@ -143,7 +155,7 @@ object MinHashIndex {
         size(array_intersect(col("__sh"), typedLit(qsh))))
       .withColumn("jac", round(col("__inter").cast("double") /
         (size(col("__sh")) + qsh.size - col("__inter")), 4))
-      .filter(col("jac") >= Tau)
+      .filter(keep(col("jac") >= Tau))
       .drop("__toks", "__sh", "__inter")
   }
 

@@ -550,6 +550,34 @@ object Dedup {
       }
       graft.index.MinHashIndex.search(s, p, "text", lookupQueryText(s, dir))
         .select(col("doc_id"), col("jac")).orderBy(col("doc_id"))
+    }, minhashLookupSql),
+
+    // the same lookup at PAGE retrieval granularity: uids map to the
+    // text column's data pages (64-row pages in the fixture lake), so
+    // the exact-Jaccard verify reads page ROW RANGES instead of whole
+    // row groups — rows-read-per-hit is bounded by page size no matter
+    // how many rows a compacted row group packs (minhash_lookup's sf1
+    // 10.6x was pure hit-granularity cost: the 10x split packs 10x
+    // rows per row group and the verify read them all). Results are
+    // identical to the row-group path — same oracle hash
+    "minhash_lookup_page" -> Q((s, dir) => {
+      val lake = graft.core.IndexStore.indexPath(dir, "lake_documents_paged")
+      graft.core.IndexStore.ensure(lake) {
+        graft.Tables.load(s, dir, "documents").coalesce(2)
+          .write.mode("overwrite")
+          .option("parquet.page.row.count.limit", "64")
+          .parquet(lake)
+      }
+      val p = graft.core.IndexStore.indexPath(
+        dir, "minhash_documents_text_paged")
+      graft.core.IndexStore.ensure(p) {
+        graft.core.Layout.withPageGranularity(s) {
+          graft.index.MinHashIndex.build(
+            s, graft.core.Lake.listFiles(lake), "text", p)
+        }
+      }
+      graft.index.MinHashIndex.search(s, p, "text", lookupQueryText(s, dir))
+        .select(col("doc_id"), col("jac")).orderBy(col("doc_id"))
     }, minhashLookupSql)
   )
 }

@@ -70,16 +70,8 @@ object IndexQueries {
     }
     val p = IndexStore.indexPath(dir, "ngram_documents_text_paged")
     IndexStore.ensure(p) {
-      // save/RESTORE the prior granularity rather than unset: a caller
-      // (or concurrent build on this session) may have set it
-      // deliberately, and erasing it would silently flip THEIR build's
-      // granularity mid-flight
-      val prior = s.conf.getOption(Layout.GranularityKey)
-      s.conf.set(Layout.GranularityKey, "page")
-      try NgramIndex.build(s, Lake.listFiles(lake), Column, p)
-      finally prior match {
-        case Some(v) => s.conf.set(Layout.GranularityKey, v)
-        case None    => s.conf.unset(Layout.GranularityKey)
+      Layout.withPageGranularity(s) {
+        NgramIndex.build(s, Lake.listFiles(lake), Column, p)
       }
     }
     p

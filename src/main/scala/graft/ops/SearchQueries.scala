@@ -912,6 +912,29 @@ object SearchQueries {
         .select(col("c_custkey"), col("c_name"))
     }, "SELECT c_custkey, c_name FROM customer WHERE c_name = 'Customer#000000042'"),
 
+    // page-granular key materialization: the sorted key table's uids
+    // map to the key column's DATA PAGES (64-row fixture pages), so a
+    // point lookup materializes one page row range, not a whole row
+    // group — the rows-read-per-hit bound survives compaction packing
+    // arbitrarily many rows per group. Same rows, same oracle
+    "key_search_page" -> Q((s, dir) => {
+      val lake = IndexStore.indexPath(dir, "lake_customer_paged")
+      IndexStore.ensure(lake) {
+        graft.Tables.load(s, dir, "customer").coalesce(2)
+          .write.mode("overwrite")
+          .option("parquet.page.row.count.limit", "64")
+          .parquet(lake)
+      }
+      val p = IndexStore.indexPath(dir, "key_customer_cname_paged")
+      IndexStore.ensure(p) {
+        graft.core.Layout.withPageGranularity(s) {
+          KeyIndex.build(s, Lake.listFiles(lake), "c_name", p)
+        }
+      }
+      KeyIndex.searchExact(s, p, "c_name", "Customer#000000042")
+        .select(col("c_custkey"), col("c_name"))
+    }, "SELECT c_custkey, c_name FROM customer WHERE c_name = 'Customer#000000042'"),
+
     // BinaryType key column through the FULL facade: the key table is
     // built in canonical hex form (KeyIndex.HexKeyCol schema marker),
     // probed with the hex of the wanted bytes, refined on hex(column)
