@@ -233,18 +233,19 @@ trait BwtDriver {
   // whole-vocabulary maps; path churn under streaming maintenance
   // must not pin retired dirs' heads forever)
   private val headCache = new graft.core.LruMap[String, (Long, Head)](256)
-  // capacity invariant: must exceed the worst single batched fetch —
-  // ≤ Lake.BruteForceThreshold range chunks (the SA-width cost switch
-  // bounds the posting fetch) plus 2 boundary chunks per covering
-  // index per LF step — or one fetchPostings batch evicts its own
-  // entries and the walk degrades to one job per chunk
-  private val MaxCachedChunks = 2048
+  /** Coarse decoded-chunk byte estimate, charged against the shared
+    * serve budget ([[graft.index.Serve.Budget]] — ONE number bounds
+    * the whole warm driver tier). Sizing note: the budget should
+    * exceed the worst single batched fetch (≤ BruteForceThreshold
+    * range chunks + 2 boundary chunks per covering index per LF step)
+    * or walks degrade to re-fetching per step — degraded, never wrong:
+    * [[fetchChunks]] RETURNS the fetched chunks, so an eviction (or a
+    * budget-admission refusal) between insert and use costs a job, not
+    * correctness.
+    */
+  protected def chunkBytes(c: Chunk): Long
   private val chunkCache =
-    new java.util.LinkedHashMap[(String, Long, Long), Chunk](256, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Chunk]): Boolean =
-        size() > MaxCachedChunks
-    }
+    graft.index.Serve.budgeted[(String, Long, Long), Chunk](chunkBytes)
 
   private def headAt(spark: SparkSession, path: String, v: Long): Head = {
     synchronized {
@@ -277,15 +278,27 @@ trait BwtDriver {
     * fetches of the same chunk redundantly read it; both insert
     * identical (version-keyed) content.
     */
+  /** Batch-fetch the requested chunks, RETURNING them (cache hits +
+    * fresh reads): callers that need a specific chunk read it from the
+    * returned map, never from a post-insert cache lookup — under the
+    * byte budget an insert may be evicted (or refused admission for an
+    * oversized payload) before the lookup, and that must cost a
+    * re-fetch, never a spurious "index changed" failure.
+    */
   private def fetchChunks(spark: SparkSession, needs: Map[String, Seq[Long]],
-      vers: Map[String, Long]): Unit = {
-    val missing = synchronized {
+      vers: Map[String, Long]): Map[(String, Long, Long), Chunk] = {
+    val hits = synchronized {
       needs.toSeq.flatMap { case (p, ids) =>
-        ids.distinct.filterNot(id =>
-          chunkCache.containsKey((p, vers(p), id))).map(p -> _)
-      }
+        ids.distinct.flatMap { id =>
+          chunkCache.get((p, vers(p), id)).map((p, vers(p), id) -> _)
+        }
+      }.toMap
     }
-    if (missing.isEmpty) return
+    val missing = needs.toSeq.flatMap { case (p, ids) =>
+      ids.distinct.filterNot(id => hits.contains((p, vers(p), id)))
+        .map(p -> _)
+    }
+    if (missing.isEmpty) return hits
     val paths = missing.map(_._1).distinct
     val ids = missing.map(_._2).distinct
     val rows = spark.read.parquet(paths.map(_ + s"/$chunkDir"): _*)
@@ -302,24 +315,24 @@ trait BwtDriver {
     val stale = paths.filter(p =>
       try graft.core.Fs.dirSignature(spark, s"$p/head") != vers(p)
       catch { case _: Exception => true }).toSet
+    val fetched = rows.flatMap { r =>
+      val f = Layout.canonPath(r.getString(chunkColumns.length))
+      paths.find(p => f.startsWith(Layout.canonPath(p) + "/"))
+        .filterNot(stale).map { p =>
+          ((p, vers(p), r.getLong(0)), decodeChunk(r))
+        }
+    }.toMap
     synchronized {
-      rows.foreach { r =>
-        val f = Layout.canonPath(r.getString(chunkColumns.length))
-        paths.find(p => f.startsWith(Layout.canonPath(p) + "/"))
-          .filterNot(stale).foreach { p =>
-            chunkCache.put((p, vers(p), r.getLong(0)), decodeChunk(r))
-          }
-      }
+      fetched.foreach { case (k, c) => chunkCache.put(k, c) }
     }
+    hits ++ fetched
   }
 
   protected def chunkAt(spark: SparkSession, path: String, id: Long,
       v: Long): Chunk = {
-    fetchChunks(spark, Map(path -> Seq(id)), Map(path -> v))
-    val c = synchronized { chunkCache.get((path, v, id)) }
-    require(c != null,
-      s"index at $path changed during the operation (chunk $id) — retry")
-    c
+    val got = fetchChunks(spark, Map(path -> Seq(id)), Map(path -> v))
+    got.getOrElse((path, v, id), throw new IllegalArgumentException(
+      s"index at $path changed during the operation (chunk $id) — retry"))
   }
 
   /** occurrences of `ch` in BWT[0, pos). Overridable: encodings whose

@@ -244,6 +244,9 @@ object FmIndex extends BwtDriver {
     FmChunk(r.getString(1), r.getMap[String, Long](3).toMap,
       r.getSeq[Long](2).toIndexedSeq)
 
+  protected def chunkBytes(c: FmChunk): Long =
+    64L + 2L * c.bwt.length + 64L * c.cum.size + 8L * c.uids.size
+
   protected def chunkUids(c: FmChunk): Seq[Long] = c.uids
   protected def chunkCum(c: FmChunk, ch: String): Long =
     c.cum.getOrElse(ch, 0L)

@@ -71,6 +71,14 @@ object Serve {
         victim.evictEldest()
       }
     }
+    /** Empty EVERY registered cache (the Serve-named ones plus the
+      * chunk/node/head caches other index layers registered via
+      * [[Serve.budgeted]]) — the whole-warm-tier reset clearCaches
+      * promises.
+      */
+    private[Serve] def clearAll(): Unit = synchronized {
+      caches.foreach(_.clear())
+    }
   }
 
   /** One serve cache under the shared [[Budget]]: per-cache LRU order
@@ -160,25 +168,28 @@ object Serve {
     s => 256L + 64L * s.size)
 
   /** Test/diagnostic hook: drop every cached slice. */
+  /** A fresh cache under the shared [[Budget]] for OTHER index
+    * layers' driver caches (BWT chunk slices, Vamana graph nodes, IVF
+    * centroid/PQ heads register through this) — ONE number bounds the
+    * entire warm driver tier, not per-cache entry counts that nobody
+    * adds up.
+    */
+  private[graft] def budgeted[K, V](sizeOf: V => Long): BudgetedCache[K, V] =
+    new BudgetedCache[K, V](sizeOf)
+
   /** Test seam: a fresh string cache under the shared [[Budget]] —
     * lets the spec pin admission/eviction semantics without
     * reflection. Registered like any other serve cache; the caller
     * clears it when done.
     */
   private[graft] def testCache(): BudgetedCache[String, String] =
-    new BudgetedCache[String, String](strBytes)
+    budgeted[String, String](strBytes)
 
-  private[graft] def clearCaches(): Unit = {
-    gramCache.clear()
-    tokenCache.clear()
-    dlCache.clear()
-    statsCache.clear()
-    keysCache.clear()
-    rowsCache.clear()
-    rowSchemaCache.clear()
-    vocabCache.clear()
-    variantCache.clear()
-  }
+  private[graft] def clearCaches(): Unit =
+    // every registered BudgetedCache — the Serve-named ones AND the
+    // chunk/node/head caches other index layers registered through
+    // [[budgeted]] — so the byte account reads zero afterwards
+    Budget.clearAll()
 
   /** One version signal per index: the meta sidecar dir's content
     * signature. The postings/keys tables can be bucket-partitioned

@@ -274,6 +274,10 @@ object TokenFmIndex extends BwtDriver {
   protected def decodeChunk(r: Row): TokChunk =
     TokChunk(r.getSeq[String](1).toIndexedSeq, r.getSeq[Long](2).toIndexedSeq)
 
+  protected def chunkBytes(c: TokChunk): Long =
+    64L + c.toks.iterator.map(t => 48L + 2L * t.length).sum +
+      8L * c.uids.size
+
   protected def chunkUids(c: TokChunk): Seq[Long] = c.uids
   // never called: rankAt is overridden to resolve the cumulative term
   // from the sparse side table

@@ -327,13 +327,13 @@ object VamanaIndex {
   // centroid head; nodes LRU-cached version-keyed like BWT chunks
   private val headCache = scala.collection.concurrent.TrieMap
     .empty[String, (Long, Array[(Long, Long, Array[Double])], Long)]
-  private val MaxCachedNodes = 65536
+  // byte-accounted under the ONE shared serve budget (Serve.Budget):
+  // a node is vector + adjacency, so 65536 max-degree nodes of a
+  // high-dim index were an unbounded number of BYTES under the old
+  // entry-count cap
   private val nodeCache =
-    new java.util.LinkedHashMap[(String, Long, Long), Node](256, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Node]): Boolean =
-        size() > MaxCachedNodes
-    }
+    graft.index.Serve.budgeted[(String, Long, Long), Node](nd =>
+      64L + 8L * nd.nbrs.length + 8L * nd.v.length)
 
   private def headOf(spark: SparkSession,
       path: String): (Long, Array[(Long, Long, Array[Double])], Long) = {
@@ -373,11 +373,9 @@ object VamanaIndex {
   private def fetchNodes(spark: SparkSession, path: String, ver: Long,
       ids: Seq[Long]): Map[Long, Node] = {
     val distinct = ids.distinct
-    val hits = nodeCache.synchronized {
-      distinct.flatMap { id =>
-        Option(nodeCache.get((path, ver, id))).map(id -> _)
-      }.toMap
-    }
+    val hits = distinct.flatMap { id =>
+      nodeCache.get((path, ver, id)).map(id -> _)
+    }.toMap
     val missing = distinct.filterNot(hits.contains)
     if (missing.isEmpty) hits
     else {
@@ -392,10 +390,8 @@ object VamanaIndex {
       require(try graft.core.Fs.dirSignature(spark, s"$path/graph") == ver
         catch { case _: Exception => false },
         s"index at $path changed during the operation — retry")
-      nodeCache.synchronized {
-        fetched.foreach { case (id, nd) =>
-          nodeCache.put((path, ver, id), nd)
-        }
+      fetched.foreach { case (id, nd) =>
+        nodeCache.put((path, ver, id), nd)
       }
       hits ++ fetched
     }

@@ -56,8 +56,15 @@ object VectorIndex {
   // it on the driver, keep-latest per path (versioned keys would
   // strand one dead entry per rebuild), so steady-state searches pay
   // zero Spark jobs for probe selection
-  private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Array[(Int, Seq[Double])])]
+  // byte-accounted under the ONE shared serve budget: the head grows
+  // as n/10k × dim doubles — at 100 TB that is real driver memory, so
+  // it competes in the same LRU pool as every other warm slice instead
+  // of a keep-forever map per path
+  private val centroidCache =
+    graft.index.Serve.budgeted[String, (Long, Array[(Int, Seq[Double])])] {
+      case (_, rows) =>
+        64L + rows.iterator.map(r => 64L + 8L * r._2.size).sum
+    }
 
   /** Squared L2 — the probe-selection metric. */
   private[graft] def l2(a: Seq[Double], b: Seq[Double]): Double =
@@ -369,8 +376,12 @@ object VectorIndex {
   // table construction is pure driver math with zero jobs in steady
   // state (a per-query parquet collect made a 20-query batched gate
   // pay 20 identical codebook reads — the dominant cost of the call)
-  private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Seq[(Int, Seq[Seq[Double]])])]
+  private val pqCache = graft.index.Serve
+    .budgeted[String, (Long, Seq[(Int, Seq[Seq[Double]])])] {
+      case (_, books) =>
+        64L + books.iterator.map(b =>
+          64L + b._2.iterator.map(c => 16L + 8L * c.size).sum).sum
+    }
 
   private[graft] def pqBooks(spark: SparkSession,
       path: String): Seq[(Int, Seq[Seq[Double]])] = {

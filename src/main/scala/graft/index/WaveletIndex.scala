@@ -254,6 +254,11 @@ object WaveletIndex extends BwtDriver {
       r.getMap[String, Long](5).toMap,
       r.getSeq[Long](6).toIndexedSeq)
 
+  protected def chunkBytes(c: WChunk): Long =
+    64L + 8L * (c.words.iterator.map(_.size.toLong).sum +
+      c.blocks.iterator.map(_.size.toLong).sum +
+      c.zeros.size + c.uids.size) + 64L * c.cum.size
+
   protected def chunkUids(c: WChunk): Seq[Long] = c.uids
   protected def chunkCum(c: WChunk, ch: String): Long =
     c.cum.getOrElse(ch, 0L)

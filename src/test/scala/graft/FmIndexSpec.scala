@@ -58,6 +58,27 @@ class FmIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk cache under a starved byte budget: evicted, refused, still exact") {
+    val rows = corpus(40, 100, seed = 23)
+    val (idx, data) = buildOver(rows, "fm-budget")
+    val saved = graft.index.Serve.Budget.MaxServeBytes
+    try {
+      // a budget below one decoded chunk: every insert is refused by
+      // the admission check or evicted immediately — the walk degrades
+      // to per-step fetches but results stay EXACT (fetchChunks
+      // returns what it read; no spurious "index changed" failures)
+      graft.index.Serve.Budget.MaxServeBytes = 512L
+      graft.index.Serve.clearCaches()
+      Seq("ab", "ca b", "b").foreach { q =>
+        assert(fmIds(idx, q) == bruteIds(data, q), s"pattern '$q'")
+      }
+      assert(graft.index.Serve.Budget.usedBytes <= 512L)
+    } finally {
+      graft.index.Serve.Budget.MaxServeBytes = saved
+      graft.index.Serve.clearCaches()
+    }
+  }
+
   test("FM search handles empty, absent-char, and over-window queries") {
     val rows = corpus(10, 50, seed = 3)
     val (idx, data) = buildOver(rows, "fm-edge")
