@@ -117,6 +117,15 @@ object ServeBench {
     val vecPaths = Seq[(String, Seq[Seq[Double]], Seq[Double] => Unit)](
       ("ivf_probe", panel, q =>
         graft.index.VectorIndex.search(spark, ivf, q, k, np).collect()),
+      ("ivf_pq_spark", panel, q =>
+        graft.index.VectorIndex.searchPq(spark, ivf, q, k, np, 50)
+          .collect()),
+      // the warm vector serving tier: ADC over driver-cached code
+      // slices + exact rerank from cached vec slices — zero Spark jobs
+      // once the probed cells are resident (bit-identical rows to
+      // ivf_pq_spark, pinned by VectorSpec)
+      ("ivf_pq_warm", panel, q =>
+        graft.index.Serve.ivfPq(spark, ivf, q, k, np, 50).collect()),
       ("vamana_spark", panel, q =>
         graft.index.VamanaIndex.search(spark, vam, q, k).collect()),
       ("vamana_fast", panel, q =>

@@ -804,4 +804,145 @@ object Serve {
       vals(i)
     }
   }
+
+  // ---- vector IVF-PQ serving (warm ADC over cached codes) ------------
+
+  // per-(path, version, centroid) slices of the codes-only cells and
+  // the full-precision vecs tables, byte-accounted like every other
+  // warm slice: PQ codes are dim·8/PqM smaller than vectors, so the
+  // pre-rank working set (the part EVERY query touches) is what the
+  // budget mostly holds; vec slices compete in the same pool and evict
+  // first when tight (they are only needed for the top-refine rerank)
+  private val ivfCodesCache =
+    budgeted[(String, Long, Int), Array[(Long, Array[Int], Double)]] { a =>
+      64L + a.iterator.map(r => 40L + 4L * r._2.length).sum
+    }
+  private val ivfVecsCache =
+    budgeted[(String, Long, Int), Array[(Long, Array[Double])]] { a =>
+      64L + a.iterator.map(r => 32L + 8L * r._2.length).sum
+    }
+
+  /** Ensure the given cells' slices are present for `table`, fetching
+    * ALL missing ones in ONE Spark job. Returns None when the index
+    * was rebuilt mid-operation (caller falls back to the Spark path)
+    * or when a slice was refused admission (oversized for the budget).
+    */
+  private def ivfSlices[T: scala.reflect.ClassTag](spark: SparkSession,
+      path: String, table: String, ver: Long, cells: Seq[Int],
+      cache: BudgetedCache[(String, Long, Int), Array[T]],
+      cols: Seq[String], decode: Row => T,
+      keyOf: T => Long): Option[Map[Int, Array[T]]] = {
+    val hits = cells.flatMap(c =>
+      cache.get((path, ver, c)).map(c -> _)).toMap
+    val missing = cells.filterNot(hits.contains)
+    if (missing.isEmpty) return Some(hits)
+    val rows = spark.read.parquet(s"$path/$table")
+      .filter(col("centroid").isin(missing: _*))
+      .select(cols.map(col): _*).collect()
+    // re-stat AFTER the read (the BwtDriver/centroidHead discipline):
+    // never serve rows read across a racing rebuild under the old key
+    if ((try graft.core.Fs.dirSignature(spark, s"$path/$table")
+        catch { case _: Exception => return None }) != ver) return None
+    val grouped = rows.groupBy(_.getInt(0)).map { case (c, rs) =>
+      c -> rs.map(decode).sortBy(keyOf)
+    }
+    val fetched = missing.map(c =>
+      c -> grouped.getOrElse(c, Array.empty[T])).toMap
+    fetched.foreach { case (c, arr) => cache.put((path, ver, c), arr) }
+    Some(hits ++ fetched)
+  }
+
+  /** Warm-served IVF-PQ search — bit-identical rows to
+    * [[graft.index.VectorIndex.searchPq]] at the same parameters: the
+    * centroid head picks the probe cells (already driver-cached), the
+    * ADC pre-rank runs over CACHED code slices with the same
+    * sequential-fold arithmetic as the codegen'd column, the
+    * top-`refine` candidates re-rank with the exact CosineSim
+    * semantics (one-pass dot/norm accumulation, HALF_UP round to 6),
+    * and ties break on vec_id everywhere like the Spark orderBys. Zero
+    * Spark jobs once the probed cells' slices are warm; any budget
+    * refusal, missing slice, or mid-operation rebuild falls back to
+    * the Spark path (correct, just cold).
+    */
+  def ivfPq(spark: SparkSession, path: String, q: Seq[Double], k: Int,
+      nprobe: Int, refine: Int): DataFrame =
+    ivfPqRows(spark, path, q, k, nprobe, refine) match {
+      case Some((rows, schema)) => localDf(spark, rows, schema)
+      case None =>
+        graft.index.VectorIndex.searchPq(spark, path, q, k, nprobe, refine)
+    }
+
+  private def ivfPqRows(spark: SparkSession, path: String, q: Seq[Double],
+      k: Int, nprobe: Int,
+      refine: Int): Option[(Seq[Row], org.apache.spark.sql.types.StructType)] = {
+    import graft.index.{VectorIndex => VI}
+    // the mtime-cached format check (isCurrentFormat re-reads the
+    // parquet schema — an eager footer JOB on every call, which would
+    // break the zero-jobs-warm contract)
+    try VI.requireCurrentFormat(spark, path)
+    catch { case _: Exception => return None }
+    val cellsVer = try graft.core.Fs.dirSignature(spark, s"$path/cells")
+      catch { case _: Exception => return None }
+    val vecsVer = try graft.core.Fs.dirSignature(spark, s"$path/vecs")
+      catch { case _: Exception => return None }
+    val probes = VI.probeCells(spark, path, q, nprobe)
+    val codeMap = ivfSlices[(Long, Array[Int], Double)](spark, path,
+      "cells", cellsVer, probes, ivfCodesCache,
+      Seq("centroid", "vec_id", "codes", "vnorm"),
+      r => (r.getLong(1), r.getSeq[Int](2).toArray, r.getDouble(3)),
+      _._1).getOrElse(return None)
+    val dtab = VI.adcTable(spark, path, q).map(_.toArray).toArray
+    val nSub = dtab.length
+    // ADC: the same left-fold sum as adcCol's aggregate(...)
+    val scored = probes.iterator.flatMap(c =>
+      codeMap.getOrElse(c, Array.empty[(Long, Array[Int], Double)]).iterator)
+      .map { case (id, codes, vnorm) =>
+        var acc = 0.0
+        var m = 0
+        while (m < nSub) { acc += dtab(m)(codes(m)); m += 1 }
+        (id, if (vnorm == 0.0) 0.0 else acc / vnorm)
+      }.toArray
+    val cand =
+      if (refine == Int.MaxValue) scored.map(_._1)
+      else scored.sortBy { case (id, adc) => (-adc, id) }
+        .take(refine).map(_._1)
+    val vecMap = ivfSlices[(Long, Array[Double])](spark, path,
+      "vecs", vecsVer, probes, ivfVecsCache,
+      Seq("centroid", "vec_id", "v"),
+      r => (r.getLong(1), r.getSeq[Double](2).toArray),
+      _._1).getOrElse(return None)
+    val byId = probes.iterator.flatMap(c =>
+      vecMap.getOrElse(c, Array.empty[(Long, Array[Double])]).iterator).toMap
+    val qa = q.toArray
+    val reranked = cand.flatMap(id => byId.get(id).map(v => (id, cosRound(qa, v))))
+    if (reranked.length != cand.length) return None // slice/vec mismatch
+    val out = reranked.sortBy { case (id, cos) => (-cos, id) }.take(k)
+      .map { case (id, cos) => Row(id, cos) }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    Some((out, schema))
+  }
+
+  /** The exact CosineSim + round(6) semantics, driver-side: one-pass
+    * dot/norm accumulation in array order, then HALF_UP decimal round
+    * — Spark's Round on DoubleType is BigDecimal.valueOf(x).setScale(6,
+    * HALF_UP), replicated verbatim so served scores hash-match the
+    * codegen'd column.
+    */
+  private def cosRound(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val c = dot / (math.sqrt(na) * math.sqrt(nb))
+    java.math.BigDecimal.valueOf(c)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
 }

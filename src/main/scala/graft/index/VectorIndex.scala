@@ -791,6 +791,18 @@ object VectorIndex {
         searchPq(s, p, queryVec(s, dir), Similarity.K, probeCount(s, p), 50))
     }, probeGateSql(Similarity.K)),
 
+    // the warm serving tier for vectors (graft.index.Serve.ivfPq:
+    // driver-cached code/vec slices under the one byte budget, ADC +
+    // exact rerank driver-side, zero Spark jobs warm) — same
+    // production parameters as similarity_ivf_pq_probe, same gate
+    // oracle; VectorSpec pins bit-identity to the Spark path and the
+    // zero-job warm state
+    "similarity_ivf_served" -> graft.Q((s, dir) => {
+      val p = ensureBuilt(s, dir)
+      probeGate(s, dir, Similarity.K, graft.index.Serve.ivfPq(
+        s, p, queryVec(s, dir), Similarity.K, probeCount(s, p), 50))
+    }, probeGateSql(Similarity.K)),
+
     // the amortized neighbor graph: join within the index's STORED
     // cells + centroid-adjacency expansion (clustering paid once at
     // build) — panel-mean recall@k vs the exact lists clears the

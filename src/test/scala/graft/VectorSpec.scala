@@ -102,6 +102,44 @@ class VectorSpec extends AnyFunSuite {
       s"candidate ids must push into the vecs scan:\n$plan")
   }
 
+  test("served IVF-PQ: bit-identical rows, zero jobs when warm") {
+    val df = vecs.toDF("vec_id", "v")
+    val idx = TestSpark.tmpDir("ivfserve")
+    VectorIndex.build(spark, df, idx)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSeq
+    def jobs(group: String)(f: => Unit): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, group)
+      try f finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    graft.index.Serve.clearCaches()
+    for ((q, np, ref) <- Seq((vecs(3)._2, 4, 10),
+        (vecs(9)._2, VectorIndex.numCells(spark, idx), Int.MaxValue),
+        (vecs(0)._2, 2, 3))) {
+      val viaSpark = rows(VectorIndex.searchPq(spark, idx, q, 5, np, ref))
+      val served = rows(graft.index.Serve.ivfPq(spark, idx, q, 5, np, ref))
+      assert(served == viaSpark, s"np=$np refine=$ref")
+    }
+    // warm repeat (cells + vecs slices cached): ZERO Spark jobs
+    val j = jobs("ivf-serve-warm") {
+      graft.index.Serve.ivfPq(spark, idx, vecs(3)._2, 5, 4, 10).collect()
+    }
+    assert(j == 0, s"warm served IVF probe ran $j Spark jobs")
+    // a starved budget degrades to the Spark path — identical rows
+    val saved = graft.index.Serve.Budget.MaxServeBytes
+    try {
+      graft.index.Serve.Budget.MaxServeBytes = 256L
+      graft.index.Serve.clearCaches()
+      assert(rows(graft.index.Serve.ivfPq(spark, idx, vecs(3)._2, 5, 4, 10))
+        == rows(VectorIndex.searchPq(spark, idx, vecs(3)._2, 5, 4, 10)))
+    } finally {
+      graft.index.Serve.Budget.MaxServeBytes = saved
+      graft.index.Serve.clearCaches()
+    }
+  }
+
   test("zero-norm vectors survive the exact PQ configuration") {
     val withZero = vecs :+ (99L -> Seq.fill(8)(0.0))
     val df = withZero.toDF("vec_id", "v")
