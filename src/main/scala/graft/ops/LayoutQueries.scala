@@ -383,6 +383,26 @@ object LayoutQueries {
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin),
 
+    // COUNT(DISTINCT key) — the "daily active users" tile shape: cells
+    // are distinct by the full (source, lang) tuple, so the distinct
+    // lang count within each source group is exactly the number of
+    // distinct non-null lang values among its cells — served with the
+    // counts/sums from the same index, zero lake pages
+    "catalyst_group_agg_countdistinct" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix,
+        Seq("source", "lang"), Seq("n_chars"))
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("dl"),
+          sum(col("n_chars")).as("sm"))
+        .orderBy(col("source"))
+    },
+      """SELECT source, count(*) AS n, count(DISTINCT lang) AS dl,
+        |  CAST(sum(n_chars) AS BIGINT) AS sm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
     // expression grouping keys: the calendar-rollup BI tile — GROUP BY
     // date_trunc('month', d) / year(d) over a DATE-keyed index (the
     // bounded-ndv key production tiles are built on). Every row of a

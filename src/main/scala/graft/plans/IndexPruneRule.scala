@@ -483,8 +483,21 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     case class SumM(c: String) extends Need
     case class MinM(c: String) extends Need
     case class MaxM(c: String) extends Need
+    case class CountDistinctK(c: String) extends Need
     def classify(ae: AggregateExpression): Option[Need] = {
-      if (ae.isDistinct || ae.filter.nonEmpty) return None
+      if (ae.filter.nonEmpty) return None
+      if (ae.isDistinct) ae.aggregateFunction match {
+        // COUNT(DISTINCT key-col) — the "daily active users" tile: the
+        // cells are distinct by the FULL spec key tuple, so the
+        // distinct count of a SPEC KEY within any (filtered, subset-)
+        // group is exactly the number of distinct non-null values of
+        // that position among the group's cells. Whether `c` really is
+        // a spec key is decided at candidate selection (it joins
+        // neededKeys); a distinct over anything else vetoes there.
+        case Count(Seq(attr: AttributeReference)) =>
+          return Some(CountDistinctK(attr.name))
+        case _ => return None
+      }
       ae.aggregateFunction match {
         case Count(Seq(Literal(v, _))) if v != null => Some(CountStar)
         case Count(Seq(attr: AttributeReference)) => Some(CountM(attr.name))
@@ -534,6 +547,12 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       case MinM(c) => c
       case MaxM(c) => c
     }.distinct
+    // COUNT(DISTINCT c) columns must be SPEC KEYS (cells carry every
+    // distinct key tuple, so the distinct count is exact) — they join
+    // the needed-key set, vetoing any spec that doesn't key on them
+    val distinctKeyCols = distinctAggs.map(_._2).collect {
+      case CountDistinctK(c) => c
+    }.distinct
 
     // a prefix can carry SEVERAL agg indexes (different key tuples,
     // different measure lists, part-indexes of one spec). The chosen
@@ -546,7 +565,7 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // specs pick the narrowest keys then measures (smallest cells),
     // deterministically.
     val neededKeys = (gResolved.flatMap(_.references.toSeq.map(_.name)) ++
-      filterKeyNames).toSet
+      filterKeyNames ++ distinctKeyCols).toSet
     // cheap prefilter on the metadata row's column field (the sorted
     // key list) BEFORE touching any spec file: without it every
     // Aggregate planned over the prefix would pay one dir-listing per
@@ -685,7 +704,10 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         bx.length - by.length
       case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
     }
-    val combined0: Seq[IndexPruneRule.GRow] =
+    // kcols position of each COUNT(DISTINCT) key (spec coverage above
+    // guarantees membership)
+    val dkIdx = distinctKeyCols.map(c => c -> kcols.indexOf(c)).toMap
+    val combined0: Seq[(IndexPruneRule.GRow, Map[String, Long])] =
       evald.groupBy(_._1).map {
         case (keys, pairs) =>
           val grs = pairs.map(_._2)
@@ -702,7 +724,13 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
               if (his.isEmpty) None else Some(his.reduce((a, b) =>
                 if (cmpExternal(a, b) >= 0) a else b)))
           }.toMap
-          IndexPruneRule.GRow(keys, grs.map(_.n).sum, ms)
+          // distinct non-null values of the key position among the
+          // group's cells — exact: the probe's rows are one per
+          // distinct full key tuple (uid pre-aggregated away)
+          val dk = distinctKeyCols.map(c =>
+            c -> grs.iterator.map(_.keys(dkIdx(c)))
+              .filter(_ != null).toSet.size.toLong).toMap
+          (IndexPruneRule.GRow(keys, grs.map(_.n).sum, ms), dk)
       }.toSeq
     // the empty-grouping contract: a global aggregate returns exactly
     // ONE row even when the filter kills every cell — count 0, sums
@@ -710,9 +738,9 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     // input rows)
     val combined =
       if (gExprs.nonEmpty || combined0.nonEmpty) combined0
-      else Seq(IndexPruneRule.GRow(Nil, 0L,
+      else Seq((IndexPruneRule.GRow(Nil, 0L,
         mcols.map(m => m -> IndexPruneRule.MStat(0L, None, None, None))
-          .toMap))
+          .toMap), distinctKeyCols.map(_ -> 0L).toMap))
     // LocalRelation carries the grouping attributes (exprIds preserved)
     // plus one synthetic attribute per distinct AggregateExpression; a
     // Project on top re-applies any scalar wrappers, so the rewritten
@@ -721,13 +749,14 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         s"_ga$i", ae.dataType, ae.nullable)()
     }
-    val out = combined.map { gr =>
+    val out = combined.map { case (gr, dk) =>
       // grouping values are ALREADY internal (Catalyst eval results)
       val keyVals = gr.keys
       val aggVals = distinctAggs.zip(aggAttrs).map {
         case (((ae, need)), _) => need match {
           case CountStar => gr.n
           case CountM(c) => gr.ms(c).nn
+          case CountDistinctK(c) => dk(c)
           case SumM(c) =>
             gr.ms(c).s match {
               case None => null // all-NULL measure group: sum is NULL

@@ -383,6 +383,42 @@ class GroupAggSpec extends AnyFunSuite {
     assert(scansLake(qv), "non-key-derived grouping must keep the scan")
   }
 
+  test("COUNT(DISTINCT spec-key) serves from cells; distinct measure vetoes") {
+    val d = TestSpark.tmpDir("gagg-cd")
+    val staging = TestSpark.tmpDir("stage-ga-cd")
+    Seq(("a", "x", 1L), ("a", "y", 2L), ("a", "x", 3L),
+      ("b", "x", 4L), ("b", null, 5L))
+      .toDF("src", "reg", "m").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$d/a.parquet"))
+    AggIndex.ensureRegistered(spark, d, Seq("src", "reg"), Seq("m"))
+    IndexPruneRule.enable(spark)
+    val q = spark.read.parquet(d).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("reg")).as("dr"),
+        sum(col("m")).as("sm"))
+      .orderBy(col("src"))
+    assert(!scansLake(q), "count(distinct key) must serve from the index")
+    assert(q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("a", 3L, 2L, 6L), ("b", 2L, 1L, 9L))) // NULL reg not counted
+    // under a key-only filter, still served and still exact
+    val qf = spark.read.parquet(d).filter(col("reg") === "x")
+      .groupBy(col("src"))
+      .agg(countDistinct(col("reg")).as("dr"), count(lit(1)).as("n"))
+      .orderBy(col("src"))
+    assert(!scansLake(qf))
+    assert(qf.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq == Seq(("a", 1L, 2L), ("b", 1L, 1L)))
+    // count(DISTINCT measure) is not derivable from cells — scan stays
+    val qv = spark.read.parquet(d).groupBy(col("src"))
+      .agg(countDistinct(col("m")).as("dm"))
+    assert(scansLake(qv), "distinct over a non-key must keep the scan")
+    assert(qv.orderBy(col("src")).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 2L)))
+  }
+
   test("key names colliding with aggregate aliases are rejected at registration") {
     def lake(tag: String, cols: Seq[String]): String = {
       val d = TestSpark.tmpDir(s"gagg-$tag")
