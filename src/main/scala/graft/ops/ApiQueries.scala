@@ -228,6 +228,31 @@ object ApiQueries {
         .select(col("doc_id"), col("jac"))
     }, Dedup.minhashLookupSql),
 
+    // the facade twin of minhash_lookup_page: the committed index is
+    // built under the session granularity knob
+    // (spark.graft.layout.granularity=page — the user-facing seam), so
+    // uids map to the text column's data pages and the facade's
+    // selective read fetches page ROW RANGES; the exact-Jaccard verify
+    // touches rows-per-hit bounded by page size at any row-group
+    // packing. Same result, same oracle as the row-group facade twin
+    "lake_api_minhash_page" -> Q((s, dir) => {
+      val prefix = graft.core.IndexStore.indexPath(
+        dir, "lake_documents_paged")
+      graft.core.IndexStore.ensure(prefix) {
+        graft.Tables.load(s, dir, "documents").coalesce(2)
+          .write.mode("overwrite")
+          .option("parquet.page.row.count.limit", "64")
+          .parquet(prefix)
+      }
+      val lake = graft.api.GraftLake(s, prefix)
+      graft.core.Layout.withPageGranularity(s) {
+        lake.index(graft.api.MinHashKind, "text")
+      }
+      lake.search(graft.api.MinHashKind, "text",
+          Dedup.lookupQueryText(s, dir), 1000000, Seq("doc_id"))
+        .select(col("doc_id"), col("jac"))
+    }, Dedup.minhashLookupSql),
+
     // typo-tolerant search through the FULL facade: per-file fuzzy
     // indexes → compact (uid-offset union) → deletion-neighborhood
     // probe + levenshtein refine over the merged index
