@@ -383,6 +383,44 @@ object LayoutQueries {
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin),
 
+    // the "top sources" tile: ORDER BY count DESC LIMIT n sits ABOVE
+    // the Aggregate, so the rewrite fires underneath and the sort/limit
+    // run over the driver-built rows — still zero lake pages
+    "catalyst_group_agg_topn" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix, "source", "n_chars")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sm"))
+        .orderBy(col("n").desc, col("source")).limit(5)
+    },
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sm
+        |FROM documents GROUP BY source
+        |ORDER BY n DESC, source LIMIT 5""".stripMargin),
+
+    // exact AVG, the order-independent spelling: avg() itself
+    // accumulates doubles in scan order (not hash-stable across
+    // engines), but sum(m)/count(m) over the served partials is a
+    // deterministic scalar wrapper above two rewritten aggregates —
+    // the decimal sum is exact and one double division is one IEEE op
+    "catalyst_group_agg_avg" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4)
+      val prefix = Lake.splitPath(dir, "documents")
+      graft.index.AggIndex.ensureRegistered(s, prefix, "source", "n_chars")
+      graft.plans.IndexPruneRule.enable(s)
+      s.read.parquet(prefix).groupBy(col("source"))
+        .agg((sum(col("n_chars")).cast("double") /
+          count(col("n_chars"))).as("avg_chars"),
+          count(lit(1)).as("n"))
+        .orderBy(col("source"))
+        .select(col("source"), col("avg_chars"), col("n"))
+    },
+      """SELECT source,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars,
+        |  count(*) AS n
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
     // COUNT(DISTINCT key) — the "daily active users" tile shape: cells
     // are distinct by the full (source, lang) tuple, so the distinct
     // lang count within each source group is exactly the number of

@@ -383,6 +383,23 @@ class GroupAggSpec extends AnyFunSuite {
     assert(scansLake(qv), "non-key-derived grouping must keep the scan")
   }
 
+  test("top-N and explicit-avg tiles ride the rewrite: no scan") {
+    val qt = spark.read.parquet(dir).groupBy(col("src"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("src")).limit(2)
+    assert(!scansLake(qt), "ORDER BY/LIMIT above the rewrite must serve")
+    assert(qt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("red", 3L), (null, 1L))) // n=1 tie → src asc, nulls first
+    val qa = spark.read.parquet(dir).groupBy(col("src"))
+      .agg((sum(col("m")).cast("double") / count(col("m"))).as("avg_m"))
+      .orderBy(col("src"))
+    assert(!scansLake(qa), "sum/count division must serve")
+    val got = qa.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    assert(got == Seq((null, 3.0), ("blue", 5.0), ("green", null),
+      ("red", 8.5)))
+  }
+
   test("COUNT(DISTINCT spec-key) serves from cells; distinct measure vetoes") {
     val d = TestSpark.tmpDir("gagg-cd")
     val staging = TestSpark.tmpDir("stage-ga-cd")
