@@ -229,10 +229,22 @@ trait BwtDriver {
     paths.map(p => p -> version(spark, p)).toMap
 
   // keep-latest per path (versioned keys would strand a dead head per
-  // rebuild) and LRU-bounded at 256 paths (token-mode heads hold
-  // whole-vocabulary maps; path churn under streaming maintenance
-  // must not pin retired dirs' heads forever)
-  private val headCache = new graft.core.LruMap[String, (Long, Head)](256)
+  // rebuild), byte-accounted under the shared serve budget: token-mode
+  // heads hold whole-vocabulary maps — the LARGEST single driver
+  // payloads in the warm tier — so they compete in the same LRU pool
+  // as every other slice instead of a fixed 256-path count nobody
+  // sizes in bytes
+  private val headCache =
+    graft.index.Serve.budgeted[String, (Long, Head)](hv =>
+      24L + headBytes(hv._2))
+
+  /** Coarse decoded-head byte estimate: the two per-symbol maps every
+    * encoding carries; encodings with extra structures override and
+    * add theirs.
+    */
+  protected def headBytes(h: Head): Long =
+    64L + (h.cBefore.iterator ++ h.nBwt.iterator)
+      .map { case (k, _) => 88L + 2L * k.length }.sum
   /** Coarse decoded-chunk byte estimate, charged against the shared
     * serve budget ([[graft.index.Serve.Budget]] — ONE number bounds
     * the whole warm driver tier). Sizing note: the budget should

@@ -254,6 +254,10 @@ object WaveletIndex extends BwtDriver {
       r.getMap[String, Long](5).toMap,
       r.getSeq[Long](6).toIndexedSeq)
 
+  override protected def headBytes(h: WHead): Long =
+    super.headBytes(h) +
+      h.code.iterator.map { case (k, _) => 72L + 2L * k.length }.sum
+
   protected def chunkBytes(c: WChunk): Long =
     64L + 8L * (c.words.iterator.map(_.size.toLong).sum +
       c.blocks.iterator.map(_.size.toLong).sum +
