@@ -38,6 +38,27 @@ object Lake {
     * key/parts fails loudly instead of silently returning the old
     * layout.
     */
+  /** Ensure-gated PAGED copy of a base table: the same rows rewritten
+    * with 64-row data pages (`parquet.page.row.count.limit`) — the
+    * shared fixture every page-granularity entry builds its index
+    * over. ONE owner of the artifact's layout: the page size and
+    * partitioning here decide what every reader of
+    * `lake_<table>_paged` sees (ensure is first-wins, so divergent
+    * per-caller copies of this writer would silently build against
+    * whichever ran first).
+    */
+  def ensurePagedCopy(spark: SparkSession, dir: String,
+      table: String): String = {
+    val p = IndexStore.indexPath(dir, s"lake_${table}_paged")
+    IndexStore.ensure(p) {
+      graft.Tables.load(spark, dir, table).coalesce(2)
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "64")
+        .parquet(p)
+    }
+    p
+  }
+
   def ensureSplit(spark: SparkSession, dir: String, table: String,
       key: String, parts: Int, alias: String = ""): Seq[String] = {
     // `alias` names the split lake dir, so one source table can carry

@@ -234,9 +234,13 @@ trait BwtDriver {
   // payloads in the warm tier — so they compete in the same LRU pool
   // as every other slice instead of a fixed 256-path count nobody
   // sizes in bytes
+  // maxShare = 1: a keep-latest head IS the point of this cache — a
+  // vocabulary-sized head may occupy up to the full budget (evicting
+  // other slices) rather than being permanently refused into a
+  // reload-per-operation cliff
   private val headCache =
     graft.index.Serve.budgeted[String, (Long, Head)](hv =>
-      24L + headBytes(hv._2))
+      24L + headBytes(hv._2), maxShare = 1)
 
   /** Coarse decoded-head byte estimate: the two per-symbol maps every
     * encoding carries; encodings with extra structures override and

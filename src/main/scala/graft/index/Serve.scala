@@ -86,7 +86,16 @@ object Serve {
     * global reclaim picks whichever cache holds the oldest entry.
     * Values are immutable slices, so eviction during use is safe.
     */
-  private[graft] final class BudgetedCache[K, V](sizeOf: V => Long) {
+  /** `maxShare` bounds single-payload admission: an insert larger than
+    * MaxServeBytes / maxShare is refused (see [[put]]). The default 4
+    * keeps any one slice from monopolizing the pool; KEEP-LATEST head
+    * caches pass 1 — a vocabulary-sized head that is the whole point
+    * of the cache may occupy up to the full budget (evicting the rest)
+    * rather than being permanently refused into a reload-per-operation
+    * cliff.
+    */
+  private[graft] final class BudgetedCache[K, V](sizeOf: V => Long,
+      maxShare: Int = 4) {
     private final class E(var tick: Long, val bytes: Long, val v: V)
     private val m = new java.util.LinkedHashMap[K, E](256, 0.75f, true)
     Budget.register(this)
@@ -95,13 +104,13 @@ object Serve {
     }
     def put(k: K, v: V): Unit = {
       val bytes = sizeOf(v) + 64 // key + entry overhead slack
-      // admission check: a payload near the WHOLE budget would be
+      // admission check: a payload past this cache's share would be
       // inserted, then reclaim() would evict every other cache and
       // finally the entry itself — oversized values would thrash the
       // warm tier on every access while never actually being served
       // from cache. Such a value is simply not cacheable here; callers
       // fall through to their cold path.
-      if (bytes > Budget.MaxServeBytes / 4) return
+      if (bytes > Budget.MaxServeBytes / maxShare) return
       m.synchronized {
         Option(m.remove(k)).foreach(e => Budget.charge(-e.bytes))
         m.put(k, new E(Budget.tick(), bytes, v))
@@ -174,15 +183,17 @@ object Serve {
     * entire warm driver tier, not per-cache entry counts that nobody
     * adds up.
     */
-  private[graft] def budgeted[K, V](sizeOf: V => Long): BudgetedCache[K, V] =
-    new BudgetedCache[K, V](sizeOf)
+  private[graft] def budgeted[K, V](sizeOf: V => Long,
+      maxShare: Int = 4): BudgetedCache[K, V] =
+    new BudgetedCache[K, V](sizeOf, maxShare)
 
-  /** Test seam: a fresh string cache under the shared [[Budget]] —
-    * lets the spec pin admission/eviction semantics without
-    * reflection. Registered like any other serve cache; the caller
-    * clears it when done.
+  /** Test seam: ONE string cache under the shared [[Budget]] — lets
+    * the spec pin admission/eviction semantics without reflection.
+    * A single static instance (every BudgetedCache registers in the
+    * Budget forever; a per-call fresh cache would grow the registry
+    * unboundedly); callers clear it when done.
     */
-  private[graft] def testCache(): BudgetedCache[String, String] =
+  private[graft] lazy val testCache: BudgetedCache[String, String] =
     budgeted[String, String](strBytes)
 
   private[graft] def clearCaches(): Unit =
@@ -217,7 +228,12 @@ object Serve {
     * distributed plan bit for bit.
     */
   private def halfUp(v: Double, scale: Int): Double =
-    java.math.BigDecimal.valueOf(v)
+    // Spark's Round on DoubleType passes non-finite values through
+    // (BigDecimal.valueOf(NaN) would THROW) — a zero-norm vector's 0/0
+    // cosine must surface as the same NaN the Spark column produces,
+    // not crash the serve path
+    if (v.isNaN || v.isInfinite) v
+    else java.math.BigDecimal.valueOf(v)
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   private def totalRows(spark: SparkSession, path: String): Long =
@@ -913,10 +929,32 @@ object Serve {
       _._1).getOrElse(return None)
     val byId = probes.iterator.flatMap(c =>
       vecMap.getOrElse(c, Array.empty[(Long, Array[Double])]).iterator).toMap
+    // cross-TABLE consistency: the two signatures were captured
+    // independently, so a rebuild landing between them could pair
+    // cached codes of one generation with vectors of the next (each
+    // per-table re-stat passes on its own). Re-stat BOTH against the
+    // captured values now: any mismatch means the rebuild raced this
+    // operation — fall back to the Spark path. A rebuild completing
+    // after this point only means both tables were read from the SAME
+    // pre-rebuild generation — consistent, just about to go stale.
+    val consistent = try {
+      graft.core.Fs.dirSignature(spark, s"$path/cells") == cellsVer &&
+        graft.core.Fs.dirSignature(spark, s"$path/vecs") == vecsVer
+    } catch { case _: Exception => false }
+    if (!consistent) return None
     val qa = q.toArray
     val reranked = cand.flatMap(id => byId.get(id).map(v => (id, cosRound(qa, v))))
     if (reranked.length != cand.length) return None // slice/vec mismatch
-    val out = reranked.sortBy { case (id, cos) => (-cos, id) }.take(k)
+    // java.lang.Double.compare ranks NaN greatest — Spark's DESC
+    // ordering puts a zero-norm NaN cosine FIRST, and the served rows
+    // must match that, not Scala's sortBy-on-negation (which would
+    // send NaN last)
+    val sparkCosDesc: Ordering[(Long, Double)] =
+      (x: (Long, Double), y: (Long, Double)) => {
+        val c = java.lang.Double.compare(y._2, x._2)
+        if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+      }
+    val out = reranked.sorted(sparkCosDesc).take(k)
       .map { case (id, cos) => Row(id, cos) }.toSeq
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
@@ -927,10 +965,10 @@ object Serve {
   }
 
   /** The exact CosineSim + round(6) semantics, driver-side: one-pass
-    * dot/norm accumulation in array order, then HALF_UP decimal round
-    * — Spark's Round on DoubleType is BigDecimal.valueOf(x).setScale(6,
-    * HALF_UP), replicated verbatim so served scores hash-match the
-    * codegen'd column.
+    * dot/norm accumulation in array order, then [[halfUp]] — the same
+    * rounding replication the other serve paths use (incl. its
+    * NaN/Inf passthrough: a zero-norm vector's 0/0 cosine stays NaN,
+    * exactly what the Spark column returns).
     */
   private def cosRound(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -941,8 +979,6 @@ object Serve {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    val c = dot / (math.sqrt(na) * math.sqrt(nb))
-    java.math.BigDecimal.valueOf(c)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    halfUp(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
   }
 }

@@ -327,10 +327,10 @@ object VamanaIndex {
   // centroid head — byte-accounted under the shared serve budget: the
   // medoid array grows as 2n/100k × dim, real driver memory at 100 TB
   private val headCache = graft.index.Serve
-    .budgeted[String, (Long, Array[(Long, Long, Array[Double])], Long)] {
+    .budgeted[String, (Long, Array[(Long, Long, Array[Double])], Long)]({
       case (_, meds, _) =>
         64L + meds.iterator.map(m => 56L + 8L * m._3.length).sum
-    }
+    }, maxShare = 1) // keep-latest head: admit up to the full budget
   // byte-accounted under the ONE shared serve budget (Serve.Budget):
   // a node is vector + adjacency, so 65536 max-degree nodes of a
   // high-dim index were an unbounded number of BYTES under the old

@@ -236,14 +236,7 @@ object ApiQueries {
     // touches rows-per-hit bounded by page size at any row-group
     // packing. Same result, same oracle as the row-group facade twin
     "lake_api_minhash_page" -> Q((s, dir) => {
-      val prefix = graft.core.IndexStore.indexPath(
-        dir, "lake_documents_paged")
-      graft.core.IndexStore.ensure(prefix) {
-        graft.Tables.load(s, dir, "documents").coalesce(2)
-          .write.mode("overwrite")
-          .option("parquet.page.row.count.limit", "64")
-          .parquet(prefix)
-      }
+      val prefix = graft.core.Lake.ensurePagedCopy(s, dir, "documents")
       val lake = graft.api.GraftLake(s, prefix)
       graft.core.Layout.withPageGranularity(s) {
         lake.index(graft.api.MinHashKind, "text")

@@ -561,13 +561,7 @@ object Dedup {
     // rows per row group and the verify read them all). Results are
     // identical to the row-group path — same oracle hash
     "minhash_lookup_page" -> Q((s, dir) => {
-      val lake = graft.core.IndexStore.indexPath(dir, "lake_documents_paged")
-      graft.core.IndexStore.ensure(lake) {
-        graft.Tables.load(s, dir, "documents").coalesce(2)
-          .write.mode("overwrite")
-          .option("parquet.page.row.count.limit", "64")
-          .parquet(lake)
-      }
+      val lake = graft.core.Lake.ensurePagedCopy(s, dir, "documents")
       val p = graft.core.IndexStore.indexPath(
         dir, "minhash_documents_text_paged")
       graft.core.IndexStore.ensure(p) {

@@ -61,13 +61,7 @@ object IndexQueries {
     * identical, so the DuckDB oracle over `documents` still applies).
     */
   private def pageIdx(s: SparkSession, dir: String): String = {
-    val lake = IndexStore.indexPath(dir, "lake_documents_paged")
-    IndexStore.ensure(lake) {
-      graft.Tables.load(s, dir, Table).coalesce(2)
-        .write.mode("overwrite")
-        .option("parquet.page.row.count.limit", "64")
-        .parquet(lake)
-    }
+    val lake = Lake.ensurePagedCopy(s, dir, Table)
     val p = IndexStore.indexPath(dir, "ngram_documents_text_paged")
     IndexStore.ensure(p) {
       Layout.withPageGranularity(s) {

@@ -918,13 +918,7 @@ object SearchQueries {
     // group — the rows-read-per-hit bound survives compaction packing
     // arbitrarily many rows per group. Same rows, same oracle
     "key_search_page" -> Q((s, dir) => {
-      val lake = IndexStore.indexPath(dir, "lake_customer_paged")
-      IndexStore.ensure(lake) {
-        graft.Tables.load(s, dir, "customer").coalesce(2)
-          .write.mode("overwrite")
-          .option("parquet.page.row.count.limit", "64")
-          .parquet(lake)
-      }
+      val lake = Lake.ensurePagedCopy(s, dir, "customer")
       val p = IndexStore.indexPath(dir, "key_customer_cname_paged")
       IndexStore.ensure(p) {
         graft.core.Layout.withPageGranularity(s) {

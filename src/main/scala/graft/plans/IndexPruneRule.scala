@@ -808,15 +808,18 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
       dt == org.apache.spark.sql.types.DateType
 
   /** Types a derived grouping expression may produce: scalar values
-    * whose internal forms have well-defined equality for the
-    * driver-side cell grouping (structs/arrays/maps veto).
+    * whose internal forms have the SCAN's equality under plain JVM
+    * equals/hashCode — the driver-side cell grouping uses a Scala Map.
+    * Float/Double are deliberately excluded: Spark normalizes NaN and
+    * -0.0 grouping keys (NormalizeFloatingNumbers), while boxed-Double
+    * equality would split NaN into one group per cell and surface
+    * -0.0 verbatim; Decimal is excluded for its scale-sensitive
+    * hashing. Structs/arrays/maps veto outright. Calendar/string/
+    * integral/boolean — every BI-tile shape — passes.
     */
   private def groupOutType(
       dt: org.apache.spark.sql.types.DataType): Boolean =
-    statType(dt) || dt == org.apache.spark.sql.types.BooleanType ||
-      dt == org.apache.spark.sql.types.DoubleType ||
-      dt == org.apache.spark.sql.types.FloatType ||
-      dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    statType(dt) || dt == org.apache.spark.sql.types.BooleanType
 
   /** (min, max, count(*), count-non-null) of `colName` over exactly
     * `allFiles`, from the zone-map indexes covering them — None unless

@@ -381,6 +381,15 @@ class GroupAggSpec extends AnyFunSuite {
       s"""SELECT CAST(m AS INT) AS g, count(*) AS n
          |FROM parquet.`$d` GROUP BY CAST(m AS INT) ORDER BY g""".stripMargin)
     assert(scansLake(qv), "non-key-derived grouping must keep the scan")
+    // a FLOAT-typed derived key vetoes: Spark normalizes NaN/-0.0
+    // grouping keys (NormalizeFloatingNumbers); boxed-Double equality
+    // driver-side would not — semantics win, the scan stays
+    val qd = spark.sql(
+      s"""SELECT unix_micros(ts) / 2.0 AS g, count(*) AS n
+         |FROM parquet.`$d` GROUP BY unix_micros(ts) / 2.0
+         |ORDER BY g""".stripMargin)
+    assert(scansLake(qd), "double-typed derived keys must keep the scan")
+    assert(qd.collect().length == 4)
   }
 
   test("top-N and explicit-avg tiles ride the rewrite: no scan") {

@@ -293,7 +293,7 @@ class ServeSpec extends AnyFunSuite {
 
   test("admission: a payload above a quarter of the budget is refused, warm entries survive") {
     val saved = Serve.Budget.MaxServeBytes
-    val c = Serve.testCache()
+    val c = Serve.testCache
     try {
       Serve.Budget.MaxServeBytes = 4096L
       c.put("small", "x" * 100) // ~304 bytes, admitted

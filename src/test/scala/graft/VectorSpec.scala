@@ -151,6 +151,15 @@ class VectorSpec extends AnyFunSuite {
     // the zero row scores adc=0 (not null) and is kept through the
     // exact path — the full corpus must come back
     assert(got.count() == withZero.size)
+    // the SERVED twin must survive the zero-norm row too (its 0/0
+    // cosine is NaN — the rounding replication must pass it through
+    // like Spark's Round, not throw) and return the identical rows,
+    // including Spark's NaN-first ordering under cos DESC
+    graft.index.Serve.clearCaches()
+    val served = graft.index.Serve.ivfPq(spark, idx, q, withZero.size,
+      VectorIndex.numCells(spark, idx), Int.MaxValue)
+      .collect().map(_.toString).toSeq
+    assert(served == got.collect().map(_.toString).toSeq)
   }
 
   test("old-format index (cells carrying v) fails loudly") {
