@@ -138,6 +138,27 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
   def search(kind: IndexKind, column: String, query: String, k: Int,
       order: Seq[String] = Seq.empty,
       snapshot: Option[Long] = None): DataFrame = {
+    // warm vector serving: ONE covering index, no in-situ part, no
+    // snapshot (the servablePath preconditions) routes through the
+    // driver tier — ADC over cached code slices + lake rows from the
+    // shared hit-row cache + exact rerank, zero Spark jobs warm,
+    // bit-identical rows (VectorSpec pin). Any decline (format,
+    // budget, non-selective probe, undecodable vector) falls through
+    // to the ordinary distributed plan below.
+    kind match {
+      case vk: VectorKind
+          if snapshot.isEmpty && k <= GraftLake.SmartMaterializeMaxK =>
+        // the k-gate is the SmartMaterializeMaxK discipline: serving
+        // materializes ≤ k rows driver-side, which is only admissible
+        // in the search-box regime — analytical-k calls keep the lazy
+        // distributed plan
+        servablePath(vk.name, column).foreach { p =>
+          val qv = query.split(",").map(_.trim.toDouble).toSeq
+          graft.index.Serve.vectorLake(spark, p, column, qv, k,
+            vk.nprobe, vk.refine, vk.idCol).foreach(df => return df)
+        }
+      case _ =>
+    }
     val live = backend.filesAt(snapshot).toSet
     val cov0 = coverage(kind, column)
     // ranked kinds return a LAZY plan whose index-table reads execute

@@ -964,6 +964,143 @@ object Serve {
     Some((out, schema))
   }
 
+  /** Warm-served FACADE vector search — bit-identical rows to
+    * [[graft.api.VectorKind]]'s searchLake over one covering index:
+    * probe cells from the driver-cached centroid head, ADC over cached
+    * code slices, then materialize the hit retrieval units' LAKE rows
+    * through the shared [[rowsOf]] cache (the facade stores no
+    * vectors — the lake is the vector store) and rerank EVERY
+    * materialized row with the exact CosineSim semantics, exactly like
+    * the Spark plan's final projection. Zero Spark jobs once the code
+    * slices and hit rows are warm. Declines (None — the caller takes
+    * the ordinary Spark plan) on: non-current format, racing rebuild,
+    * budget refusal, a hit-row estimate past [[MaxServeRows]], an
+    * unorderable id column type, or any row whose vector fails to
+    * decode (the Spark column semantics for those corners are not
+    * replicated driver-side — correctness beats warmth).
+    */
+  private[graft] def vectorLake(spark: SparkSession, path: String,
+      column: String, q: Seq[Double], k: Int, nprobe: Int, refine: Int,
+      idCol: String): Option[org.apache.spark.sql.DataFrame] = {
+    import graft.index.{VectorIndex => VI}
+    try VI.requireCurrentFormat(spark, path)
+    catch { case _: Exception => return None }
+    val cellsVer = try graft.core.Fs.dirSignature(spark, s"$path/cells")
+      catch { case _: Exception => return None }
+    val probes = VI.probeCells(spark, path, q, nprobe)
+    val codeMap = ivfSlices[(Long, Array[Int], Double)](spark, path,
+      "cells", cellsVer, probes, ivfCodesCache,
+      Seq("centroid", "vec_id", "codes", "vnorm"),
+      r => (r.getLong(1), r.getSeq[Int](2).toArray, r.getDouble(3)),
+      _._1).getOrElse(return None)
+    val dtab = VI.adcTable(spark, path, q).map(_.toArray).toArray
+    val nSub = dtab.length
+    val scored = probes.iterator.flatMap(c =>
+      codeMap.getOrElse(c, Array.empty[(Long, Array[Int], Double)]).iterator)
+      .map { case (id, codes, vnorm) =>
+        var acc = 0.0
+        var m = 0
+        while (m < nSub) { acc += dtab(m)(codes(m)); m += 1 }
+        (id, if (vnorm == 0.0) 0.0 else acc / vnorm)
+      }.toArray
+    val cand =
+      if (refine == Int.MaxValue) scored.map(_._1)
+      else scored.sortBy { case (id, adc) => (-adc, id) }
+        .take(refine).map(_._1)
+    // hit units and their row estimate BEFORE materializing: a
+    // non-selective probe must fall back to the distributed plan, not
+    // collect a data-scale row set to the driver
+    val metaByUid = graft.api.IndexKind.metaRows(spark, path)
+      .map(r => r._1 -> r).toMap
+    val hitUids = cand.distinct.toSeq.sorted
+    val estRows = hitUids.flatMap(metaByUid.get).map(_._4).sum
+    if (estRows > MaxServeRows) return None
+    val (rows, schema) = rowsOf(spark, path, hitUids)
+    val colIdx =
+      try schema.fieldIndex(column) catch { case _: Exception => return None }
+    val idIdx =
+      try schema.fieldIndex(idCol) catch { case _: Exception => return None }
+    val uidIdx = schema.fieldIndex("uid")
+    val qa = q.toArray
+    // decode per vecAsDoubles semantics: binary = little-endian
+    // float32 blobs (FloatVecDecode), arrays = numeric elements
+    // widened to double; anything else (null vector, ragged length,
+    // null element) declines
+    def vecOf(r: Row): Option[Array[Double]] = {
+      if (r.isNullAt(colIdx)) return None
+      r.get(colIdx) match {
+        case b: Array[Byte] =>
+          val d = graft.functions.FloatVecDecode.decode(b)
+          if (d == null) None else Some(d.toDoubleArray)
+        case s: scala.collection.Seq[_] =>
+          if (s.length != qa.length) return None
+          val out = new Array[Double](s.length)
+          var i = 0
+          while (i < s.length) {
+            s(i) match {
+              case n: Number => out(i) = n.doubleValue()
+              case _ => return None
+            }
+            i += 1
+          }
+          Some(out)
+        case _ => None
+      }
+    }
+    val reranked = rows.map { r =>
+      val v = vecOf(r).getOrElse(return None)
+      (r, cosRound(qa, v))
+    }
+    // cos DESC (NaN greatest — Spark's ordering), then idCol ASC with
+    // nulls FIRST (Spark's default ascending null ordering)
+    def cmpId(a: Row, b: Row): Int = {
+      val (an, bn) = (a.isNullAt(idIdx), b.isNullAt(idIdx))
+      if (an && bn) 0
+      else if (an) -1
+      else if (bn) 1
+      else (a.get(idIdx), b.get(idIdx)) match {
+        case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+        case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+        case (x: String, y: String) =>
+          // Spark string order is UTF-8 byte order
+          val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(bx.length, by.length)
+          while (i < n) {
+            val c = (bx(i) & 0xff) - (by(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          bx.length - by.length
+        case _ => return 0 // unreachable: gated below
+      }
+    }
+    // unorderable id column type ⇒ decline (the tie-break would not
+    // match the scan's)
+    schema(idIdx).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => ()
+      case _ => return None
+    }
+    val ord: Ordering[(Row, Double)] = (x: (Row, Double), y: (Row, Double)) => {
+      val c = java.lang.Double.compare(y._2, x._2)
+      if (c != 0) c else cmpId(x._1, y._1)
+    }
+    val top = reranked.sorted(ord).take(k)
+    // output = lake columns (uid dropped, like the Spark path) + cos
+    val outSchema = StructType(
+      schema.fields.zipWithIndex.filter(_._2 != uidIdx).map(_._1) :+
+        org.apache.spark.sql.types.StructField("cos",
+          org.apache.spark.sql.types.DoubleType, nullable = true))
+    val outRows = top.map { case (r, cos) =>
+      Row.fromSeq((0 until r.length).filter(_ != uidIdx).map(r.get) :+
+        (cos: Any))
+    }
+    Some(localDf(spark, outRows, outSchema))
+  }
+
   /** The exact CosineSim + round(6) semantics, driver-side: one-pass
     * dot/norm accumulation in array order, then [[halfUp]] — the same
     * rounding replication the other serve paths use (incl. its

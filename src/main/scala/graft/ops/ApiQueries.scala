@@ -120,6 +120,23 @@ object ApiQueries {
         .select(col("vec_id"), col("cos"))
     }, Similarity.knnSql),
 
+    // the DISTRIBUTED twin of lake_api_vector: k above the
+    // SmartMaterializeMaxK boundary keeps the lazy Spark plan (the
+    // serve hook only fires in the search-box regime), re-truncated to
+    // the same top-10 — pins that both tiers answer the same oracle
+    "lake_api_vector_dist" -> Q((s, dir) => {
+      val lake = tableLake(s, dir, "embeddings", "vec_id")
+      val kind = VectorKind("vec_id")
+      lake.index(kind, "embedding", binpackRows = 1)
+      lake.compact(kind, "embedding", threshold = 1000000L)
+      val q = Similarity.embeddings(s, dir)
+        .filter(col("vec_id") === Similarity.QueryVecId)
+        .select(col("v")).collect()(0).getSeq[Double](0)
+      lake.search(kind, "embedding", q.mkString(","), 1000000)
+        .orderBy(col("cos").desc, col("vec_id")).limit(Similarity.K)
+        .select(col("vec_id"), col("cos"))
+    }, Similarity.knnSql),
+
     // the reference's on-disk embedding shape: a BINARY column of
     // packed little-endian float32 (indices/vector_index.py:42-48) —
     // the kind decodes it natively (FloatVecDecode, dimension inferred

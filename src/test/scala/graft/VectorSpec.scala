@@ -140,6 +140,37 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("facade vector serving: bit-identical to the Spark plan, zero jobs warm") {
+    val dir = TestSpark.tmpDir("vserve-lake")
+    val staging = TestSpark.tmpDir("vserve-stage")
+    vecs.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$dir/a.parquet"))
+    val lake = graft.api.GraftLake(spark, dir)
+    val kind = graft.api.VectorKind("vec_id")
+    lake.index(kind, "embedding", binpackRows = 1)
+    val q = vecs(5)._2.mkString(",")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSeq
+    graft.index.Serve.clearCaches()
+    // small k routes through the serve tier; the analytical-k call
+    // keeps the distributed plan — both must answer identically
+    val served = lake.search(kind, "embedding", q, 5)
+    val dist = lake.search(kind, "embedding", q, 100000)
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+    assert(rows(served) == rows(dist))
+    // warm repeat: zero Spark jobs end to end
+    val sc = spark.sparkContext
+    sc.setJobGroup("vserve-warm", "vserve-warm")
+    val warm = try rows(lake.search(kind, "embedding", q, 5))
+      finally sc.clearJobGroup()
+    assert(warm == rows(dist))
+    val j = sc.statusTracker.getJobIdsForGroup("vserve-warm").length
+    assert(j == 0, s"warm facade vector search ran $j Spark jobs")
+  }
+
   test("zero-norm vectors survive the exact PQ configuration") {
     val withZero = vecs :+ (99L -> Seq.fill(8)(0.0))
     val df = withZero.toDF("vec_id", "v")
