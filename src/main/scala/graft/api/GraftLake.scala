@@ -153,9 +153,30 @@ case class GraftLake(spark: SparkSession, backend: LakeBackend) {
         // in the search-box regime — analytical-k calls keep the lazy
         // distributed plan
         servablePath(vk.name, column).foreach { p =>
-          val qv = query.split(",").map(_.trim.toDouble).toSeq
-          graft.index.Serve.vectorLake(spark, p, column, qv, k,
-            vk.nprobe, vk.refine, vk.idCol).foreach(df => return df)
+          // the whole warm attempt is try-wrapped: it runs BEFORE the
+          // ranked-kind integrity demotion and outside the
+          // missingFileCause retry below, so a half-deleted
+          // (crashed-vacuum) or racing-rebuild index that the
+          // distributed path self-heals must fall through to it, not
+          // surface as an exception from search()
+          try {
+            val qv = query.split(",").map(_.trim.toDouble).toSeq
+            graft.index.Serve.vectorLake(spark, p, column, qv, k,
+              vk.nprobe, vk.refine, vk.idCol).foreach(df => return df)
+          } catch { case scala.util.control.NonFatal(_) => }
+        }
+      case vk: VamanaKind
+          if snapshot.isEmpty && k <= GraftLake.SmartMaterializeMaxK =>
+        // same discipline for the graph kind: beam + materialization +
+        // rerank all driver-side from the shared warm caches, zero
+        // Spark jobs in the steady state; any decline or integrity
+        // exception falls through to the distributed plan
+        servablePath(vk.name, column).foreach { p =>
+          try {
+            val qv = query.split(",").map(_.trim.toDouble).toSeq
+            graft.index.Serve.vamanaLake(spark, p, column, qv, k,
+              vk.l, vk.seedAll, vk.idCol).foreach(df => return df)
+          } catch { case scala.util.control.NonFatal(_) => }
         }
       case _ =>
     }

@@ -164,6 +164,8 @@ object AggIndex {
     // split — a plain '_' join would alias (Seq("a","b"),Seq("c")) with
     // (Seq("a"),Seq("b","c")) (and any underscore-bearing column name),
     // and the second ensure would silently return the first's index
+    val sigSrc = ((keyCols.map(c => s"${c.length}:$c") :+ "#") ++
+      measureCols.map(c => s"${c.length}:$c")).mkString("|")
     val name =
       if (keyCols.size == 1 && measureCols.size == 1)
         s"agg_${keyCols.head}_${measureCols.head}"
@@ -173,8 +175,6 @@ object AggIndex {
         // columns share an underscore join, silently aliasing two
         // different indexes onto one path (the second ensure would
         // return the first's artifact and never build)
-        val sigSrc = ((keyCols.map(c => s"${c.length}:$c") :+ "#") ++
-          measureCols.map(c => s"${c.length}:$c")).mkString("|")
         val sig = java.security.MessageDigest.getInstance("SHA-256")
           .digest(sigSrc.getBytes("UTF-8")).take(8)
           .map(b => f"${b & 0xff}%02x").mkString
@@ -208,6 +208,26 @@ object AggIndex {
         IndexStore.metadataRows(spark, prefix,
           keyCols.sorted.mkString(","),
           fc.map(_._1), fc.map(_._2), p, "aggindex", fc.map(_._2).sum))
+    }
+    // the pre-SHA generation used a 32-bit hashCode suffix for
+    // multi-column names: a same-spec artifact surviving under that
+    // LEGACY name would otherwise stay registered forever next to the
+    // new one (results stay correct — ownedUidPairs dedups the
+    // double-coverage — but its storage and its per-plan probe cost
+    // are never reclaimed). Deregister + delete it only AFTER the new
+    // artifact is built and committed above, so a crash in between
+    // leaves two valid artifacts, never zero.
+    if (keyCols.size > 1 || measureCols.size > 1) {
+      val legacy = IndexStore.indexPath(prefix,
+        s"agg_${(keyCols ++ measureCols).mkString("_")}" +
+          s"_k${keyCols.size}m${measureCols.size}" +
+          f"h${sigSrc.hashCode & 0xffffffffL}%08x")
+      if (legacy != p && IndexStore.isBuilt(legacy) &&
+          (try specV2(spark, legacy) == ((keyCols, measureCols))
+           catch { case scala.util.control.NonFatal(_) => false })) {
+        IndexStore.deleteMetadata(spark, prefix, Seq(legacy))
+        graft.core.Fs.deleteRec(spark, legacy)
+      }
     }
     p
   }

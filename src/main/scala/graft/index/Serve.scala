@@ -154,8 +154,9 @@ object Serve {
 
   /** Whole tables are only cached when the index covers at most this
     * many rows (the facade's default binpack threshold, with slack).
+    * `var` is a test seam only (the pre-gate specs shrink it).
     */
-  private val MaxServeRows = 1000000L
+  private[graft] var MaxServeRows = 1000000L
 
   private val gramCache =
     new BudgetedCache[(String, Long, String), Array[Long]](longsBytes)
@@ -983,6 +984,16 @@ object Serve {
       column: String, q: Seq[Double], k: Int, nprobe: Int, refine: Int,
       idCol: String): Option[org.apache.spark.sql.DataFrame] = {
     import graft.index.{VectorIndex => VI}
+    // cheap non-selectivity pre-gate (the lexical paths' totalRows
+    // discipline, Serve.scala:322/468/530): an index covering more lake
+    // rows than the tier may materialize declines BEFORE the first
+    // code-slice fetch, so a non-selective probe costs ZERO jobs — not
+    // one wasted fetch followed by the full Spark plan anyway. metaRows
+    // is driver-cached, so the check itself is job-free warm. The
+    // serve tier's domain is binpack-bounded indexes (class comment);
+    // the estRows check in the shared tail stays as belt-and-braces
+    // for skewed retrieval units.
+    if (totalRows(spark, path) > MaxServeRows) return None
     try VI.requireCurrentFormat(spark, path)
     catch { case _: Exception => return None }
     val cellsVer = try graft.core.Fs.dirSignature(spark, s"$path/cells")
@@ -1007,12 +1018,55 @@ object Serve {
       if (refine == Int.MaxValue) scored.map(_._1)
       else scored.sortBy { case (id, adc) => (-adc, id) }
         .take(refine).map(_._1)
+    lakeRerankTail(spark, path, cand.distinct.toSeq.sorted, column,
+      q.toArray, k, idCol)
+  }
+
+  /** Warm-served FACADE Vamana search — bit-identical rows to
+    * [[graft.api.VamanaKind]]'s searchLake over one covering index:
+    * the SAME driver beam the Spark path runs (the graph walk is
+    * driver-side in both tiers — batched point lookups against the
+    * budgeted node cache), candidate rids decode to retrieval units
+    * through the cached metas, and the materialize + exact-rerank tail
+    * is [[vectorLake]]'s, shared. Zero Spark jobs once the beam's
+    * working set and the hit rows are warm; in the exact configuration
+    * (all-medoid seed, unbounded beam) a failed totality check
+    * declines to the Spark path, which raises its rebuild diagnostic.
+    */
+  private[graft] def vamanaLake(spark: SparkSession, path: String,
+      column: String, q: Seq[Double], k: Int, l: Int, seedAll: Boolean,
+      idCol: String): Option[org.apache.spark.sql.DataFrame] = {
+    if (totalRows(spark, path) > MaxServeRows) return None // see vectorLake
+    val qa = q.toArray
+    val exact = seedAll && l == Int.MaxValue
+    val (ids, visited) = VamanaIndex.beam(spark, path, qa, l,
+      if (exact) 1024 else VamanaIndex.BeamW, seedAll)
+    if (exact && visited != VamanaIndex.nodeCount(spark, path)) return None
+    val bases = Layout.ridBases(graft.api.IndexKind.metaRows(spark, path))
+    val uids = ids.map(Layout.uidOfRid(bases, _)).distinct.sorted
+    lakeRerankTail(spark, path, uids, column, qa, k, idCol)
+  }
+
+  /** The shared materialize-and-rerank tail of the warm FACADE vector
+    * paths ([[vectorLake]] / [[vamanaLake]]): hit retrieval units'
+    * LAKE rows from the shared [[rowsOf]] cache (the facade's vector
+    * kinds store no vectors — the lake is the vector store), the exact
+    * CosineSim rerank of EVERY materialized row, (cos DESC, idCol ASC
+    * nulls first) order, top-k, lake columns + cos — exactly the Spark
+    * plan's final projection. Declines (None) on: a hit-row estimate
+    * past [[MaxServeRows]], an unorderable id column type, or any row
+    * whose vector fails to decode (the Spark column semantics for
+    * those corners are not replicated driver-side — correctness beats
+    * warmth).
+    */
+  private def lakeRerankTail(spark: SparkSession, path: String,
+      hitUids: Seq[Long], column: String, qa: Array[Double], k: Int,
+      idCol: String): Option[org.apache.spark.sql.DataFrame] = {
     // hit units and their row estimate BEFORE materializing: a
     // non-selective probe must fall back to the distributed plan, not
     // collect a data-scale row set to the driver
     val metaByUid = graft.api.IndexKind.metaRows(spark, path)
       .map(r => r._1 -> r).toMap
-    val hitUids = cand.distinct.toSeq.sorted
     val estRows = hitUids.flatMap(metaByUid.get).map(_._4).sum
     if (estRows > MaxServeRows) return None
     val (rows, schema) = rowsOf(spark, path, hitUids)
@@ -1021,7 +1075,6 @@ object Serve {
     val idIdx =
       try schema.fieldIndex(idCol) catch { case _: Exception => return None }
     val uidIdx = schema.fieldIndex("uid")
-    val qa = q.toArray
     // decode per vecAsDoubles semantics: binary = little-endian
     // float32 blobs (FloatVecDecode), arrays = numeric elements
     // widened to double; anything else (null vector, ragged length,
@@ -1031,7 +1084,14 @@ object Serve {
       r.get(colIdx) match {
         case b: Array[Byte] =>
           val d = graft.functions.FloatVecDecode.decode(b)
-          if (d == null) None else Some(d.toDoubleArray)
+          // a dim-mismatched blob declines like a dim-mismatched array
+          // (cosRound would otherwise serve a prefix-cosine the Spark
+          // column's semantics for that corner are not pinned against)
+          if (d == null) None
+          else {
+            val dd = d.toDoubleArray
+            if (dd.length != qa.length) None else Some(dd)
+          }
         case s: scala.collection.Seq[_] =>
           if (s.length != qa.length) return None
           val out = new Array[Double](s.length)

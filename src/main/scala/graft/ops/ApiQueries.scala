@@ -183,6 +183,24 @@ object ApiQueries {
         .select(col("vec_id"), col("cos"))
     }, Similarity.knnSql),
 
+    // the DISTRIBUTED twin of lake_api_vamana (the lake_api_vector_dist
+    // pattern): k above the SmartMaterializeMaxK boundary keeps the
+    // lazy Spark plan — the warm vamanaLake hook only fires in the
+    // search-box regime — re-truncated to the same top-10, pinning
+    // that both tiers answer the same brute-force oracle
+    "lake_api_vamana_dist" -> Q((s, dir) => {
+      val lake = tableLake(s, dir, "embeddings", "vec_id")
+      val kind = graft.api.VamanaKind("vec_id")
+      lake.index(kind, "embedding", binpackRows = 1)
+      lake.compact(kind, "embedding", threshold = 1000000L)
+      val q = Similarity.embeddings(s, dir)
+        .filter(col("vec_id") === Similarity.QueryVecId)
+        .select(col("v")).collect()(0).getSeq[Double](0)
+      lake.search(kind, "embedding", q.mkString(","), 1000000)
+        .orderBy(col("cos").desc, col("vec_id")).limit(Similarity.K)
+        .select(col("vec_id"), col("cos"))
+    }, Similarity.knnSql),
+
     // log search through the facade: per-file logcloud indexes →
     // compact → typed-variable search with row-group materialization
     "lake_api_logcloud" -> Q((s, dir) => {

@@ -484,6 +484,24 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
     case class MinM(c: String) extends Need
     case class MaxM(c: String) extends Need
     case class CountDistinctK(c: String) extends Need
+    // Measure (and COUNT(DISTINCT)) columns resolve through the SAME
+    // project-alias substitution as grouping keys and filters: an
+    // aggregate child that is a Project alias surviving CollapseProject
+    // (e.g. `SELECT src, sum(m2) FROM (SELECT src, f(x) AS m2 ...)`)
+    // must NOT be matched to a spec column by NAME alone — if the lake
+    // also has a column literally named m2, a name match would silently
+    // serve the INDEXED column's stats for the derived one. Admit only
+    // children that resolve to a BARE relation output attribute
+    // (exprId match against l.output) and take the spec name from that
+    // resolved attribute — which also correctly admits simple renames
+    // (`SELECT sum(m2) FROM (SELECT x AS m2 ...)` serves x's stats).
+    def specAttr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[AttributeReference] =
+      applySubst(e) match {
+        case ar: AttributeReference
+            if l.output.exists(_.exprId == ar.exprId) => Some(ar)
+        case _ => None
+      }
     def classify(ae: AggregateExpression): Option[Need] = {
       if (ae.filter.nonEmpty) return None
       if (ae.isDistinct) ae.aggregateFunction match {
@@ -494,22 +512,22 @@ class IndexPruneRule(spark: SparkSession) extends Rule[LogicalPlan]
         // that position among the group's cells. Whether `c` really is
         // a spec key is decided at candidate selection (it joins
         // neededKeys); a distinct over anything else vetoes there.
-        case Count(Seq(attr: AttributeReference)) =>
-          return Some(CountDistinctK(attr.name))
+        case Count(Seq(ch)) =>
+          return specAttr(ch).map(a => CountDistinctK(a.name))
         case _ => return None
       }
       ae.aggregateFunction match {
         case Count(Seq(Literal(v, _))) if v != null => Some(CountStar)
-        case Count(Seq(attr: AttributeReference)) => Some(CountM(attr.name))
-        case su: Sum if su.child.isInstanceOf[AttributeReference] &&
-            integralType(su.child.dataType) =>
-          Some(SumM(su.child.asInstanceOf[AttributeReference].name))
-        case org.apache.spark.sql.catalyst.expressions.aggregate
-            .Min(attr: AttributeReference)
-            if statType(attr.dataType) => Some(MinM(attr.name))
-        case org.apache.spark.sql.catalyst.expressions.aggregate
-            .Max(attr: AttributeReference)
-            if statType(attr.dataType) => Some(MaxM(attr.name))
+        case Count(Seq(ch)) => specAttr(ch).map(a => CountM(a.name))
+        case su: Sum =>
+          specAttr(su.child).filter(a => integralType(a.dataType))
+            .map(a => SumM(a.name))
+        case org.apache.spark.sql.catalyst.expressions.aggregate.Min(ch) =>
+          specAttr(ch).filter(a => statType(a.dataType))
+            .map(a => MinM(a.name))
+        case org.apache.spark.sql.catalyst.expressions.aggregate.Max(ch) =>
+          specAttr(ch).filter(a => statType(a.dataType))
+            .map(a => MaxM(a.name))
         case _ => None
       }
     }

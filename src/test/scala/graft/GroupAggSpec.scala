@@ -445,6 +445,66 @@ class GroupAggSpec extends AnyFunSuite {
       (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("an alias shadowing a spec measure vetoes; a pure rename serves") {
+    // `m` here is NOT the lake's m: a surviving Project computes m*2
+    // under the same name (referenced by two aggregates, so
+    // CollapseProject keeps the alias). Serving the indexed column's
+    // stats for it would be silently wrong — the rewrite must resolve
+    // the aggregate child through the alias substitution and veto the
+    // non-attribute result.
+    val shadowed = spark.read.parquet(dir)
+      .select(col("src"), (col("m") * 2).as("m"))
+      .groupBy(col("src"))
+      .agg(sum(col("m")).as("sm"), min(col("m")).as("lo"))
+      .orderBy(col("src"))
+    assert(scansLake(shadowed), "shadowing alias must veto the rewrite")
+    def optL(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.getLong(i)
+    val got = shadowed.collect().map(r =>
+      (r.getString(0), optL(r, 1), optL(r, 2))).toSeq
+    assert(got == Seq((null, 6L, 6L), ("blue", 10L, 10L),
+      ("green", null, null), ("red", 34L, 14L)))
+    // a PURE rename resolves back to the spec column and serves
+    val renamed = spark.read.parquet(dir)
+      .select(col("src"), col("m").as("mm"))
+      .groupBy(col("src")).agg(sum(col("mm")).as("sm"))
+      .orderBy(col("src"))
+    val got2 = renamed.collect().map(r =>
+      (r.getString(0), optL(r, 1))).toSeq
+    assert(got2 == Seq((null, 3L), ("blue", 5L), ("green", null),
+      ("red", 17L)))
+    assert(!scansLake(renamed), "rename must serve from the index")
+  }
+
+  test("legacy hashCode-named artifact is reclaimed after the SHA build") {
+    val d = TestSpark.tmpDir("gagg-legacy")
+    val staging = TestSpark.tmpDir("stage-ga-legacy")
+    Seq(("red", 10L, 1L), ("blue", 5L, 2L)).toDF("src", "m", "m2")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$d/a.parquet"))
+    val (keyCols, measureCols) = (Seq("src"), Seq("m", "m2"))
+    // fabricate the pre-SHA generation: same spec, 32-bit hashCode name
+    val sigSrc = ((keyCols.map(c => s"${c.length}:$c") :+ "#") ++
+      measureCols.map(c => s"${c.length}:$c")).mkString("|")
+    val legacy = graft.core.IndexStore.indexPath(d,
+      s"agg_${(keyCols ++ measureCols).mkString("_")}_k1m2" +
+        f"h${sigSrc.hashCode & 0xffffffffL}%08x")
+    graft.core.IndexStore.ensure(legacy) {
+      AggIndex.build(spark, graft.core.Lake.listFiles(d),
+        keyCols, measureCols, legacy)
+    }
+    assert(graft.core.Fs.exists(spark, legacy))
+    val p = AggIndex.ensureRegistered(spark, d, keyCols, measureCols)
+    assert(p != legacy)
+    assert(graft.core.Fs.exists(spark, p), "SHA-named artifact must exist")
+    assert(!graft.core.Fs.exists(spark, legacy),
+      "legacy same-spec artifact must be deregistered and deleted")
+    // a second ensure is a clean no-op (nothing legacy left to reclaim)
+    assert(AggIndex.ensureRegistered(spark, d, keyCols, measureCols) == p)
+  }
+
   test("key names colliding with aggregate aliases are rejected at registration") {
     def lake(tag: String, cols: Seq[String]): String = {
       val d = TestSpark.tmpDir(s"gagg-$tag")

@@ -105,6 +105,48 @@ class VamanaSpec extends AnyFunSuite {
       "warm fast-path search ran Spark jobs")
   }
 
+  test("facade vamana serving: bit-identical to the Spark plan, zero jobs warm") {
+    val dir = TestSpark.tmpDir("vamserve-lake")
+    val staging = TestSpark.tmpDir("vamserve-stage")
+    vecs.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$dir/a.parquet"))
+    val lake = graft.api.GraftLake(spark, dir)
+    // production config (global-medoid seed, bounded beam): the shape
+    // the warm hook is for — the exact config also serves, pinned by
+    // the lake_api_vamana oracle entry
+    val kind = graft.api.VamanaKind("vec_id", l = 64, seedAll = false)
+    lake.index(kind, "embedding", binpackRows = 1)
+    val q = vecs(12)._2.mkString(",")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSeq
+    graft.index.Serve.clearCaches()
+    // small k routes through the serve tier; the analytical-k call
+    // keeps the distributed plan — both must answer identically
+    val served = lake.search(kind, "embedding", q, 5)
+    val dist = lake.search(kind, "embedding", q, 100000)
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+    assert(rows(served) == rows(dist))
+    // warm repeat: zero Spark jobs end to end (beam working set +
+    // hit rows cache-resident)
+    val sc = spark.sparkContext
+    sc.setJobGroup("vamserve-warm", "vamserve-warm")
+    val warm = try rows(lake.search(kind, "embedding", q, 5))
+      finally sc.clearJobGroup()
+    assert(warm == rows(dist))
+    val j = sc.statusTracker.getJobIdsForGroup("vamserve-warm").length
+    assert(j == 0, s"warm facade vamana search ran $j Spark jobs")
+    // the exact configuration through the facade serves the same rows
+    // as its distributed twin too
+    val exactKind = graft.api.VamanaKind("vec_id")
+    val se = lake.search(exactKind, "embedding", q, 5)
+    val de = lake.search(exactKind, "embedding", q, 100000)
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+    assert(rows(se) == rows(de))
+  }
+
   test("merge of two disjoint graphs searches like one") {
     val (l, r) = vecs.partition(_._1 < 30L)
     val (ia, ib, im) = (TestSpark.tmpDir("va"), TestSpark.tmpDir("vb"),

@@ -171,6 +171,78 @@ class VectorSpec extends AnyFunSuite {
     assert(j == 0, s"warm facade vector search ran $j Spark jobs")
   }
 
+  test("non-selective facade probe declines BEFORE any fetch: zero jobs") {
+    val dir = TestSpark.tmpDir("vgate-lake")
+    val staging = TestSpark.tmpDir("vgate-stage")
+    vecs.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$dir/a.parquet"))
+    val lake = graft.api.GraftLake(spark, dir)
+    val kind = graft.api.VectorKind("vec_id")
+    val p = lake.index(kind, "embedding", binpackRows = 1).head
+    val q = vecs(5)._2
+    // one served call warms the metaRows/version caches
+    graft.index.Serve.clearCaches()
+    lake.search(kind, "embedding", q.mkString(","), 5).collect()
+    val saved = graft.index.Serve.MaxServeRows
+    val sc = spark.sparkContext
+    try {
+      // shrink the budget below the lake's row count: the probe is now
+      // non-selective BY THE PRE-GATE and must decline for free — no
+      // code-slice fetch, no Spark job, just None (the caller then runs
+      // the distributed plan it would have run anyway)
+      graft.index.Serve.MaxServeRows = 10L
+      sc.setJobGroup("vgate-decline", "vgate-decline")
+      val declined =
+        try graft.index.Serve.vectorLake(spark, p, "embedding", q, 5,
+          Int.MaxValue, Int.MaxValue, "vec_id")
+        finally sc.clearJobGroup()
+      assert(declined.isEmpty, "oversized index must decline the serve path")
+      val j = sc.statusTracker.getJobIdsForGroup("vgate-decline").length
+      assert(j == 0, s"declining probe ran $j Spark jobs")
+      // the vamana gate shares the discipline
+      sc.setJobGroup("vamgate-decline", "vamgate-decline")
+      val vdecl =
+        try graft.index.Serve.vamanaLake(spark, p, "embedding", q, 5,
+          64, false, "vec_id")
+        finally sc.clearJobGroup()
+      assert(vdecl.isEmpty)
+      assert(sc.statusTracker.getJobIdsForGroup("vamgate-decline").isEmpty)
+    } finally {
+      graft.index.Serve.MaxServeRows = saved
+      graft.index.Serve.clearCaches()
+    }
+  }
+
+  test("half-deleted vector index: warm hook falls through and self-heals") {
+    val dir = TestSpark.tmpDir("vheal-lake")
+    val staging = TestSpark.tmpDir("vheal-stage")
+    vecs.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(graft.core.Lake.listFiles(staging).head),
+      java.nio.file.Paths.get(s"$dir/a.parquet"))
+    val lake = graft.api.GraftLake(spark, dir)
+    val kind = graft.api.VectorKind("vec_id")
+    val p = lake.index(kind, "embedding", binpackRows = 1).head
+    val q = vecs(5)._2.mkString(",")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSeq
+    val want = rows(lake.search(kind, "embedding", q, 5))
+    // crashed vacuum: deleteRec removes the marker FIRST, then walks
+    // the subtables — simulate the mid-walk state. The warm hook's
+    // probe (centroids/cells reads) throws here; search() must fall
+    // through to the distributed path, which demotes the marker-less
+    // index to in-situ and still answers — never surface an exception
+    java.nio.file.Files.delete(java.nio.file.Paths.get(p, "_GRAFT_DONE"))
+    for (t <- Seq("centroids", "cells"))
+      graft.core.Fs.deleteRec(spark, s"$p/$t")
+    val healed = lake.search(kind, "embedding", q, 5)
+    assert(rows(healed) == want, "self-healed search must answer identically")
+  }
+
   test("zero-norm vectors survive the exact PQ configuration") {
     val withZero = vecs :+ (99L -> Seq.fill(8)(0.0))
     val df = withZero.toDF("vec_id", "v")
