@@ -139,22 +139,32 @@ object Clustering {
     * prep instead, and at 100 TB semantic dedup blocks on the IVF
     * index's stored cells, not a per-call kmeans).
     */
-  private def kmeansCtes(scaledC0: Boolean = false): String = {
+  /** `baseCut = true` derives seeds AND centroids from the BASE subset
+    * only (vec_id below the 90% id cut) while `d2` still assigns ALL
+    * vectors — the incremental-append oracle: centroids frozen at the
+    * pre-append corpus, appended vectors assigned against them.
+    */
+  private def kmeansCtes(scaledC0: Boolean = false,
+      baseCut: Boolean = false): String = {
     val dim = Similarity.VecDim
+    val src = if (baseCut) "eb" else "e"
     val seedBound =
-      if (scaledC0) s"(SELECT greatest($K, count(*) // 250) FROM e)"
+      if (scaledC0) s"(SELECT greatest($K, count(*) // 250) FROM $src)"
       else s"$K"
+    val ebCte = if (baseCut)
+      "eb AS (SELECT * FROM e WHERE vec_id < (SELECT (max(vec_id) + 1) * 9 // 10 FROM e)),\n"
+    else ""
     s"""e AS (SELECT vec_id, [CAST(round(x * $Quant) AS BIGINT) for x in embedding::DOUBLE[]] AS q FROM embeddings),
-       |c0 AS (SELECT vec_id AS k, q FROM e
+       |${ebCte}c0 AS (SELECT vec_id AS k, q FROM $src
        |       WHERE vec_id < $seedBound),
-       |d1 AS (SELECT e.vec_id, c0.k,
-       |         list_sum([(e.q[i] - c0.q[i]) * (e.q[i] - c0.q[i]) for i in generate_series(1, $dim)]) AS dist
-       |       FROM e CROSS JOIN c0),
+       |d1 AS (SELECT $src.vec_id, c0.k,
+       |         list_sum([($src.q[i] - c0.q[i]) * ($src.q[i] - c0.q[i]) for i in generate_series(1, $dim)]) AS dist
+       |       FROM $src CROSS JOIN c0),
        |a1 AS (SELECT vec_id, k AS cluster FROM (
        |         SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d1) t
        |       WHERE rn = 1),
-       |p1 AS (SELECT a1.cluster, g.i, e.q[g.i] AS qd
-       |       FROM a1 JOIN e USING (vec_id) CROSS JOIN generate_series(1, $dim) g(i)),
+       |p1 AS (SELECT a1.cluster, g.i, $src.q[g.i] AS qd
+       |       FROM a1 JOIN $src USING (vec_id) CROSS JOIN generate_series(1, $dim) g(i)),
        |m1 AS (SELECT cluster, i, (sum(qd) + count(*) * $Off) // count(*) - $Off AS m
        |       FROM p1 GROUP BY cluster, i),
        |c1 AS (SELECT cluster AS k, list(m ORDER BY i) AS q FROM m1 GROUP BY cluster),
@@ -224,8 +234,16 @@ object Clustering {
     * single-assignment twin); pairs sharing two cells dedup through
     * the DISTINCT. Emits (i, j, cos ≥ τ), i < j.
     */
-  def semanticDedupIndexed(s: SparkSession, dir: String): DataFrame = {
-    val cells = s.read.parquet(s"${ensureCells(s, dir)}/cells")
+  def semanticDedupIndexed(s: SparkSession, dir: String): DataFrame =
+    semanticPairsOverCells(s, dir,
+      s.read.parquet(s"${ensureCells(s, dir)}/cells"))
+
+  /** The join half of SemDeDup over ANY (vec_id, cell) assignment
+    * table: within-cell candidate pairs (deduped across shared cells),
+    * exact cosine, τ filter.
+    */
+  private def semanticPairsOverCells(s: SparkSession, dir: String,
+      cells: DataFrame): DataFrame = {
     val cand = cells.select(col("vec_id").as("i"), col("cell"))
       .join(cells.select(col("vec_id").as("j"), col("cell")), Seq("cell"))
       .filter(col("i") < col("j"))
@@ -240,9 +258,11 @@ object Clustering {
       .select(col("i"), col("j"), col("cos"))
   }
 
-  private def semanticIndexedSql: String =
-    s"""WITH ${kmeansCtes(scaledC0 = true)},
-       |a2 AS (SELECT vec_id, k AS cell FROM (
+  /** The within-cell pair + cosine tail shared by the indexed and
+    * incremental SemDeDup oracles (both assign through `d2`).
+    */
+  private def semanticCellsTail: String =
+    s"""a2 AS (SELECT vec_id, k AS cell FROM (
        |         SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn FROM d2) t
        |       WHERE rn <= $IvfProbe),
        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -256,6 +276,14 @@ object Clustering {
        |WHERE round(list_sum([a.v[q] * b.v[q] for q in generate_series(1, len(a.v))]) /
        |        (sqrt(list_sum([a.v[q] * a.v[q] for q in generate_series(1, len(a.v))])) *
        |         sqrt(list_sum([b.v[q] * b.v[q] for q in generate_series(1, len(b.v))]))), 4) >= ${Similarity.DedupTau}""".stripMargin
+
+  private def semanticIndexedSql: String =
+    s"""WITH ${kmeansCtes(scaledC0 = true)},
+       |$semanticCellsTail""".stripMargin
+
+  private def semanticIncrementalSql: String =
+    s"""WITH ${kmeansCtes(scaledC0 = true, baseCut = true)},
+       |$semanticCellsTail""".stripMargin
 
   // ---- IVF-cell KNN join (the production neighbor graph) -------------
 
@@ -420,10 +448,151 @@ object Clustering {
       numCells: Int, name: String): String = {
     val p = graft.core.IndexStore.indexPath(dir, name)
     graft.core.IndexStore.ensure(p) {
-      cellAssignments(quantize(Similarity.embeddings(s, dir)), numCells)
-        .write.mode("overwrite").parquet(s"$p/cells")
+      buildCellsArtifact(s, quantize(Similarity.embeddings(s, dir)),
+        numCells, p)
     }
     p
+  }
+
+  /** Write a cells artifact: the CENTROID table first (the append
+    * path's assignment target), then the [[IvfProbe]]-way assignments
+    * of every input vector AGAINST THE READ-BACK persisted centroids —
+    * initial build and incremental appends flow through the same
+    * table, so they can never diverge (integer arithmetic, exact
+    * through the parquet round-trip). Same math as [[cellAssignments]]
+    * (ClusteringSpec pins the distributed form bit-equal to the
+    * literal twin).
+    */
+  private def buildCellsArtifact(s: SparkSession, e: DataFrame,
+      numCells: Int, p: String): Unit = {
+    val seeds = e.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("ck"), col("q").as("cq"))
+    recomputeDf(assignDf(e, seeds), e)
+      .write.mode("overwrite").parquet(s"$p/centroids")
+    assignTopDf(e, s.read.parquet(s"$p/centroids"), IvfProbe)
+      .write.mode("overwrite").parquet(s"$p/cells")
+  }
+
+  /** Incrementally extend a persisted cells artifact: vectors of `e`
+    * not yet assigned (one linear anti-join against the cells table)
+    * are assigned against the PERSISTED centroid table — a broadcast
+    * join whose cost is appended-rows × K, never the whole-corpus n × K
+    * re-cluster — and appended to the cells table. Centroids do NOT
+    * move (the reference's whole design is bin-packed INCREMENTAL
+    * indexing, backends/iceberg.py:139-158: appended data joins the
+    * existing structure; re-optimization is a separate, explicitly
+    * triggered compaction). Idempotent across retries: the anti-join
+    * skips already-assigned vectors, and Spark's commit protocol keeps
+    * uncommitted task output invisible. Returns the appended count.
+    */
+  private[graft] def appendCells(s: SparkSession, p: String,
+      e: DataFrame): Long = {
+    val assigned = s.read.parquet(s"$p/cells").select("vec_id").distinct()
+    val pending = e.join(assigned, Seq("vec_id"), "left_anti")
+    val n = pending.count()
+    if (n > 0L)
+      assignTopDf(pending, s.read.parquet(s"$p/centroids"), IvfProbe)
+        .write.mode("append").parquet(s"$p/cells")
+    n
+  }
+
+  /** Appends may exceed this fraction of the already-indexed corpus
+    * before [[maintainCells]] re-clusters from scratch: frozen
+    * centroids degrade recall slowly (cell membership grows ≤ 25%
+    * before the gate fires), while a full re-prep is the one remaining
+    * super-linear term — the trade the reference's incremental
+    * indexing makes everywhere.
+    */
+  val CellDriftFrac = 0.25
+
+  /** Maintenance entry point for the persisted cells artifact — the
+    * INCREMENTAL path the production pipeline runs at ingest cadence:
+    * no artifact → full build at the scaled cell count; appended
+    * fraction ≤ [[CellDriftFrac]] → assign ONLY the appended vectors
+    * against the existing centroids ([[appendCells]], cost ∝ appended
+    * rows); past the drift gate → full re-cluster at the corpus's new
+    * scaled count. Returns (artifact path, action taken) where action
+    * ∈ built / appended / noop / reclustered.
+    */
+  def maintainCells(s: SparkSession, dir: String): (String, String) = {
+    val e = quantize(Similarity.embeddings(s, dir))
+    val n = embCount(s, dir)
+    def fullBuild(action: String): (String, String) = {
+      val k = scaledCells(n)
+      val name = s"knn_ivf_cells_$k"
+      val pp = graft.core.IndexStore.indexPath(dir, name)
+      // a same-k artifact from the pre-append generation would no-op
+      // ensure() while missing the appended vectors — detect staleness
+      // by assigned count and rebuild (maintenance cadence, documented)
+      if (graft.core.IndexStore.isBuilt(pp) &&
+          s.read.parquet(s"$pp/cells").select("vec_id").distinct().count() < n)
+        graft.core.Fs.deleteRec(s, pp)
+      (ensureCellsAt(s, dir, k, name), action)
+    }
+    cellArtifacts(s, dir).headOption match {
+      case Some(p) =>
+        val nNew = {
+          val assigned = s.read.parquet(s"$p/cells")
+            .select("vec_id").distinct()
+          e.join(assigned, Seq("vec_id"), "left_anti").count()
+        }
+        if (nNew == 0L) (p, "noop")
+        else if (nNew <= CellDriftFrac * (n - nNew)) {
+          appendCells(s, p, e)
+          (p, "appended")
+        } else fullBuild("reclustered")
+      case None => fullBuild("built")
+    }
+  }
+
+  /** Existing appendable cells artifacts for a lake dir (marker
+    * present AND the centroid table persisted — pre-r12 artifacts
+    * lack it and take the rebuild path), newest cell count first.
+    */
+  private def cellArtifacts(s: SparkSession, dir: String): Seq[String] = {
+    val root = s"${graft.core.IndexStore.root}/" +
+      graft.core.IndexStore.lakeId(dir)
+    // childStats returns scheme-qualified FULL paths — take basenames
+    // and re-join with the plain root so isBuilt's local/remote
+    // dispatch sees the same path shape every other caller passes
+    val names =
+      try graft.core.Fs.childStats(s, root).filter(_._2)
+        .map(t => t._1.substring(t._1.lastIndexOf('/') + 1))
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    names.filter(_.startsWith("knn_ivf_cells_"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("knn_ivf_cells_").toInt).toOption.map(k => (k, n)))
+      .sortBy(-_._1)
+      .map { case (_, nm) => s"$root/$nm" }
+      .filter(p => graft.core.IndexStore.isBuilt(p) &&
+        graft.core.Fs.exists(s, s"$p/centroids"))
+  }
+
+  /** Append-then-search lifecycle over the persisted cells artifact —
+    * the incremental story, oracle-gated: the corpus's first ~90% by
+    * id is clustered and persisted ([[buildCellsArtifact]] at the
+    * BASE's scaled cell count); the remaining ~10% "arrives" as an
+    * append and is assigned against the FROZEN persisted centroids
+    * only ([[appendCells]] — cost ∝ appended rows, never a re-cluster);
+    * SemDeDup then runs over the merged assignment. The DuckDB oracle
+    * derives centroids from the SAME base subset and assigns ALL
+    * vectors against them, so hash equality proves the appended
+    * assignments are bit-identical to what the base centroids dictate —
+    * a silent full re-cluster would move the centroids and fail the
+    * hash. Idempotent across runs: the build is ensure-gated and the
+    * append's anti-join skips already-assigned vectors.
+    */
+  def semanticDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embeddings(s, dir)
+    val p = graft.core.IndexStore.indexPath(dir, "knn_ivf_cells_inc")
+    graft.core.IndexStore.ensure(p) {
+      // integer cut, mirrored by the oracle's (max+1)*9//10
+      val cut = (e.agg(max("vec_id")).collect()(0).getLong(0) + 1L) * 9L / 10L
+      val base = quantize(e.filter(col("vec_id") < cut))
+      buildCellsArtifact(s, base, scaledCells(base.count()), p)
+    }
+    appendCells(s, p, quantize(e))
+    semanticPairsOverCells(s, dir, s.read.parquet(s"$p/cells"))
   }
 
   def knnJoinIvf(s: SparkSession, dir: String): DataFrame =
@@ -596,6 +765,12 @@ object Clustering {
     // scaled IVF cells (clustering amortized once per corpus)
     "dedup_semantic_indexed" -> Q(
       (s, dir) => semanticDedupIndexed(s, dir), semanticIndexedSql),
+    // the INCREMENTAL lifecycle: base corpus clustered + persisted,
+    // appended tail assigned against the frozen centroids, search over
+    // the merged assignment — hash-gated against an oracle that
+    // freezes centroids at the same base
+    "dedup_semantic_incremental" -> Q(
+      (s, dir) => semanticDedupIncremental(s, dir), semanticIncrementalSql),
     "similarity_knn_join" -> Q((s, dir) => knnJoin(s, dir), knnJoinSql),
     "embed_quantize_int8" -> Q((s, dir) => quantizeInt8(s, dir), quantizeSql),
     // all-corpus neighbor graph, IVF-cell-blocked (production path;

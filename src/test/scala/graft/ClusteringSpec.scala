@@ -95,6 +95,69 @@ class ClusteringSpec extends AnyFunSuite {
     assert(dist.nonEmpty && dist == lit)
   }
 
+  test("maintainCells: built, noop, appended (frozen centroids), reclustered") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.tmpDir("cells-maint")
+    val emb = s"$d/embeddings.parquet"
+    def write(r: Range): Unit =
+      r.map(i => (i.toLong,
+          Seq.tabulate(8)(dd => (math.sin(i * 1.7 + dd).abs + 0.1).toFloat),
+          "x"))
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("append").parquet(emb)
+    write(0 until 100)
+    val (p1, a1) = Clustering.maintainCells(spark, d)
+    assert(a1 == "built")
+    val (p2, a2) = Clustering.maintainCells(spark, d)
+    assert(p2 == p1 && a2 == "noop")
+    val centsBefore = spark.read.parquet(s"$p1/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    // +10% arrives: incremental append into the SAME artifact — the
+    // centroids must NOT move, and every vector (old and new) must be
+    // assigned with at most IvfProbe cells
+    write(100 until 110)
+    val (p3, a3) = Clustering.maintainCells(spark, d)
+    assert(p3 == p1 && a3 == "appended", s"got ($p3, $a3)")
+    val centsAfter = spark.read.parquet(s"$p1/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(centsAfter == centsBefore, "append must not move centroids")
+    val cells = spark.read.parquet(s"$p1/cells")
+    assert(cells.select("vec_id").distinct().count() == 110)
+    assert(cells.groupBy("vec_id").count()
+      .agg(max("count")).collect()(0).getLong(0) <= Clustering.IvfProbe)
+    // past the drift gate (+50% of indexed): full re-cluster — same
+    // scaled count here, so the STALE same-name artifact must be
+    // detected by assigned-count and rebuilt over the whole corpus
+    write(110 until 165)
+    val (p4, a4) = Clustering.maintainCells(spark, d)
+    assert(a4 == "reclustered", s"got ($p4, $a4)")
+    assert(spark.read.parquet(s"$p4/cells")
+      .select("vec_id").distinct().count() == 165)
+    assert(spark.read.parquet(s"$p4/centroids")
+      .collect().map(_.toString).sorted.toSeq != centsBefore,
+      "re-cluster must derive centroids from the grown corpus")
+    val (_, a5) = Clustering.maintainCells(spark, d)
+    assert(a5 == "noop")
+  }
+
+  test("incremental SemDeDup lifecycle is idempotent across re-runs") {
+    val got = Clustering.semanticDedupIncremental(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty)
+    // second run: ensure-gated build no-ops, the append's anti-join
+    // finds nothing pending — identical rows, no duplicate assignments
+    val again = Clustering.semanticDedupIncremental(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == got)
+    val p = graft.core.IndexStore.indexPath(sf, "knn_ivf_cells_inc")
+    val cells = spark.read.parquet(s"$p/cells")
+    import org.apache.spark.sql.functions._
+    val n = graft.ops.Similarity.embeddings(spark, sf).count()
+    assert(cells.select("vec_id").distinct().count() == n)
+    assert(cells.count() == cells.distinct().count(), "torn/dup append rows")
+  }
+
   test("indexed SemDeDup: multi-assigned cells superset the per-call blocks") {
     // the persisted cells derive from the SAME deterministic k-means
     // (scaled count == K below the pivot), with IvfProbe-way
