@@ -1161,6 +1161,115 @@ object Serve {
     Some(localDf(spark, outRows, outSchema))
   }
 
+  // ---- explicit pre-warm (the reference's populate_cache) ------------
+
+  /** Pre-load one index's warm-tier slices under the shared [[Budget]]
+    * — the reference's explicit cache pre-warm (`populate_cache`,
+    * backends/utils.py:128-145 → src/formats/cache/cache.rs:11-35:
+    * each index's `cache_ranges` bytes are fetched BEFORE queries), so
+    * first-query latency after deploy / compaction / eviction is
+    * deterministic instead of paying a cold fetch on whichever query
+    * arrives first. The kind is detected from the index's table
+    * layout; every load flows through the same version-keyed fetch
+    * paths queries use (a racing rebuild refuses to cache, the budget
+    * admission check applies). Returns one (tbl, entries) row per
+    * warmed slice family, sorted by tbl; an index past the
+    * [[MaxServeRows]] budget returns zero rows — the serve tier would
+    * decline its queries anyway. Like the reference, this warms the
+    * INDEX tier: per-query lake-row materialization (hit row groups)
+    * still faults in on first touch, and out-of-vocabulary terms pay
+    * one batched negative-caching lookup.
+    */
+  def populate(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    populateRows(spark, path).toDF("tbl", "entries")
+  }
+
+  private[graft] def populateRows(spark: SparkSession,
+      path: String): Seq[(String, Long)] = {
+    // standalone (non-facade) indexes carry no meta sidecar — their
+    // serve paths are governed by the budget admission check alone,
+    // so a missing/unreadable meta does not refuse the warm
+    val overBudget =
+      try totalRows(spark, path) > MaxServeRows
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (overBudget) return Seq.empty
+    def has(t: String): Boolean =
+      graft.core.Fs.exists(spark, s"$path/$t")
+    def postingsTermCol: Option[String] =
+      if (!has("postings")) None
+      else {
+        val fields = spark.read.parquet(s"$path/postings")
+          .schema.fieldNames.toSet
+        Seq("token", "gram", "variant").find(fields.contains)
+      }
+    if (has("docstats") && has("head")) {
+      // bm25: corpus stats + dl table + vocabulary + EVERY term's
+      // posting slice (grouped from one whole-postings read), so the
+      // first ranked query of any in-vocabulary term is job-free
+      val ver = verOf(spark, path)
+      statsOf(spark, path)
+      val dl = dlOf(spark, path)
+      val vocab = vocabOf(spark, path)
+      val rows = spark.read.parquet(s"$path/postings")
+        .select(col("token"), col("doc_id"), col("tf").cast("long"))
+        .collect()
+      restat(spark, s"$path/meta", ver)
+      val byTok = rows.groupBy(_.getString(0))
+      byTok.foreach { case (t, rs) =>
+        tokenCache.put((path, ver, t),
+          rs.map(r => (r.getLong(1), r.getLong(2))))
+      }
+      Seq(("docstats", dl.keys.length.toLong), ("head", 1L),
+        ("postings", byTok.size.toLong), ("vocab", vocab.length.toLong))
+    } else if (has("keys")) {
+      keysOf(spark, path) match {
+        case Some((_, pairs)) => Seq(("keys", pairs.length.toLong))
+        case None => Seq.empty
+      }
+    } else if (has("cells") && has("vecs") && has("centroids")) {
+      // IVF-PQ: centroid head + PQ codebooks + every cell's code and
+      // vector slices — the whole pre-rank and rerank working set
+      import graft.index.{VectorIndex => VI}
+      try VI.requireCurrentFormat(spark, path)
+      catch { case _: Exception => return Seq.empty }
+      val head = VI.centroidHead(spark, path)
+      val dim = head.headOption.map(_._2.length).getOrElse(return Seq.empty)
+      VI.adcTable(spark, path, Seq.fill(dim)(0.0)) // warms the PQ books
+      val ids = head.map(_._1).toSeq
+      val cellsVer = graft.core.Fs.dirSignature(spark, s"$path/cells")
+      val vecsVer = graft.core.Fs.dirSignature(spark, s"$path/vecs")
+      val codes = ivfSlices[(Long, Array[Int], Double)](spark, path,
+        "cells", cellsVer, ids, ivfCodesCache,
+        Seq("centroid", "vec_id", "codes", "vnorm"),
+        r => (r.getLong(1), r.getSeq[Int](2).toArray, r.getDouble(3)),
+        _._1)
+      val vecs = ivfSlices[(Long, Array[Double])](spark, path,
+        "vecs", vecsVer, ids, ivfVecsCache,
+        Seq("centroid", "vec_id", "v"),
+        r => (r.getLong(1), r.getSeq[Double](2).toArray), _._1)
+      if (codes.isEmpty || vecs.isEmpty) Seq.empty
+      else Seq(("cells", ids.size.toLong), ("head", 1L),
+        ("vecs", ids.size.toLong))
+    } else if (has("graph") && has("head")) {
+      Seq(("graph", VamanaIndex.populateNodes(spark, path)), ("head", 1L))
+    } else postingsTermCol match {
+      case Some(tc) if tc != "token" =>
+        // ngram / fuzzy: every term's uid slice from one postings read
+        val ver = verOf(spark, path)
+        val cache = if (tc == "gram") gramCache else variantCache
+        val rows = spark.read.parquet(s"$path/postings")
+          .select(col(tc), col("uid")).collect()
+        restat(spark, s"$path/meta", ver)
+        val byTerm = rows.groupBy(_.getString(0))
+        byTerm.foreach { case (t, rs) =>
+          cache.put((path, ver, t), rs.map(_.getLong(1)).distinct)
+        }
+        Seq(("postings", byTerm.size.toLong))
+      case _ => Seq.empty
+    }
+  }
+
   /** The exact CosineSim + round(6) semantics, driver-side: one-pass
     * dot/norm accumulation in array order, then [[halfUp]] — the same
     * rounding replication the other serve paths use (incl. its

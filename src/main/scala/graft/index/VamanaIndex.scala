@@ -401,6 +401,20 @@ object VamanaIndex {
     }
   }
 
+  /** Pre-warm seam for [[Serve.populateRows]]: cache the head and EVERY
+    * graph node (one full-graph read into the budgeted node cache), so
+    * the first beam after deploy walks entirely driver-side. Returns
+    * the node count warmed.
+    */
+  private[graft] def populateNodes(spark: SparkSession,
+      path: String): Long = {
+    val (ver, _, _) = headOf(spark, path)
+    val ids = spark.read.parquet(s"$path/graph")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    fetchNodes(spark, path, ver, ids)
+    ids.length.toLong
+  }
+
   /** Beam search (reference: vamana.rs:135-168, batched): per round the
     * top-[[BeamW]]-equivalent `w` unexpanded frontier nodes' neighbors
     * are fetched in one job, scored, and merged; the frontier is

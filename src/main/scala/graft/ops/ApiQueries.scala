@@ -54,6 +54,35 @@ object ApiQueries {
     }, Bm25Index.oracleSql("documents", "text", "doc_id",
       SearchQueries.Bm25Query, SearchQueries.Bm25K)),
 
+    // explicit serve-tier pre-warm through the SQL surface (reference
+    // populate_cache): one whole-corpus bm25 index on a dedicated
+    // split alias, graft_warm loads its corpus stats + dl + vocab +
+    // every term's posting slice — the warmed entry counts are
+    // corpus-derivable, so the oracle re-derives them with the
+    // tokenizer's SQL twin (the zero-jobs-after-warm pin is ServeSpec)
+    "sql_tvf_warm" -> Q((s, dir) => {
+      Lake.ensureSplit(s, dir, "documents", "doc_id", 4,
+        alias = "documents_warm")
+      val prefix = Lake.splitPath(dir, "documents_warm")
+      val lake = GraftLake(s, prefix)
+      lake.index(Bm25Kind("doc_id"), "text", binpackRows = 1000000000L)
+      graft.GraftExtensions.register(s)
+      s.sql(s"SELECT * FROM graft_warm('$prefix', 'bm25', 'text')")
+    }, {
+      val toks = graft.text.Text.RegexTokenizer.oracleListExpr("text")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toks) AS token FROM documents)
+         |SELECT * FROM (
+         |  SELECT 0::BIGINT AS idx, 'docstats' AS tbl,
+         |         count(DISTINCT doc_id)::BIGINT AS entries FROM toks
+         |  UNION ALL SELECT 0::BIGINT, 'head', 1::BIGINT
+         |  UNION ALL SELECT 0::BIGINT, 'postings',
+         |         count(DISTINCT token)::BIGINT FROM toks
+         |  UNION ALL SELECT 0::BIGINT, 'vocab',
+         |         count(DISTINCT token)::BIGINT FROM toks) t
+         |ORDER BY idx, tbl""".stripMargin
+    }),
+
     // search-routing observability: explainSearch's file accounting
     // for a fully-covered kind (bm25 over 4 per-file indexes) and a
     // never-indexed kind (all files route in-situ) — deterministic on

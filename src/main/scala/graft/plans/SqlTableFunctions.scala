@@ -372,6 +372,29 @@ object SqlTableFunctions {
        else deleted.map("vacuumed" -> _)) ++ live.map("live" -> _))
   }
 
+  /** `graft_warm(dir, kind, column)` — explicit serve-tier pre-warm
+    * (reference `populate_cache`, backends/utils.py:128-145): load
+    * every covering index's warm slices (corpus stats, dl/vocab
+    * tables, per-term posting slices, IVF code/vector slices, graph
+    * nodes) under the serve budget, so first-query latency after
+    * deploy/compaction/eviction is deterministic. One (idx, tbl,
+    * entries) row per warmed slice family per covering index;
+    * oversized indexes warm nothing (the tier declines their queries).
+    */
+  private def warmBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3, "graft_warm(dir, kind, column)")
+    val spark = SparkSession.active
+    import spark.implicits._
+    val lake = GraftLake.auto(spark, str(args(0), "dir"))
+    val paths = lake.coverageByName(str(args(1), "kind"),
+      str(args(2), "column")).map(_._1).sorted
+    val rows = paths.zipWithIndex.flatMap { case (p, i) =>
+      graft.index.Serve.populateRows(spark, p)
+        .map { case (t, n) => (i.toLong, t, n) }
+    }
+    planOf(rows.toDF("idx", "tbl", "entries").orderBy("idx", "tbl"))
+  }
+
   private def layoutBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 1, "graft_layout(path)")
     val spark = SparkSession.active
@@ -393,6 +416,7 @@ object SqlTableFunctions {
       "graft_advise" -> (adviseBuilder(_)),
       "graft_dedup" -> (dedupBuilder(_)),
       "graft_wildcard" -> (wildcardBuilder(_)),
+      "graft_warm" -> (warmBuilder(_)),
       "graft_index" -> (indexBuilder(_)),
       "graft_compact" -> (compactBuilder(_)),
       "graft_vacuum" -> (vacuumBuilder(_)),

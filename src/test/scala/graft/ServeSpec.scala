@@ -80,6 +80,58 @@ class ServeSpec extends AnyFunSuite {
     assert(j == 0, s"warm bm25 lookup ran $j Spark jobs")
   }
 
+  test("populate pre-warm: the FIRST query after a warm runs zero jobs") {
+    val q = "vector stream"
+    val viaSpark = Bm25Index.search(spark, bm25Idx, q, 10).collect().toSeq
+    // cold caches, explicit populate (the reference populate_cache):
+    // the very first query afterwards must already be job-free — no
+    // nondeterministic cold-start on whichever query arrives first
+    Serve.clearCaches()
+    val rows = Serve.populate(spark, bm25Idx).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.keySet == Set("docstats", "head", "postings", "vocab"))
+    assert(rows("docstats") == corpus.size.toLong) // every doc has tokens
+    assert(rows("postings") == rows("vocab") && rows("vocab") > 0)
+    val j = jobs("serve-populate-first") {
+      assert(Serve.bm25(spark, bm25Idx, q, 10).collect().toSeq == viaSpark)
+    }
+    assert(j == 0, s"first query after populate ran $j Spark jobs")
+    // ngram populate: first exact-contains probe is job-free up to the
+    // hit-row materialization (which faults in lake rows per query) —
+    // pin that the GRAM slices are warm by checking the uid probe path
+    Serve.clearCaches()
+    val np = Serve.populate(spark, ngramIdx).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(np.keySet == Set("postings") && np("postings") > 0)
+    // key populate: whole key table warm, first exact lookup job-free
+    // after the shared row materialization of its hits
+    Serve.clearCaches()
+    val kp = Serve.populate(spark, keyIdx).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kp.keySet == Set("keys") && kp("keys") > 0)
+  }
+
+  test("populate pre-warm: IVF vector index, first served probe job-free") {
+    val vecs = (0L until 40L).map { i =>
+      i -> Seq.tabulate(8)(d => math.sin(i * 1.7 + d).abs + 0.1)
+    }
+    val idx = TestSpark.tmpDir("serve-populate-ivf")
+    graft.index.VectorIndex.build(spark, vecs.toDF("vec_id", "v"), idx)
+    val qv = vecs(3)._2
+    val viaSpark = graft.index.VectorIndex
+      .searchPq(spark, idx, qv, 5, 4, 10).collect().map(_.toString).toSeq
+    Serve.clearCaches()
+    val rows = Serve.populate(spark, idx).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.keySet == Set("cells", "head", "vecs"))
+    assert(rows("cells") == rows("vecs") && rows("cells") > 0)
+    val j = jobs("serve-populate-ivf-first") {
+      assert(Serve.ivfPq(spark, idx, qv, 5, 4, 10)
+        .collect().map(_.toString).toSeq == viaSpark)
+    }
+    assert(j == 0, s"first IVF probe after populate ran $j Spark jobs")
+  }
+
   test("bm25 fast path across SEVERAL covering indexes (global IDF)") {
     val a = TestSpark.tmpDir("serve-bm25a")
     val b = TestSpark.tmpDir("serve-bm25b")
