@@ -56,7 +56,11 @@ object ScaleBench {
       }
       java.nio.file.Files.createDirectories(d)
       java.nio.file.Files.createFile(partialMarker)
-      generate(spark, srcDir, dir, copies = 10)
+      // SPARK_GRAFT_SCALE_COPIES widens the synthesized corpus (10 =
+      // sf1; 100 = sf10 for the decade checks of the scaled-width rules)
+      generate(spark, srcDir, dir,
+        copies = sys.env.get("SPARK_GRAFT_SCALE_COPIES")
+          .map(_.toInt).getOrElse(10))
       java.nio.file.Files.createFile(doneMarker)
       java.nio.file.Files.deleteIfExists(partialMarker)
     }
@@ -250,6 +254,22 @@ object ScaleBench {
         val k = math.max(8L, n / 250L).toInt
         graft.ops.Clustering.knnJoinIvfPersisted(spark, dir, k).count()
       }),
+      // the incremental story (r12): the base 90% clustered once (the
+      // amortized prep this op times), then the 10% tail appended
+      // against the FROZEN persisted centroids — append cost must
+      // track APPENDED rows (one anti-join + broadcast assignment),
+      // never the n×K re-cluster the full prep pays
+      "cells_build_base90" -> (() => {
+        val e = graft.ops.Similarity.embeddings(spark, dir)
+        val cut = (e.agg(max("vec_id")).collect()(0).getLong(0) + 1L) * 9L / 10L
+        graft.core.IndexStore.ensure(idx("cellsinc")) {
+          graft.ops.Clustering.buildCellsFor(spark,
+            e.filter(col("vec_id") < cut), idx("cellsinc"))
+        }
+      }),
+      "cells_append_10pct" -> (() =>
+        graft.ops.Clustering.appendCellsFrom(spark, idx("cellsinc"),
+          graft.ops.Similarity.embeddings(spark, dir))),
       // build a join-tuned IVF index once (timed as the prep op:
       // cells sized for bounded membership, not the search-probe n/10k
       // rule), then measure the AMORTIZED neighbor graph over it

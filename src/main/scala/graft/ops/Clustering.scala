@@ -35,7 +35,7 @@ object Clustering {
     * the SAME count from the same table (`greatest(K, count//250)`),
     * so hash-equality holds at every scale.
     */
-  private def scaledCells(n: Long): Int =
+  private[graft] def scaledCells(n: Long): Int =
     math.max(K.toLong, n / 250L).toInt
 
   // the corpus count behind scaledCells, cached by the dir's content
@@ -495,6 +495,21 @@ object Clustering {
         .write.mode("append").parquet(s"$p/cells")
     n
   }
+
+  /** ScaleBench/test seam: build a cells artifact over a raw
+    * embeddings frame at its own scaled cell count.
+    */
+  private[graft] def buildCellsFor(s: SparkSession, ev: DataFrame,
+      p: String): Unit = {
+    val base = quantize(ev)
+    buildCellsArtifact(s, base, scaledCells(base.count()), p)
+  }
+
+  /** ScaleBench/test seam: append a raw embeddings frame's
+    * not-yet-assigned vectors to a persisted artifact.
+    */
+  private[graft] def appendCellsFrom(s: SparkSession, p: String,
+      ev: DataFrame): Long = appendCells(s, p, quantize(ev))
 
   /** Appends may exceed this fraction of the already-indexed corpus
     * before [[maintainCells]] re-clusters from scratch: frozen

@@ -79,7 +79,15 @@ class ClusteringSpec extends AnyFunSuite {
     assert(scaledBandBits(4096L) == 4)  // 256·2^4 == 4096: still 4
     assert(scaledBandBits(4097L) == 5)  // first n past the pivot
     assert(scaledBandBits(20000L) == 7) // sf1-scale corpus
+    // the next two decades (sf10/sf100), pinned against the DuckDB
+    // oracle expression's values (min b with 256·2^b ≥ n: 10 and 13;
+    // scaledCells: greatest(8, n // 250): 800 and 8000) — the
+    // cross-engine decade check of the r11 width rules
+    assert(scaledBandBits(200000L) == 10)
+    assert(scaledBandBits(2000000L) == 13)
     assert(scaledBandBits(Long.MaxValue / 4) == 16) // signature cap
+    assert(Clustering.scaledCells(200000L) == 800)
+    assert(Clustering.scaledCells(2000000L) == 8000)
   }
 
   test("distributed cell assignment is bit-equal to the literal-centroid twin") {
