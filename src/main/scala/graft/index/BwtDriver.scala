@@ -344,6 +344,23 @@ trait BwtDriver {
     hits ++ fetched
   }
 
+  /** Pre-warm seam ([[graft.index.Serve.populateRows]]): cache the
+    * head and EVERY chunk of one index (one id-listing job + one
+    * batched fetch, both through the version-keyed paths searches
+    * use), so the first backward search after deploy walks warm —
+    * subject to the shared budget's admission/eviction like any other
+    * fetch. Returns the chunk count warmed.
+    */
+  private[graft] def populateChunks(spark: SparkSession,
+      path: String): Long = {
+    val v = graft.core.Fs.dirSignature(spark, s"$path/head")
+    headAt(spark, path, v)
+    val ids = spark.read.parquet(s"$path/$chunkDir")
+      .select(col("chunk")).distinct().collect().map(_.getLong(0)).toSeq
+    fetchChunks(spark, Map(path -> ids), Map(path -> v))
+    ids.length.toLong
+  }
+
   protected def chunkAt(spark: SparkSession, path: String, id: Long,
       v: Long): Chunk = {
     val got = fetchChunks(spark, Map(path -> Seq(id)), Map(path -> v))

@@ -1253,6 +1253,12 @@ object Serve {
         ("vecs", ids.size.toLong))
     } else if (has("graph") && has("head")) {
       Seq(("graph", VamanaIndex.populateNodes(spark, path)), ("head", 1L))
+    } else if (has("fm")) {
+      Seq(("fm", FmIndex.populateChunks(spark, path)), ("head", 1L))
+    } else if (has("tfm2")) {
+      Seq(("head", 1L), ("tfm2", TokenFmIndex.populateChunks(spark, path)))
+    } else if (has("wt")) {
+      Seq(("head", 1L), ("wt", WaveletIndex.populateChunks(spark, path)))
     } else postingsTermCol match {
       case Some(tc) if tc != "token" =>
         // ngram / fuzzy: every term's uid slice from one postings read

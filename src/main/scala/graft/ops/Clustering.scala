@@ -355,8 +355,22 @@ object Clustering {
     * same); map-side combine reduces the shuffle to one row per
     * vector.
     */
+  /** Spread the vector side across the cluster BEFORE the n×K
+    * assignment work: the distance evaluation happens in the scan-side
+    * project/partial-agg, so its parallelism is the INPUT partition
+    * count — a one-file corpus (50 MB of vectors, i.e. one
+    * maxPartitionBytes split) would serialize the whole quadratic term
+    * onto one core (measured: sf10's 160M-distance assignment ran at
+    * load 1.0 on 32 cores). One hash shuffle of n rows is noise next
+    * to the n×K work it parallelizes; results are partition-invariant
+    * (groupBy/window by vec_id downstream).
+    */
+  private def spread(e: DataFrame): DataFrame =
+    e.repartition(e.sparkSession.sparkContext.defaultParallelism,
+      col("vec_id"))
+
   private def assignDf(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
+    spread(e).crossJoin(broadcast(cents))
       .withColumn("dist",
         aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
           lit(0L), (acc, x) => acc + x))
@@ -370,7 +384,7 @@ object Clustering {
   private def assignTopDf(e: DataFrame, cents: DataFrame,
       p: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("ck"))
-    e.crossJoin(broadcast(cents))
+    spread(e).crossJoin(broadcast(cents))
       .withColumn("dist",
         aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
           lit(0L), (acc, x) => acc + x))

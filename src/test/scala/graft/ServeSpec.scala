@@ -111,6 +111,22 @@ class ServeSpec extends AnyFunSuite {
     assert(kp.keySet == Set("keys") && kp("keys") > 0)
   }
 
+  test("populate pre-warm: BWT chunk tier (fm index)") {
+    val p = TestSpark.tmpDir("serve-populate-fm")
+    graft.index.FmIndex.build(spark, files, "text", p)
+    Serve.clearCaches()
+    val rows = Serve.populate(spark, p).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.keySet == Set("fm", "head") && rows("fm") > 0)
+    // the warmed walk answers identically to a cold one
+    val warm = graft.index.FmIndex.search(spark, p, "text", "needle")
+      .collect().map(_.toString).toSet
+    Serve.clearCaches()
+    val cold = graft.index.FmIndex.search(spark, p, "text", "needle")
+      .collect().map(_.toString).toSet
+    assert(warm == cold && warm.nonEmpty)
+  }
+
   test("populate pre-warm: IVF vector index, first served probe job-free") {
     val vecs = (0L until 40L).map { i =>
       i -> Seq.tabulate(8)(d => math.sin(i * 1.7 + d).abs + 0.1)
