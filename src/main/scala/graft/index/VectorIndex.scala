@@ -514,19 +514,15 @@ object VectorIndex {
       i -> Seq(i, nn)
     }.toMap
     val probeLit = typedLit(probes)
-    // ONE read of the vecs table serves the candidate explode and both
-    // scoring sides of topKByCosine — re-planning it per use would
-    // triple the scan IO of the very table this join amortizes
-    val stored = s.read.parquet(s"$path/vecs")
-    val vecs = stored
+    // vectors ride the cell-expansion rows directly into the scored
+    // within-cell self-join (Similarity.scoredPairsInGroups): one vecs
+    // read, and no pair row ever shuffles with vectors attached
+    val vecs = s.read.parquet(s"$path/vecs")
       .select(explode(element_at(probeLit, col("centroid"))).as("cell"),
         col("vec_id"), col("v"))
-    val a = vecs.select(col("cell"), col("vec_id").as("i"))
-    val b = vecs.select(col("cell"), col("vec_id").as("j"))
-    val cand = a.join(b, Seq("cell")).filter(col("i") =!= col("j"))
-      .select("i", "j").distinct()
-    graft.ops.Similarity.topKByCosine(s, cand,
-      stored.select("vec_id", "v"))
+    graft.ops.Similarity.topKFromScored(
+      graft.ops.Similarity.scoredPairsInGroups(s, vecs, Seq("cell"),
+        directed = true, scale = 6))
   }
 
   def ensureBuilt(s: SparkSession, dir: String): String = {

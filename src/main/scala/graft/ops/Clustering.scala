@@ -244,18 +244,15 @@ object Clustering {
     */
   private def semanticPairsOverCells(s: SparkSession, dir: String,
       cells: DataFrame): DataFrame = {
-    val cand = cells.select(col("vec_id").as("i"), col("cell"))
-      .join(cells.select(col("vec_id").as("j"), col("cell")), Seq("cell"))
-      .filter(col("i") < col("j"))
-      .select("i", "j").distinct()
-    val e = Similarity.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
-    cand.join(a, Seq("i")).join(b, Seq("j"))
-      .withColumn("cos",
-        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 4))
+    // vectors ride the CELL join ([[Similarity.scoredPairsInGroups]]):
+    // pairs are scored in-stream inside the within-cell self-join, so
+    // no pair row ever shuffles with vectors attached
+    val grouped = cells.join(
+      Similarity.embeddings(s, dir).select(col("vec_id"), col("v")),
+      Seq("vec_id"))
+    Similarity.scoredPairsInGroups(s, grouped, Seq("cell"),
+      directed = false, scale = 4)
       .filter(col("cos") >= Similarity.DedupTau)
-      .select(col("i"), col("j"), col("cos"))
   }
 
   /** The within-cell pair + cosine tail shared by the indexed and
@@ -665,11 +662,12 @@ object Clustering {
           count(lit(1)).over(Window.partitionBy("cell")))
         .filter(col("csz") <= c).drop("csz")
     }
-    val cand = cells.select(col("vec_id").as("i"), col("cell"))
-      .join(cells.select(col("vec_id").as("j"), col("cell")), Seq("cell"))
-      .filter(col("i") =!= col("j"))
-      .select("i", "j").distinct()
-    Similarity.topKByCosine(s, cand, ev)
+    // score inside the within-cell self-join (vectors shuffle once by
+    // cell, never attached to pair rows — Similarity.scoredPairsInGroups)
+    val grouped = cells.join(ev.select(col("vec_id"), col("v")),
+      Seq("vec_id"))
+    Similarity.topKFromScored(Similarity.scoredPairsInGroups(s, grouped,
+      Seq("cell"), directed = true, scale = 6))
   }
 
   private def knnJoinIvfSql: String =

@@ -167,19 +167,11 @@ object Similarity {
     */
   def embeddingDedupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val banded = lshBands(e)
-    val cand = banded.select(col("vec_id").as("i"), col("k"), col("band"))
-      .join(banded.select(col("vec_id").as("j"), col("k"), col("band")),
-        Seq("k", "band"))
-      .filter(col("i") < col("j"))
-      .select("i", "j").distinct()
-    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
-    cand.join(a, Seq("i")).join(b, Seq("j"))
-      .withColumn("cos",
-        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 4))
+    val grouped = lshBands(e).join(e.select(col("vec_id"), col("v")),
+      Seq("vec_id"))
+    scoredPairsInGroups(s, grouped, Seq("k", "band"), directed = false,
+      scale = 4)
       .filter(col("cos") >= DedupTau)
-      .select(col("i"), col("j"), col("cos"))
   }
 
   /** The md5-hyperplane SIGNATURE derivation (e → eq → h → dots →
@@ -289,13 +281,11 @@ object Similarity {
     */
   def knnJoinLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
-    val banded = lshBands(e)
-    val cand = banded.select(col("vec_id").as("i"), col("k"), col("band"))
-      .join(banded.select(col("vec_id").as("j"), col("k"), col("band")),
-        Seq("k", "band"))
-      .filter(col("i") =!= col("j")) // directed: each side keeps its own top-k
-      .select("i", "j").distinct()
-    topKByCosine(s, cand, e)
+    val grouped = lshBands(e).join(e.select(col("vec_id"), col("v")),
+      Seq("vec_id"))
+    // directed: each side keeps its own top-k
+    topKFromScored(scoredPairsInGroups(s, grouped, Seq("k", "band"),
+      directed = true, scale = 6))
   }
 
   /** Band-bucket occupancy target of the scaled LSH paths. */
@@ -336,32 +326,26 @@ object Similarity {
     */
   def knnJoinLshScaled(s: SparkSession, dir: String,
       cap: Int = LshBucketCap): DataFrame =
-    topKByCosine(s, lshScaledCand(s, dir, cap, directed = true),
-      embeddings(s, dir))
+    topKFromScored(scoredPairsInGroups(s, lshScaledGrouped(s, dir, cap),
+      Seq("k", "band"), directed = true, scale = 6))
 
   /** Skew cap of the scaled LSH paths (see [[knnJoinLshScaled]]). */
   val LshBucketCap = 4096
 
-  /** Width-scaled, skew-capped LSH candidate pairs — the shared
-    * candidate half of [[knnJoinLshScaled]] and
-    * [[embeddingDedupLshScaled]] (`directed` keeps (i,j) AND (j,i) for
-    * per-left-row top-k; undirected keeps i < j for dedup pairs).
+  /** Width-scaled, skew-capped LSH bucket membership WITH vectors
+    * attached — the shared blocking half of [[knnJoinLshScaled]] and
+    * [[embeddingDedupLshScaled]], shaped for [[scoredPairsInGroups]].
     */
-  private def lshScaledCand(s: SparkSession, dir: String, cap: Int,
-      directed: Boolean): DataFrame = {
+  private def lshScaledGrouped(s: SparkSession, dir: String,
+      cap: Int): DataFrame = {
     val e = embeddings(s, dir)
     val bits = scaledBandBits(e.count())
     val banded = lshBandsAt(e, bits)
     val small = banded.groupBy(col("k"), col("band"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
       .select("k", "band")
-    val kept = banded.join(small, Seq("k", "band"), "left_semi")
-    val pair = if (directed) col("i") =!= col("j") else col("i") < col("j")
-    kept.select(col("vec_id").as("i"), col("k"), col("band"))
-      .join(kept.select(col("vec_id").as("j"), col("k"), col("band")),
-        Seq("k", "band"))
-      .filter(pair)
-      .select("i", "j").distinct()
+    banded.join(small, Seq("k", "band"), "left_semi")
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
   }
 
   /** The PRODUCTION shape of [[embeddingDedupLsh]]: the same
@@ -378,17 +362,10 @@ object Similarity {
     * scale, not only below the pivot.
     */
   def embeddingDedupLshScaled(s: SparkSession, dir: String,
-      cap: Int = LshBucketCap): DataFrame = {
-    val e = embeddings(s, dir)
-    val cand = lshScaledCand(s, dir, cap, directed = false)
-    val a = e.select(col("vec_id").as("i"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("j"), col("v").as("vb"))
-    cand.join(a, Seq("i")).join(b, Seq("j"))
-      .withColumn("cos",
-        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 4))
+      cap: Int = LshBucketCap): DataFrame =
+    scoredPairsInGroups(s, lshScaledGrouped(s, dir, cap),
+      Seq("k", "band"), directed = false, scale = 4)
       .filter(col("cos") >= DedupTau)
-      .select(col("i"), col("j"), col("cos"))
-  }
 
   def embeddingDedupLshScaledSql: String =
     lshScaledCandCtes("a.vec_id < b.vec_id", LshBucketCap) + "\n" +
@@ -413,22 +390,47 @@ object Similarity {
        |       FROM sc)
        |SELECT i, j, cos FROM rk WHERE rn <= $KnnJoinK""".stripMargin
 
-  /** Score (i, j) candidate pairs with the exact cosine over `ev`
-    * (vec_id, v) and keep each LEFT row's [[KnnJoinK]] strongest — the
-    * shared scoring tail of every KNN-join variant (LSH bands, fresh
-    * IVF cells, the index's stored cells). Any change to the rounding,
-    * the tie-break, or the k here must reach all three DuckDB oracles.
+  /** Emit and score candidate pairs INSIDE the blocking-group join —
+    * the shared scoring engine of every blocked KNN-join/dedup variant
+    * (LSH bands, fresh/persisted IVF cells, the index's stored cells).
+    * `grouped` is (grpCols…, vec_id, v): vectors shuffle ONCE keyed by
+    * the blocking group (n × multiplicity small rows), the group
+    * self-join streams each group's pairs through the codegen'd cosine
+    * in the SAME stage, and only (i, j, cos) rows exist after it.
+    * Joining vectors onto a materialized PAIR table instead (the
+    * pre-r12 shape) shuffles |pairs| × dim bytes through the sort-merge
+    * join — measured at the 200k-vector corpus as ~10⁸ pairs × 0.5 KB
+    * ≈ 100 GB of sort spill, which filled the bench host's disk before
+    * a single result row. A pair sharing several groups scores once
+    * per shared group (bounded by the probe/band multiplicity) and
+    * collapses in the distinct: cos is a pure function of (i, j), so
+    * distinct on (i, j, cos) equals the old score-once-per-distinct-
+    * pair result EXACTLY — all five DuckDB-gated consumers re-verified
+    * hash-identical. Any change to the rounding or tie-breaks here
+    * must reach all of their oracles.
     */
-  private[graft] def topKByCosine(s: SparkSession, cand: DataFrame,
-      ev: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val a = ev.select(col("vec_id").as("i"), col("v").as("va"))
-    val b = ev.select(col("vec_id").as("j"), col("v").as("vb"))
-    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
-    cand.join(a, Seq("i")).join(b, Seq("j"))
+  private[graft] def scoredPairsInGroups(s: SparkSession,
+      grouped: DataFrame, grpCols: Seq[String], directed: Boolean,
+      scale: Int): DataFrame = {
+    val a = grouped.select(grpCols.map(col) ++
+      Seq(col("vec_id").as("i"), col("v").as("va")): _*)
+    val b = grouped.select(grpCols.map(col) ++
+      Seq(col("vec_id").as("j"), col("v").as("vb")): _*)
+    val pair = if (directed) col("i") =!= col("j") else col("i") < col("j")
+    a.join(b, grpCols)
+      .filter(pair)
       .withColumn("cos",
-        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), 6))
-      .withColumn("rn", row_number().over(w))
+        round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), scale))
+      .select(col("i"), col("j"), col("cos")).distinct()
+  }
+
+  /** Keep each LEFT row's [[KnnJoinK]] strongest scored pairs — the
+    * final window of the directed KNN-join variants.
+    */
+  private[graft] def topKFromScored(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("i").orderBy(col("cos").desc, col("j"))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= KnnJoinK)
       .select(col("i"), col("j"), col("cos"))
   }
