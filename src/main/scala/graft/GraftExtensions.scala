@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSim, FloatVecDecode, WinnowFp}
+import graft.functions.{CosineSim, FloatVecDecode, L2SqDouble, L2SqLong, LshSigPack, WinnowFp}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -28,6 +28,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDecode].getName, "float_vec"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.floatVecFromExprs(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("l2sq_long"),
+      new ExpressionInfo(classOf[L2SqLong].getName, "l2sq_long"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2SqLong(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("l2sq_double"),
+      new ExpressionInfo(classOf[L2SqDouble].getName, "l2sq_double"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2SqDouble(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_sig"),
+      new ExpressionInfo(classOf[LshSigPack].getName, "lsh_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LshSigPack(children(0), children(1))))
     // transparent ngram-index file pruning for contains-filters over
     // indexed lakes (SURVEY §7.4 stretch)
     ext.injectOptimizerRule(spark => new graft.plans.IndexPruneRule(spark))
@@ -64,6 +79,18 @@ object GraftExtensions {
       "winnow_fp", winnowFromExprs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_vec", floatVecFromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_long",
+      children => L2SqLong(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_double",
+      children => L2SqDouble(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sig",
+      children => LshSigPack(children(0), children(1)),
+      "built-in")
     graft.plans.SqlTableFunctions.register(spark)
   }
 
@@ -90,6 +117,26 @@ object GraftExtensions {
   def floatVec(spark: SparkSession, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_udf("float_vec", b)
+  }
+
+  /** Column-API handle for the integer squared-L2 kernel. */
+  def l2sqLong(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("l2sq_long", a, b)
+  }
+
+  /** Column-API handle for the double squared-L2 kernel (sequential
+    * left-fold accumulation — bit-identical to the declarative fold).
+    */
+  def l2sqDouble(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("l2sq_double", a, b)
+  }
+
+  /** Column-API handle for the packed LSH sign-signature expression. */
+  def lshSig(spark: SparkSession, vq: Column, coefs: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("lsh_sig", vq, coefs)
   }
 
   /** Column-API handle for the winnowing-fingerprint expression. */

@@ -165,9 +165,10 @@ object VectorIndex {
     // code = argmin over the codebook of sub-slice L2 (ties → lower code)
     val codesCol = transform(sequence(lit(0), lit(nSub - 1)), m => {
       val sl = slice(col("v"), m * sub + 1, lit(sub))
+      // native fused double L2 (left-fold accumulation order preserved —
+      // bit-identical to the aggregate(zip_with(...)) form, VecMathSpec)
       val dists = transform(element_at(bookLit, m + 1), c =>
-        aggregate(zip_with(sl, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x))
+        graft.GraftExtensions.l2sqDouble(spark, sl, c))
       array_position(dists, array_min(dists)).cast("int") - 1
     })
     // codes-only cells: the ADC scan must never read a full vector, so

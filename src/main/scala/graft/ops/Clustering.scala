@@ -40,9 +40,12 @@ object Clustering {
 
   // the corpus count behind scaledCells, cached by the dir's content
   // signature — without it every warm knn-ivf invocation would pay a
-  // full embeddings scan action just to derive the artifact NAME
+  // full embeddings scan action just to derive the artifact NAME.
+  // private[ops]: Similarity's width-scaled LSH paths size their bands
+  // from the same count (they paid an uncached e.count() job per
+  // invocation before r12)
   private val embCountCache = new graft.core.LruMap[String, (Long, Long)](64)
-  private def embCount(s: SparkSession, dir: String): Long = {
+  private[ops] def embCount(s: SparkSession, dir: String): Long = {
     val sig = graft.core.Fs.dirSignature(s, dir)
     embCountCache.get(dir) match {
       case Some((m, n)) if m == sig => n
@@ -80,9 +83,11 @@ object Clustering {
     val ordered = cents.sortBy(_._1)
     val centLit = typedLit(ordered.map(_._2))
     val kLit = typedLit(ordered.map(_._1))
+    // native fused L2 kernel (graft.functions.L2SqLong): long arithmetic
+    // is associative, so the result is bit-equal to the
+    // aggregate(zip_with(...)) fold it replaces — VecMathSpec pins it
     val dists = transform(centLit, c =>
-      aggregate(zip_with(col("q"), c, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x))
+      graft.GraftExtensions.l2sqLong(e.sparkSession, col("q"), c))
     e.withColumn("dists", dists)
       .withColumn("cluster",
         element_at(kLit,
@@ -308,8 +313,7 @@ object Clustering {
     val centLit = typedLit(ordered.map(_._2))
     val kLit = typedLit(ordered.map(_._1))
     val dists = transform(centLit, c =>
-      aggregate(zip_with(col("q"), c, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x))
+      graft.GraftExtensions.l2sqLong(e.sparkSession, col("q"), c))
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     e.withColumn("da", dists)
       .select(col("vec_id"), posexplode(col("da")).as(Seq("ci", "dist")))
@@ -369,8 +373,7 @@ object Clustering {
   private def assignDf(e: DataFrame, cents: DataFrame): DataFrame =
     spread(e).crossJoin(broadcast(cents))
       .withColumn("dist",
-        aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x))
+        graft.GraftExtensions.l2sqLong(e.sparkSession, col("q"), col("cq")))
       .groupBy("vec_id")
       .agg(min_by(col("ck"), struct(col("dist"), col("ck"))).as("cluster"))
 
@@ -383,8 +386,7 @@ object Clustering {
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("ck"))
     spread(e).crossJoin(broadcast(cents))
       .withColumn("dist",
-        aggregate(zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x))
+        graft.GraftExtensions.l2sqLong(e.sparkSession, col("q"), col("cq")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= p)
       .select(col("vec_id"), col("ck").as("cell"))

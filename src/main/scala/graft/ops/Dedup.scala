@@ -324,14 +324,21 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toks = d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
+    // `unhex` packs the md5 hex to its 16 raw bytes: injective, so
+    // grouping/joining on it is EXACTLY the 32-char-string semantics at
+    // half the shuffle key bytes (the hash never reaches the output)
     val wins = toks.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(toks) - ${k - 1})," +
-          s" i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
+          s" i -> unhex(md5(concat_ws(' ', slice(toks, i, $k)))))"))
         .as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h"))
+    // "occurs in ≥ 2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id): one
+    // map-side-combined aggregate instead of count(DISTINCT)'s two-pass
+    // plan (4 HashAggregates + 2 Exchanges → 2 + 1), and the agg output
+    // keeps hash(h) partitioning the join below reuses
     val shared = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+      .agg(min(col("doc_id")).as("_mn"), max(col("doc_id")).as("_mx"))
+      .filter(col("_mn") =!= col("_mx")).select("h")
     val dw = wins.join(shared, Seq("h")).select("doc_id", "p")
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
     val prevEnd = max(col("p") + (k - 1)).over(

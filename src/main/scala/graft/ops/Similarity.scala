@@ -144,12 +144,16 @@ object Similarity {
   private def lshBandsAt(e: DataFrame, bandBits: Int): DataFrame = {
     val coefLit = typedLit(lshCoefs)
     val vq = transform(col("v"), x => round(x * VecQuant).cast("long"))
-    val sigCol = (0 until LshBits).map { b =>
-      val dot = aggregate(
-        zip_with(col("vq"), element_at(coefLit, b + 1), (x, c) => x * c),
-        lit(0L), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // native packed-signature kernel (graft.functions.LshSigPack): all
+    // 16 integer sign dots in one fused codegen pass instead of 16
+    // interpreted zip_with+aggregate folds per row. Null/ragged corners
+    // replicate the when(dot≥0,…).otherwise(0) sum exactly — a null vq
+    // packed to 0 there (every dot null → every otherwise-0), which the
+    // coalesce restores; ragged/null-element bits contribute 0 inside
+    // the kernel. VecMathSpec pins bit-equality against the fold form.
+    val sigCol = coalesce(
+      graft.GraftExtensions.lshSig(e.sparkSession, col("vq"), coefLit),
+      lit(0L))
     val sigs = e.withColumn("vq", vq).withColumn("sig", sigCol)
       .select("vec_id", "sig")
     val nBands = LshBits / bandBits
@@ -339,7 +343,10 @@ object Similarity {
   private def lshScaledGrouped(s: SparkSession, dir: String,
       cap: Int): DataFrame = {
     val e = embeddings(s, dir)
-    val bits = scaledBandBits(e.count())
+    // signature-keyed count cache (Clustering.embCount): the band width
+    // only needs n, and an uncached e.count() was one full-scan job on
+    // EVERY scaled-LSH invocation
+    val bits = scaledBandBits(Clustering.embCount(s, dir))
     val banded = lshBandsAt(e, bits)
     val small = banded.groupBy(col("k"), col("band"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
@@ -421,7 +428,15 @@ object Similarity {
       .filter(pair)
       .withColumn("cos",
         round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), scale))
-      .select(col("i"), col("j"), col("cos")).distinct()
+      .select(col("i"), col("j"), col("cos"))
+      // hash(i) partitioning up front: distinct's ClusteredDistribution
+      // on (i, j, cos) is satisfied by the i-subset, and the directed
+      // consumers' per-i top-k window reuses the SAME partitioning —
+      // one pair-table exchange instead of two (exchange-by-(i,j,cos)
+      // then exchange-by-i). Row-preserving, so results are unchanged;
+      // hub-i skew is bounded by the band/cell caps upstream.
+      .repartition(col("i"))
+      .distinct()
   }
 
   /** Keep each LEFT row's [[KnnJoinK]] strongest scored pairs — the

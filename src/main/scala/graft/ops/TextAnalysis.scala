@@ -260,16 +260,19 @@ object TextAnalysis {
     // alphabet-bounded (≤ 37³ rows) → broadcast; scoring is map-only
     // plus one doc_id-partitioned agg, text shuffled once pre-explode.
     "text_lm_quality" -> Q((s, dir) => {
+      // trigrams via generator + substring instead of a per-char array
+      // + interpreted transform/concat (HOFs are CodegenFallback): `t`
+      // is normalized ASCII [a-z0-9 ] by construction, so character
+      // positions in substring equal the split("") char positions —
+      // identical trigram stream, fully codegen'd, no char-array churn
       val grams = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           concat_ws(" ", Text.tokens(col("text"))).as("t"))
         .filter(length(col("t")) >= 3)
         .repartition(col("doc_id"))
-        .withColumn("cs", split(col("t"), ""))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(cs) - 2), i -> " +
-            "concat(element_at(cs, i), element_at(cs, i + 1), element_at(cs, i + 2)))"))
-          .as("g"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), length(col("t")) - 2)).as("i"))
+        .select(col("doc_id"), expr("substring(t, i, 3)").as("g"))
       val model = grams.filter(col("doc_id") % 10 === 0)
         .groupBy("g").agg(count(lit(1)).as("cnt"))
       grams.join(broadcast(model), Seq("g"), "left")

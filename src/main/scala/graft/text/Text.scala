@@ -19,9 +19,18 @@ import org.apache.spark.sql.functions._
 object Text {
   val TokenDelim = "[^a-z0-9]+"
 
-  /** Lowercased word tokens, empty strings removed. */
+  /** Lowercased word tokens, empty strings removed.
+    *
+    * `array_remove` rather than the `filter` higher-order function:
+    * HOFs are CodegenFallback (interpreted per row with an InternalRow
+    * wrap), while ArrayRemove participates in whole-stage codegen, and
+    * this expression sits on the hot path of every tokenizing operator.
+    * Equivalent on split output: both drop exactly the "" elements in
+    * order (split never yields null elements, the one case where the
+    * two differ).
+    */
   def tokens(c: Column): Column =
-    filter(split(lower(c), TokenDelim), t => t =!= lit(""))
+    array_remove(split(lower(c), TokenDelim), "")
 
   /** Pluggable tokenizer seam: the reference parameterizes BM25 with a
     * trained HF tokenizer (reference: src/lava/tokenizer_utils.rs:14-34,
