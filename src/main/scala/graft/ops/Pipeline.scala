@@ -605,7 +605,15 @@ object Pipeline {
     * document can be scored.
     */
   def dsirSample(d: DataFrame): DataFrame = {
-    val f = dsirFeatures(d)
+    // one tokenize+hash pass instead of two: the feature table is
+    // ≤ B rows per document (corpus-bounded, far smaller than the
+    // text it derives from), and BOTH the distribution pass and the
+    // scoring join read it — a lazy localCheckpoint materializes it on
+    // the distribution side's broadcast build and the scoring side
+    // reuses the blocks. Within-invocation only (each call checkpoints
+    // afresh — nothing persists across runs); at 100 TB the block
+    // write is f-sized, an order below the corpus re-tokenize it saves
+    val f = dsirFeatures(d).localCheckpoint(false)
     val byB = f.groupBy("b").agg(
       sum("c").as("rc"),
       sum(when(col("lang") === DsirTarget, col("c")).otherwise(0L)).as("tc"))
