@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to stdout, NOT through sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks the
+// machine-parse contract of Bench's one-line JSON (every BENCH_r*.json
+// since round 1 recorded "parsed": null because of the decoration).
+// Timing/query behavior is untouched — this only changes log routing.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -80,7 +80,15 @@ object Bench {
     }
     val omitted = results.size - picked.size
     val qs = picked.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"omitted_fastest":$omitted,"queries":$qs,"sf":"$sfName"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"omitted_fastest":$omitted,"queries":$qs,"sf":"$sfName"}"""
+    println(line)
+    // machine-parse fallback (additive): the SAME line as a bare file,
+    // so a log pipeline that decorates stdout can still parse the bench
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_OUT.json"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

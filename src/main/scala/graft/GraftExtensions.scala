@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSim, FloatVecDecode, L2SqDouble, L2SqLong, LshSigPack, WinnowFp}
+import graft.functions.{CosineSim, FloatVecDecode, HammingDist, L2SqDouble, L2SqLong, LshSigPack, NbScorePack, SignPack}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -12,37 +12,13 @@ import graft.functions.{CosineSim, FloatVecDecode, L2SqDouble, L2SqLong, LshSigP
   * `GraftExtensions.register(spark)` on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSim(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("winnow_fp"),
-      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        GraftExtensions.winnowFromExprs(children)))
-    ext.injectFunction((
-      new FunctionIdentifier("float_vec"),
-      new ExpressionInfo(classOf[FloatVecDecode].getName, "float_vec"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        GraftExtensions.floatVecFromExprs(children)))
-    ext.injectFunction((
-      new FunctionIdentifier("l2sq_long"),
-      new ExpressionInfo(classOf[L2SqLong].getName, "l2sq_long"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        L2SqLong(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("l2sq_double"),
-      new ExpressionInfo(classOf[L2SqDouble].getName, "l2sq_double"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        L2SqDouble(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("lsh_sig"),
-      new ExpressionInfo(classOf[LshSigPack].getName, "lsh_sig"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        LshSigPack(children(0), children(1))))
+    builders.foreach { case (name, cls, fn) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+        fn))
+    }
     // transparent ngram-index file pruning for contains-filters over
     // indexed lakes (SURVEY §7.4 stretch)
     ext.injectOptimizerRule(spark => new graft.plans.IndexPruneRule(spark))
@@ -54,16 +30,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Arity-checked binary builder: a SQL call with the wrong argument
+    * count gets a clear contract error, not an
+    * IndexOutOfBoundsException out of the analyzer.
+    */
+  private def binary(name: String, f: (Expr, Expr) => Expr)(
+      children: Seq[Expr]): Expr = {
+    require(children.size == 2,
+      s"$name takes exactly two arguments, got ${children.size}")
+    f(children(0), children(1))
+  }
+
+  /** Every injected scalar function: (name, expression class, builder).
+    * One table so the extension path and [[register]] can never
+    * register different sets.
+    */
+  private val builders: Seq[(String, Class[_], Seq[Expr] => Expr)] = Seq(
+    ("cosine_sim", classOf[CosineSim],
+      binary("cosine_sim", CosineSim.apply) _),
+    ("winnow_fp", classOf[graft.functions.WinnowFp], winnowFromExprs _),
+    ("float_vec", classOf[FloatVecDecode], floatVecFromExprs _),
+    ("l2sq_long", classOf[L2SqLong], binary("l2sq_long", L2SqLong.apply) _),
+    ("l2sq_double", classOf[L2SqDouble],
+      binary("l2sq_double", L2SqDouble.apply) _),
+    ("lsh_sig", classOf[LshSigPack], binary("lsh_sig", LshSigPack.apply) _),
+    ("sign_pack", classOf[SignPack], (children: Seq[Expr]) => {
+      require(children.size == 1,
+        s"sign_pack takes exactly one argument, got ${children.size}")
+      SignPack(children.head)
+    }),
+    ("hamming_dist", classOf[HammingDist],
+      binary("hamming_dist", HammingDist.apply) _),
+    ("nb_score_pack", classOf[NbScorePack], (children: Seq[Expr]) => {
+      require(children.size == 3,
+        s"nb_score_pack takes exactly three arguments, got ${children.size}")
+      NbScorePack(children(0), children(1), children(2))
+    }))
+
   /** winnow_fp(text, k, w) — k and w must be integer literals. */
   private[graft] def winnowFromExprs(
-      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): WinnowFp = {
+      children: Seq[Expr]): graft.functions.WinnowFp = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     // a clear contract error instead of a MatchError out of the
     // analyzer: function resolution runs before constant folding, so
     // k/w must be plain integer literals
     children.slice(1, 3) match {
       case Seq(Literal(k: Int, _), Literal(w: Int, _)) =>
-        WinnowFp(children.head, k, w)
+        graft.functions.WinnowFp(children.head, k, w)
       case other => throw new IllegalArgumentException(
         "winnow_fp(text, k, w) needs integer LITERALS for k and w, got: " +
           (if (other.isEmpty) "no k/w arguments" else other.mkString(", ")))
@@ -71,33 +86,16 @@ object GraftExtensions {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      children => CosineSim(children(0), children(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fp", winnowFromExprs, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vec", floatVecFromExprs, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2sq_long",
-      children => L2SqLong(children(0), children(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2sq_double",
-      children => L2SqDouble(children(0), children(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_sig",
-      children => LshSigPack(children(0), children(1)),
-      "built-in")
+    builders.foreach { case (name, _, fn) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, fn, "built-in")
+    }
     graft.plans.SqlTableFunctions.register(spark)
   }
 
   /** Column-API handle for the native expression. */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
-    import org.apache.spark.sql.functions.expr
     // route through the registry so we never touch private Column
     // constructors; the planner substitutes the expression directly
     org.apache.spark.sql.functions.call_udf("cosine_sim", a, b)
@@ -106,8 +104,7 @@ object GraftExtensions {
   // arity checked here (the winnowFromExprs discipline): extra args
   // silently ignored would produce plausible-looking wrong results
   private[graft] def floatVecFromExprs(
-      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : FloatVecDecode = {
+      children: Seq[Expr]): FloatVecDecode = {
     require(children.size == 1,
       s"float_vec(blob) takes exactly one argument, got ${children.size}")
     FloatVecDecode(children.head)
@@ -137,6 +134,26 @@ object GraftExtensions {
   def lshSig(spark: SparkSession, vq: Column, coefs: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_udf("lsh_sig", vq, coefs)
+  }
+
+  /** Column-API handle for the packed sign-bit expression. */
+  def signPack(spark: SparkSession, v: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("sign_pack", v)
+  }
+
+  /** Column-API handle for the packed Hamming-distance kernel. */
+  def hammingDist(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("hamming_dist", a, b)
+  }
+
+  /** Column-API handle for the fused NB-model document scorer. */
+  def nbScorePack(spark: SparkSession, tk: Column, model: Column,
+      nClasses: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_udf("nb_score_pack", tk, model,
+      org.apache.spark.sql.functions.lit(nClasses))
   }
 
   /** Column-API handle for the winnowing-fingerprint expression. */

@@ -28,8 +28,12 @@ object PlanDump {
         case None => System.err.println(s"[plandump] unknown query: $name")
         case Some(fn) =>
           // fixture-building pass (ensure-gated), so the dumped plan is
-          // the warm query plan, not the build pipeline
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          // the warm query plan, not the build pipeline; NonFatal only —
+          // a failed warm pass must be visible, and fatal errors (OOM)
+          // must not be swallowed into a silently-cold dump
+          try fn(spark, sfDir).count()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[plandump] warm pass for $name failed: $e") }
           val df = fn(spark, sfDir)
           val txt = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)

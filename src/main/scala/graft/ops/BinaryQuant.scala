@@ -42,6 +42,12 @@ object BinaryQuant {
   /** Packed sign bits: bit (i mod 64) of word (i div 64) is set iff
     * v[i] > 0. Bit 63 contributes Long.MinValue — two's-complement sum
     * equals OR because each bit is added at most once.
+    *
+    * DECLARATIVE SPEC TWIN: the hot paths below run the native
+    * [[graft.functions.SignPack]] kernel (one fused codegen pass instead
+    * of 64 interpreted when/pow steps per word per row); VecMathSpec
+    * pins the two bit-equal. Kept for the spec and as the readable
+    * definition.
     */
   def signBits(v: Column): Column =
     transform(sequence(lit(0), ((size(v) + 63) / lit(64)).cast("int") - 1), w =>
@@ -64,7 +70,10 @@ object BinaryQuant {
     out
   }
 
-  /** XOR + popcount over the packed words — the whole distance kernel. */
+  /** XOR + popcount over the packed words — the whole distance kernel.
+    * DECLARATIVE SPEC TWIN of [[graft.functions.HammingDist]] (see
+    * [[signBits]]); hot paths run the native kernel.
+    */
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)
@@ -75,7 +84,9 @@ object BinaryQuant {
     */
   def quantizeBinary(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(signBits(col("v"))).as(Seq("w", "code")))
+      .select(col("vec_id"),
+        posexplode(graft.GraftExtensions.signPack(s, col("v")))
+          .as(Seq("w", "code")))
       .select(col("vec_id"), (col("w") + 1).cast("long").as("i"), col("code"))
 
   private def quantizeBinarySql: String = {
@@ -103,7 +114,9 @@ object BinaryQuant {
     val c = candidates(e.count())
     val cand = e
       .select(col("vec_id"), col("v"),
-        hamming(signBits(col("v")), typedLit(packSigns(q))).as("h"))
+        graft.GraftExtensions.hammingDist(s,
+          graft.GraftExtensions.signPack(s, col("v")),
+          typedLit(packSigns(q))).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(c)
     cand.select(col("vec_id"),
       round(graft.GraftExtensions.cosineSim(s, col("v"), typedLit(q)), 6)
@@ -134,7 +147,8 @@ object BinaryQuant {
   def knnJoinBinaryPanel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Similarity.embeddings(s, dir)
-      .select(col("vec_id"), col("v"), signBits(col("v")).as("sig"))
+      .select(col("vec_id"), col("v"),
+        graft.GraftExtensions.signPack(s, col("v")).as("sig"))
     val panel = e.filter(col("vec_id") < Similarity.KnnPanelN)
       .select(col("vec_id").as("i"), col("v").as("qv"), col("sig").as("qsig"))
     val c = candidates(e.count())
@@ -143,7 +157,8 @@ object BinaryQuant {
     broadcast(panel)
       .join(e.select(col("vec_id").as("j"), col("v").as("vb"),
         col("sig").as("sb")), col("i") =!= col("j"))
-      .withColumn("h", hamming(col("qsig"), col("sb")))
+      .withColumn("h",
+        graft.GraftExtensions.hammingDist(s, col("qsig"), col("sb")))
       .withColumn("rn", row_number().over(wh)).filter(col("rn") <= c)
       .withColumn("cos",
         round(graft.GraftExtensions.cosineSim(s, col("qv"), col("vb")), 6))

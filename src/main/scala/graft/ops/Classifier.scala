@@ -123,6 +123,34 @@ object Classifier {
     */
   def scoreWithModel(s: SparkSession, dir: String,
       docs: DataFrame): DataFrame = {
+    val (mapLit, clsLit, nClasses) = modelLits(s, dir)
+    // one fused codegen pass over the token array computes BOTH the
+    // matched count and the per-class score sums
+    // (graft.functions.NbScorePack — the interpreted filter +
+    // aggregate(zip_with) HOF pair it replaces paid per-token
+    // per-class boxed eval; the fold twin below stays for the spec pin)
+    docs
+      .withColumn("tk", Text.tokens(col("text")))
+      .withColumn("pk",
+        graft.GraftExtensions.nbScorePack(s, col("tk"), mapLit, nClasses))
+      .withColumn("matched", element_at(col("pk"), 1))
+      .filter(col("matched") > 0)
+      .withColumn("sc", slice(col("pk"), 2, nClasses))
+      .withColumn("best", array_max(col("sc")))
+      .select(col("doc_id"),
+        element_at(clsLit,
+          array_position(col("sc"), col("best")).cast("int")).as("pred"),
+        col("best").as("score"))
+  }
+
+  /** The model shipped as literals: token → per-class-rho map (class
+    * order = sorted class names), the sorted class-name array, and the
+    * class count — shared by the native scorer and its fold twin so the
+    * two can never score against different models.
+    */
+  private def modelLits(s: SparkSession,
+      dir: String): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, Int) = {
     val rho = rhoPersisted(s, dir).collect()
     val classes = rho.map(_.getString(1)).distinct.sorted.toSeq
     val cIdx = classes.zipWithIndex.toMap
@@ -132,9 +160,18 @@ object Classifier {
         rs.foreach(r => arr(cIdx(r.getString(1))) = r.getLong(2))
         t -> arr.toSeq
       }
-    val mapLit = typedLit(model)
-    val clsLit = typedLit(classes)
-    val zero = array_repeat(lit(0L), classes.size)
+    (typedLit(model), typedLit(classes), classes.size)
+  }
+
+  /** DECLARATIVE SPEC TWIN of [[scoreWithModel]]: the pre-r13
+    * interpreted-HOF form (filter for matched + aggregate(zip_with)
+    * fold for scores). ClassifierSpec pins the native path equal to
+    * this row-for-row.
+    */
+  private[graft] def scoreWithModelFold(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val (mapLit, clsLit, nClasses) = modelLits(s, dir)
+    val zero = array_repeat(lit(0L), nClasses)
     // tokenize ONCE into a column: "matched" and the score fold both
     // consume it, and re-evaluating the regex split per expression
     // would double the per-row cost on this hot scoring path

@@ -201,7 +201,13 @@ object Clustering {
     */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val cl = kmeans(s, dir) // (vec_id, cluster)
+    // one k-means assignment pass, not two: the self-join below would
+    // otherwise evaluate the whole embeddings ⋈ assignment subtree
+    // (including the n×K distance map) once per side (lazy
+    // localCheckpoint, within-invocation only — the
+    // scoredPairsInGroups discipline)
     val e = Similarity.embeddings(s, dir).join(cl, Seq("vec_id"))
+      .localCheckpoint(false)
     val a = e.select(col("cluster"), col("vec_id").as("i"), col("v").as("va"))
     val b = e.select(col("cluster"), col("vec_id").as("j"), col("v").as("vb"))
     a.join(b, Seq("cluster")).filter(col("i") < col("j"))

@@ -347,7 +347,11 @@ object Similarity {
     // only needs n, and an uncached e.count() was one full-scan job on
     // EVERY scaled-LSH invocation
     val bits = scaledBandBits(Clustering.embCount(s, dir))
-    val banded = lshBandsAt(e, bits)
+    // one signature pass, not two: the bucket-size filter below and the
+    // semi-join both consume `banded` (lazy localCheckpoint of n×nBands
+    // small rows — far cheaper than running the corpus-wide sig pass
+    // once per consumer)
+    val banded = lshBandsAt(e, bits).localCheckpoint(false)
     val small = banded.groupBy(col("k"), col("band"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
       .select("k", "band")
@@ -419,9 +423,18 @@ object Similarity {
   private[graft] def scoredPairsInGroups(s: SparkSession,
       grouped: DataFrame, grpCols: Seq[String], directed: Boolean,
       scale: Int): DataFrame = {
-    val a = grouped.select(grpCols.map(col) ++
+    // materialize the (group, vec_id, v) table ONCE per invocation (lazy
+    // localCheckpoint, the dsir pattern): both sides of the self-join
+    // below would otherwise recompute the whole `grouped` subtree — a
+    // corpus scan + blocking join PER SIDE (the r12 verdict's top item:
+    // knn_join_ivf / dedup_knn_graph pay the cells ⋈ vectors prep twice).
+    // Within-invocation only — nothing persists across runs; at 100 TB
+    // the block write is |grouped|-sized (keys + one vector per
+    // membership row), an order below the doubled corpus scan it saves.
+    val g = grouped.localCheckpoint(false)
+    val a = g.select(grpCols.map(col) ++
       Seq(col("vec_id").as("i"), col("v").as("va")): _*)
-    val b = grouped.select(grpCols.map(col) ++
+    val b = g.select(grpCols.map(col) ++
       Seq(col("vec_id").as("j"), col("v").as("vb")): _*)
     val pair = if (directed) col("i") =!= col("j") else col("i") < col("j")
     a.join(b, grpCols)

@@ -83,6 +83,18 @@ class ClassifierSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     assert(viaModel.toSeq == viaAgg.toSeq)
   }
+
+  test("native nb_score_pack scorer equals the interpreted-HOF fold twin") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % Classifier.TestMod === 0)
+    val native = Classifier.scoreWithModel(spark, sf, docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val fold = Classifier.scoreWithModelFold(spark, sf, docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(native.toSeq == fold.toSeq)
+    assert(native.nonEmpty)
+  }
 }
 
 class KnnJoinSpec extends AnyFunSuite {

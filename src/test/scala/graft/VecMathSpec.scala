@@ -96,4 +96,73 @@ class VecMathSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
     assert(got.forall(_._2 == 0L))
   }
+
+  test("sign_pack is bit-identical to the signBits fold (multi-word)") {
+    // 130 dims → 3 packed words; mix of signs, zeros, and a positive
+    // 64th/128th component so bit 63 of words 0 and 1 is exercised
+    val vecs = (0L until 30L).map { i =>
+      (i, Seq.tabulate(130) { j =>
+        if (j == 63 || j == 127) 0.5 else rnd.nextDouble() - 0.5
+      })
+    }
+    val df = vecs.toDF("id", "v")
+    val want = df.select(col("id"),
+      graft.ops.BinaryQuant.signBits(col("v")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val got = df.select(col("id"),
+      GraftExtensions.signPack(spark, col("v")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(got.toSeq == want.toSeq)
+    // the driver-side twin packs the same words
+    val local = vecs.map { case (i, v) =>
+      i -> graft.ops.BinaryQuant.packSigns(v).toSeq }
+    assert(got.map(_._2).toSeq == local.map(_._2).toSeq)
+  }
+
+  test("sign_pack corners: null input is NULL, null elements pack to 0") {
+    val df = Seq(
+      (1L, null.asInstanceOf[Seq[java.lang.Double]]),
+      (2L, Seq[java.lang.Double](1.0, null, -3.0, null, 2.0))
+    ).toDF("id", "v")
+    val want = df.select(col("id"),
+      graft.ops.BinaryQuant.signBits(col("v")).as("s")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+    val got = df.select(col("id"),
+      GraftExtensions.signPack(spark, col("v")).as("s")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.head._2 == null)               // null in → null out
+    assert(got(1)._2 == Seq(1L | (1L << 4)))  // bits 0 and 4 only
+  }
+
+  test("hamming_dist is bit-identical to the popcount fold") {
+    val words = (0L until 40L).map(i =>
+      (i, Seq.fill(3)(rnd.nextLong()), Seq.fill(3)(rnd.nextLong())))
+    val df = words.toDF("id", "a", "b")
+    val want = df.select(col("id"),
+      graft.ops.BinaryQuant.hamming(col("a"), col("b")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val got = df.select(col("id"),
+      GraftExtensions.hammingDist(spark, col("a"), col("b")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("hamming_dist ragged and null-element inputs are NULL like the fold") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 2L)),
+      (2L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (3L, Seq[java.lang.Long](-1L, 0L), Seq[java.lang.Long](0L, 0L))
+    ).toDF("id", "a", "b")
+    val want = df.select(col("id"),
+      graft.ops.BinaryQuant.hamming(col("a"), col("b")).as("h")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+    val got = df.select(col("id"),
+      GraftExtensions.hammingDist(spark, col("a"), col("b")).as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.count(_._2 == null) == 2)
+    assert(got(2)._2 == 64L) // -1L xor 0L = all 64 bits
+  }
 }
