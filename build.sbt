@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // measurement-only: SPARK_GRAFT_GC_LOG=<path> turns on JVM GC logging
+  // for the forked run (profiling the local[32] heap, guide §5); absent
+  // by default so timed runs are unaffected
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(p => s"-Xlog:gc:file=$p").toSeq

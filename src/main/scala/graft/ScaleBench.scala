@@ -320,7 +320,16 @@ object ScaleBench {
       // shuffle is ≤ d·w·partitions rows at ANY corpus size
       "countmin_sketch" -> (() =>
         graft.ops.TextAnalysis.entries("corpus_countmin_sketch")
-          .fn(spark, dir).count()))
+          .fn(spark, dir).count())) ++
+      // r13 (verdict item 5): sf1 rows for the top in-suite families
+      // that never had an at-scale A/B — each runs the DECLARED
+      // SparkEntry query untouched, so the row is the entry itself
+      Seq("streaming_events_hourly", "streaming_doc_pipeline",
+        "streaming_index_search_minhash", "similarity_ivf_pq_recall",
+        "minhash_lookup", "lake_api_minhash", "dsir_sample", "dedup_span",
+        "dedup_cc", "dedup_semantic", "text_decontaminate_bloom")
+        .map(n => n -> (() =>
+          graft.SparkEntry.queries(n)(spark, dir).count(): Any))
 
     // optional op filter: second arg = comma-separated op names
     val selected =

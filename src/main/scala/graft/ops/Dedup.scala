@@ -327,11 +327,20 @@ object Dedup {
     // `unhex` packs the md5 hex to its 16 raw bytes: injective, so
     // grouping/joining on it is EXACTLY the 32-char-string semantics at
     // half the shuffle key bytes (the hash never reaches the output)
+    // ONE tokenize+md5 pass, not two: the shared-window filter and the
+    // join back both consume `wins` — r11/r12 recomputed it per
+    // consumer (the window-hash pass was judged cheaper than
+    // materializing O(token) rows); the r13 sf1 measurement says
+    // otherwise (the md5-per-window pass dominates: 34.4 → 20.4 s
+    // interleaved min at sf1, 0.59×), so the lazy localCheckpoint materializes
+    // the (doc_id, p, 16-byte h) rows once per invocation —
+    // within-invocation only, ~40 bytes/token of local blocks
     val wins = toks.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(toks) - ${k - 1})," +
           s" i -> unhex(md5(concat_ws(' ', slice(toks, i, $k)))))"))
         .as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("h"))
+      .localCheckpoint(false)
     // "occurs in ≥ 2 distinct docs" ⇔ min(doc_id) ≠ max(doc_id): one
     // map-side-combined aggregate instead of count(DISTINCT)'s two-pass
     // plan (4 HashAggregates + 2 Exchanges → 2 + 1), and the agg output

@@ -437,7 +437,7 @@ object Similarity {
     val b = g.select(grpCols.map(col) ++
       Seq(col("vec_id").as("j"), col("v").as("vb")): _*)
     val pair = if (directed) col("i") =!= col("j") else col("i") < col("j")
-    a.join(b, grpCols)
+    a.join(b.hint("shuffle_hash"), grpCols)
       .filter(pair)
       .withColumn("cos",
         round(graft.GraftExtensions.cosineSim(s, col("va"), col("vb")), scale))
